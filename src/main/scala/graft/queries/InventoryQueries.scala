@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** The 21 declared inventory queries (SURVEY.md §2.5) as idiomatic DataFrame
+  * pipelines. Each covers one or more operators from the SURVEY.md §2
+  * inventory (cited per query). Column aliases match the oracle SQL exactly —
+  * the driver's compare sorts columns by name before hashing.
+  *
+  * Scale notes (100 TB design intent):
+  *  - dimension joins (region/nation/customer-at-small-sf) broadcast under AQE;
+  *    fact-fact joins (Q-05 lineitem⋈orders) shuffle on the join key and AQE
+  *    picks sort-merge vs shuffled-hash at runtime.
+  *  - every aggregate is a partial+final hash aggregate (map-side combine);
+  *    no collect-to-driver anywhere.
+  *  - global ORDER BY is range-partitioned; top-k (Q-15) plans as
+  *    TakeOrderedAndProject (no full sort materialization).
+  */
+object InventoryQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  private val dec = DecimalType(18, 2)
+
+  /** Q-01 (A5, A6) scan + projection + alias. */
+  def q01Scan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .select(col("r_regionkey").as("rk"), col("r_name"))
+      .orderBy(col("rk"))
+
+  /** Q-02 (A8, A9, A12) equality + BETWEEN + conjunction. */
+  def q02Filter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice").between(1000, 50000))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q-03 (A10, A11) YEAR extraction + BETWEEN on derived expression. */
+  def q03YearBetween(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).between(1994, 1995))
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q-04 (A7, A13, A19) inner equi-join + count + mixed-direction order
+    * (RQ3/RQ6 shape — Queries:21–27, 50–57). nation is tiny → broadcast join.
+    */
+  def q04JoinCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("n_name").asc)
+
+  /** Q-05 (A7 3-way, A13, A16, A19, A20) RQ5 shape (Queries:40–48): 3-way
+    * join, null-skipping count, FD-style projection via max(). lineitem⋈orders
+    * is the fact-fact shuffle join; customer side broadcasts at test scale.
+    */
+  def q05ThreeWayJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(max(col("c_name")).as("cust"), count(col("l_linenumber")).as("n_items"))
+      .orderBy(col("n_items").desc, col("o_orderkey").asc)
+
+  /** Q-06 (A14, A15) RQ2 shape (Queries:12–19): HAVING over MAX(YEAR()). */
+  def q06Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(year(col("o_orderdate"))).as("max_y"))
+      .filter(col("max_y") === 2000)
+      .select(col("o_custkey"))
+      .orderBy(col("o_custkey"))
+
+  /** Q-07 (A17, A18) RQ4 shape (Queries:29–38): conjunction of two
+    * IN-subqueries → two chained left-semi joins (what Catalyst's
+    * RewritePredicateSubquery produces for IN).
+    */
+  def q07SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_nationkey")).distinct()
+    val nat = t(spark, dir, "nation")
+      .filter(col("n_regionkey") <= 2).select(col("n_nationkey")).distinct()
+    t(spark, dir, "supplier")
+      .join(cust, col("s_nationkey") === col("c_nationkey"), "left_semi")
+      .join(nat, col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q-08 (B1) left outer join + count of the nullable side. */
+  def q08LeftJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  /** Q-09 (B2) NOT EXISTS with inner predicate → left-anti join. */
+  def q09AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Q-10 (B3) banded range/theta join. Non-equi → broadcast-nested-loop with
+    * the small (filtered) part side broadcast; band condition bounds the work.
+    */
+  def q10RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").filter(col("p_size") === 1)
+      .join(
+        t(spark, dir, "supplier"),
+        col("p_retailprice").between(col("s_acctbal") - 10, col("s_acctbal") + 10))
+      .select(col("p_partkey"), col("s_suppkey"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+
+  /** Q-11 (B4) aggregate suite incl. COUNT(DISTINCT), decimal-stable SUM
+    * (§5.4 rule 2: never hash a float SUM).
+    */
+  def q11AggSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_p"),
+        max(col("l_extendedprice")).as("max_p"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q-12 (B6) ROLLUP + grouping() markers, explicit NULL ordering (§5.4 rule 3). */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g1"), col("g2"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q-13 (B7) ranking window: top-3 per group with deterministic tie-break. */
+  def q13RankWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q-14 (B8) analytic window: lag + running decimal sum with explicit frame. */
+  def q14AnalyticWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q-15 (B9) global top-k — plans as TakeOrderedAndProject, no full sort. */
+  def q15TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Q-16 (B10) INTERSECT (DISTINCT semantics, same as DuckDB). */
+  def q16Intersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Q-17 (B11) string function suite. */
+  def q17StringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        lower(col("p_type")).as("lt"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        length(col("p_name")).as("len"),
+        regexp_replace(col("p_brand"), lit("#"), lit("-")).as("rb"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("cat"))
+      .orderBy(col("p_partkey"))
+
+  /** Q-18 (B12) math fns; floor/ceil explicitly cast (return-type drift, §5.4
+    * rule 4); round only on DECIMAL (rule 6).
+    */
+  def q18MathFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0).as("a"),
+        floor(col("p_retailprice")).cast(LongType).as("f"),
+        ceil(col("p_retailprice")).cast(LongType).as("c"),
+        round(col("p_retailprice").cast(dec), 1).as("r"))
+      .orderBy(col("p_partkey"))
+
+  /** Q-19 (B13) date functions; date_trunc cast to DATE (§5.4 rule 4). */
+  def q19DateFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mo"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q-20 (B14) CASE WHEN + conditional aggregation. */
+  def q20CaseWhen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q-21 (B16) exact dedup via DISTINCT on a projection. */
+  def q21Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** Name → pipeline, in SURVEY §2.5 order. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project"   -> (q01Scan _),
+    "q02_filter"         -> (q02Filter _),
+    "q03_year_between"   -> (q03YearBetween _),
+    "q04_join_count"     -> (q04JoinCount _),
+    "q05_threeway_join"  -> (q05ThreeWayJoin _),
+    "q06_having"         -> (q06Having _),
+    "q07_semijoin"       -> (q07SemiJoin _),
+    "q08_left_join"      -> (q08LeftJoin _),
+    "q09_anti_join"      -> (q09AntiJoin _),
+    "q10_range_join"     -> (q10RangeJoin _),
+    "q11_agg_suite"      -> (q11AggSuite _),
+    "q12_rollup"         -> (q12Rollup _),
+    "q13_rank_window"    -> (q13RankWindow _),
+    "q14_analytic_window"-> (q14AnalyticWindow _),
+    "q15_topk"           -> (q15TopK _),
+    "q16_intersect"      -> (q16Intersect _),
+    "q17_string_fns"     -> (q17StringFns _),
+    "q18_math_fns"       -> (q18MathFns _),
+    "q19_date_fns"       -> (q19DateFns _),
+    "q20_case_when"      -> (q20CaseWhen _),
+    "q21_distinct"       -> (q21Distinct _),
+  )
+
+  /** DuckDB-runnable oracle SQL (SURVEY.md §2.5, pre-validated 21/21 against
+    * Spark 4.1.2 + DuckDB 1.0.0 on sf0.01). Aliases match the DataFrame
+    * pipelines above exactly.
+    */
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT r_regionkey AS rk, r_name FROM region ORDER BY r_regionkey",
+    "q02_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 50000
+         ORDER BY o_orderkey""",
+    "q03_year_between" ->
+      """SELECT o_orderkey FROM orders
+         WHERE year(o_orderdate) BETWEEN 1994 AND 1995 ORDER BY o_orderkey""",
+    "q04_join_count" ->
+      """SELECT n_name, count(*) AS c FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY c DESC, n_name ASC""",
+    "q05_threeway_join" ->
+      """SELECT o_orderkey, max(c_name) AS cust, count(l_linenumber) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_orderkey ORDER BY n_items DESC, o_orderkey ASC""",
+    "q06_having" ->
+      """SELECT o_custkey FROM orders
+         GROUP BY o_custkey HAVING max(year(o_orderdate)) = 2000
+         ORDER BY o_custkey""",
+    "q07_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000)
+           AND s_nationkey IN (SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey <= 2)
+         ORDER BY s_suppkey""",
+    "q08_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q09_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q10_range_join" ->
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+         ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
+         WHERE p_size = 1 ORDER BY p_partkey, s_suppkey""",
+    "q11_agg_suite" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+                count(*) AS n, count(DISTINCT l_suppkey) AS n_supp
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g1,
+                grouping(l_linestatus) AS g2, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q13_rank_window" ->
+      """SELECT c_custkey, rn FROM (
+           SELECT c_custkey, row_number() OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+           FROM customer) t
+         WHERE rn <= 3 ORDER BY c_custkey""",
+    "q14_analytic_window" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey) OVER w AS prev_ok,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "q15_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q16_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+         INTERSECT
+         SELECT s_nationkey AS k FROM supplier
+         ORDER BY k""",
+    "q17_string_fns" ->
+      """SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt,
+                substr(p_name, 1, 5) AS pfx, length(p_name) AS len,
+                replace(p_brand, '#', '-') AS rb, concat(p_brand, '/', p_type) AS cat
+         FROM part ORDER BY p_partkey""",
+    "q18_math_fns" ->
+      """SELECT p_partkey, abs(p_retailprice - 1000.0) AS a,
+                CAST(floor(p_retailprice) AS BIGINT) AS f,
+                CAST(ceil(p_retailprice) AS BIGINT) AS c,
+                round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r
+         FROM part ORDER BY p_partkey""",
+    "q19_date_fns" ->
+      """SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d
+         FROM orders ORDER BY o_orderkey""",
+    "q20_case_when" ->
+      """SELECT o_orderpriority,
+                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q21_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+         ORDER BY c_nationkey, c_mktsegment""",
+  )
+}
