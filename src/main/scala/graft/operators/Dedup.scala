@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.4
+  * B16/B17 + LLM-pipeline extensions): exact, MinHash+LSH, SimHash, and
+  * n-gram Jaccard near-dup.
+  *
+  * Scale design. Exact dedup groups on a 64-bit content hash, not the text,
+  * so the shuffle carries 8-byte keys (plus the chosen survivor id), never
+  * document bodies. Near-dup follows the classic shingle → signature →
+  * band-bucket → candidate-pair → verify pipeline: the only joins are
+  * equi-joins on band hashes (shuffle-partitionable), candidate
+  * verification is a narrow pairwise step, and nothing ever collects to
+  * the driver. Dedup policy is "keep smallest id": a row is dropped iff it
+  * has a verified near-duplicate with a smaller id — deterministic, local,
+  * and transitive-closure-free (no iterative connected components, which
+  * would be the scalability bottleneck).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on full row or a column subset — `dropDuplicates`. */
+  def exact(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Exact content dedup with a deterministic survivor: keeps the row with
+    * the smallest `idCol` per distinct `contentCol`. Grouping key is
+    * xxhash64(content) so the shuffle is hash-wide, not text-wide; the
+    * within-group winner is picked by min-struct aggregation (single
+    * partial+final agg, no window-sort).
+    */
+  def exactKeepMinId(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val winner = df
+      .groupBy(xxhash64(col(contentCol)).as("_h"))
+      .agg(min(col(idCol)).as("_keep"))
+    df.join(winner, df(idCol) === winner("_keep"), "left_semi")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** k MinHash values over token `n`-gram shingles. Each hash family member
+    * j is xxhash64(shingle ⊕ j); the signature entry is the min over the
+    * doc's shingle set. Pure higher-order expressions — per-row, codegen'd,
+    * no shuffle, no MLlib Vector boxing.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
+    minhashSignatureFromShingles(TextAnalysis.shingles(text, shingleN), numHashes)
+
+  /** Signature from an already-computed shingle array. */
+  def minhashSignatureFromShingles(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** Banded LSH candidate pairs from minhash signatures: split the
+    * k-signature into `bands` bands of k/bands rows, bucket by
+    * (band index, band hash), and emit verified candidate pairs
+    * (idA < idB) whose exact shingle-Jaccard ≥ `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard).
+    */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val shingled = df.select(
+      col(idCol).as("_id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh"))
+
+    // one row per (doc, band): band key = hash of (band idx, band's slice);
+    // the banded frame carries only (id, band, 8-byte key) — never text or
+    // shingles — so the LSH self-join shuffles narrow rows.
+    val banded = shingled
+      .select(col("_id"), minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+      .select(
+        col("_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+
+    val a = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"))
+
+    val pairs = a.join(b, Seq("_band", "_bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // same pair may collide in several bands
+
+    // fetch shingles only for surviving candidates, then verify exactly
+    pairs
+      .join(shingled.withColumnsRenamed(Map("_id" -> "id_a", "_sh" -> "_sh_a")), "id_a")
+      .join(shingled.withColumnsRenamed(Map("_id" -> "id_b", "_sh" -> "_sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH dedup: drop every row with a verified near-duplicate of
+    * smaller id (keep-smallest-id policy).
+    */
+  def minhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = minhashNearDupPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+  }
+
+  /** Exact Jaccard over two shingle arrays (treated as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = (size(da) + size(db)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the token stream: per-token 64-bit hash votes ±1
+    * on each bit position weighted by occurrence; bit i of the result is 1
+    * iff the vote sum is positive. Expressed entirely with higher-order
+    * functions (fold over tokens of a 64-long vote vector) — per-row,
+    * no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
+    * generation by the pigeonhole principle: fingerprints are split into
+    * `maxDist + 1` chunks; any pair within distance maxDist must agree on
+    * at least one full chunk, so an equi-join per chunk finds all
+    * candidates without a cross join.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val withSig = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sig"))
+
+    val banded = withSig.select(
+      col("_id"), col("_sig"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftrightunsigned", col("_sig"), c * width)
+            .bitwiseAND(if (width >= 64) lit(-1L) else lit((1L << width) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "_chunk", "col" -> "_ckey"))
+
+    val a = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val b = banded.select(col("_chunk"), col("_ckey"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
+
+    a.join(b, Seq("_chunk", "_ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_sig_a"), col("_sig_b"))
+      .distinct()
+      .withColumn("dist", hamming(col("_sig_a"), col("_sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** SimHash dedup with the keep-smallest-id policy. */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val losers = simhashNearDupPairs(df, idCol, textCol, maxDist)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+  }
+
+  // -------------------------------------------------- n-gram Jaccard join
+
+  /** Exact n-gram Jaccard similarity join via inverted index (no LSH
+    * approximation): explode shingles, equi-join on shingle, count common
+    * shingles per pair, compute Jaccard from the counts. Quadratic only
+    * within shingle buckets — the standard exact verification path when
+    * recall must be 1.0. Returns (id_a, id_b, jaccard ≥ threshold).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("_id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh"))
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
+    val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+
+    val common = inv.as("x").join(inv.as("y"), col("x._s") === col("y._s"))
+      .filter(col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .agg(count(lit(1)).as("_common"))
+
+    common
+      .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_n" -> "_na")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_n" -> "_nb")), "id_b")
+      .withColumn("jaccard",
+        col("_common").cast("double") /
+          (col("_na") + col("_nb") - col("_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: cosine similarity ≥ threshold. Candidate
+    * generation via random-hyperplane LSH buckets (see
+    * [[Similarity.hyperplaneSignature]]) keeps this off the cross-join
+    * path; exact cosine verifies. Returns (id_a, id_b, cosine).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val sig = df.select(
+      col(idCol).as("_id"), col(vecCol).as("_v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("_sig"))
+    val a = sig.select(col("_sig"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = sig.select(col("_sig"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine dedup, keep-smallest-id policy. */
+  def embeddingDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val losers = embeddingNearDupPairs(df, idCol, vecCol, planes, threshold)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.4 B19 + the LLM-pipeline extensions): tokenization,
+  * token counting, shingling, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is a Column expression built from codegen'd built-ins
+  * (`split`, higher-order `transform`/`aggregate`/`filter`, `xxhash64`) —
+  * no UDFs, so whole-stage codegen spans stay wide and the operators run
+  * unchanged at any scale: each is a narrow per-row map, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `split` on \s+ leaves a leading "" for texts with
+    * leading whitespace — `filter(length > 0)` normalizes that and empty
+    * strings to an empty array.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word token count: word pieces, numbers, and punctuation
+    * runs counted separately (a cheap proxy for an LLM tokenizer's token
+    * count — the usual cost estimator in data pipelines).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Token n-gram shingles: `concat_ws(" ", tokens[i..i+n))` for each window.
+    * Texts with fewer than n tokens yield a single shingle of the whole text
+    * (so every non-empty doc has ≥1 shingle).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. Tiny,
+    * deliberately: the operator's value is the distributed scoring shape
+    * (argmax over per-language hit counts), not lexicon coverage.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "中"))
+
+  /** Language-ID: argmax over per-language stopword hit ratios; "und"
+    * (undetermined) when nothing matches. Pure expression — ties broken by
+    * language code order for determinism.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // max by (hits, then lang desc)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length sanity, lexical
+    * diversity, alpha ratio, and mean word length sanity — the standard
+    * cheap pre-filter in web-scale corpus cleaning.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val distinctRatio = when(nTok > 0, size(array_distinct(toks)) / nTok).otherwise(0.0)
+    val alphaRatio = when(nChar > 0,
+      (nChar - length(regexp_replace(text, "[A-Za-z ]", ""))) / nChar).otherwise(0.0)
+    val meanWordLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
+    val lenScore = least(nTok / 20.0, lit(1.0)) // <20 tokens → penalized
+    val wordLenScore = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.3 + distinctRatio * 0.3 + alphaRatio * 0.2 + wordLenScore * 0.2, 6)
+  }
+
+  /** Deterministic document fingerprint: 64-bit rolling hash over the token
+    * stream (order-sensitive, whitespace-insensitive) via chained xxhash64 —
+    * hash mixing instead of polynomial multiply, so ANSI overflow semantics
+    * never trip. Equal fingerprints ⇔ equal token streams (mod collisions).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Term frequencies: (term, n) per document id — explode + count, the
+    * shuffle-on-(id,term) shape that scales linearly.
+    */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-wide top-k terms by document frequency. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
+  /** Full per-document annotation: one narrow projection adding all
+    * text-analysis columns at once (single pass, no shuffle).
+    */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("lang_id", languageId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

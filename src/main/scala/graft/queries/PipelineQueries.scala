@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline queries over the `documents` and `embeddings`
+  * tables (SURVEY.md §2.4 Tier B; the builder's dedup / similarity / text
+  * analysis extensions). Queries q22–q28 are dual-engine (DuckDB oracle);
+  * q29+ exercise Spark-only surface (minhash/simhash/LSH) and get the
+  * driver's rows-only check — their semantics are pinned by ScalaTest
+  * instead (DedupSpec/SimilaritySpec).
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** q22 — exact dedup, keep-smallest-id (B16). */
+  def q22DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepMinId(docs(spark, dir), "doc_id", "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** q23 — whitespace token counting (B19). */
+  def q23TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** q24 — per-language corpus stats. */
+  def q24LangStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** q25 — quality pre-filter: length + token-count band (the cheap
+    * first-stage filter of corpus cleaning).
+    */
+  def q25QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("n_chars").between(100, 300) &&
+        TextAnalysis.tokenCount(col("text")) >= 20)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q26 — per-source stats (provenance summary). */
+  def q26SourceStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("chars").desc, col("source"))
+
+  /** q27 — top-50 terms by document frequency (B19). */
+  def q27TermDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
+  /** q28 — brute-force cosine top-10 for the first 5 query vectors (B18).
+    * Output is (query, neighbor, rank) — the float similarity stays out of
+    * the hashed result; identical doubles on both engines make the ranking
+    * itself deterministic.
+    */
+  def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q29 — MinHash+LSH near-dup dedup survivors (B17; rows-only check). */
+  def q29MinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(docs(spark, dir), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleN = 3, threshold = 0.8)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** q30 — SimHash dedup survivors (rows-only check). */
+  def q30SimhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(docs(spark, dir), "doc_id", "text", maxDist = 3)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** q31 — LSH approximate top-5 ANN for 10 queries (rows-only check;
+    * recall pinned vs brute force in SimilaritySpec).
+    */
+  def q31LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q32 — one-pass text annotation (language-ID, quality, fingerprint;
+    * rows-only check, semantics pinned in TextAnalysisSpec).
+    */
+  def q32Annotate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.annotate(docs(spark, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+        col("lang_id"), col("quality"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_dedup_exact"    -> (q22DedupExact _),
+    "q23_token_count"    -> (q23TokenCount _),
+    "q24_lang_stats"     -> (q24LangStats _),
+    "q25_quality_filter" -> (q25QualityFilter _),
+    "q26_source_stats"   -> (q26SourceStats _),
+    "q27_term_df"        -> (q27TermDf _),
+    "q28_knn_brute"      -> (q28KnnBrute _),
+    "q29_minhash_dedup"  -> (q29MinhashDedup _),
+    "q30_simhash_dedup"  -> (q30SimhashDedup _),
+    "q31_lsh_topk"       -> (q31LshTopK _),
+    "q32_annotate"       -> (q32Annotate _),
+  )
+
+  /** DuckDB oracles for the dual-engine subset (q22–q28). */
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q23_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q24_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q25_quality_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE n_chars BETWEEN 100 AND 300
+           AND len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 20
+         ORDER BY doc_id""",
+    "q26_source_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS chars, min(doc_id) AS first_doc
+         FROM documents GROUP BY source ORDER BY chars DESC, source""",
+    "q27_term_df" ->
+      """SELECT term, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS term
+               FROM documents)
+         GROUP BY term ORDER BY df DESC, term LIMIT 50""",
+    "q28_knn_brute" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])) DESC,
+                             b.vec_id ASC) AS rank
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+  )
+}

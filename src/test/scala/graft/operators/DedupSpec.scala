@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with planted duplicates:
+  //  0/1: identical; 2: near-dup of 0 (one word changed); 3/4: unrelated
+  private val base =
+    "spark shuffles data between executors when a wide dependency requires repartitioning by key across the cluster"
+  private lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("cluster", "network")),
+    (3L, "completely different text about cooking pasta with tomatoes and basil in a large pot"),
+    (4L, "yet another unrelated document discussing mountain hiking trails and weather conditions"))
+    .toDF("doc_id", "text")
+
+  test("exactKeepMinId keeps the smallest id per distinct content") {
+    val out = Dedup.exactKeepMinId(corpus, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash near-dup pairs find identical and near-identical docs") {
+    val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleN = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashDedup keep-smallest-id policy") {
+    val kept = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("jaccard of identical shingle sets is 1.0, disjoint is 0.0") {
+    val r = Seq(("x", "x")).toDF("a", "b").select(
+      Dedup.jaccard(array(lit("p"), lit("q")), array(lit("p"), lit("q"))).as("same"),
+      Dedup.jaccard(array(lit("p")), array(lit("q"))).as("disj")).head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("simhash: identical texts → distance 0; near-dups close; pairs found") {
+    val sigs = corpus.select(Dedup.simhash(col("text")).as("s")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    val d02 = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    val d03 = java.lang.Long.bitCount(sigs(0) ^ sigs(3))
+    assert(d02 < d03)
+    val pairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs matches planted similarity structure") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) < 1.0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup: planted duplicate vector found, dedup drops it") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),      // exact dup of 0
+      (2L, Array(0.99f, 0.01f, 0.5f, 0.2f)),    // near dup of 0
+      (3L, Array(-1.0f, 0.5f, -0.3f, 0.8f)))    // far away
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      planes = 4, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding", planes = 4, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
+  }
+
+  test("dedup idempotence on the documents table (property)") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val once = Dedup.exactKeepMinId(docs, "doc_id", "text")
+    val twice = Dedup.exactKeepMinId(once, "doc_id", "text")
+    assert(once.count() == twice.count())
+  }
+}

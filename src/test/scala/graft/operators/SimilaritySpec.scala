@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1, zero-safe") {
+    val r = Seq(1).toDF("d").select(
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("same"),
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f))).as("orth"),
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(-1.0f), lit(0.0f))).as("opp"),
+      Similarity.cosine(array(lit(0.0f), lit(0.0f)), array(lit(1.0f), lit(1.0f))).as("zero")).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("bruteForceTopK: nearest neighbor structure on hand-built vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // nearest to 0
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top1 == 1L)
+  }
+
+  test("lshTopK achieves high recall vs brute force on real embeddings") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      bands = 8, planesPerBand = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("ivfAssign produces stable cells and groups similar vectors") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)
+    val cells = assigned.select("ivf_cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // deterministic: same input → same assignment
+    val again = Similarity.ivfAssign(emb, "embedding", nCells = 8)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toSet
+    assert(assigned.select("vec_id", "ivf_cell").as[(Long, Int)].collect().toSet == again)
+  }
+
+  test("hyperplane signature: identical vectors get identical signatures") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-5.0f, 1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val sigs = vecs.select(Similarity.hyperplaneSignature(col("embedding"), 16).as("s"))
+      .as[Long].collect()
+    assert(sigs(0) == sigs(1))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("dummy").select(c).head.get(0)
+
+  test("tokens: whitespace split, empty + leading-space normalization") {
+    val df = Seq("a b  c", "  lead space", "", "solo").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 2, 0, 1))
+  }
+
+  test("shingles: n-grams over tokens; short docs fall back to whole text") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3).as("s")).as[Seq[String]].head
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3).as("s")).as[Seq[String]].head
+    assert(short == Seq("a b"))
+  }
+
+  test("languageId: stopword heuristic on hand-made samples") {
+    val samples = Seq(
+      ("the cat and the dog is in a house", "en"),
+      ("der hund und die katze ist nicht ein vogel", "de"),
+      ("le chat est dans la maison pour les amis", "fr"),
+      ("el gato es una mascota para la casa", "es"),
+      ("xyzzy qwerty plugh", "und"))
+    val got = samples.map(_._1).toDF("t")
+      .select(TextAnalysis.languageId(col("t"))).as[String].collect().toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("fingerprint: whitespace-insensitive, order-sensitive") {
+    assert(one(TextAnalysis.fingerprint(lit("a b c"))) ==
+      one(TextAnalysis.fingerprint(lit("  a  b   c "))))
+    assert(one(TextAnalysis.fingerprint(lit("a b c"))) !=
+      one(TextAnalysis.fingerprint(lit("c b a"))))
+  }
+
+  test("qualityScore stays in [0,1]; longer diverse text scores higher") {
+    val junk = one(TextAnalysis.qualityScore(lit("x x x x"))).asInstanceOf[Double]
+    val good = one(TextAnalysis.qualityScore(
+      lit("the quick brown fox jumps over a lazy dog near the quiet river bank today with friends and sunshine all around"))).asInstanceOf[Double]
+    assert(junk >= 0.0 && junk <= 1.0 && good >= 0.0 && good <= 1.0)
+    assert(good > junk)
+  }
+
+  test("termFrequencies and topTerms on a tiny corpus") {
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("id", "t")
+    val tf = TextAnalysis.termFrequencies(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tf == Set((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L)))
+    val top = TextAnalysis.topTerms(df, "t", 1).collect().head
+    assert(top.getString(0) == "b" && top.getLong(1) == 2L) // b appears in both docs
+  }
+
+  test("annotate runs one-pass on the documents table") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ann = TextAnalysis.annotate(docs, "text")
+    assert(ann.columns.toSet.intersect(
+      Set("n_tokens", "n_subwords", "lang_id", "quality", "fingerprint")).size == 5)
+    val row = ann.filter(col("n_tokens") > 0).head
+    assert(row.getAs[Int]("n_tokens") > 0)
+  }
+}
