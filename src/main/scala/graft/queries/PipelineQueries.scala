@@ -112,6 +112,49 @@ object PipelineQueries {
         col("lang_id"), col("quality"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** q33 — events stats incl. JSON prop extraction (B15). Dual-engine:
+    * the query never touches the nanosecond `ts` column, so DuckDB reads
+    * the same parquet natively.
+    */
+  def q33EventsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("total"),
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** q34 — per-day event counts: event-time recovered from nanosecond ts
+    * (Spark side) vs native TIMESTAMP_NS (DuckDB side) — pins the
+    * FIXTURES.md §4 nanosAsLong recovery as semantically exact.
+    */
+  def q34EventsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(spark, dir)
+      .groupBy(date_trunc("day", col("event_time")).cast(org.apache.spark.sql.types.DateType).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+
+  /** q35 — session-window aggregation over events in batch mode (B22;
+    * rows-only check, streaming semantics pinned in EventStreamsSpec).
+    */
+  def q35EventsSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionCounts(
+      Tables.loadEvents(spark, dir), gap = "30 minutes")
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** q36 — multimodal feature extraction → the media plumbing end-to-end
+    * (rows-only check, semantics pinned in MultimodalSpec).
+    */
+  def q36MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.syntheticMedia(spark, 500)
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 64)
+      .toDF()
+      .select(col("media_id"), col("kind"), size(col("feature")).as("dim"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact"    -> (q22DedupExact _),
     "q23_token_count"    -> (q23TokenCount _),
@@ -124,6 +167,10 @@ object PipelineQueries {
     "q30_simhash_dedup"  -> (q30SimhashDedup _),
     "q31_lsh_topk"       -> (q31LshTopK _),
     "q32_annotate"       -> (q32Annotate _),
+    "q33_events_stats"   -> (q33EventsStats _),
+    "q34_events_daily"   -> (q34EventsDaily _),
+    "q35_events_sessions"-> (q35EventsSessions _),
+    "q36_media_features" -> (q36MediaFeatures _),
   )
 
   /** DuckDB oracles for the dual-engine subset (q22–q28). */
@@ -160,5 +207,13 @@ object PipelineQueries {
            FROM embeddings a, embeddings b
            WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id) t
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q33_events_stats" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18,2))) AS total,
+                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q34_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+         FROM events GROUP BY day ORDER BY day""",
   )
 }

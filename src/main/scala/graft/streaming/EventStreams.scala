@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming operators over the `events` schema (SURVEY.md §2.4 B20–B24).
+  *
+  * Every transform is a plain `DataFrame => DataFrame`, so the same logical
+  * plan runs in batch (`spark.read`) and streaming (`spark.readStream`)
+  * mode — Structured Streaming's incrementalization handles the rest. State
+  * (window aggs, dedup, session state) is keyed and partitioned by group,
+  * so it scales horizontally; watermarks bound state size, which is the
+  * thing that matters at 100 TB/day ingest.
+  */
+object EventStreams {
+
+  /** events schema as read with nanosAsLong (FIXTURES.md §4): `ts` arrives
+    * as bigint nanoseconds; `event_time` recovers a proper timestamp.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType))) // JSON string, e.g. {"k": 87}
+
+  /** Derive event_time (µs precision) from the nanosecond bigint. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Streaming source over an events parquet directory. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(spark.readStream.schema(rawSchema).parquet(path))
+  }
+
+  /** B15 — JSON prop extraction: adds `k` from the props JSON string. */
+  def withProps(df: DataFrame): DataFrame =
+    df.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+
+  /** B21 — tumbling-window counts/sums per event type. */
+  def tumblingCounts(df: DataFrame, width: String = "10 minutes"): DataFrame =
+    df.groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** B21 — sliding-window counts. */
+  def slidingCounts(df: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    df.groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"))
+
+  /** B22 — session windows per user: events within `gap` of each other merge
+    * into one session.
+    */
+  def sessionCounts(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** B23 — watermarked tumbling agg: rows later than `lateness` behind the
+    * max event time seen are dropped; in append mode a window only emits
+    * once the watermark passes its end.
+    */
+  def watermarkedCounts(df: DataFrame, width: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    tumblingCounts(df.withWatermark("event_time", lateness), width)
+
+  /** B24 — stateful streaming dedup on event_id, state bounded by the
+    * watermark.
+    */
+  def dedupWithinWatermark(df: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    df.withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Typed event for the arbitrary-stateful path. */
+  case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user running aggregate emitted on every update. */
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** B24 — arbitrary stateful processing via mapGroupsWithState: running
+    * per-user event count + value sum maintained in typed state. State is
+    * per-key and shuffle-partitioned — the horizontally-scalable shape.
+    */
+  def runningUserStats(ds: Dataset[Event]): Dataset[UserStat] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          val (n, v) = events.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserStat(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Event-time scripts through MemoryStream — explicit watermark/window
+  * semantics, not eyeballing (SURVEY.md §7.4).
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_id, ts nanos, user_id, event_type, value, props) at minute m. */
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): (Long, Long, Long, String, Double, String) =
+    (id, minuteNanos(minute), user, typ, value, s"""{"k": $id}""")
+
+  private def minuteNanos(m: Int): Long = m * 60L * 1000_000_000L
+
+  private def runStream(
+      input: Seq[Seq[(Long, Long, Long, String, Double, String)]],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode, name: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = EventStreams.withEventTime(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = transform(df).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    input.foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("B20/B21: tumbling window counts over a memory stream (update mode)") {
+    val out = runStream(
+      Seq(Seq(ev(1, 1), ev(2, 3), ev(3, 12))),
+      df => EventStreams.tumblingCounts(df, "10 minutes"),
+      OutputMode.Update, "tumbling")
+    val got = out.select("win_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "click", 2L), (10L, "click", 1L)))
+  }
+
+  test("B21: sliding windows assign an event to overlapping windows") {
+    val out = runStream(
+      Seq(Seq(ev(1, 7))),
+      df => EventStreams.slidingCounts(df, "10 minutes", "5 minutes"),
+      OutputMode.Update, "sliding")
+    val starts = out.select("win_start").collect()
+      .map(_.getTimestamp(0).getTime / 60000).toSet
+    assert(starts == Set(0L, 5L)) // windows [0,10) and [5,15) both contain minute 7
+  }
+
+  test("B22: session windows merge events within gap, split beyond it") {
+    val out = runStream(
+      // user 1: events at min 0 and 10 (gap 30 → one session);
+      // then min 60 (new session). user 2: one event.
+      Seq(Seq(ev(1, 0), ev(2, 10), ev(3, 60), ev(4, 5, user = 2L))),
+      df => EventStreams.sessionCounts(df, "30 minutes"),
+      OutputMode.Complete, "sessions")
+    val got = out.select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(got == List((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("B23: watermark drops late rows; append emits only closed windows") {
+    val out = runStream(
+      Seq(
+        Seq(ev(1, 1), ev(2, 3)),   // window [0,10)
+        Seq(ev(3, 25)),            // advances watermark to 15 → closes [0,10)
+        Seq(ev(4, 2))),            // late: event-time 2 < watermark → dropped
+      df => EventStreams.watermarkedCounts(df, "10 minutes", "10 minutes"),
+      OutputMode.Append, "watermarked")
+    val got = out.select("win_start", "n").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1))).toSet
+    // only the closed [0,10) window is emitted, with the on-time 2 rows;
+    // the late event 4 was NOT added (would have made n=3)
+    assert(got == Set((0L, 2L)))
+  }
+
+  test("B24: dropDuplicatesWithinWatermark dedups replayed event_ids") {
+    val out = runStream(
+      Seq(
+        Seq(ev(1, 1), ev(1, 1), ev(2, 3)), // dup in same batch
+        Seq(ev(2, 3), ev(5, 6))),          // replay of 2 across batches
+      df => EventStreams.dedupWithinWatermark(df, "10 minutes"),
+      OutputMode.Append, "dedup")
+    val ids = out.select("event_id").as[Long].collect().toList.sorted
+    assert(ids == List(1L, 2L, 5L))
+  }
+
+  test("B24: mapGroupsWithState running per-user stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(EventStreams.Event(1, 100, "click", 2.0),
+      EventStreams.Event(2, 100, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(3, 100, "click", 5.0),
+      EventStreams.Event(4, 200, "click", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("userstats")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((100L, 3L, 10.0), (200L, 1L, 7.0)))
+  }
+
+  test("B20: batch and streaming share the same transform (events table)") {
+    val batch = graft.core.Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val agg = EventStreams.tumblingCounts(batch, "1 hour")
+    assert(agg.count() > 0)
+    val props = EventStreams.withProps(batch).filter(col("k").isNotNull)
+    assert(props.count() > 0)
+  }
+}

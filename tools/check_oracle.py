@@ -11,7 +11,7 @@ import json, math, sys, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"]
+          "lineitem", "documents", "embeddings", "events"]
 
 
 def canon(v):
