@@ -19,8 +19,22 @@ object Tables {
   /** LLM-pipeline tables (Tier B operators — SURVEY.md §2.4). */
   val pipeline: Seq[String] = Seq("documents", "embeddings")
 
+  // Resolved-relation cache (a lightweight catalog): `spark.read.parquet`
+  // pays file listing + footer/schema reads at plan time on EVERY call —
+  // ~100 ms per table per query. Caching the resolved DataFrame reuses the
+  // file index and schema across queries, exactly what a real catalog
+  // (metastore) provides on a cluster. Keyed weakly by session so stopped
+  // sessions don't pin entries.
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.synchronized {
+      val perSession = relCache.computeIfAbsent(
+        spark, _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      perSession.getOrElseUpdate(
+        s"$sfDir/$name", spark.read.parquet(s"$sfDir/$name.parquet"))
+    }
 
   /** events.ts is INT64 TIMESTAMP(NANOS) — illegal for Spark 4's reader.
     * Read it as raw nanos (bigint) and add `event_time` (timestamp, µs

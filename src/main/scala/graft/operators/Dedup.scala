@@ -50,11 +50,35 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
     minhashSignatureFromShingles(TextAnalysis.shingles(text, shingleN), numHashes)
 
-  /** Signature from an already-computed shingle array. */
+  /** Signature from an already-computed shingle array. Column-level form —
+    * fine for ad-hoc use, but beware: if `shingles` is a derived expression,
+    * CollapseProject will inline it into every one of the `numHashes`
+    * branches (no CSE across lambda functions). The pair/dedup pipeline
+    * below uses [[minhashSignatures]] (explode + min-aggregate) instead,
+    * which computes shingling exactly once per document.
+    */
   def minhashSignatureFromShingles(shingles: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** Scalable signature computation: explode shingles to narrow rows, then
+    * one hash-aggregate with `numHashes` min(xxhash64(shingle, j)) slots.
+    * Shingling runs once per doc; the aggregate is partial+final (map-side
+    * combine), so the shuffle carries k longs per doc. Returns
+    * (_id, _sig array<long>); docs with zero shingles are absent.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("_id"),
+      explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("_s"))
+    val slots = (0 until numHashes).map(j => min(xxhash64(col("_s"), lit(j))).as(s"_m$j"))
+    exploded.groupBy(col("_id"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("_id"), array((0 until numHashes).map(j => col(s"_m$j")): _*).as("_sig"))
+  }
 
   /** Banded LSH candidate pairs from minhash signatures: split the
     * k-signature into `bands` bands of k/bands rows, bucket by
@@ -77,8 +101,7 @@ object Dedup {
     // one row per (doc, band): band key = hash of (band idx, band's slice);
     // the banded frame carries only (id, band, 8-byte key) — never text or
     // shingles — so the LSH self-join shuffles narrow rows.
-    val banded = shingled
-      .select(col("_id"), minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+    val banded = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
       .select(
         col("_id"),
         posexplode(
@@ -152,6 +175,31 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Scalable SimHash: explode tokens, hash each token once in a
+    * projection, then one hash-aggregate with 64 bit-vote sum slots over
+    * the materialized hash (bit tests are shift/mask on a long — no
+    * re-hashing per slot). Docs with zero tokens get signature 0 (matching
+    * the column form). Returns (_id, _sig long).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(
+      col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j"))
+    val sig = (0 until 64)
+      .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = hashed.groupBy(col("_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("_id"), sig.as("_sig"))
+    // restore empty-token docs with signature 0
+    df.select(col(idCol).as("_id"))
+      .join(sigs, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("_sig"), lit(0L)).as("_sig"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
     * generation by the pigeonhole principle: fingerprints are split into
     * `maxDist + 1` chunks; any pair within distance maxDist must agree on
@@ -163,7 +211,7 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val withSig = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sig"))
+    val withSig = simhashSignatures(df, idCol, textCol)
 
     val banded = withSig.select(
       col("_id"), col("_sig"),
@@ -240,9 +288,11 @@ object Dedup {
       Similarity.hyperplaneSignature(col(vecCol), planes).as("_sig"))
     val a = sig.select(col("_sig"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = sig.select(col("_sig"), col("_id").as("id_b"), col("_v").as("_vb"))
+    graft.functions.CosineSimilarity.register(df.sparkSession)
     a.join(b, Seq("_sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineSim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -25,10 +25,22 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
+  /** Cosine similarity; 0.0 when either vector is all-zero. Composable
+    * higher-order-function form — correct anywhere, but allocates
+    * intermediates per row. The operators below switch to the fused native
+    * expression [[graft.functions.CosineSimilarity]] (same semantics,
+    * codegen'd single loop) on their hot paths.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
     when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Fast cosine: native expression, registering it on first use. */
+  private def fastCosine(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.CosineSimilarity.cosineSim(a, b)
   }
 
   /** Random-hyperplane signature: `planes` sign bits packed into a long.
@@ -61,7 +73,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val scored = q.crossJoin(c)
       .filter(col("_qid") =!= col("_cid"))
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
     scored
@@ -113,7 +125,7 @@ object Similarity {
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
     candidates
-      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),

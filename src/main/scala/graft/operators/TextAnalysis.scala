@@ -21,6 +21,19 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Evaluate `c` once and bind it as a lambda variable inside `f`.
+    *
+    * Catalyst performs no common-subexpression elimination across lambda
+    * functions: every Column reference is a copied expression subtree, so
+    * `f` mentioning its input k times re-evaluates it k times — quadratic
+    * when the input is itself a per-element loop (this exact blowup made
+    * shingling O(tokens²): each shingle slot re-tokenized the document).
+    * Wrapping the value in a 1-element array and going through `transform`
+    * binds it to a NamedLambdaVariable, which IS evaluated once.
+    */
+  def bindOnce(c: Column, f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -35,14 +48,14 @@ object TextAnalysis {
     * Texts with fewer than n tokens yield a single shingle of the whole text
     * (so every non-empty doc has ≥1 shingle).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    bindOnce(tokens(text), toks =>
+      when(size(toks) < n,
+        when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic. Tiny,
     * deliberately: the operator's value is the distributed scoring shape
@@ -59,32 +72,32 @@ object TextAnalysis {
     * (undetermined) when nothing matches. Pure expression — ties broken by
     * language code order for determinism.
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
-      struct(hits.as("hits"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*)) // max by (hits, then lang desc)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def languageId(text: Column): Column =
+    bindOnce(tokens(lower(text)), toks => {
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+        struct(hits.as("hits"), lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*)) // max by (hits, then lang desc)
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    })
 
   /** Heuristic quality score in [0,1]: blend of length sanity, lexical
     * diversity, alpha ratio, and mean word length sanity — the standard
     * cheap pre-filter in web-scale corpus cleaning.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val distinctRatio = when(nTok > 0, size(array_distinct(toks)) / nTok).otherwise(0.0)
-    val alphaRatio = when(nChar > 0,
-      (nChar - length(regexp_replace(text, "[A-Za-z ]", ""))) / nChar).otherwise(0.0)
-    val meanWordLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
-    val lenScore = least(nTok / 20.0, lit(1.0)) // <20 tokens → penalized
-    val wordLenScore = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.5)
-    round(lenScore * 0.3 + distinctRatio * 0.3 + alphaRatio * 0.2 + wordLenScore * 0.2, 6)
-  }
+  def qualityScore(text: Column): Column =
+    bindOnce(tokens(text), toks => {
+      val nTok = size(toks).cast("double")
+      val nChar = length(text).cast("double")
+      val distinctRatio = when(nTok > 0, size(array_distinct(toks)) / nTok).otherwise(0.0)
+      val alphaRatio = when(nChar > 0,
+        (nChar - length(regexp_replace(text, "[A-Za-z ]", ""))) / nChar).otherwise(0.0)
+      val meanWordLen = when(nTok > 0, nChar / nTok).otherwise(lit(0.0))
+      val lenScore = least(nTok / 20.0, lit(1.0)) // <20 tokens → penalized
+      val wordLenScore = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.5)
+      round(lenScore * 0.3 + distinctRatio * 0.3 + alphaRatio * 0.2 + wordLenScore * 0.2, 6)
+    })
 
   /** Deterministic document fingerprint: 64-bit rolling hash over the token
     * stream (order-sensitive, whitespace-insensitive) via chained xxhash64 —
