@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY.md §2.4 B26): `Aggregator[IN, BUF, OUT]`
+  * examples registered via `functions.udaf`. The buffer types are flat
+  * case classes → Catalyst-encodable, mergeable, partial+final capable.
+  */
+object Aggregators {
+
+  /** Numerically-stable streaming mean+variance (Welford/Chan parallel
+    * merge) — the canonical "needs a real UDAF" aggregate: not expressible
+    * as a single built-in, must merge partial states across partitions.
+    */
+  case class MomentState(n: Long, mean: Double, m2: Double)
+
+  object VarianceAgg extends Aggregator[Double, MomentState, Double] {
+    override def zero: MomentState = MomentState(0L, 0.0, 0.0)
+    override def reduce(s: MomentState, x: Double): MomentState = {
+      val n = s.n + 1
+      val d = x - s.mean
+      val mean = s.mean + d / n
+      MomentState(n, mean, s.m2 + d * (x - mean))
+    }
+    override def merge(a: MomentState, b: MomentState): MomentState = {
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        MomentState(n,
+          a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n)
+      }
+    }
+    override def finish(s: MomentState): Double =
+      if (s.n < 2) 0.0 else s.m2 / (s.n - 1)
+    override def bufferEncoder: Encoder[MomentState] = Encoders.product[MomentState]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Top-k smallest values kept in the aggregation buffer — a bounded-state
+    * mergeable aggregate (the pattern behind streaming top-k at scale).
+    */
+  case class TopKState(k: Int, values: Seq[Double])
+
+  class TopKMin(k: Int) extends Aggregator[Double, TopKState, Seq[Double]] {
+    override def zero: TopKState = TopKState(k, Seq.empty)
+    override def reduce(s: TopKState, x: Double): TopKState =
+      TopKState(s.k, (s.values :+ x).sorted.take(s.k))
+    override def merge(a: TopKState, b: TopKState): TopKState =
+      TopKState(a.k, (a.values ++ b.values).sorted.take(a.k))
+    override def finish(s: TopKState): Seq[Double] = s.values
+    override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the remaining SURVEY.md §2.4 function-surface rows:
+  * B5 (approx distinct / HLL), B25 (UDF), B26 (UDAF), B27 (UDTF-class
+  * generators).
+  */
+class FunctionsSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val lineitem = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+
+  test("B5: approx_count_distinct within rsd of exact") {
+    val r = lineitem.agg(
+      countDistinct(col("l_suppkey")).as("exact"),
+      approx_count_distinct(col("l_suppkey"), 0.05).as("approx")).head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.15,
+      s"HLL estimate $approx too far from $exact")
+  }
+
+  test("B25: scalar UDF surface (documented last resort)") {
+    val reverse = udf((s: String) => s.reverse)
+    val got = Seq("abc").toDF("s").select(reverse(col("s"))).as[String].head()
+    assert(got == "cba")
+  }
+
+  test("B26: Aggregator UDAF — variance matches built-in, topk bounded") {
+    val varUdaf = udaf(Aggregators.VarianceAgg)
+    val r = lineitem.agg(
+      varUdaf(col("l_quantity")).as("v_custom"),
+      var_samp(col("l_quantity")).as("v_builtin")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+
+    val top3 = udaf(new Aggregators.TopKMin(3))
+    val t = lineitem.agg(top3(col("l_quantity"))).head.getSeq[Double](0)
+    assert(t.size == 3 && t == t.sorted)
+  }
+
+  test("B27: generator surface — explode, posexplode, inline") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    assert(df.select(explode(col("xs"))).count() == 2)
+    val pos = df.select(posexplode(col("xs"))).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(pos == Seq((0, "a"), (1, "b")))
+    val structs = Seq((1L, Seq((1, "x"), (2, "y")))).toDF("id", "pairs")
+    assert(structs.select(inline(col("pairs"))).columns.length == 2)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the optimizations the engine depends on at scale
+  * must actually appear in the executed plan (builder prompt: "iterate
+  * until it's the plan you'd want, not just the first one that passed").
+  * Guards against regressions that would silently turn broadcast joins
+  * into shuffles or lose parquet pushdown.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = InventoryQueries.all(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderstatus") && p.contains("o_totalprice"), p)
+  }
+
+  test("q01: column pruning — scan reads only the projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("struct<r_regionkey:int,r_name:string,r_comment"), p)
+  }
+
+  test("q04: dimension join is a broadcast hash join, not a shuffle join") {
+    val p = plan("q04_join_count")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q05: lineitem pre-aggregates before the join (partial HashAggregate under join)") {
+    val p = plan("q05_threeway_join")
+    // the first HashAggregate (partial, on l_orderkey) must appear below the join
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx < joinIdx || p.indexOf("HashAggregate", joinIdx) > 0, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q07: IN-subqueries plan as semi joins") {
+    val p = plan("q07_semijoin")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q09: NOT EXISTS plans as anti join") {
+    val p = plan("q09_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q15: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q11: aggregation is partial+final (map-side combine)") {
+    val p = plan("q11_agg_suite")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the hot paths (final AQE plan)") {
+    val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators render as "*(n) Op" in the final plan string
+    assert(p.contains("*("), p)
+  }
+}
