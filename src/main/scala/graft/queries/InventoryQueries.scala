@@ -249,6 +249,21 @@ object InventoryQueries {
       .distinct()
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** Q-22 (B10) UNION ALL with provenance tag (bag semantics preserved). */
+  def q22UnionAll(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("k"), lit("c").as("src"))
+      .unionAll(
+        t(spark, dir, "supplier").select(col("s_nationkey").as("k"), lit("s").as("src")))
+      .groupBy(col("k"), col("src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"), col("src"))
+
+  /** Q-23 (B10) EXCEPT (DISTINCT semantics, same as DuckDB). */
+  def q23Except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").select(col("n_nationkey").as("k"))
+      .except(t(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
   /** Name → pipeline, in SURVEY §2.5 order. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (q01Scan _),
@@ -272,6 +287,8 @@ object InventoryQueries {
     "q19_date_fns"       -> (q19DateFns _),
     "q20_case_when"      -> (q20CaseWhen _),
     "q21_distinct"       -> (q21Distinct _),
+    "q21b_union_all"     -> (q22UnionAll _),
+    "q21c_except"        -> (q23Except _),
   )
 
   /** DuckDB-runnable oracle SQL (SURVEY.md §2.5, pre-validated 21/21 against
@@ -377,5 +394,16 @@ object InventoryQueries {
     "q21_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
          ORDER BY c_nationkey, c_mktsegment""",
+    "q21b_union_all" ->
+      """SELECT k, src, count(*) AS n FROM (
+           SELECT c_nationkey AS k, 'c' AS src FROM customer
+           UNION ALL
+           SELECT s_nationkey AS k, 's' AS src FROM supplier) u
+         GROUP BY k, src ORDER BY k, src""",
+    "q21c_except" ->
+      """SELECT n_nationkey AS k FROM nation
+         EXCEPT
+         SELECT s_nationkey AS k FROM supplier
+         ORDER BY k""",
   )
 }
