@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the built-in surface, composed Catalyst-first
+  * (SURVEY.md §4.4 preference (a): compose existing ops when semantics
+  * allow, before reaching for custom plans).
+  */
+object Relational {
+
+  /** Bucketed band join: `left.x BETWEEN right.y - width AND right.y + width`.
+    *
+    * Spark plans a raw band condition as BroadcastNestedLoopJoin — O(|L|·|R|)
+    * comparisons, a non-starter at scale. Bucketizing turns it into a
+    * shuffle equi-join: each left row lands in bucket floor(x/width); each
+    * right row is replicated to its bucket ±1 (any in-band pair must share
+    * one of those buckets — band width ≤ bucket width); the equi-join on
+    * bucket prunes the cross product to O(3·|R| + |L|) shuffled rows and
+    * the exact band predicate filters residuals. AQE handles bucket skew.
+    */
+  def bandJoin(
+      left: DataFrame, right: DataFrame,
+      leftVal: Column, rightVal: Column, width: Double): DataFrame = {
+    require(width > 0, "band width must be positive")
+    val l = left.withColumn("_band_bucket", floor(leftVal / width))
+    val r = right.withColumn("_band_bucket",
+      explode(array(floor(rightVal / width) - 1, floor(rightVal / width), floor(rightVal / width) + 1)))
+    l.join(r, Seq("_band_bucket"))
+      .filter(leftVal.between(rightVal - width, rightVal + width))
+      .drop("_band_bucket")
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
+    * (key, salt) with `saltBuckets`-way fan-out so one hot key spreads over
+    * `saltBuckets` reducers; phase 2 merges the partials per key. Caller
+    * supplies the partial aggregates and their merge expressions keyed by
+    * output column name, e.g. partial `count(1) as n` merged by `sum(n)`.
+    */
+  def saltedAggregate(
+      df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted count per key — the common skew case, pre-wired. */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int = 16): DataFrame =
+    saltedAggregate(df, keys, saltBuckets,
+      partial = Seq(count(lit(1)).as("_partial_n")),
+      merge = Seq(sum(col("_partial_n")).as("n")))
+
+  /** As-of join (the canonical time-series operator the reference class
+    * lacks): for each left row, attach the latest right row with
+    * `right.ts <= left.ts` within `tolerance` (same key). Composed as a
+    * union-tag + window scan: O((|L|+|R|) log) per key partition, no
+    * cross join, no range explosion.
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      valueCols: Seq[String], toleranceMs: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // canonical union shape: left rows keep their payload, right rows carry
+    // (key, ts, _r_ts, _r_<value…>); unionByName(allowMissing) null-fills
+    // the other side's columns
+    val lTagged = left.withColumn("_side", lit(1))
+    val rTagged = right.select(
+      (Seq(col(keyCol), col(tsCol), lit(0).as("_side"),
+        col(tsCol).as("_r_ts")) ++ valueCols.map(c => col(c).as(s"_r_$c"))): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc) // right sorts before left at equal ts
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("_last_r_ts", last(col("_r_ts"), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(c =>
+        s"_r_$c" -> last(col(s"_r_$c"), ignoreNulls = true).over(w)).toMap)
+      .filter(col("_side") === 1)
+      .drop("_side", "_r_ts")
+
+    val inTol = col("_last_r_ts").isNotNull &&
+      (unix_millis(col(tsCol)) - unix_millis(col("_last_r_ts"))) <= toleranceMs
+    valueCols.foldLeft(
+      filled.withColumn("asof_ts", when(inTol, col("_last_r_ts")))) { (df, c) =>
+      df.withColumn(s"asof_$c", when(inTol, col(s"_r_$c"))).drop(s"_r_$c")
+    }.drop("_last_r_ts")
+  }
+}

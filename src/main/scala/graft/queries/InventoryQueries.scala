@@ -133,6 +133,20 @@ object InventoryQueries {
       .select(col("p_partkey"), col("s_suppkey"))
       .orderBy(col("p_partkey"), col("s_suppkey"))
 
+  /** Q-10b (B3 scale path): same band join through
+    * [[graft.operators.Relational.bandJoin]] — bucketized to a shuffle
+    * equi-join instead of the broadcast-nested-loop plan, the shape that
+    * survives when neither side broadcasts. Checked against the same
+    * oracle as Q-10.
+    */
+  def q10bBandBucketed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.bandJoin(
+      t(spark, dir, "part").filter(col("p_size") === 1),
+      t(spark, dir, "supplier"),
+      col("p_retailprice"), col("s_acctbal"), 10.0)
+      .select(col("p_partkey"), col("s_suppkey"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+
   /** Q-11 (B4) aggregate suite incl. COUNT(DISTINCT), decimal-stable SUM
     * (§5.4 rule 2: never hash a float SUM).
     */
@@ -276,6 +290,7 @@ object InventoryQueries {
     "q08_left_join"      -> (q08LeftJoin _),
     "q09_anti_join"      -> (q09AntiJoin _),
     "q10_range_join"     -> (q10RangeJoin _),
+    "q10b_band_bucketed" -> (q10bBandBucketed _),
     "q11_agg_suite"      -> (q11AggSuite _),
     "q12_rollup"         -> (q12Rollup _),
     "q13_rank_window"    -> (q13RankWindow _),
@@ -333,6 +348,10 @@ object InventoryQueries {
                            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
          ORDER BY c_custkey""",
     "q10_range_join" ->
+      """SELECT p_partkey, s_suppkey FROM part JOIN supplier
+         ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
+         WHERE p_size = 1 ORDER BY p_partkey, s_suppkey""",
+    "q10b_band_bucketed" ->
       """SELECT p_partkey, s_suppkey FROM part JOIN supplier
          ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
          WHERE p_size = 1 ORDER BY p_partkey, s_suppkey""",

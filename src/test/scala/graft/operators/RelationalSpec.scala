@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bandJoin matches the naive band join and avoids nested-loop") {
+    val part = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .filter(col("p_size") === 1)
+    val supp = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+    val naive = part.join(supp,
+        col("p_retailprice").between(col("s_acctbal") - 10, col("s_acctbal") + 10))
+      .select("p_partkey", "s_suppkey")
+      .as[(Long, Long)].collect().toSet
+    val banded = Relational.bandJoin(part, supp, col("p_retailprice"), col("s_acctbal"), 10.0)
+      .select("p_partkey", "s_suppkey")
+      .as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    // plan: equi-join on bucket, not BroadcastNestedLoopJoin
+    val plan = Relational.bandJoin(part, supp, col("p_retailprice"), col("s_acctbal"), 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("saltedCount equals plain groupBy count") {
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val plain = li.groupBy("l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Relational.saltedCount(li, Seq("l_returnflag"), saltBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("asOfJoin attaches latest prior right row per key, respects tolerance") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val quotes = Seq( // (key, ts, price)
+      ("a", ts(1), 10.0), ("a", ts(5), 11.0), ("b", ts(2), 20.0))
+      .toDF("sym", "t", "price")
+    val trades = Seq( // (key, ts)
+      ("a", ts(3)),  // → quote @1 (10.0)
+      ("a", ts(6)),  // → quote @5 (11.0)
+      ("b", ts(2)),  // equal ts → quote @2 (20.0)
+      ("b", ts(50)), // beyond tolerance → null
+      ("c", ts(4)))  // no right rows → null
+      .toDF("sym", "t")
+    val got = Relational.asOfJoin(trades, quotes, "sym", "t",
+        Seq("price"), toleranceMs = 10 * 60 * 1000)
+      .select("sym", "t", "asof_price")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      ("a", ts(3), Some(10.0)), ("a", ts(6), Some(11.0)),
+      ("b", ts(2), Some(20.0)), ("b", ts(50), None), ("c", ts(4), None)))
+  }
+
+  test("GraftExtensions injects cosine_sim at session build") {
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared session first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    // getOrCreate returns the existing default session (ignoring
+    // withExtensions) unless it is cleared; the new session still shares
+    // the SparkContext, so do NOT stop it afterwards
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
+      assert(r.getDouble(0) == 1.0)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
