@@ -43,23 +43,35 @@ object Similarity {
     graft.functions.CosineSimilarity.cosineSim(a, b)
   }
 
-  /** Random-hyperplane signature: `planes` sign bits packed into a long.
-    * Plane p's component for dimension i is a deterministic pseudo-random
-    * ±1 derived from xxhash64(p, i) — reproducible across executors with
-    * no broadcast state, and cheap enough to recompute per row (64 × planes
-    * hash calls inside codegen).
+  /** Deterministic ±1 hyperplane components, fixed at plan time as literal
+    * arrays (seeded Random) — the per-row cost is pure multiply-add inside
+    * codegen, no hashing. `dim` must cover the vector length; planes are
+    * reproducible across executors because they are plan constants.
     */
-  def hyperplaneSignature(vec: Column, planes: Int = 16): Column =
+  private[graft] def literalPlane(plane: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(0x5eed0000L + plane)
+    typedlit(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Signed projection of `vec` onto a literal plane. zip_with null-pads
+    * the shorter side; coalesce treats missing dims as 0 (implicit
+    * zero-padding), so any vector length ≤/≥ dim stays well-defined.
+    */
+  private def planeProj(vec: Column, plane: Int, dim: Int): Column =
     aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              when(xxhash64(p, i).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+      zip_with(vec, literalPlane(plane, dim),
+        (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane signature: `planes` sign bits packed into a long.
+    * Plane components are plan-time literal constants (see
+    * [[literalPlane]]); the loop is unrolled in Scala so shift amounts are
+    * literal ints.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int = 16, dim: Int = 64): Column =
+    (0 until planes)
+      .map(p => when(planeProj(vec, p, dim) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
 
   /** Exact brute-force top-k: for every query row, the k nearest corpus
     * rows by cosine. The corpus side is broadcast when small; otherwise
@@ -91,27 +103,26 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bands: Int = 8, planesPerBand: Int = 8): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+
+    def bandSig(v: String, b: Int): Column =
+      // distinct plane family per band: plane index offset by band*planesPerBand
+      (0 until planesPerBand)
+        .map { p =>
+          val plane = b * planesPerBand + p
+          when(aggregate(
+            zip_with(col(v), Similarity.literalPlane(plane, dim),
+              (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
+            lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        .reduce((a, c) => a.bitwiseOR(c))
 
     def banded(df: DataFrame, id: String, v: String): DataFrame =
       // two-step select: the banding expression must not reference a column
       // aliased in the same projection (lateral column alias)
       df.select(col(idCol).as(id), col(vecCol).as(v))
         .select(col(id), col(v),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            // distinct plane family per band: offset plane index by band*planesPerBand
-            aggregate(
-              transform(sequence(lit(0), lit(planesPerBand - 1)), p => {
-                val plane = b * planesPerBand + p
-                val proj = aggregate(
-                  zip_with(col(v), sequence(lit(0), size(col(v)) - 1),
-                    (x, i) => x.cast("double") *
-                      when(xxhash64(plane, i).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-                  lit(0.0), (acc, x) => acc + x)
-                when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-              }),
-              lit(0L), (acc, x) => acc.bitwiseOR(x)))))
+          posexplode(array((0 until bands).map(b => bandSig(v, b)): _*)))
         .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
 
     val c = banded(corpus, "_cid", "_cv")
@@ -137,15 +148,14 @@ object Similarity {
     * hash-derived ±1 construction as the hyperplanes), so ANN probes only
     * matching cells. Returns df + `ivf_cell`.
     */
-  def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16): DataFrame = {
-    val scored = transform(sequence(lit(0), lit(nCells - 1)), c => {
+  def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16, dim: Int = 64): DataFrame = {
+    val scored = array((0 until nCells).map { c =>
       val proj = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => x.cast("double") *
-            when(xxhash64(c + 1000, i).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+        zip_with(col(vecCol), literalPlane(100000 + c, dim),
+          (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
-      struct(proj.as("score"), c.as("cell"))
-    })
+      struct(proj.as("score"), lit(c).as("cell"))
+    }: _*)
     df.withColumn("ivf_cell", array_max(scored).getField("cell"))
   }
 }

@@ -73,21 +73,27 @@ object TextAnalysis {
     * language code order for determinism.
     */
   def languageId(text: Column): Column =
-    bindOnce(tokens(lower(text)), toks => {
-      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
-        struct(hits.as("hits"), lit(lang).as("lang"))
-      }
-      val best = array_max(array(scored: _*)) // max by (hits, then lang desc)
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-    })
+    bindOnce(tokens(lower(text)), languageIdFromTokens)
+
+  /** languageId over an already-bound (lower-cased) token array. */
+  def languageIdFromTokens(toks: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*)) // max by (hits, then lang desc)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
 
   /** Heuristic quality score in [0,1]: blend of length sanity, lexical
     * diversity, alpha ratio, and mean word length sanity — the standard
     * cheap pre-filter in web-scale corpus cleaning.
     */
   def qualityScore(text: Column): Column =
-    bindOnce(tokens(text), toks => {
+    bindOnce(tokens(text), toks => qualityScoreFromTokens(text, toks))
+
+  /** qualityScore over an already-bound token array. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
       val nTok = size(toks).cast("double")
       val nChar = length(text).cast("double")
       val distinctRatio = when(nTok > 0, size(array_distinct(toks)) / nTok).otherwise(0.0)
@@ -97,7 +103,7 @@ object TextAnalysis {
       val lenScore = least(nTok / 20.0, lit(1.0)) // <20 tokens → penalized
       val wordLenScore = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.5)
       round(lenScore * 0.3 + distinctRatio * 0.3 + alphaRatio * 0.2 + wordLenScore * 0.2, 6)
-    })
+  }
 
   /** Deterministic document fingerprint: 64-bit rolling hash over the token
     * stream (order-sensitive, whitespace-insensitive) via chained xxhash64 —
@@ -123,15 +129,31 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
 
-  /** Full per-document annotation: one narrow projection adding all
-    * text-analysis columns at once (single pass, no shuffle).
+  /** Full per-document annotation: all text-analysis columns from ONE
+    * tokenization pass — the token array is bound once and every derived
+    * column reads the bound value (tokenizing per column would 4× the
+    * dominant cost; see [[bindOnce]]). Single narrow projection, no
+    * shuffle.
     */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("n_subwords", subwordCount(t))
-      .withColumn("lang_id", languageId(t))
-      .withColumn("quality", qualityScore(t))
-      .withColumn("fingerprint", fingerprint(t))
+    val ann = bindOnce(tokens(t), toks => struct(
+      size(toks).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      languageIdFromTokens(transform(toks, t => lower(t))).as("lang_id"),
+      qualityScoreFromTokens(t, toks).as("quality"),
+      aggregate(toks, lit(0L), (acc, tk) => xxhash64(acc, tk)).as("fingerprint")))
+    // explode(array(struct)) routes the struct through a Generate node,
+    // making `_ann` a bound attribute downstream — field extraction is then
+    // free. A plain projected struct would be re-inlined into each of the
+    // 5 field extractions by CollapseProject (5× the whole computation;
+    // SimplifyExtractValueOps cannot see through bindOnce's element_at).
+    df.select(df.columns.map(col) :+ explode(array(ann)).as("_ann"): _*)
+      .select(df.columns.map(col) ++ Seq(
+        col("_ann.n_tokens").as("n_tokens"),
+        col("_ann.n_subwords").as("n_subwords"),
+        col("_ann.lang_id").as("lang_id"),
+        col("_ann.quality").as("quality"),
+        col("_ann.fingerprint").as("fingerprint")): _*)
   }
 }
