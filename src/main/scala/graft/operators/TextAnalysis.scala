@@ -129,6 +129,45 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
 
+  /** Split documents into overlapping token-window chunks — the standard
+    * pre-embedding step in RAG/training pipelines. One row per chunk:
+    * (idCol…, chunk_idx, chunk_text, chunk_tokens). Stride =
+    * chunkTokens - overlap; the last window keeps its tail remainder.
+    * Pure explode of a per-row computed array — no shuffle, linear scale.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    val chunks = bindOnce(tokens(col(textCol)), toks => {
+      val nChunks = greatest(ceil((size(toks) - overlap).cast("double") / stride), lit(1))
+      transform(
+        sequence(lit(0), (nChunks - 1).cast("int")),
+        i => struct(
+          i.as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text"),
+          least(size(toks) - i * stride, lit(chunkTokens)).as("chunk_tokens")))
+    })
+    df.select(col(idCol), explode(chunks).as("_c"))
+      .select(col(idCol), col("_c.chunk_idx"), col("_c.chunk_text"), col("_c.chunk_tokens"))
+  }
+
+  /** TF-IDF per (doc, term): tf × ln((N+1)/(df+1)) + 1-smoothed. Two
+    * aggregations (term frequency per doc, document frequency per term) and
+    * a broadcast-able join on term — the linear-scaling shape.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count() // corpus size: one job, a long on the driver (not data)
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("_df") + 1.0)) + 1.0))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Full per-document annotation: all text-analysis columns from ONE
     * tokenization pass — the token array is bound once and every derived
     * column reads the bound value (tokenizing per column would 4× the
