@@ -41,6 +41,22 @@ class FunctionsSurfaceSpec extends SparkSpec {
     assert(t.size == 3 && t == t.sorted)
   }
 
+  test("mergeable sketches: bloom filter and count-min via stat functions") {
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    // bloom filter: no false negatives on members
+    val bloom = orders.stat.bloomFilter("o_orderkey", 2000, 0.03)
+    val keys = orders.select("o_orderkey").as[Long].take(100)
+    assert(keys.forall(bloom.mightContain))
+    // count-min: estimate ≥ true count, within eps*n
+    val cms = orders.stat.countMinSketch(col("o_custkey"), 0.01, 0.95, 42)
+    val truth = orders.filter(col("o_custkey") === keysFirstCust(orders)).count()
+    val est = cms.estimateCount(keysFirstCust(orders))
+    assert(est >= truth && est <= truth + (0.01 * orders.count()).toLong + 1)
+  }
+
+  private def keysFirstCust(df: org.apache.spark.sql.DataFrame): Long =
+    df.select("o_custkey").orderBy("o_custkey").as[Long].head()
+
   test("B27: generator surface — explode, posexplode, inline") {
     val df = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
     assert(df.select(explode(col("xs"))).count() == 2)

@@ -115,6 +115,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Set((100L, 3L, 10.0), (200L, 1L, 7.0)))
   }
 
+  test("B20: file-source streaming over the real events parquet") {
+    // file stream sources take directories; stage the single file into one
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = EventStreams.tumblingCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("file_stream")
+      assert(out.count() > 0)
+      // streaming result equals the batch result of the same transform
+      val batch = EventStreams.tumblingCounts(
+        graft.core.Tables.loadEvents(spark, "/root/testdata/sf0.001"), "1 hour")
+      assert(out.collect().toSet == batch.collect().toSet)
+    } finally q.stop()
+  }
+
   test("B20: batch and streaming share the same transform (events table)") {
     val batch = graft.core.Tables.loadEvents(spark, "/root/testdata/sf0.001")
     val agg = EventStreams.tumblingCounts(batch, "1 hour")
