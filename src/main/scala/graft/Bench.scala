@@ -47,16 +47,19 @@ object Bench {
     }
 
     // sequential per-query latencies — best of 2 (machine noise between
-    // runs is large relative to these times; min is the standard estimator)
+    // runs is large relative to these times; min is the standard
+    // estimator). A query that throws records -1 as an explicit failure
+    // sentinel rather than its fast time-to-exception.
     def seqPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = seqPass().toMap
     val p2 = seqPass().toMap
     val results = queries.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     // concurrent set wall-clock — best of 2
@@ -77,8 +80,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val seqSum = results.map(_._2).sum
-    println(s"""{"metric":"set_wall_clock","value":$wall,"unit":"sec","queries":$qs,"sum_queries":$seqSum,"sf":"$sfDir"}""")
+    val seqSum = results.map(_._2).filter(_ >= 0).sum
+    // metric stays "total" (the original contract key); value = total
+    // wall-clock of the declared set (concurrent execution). The
+    // sequential sum is preserved under "sum_queries".
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_queries":$seqSum,"mode":"concurrent","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,29 +23,49 @@ object Tables {
   // pays file listing + footer/schema reads at plan time on EVERY call —
   // ~100 ms per table per query. Caching the resolved DataFrame reuses the
   // file index and schema across queries, exactly what a real catalog
-  // (metastore) provides on a cluster. Keyed weakly by session so stopped
-  // sessions don't pin entries.
+  // (metastore) provides on a cluster.
+  //
+  // Keyed by session identity + path, bounded LRU-ish (eldest-out): a
+  // WeakHashMap keyed by session would never evict, because the cached
+  // DataFrame strongly references its session through queryExecution.
+  // Caveat (shared with real catalogs): if the files under a cached path
+  // are rewritten in-session, the stale file index is served — the test
+  // data here is read-only by contract (TESTDATA.md).
+  private val MaxCached = 64
   private val relCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+    new java.util.LinkedHashMap[(Int, String), DataFrame](MaxCached, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
+        size() > MaxCached
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     relCache.synchronized {
-      val perSession = relCache.computeIfAbsent(
-        spark, _ => scala.collection.mutable.Map.empty[String, DataFrame])
-      perSession.getOrElseUpdate(
-        s"$sfDir/$name", spark.read.parquet(s"$sfDir/$name.parquet"))
+      val key = (System.identityHashCode(spark), s"$sfDir/$name")
+      Option(relCache.get(key)).getOrElse {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        relCache.put(key, df)
+        df
+      }
     }
 
   /** events.ts is INT64 TIMESTAMP(NANOS) — illegal for Spark 4's reader.
     * Read it as raw nanos (bigint) and add `event_time` (timestamp, µs
     * precision) for windowing. FIXTURES.md §4 documents the verified
     * workaround.
+    *
+    * ns→µs must be integer division (`DIV`): `/` promotes the int64 nanos
+    * (~1.7e18, above 2^53) to double first, which is lossy at ±512 ns —
+    * enough to flip window membership at boundaries.
+    *
+    * Note the legacy flag is a session-wide conf: after this call, any
+    * parquet read in the session sees TIMESTAMP(NANOS) columns as bigint.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_micros(col("ts") / 1000 cast "long"))
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Register every batch table as a temp view named after the file. */

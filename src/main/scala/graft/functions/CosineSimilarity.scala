@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the ANN hot path (per SURVEY.md §4.4: the one deliberate custom-Catalyst
   * perf play for B18).
   *
-  * Null semantics: null if either input is null (standard binary
+  * Null semantics: null if either input ARRAY is null (standard binary
   * expression); vectors of different lengths score over the common prefix;
-  * all-zero vectors → 0.0.
+  * all-zero vectors → 0.0. A null ELEMENT inside an array reads as 0.0
+  * (zero-fill) — this deliberately diverges from the composable
+  * zip_with/aggregate fallback, where one null element nulls the whole
+  * dot product and the score collapses to 0.0 via the zero-guard; for
+  * well-formed embeddings (no null elements) the two agree bit-for-bit
+  * (pinned in CosineSimilaritySpec).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -105,7 +110,14 @@ object CosineSimilarity {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      name, build, "scala_udf")
+
+  /** Arity-checked builder shared by [[register]] and GraftExtensions. */
+  def build(exprs: Seq[Expression]): CosineSimilarity = {
+    require(exprs.length == 2,
+      s"$name expects exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
 
   /** Column-level entry point — requires [[register]] on the session. */
   def cosineSim(a: Column, b: Column): Column = call_function(name, a, b)

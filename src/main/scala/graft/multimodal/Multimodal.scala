@@ -46,7 +46,7 @@ object Multimodal {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { id =>
       val rnd = new scala.util.Random(id) // deterministic per id
-      val kind = Seq("image", "audio", "video")(((id % 3) + 3 % 3).toInt)
+      val kind = Seq("image", "audio", "video")((((id % 3) + 3) % 3).toInt)
       val size = 256 + rnd.nextInt(1024)
       val bytes = new Array[Byte](size)
       rnd.nextBytes(bytes)

@@ -28,14 +28,19 @@ object Dedup {
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
   /** Exact content dedup with a deterministic survivor: keeps the row with
-    * the smallest `idCol` per distinct `contentCol`. Grouping key is
-    * xxhash64(content) so the shuffle is hash-wide, not text-wide; the
-    * within-group winner is picked by min-struct aggregation (single
+    * the smallest `idCol` per distinct `contentCol`. Grouping key is a
+    * 128-bit content hash (two independent xxhash64 seeds) so the shuffle
+    * is hash-wide, not text-wide, and collisions are negligible at any
+    * realistic corpus size (a single 64-bit key would hit birthday
+    * collisions — i.e. silently merge distinct documents — around 5e9
+    * rows). The within-group winner is picked by min aggregation (single
     * partial+final agg, no window-sort).
     */
   def exactKeepMinId(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val winner = df
-      .groupBy(xxhash64(col(contentCol)).as("_h"))
+      .groupBy(
+        xxhash64(col(contentCol)).as("_h1"),
+        xxhash64(col(contentCol), lit(1)).as("_h2"))
       .agg(min(col(idCol)).as("_keep"))
     df.join(winner, df(idCol) === winner("_keep"), "left_semi")
   }
@@ -70,10 +75,19 @@ object Dedup {
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
-    val exploded = df.select(
-      col(idCol).as("_id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("_s"))
+      numHashes: Int, shingleN: Int): DataFrame =
+    minhashSignaturesFromShingled(
+      df.select(
+        col(idCol).as("_id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh")),
+      numHashes)
+
+  /** Signatures from a pre-shingled frame (_id, _sh) — lets callers that
+    * already hold shingles (the verification path) avoid re-tokenizing
+    * the corpus.
+    */
+  def minhashSignaturesFromShingled(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = shingled.select(col("_id"), explode(col("_sh")).as("_s"))
     val slots = (0 until numHashes).map(j => min(xxhash64(col("_s"), lit(j))).as(s"_m$j"))
     exploded.groupBy(col("_id"))
       .agg(slots.head, slots.tail: _*)
@@ -100,8 +114,11 @@ object Dedup {
 
     // one row per (doc, band): band key = hash of (band idx, band's slice);
     // the banded frame carries only (id, band, 8-byte key) — never text or
-    // shingles — so the LSH self-join shuffles narrow rows.
-    val banded = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    // shingles — so the LSH self-join shuffles narrow rows. Signatures
+    // derive from the SAME shingled subtree used for verification (one
+    // shingling definition in the plan; persist `shingled` upstream to
+    // also share the computation across the two consumers at scale).
+    val banded = minhashSignaturesFromShingled(shingled, numHashes)
       .select(
         col("_id"),
         posexplode(

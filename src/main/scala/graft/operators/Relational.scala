@@ -76,8 +76,12 @@ object Relational {
         col(tsCol).as("_r_ts")) ++ valueCols.map(c => col(c).as(s"_r_$c"))): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
+    // tertiary sort on the right payload makes the winner among multiple
+    // right rows sharing (key, ts) deterministic (greatest payload wins)
+    // instead of shuffle-order-dependent
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc) // right sorts before left at equal ts
+      .orderBy(col(tsCol).asc, col("_side").asc,
+        struct(valueCols.map(c => col(s"_r_$c")): _*).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("_last_r_ts", last(col("_r_ts"), ignoreNulls = true).over(w))

@@ -27,9 +27,12 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType))) // JSON string, e.g. {"k": 87}
 
-  /** Derive event_time (µs precision) from the nanosecond bigint. */
+  /** Derive event_time (µs precision) from the nanosecond bigint. Integer
+    * `DIV`, not `/`: double promotion of int64 nanos is lossy (±512 ns) —
+    * see [[graft.core.Tables.loadEvents]].
+    */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   /** Streaming source over an events parquet directory. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
