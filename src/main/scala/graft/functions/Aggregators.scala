@@ -56,4 +56,29 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Top-k (score, id) pairs per group, largest scores first, ties broken
+    * by smallest id. The k-capped buffer makes partial aggregation prune
+    * map-side: each map task ships at most k pairs per group instead of
+    * the whole group — the scale answer to window-sort ranking, which
+    * materializes and sorts every group in full before filtering rn ≤ k.
+    */
+  case class TopKPairsState(k: Int, scores: Seq[Double], ids: Seq[Long])
+
+  class TopKPairs(k: Int) extends Aggregator[(Double, Long), TopKPairsState, Seq[(Double, Long)]] {
+    private def cap(s: TopKPairsState): TopKPairsState = {
+      val kept = s.scores.zip(s.ids)
+        .sortBy { case (score, id) => (-score, id) }.take(s.k)
+      TopKPairsState(s.k, kept.map(_._1), kept.map(_._2))
+    }
+    override def zero: TopKPairsState = TopKPairsState(k, Seq.empty, Seq.empty)
+    override def reduce(s: TopKPairsState, x: (Double, Long)): TopKPairsState =
+      cap(TopKPairsState(s.k, s.scores :+ x._1, s.ids :+ x._2))
+    override def merge(a: TopKPairsState, b: TopKPairsState): TopKPairsState =
+      cap(TopKPairsState(a.k, a.scores ++ b.scores, a.ids ++ b.ids))
+    override def finish(s: TopKPairsState): Seq[(Double, Long)] = s.scores.zip(s.ids)
+    override def bufferEncoder: Encoder[TopKPairsState] = Encoders.product[TopKPairsState]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

@@ -55,6 +55,27 @@ object Relational {
       partial = Seq(count(lit(1)).as("_partial_n")),
       merge = Seq(sum(col("_partial_n")).as("n")))
 
+  /** Top-k rows per group by a double score (largest first, ties by
+    * smallest id) via the bounded-buffer aggregate
+    * [[graft.functions.Aggregators.TopKPairs]]: partial aggregation ships
+    * ≤ k pairs per group per map task, vs a ranking window which shuffles
+    * and sorts every row of every group. Returns (groupCols…, id, score,
+    * rank 1..k).
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, idCol: String, k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.Aggregators.TopKPairs(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_top"))
+      .select((groupCols.map(col) :+ posexplode(col("_top"))): _*)
+      .select(
+        (groupCols.map(col) ++ Seq(
+          col("col._2").as(idCol),
+          col("col._1").as(scoreCol),
+          (col("pos") + 1).as("rank"))): _*)
+  }
+
   /** As-of join (the canonical time-series operator the reference class
     * lacks): for each left row, attach the latest right row with
     * `right.ts <= left.ts` within `tolerance` (same key). Composed as a

@@ -78,4 +78,20 @@ class RelationalSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("topKPerGroup matches ranking-window semantics with bounded state") {
+    val cust = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val viaAgg = Relational.topKPerGroup(cust, Seq("c_nationkey"), "c_acctbal", "c_custkey", 3)
+      .select("c_nationkey", "c_custkey", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val viaWindow = cust
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("c_nationkey", "c_custkey", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
 }
