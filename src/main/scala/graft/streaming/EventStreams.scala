@@ -84,6 +84,20 @@ object EventStreams {
     df.withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Parquet sink with checkpointing — the durable end of the
+    * readStream → transform → writeStream pipeline (B20). Append mode;
+    * state (watermarks, dedup sets, window aggs) recovers from the
+    * checkpoint on restart, giving exactly-once file output.
+    */
+  def writeParquetStream(
+      df: DataFrame, outPath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Typed event for the arbitrary-stateful path. */
   case class Event(event_id: Long, user_id: Long, event_type: String, value: Double)
 

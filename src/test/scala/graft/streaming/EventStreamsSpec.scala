@@ -137,6 +137,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("B20/B24: parquet sink + checkpoint recovery keeps dedup state across restart") {
+    val in = java.nio.file.Files.createTempDirectory("sink-in")
+    val out = java.nio.file.Files.createTempDirectory("sink-out").resolve("data")
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ckpt")
+
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(in.resolve(name).toString)
+
+    // batch 1: two events (+ an in-batch duplicate id)
+    writeBatch("b1", Seq(ev(1, 1), ev(1, 1), ev(2, 3)))
+    val stream1 = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.rawSchema).parquet(s"$in/*"))
+    val q1 = EventStreams.writeParquetStream(
+      EventStreams.dedupWithinWatermark(stream1, "10 minutes"),
+      out.toString, ckpt.toString)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out.toString).select("event_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+
+    // batch 2 arrives while the query is DOWN; restart from the checkpoint:
+    // the replayed id=2 must stay deduped (state recovered), id=5 appended
+    writeBatch("b2", Seq(ev(2, 3), ev(5, 6)))
+    val stream2 = EventStreams.withEventTime(
+      spark.readStream.schema(EventStreams.rawSchema).parquet(s"$in/*"))
+    val q2 = EventStreams.writeParquetStream(
+      EventStreams.dedupWithinWatermark(stream2, "10 minutes"),
+      out.toString, ckpt.toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out.toString).select("event_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 5L))
+  }
+
   test("B20: batch and streaming share the same transform (events table)") {
     val batch = graft.core.Tables.loadEvents(spark, "/root/testdata/sf0.001")
     val agg = EventStreams.tumblingCounts(batch, "1 hour")
