@@ -278,6 +278,36 @@ object InventoryQueries {
       .except(t(spark, dir, "supplier").select(col("s_nationkey").as("k")))
       .orderBy(col("k"))
 
+  /** Q-24 (B-ext) pivot: wide per-category columns with fixed pivot values
+    * (fixed ⇒ no extra values-discovery job, and deterministic columns).
+    */
+  def q24Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(dec)))
+      .orderBy(col("l_linestatus"))
+
+  /** Q-25 (B-ext) unpivot/melt: the inverse reshape, back to long form. */
+  def q25Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q24Pivot(spark, dir)
+      .unpivot(
+        Array(col("l_linestatus")),
+        Array(col("A"), col("N"), col("R")),
+        "l_returnflag", "sum_qty")
+      .orderBy(col("l_linestatus"), col("l_returnflag"))
+
+  /** Q-26 (B-ext) exact median via percentile_cont (interpolating); the
+    * double result is decimal-rounded for the cross-engine hash (§5.4).
+    */
+  def q26Median(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .cast(DecimalType(18, 4)), 2).as("med"))
+      .orderBy(col("o_orderpriority"))
+
   /** Name → pipeline, in SURVEY §2.5 order. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (q01Scan _),
@@ -304,6 +334,9 @@ object InventoryQueries {
     "q21_distinct"       -> (q21Distinct _),
     "q21b_union_all"     -> (q22UnionAll _),
     "q21c_except"        -> (q23Except _),
+    "q21d_pivot"         -> (q24Pivot _),
+    "q21e_unpivot"       -> (q25Unpivot _),
+    "q21f_median"        -> (q26Median _),
   )
 
   /** DuckDB-runnable oracle SQL (SURVEY.md §2.5, pre-validated 21/21 against
@@ -424,5 +457,26 @@ object InventoryQueries {
          EXCEPT
          SELECT s_nationkey AS k FROM supplier
          ORDER BY k""",
+    "q21d_pivot" ->
+      """SELECT l_linestatus,
+                sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS A,
+                sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS N,
+                sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q21e_unpivot" ->
+      """SELECT l_linestatus, rf AS l_returnflag, sum_qty FROM (
+           SELECT l_linestatus,
+                  sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qa,
+                  sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qn,
+                  sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qr
+           FROM lineitem GROUP BY l_linestatus) p
+         CROSS JOIN (VALUES ('A'), ('N'), ('R')) v(rf),
+         LATERAL (SELECT CASE rf WHEN 'A' THEN qa WHEN 'N' THEN qn ELSE qr END AS sum_qty) s
+         WHERE sum_qty IS NOT NULL
+         ORDER BY l_linestatus, rf""",
+    "q21f_median" ->
+      """SELECT o_orderpriority,
+                round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(18,4)), 2) AS med
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }
