@@ -108,9 +108,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // hashed shingles: set semantics identical to string shingles modulo
+    // 64-bit collisions, far cheaper to build, and the verification arrays
+    // carry longs instead of strings
     val shingled = df.select(
       col(idCol).as("_id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh"))
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
 
     // one row per (doc, band): band key = hash of (band idx, band's slice);
     // the banded frame carries only (id, band, 8-byte key) — never text or
