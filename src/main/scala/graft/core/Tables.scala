@@ -32,22 +32,35 @@ object Tables {
   // are rewritten in-session, the stale file index is served — the test
   // data here is read-only by contract (TESTDATA.md).
   private val MaxCached = 64
+  // key = (session reference, path): SparkSession uses identity equals, so
+  // no cross-session collisions (identityHashCode alone could collide)
   private val relCache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](MaxCached, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](MaxCached, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         size() > MaxCached
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.synchronized {
-      val key = (System.identityHashCode(spark), s"$sfDir/$name")
-      Option(relCache.get(key)).getOrElse {
-        val df = spark.read.parquet(s"$sfDir/$name.parquet")
-        relCache.put(key, df)
-        df
+    cached(spark, s"$sfDir/$name") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Look up / populate the cache WITHOUT holding the lock across the
+    * resolution I/O (file listing + footers, ~100 ms) — concurrent misses
+    * may resolve the same path twice and one result wins, which is
+    * harmless; blocking every other caller on one miss is not.
+    */
+  private def cached(spark: SparkSession, key: String)(resolve: => DataFrame): DataFrame = {
+    val k = (spark, key)
+    val hit = relCache.synchronized(Option(relCache.get(k)))
+    hit.getOrElse {
+      val df = resolve
+      relCache.synchronized {
+        Option(relCache.get(k)).getOrElse { relCache.put(k, df); df }
       }
     }
+  }
 
   /** events.ts is INT64 TIMESTAMP(NANOS) — illegal for Spark 4's reader.
     * Read it as raw nanos (bigint) and add `event_time` (timestamp, µs
@@ -63,9 +76,11 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    cached(spark, s"$sfDir/events+nanos") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    }
   }
 
   /** Register every batch table as a temp view named after the file. */

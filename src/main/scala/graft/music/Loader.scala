@@ -37,8 +37,8 @@ object Loader {
     tables.foreach { case (name, df) =>
       val expected = MusicSchema.byName(name).schema
       require(df.schema.length == expected.length &&
-        df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
-          expected.fields.map(f => (f.name, f.dataType))),
+        df.schema.fields.map(f => (f.name, f.dataType, f.nullable)).sameElements(
+          expected.fields.map(f => (f.name, f.dataType, f.nullable))),
         s"schema mismatch for $name: ${df.schema.simpleString} vs ${expected.simpleString}")
       df.createOrReplaceTempView(name)
     }

@@ -296,21 +296,29 @@ object Dedup {
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine similarity ≥ threshold. Candidate
-    * generation via random-hyperplane LSH buckets (see
-    * [[Similarity.hyperplaneSignature]]) keeps this off the cross-join
-    * path; exact cosine verifies. Returns (id_a, id_b, cosine).
+    * generation via BANDED random-hyperplane LSH (OR of `bands`
+    * independent `planesPerBand`-bit signatures): a single flat signature
+    * would have ~(1-acos(s)/π)^planes recall — only ~18% at cosine 0.95
+    * with 16 planes — while the banded OR-construction reaches ~99% with
+    * 8×8 at the same total plane count budget. Exact cosine verifies.
+    * Returns (id_a, id_b, cosine).
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val sig = df.select(
+      bands: Int = 8, planesPerBand: Int = 8,
+      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    val banded = df.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("_sig"))
-    val a = sig.select(col("_sig"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = sig.select(col("_sig"), col("_id").as("id_b"), col("_v").as("_vb"))
+      posexplode(array((0 until bands).map(b =>
+        Similarity.bandSignature(col(vecCol), b, planesPerBand, dim)): _*)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
+    val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"), col("_v").as("_vb"))
     graft.functions.CosineSimilarity.register(df.sparkSession)
-    a.join(b, Seq("_sig"))
+    a.join(b, Seq("_band", "_bsig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_va"), col("_vb"))
+      .distinct() // same pair may collide in several bands
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosineSim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
@@ -320,8 +328,9 @@ object Dedup {
   /** Embedding-cosine dedup, keep-smallest-id policy. */
   def embeddingDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val losers = embeddingNearDupPairs(df, idCol, vecCol, planes, threshold)
+      bands: Int = 8, planesPerBand: Int = 8,
+      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    val losers = embeddingNearDupPairs(df, idCol, vecCol, bands, planesPerBand, threshold, dim)
       .select(col("id_b").as("_loser")).distinct()
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }

@@ -100,22 +100,28 @@ object Similarity {
     * signatures of `planesPerBand` bits each), re-ranked by exact cosine.
     * All joins are equi-joins on (band, signature).
     */
+  /** One band's packed sign-bit signature: `planesPerBand` literal-plane
+    * projections, plane family offset by `band * planesPerBand` so bands
+    * are independent. Shared by [[lshTopK]] and
+    * [[Dedup.embeddingNearDupPairs]].
+    */
+  def bandSignature(vec: Column, band: Int, planesPerBand: Int, dim: Int): Column =
+    (0 until planesPerBand)
+      .map { p =>
+        val plane = band * planesPerBand + p
+        when(aggregate(
+          zip_with(vec, literalPlane(plane, dim),
+            (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce((a, c) => a.bitwiseOR(c))
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
 
-    def bandSig(v: String, b: Int): Column =
-      // distinct plane family per band: plane index offset by band*planesPerBand
-      (0 until planesPerBand)
-        .map { p =>
-          val plane = b * planesPerBand + p
-          when(aggregate(
-            zip_with(col(v), Similarity.literalPlane(plane, dim),
-              (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
-            lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
-        }
-        .reduce((a, c) => a.bitwiseOR(c))
+    def bandSig(v: String, b: Int): Column = bandSignature(col(v), b, planesPerBand, dim)
 
     def banded(df: DataFrame, id: String, v: String): DataFrame =
       // two-step select: the banding expression must not reference a column

@@ -181,12 +181,15 @@ object TextAnalysis {
     val stride = chunkTokens - overlap
     val chunks = bindOnce(tokens(col(textCol)), toks => {
       val nChunks = greatest(ceil((size(toks) - overlap).cast("double") / stride), lit(1))
-      transform(
-        sequence(lit(0), (nChunks - 1).cast("int")),
-        i => struct(
-          i.as("chunk_idx"),
-          concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text"),
-          least(size(toks) - i * stride, lit(chunkTokens)).as("chunk_tokens")))
+      // empty/whitespace-only docs yield zero chunks, not one phantom
+      // empty chunk
+      when(size(toks) === 0, array().cast("array<struct<chunk_idx:int,chunk_text:string,chunk_tokens:int>>"))
+        .otherwise(transform(
+          sequence(lit(0), (nChunks - 1).cast("int")),
+          i => struct(
+            i.cast("int").as("chunk_idx"),
+            concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text"),
+            least(size(toks) - i * stride, lit(chunkTokens)).cast("int").as("chunk_tokens"))))
     })
     df.select(col(idCol), explode(chunks).as("_c"))
       .select(col(idCol), col("_c.chunk_idx"), col("_c.chunk_text"), col("_c.chunk_tokens"))

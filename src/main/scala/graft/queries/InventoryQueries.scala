@@ -288,13 +288,18 @@ object InventoryQueries {
       .agg(sum(col("l_quantity").cast(dec)))
       .orderBy(col("l_linestatus"))
 
-  /** Q-25 (B-ext) unpivot/melt: the inverse reshape, back to long form. */
+  /** Q-25 (B-ext) unpivot/melt: the inverse reshape, back to long form.
+    * Spark's unpivot KEEPS null-valued cells; the oracle (and the usual
+    * melt semantics) drops them — filter explicitly so the two agree even
+    * on data where some (status, flag) cell is empty.
+    */
   def q25Unpivot(spark: SparkSession, dir: String): DataFrame =
     q24Pivot(spark, dir)
       .unpivot(
         Array(col("l_linestatus")),
         Array(col("A"), col("N"), col("R")),
         "l_returnflag", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
       .orderBy(col("l_linestatus"), col("l_returnflag"))
 
   /** Q-26 (B-ext) exact median via percentile_cont (interpolating); the

@@ -19,6 +19,10 @@ class ChunkTfidfSpec extends SparkSpec {
     // stride 3: [t1..t4], [t4..t7], [t7..t10]
     assert(d1 == List("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
     assert(chunks.filter(_._1 == 2L).map(_._3) == List("a b"))
+    // empty / whitespace-only docs yield zero chunks, not a phantom one
+    val empty = TextAnalysis.chunkDocuments(
+      Seq((3L, ""), (4L, "   ")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+    assert(empty.count() == 0)
   }
 
   test("chunkDocuments covers every token (reconstruction property)") {

@@ -77,11 +77,12 @@ class DedupSpec extends SparkSpec {
       (3L, Array(-1.0f, 0.5f, -0.3f, 0.8f)))    // far away
       .toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
-      planes = 4, threshold = 0.99)
+      bands = 4, planesPerBand = 4, threshold = 0.99, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._2 == 3L))
-    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding", planes = 4, threshold = 0.99)
+    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding",
+      bands = 4, planesPerBand = 4, threshold = 0.99, dim = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
   }
