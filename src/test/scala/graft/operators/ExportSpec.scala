@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("deterministicShuffle: stable across partitioning, varies by seed") {
+    val o1 = Export.deterministicShuffle(docs, "doc_id", 1L)
+      .select("doc_id").as[Long].collect().toSeq
+    val o2 = Export.deterministicShuffle(docs.repartition(7), "doc_id", 1L)
+      .select("doc_id").as[Long].collect().toSeq
+    val o3 = Export.deterministicShuffle(docs, "doc_id", 2L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o1 == o2)           // layout-independent
+    assert(o1 != o3)           // seed-dependent permutation
+    assert(o1.sorted == o3.sorted) // same multiset
+  }
+
+  test("withShard: stable assignment, all shards populated, balanced-ish") {
+    val sharded = Export.withShard(docs, "doc_id", 8)
+    val counts = sharded.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    assert(counts.values.min > 20) // 500 docs over 8 shards, roughly even
+    // assignment is a pure row function: repartitioning doesn't change it
+    val again = Export.withShard(docs.repartition(3), "doc_id", 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sharded.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == again)
+  }
+
+  test("writeShards: shard directories round-trip with full coverage") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Export.writeShards(docs.select("doc_id", "lang"), "doc_id", 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("shard").distinct().count() == 4)
+  }
+
+  test("mixCorpora: provenance tags, fractions respected, deterministic") {
+    val en = docs.filter(col("lang") === "en")
+    val de = docs.filter(col("lang") === "de")
+    val mixed = Export.mixCorpora(spark,
+      Seq(("english", en, 1.0), ("german", de, 0.3)))
+    val counts = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("english") == en.count())
+    assert(counts("german") < de.count() && counts("german") > 0)
+    val again = Export.mixCorpora(spark,
+      Seq(("english", en, 1.0), ("german", de, 0.3)))
+    assert(mixed.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+}
