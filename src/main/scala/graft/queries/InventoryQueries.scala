@@ -313,6 +313,49 @@ object InventoryQueries {
           .cast(DecimalType(18, 4)), 2).as("med"))
       .orderBy(col("o_orderpriority"))
 
+  /** Q-27 (B7/B8 ext) distribution windows: ntile, percent_rank,
+    * cume_dist — rational-valued doubles, deterministic across engines
+    * once decimal-rounded.
+    */
+  def q27WindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        ntile(4).over(w).as("q"),
+        round(percent_rank().over(w).cast(DecimalType(18, 6)), 6).as("pr"),
+        round(cume_dist().over(w).cast(DecimalType(18, 6)), 6).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q-28 (B13 ext) date arithmetic: interval add, datediff, last_day. */
+  def q28DateArith(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast(DateType)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_add(d, 30).as("plus30"),
+        datediff(d, to_date(lit("1995-01-01"))).cast("long").as("dd"),
+        last_day(d).as("eom"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Q-29 (B11 ext) string function suite 2: pad/reverse/split_part/
+    * repeat/trim.
+    */
+  def q29StringFns2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        reverse(col("p_brand")).as("rev"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+        repeat(lit("ab"), 3).as("rep"),
+        trim(concat(lit(" "), col("p_brand"), lit(" "))).as("tr"))
+      .orderBy(col("p_partkey"))
+
   /** Name → pipeline, in SURVEY §2.5 order. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (q01Scan _),
@@ -342,6 +385,9 @@ object InventoryQueries {
     "q21d_pivot"         -> (q24Pivot _),
     "q21e_unpivot"       -> (q25Unpivot _),
     "q21f_median"        -> (q26Median _),
+    "q21g_window_stats"  -> (q27WindowStats _),
+    "q21h_date_arith"    -> (q28DateArith _),
+    "q21i_string_fns2"   -> (q29StringFns2 _),
   )
 
   /** DuckDB-runnable oracle SQL (SURVEY.md §2.5, pre-validated 21/21 against
@@ -483,5 +529,22 @@ object InventoryQueries {
       """SELECT o_orderpriority,
                 round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(18,4)), 2) AS med
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q21g_window_stats" ->
+      """SELECT c_custkey, ntile(4) OVER w AS q,
+                round(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 6) AS pr,
+                round(CAST(cume_dist() OVER w AS DECIMAL(18,6)), 6) AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_custkey""",
+    "q21h_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+                datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom
+         FROM orders ORDER BY o_orderkey""",
+    "q21i_string_fns2" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '-') AS rp,
+                reverse(p_brand) AS rev, split_part(p_type, ' ', 1) AS first_word,
+                repeat('ab', 3) AS rep, trim(concat(' ', p_brand, ' ')) AS tr
+         FROM part ORDER BY p_partkey""",
   )
 }
