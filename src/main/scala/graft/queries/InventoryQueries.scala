@@ -356,6 +356,36 @@ object InventoryQueries {
         trim(concat(lit(" "), col("p_brand"), lit(" "))).as("tr"))
       .orderBy(col("p_partkey"))
 
+  /** Q-30 (B6 ext) CUBE with grouping markers. */
+  def q30Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g1"), col("g2"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q-31 (B8 ext) value-position windows: first/last/nth with explicit
+    * frames (last_value needs UNBOUNDED FOLLOWING to mean "partition
+    * last" — the default frame ends at CURRENT ROW).
+    */
+  def q31FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val toCurrent = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        first(col("o_orderkey")).over(toCurrent).as("first_ok"),
+        last(col("o_orderkey")).over(full).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(toCurrent).as("second_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Name → pipeline, in SURVEY §2.5 order. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (q01Scan _),
@@ -388,6 +418,8 @@ object InventoryQueries {
     "q21g_window_stats"  -> (q27WindowStats _),
     "q21h_date_arith"    -> (q28DateArith _),
     "q21i_string_fns2"   -> (q29StringFns2 _),
+    "q21j_cube"          -> (q30Cube _),
+    "q21k_first_last"    -> (q31FirstLast _),
   )
 
   /** DuckDB-runnable oracle SQL (SURVEY.md §2.5, pre-validated 21/21 against
@@ -546,5 +578,21 @@ object InventoryQueries {
                 reverse(p_brand) AS rev, split_part(p_type, ' ', 1) AS first_word,
                 repeat('ab', 3) AS rep, trim(concat(' ', p_brand, ' ')) AS tr
          FROM part ORDER BY p_partkey""",
+    "q21j_cube" ->
+      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g1,
+                grouping(l_linestatus) AS g2, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q21k_first_last" ->
+      """SELECT o_orderkey,
+                first_value(o_orderkey) OVER w AS first_ok,
+                last_value(o_orderkey) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+                nth_value(o_orderkey, 2) OVER w AS second_ok
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
   )
 }
