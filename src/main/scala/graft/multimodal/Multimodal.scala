@@ -148,7 +148,13 @@ object Multimodal {
     override def numPartitions: Int = partitionsPerKind * kinds.size
     override def getPartition(key: Any): Int = key match {
       case (kind: String, id: Long) =>
-        kindIdx.getOrElse(kind, 0) * partitionsPerKind +
+        // fail loudly on a kind outside the declared set — silently mapping
+        // it into another modality's partitions would defeat the
+        // one-modality-per-partition guarantee this partitioner exists for
+        val idx = kindIdx.getOrElse(kind,
+          throw new IllegalArgumentException(
+            s"unknown media kind '$kind'; declared kinds: ${kinds.mkString(",")}"))
+        idx * partitionsPerKind +
           (((id % partitionsPerKind) + partitionsPerKind) % partitionsPerKind).toInt
     }
   }

@@ -190,8 +190,21 @@ object Dedup {
       .join(shingled.withColumnsRenamed(Map("_id" -> "_cand", "_sh" -> "_sh_c")), "_cand")
       .join(shingled, "_id")
       .filter(jaccard(col("_sh"), col("_sh_c")) >= threshold)
-      .select(col("_id").as("_loser")).distinct()
-    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+      .select(col("_id").as("_loser"))
+
+    // zero-shingle (empty/whitespace-only) docs never enter LSH banding
+    // (no exploded rows) — but they are trivially identical to each other,
+    // so keep only the smallest-id one (matching simhashDedup, which
+    // merges them via the all-zero signature)
+    val emptyDocs = df.select(col(idCol).as("_eid"))
+      .join(shingled.filter(size(col("_sh")) > 0)
+        .select(col("_id").as("_eid")), Seq("_eid"), "left_anti")
+    val emptyLosers = emptyDocs
+      .join(emptyDocs.agg(min(col("_eid")).as("_keep")), col("_eid") =!= col("_keep"))
+      .select(col("_eid").as("_loser"))
+
+    val allLosers = losers.union(emptyLosers).distinct()
+    df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
 
   /** Exact Jaccard over two shingle arrays (treated as sets). */

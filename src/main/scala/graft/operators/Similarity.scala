@@ -56,8 +56,10 @@ object Similarity {
   /** Signed projection of `vec` onto a literal plane. zip_with null-pads
     * the shorter side; coalesce treats missing dims as 0 (implicit
     * zero-padding), so any vector length ≤/≥ dim stays well-defined.
+    * Single source of truth — band signatures and IVF assignment build on
+    * this same expression.
     */
-  private def planeProj(vec: Column, plane: Int, dim: Int): Column =
+  private[graft] def planeProj(vec: Column, plane: Int, dim: Int): Column =
     aggregate(
       zip_with(vec, literalPlane(plane, dim),
         (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
@@ -107,13 +109,8 @@ object Similarity {
     */
   def bandSignature(vec: Column, band: Int, planesPerBand: Int, dim: Int): Column =
     (0 until planesPerBand)
-      .map { p =>
-        val plane = band * planesPerBand + p
-        when(aggregate(
-          zip_with(vec, literalPlane(plane, dim),
-            (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
-          lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
+      .map(p => when(planeProj(vec, band * planesPerBand + p, dim) >= 0,
+        lit(1L << p)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
 
   def lshTopK(
@@ -156,11 +153,7 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16, dim: Int = 64): DataFrame = {
     val scored = array((0 until nCells).map { c =>
-      val proj = aggregate(
-        zip_with(col(vecCol), literalPlane(100000 + c, dim),
-          (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
-        lit(0.0), (acc, x) => acc + x)
-      struct(proj.as("score"), lit(c).as("cell"))
+      struct(planeProj(col(vecCol), 100000 + c, dim).as("score"), lit(c).as("cell"))
     }: _*)
     df.withColumn("ivf_cell", array_max(scored).getField("cell"))
   }

@@ -87,6 +87,18 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(0L) && !kept.contains(1L) && kept.contains(3L))
   }
 
+  test("minhash and simhash agree on empty-document handling (keep one)") {
+    val withEmpties = corpus.union(
+      Seq((10L, ""), (11L, "   "), (12L, "")).toDF("doc_id", "text"))
+    val mh = Dedup.minhashDedup(withEmpties, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val sh = Dedup.simhashDedup(withEmpties, "doc_id", "text", maxDist = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // both keep exactly the smallest-id empty doc
+    assert(mh.contains(10L) && !mh.contains(11L) && !mh.contains(12L))
+    assert(sh.contains(10L) && !sh.contains(11L) && !sh.contains(12L))
+  }
+
   test("dedup idempotence on the documents table (property)") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val once = Dedup.exactKeepMinId(docs, "doc_id", "text")
