@@ -104,6 +104,45 @@ object EventStreams {
   /** Per-user running aggregate emitted on every update. */
   case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+  /** B24 (new API) — the same running per-user aggregate via Spark 4's
+    * `transformWithState` StatefulProcessor: typed ValueState handles,
+    * the successor to mapGroupsWithState (supports multiple state
+    * variables, TTL, timers; backed by the RocksDB provider on clusters).
+    */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStat] {
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStat] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStat](
+        "userStats", Encoders.product[UserStat], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+      val prev = Option(state.get()).getOrElse(UserStat(key, 0L, 0.0))
+      val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+        case ((cn, cv), e) => (cn + 1, cv + e.value)
+      }
+      val next = UserStat(key, n, v)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** B24 — running stats through the transformWithState path. */
+  def runningUserStatsTws(ds: Dataset[Event]): Dataset[UserStat] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** B24 — arbitrary stateful processing via mapGroupsWithState: running
     * per-user event count + value sum maintained in typed state. State is
     * per-key and shuffle-partitioned — the horizontally-scalable shape.

@@ -115,6 +115,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Set((100L, 3L, 10.0), (200L, 1L, 7.0)))
   }
 
+  test("B24: transformWithState (new API) matches mapGroupsWithState results") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.runningUserStatsTws(mem.toDS())
+      .writeStream.format("memory").queryName("userstats_tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(EventStreams.Event(1, 100, "click", 2.0),
+        EventStreams.Event(2, 100, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(3, 100, "click", 5.0),
+        EventStreams.Event(4, 200, "click", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("userstats_tws")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set((100L, 3L, 10.0), (200L, 1L, 7.0)))
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("B20: file-source streaming over the real events parquet") {
     // file stream sources take directories; stage the single file into one
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
