@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Relational
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  lazy val quotes = Seq(
+    ("a", ts(1), 10.0), ("a", ts(5), 11.0), ("b", ts(2), 20.0))
+    .toDF("sym", "t", "price")
+  lazy val trades = Seq(
+    ("a", ts(3)), ("a", ts(6)), ("b", ts(2)), ("b", ts(50)), ("c", ts(4)))
+    .toDF("sym", "t")
+
+  test("native as-of join: latest prior right row, tolerance, missing keys") {
+    val got = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"),
+        toleranceMs = 10 * 60 * 1000)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      ("a", ts(3), Some(10.0)), ("a", ts(6), Some(11.0)),
+      ("b", ts(2), Some(20.0)), ("b", ts(50), None), ("c", ts(4), None)))
+  }
+
+  test("native as-of join plans as AsOfJoinExec (custom physical operator)") {
+    val df = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
+    // nodeName strips the Exec suffix in plan strings; AdaptiveSparkPlanExec
+    // wraps the tree, so the string form is the robust check
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("native as-of join agrees with the composable union+window fallback") {
+    // randomized differential on a bigger input
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("k1", "k2", "k3", "k4")
+    val rights = (1 to 300).map(i =>
+      (keys(rnd.nextInt(4)), ts(rnd.nextInt(59)), rnd.nextInt(1000).toDouble))
+      .distinct.toDF("sym", "t", "price")
+      // fallback picks greatest payload on (key, ts) ties; pre-dedup ties
+      // so both implementations see a unique right row per (key, ts)
+      .groupBy("sym", "t").agg(max("price").as("price"))
+    val lefts = (1 to 500).map(i => (keys(rnd.nextInt(4)), ts(rnd.nextInt(59))))
+      .toDF("sym", "t")
+
+    val native = AsOfJoin.asOfJoin(lefts, rights, "sym", "t", Seq("price"),
+        toleranceMs = 20 * 60 * 1000)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val fallback = Relational.asOfJoin(lefts, rights, "sym", "t", Seq("price"),
+        toleranceMs = 20 * 60 * 1000)
+      .select(col("sym"), col("t"), col("asof_price"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(native == fallback)
+  }
+}
