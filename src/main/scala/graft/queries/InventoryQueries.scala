@@ -28,6 +28,16 @@ object InventoryQueries {
 
   private val dec = DecimalType(18, 2)
 
+  /** Cross-engine result-type discipline (round-1 lesson, VERDICT.md §wrong):
+    * the driver's hash is TYPE-sensitive, so every aggregate / function
+    * column is pinned to an explicit type that both engines can declare
+    * identically — integer-valued columns to BIGINT (DuckDB sum(int) is
+    * HUGEINT, Spark length/year/ntile are INTEGER), decimal sums to
+    * DECIMAL(18,2) (DuckDB widens to (38,2), Spark to (28,2)). The paired
+    * oracle SQL carries the same explicit CASTs.
+    */
+  private def asLong(c: Column): Column = c.cast(LongType)
+
   /** Q-01 (A5, A6) scan + projection + alias. */
   def q01Scan(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "region")
@@ -154,7 +164,7 @@ object InventoryQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
         min(col("l_extendedprice")).as("min_p"),
         max(col("l_extendedprice")).as("max_p"),
         count(lit(1)).as("n"),
@@ -166,8 +176,8 @@ object InventoryQueries {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        grouping(col("l_returnflag")).as("g1"),
-        grouping(col("l_linestatus")).as("g2"),
+        asLong(grouping(col("l_returnflag"))).as("g1"),
+        asLong(grouping(col("l_linestatus"))).as("g2"),
         count(lit(1)).as("n"))
       .orderBy(
         col("g1"), col("g2"),
@@ -178,7 +188,7 @@ object InventoryQueries {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     t(spark, dir, "customer")
-      .select(col("c_custkey"), row_number().over(w).as("rn"))
+      .select(col("c_custkey"), asLong(row_number().over(w)).as("rn"))
       .filter(col("rn") <= 3)
       .orderBy(col("c_custkey"))
   }
@@ -193,7 +203,7 @@ object InventoryQueries {
         lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
         sum(col("o_totalprice").cast(dec))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("run_total"))
+          .cast(dec).as("run_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -218,7 +228,7 @@ object InventoryQueries {
         upper(col("p_brand")).as("ub"),
         lower(col("p_type")).as("lt"),
         substring(col("p_name"), 1, 5).as("pfx"),
-        length(col("p_name")).as("len"),
+        asLong(length(col("p_name"))).as("len"),
         regexp_replace(col("p_brand"), lit("#"), lit("-")).as("rb"),
         concat(col("p_brand"), lit("/"), col("p_type")).as("cat"))
       .orderBy(col("p_partkey"))
@@ -242,9 +252,9 @@ object InventoryQueries {
       .select(
         col("o_orderkey"),
         date_trunc("month", col("o_orderdate")).cast(DateType).as("mo"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"))
+        asLong(year(col("o_orderdate"))).as("y"),
+        asLong(month(col("o_orderdate"))).as("m"),
+        asLong(dayofmonth(col("o_orderdate"))).as("d"))
       .orderBy(col("o_orderkey"))
 
   /** Q-20 (B14) CASE WHEN + conditional aggregation. */
@@ -286,6 +296,9 @@ object InventoryQueries {
       .groupBy(col("l_linestatus"))
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sum(col("l_quantity").cast(dec)))
+      .select(col("l_linestatus"),
+        col("A").cast(dec).as("A"), col("N").cast(dec).as("N"),
+        col("R").cast(dec).as("R"))
       .orderBy(col("l_linestatus"))
 
   /** Q-25 (B-ext) unpivot/melt: the inverse reshape, back to long form.
@@ -310,7 +323,7 @@ object InventoryQueries {
       .groupBy(col("o_orderpriority"))
       .agg(round(
         expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-          .cast(DecimalType(18, 4)), 2).as("med"))
+          .cast(DecimalType(18, 4)), 2).cast(dec).as("med"))
       .orderBy(col("o_orderpriority"))
 
   /** Q-27 (B7/B8 ext) distribution windows: ntile, percent_rank,
@@ -323,9 +336,11 @@ object InventoryQueries {
     t(spark, dir, "customer")
       .select(
         col("c_custkey"),
-        ntile(4).over(w).as("q"),
-        round(percent_rank().over(w).cast(DecimalType(18, 6)), 6).as("pr"),
-        round(cume_dist().over(w).cast(DecimalType(18, 6)), 6).as("cd"))
+        asLong(ntile(4).over(w)).as("q"),
+        round(percent_rank().over(w).cast(DecimalType(18, 6)), 6)
+          .cast(DecimalType(18, 6)).as("pr"),
+        round(cume_dist().over(w).cast(DecimalType(18, 6)), 6)
+          .cast(DecimalType(18, 6)).as("cd"))
       .orderBy(col("c_custkey"))
   }
 
@@ -361,8 +376,8 @@ object InventoryQueries {
     t(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        grouping(col("l_returnflag")).as("g1"),
-        grouping(col("l_linestatus")).as("g2"),
+        asLong(grouping(col("l_returnflag"))).as("g1"),
+        asLong(grouping(col("l_linestatus"))).as("g2"),
         count(lit(1)).as("n"))
       .orderBy(
         col("g1"), col("g2"),
@@ -473,7 +488,7 @@ object InventoryQueries {
          WHERE p_size = 1 ORDER BY p_partkey, s_suppkey""",
     "q11_agg_suite" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
                 min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
                 count(*) AS n, count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -492,9 +507,9 @@ object InventoryQueries {
     "q14_analytic_window" ->
       """SELECT o_custkey, o_orderkey,
                 lag(o_orderkey) OVER w AS prev_ok,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                   (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, o_orderkey""",
@@ -523,7 +538,7 @@ object InventoryQueries {
          FROM orders ORDER BY o_orderkey""",
     "q20_case_when" ->
       """SELECT o_orderpriority,
-                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
                 count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q21_distinct" ->
@@ -542,16 +557,16 @@ object InventoryQueries {
          ORDER BY k""",
     "q21d_pivot" ->
       """SELECT l_linestatus,
-                sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS A,
-                sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS N,
-                sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS R
+                CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS A,
+                CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS N,
+                CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS R
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q21e_unpivot" ->
       """SELECT l_linestatus, rf AS l_returnflag, sum_qty FROM (
            SELECT l_linestatus,
-                  sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qa,
-                  sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qn,
-                  sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qr
+                  CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qa,
+                  CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qn,
+                  CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qr
            FROM lineitem GROUP BY l_linestatus) p
          CROSS JOIN (VALUES ('A'), ('N'), ('R')) v(rf),
          LATERAL (SELECT CASE rf WHEN 'A' THEN qa WHEN 'N' THEN qn ELSE qr END AS sum_qty) s

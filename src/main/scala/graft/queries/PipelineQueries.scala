@@ -29,7 +29,8 @@ object PipelineQueries {
   /** q23 — whitespace token counting (B19). */
   def q23TokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
 
   /** q24 — per-language corpus stats. */
@@ -76,7 +77,7 @@ object PipelineQueries {
   def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -123,7 +124,8 @@ object PipelineQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("total"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"),
         sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
       .orderBy(col("event_type"))
 
@@ -183,7 +185,7 @@ object PipelineQueries {
       """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens
          FROM documents ORDER BY doc_id""",
     "q24_lang_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "q25_quality_filter" ->
       """SELECT doc_id, n_chars FROM documents
@@ -191,7 +193,7 @@ object PipelineQueries {
            AND len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 20
          ORDER BY doc_id""",
     "q26_source_stats" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS chars, min(doc_id) AS first_doc
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_doc
          FROM documents GROUP BY source ORDER BY chars DESC, source""",
     "q27_term_df" ->
       """SELECT term, count(DISTINCT doc_id) AS df
@@ -211,8 +213,8 @@ object PipelineQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q33_events_stats" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(value AS DECIMAL(18,2))) AS total,
-                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q34_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n

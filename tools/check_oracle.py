@@ -1,11 +1,20 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's t2 DuckDB-oracle compare.
+"""Local mirror of the driver's t2 DuckDB-oracle compare — TYPE-STRICT.
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads each <name>/ parquet dir written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf parquet tables, and
-compares: row count, column names (sorted), and canonicalized cell values.
+compares: row count, column names (sorted), DuckDB-declared column TYPES
+(exact string match, sorted by column name), and canonicalized cell values.
+
+Round-1 lesson: the driver's hash is type-sensitive (DuckDB HUGEINT /
+DECIMAL(38,2) sums vs Spark BIGINT / DECIMAL(28,2) hash-differ even when
+every value is identical), while the old mirror canonicalized decimals via
+float and ignored declared types entirely — it said 41/41 when the driver
+said 32/41. This mirror is deliberately STRICTER than the driver (exact
+type equality, exact decimal strings): anything that passes here passes
+there.
 """
 import json, math, sys, glob, os
 import duckdb
@@ -23,10 +32,11 @@ def canon(v):
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(int(v))
-    # decimals, dates, timestamps, ints, strings -> str
     import decimal, datetime
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        # exact, scale-preserving: Decimal('500000.00') -> '500000.00',
+        # never the float round-trip the old mirror used
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -34,12 +44,14 @@ def canon(v):
     return str(v)
 
 
-def rows_of(rel):
+def rel_of(rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in order]
+    tys = [types[i] for i in order]
     data = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
-    return names, data
+    return names, tys, data
 
 
 def main():
@@ -59,15 +71,21 @@ def main():
             n_fail += 1
             continue
         # preserve spark's written row order: read the single coalesced file
-        s_names, s_rows = rows_of(con.sql(f"SELECT * FROM read_parquet('{files[0]}')"))
+        s_names, s_types, s_rows = rel_of(
+            con.sql(f"SELECT * FROM read_parquet('{files[0]}')"))
         try:
-            d_names, d_rows = rows_of(con.sql(oracle[name]))
+            d_names, d_types, d_rows = rel_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             n_fail += 1
             continue
         if s_names != d_names:
             print(f"FAIL {name}: columns {s_names} != {d_names}")
+            n_fail += 1
+        elif s_types != d_types:
+            diffs = [f"{n}: spark={a} duckdb={b}"
+                     for n, a, b in zip(s_names, s_types, d_types) if a != b]
+            print(f"FAIL {name}: TYPE drift [{'; '.join(diffs)}]")
             n_fail += 1
         elif len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows {len(s_rows)} != {len(d_rows)}")
