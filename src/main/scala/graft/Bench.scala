@@ -62,11 +62,19 @@ object Bench {
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
-    // concurrent set wall-clock — best of 2
+    // concurrent set wall-clock — best of 2. Longest-processing-time-first
+    // submission (classic LPT list scheduling): the slowest queries start
+    // first instead of forming a straggler tail at the end of the
+    // name-sorted order (q29-q32 are adjacent in sort order and were the
+    // round-1 tail). Uses the just-measured sequential latencies as the
+    // processing-time estimates.
+    val byLongest = queries.sortBy { case (name, _) =>
+      -math.max(p1(name), p2(name))
+    }
     def wallPass(): Double = {
       val pool = Executors.newFixedThreadPool(8)
       val t0 = System.nanoTime()
-      queries.foreach { case (_, fn) =>
+      byLongest.foreach { case (_, fn) =>
         pool.submit(new Runnable {
           def run(): Unit =
             try exec(fn(spark, sfDir)) catch { case _: Throwable => () }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{BandSignatures, CosineSimilarity}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build, so both the Column API and SQL text can use
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(BandSignatures.name),
+      new ExpressionInfo(classOf[BandSignatures].getName, BandSignatures.name),
+      (exprs: Seq[Expression]) => BandSignatures.build(exprs)))
   }
 }

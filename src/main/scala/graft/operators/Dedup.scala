@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.4
   * B16/B17 + LLM-pipeline extensions): exact, MinHash+LSH, SimHash, and
@@ -167,10 +168,31 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // `shingled` feeds signature banding AND both verification joins AND the
+    // empty-doc path; `banded` feeds bucket-min AND the candidate join.
+    // Without a barrier Catalyst re-derives each subtree per consumer —
+    // shingling the corpus 4x. Persist both for the duration of this call
+    // and eagerly reduce to the (small) loser-id set, after which the heavy
+    // caches are dropped; the returned plan is a lazy anti-join of `df`
+    // against the materialized losers. localCheckpoint gives an execution
+    // barrier that does NOT register in the plan cache (so repeated calls
+    // re-run honestly); at cluster scale with executor churn, swap it for
+    // a reliable `checkpoint` directory.
     val shingled = df.select(
       col(idCol).as("_id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
-    val banded = minhashSignaturesFromShingled(shingled, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // signatures in per-row column form over the CACHED `_sh` attribute:
+    // zero shuffles (vs the explode + partial-agg path, which is the right
+    // shape only when shingles are a derived expression that CollapseProject
+    // would otherwise inline into all k hash branches — here the persist
+    // boundary already pins `_sh`, so the k passes read the cached array).
+    // Zero-shingle docs yield an all-null signature (array_min([]) = null):
+    // they bucket only with each other, verify at jaccard 0, and are
+    // handled by the empty-doc path below.
+    val banded = shingled
+      .select(col("_id"),
+        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
       .select(
         col("_id"),
         posexplode(
@@ -178,6 +200,7 @@ object Dedup {
             sequence(lit(0), lit(bands - 1)),
             b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
       .agg(min(col("_id")).as("_cand"))
@@ -203,7 +226,9 @@ object Dedup {
       .join(emptyDocs.agg(min(col("_eid")).as("_keep")), col("_eid") =!= col("_keep"))
       .select(col("_eid").as("_loser"))
 
-    val allLosers = losers.union(emptyLosers).distinct()
+    val allLosers = losers.union(emptyLosers).distinct().localCheckpoint(true)
+    shingled.unpersist(false)
+    banded.unpersist(false)
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
 
@@ -310,7 +335,11 @@ object Dedup {
   def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
+    // same persist-and-barrier discipline as [[minhashDedup]]: `withSig`
+    // feeds banding + the verification join, `banded` feeds bucket-min +
+    // the candidate join — cache both, reduce eagerly to loser ids, drop.
     val withSig = simhashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("_id"), col("_sig"),
       posexplode(
@@ -319,6 +348,7 @@ object Dedup {
           c => call_function("shiftrightunsigned", col("_sig"), c * width)
             .bitwiseAND(if (width >= 64) lit(-1L) else lit((1L << width) - 1)))))
       .withColumnsRenamed(Map("pos" -> "_chunk", "col" -> "_ckey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bucketMin = banded.groupBy(col("_chunk"), col("_ckey"))
       .agg(min(col("_id")).as("_cand"))
@@ -331,6 +361,9 @@ object Dedup {
       .join(withSig.withColumnsRenamed(Map("_id" -> "_cand", "_sig" -> "_sig_c")), "_cand")
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
       .select(col("_id").as("_loser")).distinct()
+      .localCheckpoint(true)
+    withSig.unpersist(false)
+    banded.unpersist(false)
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
 
@@ -380,10 +413,11 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 8, planesPerBand: Int = 8,
       threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    graft.functions.BandSignatures.register(df.sparkSession)
     val banded = df.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
-      posexplode(array((0 until bands).map(b =>
-        Similarity.bandSignature(col(vecCol), b, planesPerBand, dim)): _*)))
+      posexplode(graft.functions.BandSignatures.bandSigs(
+        col(vecCol), bands, planesPerBand, dim)))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
     val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"), col("_v").as("_vb"))

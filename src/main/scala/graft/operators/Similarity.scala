@@ -118,14 +118,18 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
 
-    def bandSig(v: String, b: Int): Column = bandSignature(col(v), b, planesPerBand, dim)
+    // corpus banding is the hot path: one fused native pass computes all
+    // band signatures (vs bands × planesPerBand HOF array walks per row);
+    // parity with the composable bandSignature is pinned in SimilaritySpec
+    graft.functions.BandSignatures.register(corpus.sparkSession)
 
     def banded(df: DataFrame, id: String, v: String): DataFrame =
       // two-step select: the banding expression must not reference a column
       // aliased in the same projection (lateral column alias)
       df.select(col(idCol).as(id), col(vecCol).as(v))
         .select(col(id), col(v),
-          posexplode(array((0 until bands).map(b => bandSig(v, b)): _*)))
+          posexplode(graft.functions.BandSignatures.bandSigs(
+            col(v), bands, planesPerBand, dim)))
         .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
 
     val c = banded(corpus, "_cid", "_cv")

@@ -54,6 +54,24 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("vec_id", "ivf_cell").as[(Long, Int)].collect().toSet == again)
   }
 
+  test("native band_sigs matches the composable bandSignature bit-for-bit") {
+    graft.functions.BandSignatures.register(spark)
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bands = 8; val ppb = 8; val dim = 64
+    val composable = emb.select(
+      col("vec_id"),
+      array((0 until bands).map(b =>
+        Similarity.bandSignature(col("embedding"), b, ppb, dim)): _*).as("s"))
+    val native = emb.select(
+      col("vec_id"),
+      graft.functions.BandSignatures.bandSigs(col("embedding"), bands, ppb, dim).as("s"))
+    val c = composable.as[(Long, Seq[Long])].collect().toMap
+    val n = native.as[(Long, Seq[Long])].collect().toMap
+    assert(c.keySet == n.keySet)
+    val mismatches = c.keys.filter(k => c(k) != n(k))
+    assert(mismatches.isEmpty, s"signature drift for ids: ${mismatches.take(5)}")
+  }
+
   test("hyperplane signature: identical vectors get identical signatures") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
