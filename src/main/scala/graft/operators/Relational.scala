@@ -40,7 +40,18 @@ object Relational {
   def saltedAggregate(
       df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    // salt must be DETERMINISTIC per row content, not per physical layout:
+    // spark_partition_id/monotonically_increasing_id change across task
+    // retries, so a shuffle-fetch failure could regroup rows inconsistently
+    // between the phase-1 map and its recomputation (the classic
+    // nondeterministic-repartition over/under-count hazard). A seeded hash
+    // of the whole row is retry-stable and spreads a hot key across
+    // buckets as long as the key's rows differ anywhere outside the key;
+    // fully identical rows share a bucket, which is safe (just less
+    // spread) because aggregation is insensitive to which bucket merges
+    // them.
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*), lit(0x5a17)), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partial.head, partial.tail: _*)

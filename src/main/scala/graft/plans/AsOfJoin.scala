@@ -30,13 +30,21 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightValues: Seq[Expression], rightValueNames: Seq[String],
-    toleranceMs: Long) extends BinaryNode {
+    rightValues: Seq[Expression],
+    rightOutAttrs: Seq[Attribute],
+    toleranceMicros: Long) extends BinaryNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++ rightValues.zip(rightValueNames).map { case (e, n) =>
-      AttributeReference(s"asof_$n", e.dataType, nullable = true)()
-    }
+  // the fabricated asof_* attributes are CONSTRUCTOR state, materialized
+  // exactly once in the builder — a def that minted fresh
+  // AttributeReferences per call would hand different exprIds to each
+  // downstream resolution pass (select/filter after the join would bind
+  // against one set and resolve against another)
+  override def output: Seq[Attribute] = left.output ++ rightOutAttrs
+
+  // the asof_* attributes originate HERE, not in a child — without this,
+  // CheckAnalysis counts them as missing input
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rightOutAttrs)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -48,7 +56,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     rightValues: Seq[Expression],
-    toleranceMs: Long,
+    toleranceMicros: Long,
     output: Seq[Attribute]) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -62,7 +70,7 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tol = toleranceMs
+    val tol = toleranceMicros
     val nRightVals = rightValues.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -83,6 +91,10 @@ case class AsOfJoinExec(
       var nextRight: InternalRow = null
       var rightExhausted = false
 
+      // Null semantics match Spark's built-in joins: a null key (either
+      // side) or a null timestamp never matches. The sort puts nulls FIRST
+      // (Ascending default), so null-key / null-ts right rows are drained
+      // before any real candidate of the same key appears.
       def advanceRightTo(lk: Any, lts: Long): Unit = {
         var continue = true
         while (continue && !rightExhausted) {
@@ -91,30 +103,45 @@ case class AsOfJoinExec(
             else { rightExhausted = true; continue = false }
           }
           if (nextRight != null) {
-            val rk = rKeyProj(nextRight).get(0, rightKey.dataType)
-            val cmp = keyOrdering.asInstanceOf[Ordering[Any]].compare(rk, lk)
-            val rts = rTsProj(nextRight).getLong(0)
-            if (cmp < 0 || (cmp == 0 && rts <= lts)) {
-              // consume: becomes the candidate if same key. copyValue: the
-              // projected key points into the projection's REUSED buffer —
-              // storing it uncopied lets the next projection mutate it
-              if (cmp == 0) {
-                candKey = InternalRow.copyValue(rk)
-                candTs = rts
-                candVals = rValProj(nextRight).copy()
-              }
-              else { candKey = null; candVals = null } // stale key drained
-              nextRight = null
-            } else continue = false
+            val rkRow = rKeyProj(nextRight)
+            if (rkRow.isNullAt(0)) {
+              nextRight = null // null-key right rows match nothing; skip
+            } else {
+              val rk = rkRow.get(0, rightKey.dataType)
+              val cmp = keyOrdering.asInstanceOf[Ordering[Any]].compare(rk, lk)
+              val rtsRow = rTsProj(nextRight)
+              val rtsNull = rtsRow.isNullAt(0)
+              val rts = if (rtsNull) Long.MinValue else rtsRow.getLong(0)
+              if (cmp < 0 || (cmp == 0 && (rtsNull || rts <= lts))) {
+                // consume: becomes the candidate if same key with a real
+                // ts. copyValue: the projected key points into the
+                // projection's REUSED buffer — storing it uncopied lets
+                // the next projection mutate it
+                if (cmp == 0 && !rtsNull) {
+                  candKey = InternalRow.copyValue(rk)
+                  candTs = rts
+                  candVals = rValProj(nextRight).copy()
+                } else if (cmp < 0) {
+                  candKey = null; candVals = null // stale key drained
+                } // cmp == 0 && rtsNull: skip, candidate state untouched
+                nextRight = null
+              } else continue = false
+            }
           }
         }
       }
 
       lIter.map { lRow =>
-        val lk = lKeyProj(lRow).get(0, leftKey.dataType)
-        val lts = lTsProj(lRow).getLong(0)
-        advanceRightTo(lk, lts)
-        val matched = candVals != null && candKey != null &&
+        val lkRow = lKeyProj(lRow)
+        val lkNull = lkRow.isNullAt(0)
+        val lk = if (lkNull) null else lkRow.get(0, leftKey.dataType)
+        val ltsRow = lTsProj(lRow)
+        val ltsNull = ltsRow.isNullAt(0)
+        val lts = if (ltsNull) Long.MinValue else ltsRow.getLong(0)
+        // null-key/null-ts left rows sort first and never match — emit
+        // unmatched without advancing (nothing can be a candidate for them)
+        if (!lkNull && !ltsNull) advanceRightTo(lk, lts)
+        val matched = !lkNull && !ltsNull && candVals != null && candKey != null &&
           keyOrdering.asInstanceOf[Ordering[Any]].compare(candKey, lk) == 0 &&
           lts - candTs <= tol
         outProj(joined(lRow, if (matched) candVals else nullRight))
@@ -133,7 +160,7 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(
         planLater(p.left), planLater(p.right),
         p.leftKey, p.rightKey, p.leftTs, p.rightTs,
-        p.rightValues, p.toleranceMs, p.output) :: Nil
+        p.rightValues, p.toleranceMicros, p.output) :: Nil
     case _ => Nil
   }
 }
@@ -166,12 +193,25 @@ object AsOfJoin {
     def tsMicros(a: Attribute): Expression =
       org.apache.spark.sql.catalyst.expressions.UnixMicros(a)
 
+    require(toleranceMs >= 0, s"toleranceMs must be >= 0, got $toleranceMs")
+    // saturating ms → µs conversion: the default Long.MaxValue tolerance
+    // multiplied by 1000 would overflow to a NEGATIVE tolerance and
+    // silently unmatch every row
+    val tolMicros =
+      if (toleranceMs > Long.MaxValue / 1000L) Long.MaxValue
+      else toleranceMs * 1000L
+
+    val rightVals = valueCols.map(attr(rPlan, _))
+    // fabricate the asof_* output attributes ONCE — see AsOfJoinPlan.output
+    val rightOutAttrs = rightVals.zip(valueCols).map { case (e, n) =>
+      AttributeReference(s"asof_$n", e.dataType, nullable = true)()
+    }
+
     val plan = AsOfJoinPlan(
       lPlan, rPlan,
       attr(lPlan, keyCol), attr(rPlan, keyCol),
       tsMicros(attr(lPlan, tsCol)), tsMicros(attr(rPlan, tsCol)),
-      valueCols.map(attr(rPlan, _)), valueCols,
-      toleranceMs * 1000L) // tolerance in µs to match epoch-micros ts
+      rightVals, rightOutAttrs, tolMicros)
     GraftPlanBridge.ofRows(spark, plan)
   }
 }

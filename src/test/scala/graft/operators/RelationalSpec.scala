@@ -34,6 +34,24 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salt is layout-independent: identical results under any repartition") {
+    // regression: partition-id/monotonic-id-derived salt changed across
+    // physical layouts (and task retries); content-derived salt must not
+    val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.saltedCount(df, Seq("l_returnflag"), saltBuckets = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(li) == run(li.repartition(3)))
+    assert(run(li) == run(li.repartition(17, col("l_orderkey"))))
+    // and the per-(key,salt) phase-1 partials themselves are stable
+    def phase1(df: org.apache.spark.sql.DataFrame) =
+      Relational.saltedAggregate(df, Seq("l_returnflag"), 8,
+        partial = Seq(count(lit(1)).as("n")),
+        merge = Seq(sum(col("n")).as("n")))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(phase1(li) == phase1(li.coalesce(1)))
+  }
+
   test("asOfJoin attaches latest prior right row per key, respects tolerance") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val quotes = Seq( // (key, ts, price)

@@ -26,6 +26,51 @@ class AsOfJoinSpec extends SparkSpec {
       ("b", ts(2), Some(20.0)), ("b", ts(50), None), ("c", ts(4), None)))
   }
 
+  test("default tolerance (Long.MaxValue ms) actually matches — no µs-conversion overflow") {
+    // regression: toleranceMs * 1000 overflowed to a negative tolerance,
+    // silently unmatching EVERY row on the documented default call
+    val got = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      ("a", ts(3), Some(10.0)), ("a", ts(6), Some(11.0)),
+      ("b", ts(2), Some(20.0)), ("b", ts(50), Some(20.0)), ("c", ts(4), None)))
+  }
+
+  test("asof_* columns are referencable by name downstream (stable exprIds)") {
+    val joined = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
+    // select + filter + aggregate over the fabricated attribute: resolves
+    // and binds only if repeated output calls return identical exprIds
+    val n = joined
+      .filter(col("asof_price").isNotNull)
+      .select(col("sym"), col("asof_price"))
+      .groupBy(col("sym")).agg(max(col("asof_price")).as("m"))
+      .collect().length
+    assert(n == 2)
+  }
+
+  test("null join keys and null timestamps never match and never crash") {
+    val nq = Seq(
+      (Option("a"), Option(ts(1)), 10.0),
+      (Option.empty[String], Option(ts(2)), 99.0), // null right key
+      (Option("b"), Option.empty[java.sql.Timestamp], 77.0), // null right ts
+      (Option("b"), Option(ts(2)), 20.0))
+      .toDF("sym", "t", "price")
+    val nt = Seq(
+      (Option("a"), Option(ts(3))),
+      (Option.empty[String], Option(ts(4))), // null left key
+      (Option("b"), Option.empty[java.sql.Timestamp]), // null left ts
+      (Option("b"), Option(ts(5))))
+      .toDF("sym", "t")
+    val got = AsOfJoin.asOfJoin(nt, nq, "sym", "t", Seq("price"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (Some("a"), Some(ts(3)), Some(10.0)),
+      (None, Some(ts(4)), None),
+      (Some("b"), None, None),
+      (Some("b"), Some(ts(5)), Some(20.0))))
+  }
+
   test("native as-of join plans as AsOfJoinExec (custom physical operator)") {
     val df = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
     // nodeName strips the Exec suffix in plan strings; AdaptiveSparkPlanExec
