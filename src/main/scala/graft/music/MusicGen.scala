@@ -61,11 +61,16 @@ object MusicGen {
         (i, album._2, s"Song$i", Some(album._1), Option.empty[Date])
       }
     }
-    // every song gets 1–3 distinct genres (the app-enforced invariant,
-    // pdf p.5)
+    // every song gets 1–3 distinct genres, and album tracks ALWAYS carry
+    // their album's genre first (both app-enforced invariants, pdf p.5 —
+    // audited by Constraints.songsWithoutGenre /
+    // albumTrackGenreMismatches)
     val songGenres = songs.flatMap { s =>
+      val albumGenre = s._4.map(aid => albums(aid - 1)._5) // album ids are 1..60 in order
       val n = 1 + rnd.nextInt(3)
-      rnd.shuffle((1 to 8).toList).take(n).map(g => (s._1, g.toShort))
+      val extra = rnd.shuffle((1 to 8).toList).map(_.toShort)
+        .filterNot(albumGenre.contains)
+      (albumGenre.toList ++ extra).take(n).map(g => (s._1, g))
     }
     // ~2000 ratings 2019–2022; composite PK (user, song, date) kept unique;
     // users 95–100 never rate (zero-rating users must survive outer joins)

@@ -61,4 +61,55 @@ class MusicGoldenSpec extends SparkSpec {
       .orphanViolations(t("Song"), Seq("album_id"), t("Album"), Seq("album_id"))
       .isEmpty)
   }
+
+  test("domain audit: rating outside 1..5 is flagged, in-range is not") {
+    import org.apache.spark.sql.functions._
+    val t = tables
+    assert(Constraints.domainViolations(t("Rating"), "rating", 1L, 5L).isEmpty)
+    val bad = t("Rating").withColumn("rating", lit(9).cast("byte"))
+    assert(Constraints.domainViolations(bad, "rating", 1L, 5L).count() == 2)
+    // set-valued form agrees
+    assert(Constraints.domainViolations(t("Rating"), "rating",
+      Seq(1, 2, 3, 4, 5).map(_.toByte)).isEmpty)
+  }
+
+  test("invariant audits: song-has-genre and album-track-genre consistency") {
+    import org.apache.spark.sql.functions._
+    val t = tables
+    // seed satisfies both (pdf p.5)
+    assert(Constraints.songsWithoutGenre(t("Song"), t("Song_genre")).isEmpty)
+    assert(Constraints.albumTrackGenreMismatches(
+      t("Song"), t("Song_genre"), t("Album")).isEmpty)
+    // corrupt 1: a song with no genre link
+    val noLink = t("Song_genre").filter(col("song_id") =!= 1)
+    assert(Constraints.songsWithoutGenre(t("Song"), noLink).count() == 1)
+    // corrupt 2: put song 1 on Album1 (genre Pop=1) but with only a Rock
+    // link -> inconsistent; song 2 on the album with its matching genre is
+    // NOT flagged
+    val onAlbum = t("Song").withColumn("album_id",
+      when(col("song_id") === 1, lit(1)).otherwise(col("album_id")))
+    val rockOnly = t("Song_genre").withColumn("genre_id",
+      when(col("song_id") === 1, lit(2).cast("short")).otherwise(col("genre_id")))
+    assert(Constraints.albumTrackGenreMismatches(onAlbum, rockOnly, t("Album"))
+      .count() == 1)
+  }
+
+  test("case-insensitive unique audit: 'Drake'/'drake' collide only under CI") {
+    import spark.implicits._
+    val artists = Seq((1, "Drake", 0), (2, "drake", 0))
+      .toDF("artist_id", "name", "is_group")
+    assert(Constraints.keyViolations(artists, Seq("name")).isEmpty)
+    assert(Constraints.keyViolationsCI(artists, Seq("name")).count() == 1)
+    // composite mixed-type keys still work (string part CI, int part exact)
+    val mixed = Seq((1, "A", 10), (1, "a", 10), (2, "a", 10))
+      .toDF("k1", "name", "v")
+    assert(Constraints.keyViolationsCI(mixed, Seq("k1", "name")).count() == 1)
+  }
+
+  test("full audit run on seed includes the semantic audits and stays clean") {
+    assert(Constraints.violatedConstraints(tables).isEmpty)
+    assert(Constraints.auditAll(tables).keySet.exists(_.contains("Rating.domain")))
+    assert(Constraints.auditAll(tables).contains("Song.has_genre"))
+    assert(Constraints.auditAll(tables).contains("Song.album_genre_consistency"))
+  }
 }
