@@ -150,15 +150,61 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Per-cell centroid scores as an array<struct<score,cell>> — the shared
+    * primitive of [[ivfAssign]] (argmax) and [[ivfTopK]] (top-nProbes).
+    */
+  private def cellScores(vec: Column, nCells: Int, dim: Int): Column =
+    array((0 until nCells).map { c =>
+      struct(planeProj(vec, 100000 + c, dim).as("score"), lit(c).as("cell"))
+    }: _*)
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `nCells` deterministic pseudo-random centroid directions (same
     * hash-derived ±1 construction as the hyperplanes), so ANN probes only
     * matching cells. Returns df + `ivf_cell`.
     */
-  def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16, dim: Int = 64): DataFrame = {
-    val scored = array((0 until nCells).map { c =>
-      struct(planeProj(col(vecCol), 100000 + c, dim).as("score"), lit(c).as("cell"))
-    }: _*)
-    df.withColumn("ivf_cell", array_max(scored).getField("cell"))
+  def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16, dim: Int = 64): DataFrame =
+    df.withColumn("ivf_cell", array_max(cellScores(col(vecCol), nCells, dim)).getField("cell"))
+
+  /** IVF probe top-k: the actual search path over the coarse quantization
+    * (not just the cell label). Corpus rows live in exactly ONE cell
+    * (argmax assignment); each query probes its `nProbes` best-scoring
+    * cells; candidates = corpus rows in probed cells, re-ranked by the
+    * fused native cosine; top-k per query.
+    *
+    * Scale shape: the only wide operation is the equi-join on `_cell`
+    * (shuffle-partitionable; cells play the role of IVF inverted lists),
+    * exactly like the LSH band join — never a cross join. Each corpus row
+    * is shuffled once (one cell), each query `nProbes` times.
+    * `nProbes = nCells` degenerates to exhaustive search and must equal
+    * [[bruteForceTopK]] (pinned in SimilaritySpec); fewer probes trade
+    * recall for a 1/nCells-ish candidate fraction.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbes: Int = 4, dim: Int = 64): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nCells, "need 1 <= nProbes <= nCells")
+    val c = ivfAssign(corpus, vecCol, nCells, dim)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("ivf_cell").as("_cell"))
+    // top-nProbes cells per query: sort struct(score, cell) desc, take heads
+    val q = queries
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+        cellScores(col(vecCol), nCells, dim).as("_scored"))
+      .select(col("_qid"), col("_qv"),
+        explode(transform(
+          slice(reverse(array_sort(col("_scored"))), 1, nProbes),
+          s => s.getField("cell"))).as("_cell"))
+    // no distinct needed: a corpus row has exactly one cell and a query
+    // probes distinct cells, so each (query, corpus) pair joins at most once
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("cosine").desc, col("_cid").asc)
+    q.join(c, Seq("_cell"))
+      .filter(col("_qid") =!= col("_cid"))
+      .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        col("cosine"), col("rank"))
   }
 }

@@ -43,6 +43,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("ivfTopK: full-probe equals brute force; partial probes keep useful recall") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // probing every cell degenerates to exhaustive search — must be
+    // rank-identical to brute force
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbes = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // partial probes: recall bounded below (4 of 8 cells)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map { case (q, n, _) => (q, n) }
+    val recall = exactPairs.intersect(approx).size.toDouble / exactPairs.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("ivfAssign produces stable cells and groups similar vectors") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)
