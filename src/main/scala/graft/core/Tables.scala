@@ -71,15 +71,28 @@ object Tables {
     * (~1.7e18, above 2^53) to double first, which is lossy at ±512 ns —
     * enough to flip window membership at boundaries.
     *
-    * Note the legacy flag is a session-wide conf: after this call, any
-    * parquet read in the session sees TIMESTAMP(NANOS) columns as bigint.
+    * The legacy flag is a session-wide conf; it is flipped only around the
+    * (one-time, locked) schema resolution and RESTORED afterwards, so a
+    * later read of some other TIMESTAMP(NANOS) parquet in the session is
+    * not silently re-typed to bigint. The flag affects only ns-typed
+    * columns, so concurrent resolutions of the µs-typed tables during the
+    * window are unaffected.
     */
+  private val nanosFlagLock = new Object
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     cached(spark, s"$sfDir/events+nanos") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      nanosFlagLock.synchronized {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
     }
   }
 

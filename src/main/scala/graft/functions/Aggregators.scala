@@ -47,8 +47,16 @@ object Aggregators {
 
   class TopKMin(k: Int) extends Aggregator[Double, TopKState, Seq[Double]] {
     override def zero: TopKState = TopKState(k, Seq.empty)
+    // invariant: `values` is sorted ascending. The per-ROW path is a
+    // capped insert — O(1) reject for values above the current cutoff,
+    // O(k) splice otherwise — not a full re-sort; the sort-based path
+    // remains only in merge, which runs once per map task per group.
     override def reduce(s: TopKState, x: Double): TopKState =
-      TopKState(s.k, (s.values :+ x).sorted.take(s.k))
+      if (s.values.size >= s.k && x >= s.values.last) s
+      else {
+        val (lo, hi) = s.values.span(_ <= x)
+        TopKState(s.k, (lo ++ (x +: hi)).take(s.k))
+      }
     override def merge(a: TopKState, b: TopKState): TopKState =
       TopKState(a.k, (a.values ++ b.values).sorted.take(a.k))
     override def finish(s: TopKState): Seq[Double] = s.values
@@ -66,14 +74,29 @@ object Aggregators {
   case class TopKPairsState(k: Int, scores: Seq[Double], ids: Seq[Long])
 
   class TopKPairs(k: Int) extends Aggregator[(Double, Long), TopKPairsState, Seq[(Double, Long)]] {
+    /** `x` ranks strictly ahead of `y`: larger score, ties by smaller id. */
+    private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
+      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
     private def cap(s: TopKPairsState): TopKPairsState = {
       val kept = s.scores.zip(s.ids)
         .sortBy { case (score, id) => (-score, id) }.take(s.k)
       TopKPairsState(s.k, kept.map(_._1), kept.map(_._2))
     }
     override def zero: TopKPairsState = TopKPairsState(k, Seq.empty, Seq.empty)
-    override def reduce(s: TopKPairsState, x: (Double, Long)): TopKPairsState =
-      cap(TopKPairsState(s.k, s.scores :+ x._1, s.ids :+ x._2))
+    // invariant: buffer sorted best-first. Capped insert per row (O(1)
+    // reject below the cutoff, O(k) splice), full sort only in merge —
+    // once per map task per group, not per row.
+    override def reduce(s: TopKPairsState, x: (Double, Long)): TopKPairsState = {
+      val full = s.scores.size >= s.k
+      if (full && !beats(x, (s.scores.last, s.ids.last))) s
+      else {
+        val pairs = s.scores.zip(s.ids)
+        val at = pairs.indexWhere(p => beats(x, p))
+        val kept = (if (at < 0) pairs :+ x
+                    else (pairs.take(at) :+ x) ++ pairs.drop(at)).take(s.k)
+        TopKPairsState(s.k, kept.map(_._1), kept.map(_._2))
+      }
+    }
     override def merge(a: TopKPairsState, b: TopKPairsState): TopKPairsState =
       cap(TopKPairsState(a.k, a.scores ++ b.scores, a.ids ++ b.ids))
     override def finish(s: TopKPairsState): Seq[(Double, Long)] = s.scores.zip(s.ids)
