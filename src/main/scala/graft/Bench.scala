@@ -71,8 +71,9 @@ object Bench {
     val byLongest = queries.sortBy { case (name, _) =>
       -math.max(p1(name), p2(name))
     }
+    val submitters = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "12").toInt
     def wallPass(): Double = {
-      val pool = Executors.newFixedThreadPool(8)
+      val pool = Executors.newFixedThreadPool(submitters)
       val t0 = System.nanoTime()
       byLongest.foreach { case (_, fn) =>
         pool.submit(new Runnable {

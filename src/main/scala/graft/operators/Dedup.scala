@@ -215,18 +215,20 @@ object Dedup {
       .filter(jaccard(col("_sh"), col("_sh_c")) >= threshold)
       .select(col("_id").as("_loser"))
 
-    // zero-shingle (empty/whitespace-only) docs never enter LSH banding
-    // (no exploded rows) — but they are trivially identical to each other,
-    // so keep only the smallest-id one (matching simhashDedup, which
-    // merges them via the all-zero signature)
-    val emptyDocs = df.select(col(idCol).as("_eid"))
-      .join(shingled.filter(size(col("_sh")) > 0)
-        .select(col("_id").as("_eid")), Seq("_eid"), "left_anti")
+    // zero-shingle (empty/whitespace-only) docs are trivially identical to
+    // each other: keep only the smallest-id one (matching simhashDedup,
+    // which merges them via the all-zero signature). `shingled` retains
+    // every doc, so this is a cached-scan filter — no anti-join needed.
+    val emptyDocs = shingled.filter(size(col("_sh")) === 0)
+      .select(col("_id").as("_eid"))
     val emptyLosers = emptyDocs
       .join(emptyDocs.agg(min(col("_eid")).as("_keep")), col("_eid") =!= col("_keep"))
       .select(col("_eid").as("_loser"))
 
-    val allLosers = losers.union(emptyLosers).distinct().localCheckpoint(true)
+    // no distinct: left-anti join semantics are insensitive to duplicate
+    // build-side rows, so deduplicating the loser list would only add a
+    // shuffle
+    val allLosers = losers.union(emptyLosers).localCheckpoint(true)
     shingled.unpersist(false)
     banded.unpersist(false)
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
@@ -357,10 +359,12 @@ object Dedup {
       .select(col("_id"), col("_sig"), col("_cand"))
       .distinct()
 
+    // no distinct before the anti-join — duplicate loser ids are harmless
+    // there and the dedup would cost a shuffle
     val losers = candidates
       .join(withSig.withColumnsRenamed(Map("_id" -> "_cand", "_sig" -> "_sig_c")), "_cand")
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
-      .select(col("_id").as("_loser")).distinct()
+      .select(col("_id").as("_loser"))
       .localCheckpoint(true)
     withSig.unpersist(false)
     banded.unpersist(false)
