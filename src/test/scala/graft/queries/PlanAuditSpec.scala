@@ -68,6 +68,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("ivfTopK / lshTopK: candidate generation is an equi-join, never a cross join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    for (df <- Seq(
+        graft.operators.Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, nCells = 8, nProbes = 2),
+        graft.operators.Similarity.lshTopK(emb, q, "vec_id", "embedding", 5))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("minhashDedup: no cross joins; the final step is an anti join") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.operators.Dedup.minhashDedup(docs, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
