@@ -38,6 +38,52 @@ object Export {
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol), lit(seed + 1)), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Greedy sequence packing: group documents into training sequences of
+    * at most `maxTokens` tokens (the batch-construction step of an LLM
+    * data pipeline). Documents are walked in id order; a document that
+    * would overflow the current sequence starts a new one whose `seq_id`
+    * is that document's id — globally unique with no coordination, and
+    * deterministic given (data, numPartitions).
+    *
+    * Distribution: ids are range-partitioned and packing is
+    * PARTITION-LOCAL (`mapPartitions` — the one operator class where
+    * imperative per-partition logic is the right Spark tool: packing is
+    * inherently sequential state). The approximation vs a global pack is
+    * at most one under-filled sequence per partition — negligible waste
+    * at any real corpus/partition ratio, and the price of linear scaling.
+    * Documents individually longer than `maxTokens` get a singleton
+    * sequence flagged `overflow = true` (caller chooses truncate/split).
+    *
+    * Returns the input plus (`seq_id`, `overflow`).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: String,
+      maxTokens: Int, numPartitions: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val packed = df
+      .select(col(idCol).cast("long").as("_id"), col(tokensCol).cast("long").as("_n"))
+      .repartitionByRange(parts, col("_id"))
+      .sortWithinPartitions(col("_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var seqId = Long.MinValue
+        var used = maxTokens.toLong + 1 // force a new sequence at the first row
+        it.map { case (id, n) =>
+          val need = math.max(n, 0L)
+          if (used + need > maxTokens) { seqId = id; used = 0L }
+          used += need
+          (id, seqId, need > maxTokens)
+        }
+      }
+      .toDF(idCol, "seq_id", "overflow")
+    df.join(packed, Seq(idCol))
+  }
+
   /** Weighted corpus mixture: sample each source at its weight and tag
     * rows with provenance. Weights are sampling fractions in [0, 1]
     * (upsampling beyond 1.0 needs explicit replication — kept out of

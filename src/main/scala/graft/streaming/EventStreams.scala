@@ -77,6 +77,33 @@ object EventStreams {
       lateness: String = "10 minutes"): DataFrame =
     tumblingCounts(df.withWatermark("event_time", lateness), width)
 
+  /** B-ext — stream-stream interval join (the attribution shape): each
+    * click matches the same user's views with
+    * `view_time ∈ [click_time − maxDelay, click_time]`. Both sides carry
+    * watermarks and the join condition carries the time band, so Spark
+    * bounds the buffered state on each side to the delay + watermark
+    * window — the requirement for an unbounded stream-stream join to run
+    * at all. The same plan runs in batch mode (a plain band equi-join).
+    */
+  def attributedClicks(
+      events: DataFrame, viewType: String = "view", clickType: String = "click",
+      maxDelay: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === viewType)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", maxDelay)
+    val clicks = events.filter(col("event_type") === clickType)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", maxDelay)
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_time") <= col("click_time") &&
+        col("view_time") >= col("click_time") - expr(s"INTERVAL $maxDelay"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_time"), col("view_time"))
+  }
+
   /** B24 — stateful streaming dedup on event_id, state bounded by the
     * watermark.
     */

@@ -21,6 +21,39 @@ class ExportSpec extends SparkSpec {
     assert(o1.sorted == o3.sorted) // same multiset
   }
 
+  test("packSequences: budget respected, every doc packed once, deterministic") {
+    val maxTokens = 200
+    val withTok = docs.withColumn("n_tok",
+      TextAnalysis.tokenCount(col("text")))
+    val packed = Export.packSequences(withTok, "doc_id", "n_tok",
+      maxTokens, numPartitions = 4)
+    val rows = packed.select("doc_id", "seq_id", "overflow", "n_tok")
+      .as[(Long, Long, Boolean, Int)].collect()
+    // every doc exactly once
+    assert(rows.map(_._1).sorted.toSeq ==
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    // per-sequence budget holds except flagged singleton overflows
+    rows.groupBy(_._2).foreach { case (seqId, members) =>
+      val total = members.map(_._4.toLong).sum
+      if (total > maxTokens)
+        assert(members.length == 1 && members.head._3,
+          s"seq $seqId over budget with ${members.length} members")
+      // seq_id is the smallest member id (the opener)
+      assert(members.map(_._1).min == seqId)
+    }
+    // non-degenerate packing: fewer sequences than documents, and at
+    // least the information-theoretic lower bound
+    val nSeqs = rows.map(_._2).distinct.length
+    val totalTok = rows.map(_._4.toLong).sum
+    assert(nSeqs < rows.length)
+    assert(nSeqs >= (totalTok + maxTokens - 1) / maxTokens)
+    // deterministic under input layout changes (same numPartitions)
+    val again = Export.packSequences(withTok.repartition(13), "doc_id", "n_tok",
+      maxTokens, numPartitions = 4)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._2)).toSet)
+  }
+
   test("withShard: stable assignment, all shards populated, balanced-ish") {
     val sharded = Export.withShard(docs, "doc_id", 8)
     val counts = sharded.groupBy("shard").count()

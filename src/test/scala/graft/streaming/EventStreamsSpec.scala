@@ -84,6 +84,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((0L, 2L)))
   }
 
+  test("B-ext: stream-stream interval join attributes clicks to in-window views") {
+    // Timeline starts at minute 60: an event AT epoch 0 equals the
+    // initial watermark value and is discarded as late — a real
+    // semantic, not a bug, but not what this test is about.
+    // user 1: view@60, view@80; clicks @65 (→ view@60) and @85
+    // (→ view@80; view@60 is 25 min stale, outside the 10-min band).
+    // user 2: click with no view → no row (inner join).
+    val script = Seq(
+      ev(10, 60, user = 1, typ = "view"),
+      ev(11, 80, user = 1, typ = "view"),
+      ev(20, 65, user = 1, typ = "click"),
+      ev(21, 85, user = 1, typ = "click"),
+      ev(22, 66, user = 2, typ = "click"))
+    val out = runStream(Seq(script),
+      df => EventStreams.attributedClicks(df),
+      OutputMode.Append, "attributed")
+    val got = out.select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20L, 10L), (21L, 11L)))
+    // batch mode: identical pairs from the same transform
+    val batch = EventStreams.attributedClicks(
+      EventStreams.withEventTime(
+        script.toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got)
+  }
+
   test("B24: dropDuplicatesWithinWatermark dedups replayed event_ids") {
     val out = runStream(
       Seq(
