@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandSignatures, CosineSimilarity}
+import graft.functions.{BandSignatures, CosineSimilarity, LanguageId}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build, so both the Column API and SQL text can use
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(BandSignatures.name),
       new ExpressionInfo(classOf[BandSignatures].getName, BandSignatures.name),
       (exprs: Seq[Expression]) => BandSignatures.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(LanguageId.name),
+      new ExpressionInfo(classOf[LanguageId].getName, LanguageId.name),
+      (exprs: Seq[Expression]) => LanguageId.build(exprs)))
   }
 }

@@ -217,11 +217,17 @@ object TextAnalysis {
     * shuffle.
     */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
+    // native lang_id: one hash probe per token (the composable literal-map
+    // form linear-scans all stopword entries per token — the dominant cost
+    // of this operator); lowercasing happens inside the expression's loop,
+    // so no second token array is allocated. Parity pinned in
+    // TextAnalysisSpec.
+    graft.functions.LanguageId.register(df.sparkSession)
     val t = col(textCol)
     val ann = bindOnce(tokens(t), toks => struct(
       size(toks).as("n_tokens"),
       subwordCount(t).as("n_subwords"),
-      languageIdFromTokens(transform(toks, t => lower(t))).as("lang_id"),
+      graft.functions.LanguageId.langId(toks).as("lang_id"),
       qualityScoreFromTokens(t, toks).as("quality"),
       aggregate(toks, lit(0L), (acc, tk) => xxhash64(acc, tk)).as("fingerprint")))
     // explode(array(struct)) routes the struct through a Generate node,

@@ -37,6 +37,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("native lang_id matches the composable languageId on the documents table") {
+    graft.functions.LanguageId.register(spark)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("composable"),
+      graft.functions.LanguageId.langId(TextAnalysis.tokens(col("text"))).as("native"))
+      .collect()
+    val bad = both.filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty, bad.take(5).mkString("; "))
+    // and on the hand-made tie/empty cases
+    val edge = Seq("", "   ", "the der le el 的", "xyzzy qwerty").toDF("t")
+    val pairs = edge.select(
+      TextAnalysis.languageId(col("t")).as("c"),
+      graft.functions.LanguageId.langId(TextAnalysis.tokens(col("t"))).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (c, n) => c == n }, pairs.mkString("; "))
+  }
+
   test("fingerprint: whitespace-insensitive, order-sensitive") {
     assert(one(TextAnalysis.fingerprint(lit("a b c"))) ==
       one(TextAnalysis.fingerprint(lit("  a  b   c "))))
