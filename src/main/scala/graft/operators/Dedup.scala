@@ -168,29 +168,44 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // `shingled` feeds signature banding AND both verification joins AND the
-    // empty-doc path; `banded` feeds bucket-min AND the candidate join.
-    // Without a barrier Catalyst re-derives each subtree per consumer —
-    // shingling the corpus 4x. Persist both for the duration of this call
-    // and eagerly reduce to the (small) loser-id set, after which the heavy
-    // caches are dropped; the returned plan is a lazy anti-join of `df`
-    // against the materialized losers. localCheckpoint gives an execution
-    // barrier that does NOT register in the plan cache (so repeated calls
-    // re-run honestly); at cluster scale with executor churn, swap it for
-    // a reliable `checkpoint` directory.
+    // `shingled` feeds the exact stage, signature banding, and both
+    // verification joins; `banded` feeds bucket-min AND the candidate
+    // join. Without a barrier Catalyst re-derives each subtree per
+    // consumer — shingling the corpus 4x. Persist both for the duration
+    // of this call and eagerly reduce to the (small) loser-id set, after
+    // which the heavy caches are dropped; the returned plan is a lazy
+    // anti-join of `df` against the materialized losers. localCheckpoint
+    // gives an execution barrier that does NOT register in the plan cache
+    // (so repeated calls re-run honestly); at cluster scale with executor
+    // churn, swap it for a reliable `checkpoint` directory.
     val shingled = df.select(
       col(idCol).as("_id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // signatures in per-row column form over the CACHED `_sh` attribute:
-    // zero shuffles (vs the explode + partial-agg path, which is the right
-    // shape only when shingles are a derived expression that CollapseProject
-    // would otherwise inline into all k hash branches — here the persist
-    // boundary already pins `_sh`, so the k passes read the cached array).
-    // Zero-shingle docs yield an all-null signature (array_min([]) = null):
-    // they bucket only with each other, verify at jaccard 0, and are
-    // handled by the empty-doc path below.
-    val banded = shingled
+
+    // STAGE 1 — exact-duplicate collapse: identical shingle SETS (sorted
+    // hashed shingles as the group key) keep only their smallest id. On
+    // replica-heavy corpora (web crawls) this removes the bulk of the
+    // duplication for one narrow shuffle, and — crucial for recall at
+    // scale — exact replicas NEVER depend on LSH bucket crowding to be
+    // found. Covers the zero-shingle (empty) docs too: they share the
+    // empty set.
+    val sigKey = xxhash64(array_sort(col("_sh")))
+    val keyed = shingled.select(col("_id"), sigKey.as("_ck"))
+    val repOf = keyed.groupBy(col("_ck")).agg(min(col("_id")).as("_rep"))
+    val exactLosers = keyed.join(repOf, "_ck")
+      .filter(col("_id") =!= col("_rep"))
+      .select(col("_id").as("_loser"))
+
+    // STAGE 2 — near-dup LSH over the distinct representatives only.
+    // Signatures in per-row column form over the CACHED `_sh` attribute:
+    // zero shuffles (vs the explode + partial-agg path, which is the
+    // right shape only when shingles are a derived expression that
+    // CollapseProject would otherwise inline into all k hash branches).
+    // Zero-shingle reps yield an all-null signature: they bucket only
+    // with each other and verify at jaccard 0 — harmless.
+    val reps = shingled.join(repOf.select(col("_rep").as("_id")), "_id")
+    val banded = reps
       .select(col("_id"),
         minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
       .select(
@@ -207,28 +222,18 @@ object Dedup {
     val candidates = banded.join(bucketMin, Seq("_band", "_bkey"))
       .filter(col("_cand") < col("_id"))
       .select(col("_id"), col("_cand"))
-      .distinct() // ≤ bands candidates per doc
+      .distinct() // ≤ bands candidates per rep
 
-    val losers = candidates
+    val nearLosers = candidates
       .join(shingled.withColumnsRenamed(Map("_id" -> "_cand", "_sh" -> "_sh_c")), "_cand")
       .join(shingled, "_id")
       .filter(jaccard(col("_sh"), col("_sh_c")) >= threshold)
       .select(col("_id").as("_loser"))
 
-    // zero-shingle (empty/whitespace-only) docs are trivially identical to
-    // each other: keep only the smallest-id one (matching simhashDedup,
-    // which merges them via the all-zero signature). `shingled` retains
-    // every doc, so this is a cached-scan filter — no anti-join needed.
-    val emptyDocs = shingled.filter(size(col("_sh")) === 0)
-      .select(col("_id").as("_eid"))
-    val emptyLosers = emptyDocs
-      .join(emptyDocs.agg(min(col("_eid")).as("_keep")), col("_eid") =!= col("_keep"))
-      .select(col("_eid").as("_loser"))
-
     // no distinct: left-anti join semantics are insensitive to duplicate
     // build-side rows, so deduplicating the loser list would only add a
     // shuffle
-    val allLosers = losers.union(emptyLosers).localCheckpoint(true)
+    val allLosers = exactLosers.union(nearLosers).localCheckpoint(true)
     shingled.unpersist(false)
     banded.unpersist(false)
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
@@ -329,20 +334,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** SimHash dedup, keep-smallest-id, bucket-min candidates (same
-    * linear-vs-quadratic rationale as [[minhashDedup]]): each doc verifies
-    * Hamming distance against at most `maxDist + 1` candidates — the
-    * min-id chunk-mate per pigeonhole chunk.
+  /** SimHash dedup, keep-smallest-id, in two stages:
+    *
+    *  1. **Exact-signature collapse**: identical 64-bit fingerprints keep
+    *     only their smallest id — one narrow shuffle. This is the recall
+    *     backbone: exact replicas NEVER depend on LSH bucket luck.
+    *  2. **Near-dup (Hamming 1..maxDist) among the distinct-signature
+    *     representatives**, pigeonhole chunks + bucket-min candidates
+    *     (each rep verifies against ≤ `maxDist + 1` candidates — the
+    *     min-id chunk-mate per chunk).
+    *
+    * Why staging matters here and not just for speed: the pigeonhole
+    * chunks are only 64/(maxDist+1) bits wide (16 for the default), so on
+    * a large corpus many DISTINCT documents share a chunk bucket. A
+    * single-stage bucket-min would then often pick a non-matching foreign
+    * doc as the one candidate and keep a true duplicate (measured: 30×
+    * replication of 5k docs kept 60k of 150k). Collapsing identical
+    * signatures first makes buckets sparse again (one row per distinct
+    * fingerprint) AND guarantees replica recall regardless of crowding.
     */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    // same persist-and-barrier discipline as [[minhashDedup]]: `withSig`
-    // feeds banding + the verification join, `banded` feeds bucket-min +
-    // the candidate join — cache both, reduce eagerly to loser ids, drop.
+    // same persist-and-barrier discipline as [[minhashDedup]]
     val withSig = simhashSignatures(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(
+
+    val repOf = withSig.groupBy(col("_sig")).agg(min(col("_id")).as("_rep"))
+    val exactLosers = withSig.join(repOf, "_sig")
+      .filter(col("_id") =!= col("_rep"))
+      .select(col("_id").as("_loser"))
+
+    val reps = repOf.select(col("_rep").as("_id"), col("_sig"))
+    val banded = reps.select(
       col("_id"), col("_sig"),
       posexplode(
         transform(
@@ -361,11 +385,12 @@ object Dedup {
 
     // no distinct before the anti-join — duplicate loser ids are harmless
     // there and the dedup would cost a shuffle
-    val losers = candidates
-      .join(withSig.withColumnsRenamed(Map("_id" -> "_cand", "_sig" -> "_sig_c")), "_cand")
+    val nearLosers = candidates
+      .join(reps.withColumnsRenamed(Map("_id" -> "_cand", "_sig" -> "_sig_c")), "_cand")
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
       .select(col("_id").as("_loser"))
-      .localCheckpoint(true)
+
+    val losers = exactLosers.union(nearLosers).localCheckpoint(true)
     withSig.unpersist(false)
     banded.unpersist(false)
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")

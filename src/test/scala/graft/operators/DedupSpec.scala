@@ -105,4 +105,23 @@ class DedupSpec extends SparkSpec {
     val twice = Dedup.exactKeepMinId(once, "doc_id", "text")
     assert(once.count() == twice.count())
   }
+
+  test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
+    // regression for the scale defect found by DedupScaleBench: single-
+    // stage bucket-min simhash kept 60k of 150k docs at 30x replication
+    // because 16-bit pigeonhole buckets mix distinct documents and the
+    // one bucket-min candidate is often a foreign doc. The exact-collapse
+    // first stage makes replica recall independent of bucket crowding.
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def replicate(n: Int) = (0 until n)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_.unionByName(_))
+    for ((name, dedup) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "minhash" -> (d => Dedup.minhashDedup(d, "doc_id", "text", numHashes = 32, bands = 8)),
+        "simhash" -> (d => Dedup.simhashDedup(d, "doc_id", "text")))) {
+      val one = dedup(docs).select("doc_id").as[Long].collect().toSet
+      val five = dedup(replicate(5)).select("doc_id").as[Long].collect().toSet
+      assert(five == one, s"$name: ${five.size} survivors at 5x vs ${one.size} at 1x")
+    }
+  }
 }
