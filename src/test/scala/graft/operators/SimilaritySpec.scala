@@ -92,6 +92,52 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatches.isEmpty, s"signature drift for ids: ${mismatches.take(5)}")
   }
 
+  test("band_sigs edge cases: short/long/null-element vectors match the HOF form") {
+    graft.functions.BandSignatures.register(spark)
+    val dim = 8; val bands = 2; val ppb = 4
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f)),                       // shorter than dim
+      (2L, Array.tabulate(12)(i => i - 6.0f)),        // longer than dim
+      (3L, Array.fill(8)(0.0f)),                      // all zero
+      (4L, Array(0.5f))).toDF("id", "v")
+    val withNull = vecs.select(col("id"),
+      when(col("id") === 4, array(lit(null).cast("float"), lit(1.0f)))
+        .otherwise(col("v")).as("v"))
+    val composable = withNull.select(col("id"),
+      array((0 until bands).map(b =>
+        Similarity.bandSignature(col("v"), b, ppb, dim)): _*).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = withNull.select(col("id"),
+      graft.functions.BandSignatures.bandSigs(col("v"), bands, ppb, dim).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(composable == native, s"$composable vs $native")
+  }
+
+  test("native expressions: interpreted (no-codegen) path agrees with codegen") {
+    graft.functions.BandSignatures.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    def run(): (Map[Long, Seq[Long]], Map[Long, Double]) = {
+      val sigs = emb.select(col("vec_id"),
+        graft.functions.BandSignatures.bandSigs(col("embedding"), 8, 8, 64).as("s"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val cos = emb.select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("c"))
+        .as[(Long, Double)].collect().toMap
+      (sigs, cos)
+    }
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key)
+    val (gs, gc) = run()
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      val (is, ic) = run()
+      assert(gs == is)
+      assert(gc == ic)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("hyperplane signature: identical vectors get identical signatures") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
