@@ -46,15 +46,20 @@ object Aggregators {
   case class TopKState(k: Int, values: Seq[Double])
 
   class TopKMin(k: Int) extends Aggregator[Double, TopKState, Seq[Double]] {
+    // the SAME total order merge's .sorted uses (NaN greater than every
+    // number) — a naive `<=` insert would disagree with merge on NaN and
+    // make results partition-order-dependent
+    private val ord = implicitly[Ordering[Double]]
     override def zero: TopKState = TopKState(k, Seq.empty)
     // invariant: `values` is sorted ascending. The per-ROW path is a
     // capped insert — O(1) reject for values above the current cutoff,
     // O(k) splice otherwise — not a full re-sort; the sort-based path
     // remains only in merge, which runs once per map task per group.
     override def reduce(s: TopKState, x: Double): TopKState =
-      if (s.values.size >= s.k && x >= s.values.last) s
+      if (s.k <= 0) s
+      else if (s.values.size >= s.k && ord.gteq(x, s.values.last)) s
       else {
-        val (lo, hi) = s.values.span(_ <= x)
+        val (lo, hi) = s.values.span(v => ord.lteq(v, x))
         TopKState(s.k, (lo ++ (x +: hi)).take(s.k))
       }
     override def merge(a: TopKState, b: TopKState): TopKState =
@@ -74,9 +79,13 @@ object Aggregators {
   case class TopKPairsState(k: Int, scores: Seq[Double], ids: Seq[Long])
 
   class TopKPairs(k: Int) extends Aggregator[(Double, Long), TopKPairsState, Seq[(Double, Long)]] {
-    /** `x` ranks strictly ahead of `y`: larger score, ties by smaller id. */
-    private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
-      x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+    /** EXACTLY the ordering `cap`'s sortBy uses — (-score, id) ascending
+      * under the total Double order, so NaN scores rank worst and reduce
+      * never disagrees with merge on any input (a bespoke `>` comparison
+      * would stall the buffer forever once a NaN entered it).
+      */
+    private val rankOrd: Ordering[(Double, Long)] =
+      Ordering.by { case (score, id) => (-score, id) }
     private def cap(s: TopKPairsState): TopKPairsState = {
       val kept = s.scores.zip(s.ids)
         .sortBy { case (score, id) => (-score, id) }.take(s.k)
@@ -87,11 +96,12 @@ object Aggregators {
     // reject below the cutoff, O(k) splice), full sort only in merge —
     // once per map task per group, not per row.
     override def reduce(s: TopKPairsState, x: (Double, Long)): TopKPairsState = {
+      if (s.k <= 0) return s
       val full = s.scores.size >= s.k
-      if (full && !beats(x, (s.scores.last, s.ids.last))) s
+      if (full && rankOrd.gteq(x, (s.scores.last, s.ids.last))) s
       else {
         val pairs = s.scores.zip(s.ids)
-        val at = pairs.indexWhere(p => beats(x, p))
+        val at = pairs.indexWhere(p => rankOrd.lt(x, p))
         val kept = (if (at < 0) pairs :+ x
                     else (pairs.take(at) :+ x) ++ pairs.drop(at)).take(s.k)
         TopKPairsState(s.k, kept.map(_._1), kept.map(_._2))

@@ -18,22 +18,26 @@ object MusicParquet {
   /** Fixed absolute location — baked into the static oracle SQL. */
   val dir = "/root/repo/target/musicdata"
 
-  @volatile private var cache: Map[String, DataFrame] = null
+  // keyed by session identity (like Tables.relCache): a cached DataFrame
+  // is bound to its session's queryExecution, so serving it to a later /
+  // different session would fail on a stopped SparkContext
+  @volatile private var cache: (SparkSession, Map[String, DataFrame]) = null
 
   def ensure(spark: SparkSession): Map[String, DataFrame] = {
     val c = cache
-    if (c != null) return c
+    if (c != null && (c._1 eq spark)) return c._2
     synchronized {
-      if (cache == null) {
-        val tables = MusicGen.load(spark, MusicGen.generate())
-        tables.foreach { case (name, df) =>
-          df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
-        }
-        cache = tables.keys.map { name =>
-          name -> spark.read.parquet(s"$dir/$name.parquet")
-        }.toMap
+      val c2 = cache
+      if (c2 != null && (c2._1 eq spark)) return c2._2
+      val tables = MusicGen.load(spark, MusicGen.generate())
+      tables.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
       }
-      cache
+      val resolved = tables.keys.map { name =>
+        name -> spark.read.parquet(s"$dir/$name.parquet")
+      }.toMap
+      cache = (spark, resolved)
+      resolved
     }
   }
 

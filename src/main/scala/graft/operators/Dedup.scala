@@ -189,11 +189,15 @@ object Dedup {
     // duplication for one narrow shuffle, and — crucial for recall at
     // scale — exact replicas NEVER depend on LSH bucket crowding to be
     // found. Covers the zero-shingle (empty) docs too: they share the
-    // empty set.
-    val sigKey = xxhash64(array_sort(col("_sh")))
-    val keyed = shingled.select(col("_id"), sigKey.as("_ck"))
-    val repOf = keyed.groupBy(col("_ck")).agg(min(col("_id")).as("_rep"))
-    val exactLosers = keyed.join(repOf, "_ck")
+    // empty set. 128-bit two-seed key, same as [[exactKeepMinId]] and for
+    // the same reason: stage 1 deletes WITHOUT verification, and a single
+    // 64-bit key hits birthday collisions (silently merging distinct
+    // docs) around 5e9 rows.
+    val sorted = array_sort(col("_sh"))
+    val keyed = shingled.select(col("_id"),
+      xxhash64(sorted).as("_ck1"), xxhash64(sorted, lit(1)).as("_ck2"))
+    val repOf = keyed.groupBy(col("_ck1"), col("_ck2")).agg(min(col("_id")).as("_rep"))
+    val exactLosers = keyed.join(repOf, Seq("_ck1", "_ck2"))
       .filter(col("_id") =!= col("_rep"))
       .select(col("_id").as("_loser"))
 
@@ -232,10 +236,11 @@ object Dedup {
 
     // no distinct: left-anti join semantics are insensitive to duplicate
     // build-side rows, so deduplicating the loser list would only add a
-    // shuffle
-    val allLosers = exactLosers.union(nearLosers).localCheckpoint(true)
-    shingled.unpersist(false)
-    banded.unpersist(false)
+    // shuffle. try/finally: a failed materialization must not leave the
+    // two heavy caches pinned in the block manager.
+    val allLosers =
+      try exactLosers.union(nearLosers).localCheckpoint(true)
+      finally { shingled.unpersist(false); banded.unpersist(false) }
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
 
@@ -390,9 +395,9 @@ object Dedup {
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
       .select(col("_id").as("_loser"))
 
-    val losers = exactLosers.union(nearLosers).localCheckpoint(true)
-    withSig.unpersist(false)
-    banded.unpersist(false)
+    val losers =
+      try exactLosers.union(nearLosers).localCheckpoint(true)
+      finally { withSig.unpersist(false); banded.unpersist(false) }
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
 

@@ -65,8 +65,14 @@ object Export {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // null token counts pack as 0 (the Tuple2-of-Long encoder would
+    // otherwise throw on the null); null ids cannot open or join back to
+    // a sequence — excluded here and absent from the output (the join
+    // below would drop them anyway, this just makes it explicit)
     val packed = df
-      .select(col(idCol).cast("long").as("_id"), col(tokensCol).cast("long").as("_n"))
+      .select(col(idCol).cast("long").as("_id"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("_n"))
+      .filter(col("_id").isNotNull)
       .repartitionByRange(parts, col("_id"))
       .sortWithinPartitions(col("_id"))
       .as[(Long, Long)]

@@ -50,8 +50,21 @@ object Relational {
     // fully identical rows share a bucket, which is safe (just less
     // spread) because aggregation is insensitive to which bucket merges
     // them.
+    // xxhash64 rejects MapType inputs (at analysis time) — route any
+    // map-bearing column through to_json, which is deterministic for a
+    // given physical row (a task retry re-reads the same bytes, so the
+    // map's storage order — and therefore the salt — reproduces).
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashIn = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*), lit(0x5a17)), lit(saltBuckets)))
+      pmod(xxhash64(struct(hashIn.toSeq: _*), lit(0x5a17)), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partial.head, partial.tail: _*)

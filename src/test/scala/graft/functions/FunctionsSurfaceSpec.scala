@@ -41,6 +41,32 @@ class FunctionsSurfaceSpec extends SparkSpec {
     assert(t.size == 3 && t == t.sorted)
   }
 
+  test("TopK aggregators: NaN never displaces real values, layout-independent") {
+    // regression: the capped-insert rewrite's naive `<=`/`>` comparisons
+    // disagreed with merge's total-order sort on NaN — a NaN landed at
+    // the FRONT of a top-k-min buffer (TopKMin) or froze the buffer
+    // forever (TopKPairs), with partition-order-dependent results
+    val data = Seq(5.0, Double.NaN, 1.0, 3.0, Double.NaN, 2.0, 4.0)
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    def runMin(parts: Int): Seq[Double] = {
+      val top3 = udaf(new Aggregators.TopKMin(3))
+      data.toDF("v", "id").repartition(parts)
+        .agg(top3(col("v"))).head.getSeq[Double](0)
+    }
+    assert(runMin(1) == Seq(1.0, 2.0, 3.0))
+    assert(runMin(1) == runMin(4) && runMin(1) == runMin(7))
+
+    def runPairs(parts: Int): Seq[(Double, Long)] = {
+      val topk = udaf(new Aggregators.TopKPairs(3))
+      data.toDF("v", "id").repartition(parts)
+        .agg(topk(col("v"), col("id"))).head
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    }
+    // NaN-score pairs rank worst: top-3 by score are 5,4,3
+    assert(runPairs(1).map(_._1) == Seq(5.0, 4.0, 3.0))
+    assert(runPairs(1) == runPairs(4) && runPairs(1) == runPairs(7))
+  }
+
   test("mergeable sketches: bloom filter and count-min via stat functions") {
     val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     // bloom filter: no false negatives on members

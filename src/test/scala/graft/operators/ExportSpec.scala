@@ -52,6 +52,12 @@ class ExportSpec extends SparkSpec {
       maxTokens, numPartitions = 4)
       .select("doc_id", "seq_id").as[(Long, Long)].collect().toSet
     assert(again == rows.map(r => (r._1, r._2)).toSet)
+    // null token counts pack as 0 instead of crashing the encoder
+    val withNullTok = withTok.withColumn("n_tok",
+      when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("n_tok")))
+    val nulled = Export.packSequences(withNullTok, "doc_id", "n_tok",
+      maxTokens, numPartitions = 4)
+    assert(nulled.count() == withTok.count())
   }
 
   test("withShard: stable assignment, all shards populated, balanced-ish") {

@@ -52,6 +52,17 @@ class RelationalSpec extends SparkSpec {
     assert(phase1(li) == phase1(li.coalesce(1)))
   }
 
+  test("salted aggregation works on frames with map columns") {
+    // regression: xxhash64 over all columns rejects MapType at analysis
+    // time; map columns must route through to_json
+    import org.apache.spark.sql.functions.{map, lit => flit}
+    val withMap = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
+      .withColumn("props", map(flit("x"), col("id")))
+    val got = Relational.saltedCount(withMap, Seq("k"), saltBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("b", 1L)))
+  }
+
   test("asOfJoin attaches latest prior right row per key, respects tolerance") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val quotes = Seq( // (key, ts, price)

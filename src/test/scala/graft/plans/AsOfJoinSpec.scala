@@ -71,6 +71,20 @@ class AsOfJoinSpec extends SparkSpec {
       (Some("b"), Some(ts(5)), Some(20.0))))
   }
 
+  test("right rows tied on (key, ts): greatest payload wins, layout-independent") {
+    // regression: without the payload tertiary sort the winner among
+    // (key, ts) ties was shuffle-order-dependent
+    val tied = Seq(
+      ("a", ts(2), 1.0), ("a", ts(2), 9.0), ("a", ts(2), 5.0))
+      .toDF("sym", "t", "price")
+    def run(q: org.apache.spark.sql.DataFrame): Set[(String, Double)] =
+      AsOfJoin.asOfJoin(trades.filter(col("sym") === "a"), q, "sym", "t", Seq("price"))
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(run(tied).map(_._2) == Set(9.0)) // greatest tied payload everywhere
+    assert(run(tied) == run(tied.repartition(3)))
+    assert(run(tied) == run(tied.coalesce(1)))
+  }
+
   test("native as-of join plans as AsOfJoinExec (custom physical operator)") {
     val df = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
     // nodeName strips the Exec suffix in plan strings; AdaptiveSparkPlanExec
