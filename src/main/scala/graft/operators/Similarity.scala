@@ -150,6 +150,30 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max|x| / 127, elements rounded to [-127, 127] tinyints. 4× storage
+    * reduction for float32 embeddings (the standard ANN memory play);
+    * recall impact is bounded and measured in SimilaritySpec. Returns
+    * struct(scale double, q array<tinyint>); all-zero vectors get
+    * scale 0 and dequantize to all-zero.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val absMax = aggregate(vec, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    // bindOnce-style: evaluate the scale once, not once per element
+    graft.operators.TextAnalysis.bindOnce(absMax / 127.0, scale =>
+      struct(
+        scale.as("scale"),
+        transform(vec, x =>
+          when(scale > 0, round(x.cast("double") / scale).cast("tinyint"))
+            .otherwise(lit(0).cast("tinyint"))).as("q")))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to double vectors. */
+  def dequantizeInt8(quantized: Column): Column =
+    graft.operators.TextAnalysis.bindOnce(quantized, s =>
+      transform(s.getField("q"), q => q.cast("double") * s.getField("scale")))
+
   /** Per-cell centroid scores as an array<struct<score,cell>> — the shared
     * primitive of [[ivfAssign]] (argmax) and [[ivfTopK]] (top-nProbes).
     */

@@ -152,6 +152,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** PII redaction patterns: email, E.164-ish phone numbers, IPv4, and
+    * credit-card-shaped digit runs. Deliberately conservative (pattern
+    * simplicity over lexicon coverage — same philosophy as [[stopwords]]):
+    * the operator's value is the single-pass, codegen'd scrubbing shape.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9 ()-]{7,}[0-9]" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\b(?:[0-9][ -]?){13,19}\\b" -> "<NUMBER>")
+
+  /** Redact PII-shaped spans with typed placeholders — the standard
+    * corpus-cleaning pass before training. One chained regexp_replace per
+    * pattern, all inside one projection: per-row, no shuffle, no UDF.
+    * Order matters: phones/cards before the generic digit-run pattern
+    * would be unreachable the other way around.
+    */
+  def redact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Term frequencies: (term, n) per document id — explode + count, the
     * shuffle-on-(id,term) shape that scales linearly.
     */

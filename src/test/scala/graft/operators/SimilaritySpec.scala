@@ -63,6 +63,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("int8 quantization: bounded error, zero-safe, top-k mostly preserved") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("d"),
+      col("embedding"))
+    // element-wise error ≤ scale/2 = max|x|/254
+    val maxRelErr = deq.select(
+      aggregate(
+        zip_with(col("embedding"), col("d"), (x, y) => abs(x.cast("double") - y)),
+        lit(0.0), (a, x) => greatest(a, x)).as("err"),
+      aggregate(col("embedding"), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double")))).as("mx"))
+      .select(max(col("err") / col("mx"))).as[Double].head()
+    assert(maxRelErr <= 1.0 / 254 + 1e-9, s"max relative error $maxRelErr")
+    // zero vector round-trips to zero
+    val z = Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
+      .as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0))
+    // quantized brute-force top-5 keeps high overlap with full precision
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val dq = deq.select(col("vec_id"), col("d").as("embedding"))
+    val approx = Similarity.bruteForceTopK(dq, dq.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized top-k overlap too low: $overlap")
+  }
+
   test("ivfAssign produces stable cells and groups similar vectors") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val assigned = Similarity.ivfAssign(emb, "embedding", nCells = 8)

@@ -37,6 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("redact replaces PII-shaped spans with typed placeholders") {
+    val got = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "call +1 (415) 555-0199 or 020 7946 0958",
+      "server at 192.168.0.1 responded",
+      "card 4111 1111 1111 1111 declined",
+      "nothing sensitive here 42")
+      .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today", got(0))
+    assert(got(1).contains("<PHONE>") && !got(1).exists(_.isDigit), got(1))
+    assert(got(2) == "server at <IP> responded", got(2))
+    assert(got(3).contains("<PHONE>") || got(3).contains("<NUMBER>"), got(3))
+    assert(!got(3).exists(_.isDigit), got(3))
+    assert(got(4) == "nothing sensitive here 42", got(4))
+  }
+
   test("native lang_id matches the composable languageId on the documents table") {
     graft.functions.LanguageId.register(spark)
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
