@@ -50,8 +50,11 @@ case class LanguageId(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // RAW HashMap type: Janino (Spark's codegen compiler) does not
+    // support generic type arguments — a parameterized cast would fail
+    // compilation and silently drop the whole stage to interpreted mode
     val tableRef = ctx.addReferenceObj("langTable", LanguageId.table,
-      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+      "java.util.HashMap")
     val n = LanguageId.langs.length
     nullSafeCodeGen(ctx, ev, toks => {
       val counts = ctx.freshName("counts"); val i = ctx.freshName("i")

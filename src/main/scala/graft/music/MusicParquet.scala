@@ -18,25 +18,33 @@ object MusicParquet {
   /** Fixed absolute location — baked into the static oracle SQL. */
   val dir = "/root/repo/target/musicdata"
 
-  // keyed by session identity (like Tables.relCache): a cached DataFrame
-  // is bound to its session's queryExecution, so serving it to a later /
-  // different session would fail on a stopped SparkContext
-  @volatile private var cache: (SparkSession, Map[String, DataFrame]) = null
+  // Per-session resolved-DataFrame map (a cached DataFrame is bound to
+  // its session's queryExecution — serving it to another session fails
+  // on a stopped SparkContext), but the FILES are written at most once
+  // per JVM: the generator is seed-fixed, so a second session re-writing
+  // identical bytes would only risk yanking part files out from under
+  // the first session's still-running readers.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+  private var written = false
 
   def ensure(spark: SparkSession): Map[String, DataFrame] = {
-    val c = cache
-    if (c != null && (c._1 eq spark)) return c._2
+    val hit = cache.get(spark)
+    if (hit != null) return hit
     synchronized {
-      val c2 = cache
-      if (c2 != null && (c2._1 eq spark)) return c2._2
+      val again = cache.get(spark)
+      if (again != null) return again
       val tables = MusicGen.load(spark, MusicGen.generate())
-      tables.foreach { case (name, df) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      if (!written) {
+        tables.foreach { case (name, df) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        }
+        written = true
       }
       val resolved = tables.keys.map { name =>
         name -> spark.read.parquet(s"$dir/$name.parquet")
       }.toMap
-      cache = (spark, resolved)
+      cache.put(spark, resolved)
       resolved
     }
   }

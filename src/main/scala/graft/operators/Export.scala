@@ -60,6 +60,12 @@ object Export {
       df: DataFrame, idCol: String, tokensCol: String,
       maxTokens: Int, numPartitions: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    // fail fast on non-numeric ids: cast("long") would null every value
+    // and the operator would silently return an empty frame
+    require(df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric id column; $idCol is " +
+        df.schema(idCol).dataType.catalogString)
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -69,12 +75,28 @@ object Export {
     // otherwise throw on the null); null ids cannot open or join back to
     // a sequence — excluded here and absent from the output (the join
     // below would drop them anyway, this just makes it explicit)
-    val packed = df
+    val slim = df
       .select(col(idCol).cast("long").as("_id"),
         coalesce(col(tokensCol).cast("long"), lit(0L)).as("_n"))
       .filter(col("_id").isNotNull)
-      .repartitionByRange(parts, col("_id"))
-      .sortWithinPartitions(col("_id"))
+    // DETERMINISTIC partitioning: repartitionByRange samples with a
+    // run-dependent seed (rdd.id), so its boundaries — and therefore
+    // seq_id assignment — would differ across runs on large data. Fixed
+    // arithmetic buckets over the observed id span are reproducible given
+    // (data, numPartitions); the min/max lookup is one cheap agg job
+    // returning two driver scalars (same class of driver value as
+    // tfidf's count). Skew only if ids cluster heavily — document ids
+    // are typically dense.
+    val bounds = slim.agg(min(col("_id")), max(col("_id"))).head()
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo + 1, 1L)
+    val packed = slim
+      .withColumn("_bucket",
+        ((col("_id") - lit(lo)) * lit(parts.toLong) / lit(span)).cast("int"))
+      .repartition(parts, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("_id"))
+      .select(col("_id"), col("_n"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         var seqId = Long.MinValue

@@ -158,14 +158,21 @@ object Similarity {
     * scale 0 and dequantize to all-zero.
     */
   def quantizeInt8(vec: Column): Column = {
+    // NaN elements are EXCLUDED from the scale and quantize to 0
+    // (isolating the bad element): letting NaN propagate would make the
+    // scale NaN — which passes a naive `scale > 0` guard under Spark's
+    // NaN-is-largest ordering — and silently zero the whole vector (or
+    // trip the ANSI NaN→tinyint cast).
     val absMax = aggregate(vec, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
+      (acc, x) => greatest(acc,
+        when(isnan(x.cast("double")), 0.0).otherwise(abs(x.cast("double")))))
     // bindOnce-style: evaluate the scale once, not once per element
     graft.operators.TextAnalysis.bindOnce(absMax / 127.0, scale =>
       struct(
         scale.as("scale"),
         transform(vec, x =>
-          when(scale > 0, round(x.cast("double") / scale).cast("tinyint"))
+          when(scale > 0 && !isnan(x.cast("double")),
+            round(x.cast("double") / scale).cast("tinyint"))
             .otherwise(lit(0).cast("tinyint"))).as("q")))
   }
 

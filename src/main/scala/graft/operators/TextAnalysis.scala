@@ -152,22 +152,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
-  /** PII redaction patterns: email, E.164-ish phone numbers, IPv4, and
-    * credit-card-shaped digit runs. Deliberately conservative (pattern
-    * simplicity over lexicon coverage — same philosophy as [[stopwords]]):
-    * the operator's value is the single-pass, codegen'd scrubbing shape.
+  /** PII redaction patterns: email, card-shaped digit groups, phone
+    * numbers (international `+...` or NANP 3-3-4 with separators), IPv4.
+    * Precision over recall, deliberately: a looser digit-run pattern
+    * (e.g. "any 9+ chars of digits/spaces/dashes") would scrub ISO dates
+    * ("2024-01-01 00:30") and numeric ranges out of training text — worse
+    * than missing an unusually-formatted phone. Order matters: the card
+    * patterns run before phones (a grouped card is also phone-shaped),
+    * and nothing here matches bare 4-2-2 date groups.
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\+?[0-9][0-9 ()-]{7,}[0-9]" -> "<PHONE>",
-    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
-    "\\b(?:[0-9][ -]?){13,19}\\b" -> "<NUMBER>")
+    "\\b(?:[0-9]{4}[ -]){3}[0-9]{4}\\b" -> "<NUMBER>", // grouped 16-digit card
+    "\\b[0-9]{13,19}\\b" -> "<NUMBER>",                // contiguous card/id run
+    "\\+[0-9][0-9 ()-]{6,}[0-9]" -> "<PHONE>",         // international, + required
+    "\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b" -> "<PHONE>", // NANP 3-3-4
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
 
   /** Redact PII-shaped spans with typed placeholders — the standard
     * corpus-cleaning pass before training. One chained regexp_replace per
     * pattern, all inside one projection: per-row, no shuffle, no UDF.
-    * Order matters: phones/cards before the generic digit-run pattern
-    * would be unreachable the other way around.
     */
   def redact(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>

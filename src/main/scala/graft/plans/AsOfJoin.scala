@@ -62,19 +62,23 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // right side adds the value columns as tertiary sort keys: among right
-  // rows tied on (key, ts) the LAST consumed becomes the candidate, so
-  // without a payload tie-break the winner would be shuffle-order-
-  // dependent. Ascending payload ⇒ greatest payload wins — the same
-  // deterministic choice the composable fallback makes
-  // (Relational.asOfJoin's struct tie-break).
+  // right side adds the ORDERABLE value columns as tertiary sort keys:
+  // among right rows tied on (key, ts) the LAST consumed becomes the
+  // candidate, so without a payload tie-break the winner would be
+  // shuffle-order-dependent. Ascending payload ⇒ greatest payload wins —
+  // the same deterministic choice the composable fallback makes
+  // (Relational.asOfJoin's struct tie-break). Unorderable payloads
+  // (maps) are skipped rather than crashing the sort; their ties stay
+  // arrival-ordered.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
-      rightValues.map(v =>
-        SortOrder(v, org.apache.spark.sql.catalyst.expressions.Ascending)))
+      rightValues
+        .filter(v => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(v.dataType))
+        .map(v => SortOrder(v, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)

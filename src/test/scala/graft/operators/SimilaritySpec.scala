@@ -82,6 +82,13 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
       .as[Seq[Double]].head()
     assert(z == Seq(0.0, 0.0))
+    // a NaN element is isolated (quantizes to 0) without zeroing the rest
+    val withNaN = Seq((0L, Array(1.0f, Float.NaN, 2.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
+      .as[Seq[Double]].head()
+    assert(withNaN(1) == 0.0, withNaN.toString)
+    assert(math.abs(withNaN(0) - 1.0) < 0.01 && math.abs(withNaN(2) - 2.0) < 0.01,
+      withNaN.toString)
     // quantized brute-force top-5 keeps high overlap with full precision
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
@@ -146,25 +153,32 @@ class SimilaritySpec extends SparkSpec {
   test("native expressions: interpreted (no-codegen) path agrees with codegen") {
     graft.functions.BandSignatures.register(spark)
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.LanguageId.register(spark)
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(50)
-    def run(): (Map[Long, Seq[Long]], Map[Long, Double]) = {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    def run(): (Map[Long, Seq[Long]], Map[Long, Double], Map[Long, String]) = {
       val sigs = emb.select(col("vec_id"),
         graft.functions.BandSignatures.bandSigs(col("embedding"), 8, 8, 64).as("s"))
         .as[(Long, Seq[Long])].collect().toMap
       val cos = emb.select(col("vec_id"),
         graft.functions.CosineSimilarity.cosineSim(col("embedding"), col("embedding")).as("c"))
         .as[(Long, Double)].collect().toMap
-      (sigs, cos)
+      val langs = docs.select(col("doc_id"),
+        graft.functions.LanguageId.langId(TextAnalysis.tokens(col("text"))).as("l"))
+        .as[(Long, String)].collect().toMap
+      (sigs, cos, langs)
     }
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.get(key)
-    val (gs, gc) = run()
+    val (gs, gc, gl) = run()
     try {
       spark.conf.set(key, "NO_CODEGEN")
-      val (is, ic) = run()
+      val (is, ic, il) = run()
       assert(gs == is)
       assert(gc == ic)
+      assert(gl == il)
     } finally spark.conf.set(key, prev)
   }
 

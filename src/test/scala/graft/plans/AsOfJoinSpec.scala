@@ -85,6 +85,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(tied) == run(tied.coalesce(1)))
   }
 
+  test("map-typed (unorderable) payload columns still execute") {
+    // regression: the payload tie-break sort must skip unorderable types
+    // instead of asking EnsureRequirements to sort a map column
+    val mq = Seq(("a", ts(1), Map("p" -> 10.0)))
+      .toDF("sym", "t", "props")
+    val got = AsOfJoin.asOfJoin(trades.filter(col("sym") === "a"), mq,
+        "sym", "t", Seq("props"))
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSet
+    assert(got.forall(_._2.isDefined), got.mkString(", "))
+  }
+
   test("native as-of join plans as AsOfJoinExec (custom physical operator)") {
     val df = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
     // nodeName strips the Exec suffix in plan strings; AdaptiveSparkPlanExec
