@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.music.{MusicSchema, SeedData}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-sources-$name").toString
+
+  test("music schema CSV round-trip: every table, schema and values exact") {
+    // the Spark-native analog of the reference's dump-file ingest: write
+    // each seed table as CSV, read it back with the DECLARED schema, and
+    // require value-exact equality (no inference drift)
+    for (t <- MusicSchema.all) {
+      val df = SeedData.load(spark, t.name)
+      val dir = tmp(s"csv-${t.name}")
+      Sources.writeCsv(df, dir)
+      val (clean, bad) = Sources.corruptRecords(
+        Sources.readCsv(spark, dir, t.schema))
+      assert(bad.isEmpty, s"${t.name}: unexpected corrupt rows")
+      // names + types exact; nullability is always true off files (Spark
+      // cannot trust a file) — re-establishing NOT NULL is the C1 audit's
+      // job, same as the reference's FK-off load + audit
+      assert(clean.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        t.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"${t.name}: schema drift")
+      assert(clean.collect().toSet == df.collect().toSet, s"${t.name}: value drift")
+    }
+  }
+
+  test("jsonl round-trip on the documents shape") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val dir = tmp("jsonl-docs")
+    Sources.writeJsonl(docs, dir)
+    val schema = docs.schema
+    val (clean, bad) = Sources.corruptRecords(
+      Sources.readJsonl(spark, dir, schema))
+    assert(bad.isEmpty)
+    assert(clean.count() == 50)
+    assert(clean.select("doc_id").as[Long].collect().toSet ==
+      docs.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("malformed rows are quarantined, not fatal and not silently dropped") {
+    val dir = tmp("bad-jsonl")
+    // one good line, one broken line
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      java.util.Arrays.asList(
+        """{"artist_id": 1, "name": "A1", "is_group": 0}""",
+        """{"artist_id": oops not json"""))
+    val schema = MusicSchema.byName("Artist").schema
+    val (clean, bad) = Sources.corruptRecords(
+      Sources.readJsonl(spark, dir, schema))
+    assert(clean.count() == 1)
+    assert(bad.count() == 1)
+    assert(bad.as[String].head().contains("oops"))
+  }
+}
