@@ -32,6 +32,9 @@ object MusicParquet {
     val hit = cache.get(spark)
     if (hit != null) return hit
     synchronized {
+      // bounded growth: entries for stopped sessions are dead weight
+      // (strong refs to the whole sessionState) — evict them on miss
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
       val again = cache.get(spark)
       if (again != null) return again
       val tables = MusicGen.load(spark, MusicGen.generate())

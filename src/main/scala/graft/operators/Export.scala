@@ -45,12 +45,13 @@ object Export {
     * is that document's id — globally unique with no coordination, and
     * deterministic given (data, numPartitions).
     *
-    * Distribution: ids are range-partitioned and packing is
-    * PARTITION-LOCAL (`mapPartitions` — the one operator class where
-    * imperative per-partition logic is the right Spark tool: packing is
-    * inherently sequential state). The approximation vs a global pack is
-    * at most one under-filled sequence per partition — negligible waste
-    * at any real corpus/partition ratio, and the price of linear scaling.
+    * Distribution: ids are hash-partitioned (deterministically) and
+    * packing is PARTITION-LOCAL (`mapPartitions` — the one operator class
+    * where imperative per-partition logic is the right Spark tool:
+    * packing is inherently sequential state). The approximation vs a
+    * global pack is at most one under-filled sequence per partition —
+    * negligible waste at any real corpus/partition ratio, and the price
+    * of linear scaling.
     * Documents individually longer than `maxTokens` get a singleton
     * sequence flagged `overflow = true` (caller chooses truncate/split).
     *
@@ -60,12 +61,20 @@ object Export {
       df: DataFrame, idCol: String, tokensCol: String,
       maxTokens: Int, numPartitions: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    // fail fast on non-numeric ids: cast("long") would null every value
-    // and the operator would silently return an empty frame
-    require(df.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packSequences needs a numeric id column; $idCol is " +
-        df.schema(idCol).dataType.catalogString)
+    // fail fast when ids cannot carry the operator: numeric ids pass
+    // through, digit-string ids are probed (one early-out scan) so a
+    // non-numeric string column raises instead of silently nulling every
+    // id and returning an empty frame; other types are rejected outright
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.StringType =>
+        val bad = df.filter(col(idCol).isNotNull && col(idCol).cast("long").isNull)
+          .limit(1).count()
+        require(bad == 0,
+          s"packSequences: string id column $idCol contains non-numeric values")
+      case other => throw new IllegalArgumentException(
+        s"packSequences needs a numeric (or digit-string) id column; $idCol is ${other.catalogString}")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val parts =
@@ -79,24 +88,18 @@ object Export {
       .select(col(idCol).cast("long").as("_id"),
         coalesce(col(tokensCol).cast("long"), lit(0L)).as("_n"))
       .filter(col("_id").isNotNull)
-    // DETERMINISTIC partitioning: repartitionByRange samples with a
-    // run-dependent seed (rdd.id), so its boundaries — and therefore
-    // seq_id assignment — would differ across runs on large data. Fixed
-    // arithmetic buckets over the observed id span are reproducible given
-    // (data, numPartitions); the min/max lookup is one cheap agg job
-    // returning two driver scalars (same class of driver value as
-    // tfidf's count). Skew only if ids cluster heavily — document ids
-    // are typically dense.
-    val bounds = slim.agg(min(col("_id")), max(col("_id"))).head()
-    val (lo, hi) =
-      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(hi - lo + 1, 1L)
+    // DETERMINISTIC partitioning: hash-partition directly on the id
+    // (murmur3 of the value — a pure function, stable across runs and
+    // layouts), then sort each partition by id and pack greedily.
+    // repartitionByRange would sample with a run-dependent seed (rdd.id);
+    // arithmetic range buckets would overflow Long for hash-derived id
+    // spans and leave ~1/e of partitions empty after re-hashing the
+    // bucket values. Packing does not need id-contiguity — any stable
+    // per-partition grouping walked in sorted order yields deterministic,
+    // well-filled sequences.
     val packed = slim
-      .withColumn("_bucket",
-        ((col("_id") - lit(lo)) * lit(parts.toLong) / lit(span)).cast("int"))
-      .repartition(parts, col("_bucket"))
-      .sortWithinPartitions(col("_bucket"), col("_id"))
-      .select(col("_id"), col("_n"))
+      .repartition(parts, col("_id"))
+      .sortWithinPartitions(col("_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         var seqId = Long.MinValue

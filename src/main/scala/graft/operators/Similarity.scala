@@ -158,20 +158,23 @@ object Similarity {
     * scale 0 and dequantize to all-zero.
     */
   def quantizeInt8(vec: Column): Column = {
-    // NaN elements are EXCLUDED from the scale and quantize to 0
-    // (isolating the bad element): letting NaN propagate would make the
-    // scale NaN — which passes a naive `scale > 0` guard under Spark's
-    // NaN-is-largest ordering — and silently zero the whole vector (or
-    // trip the ANSI NaN→tinyint cast).
+    // NON-FINITE elements (NaN, ±Inf) are EXCLUDED from the scale and
+    // quantize to 0, isolating the bad element: a NaN scale passes a
+    // naive `scale > 0` guard (Spark orders NaN largest) and an Inf
+    // scale makes the Inf element round(Inf/Inf)=NaN — either way the
+    // whole vector silently corrupts (or trips the ANSI NaN→tinyint
+    // cast).
+    def finite(xd: Column): Column =
+      !isnan(xd) && abs(xd) =!= lit(Double.PositiveInfinity)
     val absMax = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc,
-        when(isnan(x.cast("double")), 0.0).otherwise(abs(x.cast("double")))))
+        when(finite(x.cast("double")), abs(x.cast("double"))).otherwise(0.0)))
     // bindOnce-style: evaluate the scale once, not once per element
     graft.operators.TextAnalysis.bindOnce(absMax / 127.0, scale =>
       struct(
         scale.as("scale"),
         transform(vec, x =>
-          when(scale > 0 && !isnan(x.cast("double")),
+          when(scale > 0 && finite(x.cast("double")),
             round(x.cast("double") / scale).cast("tinyint"))
             .otherwise(lit(0).cast("tinyint"))).as("q")))
   }

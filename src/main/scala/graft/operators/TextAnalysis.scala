@@ -161,12 +161,18 @@ object TextAnalysis {
     * patterns run before phones (a grouped card is also phone-shaped),
     * and nothing here matches bare 4-2-2 date groups.
     */
+  // (?<![0-9-]) / (?![0-9-]) boundary guards keep matches from starting
+  // or ending inside a longer digit/dash run — without them a numeric
+  // range followed by a 4-digit number ("100-200 3000-4000") matches the
+  // NANP shape, and partial redactions split ids. The international
+  // pattern bounds its separator run so an adjacent date can't be
+  // absorbed.
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\b(?:[0-9]{4}[ -]){3}[0-9]{4}\\b" -> "<NUMBER>", // grouped 16-digit card
-    "\\b[0-9]{13,19}\\b" -> "<NUMBER>",                // contiguous card/id run
-    "\\+[0-9][0-9 ()-]{6,}[0-9]" -> "<PHONE>",         // international, + required
-    "\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b" -> "<PHONE>", // NANP 3-3-4
+    "(?<![0-9-])(?:[0-9]{4}[ -]){3}[0-9]{4}(?![0-9-])" -> "<NUMBER>", // grouped 16-digit card
+    "(?<![0-9-])[0-9]{13,19}(?![0-9-])" -> "<NUMBER>",                // contiguous card/id run
+    "\\+[0-9][0-9 ()-]{6,14}[0-9](?![0-9-])" -> "<PHONE>",            // international, + required
+    "(?<![0-9-])\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}(?![0-9-])" -> "<PHONE>", // NANP 3-3-4
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
 
   /** Redact PII-shaped spans with typed placeholders — the standard

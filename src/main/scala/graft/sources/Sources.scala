@@ -22,12 +22,23 @@ object Sources {
 
   /** Declared-schema CSV read (header expected, RFC-ish quoting). Rows
     * that fail to parse land in [[CorruptCol]] instead of failing the job.
+    *
+    * `multiLine=true`: corpus text routinely embeds newlines and the
+    * writer quotes them across physical lines — line-at-a-time parsing
+    * would shred those rows into quarantine. The cost is that files stop
+    * being split-parallelizable (whole-file parse); at real scale prefer
+    * many medium CSV files, or JSONL, which has no such trade.
+    * `enforceSchema=false`: validate the header names against the
+    * declared schema — the default binds columns by POSITION and would
+    * silently swap same-typed columns if the file's order differs.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       delimiter: String = ","): DataFrame =
     spark.read
       .option("header", "true")
       .option("delimiter", delimiter)
+      .option("multiLine", "true")
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(withCorrupt(schema))

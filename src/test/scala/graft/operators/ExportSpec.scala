@@ -58,6 +58,18 @@ class ExportSpec extends SparkSpec {
     val nulled = Export.packSequences(withNullTok, "doc_id", "n_tok",
       maxTokens, numPartitions = 4)
     assert(nulled.count() == withTok.count())
+    // digit-string ids work; non-numeric string ids fail FAST (not an
+    // empty result); wide hash-derived ids don't overflow the bucketing
+    val strIds = withTok.withColumn("doc_id", col("doc_id").cast("string"))
+    assert(Export.packSequences(strIds, "doc_id", "n_tok", maxTokens, 4)
+      .count() == withTok.count())
+    val uuidIds = withTok.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    intercept[IllegalArgumentException] {
+      Export.packSequences(uuidIds, "doc_id", "n_tok", maxTokens, 4)
+    }
+    val hashIds = withTok.withColumn("doc_id", xxhash64(col("doc_id")))
+    assert(Export.packSequences(hashIds, "doc_id", "n_tok", maxTokens, 4)
+      .count() == withTok.count())
   }
 
   test("withShard: stable assignment, all shards populated, balanced-ish") {

@@ -82,13 +82,16 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
       .as[Seq[Double]].head()
     assert(z == Seq(0.0, 0.0))
-    // a NaN element is isolated (quantizes to 0) without zeroing the rest
-    val withNaN = Seq((0L, Array(1.0f, Float.NaN, 2.0f))).toDF("vec_id", "embedding")
-      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
-      .as[Seq[Double]].head()
-    assert(withNaN(1) == 0.0, withNaN.toString)
-    assert(math.abs(withNaN(0) - 1.0) < 0.01 && math.abs(withNaN(2) - 2.0) < 0.01,
-      withNaN.toString)
+    // non-finite elements (NaN, ±Inf) are isolated (quantize to 0)
+    // without corrupting the rest of the vector
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val v = Seq((0L, Array(1.0f, bad, 2.0f))).toDF("vec_id", "embedding")
+        .select(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))
+        .as[Seq[Double]].head()
+      assert(v(1) == 0.0, s"$bad -> $v")
+      assert(math.abs(v(0) - 1.0) < 0.01 && math.abs(v(2) - 2.0) < 0.01,
+        s"$bad -> $v")
+    }
     // quantized brute-force top-5 keeps high overlap with full precision
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

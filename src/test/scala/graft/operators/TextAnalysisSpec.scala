@@ -45,7 +45,10 @@ class TextAnalysisSpec extends SparkSpec {
       "card 4111 1111 1111 1111 declined",
       "id 4111111111111111 too",
       "nothing sensitive here 42",
-      "Published 2024-01-01 00:30, pages 100-200") // dates must SURVIVE
+      "Published 2024-01-01 00:30, pages 100-200", // dates must SURVIVE
+      "see 100-200 3000-4000 onwards",  // range + 4-digit: NOT phone-shaped
+      "+44 20 7946 0958 then 2024-01-01 x", // phone redacted, date SURVIVES
+      "ref 99123-456-7890x")            // inside a longer run: untouched
       .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect()
     assert(got(0) == "mail me at <EMAIL> today", got(0))
     assert(got(1) == "call <PHONE> or <PHONE>", got(1))
@@ -54,6 +57,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4) == "id <NUMBER> too", got(4))
     assert(got(5) == "nothing sensitive here 42", got(5))
     assert(got(6) == "Published 2024-01-01 00:30, pages 100-200", got(6))
+    assert(got(7) == "see 100-200 3000-4000 onwards", got(7))
+    assert(got(8) == "<PHONE> then 2024-01-01 x", got(8))
+    assert(got(9) == "ref 99123-456-7890x", got(9))
   }
 
   test("native lang_id matches the composable languageId on the documents table") {

@@ -35,6 +35,42 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CSV round-trip survives embedded newlines and quotes in text") {
+    val tricky = Seq(
+      (1L, "line one\nline two", "said \"hi\" and, left"),
+      (2L, "plain", "also plain"))
+      .toDF("id", "text", "note")
+    val dir = tmp("csv-newlines")
+    Sources.writeCsv(tricky, dir)
+    val (clean, bad) = Sources.corruptRecords(
+      Sources.readCsv(spark, dir, tricky.schema))
+    assert(bad.isEmpty, bad.collect().mkString("; "))
+    assert(clean.collect().toSet == tricky.collect().toSet)
+  }
+
+  test("header order mismatch fails fast instead of silently swapping columns") {
+    val dir = tmp("csv-swapped")
+    Files.write(java.nio.file.Paths.get(dir, "part-0.csv"),
+      java.util.Arrays.asList(
+        "name,artist_id,is_group", // declared order: artist_id,name,is_group
+        "A1,1,0"))
+    val schema = MusicSchema.byName("Artist").schema
+    // enforceSchema=false validates header names against the schema; a
+    // swapped file must raise (or quarantine), never bind positionally
+    val outcome = scala.util.Try {
+      val (clean, bad) = Sources.corruptRecords(
+        Sources.readCsv(spark, dir, schema))
+      (clean.collect(), bad.count())
+    }
+    outcome match {
+      case scala.util.Failure(_) => () // fail-fast: good
+      case scala.util.Success((clean, nBad)) =>
+        // if it parsed at all, the row must NOT be silently mis-bound
+        assert(clean.isEmpty || nBad > 0,
+          s"silently bound swapped columns: ${clean.mkString(";")}")
+    }
+  }
+
   test("jsonl round-trip on the documents shape") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
