@@ -244,6 +244,70 @@ object Dedup {
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
 
+  /** Cross-corpus decontamination: drop every `corpus` document with an
+    * exact or near (shingle-Jaccard ≥ `threshold`) match in `reference` —
+    * the standard "remove benchmark/eval contamination from training
+    * data" operator. Unlike dedup there is no keep-smallest-id policy:
+    * ANY reference match disqualifies the corpus doc, ids on the two
+    * sides are unrelated.
+    *
+    * Shape: exact stage on the 128-bit sorted-shingle key (contaminated
+    * regardless of LSH recall), then banded-signature equi-join corpus ×
+    * reference for near matches, exact-Jaccard verified. All joins are
+    * equi-joins on 8-byte band keys; shingle arrays travel only to the
+    * candidate-pair verification. Same persist + localCheckpoint
+    * discipline as [[minhashDedup]].
+    */
+  def minhashDecontaminate(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    def shingle(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("_id"),
+      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
+    def keys(sh: DataFrame): DataFrame = {
+      val sorted = array_sort(col("_sh"))
+      sh.select(col("_id"),
+        xxhash64(sorted).as("_ck1"), xxhash64(sorted, lit(1)).as("_ck2"))
+    }
+    def band(sh: DataFrame): DataFrame = sh
+      .select(col("_id"),
+        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
+      .select(col("_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+
+    val cSh = shingle(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val rSh = shingle(reference).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val exactHits = keys(cSh)
+      .join(keys(rSh).select(col("_ck1"), col("_ck2")), Seq("_ck1", "_ck2"), "left_semi")
+      .select(col("_id").as("_dirty"))
+
+    val candidates = band(cSh).select(col("_band"), col("_bkey"), col("_id"))
+      .join(band(rSh).select(col("_band"), col("_bkey"), col("_id").as("_rid")),
+        Seq("_band", "_bkey"))
+      .select(col("_id"), col("_rid"))
+      .distinct()
+    val nearHits = candidates
+      .join(cSh, "_id")
+      .join(rSh.withColumnsRenamed(Map("_id" -> "_rid", "_sh" -> "_sh_r")), "_rid")
+      .filter(jaccard(col("_sh"), col("_sh_r")) >= threshold)
+      .select(col("_id").as("_dirty"))
+
+    val dirty =
+      try exactHits.union(nearHits).localCheckpoint(true)
+      finally { cSh.unpersist(false); rSh.unpersist(false) }
+    corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
+  }
+
   /** Exact Jaccard over two shingle arrays (treated as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(once.count() == twice.count())
   }
 
+  test("decontamination removes exact and near reference matches, keeps the rest") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // reference = 5 docs verbatim + 1 lightly-edited near-copy of doc 10
+    val near10 = docs.filter(col("doc_id") === 10)
+      .withColumn("text", concat(col("text"), lit(" tiny suffix")))
+      .withColumn("doc_id", lit(900000L))
+    val reference = docs.filter(col("doc_id").isin(0, 1, 2, 3, 4)).union(near10)
+    val clean = Dedup.minhashDecontaminate(docs, reference, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // the 5 verbatim reference docs are gone (exact stage), the
+    // near-copied doc 10 is gone (near stage)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 10L))
+      assert(!clean.contains(id), s"doc $id should have been decontaminated")
+    // nothing unrelated was removed beyond the LSH candidates that verify
+    val total = docs.count()
+    assert(clean.size >= total - 10, s"over-removal: ${total - clean.size} dropped")
+    // empty reference removes nothing
+    val noop = Dedup.minhashDecontaminate(docs, docs.limit(0), "doc_id", "text")
+    assert(noop.count() == total)
+  }
+
   test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
     // regression for the scale defect found by DedupScaleBench: single-
     // stage bucket-min simhash kept 60k of 150k docs at 30x replication
