@@ -89,6 +89,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("decontamination: corpus x reference candidates join on band keys, never cross") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val df = graft.operators.Dedup.minhashDecontaminate(
+      docs, docs.limit(20), "doc_id", "text", numHashes = 16, bands = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
