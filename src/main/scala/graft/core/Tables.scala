@@ -57,6 +57,9 @@ object Tables {
     hit.getOrElse {
       val df = resolve
       relCache.synchronized {
+        // entries of stopped sessions pin their whole session graph —
+        // evict on the miss path (same policy as MusicParquet.ensure)
+        relCache.keySet.removeIf(e => e._1.sparkContext.isStopped)
         Option(relCache.get(k)).getOrElse { relCache.put(k, df); df }
       }
     }
@@ -79,18 +82,37 @@ object Tables {
     * window are unaffected.
     */
   private val nanosFlagLock = new Object
+  private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  // sessions where the flag must stay set for the session's lifetime:
+  // STREAMING scans over ns-parquet re-plan per microbatch and read the
+  // conf each time, so a restore mid-stream would fail the next batch
+  // with PARQUET_TYPE_ILLEGAL. Weak keys: entries die with the session.
+  private val nanosPinned =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Pin the nanos flag ON for this session (streaming callers — see
+    * [[graft.streaming.EventStreams.readStream]]); batch loads will no
+    * longer restore it. Takes the shared lock so it cannot interleave
+    * with a batch load's save/restore window.
+    */
+  private[graft] def pinNanosFlag(spark: SparkSession): Unit =
+    nanosFlagLock.synchronized {
+      nanosPinned.add(spark)
+      spark.conf.set(nanosKey, "true")
+    }
+
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     cached(spark, s"$sfDir/events+nanos") {
       nanosFlagLock.synchronized {
-        val key = "spark.sql.legacy.parquet.nanosAsLong"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "true")
+        val prev = spark.conf.getOption(nanosKey)
+        spark.conf.set(nanosKey, "true")
         try spark.read.parquet(s"$sfDir/events.parquet")
           .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
+        finally if (!nanosPinned.contains(spark)) prev match {
+          case Some(v) => spark.conf.set(nanosKey, v)
+          case None => spark.conf.unset(nanosKey)
         }
       }
     }

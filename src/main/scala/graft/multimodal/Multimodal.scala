@@ -66,7 +66,11 @@ object Multimodal {
     * "pixels" from the payload bytes so the pipeline shape is testable.
     */
   private def stubDecode(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    val out = new Array[Byte](math.min(width * height, 4096))
+    // long math: width*height overflows Int for large (schema-unbounded)
+    // dimensions; empty payloads decode to an empty buffer, not a crash
+    val n = math.min(math.max(width.toLong, 0L) * math.max(height.toLong, 0L), 4096L).toInt
+    if (content.isEmpty) return new Array[Byte](0)
+    val out = new Array[Byte](n)
     var i = 0
     while (i < out.length) {
       out(i) = (content(i % content.length) ^ (i & 0x7f)).toByte
@@ -105,8 +109,11 @@ object Multimodal {
       // real impl: val codec = Codec.acquire() — once per partition
       rows.collect {
         case m if m.kind == "image" =>
-          val w = m.meta.width.getOrElse(64)
-          val h = m.meta.height.getOrElse(64)
+          // meta is nullable in the declared schema — treat a missing
+          // struct like missing dimensions
+          val meta = Option(m.meta)
+          val w = meta.flatMap(_.width).getOrElse(64)
+          val h = meta.flatMap(_.height).getOrElse(64)
           DecodedImage(m.media_id, w, h, 3, stubDecode(m.content, w, h))
       }
     }

@@ -25,20 +25,24 @@ object Loader {
   def withSurrogateIds(
       df: DataFrame, idCol: String, orderCols: Seq[String],
       startAt: Long = 1L): DataFrame = {
+    require(orderCols.nonEmpty, "surrogate ids need an explicit stable ordering")
     val w = Window.orderBy(orderCols.map(col): _*)
     df.withColumn(idCol, row_number().over(w).cast("long") + (startAt - 1))
   }
 
   /** A1 — idempotent (re)definition: register every music table as a
     * catalog-visible view from any row source, validating the schema
-    * field-for-field first (names, types, nullability).
+    * field-for-field first (names and types — NOT nullability: Spark
+    * file sources force every field nullable, so a nullable-strict check
+    * would reject any parquet/CSV-loaded table and leave only
+    * literally-constructed frames usable. NOT NULL is re-established by
+    * the C1 audit, the same split as the reference's FK-off load).
     */
   def createOrReplaceAll(spark: SparkSession, tables: Map[String, DataFrame]): Unit =
     tables.foreach { case (name, df) =>
       val expected = MusicSchema.byName(name).schema
-      require(df.schema.length == expected.length &&
-        df.schema.fields.map(f => (f.name, f.dataType, f.nullable)).sameElements(
-          expected.fields.map(f => (f.name, f.dataType, f.nullable))),
+      require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+          expected.fields.map(f => (f.name, f.dataType))),
         s"schema mismatch for $name: ${df.schema.simpleString} vs ${expected.simpleString}")
       df.createOrReplaceTempView(name)
     }

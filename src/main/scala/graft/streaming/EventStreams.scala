@@ -34,9 +34,14 @@ object EventStreams {
   def withEventTime(df: DataFrame): DataFrame =
     df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
-  /** Streaming source over an events parquet directory. */
+  /** Streaming source over an events parquet directory. The nanos legacy
+    * flag is PINNED for this session (via Tables.pinNanosFlag, under the
+    * shared lock): streaming parquet scans re-plan every microbatch and
+    * re-read the conf, so a batch load's save/restore must not unset it
+    * mid-stream.
+    */
   def readStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.pinNanosFlag(spark)
     withEventTime(spark.readStream.schema(rawSchema).parquet(path))
   }
 
@@ -160,8 +165,23 @@ object EventStreams {
     }
   }
 
-  /** B24 — running stats through the transformWithState path. */
+  /** B24 — running stats through the transformWithState path.
+    *
+    * Precondition checked eagerly: transformWithState needs the RocksDB
+    * state-store provider (multiple column families); the default
+    * HDFS-backed provider fails the FIRST BATCH with
+    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES — a confusing runtime error
+    * this turns into an actionable one at construction. The conf is NOT
+    * set here as a side effect: switching providers mid-session breaks
+    * other streams' existing checkpoints.
+    */
   def runningUserStatsTws(ds: Dataset[Event]): Dataset[UserStat] = {
+    val provider = ds.sparkSession.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "transformWithState requires spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider " +
+        s"(current: ${if (provider.isEmpty) "HDFS-backed default" else provider})")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .transformWithState(

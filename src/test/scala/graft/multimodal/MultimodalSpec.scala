@@ -29,6 +29,22 @@ class MultimodalSpec extends SparkSpec {
     assert(d.pixels.nonEmpty && d.channels == 3 && d.width >= 64)
   }
 
+  test("decodeImages survives hostile rows: null meta, empty payload, huge dims") {
+    // the declared schema permits all three — none may crash the job
+    val hostile = Seq(
+      Multimodal.Media(900L, "image", Array[Byte](1, 2, 3), null),
+      Multimodal.Media(901L, "image", Array.empty[Byte],
+        Multimodal.MediaMeta("png", Some(8), Some(8), None, None)),
+      Multimodal.Media(902L, "image", Array[Byte](9),
+        Multimodal.MediaMeta("png", Some(50000), Some(50000), None, None)))
+      .toDS()
+    val out = Multimodal.decodeImages(hostile).collect().sortBy(_.media_id)
+    assert(out.length == 3)
+    assert(out(0).width == 64 && out(0).pixels.nonEmpty)  // null meta → defaults
+    assert(out(1).pixels.isEmpty)                          // empty payload → empty
+    assert(out(2).pixels.length == 4096)                   // capped, no overflow
+  }
+
   test("extractFeatures: unit-norm 64-dim vectors for every row") {
     val feats = Multimodal.extractFeatures(media, dim = 64)
     assert(feats.count() == 60)

@@ -26,4 +26,23 @@ class LoaderSpec extends SparkSpec {
       Loader.createOrReplaceAll(spark, Map("Artist" -> bad))
     }
   }
+
+  test("A1: file-loaded tables register (file sources force nullable=true)") {
+    // regression: a nullable-strict schema check rejected EVERY
+    // parquet/CSV round-trip, making the documented any-row-source path
+    // unusable; NOT NULL belongs to the C1 audit, not the loader
+    val dir = java.nio.file.Files.createTempDirectory("graft-loader").toString
+    SeedData.load(spark, "Artist").write.mode("overwrite").parquet(s"$dir/a")
+    val fromFile = spark.read.parquet(s"$dir/a")
+    Loader.createOrReplaceAll(spark, Map("Artist" -> fromFile))
+    assert(spark.sql("SELECT count(*) FROM Artist").head.getLong(0) == 2L)
+    // type mismatch is still rejected
+    import org.apache.spark.sql.functions.col
+    val wrongType = fromFile.withColumn("artist_id", col("artist_id").cast("string"))
+    intercept[IllegalArgumentException] {
+      Loader.createOrReplaceAll(spark, Map("Artist" -> wrongType))
+    }
+    // restore the seed view for suites sharing the session
+    Loader.createOrReplaceAll(spark, Map("Artist" -> SeedData.load(spark, "Artist")))
+  }
 }
