@@ -41,8 +41,8 @@ case class LanguageId(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < toks.numElements()) {
       if (!toks.isNullAt(i)) {
-        val idx = LanguageId.table.get(toks.getUTF8String(i).toLowerCase)
-        if (idx != null) counts(idx) += 1
+        val mask = LanguageId.table.get(toks.getUTF8String(i).toLowerCase)
+        if (mask != null) LanguageId.credit(counts, mask.intValue())
       }
       i += 1
     }
@@ -58,13 +58,13 @@ case class LanguageId(child: Expression) extends UnaryExpression {
     val n = LanguageId.langs.length
     nullSafeCodeGen(ctx, ev, toks => {
       val counts = ctx.freshName("counts"); val i = ctx.freshName("i")
-      val idx = ctx.freshName("idx")
+      val mask = ctx.freshName("mask")
       s"""
          |int[] $counts = new int[$n];
          |for (int $i = 0; $i < $toks.numElements(); $i++) {
          |  if (!$toks.isNullAt($i)) {
-         |    Integer $idx = (Integer) $tableRef.get($toks.getUTF8String($i).toLowerCase());
-         |    if ($idx != null) $counts[$idx.intValue()]++;
+         |    Integer $mask = (Integer) $tableRef.get($toks.getUTF8String($i).toLowerCase());
+         |    if ($mask != null) graft.functions.LanguageId.credit($counts, $mask.intValue());
          |  }
          |}
          |${ev.value} = graft.functions.LanguageId.pick($counts);
@@ -83,14 +83,31 @@ object LanguageId {
   val langs: Array[String] =
     graft.operators.TextAnalysis.stopwords.keys.toArray.sorted
 
-  /** stopword (lower, UTF8) → language index. */
+  /** stopword (lower, UTF8) → language BITMASK. Bitmask, not index:
+    * stopwords shared between languages ("la"/"que" in fr AND es) must
+    * credit every language containing them — same fix as the composable
+    * form's lookup map.
+    */
   val table: java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer]()
     graft.operators.TextAnalysis.stopwords.foreach { case (lang, ws) =>
-      val idx = langs.indexOf(lang)
-      ws.foreach(w => m.put(UTF8String.fromString(w.toLowerCase), idx))
+      val bit = 1 << langs.indexOf(lang)
+      ws.foreach { w =>
+        val k = UTF8String.fromString(w.toLowerCase)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) bit else prev.intValue() | bit)
+      }
     }
     m
+  }
+
+  /** Bump every language whose bit is set (called from generated code). */
+  def credit(counts: Array[Int], mask: Int): Unit = {
+    var i = 0
+    while (i < counts.length) {
+      if ((mask & (1 << i)) != 0) counts(i) += 1
+      i += 1
+    }
   }
 
   /** Argmax with the composable form's tie-break: scanning langs in

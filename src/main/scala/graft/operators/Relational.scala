@@ -90,7 +90,12 @@ object Relational {
       df: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, k: Int): DataFrame = {
     val topk = org.apache.spark.sql.functions.udaf(new graft.functions.Aggregators.TopKPairs(k))
-    df.groupBy(groupCols.map(col): _*)
+    // null scores / null-castable ids cannot rank and would hit the
+    // aggregator's non-nullable tuple encoder at runtime — excluded, the
+    // same posture as a ranking window's implicit null ordering-out
+    df.filter(col(scoreCol).cast("double").isNotNull &&
+        col(idCol).cast("long").isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_top"))
       .select((groupCols.map(col) :+ posexplode(col("_top"))): _*)
       .select(
@@ -112,34 +117,42 @@ object Relational {
       valueCols: Seq[String], toleranceMs: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // canonical union shape: left rows keep their payload, right rows carry
-    // (key, ts, _r_ts, _r_<value…>); unionByName(allowMissing) null-fills
-    // the other side's columns
+    // canonical union shape: left rows keep their payload, right rows
+    // carry the whole candidate as ONE struct `_r` (ts + values).
+    // Forward-filling the struct instead of each column independently is
+    // load-bearing: per-column last(..., ignoreNulls) would skip a
+    // matched right row's genuinely-null value and splice in an OLDER
+    // row's value (possibly from outside the tolerance window) — the
+    // struct itself is non-null for every right row, so the fill carries
+    // the matched row verbatim, nulls included, exactly like the native
+    // plans.AsOfJoin. Null-key and null-ts right rows are excluded up
+    // front (they never match, per SQL join semantics and the native
+    // operator); null-key left rows simply find no fill.
     val lTagged = left.withColumn("_side", lit(1))
-    val rTagged = right.select(
-      (Seq(col(keyCol), col(tsCol), lit(0).as("_side"),
-        col(tsCol).as("_r_ts")) ++ valueCols.map(c => col(c).as(s"_r_$c"))): _*)
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(keyCol), col(tsCol), lit(0).as("_side"),
+        struct(col(tsCol).as("_ts") +: valueCols.map(c => col(c)): _*).as("_r"))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     // tertiary sort on the right payload makes the winner among multiple
     // right rows sharing (key, ts) deterministic (greatest payload wins)
     // instead of shuffle-order-dependent
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc,
-        struct(valueCols.map(c => col(s"_r_$c")): _*).asc_nulls_first)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
-      .withColumn("_last_r_ts", last(col("_r_ts"), ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(c =>
-        s"_r_$c" -> last(col(s"_r_$c"), ignoreNulls = true).over(w)).toMap)
+      .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side", "_r_ts")
+      .drop("_side", "_r")
 
-    val inTol = col("_last_r_ts").isNotNull &&
-      (unix_millis(col(tsCol)) - unix_millis(col("_last_r_ts"))) <= toleranceMs
+    val inTol = col(keyCol).isNotNull && col(tsCol).isNotNull &&
+      col("_last_r").isNotNull &&
+      (unix_millis(col(tsCol)) - unix_millis(col("_last_r").getField("_ts"))) <= toleranceMs
     valueCols.foldLeft(
-      filled.withColumn("asof_ts", when(inTol, col("_last_r_ts")))) { (df, c) =>
-      df.withColumn(s"asof_$c", when(inTol, col(s"_r_$c"))).drop(s"_r_$c")
-    }.drop("_last_r_ts")
+      filled.withColumn("asof_ts", when(inTol, col("_last_r").getField("_ts")))) { (df, c) =>
+      df.withColumn(s"asof_$c", when(inTol, col("_last_r").getField(c)))
+    }.drop("_last_r")
   }
 }

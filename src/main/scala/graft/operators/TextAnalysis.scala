@@ -42,13 +42,14 @@ object TextAnalysis {
     * count — the usual cost estimator in data pipelines).
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
 
   /** Token n-gram shingles: `concat_ws(" ", tokens[i..i+n))` for each window.
     * Texts with fewer than n tokens yield a single shingle of the whole text
     * (so every non-empty doc has ≥1 shingle).
     */
-  def shingles(text: Column, n: Int): Column =
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle n must be >= 1, got $n")
     bindOnce(tokens(text), toks =>
       when(size(toks) < n,
         when(size(toks) > 0, array(concat_ws(" ", toks))).otherwise(array()))
@@ -56,6 +57,7 @@ object TextAnalysis {
           transform(
             sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
 
   /** 64-bit hashes of the token n-gram shingles, skipping the string
     * materialization entirely: xxhash64 over the token-array slice hashes
@@ -64,7 +66,8 @@ object TextAnalysis {
     * negligible 64-bit collisions, at a fraction of the cost (no
     * concat_ws allocation per window).
     */
-  def shingleHashes(text: Column, n: Int): Column =
+  def shingleHashes(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle n must be >= 1, got $n")
     bindOnce(tokens(text), toks =>
       when(size(toks) < n,
         when(size(toks) > 0, array(xxhash64(toks))).otherwise(array().cast("array<bigint>")))
@@ -72,6 +75,7 @@ object TextAnalysis {
           transform(
             sequence(lit(0), size(toks) - n),
             i => xxhash64(slice(toks, i + 1, lit(n))))))
+  }
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic. Tiny,
     * deliberately: the operator's value is the distributed scoring shape
@@ -101,20 +105,27 @@ object TextAnalysis {
     */
   def languageIdFromTokens(toks: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
+    // BITMASK values, not single indices: stopwords shared between
+    // languages ("la"/"que" live in both fr and es) must credit EVERY
+    // language containing them — a plain index map collapses duplicates
+    // by last-write-wins and silently strips 2 of one language's 10
+    // stopwords
     val lookup = typedlit(
-      stopwords.toSeq.flatMap { case (lang, ws) =>
-        ws.map(_ -> langs.indexOf(lang))
-      }.toMap)
+      stopwords.toSeq
+        .flatMap { case (lang, ws) => ws.map(_ -> (1 << langs.indexOf(lang))) }
+        .groupMapReduce(_._1)(_._2)(_ | _))
     // bindOnce: one map probe per token (literal MapType lookups are
     // linear scans over the entries — probing once per count slot would
-    // 5× that cost), then 5 integer compares to bump the matching slot
+    // 5× that cost), then 5 bit tests to bump the matching slots
     val counts = aggregate(
       toks,
       array_repeat(lit(0), langs.size),
       (acc, t) =>
-        bindOnce(element_at(lookup, t), idx =>
+        bindOnce(element_at(lookup, t), mask =>
           zip_with(acc, sequence(lit(0), lit(langs.size - 1)),
-            (a, i) => a + when(idx === i, 1).otherwise(0))))
+            (a, i) => a + when(
+              mask.bitwiseAND(call_function("shiftleft", lit(1), i)) =!= 0,
+              1).otherwise(0))))
     bindOnce(counts, cs => {
       val scored = array(langs.zipWithIndex.map { case (l, i) =>
         struct(element_at(cs, i + 1).as("hits"), lit(l).as("lang"))
@@ -149,8 +160,14 @@ object TextAnalysis {
     * hash mixing instead of polynomial multiply, so ANSI overflow semantics
     * never trip. Equal fingerprints ⇔ equal token streams (mod collisions).
     */
-  def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+  def fingerprint(text: Column): Column = fingerprintFromTokens(tokens(text))
+
+  /** fingerprint over an already-bound token array — single definition of
+    * the hash chain, shared with [[annotate]] (a drifted duplicate would
+    * desynchronize dedup joins mixing the two forms).
+    */
+  def fingerprintFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** PII redaction patterns: email, card-shaped digit groups, phone
     * numbers (international `+...` or NANP 3-3-4 with separators), IPv4.
@@ -261,7 +278,7 @@ object TextAnalysis {
       subwordCount(t).as("n_subwords"),
       graft.functions.LanguageId.langId(toks).as("lang_id"),
       qualityScoreFromTokens(t, toks).as("quality"),
-      aggregate(toks, lit(0L), (acc, tk) => xxhash64(acc, tk)).as("fingerprint")))
+      fingerprintFromTokens(toks).as("fingerprint")))
     // explode(array(struct)) routes the struct through a Generate node,
     // making `_ann` a bound attribute downstream — field extraction is then
     // free. A plain projected struct would be re-inlined into each of the

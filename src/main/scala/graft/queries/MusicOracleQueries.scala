@@ -39,52 +39,26 @@ object MusicOracleQueries {
     },
     q("rq6_top_raters") { t => MusicQueries.rq6TopRaters(t("User"), t("Rating")) })
 
-  /** DuckDB oracles: the MusicSql FD-rewrite text, prefixed with
-    * read_parquet CTEs over the same files Spark reads. "User" must be
-    * quoted (reserved in DuckDB's Postgres-style parser).
+  /** DuckDB oracles DERIVED from the MusicSql FD-rewrite text (single
+    * source of truth — a hand-maintained copy would silently drift from
+    * what the Spark side runs): prefixed with read_parquet CTEs over the
+    * same files Spark reads, "User" quoted (reserved in DuckDB's
+    * Postgres-style parser), and the missing total orders appended for
+    * RQ2/RQ4 exactly as the Spark entries do.
     */
   val oracles: Map[String, String] = {
+    def duckify(sql: String): String =
+      sql.replace("FROM User u", "FROM \"User\" u")
     def withTables(names: Seq[String], sql: String) =
-      MusicParquet.duckPrelude(names) + "\n" + sql
+      MusicParquet.duckPrelude(names) + "\n" + duckify(sql)
     Map(
-      "rq1_singles" -> withTables(Seq("Artist", "Song"),
-        """SELECT a.name, COUNT(s.song_id) AS num_singles
-          |FROM Artist a JOIN Song s ON a.artist_id = s.artist_id
-          |WHERE a.is_group = 0 AND s.album_id IS NULL
-          |  AND YEAR(s.single_release_date) BETWEEN 2015 AND 2020
-          |GROUP BY a.artist_id, a.name
-          |ORDER BY num_singles DESC, a.name ASC""".stripMargin),
+      "rq1_singles" -> withTables(Seq("Artist", "Song"), graft.music.MusicSql.rq1),
       "rq2_last_single" -> withTables(Seq("Artist", "Song"),
-        """SELECT name FROM (
-          |  SELECT a.artist_id, a.name,
-          |         MAX(YEAR(s.single_release_date)) AS last_y
-          |  FROM Artist a JOIN Song s ON a.artist_id = s.artist_id
-          |  WHERE s.album_id IS NULL
-          |  GROUP BY a.artist_id, a.name) t
-          |WHERE last_y = 2020 ORDER BY name""".stripMargin),
-      "rq3_genre_songs" -> withTables(Seq("Genre", "Song_genre"),
-        """SELECT g.name AS genre, COUNT(sg.song_id) AS num_songs
-          |FROM Genre g JOIN Song_genre sg ON g.genre_id = sg.genre_id
-          |GROUP BY g.genre_id, g.name
-          |ORDER BY num_songs DESC, genre ASC""".stripMargin),
+        graft.music.MusicSql.rq2 + "\nORDER BY name"),
+      "rq3_genre_songs" -> withTables(Seq("Genre", "Song_genre"), graft.music.MusicSql.rq3),
       "rq4_albums_and_singles" -> withTables(Seq("Artist", "Album", "Song"),
-        """SELECT a.name FROM Artist a
-          |WHERE a.artist_id IN (SELECT DISTINCT artist_id FROM Album)
-          |  AND a.artist_id IN (SELECT DISTINCT artist_id FROM Song WHERE album_id IS NULL)
-          |ORDER BY a.name""".stripMargin),
-      "rq5_most_rated" -> withTables(Seq("Rating", "Song", "Artist"),
-        """SELECT s.title, ar.name AS artist, COUNT(r.rating) AS num_ratings
-          |FROM Rating r
-          |JOIN Song s ON r.song_id = s.song_id
-          |JOIN Artist ar ON s.artist_id = ar.artist_id
-          |WHERE YEAR(r.rating_date) BETWEEN 2020 AND 2021
-          |GROUP BY s.song_id, s.title, ar.name
-          |ORDER BY num_ratings DESC, s.title ASC""".stripMargin),
-      "rq6_top_raters" -> withTables(Seq("User", "Rating"),
-        """SELECT u.username, COUNT(r.song_id) AS num_ratings
-          |FROM "User" u JOIN Rating r ON u.username = r.username
-          |WHERE YEAR(r.rating_date) BETWEEN 2020 AND 2021
-          |GROUP BY u.username
-          |ORDER BY num_ratings DESC, u.username ASC""".stripMargin))
+        graft.music.MusicSql.rq4 + "\nORDER BY a.name"),
+      "rq5_most_rated" -> withTables(Seq("Rating", "Song", "Artist"), graft.music.MusicSql.rq5),
+      "rq6_top_raters" -> withTables(Seq("User", "Rating"), graft.music.MusicSql.rq6))
   }
 }

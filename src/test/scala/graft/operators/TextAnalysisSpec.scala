@@ -62,6 +62,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(9) == "ref 99123-456-7890x", got(9))
   }
 
+  test("shared stopwords credit every language containing them") {
+    // "la" and "que" are in BOTH fr and es lexicons; an index-valued
+    // lookup collapsed them to one language (last-write-wins), silently
+    // stripping 2 of one language's 10 stopwords. A text of only shared
+    // words must tie fr/es (argmax tie-break → larger code: "fr"), and
+    // one extra es-only word must tip it to "es".
+    graft.functions.LanguageId.register(spark)
+    val got = Seq(
+      "la que la que",          // all shared → tie → "fr" (larger code)
+      "la que los la que")      // + es-only "los" → "es"
+      .toDF("t")
+      .select(
+        TextAnalysis.languageId(col("t")).as("c"),
+        graft.functions.LanguageId.langId(TextAnalysis.tokens(col("t"))).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0) == ("fr", "fr"), got(0).toString)
+    assert(got(1) == ("es", "es"), got(1).toString)
+  }
+
   test("native lang_id matches the composable languageId on the documents table") {
     graft.functions.LanguageId.register(spark)
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
