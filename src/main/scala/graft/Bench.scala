@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Catalyst prune every expression that doesn't affect cardinality and
   *    fake the numbers for projection-heavy queries;
   *  - headline `value` = wall-clock of the whole declared set executed
-  *    concurrently (FAIR scheduler, 8 submitter threads) — the deployment
+  *    concurrently (FAIR scheduler, 12 submitter threads by default —
+  *    SPARK_GRAFT_BENCH_THREADS overrides) — the deployment
   *    shape for a query set on a shared SparkContext: per-query driver
   *    overhead (planning, codegen, job scheduling — ~0.15 s each) overlaps
   *    across queries instead of summing. `sum_queries` preserves the
@@ -82,7 +83,10 @@ object Bench {
         })
       }
       pool.shutdown()
-      pool.awaitTermination(30, TimeUnit.MINUTES)
+      // a truncated wait would report a fake wall-clock and leak running
+      // jobs into the next pass — fail loudly instead
+      require(pool.awaitTermination(30, TimeUnit.MINUTES),
+        "bench concurrent pass exceeded 30 minutes")
       (System.nanoTime() - t0) / 1e9
     }
     val wall = math.min(wallPass(), wallPass())

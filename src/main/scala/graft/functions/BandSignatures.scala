@@ -71,7 +71,10 @@ case class BandSignatures(
           }
           i += 1
         }
-        if (proj >= 0) sig |= 1L << p
+        // NaN projection sets the bit — Spark's nan-safe compare treats
+        // NaN >= 0 as true, and the composable form goes through it;
+        // plain Java `>=` would silently bucket NaN vectors differently
+        if (java.lang.Double.isNaN(proj) || proj >= 0) sig |= 1L << p
         p += 1
       }
       out(b) = sig
@@ -101,7 +104,7 @@ case class BandSignatures(
          |        $proj += ((double) $v.$get($i)) * $plane[$i];
          |      }
          |    }
-         |    if ($proj >= 0) $sig |= 1L << $p;
+         |    if (Double.isNaN($proj) || $proj >= 0) $sig |= 1L << $p;
          |  }
          |  $out[$b] = $sig;
          |}

@@ -41,7 +41,11 @@ object Dedup {
     val winner = df
       .groupBy(
         xxhash64(col(contentCol)).as("_h1"),
-        xxhash64(col(contentCol), lit(1)).as("_h2"))
+        // salt FIRST: Spark's multi-arg xxhash64 chains the running hash
+        // as the next argument's seed, so hash(content, salt) is a pure
+        // function of hash(content) — NOT an independent second hash.
+        // hash(salt, content) re-seeds before the content and is.
+        xxhash64(lit(1), col(contentCol)).as("_h2"))
       .agg(min(col(idCol)).as("_keep"))
     df.join(winner, df(idCol) === winner("_keep"), "left_semi")
   }
@@ -95,6 +99,21 @@ object Dedup {
       .select(col("_id"), array((0 until numHashes).map(j => col(s"_m$j")): _*).as("_sig"))
   }
 
+  /** One row per (doc, band) from a (_id, _sig) frame: band key = hash of
+    * (band index, the band's signature slice). THE single definition of
+    * minhash band bucketing — every operator (pairs, dedup,
+    * decontaminate) must bucket identically or cross-operator results
+    * drift.
+    */
+  private def minhashBandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+
   /** Banded LSH candidate pairs from minhash signatures: split the
     * k-signature into `bands` bands of k/bands rows, bucket by
     * (band index, band hash), and emit verified candidate pairs
@@ -122,14 +141,8 @@ object Dedup {
     // derive from the SAME shingled subtree used for verification (one
     // shingling definition in the plan; persist `shingled` upstream to
     // also share the computation across the two consumers at scale).
-    val banded = minhashSignaturesFromShingled(shingled, numHashes)
-      .select(
-        col("_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+    val banded = minhashBandKeys(
+      minhashSignaturesFromShingled(shingled, numHashes), bands, rowsPerBand)
 
     val a = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"))
@@ -193,9 +206,11 @@ object Dedup {
     // the same reason: stage 1 deletes WITHOUT verification, and a single
     // 64-bit key hits birthday collisions (silently merging distinct
     // docs) around 5e9 rows.
+    // salt-first second hash — see exactKeepMinId: hash(salt, x) is an
+    // independent hash, hash(x, salt) is a function of hash(x)
     val sorted = array_sort(col("_sh"))
     val keyed = shingled.select(col("_id"),
-      xxhash64(sorted).as("_ck1"), xxhash64(sorted, lit(1)).as("_ck2"))
+      xxhash64(sorted).as("_ck1"), xxhash64(lit(1), sorted).as("_ck2"))
     val repOf = keyed.groupBy(col("_ck1"), col("_ck2")).agg(min(col("_id")).as("_rep"))
     val exactLosers = keyed.join(repOf, Seq("_ck1", "_ck2"))
       .filter(col("_id") =!= col("_rep"))
@@ -209,16 +224,10 @@ object Dedup {
     // Zero-shingle reps yield an all-null signature: they bucket only
     // with each other and verify at jaccard 0 — harmless.
     val reps = shingled.join(repOf.select(col("_rep").as("_id")), "_id")
-    val banded = reps
-      .select(col("_id"),
-        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
-      .select(
-        col("_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+    val banded = minhashBandKeys(
+      reps.select(col("_id"),
+        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig")),
+      bands, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
@@ -272,17 +281,12 @@ object Dedup {
     def keys(sh: DataFrame): DataFrame = {
       val sorted = array_sort(col("_sh"))
       sh.select(col("_id"),
-        xxhash64(sorted).as("_ck1"), xxhash64(sorted, lit(1)).as("_ck2"))
+        xxhash64(sorted).as("_ck1"), xxhash64(lit(1), sorted).as("_ck2"))
     }
-    def band(sh: DataFrame): DataFrame = sh
-      .select(col("_id"),
-        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig"))
-      .select(col("_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bkey"))
+    def band(sh: DataFrame): DataFrame = minhashBandKeys(
+      sh.select(col("_id"),
+        minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig")),
+      bands, rowsPerBand)
 
     val cSh = shingle(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val rSh = shingle(reference).persist(StorageLevel.MEMORY_AND_DISK)
@@ -512,18 +516,24 @@ object Dedup {
       bands: Int = 8, planesPerBand: Int = 8,
       threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     graft.functions.BandSignatures.register(df.sparkSession)
+    // band rows and the multi-band-collapse distinct carry ONLY ids —
+    // vectors join back per verified-candidate side afterwards (same
+    // narrow-shuffle rationale as Similarity.lshTopK)
     val banded = df.select(
-      col(idCol).as("_id"), col(vecCol).as("_v"),
+      col(idCol).as("_id"),
       posexplode(graft.functions.BandSignatures.bandSigs(
         col(vecCol), bands, planesPerBand, dim)))
       .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
-    val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"), col("_v").as("_vb"))
+    val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"))
     graft.functions.CosineSimilarity.register(df.sparkSession)
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
     a.join(b, Seq("_band", "_bsig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_va"), col("_vb"))
-      .distinct() // same pair may collide in several bands
+      .select(col("id_a"), col("id_b"))
+      .distinct() // same pair may collide in several bands — narrow pairs
+      .join(vecs.withColumnsRenamed(Map("_vid" -> "id_a", "_vv" -> "_va")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("_vid" -> "id_b", "_vv" -> "_vb")), "id_b")
       .withColumn("cosine",
         graft.functions.CosineSimilarity.cosineSim(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)

@@ -118,8 +118,14 @@ object Export {
   /** Weighted corpus mixture: sample each source at its weight and tag
     * rows with provenance. Weights are sampling fractions in [0, 1]
     * (upsampling beyond 1.0 needs explicit replication — kept out of
-    * scope to keep sampling exact-Bernoulli and cheap). Deterministic
-    * per seed.
+    * scope to keep sampling exact-Bernoulli and cheap).
+    *
+    * Sampling is a seeded CONTENT-hash Bernoulli, not `df.sample`:
+    * Spark's sampler is seeded per partition, so its output changes
+    * under repartition — breaking reproducible-training mixes — and one
+    * shared seed would fully correlate the draws of overlapping sources.
+    * Here each row's fate is a pure function of (row content, seed,
+    * source index): layout-independent, and independent across sources.
     */
   def mixCorpora(
       spark: SparkSession,
@@ -128,8 +134,11 @@ object Export {
     require(sources.nonEmpty, "at least one source")
     require(sources.forall { case (_, _, w) => w >= 0.0 && w <= 1.0 },
       "fractions must be in [0,1]")
-    sources.map { case (name, df, frac) =>
-      df.sample(withReplacement = false, frac, seed)
+    val denom = 1L << 20
+    sources.zipWithIndex.map { case ((name, df, frac), i) =>
+      val u = pmod(xxhash64(lit(seed), lit(i), struct(df.columns.map(col): _*)),
+        lit(denom))
+      df.filter(u < lit((frac * denom).toLong))
         .withColumn("mix_source", lit(name))
     }.reduce(_.unionByName(_))
   }

@@ -79,14 +79,24 @@ object Similarity {
     * rows by cosine. The corpus side is broadcast when small; otherwise
     * this is the O(N·Q) reference path used to measure ANN recall.
     * Returns (queryIdCol, corpus idCol, cosine, rank 1..k).
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals the
+    * query id — right for self-KNN over one dataset; set false when
+    * corpus and queries are DIFFERENT datasets whose id spaces happen to
+    * overlap (an id-equal corpus row is then a legitimate neighbor).
+    * Null-vector rows on either side are excluded (matching the LSH
+    * path, where a null vector produces no band rows).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-    val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val scored = q.crossJoin(c)
-      .filter(col("_qid") =!= col("_cid"))
+      .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
       .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
@@ -104,8 +114,10 @@ object Similarity {
     */
   /** One band's packed sign-bit signature: `planesPerBand` literal-plane
     * projections, plane family offset by `band * planesPerBand` so bands
-    * are independent. Shared by [[lshTopK]] and
-    * [[Dedup.embeddingNearDupPairs]].
+    * are independent. The COMPOSABLE form of
+    * [[graft.functions.BandSignatures]] — the operators use the native
+    * expression; this stays as its differential-testing reference
+    * (bit-for-bit parity pinned in SimilaritySpec).
     */
   def bandSignature(vec: Column, band: Int, planesPerBand: Int, dim: Int): Column =
     (0 until planesPerBand)
@@ -116,33 +128,39 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 8, dim: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
 
     // corpus banding is the hot path: one fused native pass computes all
     // band signatures (vs bands × planesPerBand HOF array walks per row);
     // parity with the composable bandSignature is pinned in SimilaritySpec
     graft.functions.BandSignatures.register(corpus.sparkSession)
 
-    def banded(df: DataFrame, id: String, v: String): DataFrame =
+    // band frames carry ONLY (id, band, key): the band join and the
+    // multi-band-collapse distinct then shuffle 16-byte pairs, not
+    // embedding vectors (a 768-dim float vector is ~3 KB per candidate —
+    // at corpus scale the vector-wide distinct would dominate the
+    // shuffle). Vectors join back once per side, by id, after the dedup.
+    def banded(df: DataFrame, id: String): DataFrame =
       // two-step select: the banding expression must not reference a column
       // aliased in the same projection (lateral column alias)
-      df.select(col(idCol).as(id), col(vecCol).as(v))
-        .select(col(id), col(v),
+      df.select(col(idCol).as(id), col(vecCol).as("_v"))
+        .select(col(id),
           posexplode(graft.functions.BandSignatures.bandSigs(
-            col(v), bands, planesPerBand, dim)))
+            col("_v"), bands, planesPerBand, dim)))
         .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
 
-    val c = banded(corpus, "_cid", "_cv")
-    val q = banded(queries, "_qid", "_qv")
-
-    val candidates = q.join(c, Seq("_band", "_bsig"))
-      .filter(col("_qid") =!= col("_cid"))
-      .select(col("_qid"), col("_qv"), col("_cid"), col("_cv"))
-      .distinct() // collapse multi-band matches
+    val candidateIds = banded(queries, "_qid")
+      .join(banded(corpus, "_cid"), Seq("_band", "_bsig"))
+      .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
+      .select(col("_qid"), col("_cid"))
+      .distinct() // collapse multi-band matches — narrow id pairs only
 
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
-    candidates
+    candidateIds
+      .join(corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv")), "_cid")
+      .join(queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")), "_qid")
       .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -217,7 +235,8 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbes: Int = 4, dim: Int = 64): DataFrame = {
+      nCells: Int = 16, nProbes: Int = 4, dim: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
     require(nProbes >= 1 && nProbes <= nCells, "need 1 <= nProbes <= nCells")
     val c = ivfAssign(corpus, vecCol, nCells, dim)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("ivf_cell").as("_cell"))
@@ -234,7 +253,7 @@ object Similarity {
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
     q.join(c, Seq("_cell"))
-      .filter(col("_qid") =!= col("_cid"))
+      .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
       .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
