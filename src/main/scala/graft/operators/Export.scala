@@ -65,15 +65,20 @@ object Export {
     // through, digit-string ids are probed (one early-out scan) so a
     // non-numeric string column raises instead of silently nulling every
     // id and returning an empty frame; other types are rejected outright
+    // INTEGRAL ids only: a fractional id (10.5) would be packed under its
+    // truncated identity and then fail the join-back; digit strings are
+    // probed (early-out scan) so a non-numeric string column raises
+    // instead of silently nulling every id
+    import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case org.apache.spark.sql.types.StringType =>
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case StringType =>
         val bad = df.filter(col(idCol).isNotNull && col(idCol).cast("long").isNull)
           .limit(1).count()
         require(bad == 0,
           s"packSequences: string id column $idCol contains non-numeric values")
       case other => throw new IllegalArgumentException(
-        s"packSequences needs a numeric (or digit-string) id column; $idCol is ${other.catalogString}")
+        s"packSequences needs an integral (or digit-string) id column; $idCol is ${other.catalogString}")
     }
     val spark = df.sparkSession
     import spark.implicits._
@@ -111,8 +116,12 @@ object Export {
           (id, seqId, need > maxTokens)
         }
       }
-      .toDF(idCol, "seq_id", "overflow")
-    df.join(packed, Seq(idCol))
+      .toDF("_pack_id", "seq_id", "overflow")
+    // join on the SAME cast the packing used: joining raw-vs-long would
+    // coerce digit strings through double ('7'/'007' mis-joins, ids past
+    // 2^53 lose precision)
+    df.join(packed, df(idCol).cast("long") === packed("_pack_id"))
+      .drop("_pack_id")
   }
 
   /** Weighted corpus mixture: sample each source at its weight and tag
