@@ -29,14 +29,35 @@ object Export {
 
   /** Write `nShards` shard directories (shard=K/...) with exactly one file
     * per shard, each internally ordered by the deterministic shuffle key —
-    * the stable fixed-shard layout training loaders expect.
+    * the stable fixed-shard layout training loaders expect. A manifest
+    * (`_manifest/`, JSON: shard → rows) is written alongside so loaders
+    * can verify integrity (a lost or truncated shard is detectable
+    * without scanning the corpus).
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
-      seed: Long = 0L): Unit =
-    withShard(df, idCol, nShards, seed)
+      seed: Long = 0L): Unit = {
+    val sharded = withShard(df, idCol, nShards, seed)
+    sharded
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol), lit(seed + 1)), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+    sharded.groupBy(col("shard")).agg(count(lit(1)).as("rows"))
+      .coalesce(1).write.mode("overwrite").json(s"$path/_manifest")
+  }
+
+  /** Read a [[writeShards]] manifest and compare against the shard
+    * directories actually present: returns the mismatches (missing or
+    * row-count-drifted shards) — empty ⇔ the export is intact.
+    */
+  def verifyShards(spark: SparkSession, path: String): DataFrame = {
+    val manifest = spark.read.json(s"$path/_manifest")
+      .select(col("shard").cast("int").as("shard"), col("rows").as("expected"))
+    val actual = spark.read.parquet(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("actual"))
+    manifest.join(actual, Seq("shard"), "full")
+      .filter(col("expected").isNull || col("actual").isNull ||
+        col("expected") =!= col("actual"))
+  }
 
   /** Greedy sequence packing: group documents into training sequences of
     * at most `maxTokens` tokens (the batch-construction step of an LLM

@@ -91,6 +91,14 @@ class ExportSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() == docs.count())
     assert(back.select("shard").distinct().count() == 4)
+    // intact export → empty mismatch report
+    assert(Export.verifyShards(spark, out).isEmpty)
+    // deleting a shard directory is detected
+    val shard0 = new java.io.File(s"$out/shard=0")
+    shard0.listFiles().foreach(_.delete()); shard0.delete()
+    val broken = Export.verifyShards(spark, out)
+    assert(!broken.isEmpty)
+    assert(broken.select("shard").as[Int].collect().contains(0))
   }
 
   test("mixCorpora: provenance tags, fractions respected, deterministic") {
