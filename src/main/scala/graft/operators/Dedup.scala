@@ -527,7 +527,10 @@ object Dedup {
     val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"))
     graft.functions.CosineSimilarity.register(df.sparkSession)
+    // dropDuplicates: duplicate-id rows would re-expand the pairs the
+    // distinct collapsed (see Similarity.lshTopK's join-back note)
     val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+      .dropDuplicates("_vid")
     a.join(b, Seq("_band", "_bsig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

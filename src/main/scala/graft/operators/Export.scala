@@ -36,12 +36,16 @@ object Export {
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
       seed: Long = 0L): Unit = {
-    val sharded = withShard(df, idCol, nShards, seed)
-    sharded
+    withShard(df, idCol, nShards, seed)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol), lit(seed + 1)), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
-    sharded.groupBy(col("shard")).agg(count(lit(1)).as("rows"))
+    // manifest counts come from the files JUST WRITTEN, not from
+    // re-evaluating the input lineage: a second evaluation could disagree
+    // with the bytes on disk (nondeterministic upstream) and costs a full
+    // re-run of the pipeline either way
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
       .coalesce(1).write.mode("overwrite").json(s"$path/_manifest")
   }
 
@@ -50,10 +54,15 @@ object Export {
     * row-count-drifted shards) — empty ⇔ the export is intact.
     */
   def verifyShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
     val manifest = spark.read.json(s"$path/_manifest")
       .select(col("shard").cast("int").as("shard"), col("rows").as("expected"))
-    val actual = spark.read.parquet(path)
-      .groupBy(col("shard")).agg(count(lit(1)).as("actual"))
+    // total loss (every shard directory gone, manifest surviving) must
+    // REPORT, not crash the integrity check on schema inference
+    val actual = scala.util.Try(
+      spark.read.parquet(path)
+        .groupBy(col("shard")).agg(count(lit(1)).as("actual")))
+      .getOrElse(Seq.empty[(Int, Long)].toDF("shard", "actual"))
     manifest.join(actual, Seq("shard"), "full")
       .filter(col("expected").isNull || col("actual").isNull ||
         col("expected") =!= col("actual"))
@@ -87,19 +96,25 @@ object Export {
     // non-numeric string column raises instead of silently nulling every
     // id and returning an empty frame; other types are rejected outright
     // INTEGRAL ids only: a fractional id (10.5) would be packed under its
-    // truncated identity and then fail the join-back; digit strings are
-    // probed (early-out scan) so a non-numeric string column raises
-    // instead of silently nulling every id
+    // truncated identity and then fail the join-back. String ids must be
+    // CANONICAL decimal longs — round-tripping the cast rejects both
+    // non-numeric values and the aliasing forms Spark's truncating cast
+    // would otherwise admit ('007' and '7' collide on identity 7;
+    // '10.5' truncates to 10). Scale-0 decimals within long precision
+    // are integral and pass.
     import org.apache.spark.sql.types._
     df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => ()
       case StringType =>
-        val bad = df.filter(col(idCol).isNotNull && col(idCol).cast("long").isNull)
+        val bad = df.filter(col(idCol).isNotNull &&
+            (col(idCol).cast("long").isNull ||
+              col(idCol).cast("long").cast("string") =!= col(idCol)))
           .limit(1).count()
         require(bad == 0,
-          s"packSequences: string id column $idCol contains non-numeric values")
+          s"packSequences: string id column $idCol contains values that are not canonical decimal longs")
       case other => throw new IllegalArgumentException(
-        s"packSequences needs an integral (or digit-string) id column; $idCol is ${other.catalogString}")
+        s"packSequences needs an integral (or canonical digit-string) id column; $idCol is ${other.catalogString}")
     }
     val spark = df.sparkSession
     import spark.implicits._
@@ -156,6 +171,10 @@ object Export {
     * shared seed would fully correlate the draws of overlapping sources.
     * Here each row's fate is a pure function of (row content, seed,
     * source index): layout-independent, and independent across sources.
+    * The corollary: IDENTICAL rows share a fate (all-in or all-out), so
+    * realized fractions are only exact on distinct rows — mix AFTER
+    * dedup (this pipeline's order anyway), or give rows a distinguishing
+    * id column first.
     */
   def mixCorpora(
       spark: SparkSession,
@@ -166,7 +185,9 @@ object Export {
       "fractions must be in [0,1]")
     val denom = 1L << 20
     sources.zipWithIndex.map { case ((name, df, frac), i) =>
-      val u = pmod(xxhash64(lit(seed), lit(i), struct(df.columns.map(col): _*)),
+      val u = pmod(
+        xxhash64(lit(seed), lit(i),
+          struct(Relational.hashableCols(df): _*)),
         lit(denom))
       df.filter(u < lit((frac * denom).toLong))
         .withColumn("mix_source", lit(name))

@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Every column of `df` in a form xxhash64 accepts: map-bearing columns
+    * (rejected by Spark's hash functions at analysis time) route through
+    * to_json, which is deterministic for a given physical row (a task
+    * retry re-reads the same bytes, so the map's storage order — and
+    * therefore the hash — reproduces). Shared by [[saltedAggregate]] and
+    * [[Export.mixCorpora]].
+    */
+  private[operators] def hashableCols(df: DataFrame): Seq[Column] = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    df.schema.fields.toSeq.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+  }
+
   /** Bucketed band join: `left.x BETWEEN right.y - width AND right.y + width`.
     *
     * Spark plans a raw band condition as BroadcastNestedLoopJoin — O(|L|·|R|)
@@ -50,21 +69,9 @@ object Relational {
     // fully identical rows share a bucket, which is safe (just less
     // spread) because aggregation is insensitive to which bucket merges
     // them.
-    // xxhash64 rejects MapType inputs (at analysis time) — route any
-    // map-bearing column through to_json, which is deterministic for a
-    // given physical row (a task retry re-reads the same bytes, so the
-    // map's storage order — and therefore the salt — reproduces).
-    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-      case _ => false
-    }
-    val hashIn = df.schema.fields.map { f =>
-      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
-    }
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(hashIn.toSeq: _*), lit(0x5a17)), lit(saltBuckets)))
+      pmod(xxhash64(struct(Relational.hashableCols(df): _*), lit(0x5a17)),
+        lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partial.head, partial.tail: _*)

@@ -158,9 +158,15 @@ object Similarity {
 
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
+    // dropDuplicates on the join-back sides: a duplicate-id corpus row
+    // would re-expand the id-level candidate pairs the distinct just
+    // collapsed (the same neighbor at two ranks, squeezing real ones out
+    // of top-k)
     candidateIds
-      .join(corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv")), "_cid")
-      .join(queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv")), "_qid")
+      .join(corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+        .dropDuplicates("_cid"), "_cid")
+      .join(queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+        .dropDuplicates("_qid"), "_qid")
       .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -238,10 +244,12 @@ object Similarity {
       nCells: Int = 16, nProbes: Int = 4, dim: Int = 64,
       excludeSelf: Boolean = true): DataFrame = {
     require(nProbes >= 1 && nProbes <= nCells, "need 1 <= nProbes <= nCells")
-    val c = ivfAssign(corpus, vecCol, nCells, dim)
+    // null-vector rows excluded on both sides — same policy as
+    // bruteForceTopK and the LSH path, preserving full-probe ≡ brute force
+    val c = ivfAssign(corpus.filter(col(vecCol).isNotNull), vecCol, nCells, dim)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("ivf_cell").as("_cell"))
     // top-nProbes cells per query: sort struct(score, cell) desc, take heads
-    val q = queries
+    val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
         cellScores(col(vecCol), nCells, dim).as("_scored"))
       .select(col("_qid"), col("_qv"),
