@@ -543,6 +543,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Embedding-space decontamination: drop every `corpus` row whose
+    * vector has cosine ≥ `threshold` with ANY `reference` vector — the
+    * semantic-similarity variant of [[minhashDecontaminate]] (paraphrased
+    * benchmark leakage that n-gram matching misses). Banded
+    * random-hyperplane signatures bucket corpus × reference as narrow
+    * id pairs; exact native cosine verifies.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, vecCol: String,
+      bands: Int = 8, planesPerBand: Int = 8,
+      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    graft.functions.BandSignatures.register(corpus.sparkSession)
+    graft.functions.CosineSimilarity.register(corpus.sparkSession)
+    def banded(df: DataFrame, id: String): DataFrame = df
+      .select(col(idCol).as(id),
+        posexplode(graft.functions.BandSignatures.bandSigs(
+          col(vecCol), bands, planesPerBand, dim)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
+    val cVec = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
+      .dropDuplicates("_id")
+    val rVec = reference.select(col(idCol).as("_rid"), col(vecCol).as("_rv"))
+      .dropDuplicates("_rid")
+    val dirty = banded(corpus, "_id")
+      .join(banded(reference, "_rid"), Seq("_band", "_bsig"))
+      .select(col("_id"), col("_rid"))
+      .distinct()
+      .join(cVec, "_id")
+      .join(rVec, "_rid")
+      .filter(graft.functions.CosineSimilarity.cosineSim(col("_cv"), col("_rv")) >= threshold)
+      .select(col("_id").as("_dirty"))
+    corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
+  }
+
   /** Embedding-cosine dedup, keep-smallest-id policy. */
   def embeddingDedup(
       df: DataFrame, idCol: String, vecCol: String,

@@ -128,6 +128,27 @@ class DedupSpec extends SparkSpec {
     assert(noop.count() == total)
   }
 
+  test("embedding decontamination drops semantic matches of the reference set") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // reference = 5 corpus vectors verbatim (ids shifted: decontamination
+    // must match on CONTENT, not id) + one vector unrelated to everything
+    import org.apache.spark.sql.functions.udf
+    val nudge = udf((v: Seq[Float]) => v.map(x => x * 1.0001f)) // same direction
+    val reference = emb.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 500000L)
+      .withColumn("embedding", nudge(col("embedding")))
+    val clean = Dedup.embeddingDecontaminate(emb, reference, "vec_id", "embedding",
+      threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    for (id <- 0L to 4L)
+      assert(!clean.contains(id), s"vec $id should have been decontaminated")
+    // bounded over-removal: only true cosine-0.99 matches go
+    assert(clean.size >= emb.count() - 25)
+    // empty reference removes nothing
+    assert(Dedup.embeddingDecontaminate(emb, emb.limit(0), "vec_id", "embedding")
+      .count() == emb.count())
+  }
+
   test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
     // regression for the scale defect found by DedupScaleBench: single-
     // stage bucket-min simhash kept 60k of 150k docs at 30x replication
