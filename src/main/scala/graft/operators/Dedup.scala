@@ -515,15 +515,11 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 8, planesPerBand: Int = 8,
       threshold: Double = 0.95, dim: Int = 64): DataFrame = {
-    graft.functions.BandSignatures.register(df.sparkSession)
     // band rows and the multi-band-collapse distinct carry ONLY ids —
     // vectors join back per verified-candidate side afterwards (same
     // narrow-shuffle rationale as Similarity.lshTopK)
-    val banded = df.select(
-      col(idCol).as("_id"),
-      posexplode(graft.functions.BandSignatures.bandSigs(
-        col(vecCol), bands, planesPerBand, dim)))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
+    val banded = Similarity.hyperplaneBandKeys(
+      df, idCol, vecCol, "_id", bands, planesPerBand, dim)
     val a = banded.select(col("_band"), col("_bsig"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_bsig"), col("_id").as("id_b"))
     graft.functions.CosineSimilarity.register(df.sparkSession)
@@ -555,25 +551,26 @@ object Dedup {
       idCol: String, vecCol: String,
       bands: Int = 8, planesPerBand: Int = 8,
       threshold: Double = 0.95, dim: Int = 64): DataFrame = {
-    graft.functions.BandSignatures.register(corpus.sparkSession)
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
-    def banded(df: DataFrame, id: String): DataFrame = df
-      .select(col(idCol).as(id),
-        posexplode(graft.functions.BandSignatures.bandSigs(
-          col(vecCol), bands, planesPerBand, dim)))
-      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
     val cVec = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
       .dropDuplicates("_id")
     val rVec = reference.select(col(idCol).as("_rid"), col(vecCol).as("_rv"))
       .dropDuplicates("_rid")
-    val dirty = banded(corpus, "_id")
-      .join(banded(reference, "_rid"), Seq("_band", "_bsig"))
+    // same eager-barrier discipline as [[minhashDecontaminate]]: the
+    // corpus subtree would otherwise be scanned and banded once per
+    // consumer of the lazy plan
+    val dirty = Similarity.hyperplaneBandKeys(
+        corpus, idCol, vecCol, "_id", bands, planesPerBand, dim)
+      .join(Similarity.hyperplaneBandKeys(
+        reference, idCol, vecCol, "_rid", bands, planesPerBand, dim),
+        Seq("_band", "_bsig"))
       .select(col("_id"), col("_rid"))
       .distinct()
       .join(cVec, "_id")
       .join(rVec, "_rid")
       .filter(graft.functions.CosineSimilarity.cosineSim(col("_cv"), col("_rv")) >= threshold)
       .select(col("_id").as("_dirty"))
+      .localCheckpoint(true)
     corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
   }
 

@@ -125,6 +125,26 @@ object Similarity {
         lit(1L << p)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
 
+  /** One row per (id, band) with the hyperplane band signature — THE
+    * single definition of embedding band bucketing (narrow: ids only,
+    * never vectors; see the shuffle note in [[lshTopK]]). Shared by
+    * [[lshTopK]], [[Dedup.embeddingNearDupPairs]] and
+    * [[Dedup.embeddingDecontaminate]] — bucketing must be identical
+    * across operators or their results drift.
+    */
+  private[operators] def hyperplaneBandKeys(
+      df: DataFrame, idCol: String, vecCol: String, idAlias: String,
+      bands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    graft.functions.BandSignatures.register(df.sparkSession)
+    // two-step select: the banding expression must not reference a column
+    // aliased in the same projection (lateral column alias)
+    df.select(col(idCol).as(idAlias), col(vecCol).as("_v"))
+      .select(col(idAlias),
+        posexplode(graft.functions.BandSignatures.bandSigs(
+          col("_v"), bands, planesPerBand, dim)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -133,22 +153,14 @@ object Similarity {
 
     // corpus banding is the hot path: one fused native pass computes all
     // band signatures (vs bands × planesPerBand HOF array walks per row);
-    // parity with the composable bandSignature is pinned in SimilaritySpec
-    graft.functions.BandSignatures.register(corpus.sparkSession)
-
-    // band frames carry ONLY (id, band, key): the band join and the
+    // parity with the composable bandSignature is pinned in SimilaritySpec.
+    // Band frames carry ONLY (id, band, key): the band join and the
     // multi-band-collapse distinct then shuffle 16-byte pairs, not
     // embedding vectors (a 768-dim float vector is ~3 KB per candidate —
     // at corpus scale the vector-wide distinct would dominate the
     // shuffle). Vectors join back once per side, by id, after the dedup.
     def banded(df: DataFrame, id: String): DataFrame =
-      // two-step select: the banding expression must not reference a column
-      // aliased in the same projection (lateral column alias)
-      df.select(col(idCol).as(id), col(vecCol).as("_v"))
-        .select(col(id),
-          posexplode(graft.functions.BandSignatures.bandSigs(
-            col("_v"), bands, planesPerBand, dim)))
-        .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_bsig"))
+      hyperplaneBandKeys(df, idCol, vecCol, id, bands, planesPerBand, dim)
 
     val candidateIds = banded(queries, "_qid")
       .join(banded(corpus, "_cid"), Seq("_band", "_bsig"))

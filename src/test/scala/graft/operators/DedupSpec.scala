@@ -130,13 +130,18 @@ class DedupSpec extends SparkSpec {
 
   test("embedding decontamination drops semantic matches of the reference set") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    // reference = 5 corpus vectors verbatim (ids shifted: decontamination
-    // must match on CONTENT, not id) + one vector unrelated to everything
+    // reference = 5 corpus vectors (ids shifted: decontamination must
+    // match on CONTENT, not id; slightly nudged: near-match, not
+    // verbatim) + one genuinely unrelated vector as the negative control
     import org.apache.spark.sql.functions.udf
     val nudge = udf((v: Seq[Float]) => v.map(x => x * 1.0001f)) // same direction
+    val unrelated = Seq((999999L,
+      Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
     val reference = emb.filter(col("vec_id") < 5)
       .withColumn("vec_id", col("vec_id") + 500000L)
       .withColumn("embedding", nudge(col("embedding")))
+      .unionByName(unrelated, allowMissingColumns = true)
     val clean = Dedup.embeddingDecontaminate(emb, reference, "vec_id", "embedding",
       threshold = 0.99)
       .select("vec_id").as[Long].collect().toSet
