@@ -102,6 +102,13 @@ class RelationalSpec extends SparkSpec {
         .getOrCreate()
       val r = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
       assert(r.getDouble(0) == 1.0)
+      // all three native functions are SQL-reachable via the extension
+      val sigs = s2.sql(
+        "SELECT band_sigs(array(1.0D, -2.0D), 2, 4, 8) AS s").head.getSeq[Long](0)
+      assert(sigs.length == 2)
+      val lang = s2.sql(
+        "SELECT lang_id(array('the', 'and', 'of')) AS l").head.getString(0)
+      assert(lang == "en")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -98,6 +98,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("rq5 (reference workload): dimension joins broadcast over the music tables") {
+    val t = graft.music.MusicParquet.ensure(spark)
+    val p = graft.music.MusicQueries
+      .rq5MostRatedSongs(t("Rating"), t("Song"), t("Artist"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
