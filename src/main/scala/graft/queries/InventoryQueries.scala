@@ -28,13 +28,21 @@ object InventoryQueries {
 
   private val dec = DecimalType(18, 2)
 
-  /** Cross-engine result-type discipline (round-1 lesson, VERDICT.md §wrong):
-    * the driver's hash is TYPE-sensitive, so every aggregate / function
-    * column is pinned to an explicit type that both engines can declare
-    * identically — integer-valued columns to BIGINT (DuckDB sum(int) is
-    * HUGEINT, Spark length/year/ntile are INTEGER), decimal sums to
-    * DECIMAL(18,2) (DuckDB widens to (38,2), Spark to (28,2)). The paired
-    * oracle SQL carries the same explicit CASTs.
+  /** Cross-engine result-type discipline (round-1 + round-2 lessons):
+    * the driver's hash is TYPE- and REPRESENTATION-sensitive, so every
+    * aggregate / function column is pinned to an explicit type that both
+    * engines materialize identically — integer-valued columns to BIGINT
+    * (DuckDB sum(int) is HUGEINT, Spark length/year/ntile are INTEGER),
+    * and NO DECIMAL in any final output: the driver reads Spark parquet
+    * via pyarrow (decimal128 → exact `Decimal('637712.00')`) but the
+    * DuckDB oracle via `.df()` (DECIMAL → float64 → `637712.0`), so any
+    * decimal value ending in a zero digit string-hash-mismatches even
+    * when values and declared types are equal (round-2 failures q11/q14/
+    * q21d/q21e/q21g/q33). Discipline: do the arithmetic in DECIMAL for
+    * exact, order-independent sums, then CAST the final column to DOUBLE
+    * on BOTH sides — the exact-decimal→nearest-double conversion is
+    * deterministic and bit-identical across engines. The paired oracle
+    * SQL carries the same explicit CASTs.
     */
   private def asLong(c: Column): Column = c.cast(LongType)
 
@@ -164,7 +172,7 @@ object InventoryQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
         min(col("l_extendedprice")).as("min_p"),
         max(col("l_extendedprice")).as("max_p"),
         count(lit(1)).as("n"),
@@ -203,7 +211,7 @@ object InventoryQueries {
         lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
         sum(col("o_totalprice").cast(dec))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(dec).as("run_total"))
+          .cast(DoubleType).as("run_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -243,7 +251,7 @@ object InventoryQueries {
         abs(col("p_retailprice") - 1000.0).as("a"),
         floor(col("p_retailprice")).cast(LongType).as("f"),
         ceil(col("p_retailprice")).cast(LongType).as("c"),
-        round(col("p_retailprice").cast(dec), 1).as("r"))
+        round(col("p_retailprice").cast(dec), 1).cast(DoubleType).as("r"))
       .orderBy(col("p_partkey"))
 
   /** Q-19 (B13) date functions; date_trunc cast to DATE (§5.4 rule 4). */
@@ -297,8 +305,8 @@ object InventoryQueries {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sum(col("l_quantity").cast(dec)))
       .select(col("l_linestatus"),
-        col("A").cast(dec).as("A"), col("N").cast(dec).as("N"),
-        col("R").cast(dec).as("R"))
+        col("A").cast(DoubleType).as("A"), col("N").cast(DoubleType).as("N"),
+        col("R").cast(DoubleType).as("R"))
       .orderBy(col("l_linestatus"))
 
   /** Q-25 (B-ext) unpivot/melt: the inverse reshape, back to long form.
@@ -323,7 +331,7 @@ object InventoryQueries {
       .groupBy(col("o_orderpriority"))
       .agg(round(
         expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-          .cast(DecimalType(18, 4)), 2).cast(dec).as("med"))
+          .cast(DecimalType(18, 4)), 2).cast(DoubleType).as("med"))
       .orderBy(col("o_orderpriority"))
 
   /** Q-27 (B7/B8 ext) distribution windows: ntile, percent_rank,
@@ -338,9 +346,9 @@ object InventoryQueries {
         col("c_custkey"),
         asLong(ntile(4).over(w)).as("q"),
         round(percent_rank().over(w).cast(DecimalType(18, 6)), 6)
-          .cast(DecimalType(18, 6)).as("pr"),
+          .cast(DoubleType).as("pr"),
         round(cume_dist().over(w).cast(DecimalType(18, 6)), 6)
-          .cast(DecimalType(18, 6)).as("cd"))
+          .cast(DoubleType).as("cd"))
       .orderBy(col("c_custkey"))
   }
 
@@ -488,7 +496,7 @@ object InventoryQueries {
          WHERE p_size = 1 ORDER BY p_partkey, s_suppkey""",
     "q11_agg_suite" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
                 count(*) AS n, count(DISTINCT l_suppkey) AS n_supp
          FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -509,7 +517,7 @@ object InventoryQueries {
                 lag(o_orderkey) OVER w AS prev_ok,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                   (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, o_orderkey""",
@@ -530,7 +538,7 @@ object InventoryQueries {
       """SELECT p_partkey, abs(p_retailprice - 1000.0) AS a,
                 CAST(floor(p_retailprice) AS BIGINT) AS f,
                 CAST(ceil(p_retailprice) AS BIGINT) AS c,
-                round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r
+                CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r
          FROM part ORDER BY p_partkey""",
     "q19_date_fns" ->
       """SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
@@ -557,16 +565,16 @@ object InventoryQueries {
          ORDER BY k""",
     "q21d_pivot" ->
       """SELECT l_linestatus,
-                CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS A,
-                CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS N,
-                CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS R
+                CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+                CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+                CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q21e_unpivot" ->
       """SELECT l_linestatus, rf AS l_returnflag, sum_qty FROM (
            SELECT l_linestatus,
-                  CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qa,
-                  CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qn,
-                  CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qr
+                  CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qa,
+                  CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qn,
+                  CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qr
            FROM lineitem GROUP BY l_linestatus) p
          CROSS JOIN (VALUES ('A'), ('N'), ('R')) v(rf),
          LATERAL (SELECT CASE rf WHEN 'A' THEN qa WHEN 'N' THEN qn ELSE qr END AS sum_qty) s
@@ -574,12 +582,12 @@ object InventoryQueries {
          ORDER BY l_linestatus, rf""",
     "q21f_median" ->
       """SELECT o_orderpriority,
-                round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(18,4)), 2) AS med
+                CAST(round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(18,4)), 2) AS DOUBLE) AS med
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q21g_window_stats" ->
       """SELECT c_custkey, ntile(4) OVER w AS q,
-                round(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 6) AS pr,
-                round(CAST(cume_dist() OVER w AS DECIMAL(18,6)), 6) AS cd
+                CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,6)), 6) AS DOUBLE) AS pr,
+                CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,6)), 6) AS DOUBLE) AS cd
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
          ORDER BY c_custkey""",

@@ -125,7 +125,7 @@ object PipelineQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"),
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"),
         sum(get_json_object(col("props"), "$.k").cast("int")).as("sum_k"))
       .orderBy(col("event_type"))
 
@@ -221,7 +221,7 @@ object PipelineQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q33_events_stats" ->
       """SELECT event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q34_events_daily" ->
