@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
@@ -195,7 +196,18 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
     val lPlan = GraftPlanBridge.logicalPlan(leftDf)
-    val rPlan = GraftPlanBridge.logicalPlan(rightDf)
+    // Self-join safety: when both sides derive from the same base relation
+    // (as-of joining a table against a filtered view of itself), their
+    // attribute ids collide. DeduplicateRelations then re-ids the right
+    // child — but for a CUSTOM BinaryNode it cannot rewrite this node's
+    // key/ts/value expressions the way it does for built-in Join, leaving
+    // them referencing ids the executed child no longer produces
+    // ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]). Re-minting the right side's
+    // output ids up front via an alias projection (Alias always assigns a
+    // fresh exprId) makes the children disjoint so the rule never fires;
+    // the optimizer collapses the extra Project into the scan.
+    val rPlan = GraftPlanBridge.logicalPlan(
+      rightDf.select(rightDf.columns.map(c => col(c).as(c)).toIndexedSeq: _*))
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))

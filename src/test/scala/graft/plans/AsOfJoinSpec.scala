@@ -96,6 +96,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.forall(_._2.isDefined), got.mkString(", "))
   }
 
+  test("self-join: both sides derived from the SAME base relation") {
+    // regression: with shared attribute ids, DeduplicateRelations re-ids
+    // the right child of the custom BinaryNode without rewriting its
+    // key/ts/value expressions → [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] at
+    // bind time (first hit by q37: clicks/views both filtered off one
+    // cached events relation). The builder's alias re-mint prevents it.
+    val base = Seq(
+      ("a", ts(1), "view", 10.0), ("a", ts(3), "click", 0.0),
+      ("b", ts(2), "view", 20.0), ("b", ts(1), "click", 0.0))
+      .toDF("sym", "t", "kind", "v")
+    val clicks = base.filter(col("kind") === "click").select(col("sym"), col("t"))
+    val views = base.filter(col("kind") === "view")
+      .select(col("sym"), col("t"), col("v"))
+    val got = AsOfJoin.asOfJoin(clicks, views, "sym", "t", Seq("v"))
+      .collect().map(r => (r.getString(0), Option(r.get(2)))).toSet
+    assert(got == Set(("a", Some(10.0)), ("b", None)))
+  }
+
   test("native as-of join plans as AsOfJoinExec (custom physical operator)") {
     val df = AsOfJoin.asOfJoin(trades, quotes, "sym", "t", Seq("price"))
     // nodeName strips the Exec suffix in plan strings; AdaptiveSparkPlanExec
