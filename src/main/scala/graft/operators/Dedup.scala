@@ -232,10 +232,15 @@ object Dedup {
 
     val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
       .agg(min(col("_id")).as("_cand"))
+    // NO distinct on (id, cand): duplicates (same pair colliding in
+    // several bands) only re-verify a pair — harmless to the anti-join —
+    // and are bounded by `bands`; mostly TRUE near-dups (chance collisions
+    // rarely repeat across independent bands), a small minority after the
+    // stage-1 exact collapse. A distinct would spend a full extra shuffle
+    // barrier at every scale to save that bounded re-verification.
     val candidates = banded.join(bucketMin, Seq("_band", "_bkey"))
       .filter(col("_cand") < col("_id"))
       .select(col("_id"), col("_cand"))
-      .distinct() // ≤ bands candidates per rep
 
     val nearLosers = candidates
       .join(shingled.withColumnsRenamed(Map("_id" -> "_cand", "_sh" -> "_sh_c")), "_cand")
@@ -355,22 +360,27 @@ object Dedup {
     * the column form). Returns (_id, _sig long).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode_OUTER keeps one null-token row for empty/null-text docs, so
+    // every doc survives into the aggregate and the former left-join-back
+    // (a whole extra shuffle barrier) is unnecessary. The null token must
+    // hash to NULL explicitly — Spark's xxhash64 IGNORES null inputs and
+    // returns the seed (42), which would give empty docs a nonzero
+    // signature; a null _h makes every bit-test condition null → the
+    // otherwise(-1) branch → all-negative votes → signature 0, matching
+    // the column-form [[simhash]] exactly.
     val hashed = df.select(
       col(idCol).as("_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .select(col("_id"), xxhash64(col("_t")).as("_h"))
+      explode_outer(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .select(col("_id"),
+        when(col("_t").isNotNull, xxhash64(col("_t"))).as("_h"))
     val votes = (0 until 64).map(j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j"))
     val sig = (0 until 64)
       .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = hashed.groupBy(col("_id"))
+    hashed.groupBy(col("_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("_id"), sig.as("_sig"))
-    // restore empty-token docs with signature 0
-    df.select(col(idCol).as("_id"))
-      .join(sigs, Seq("_id"), "left")
-      .select(col("_id"), coalesce(col("_sig"), lit(0L)).as("_sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
@@ -451,10 +461,12 @@ object Dedup {
 
     val bucketMin = banded.groupBy(col("_chunk"), col("_ckey"))
       .agg(min(col("_id")).as("_cand"))
+    // no distinct on candidates — same rationale as [[minhashDedup]]:
+    // duplicate (id, cand) pairs only re-verify (bounded by chunks),
+    // while a distinct costs a full shuffle barrier at every scale
     val candidates = banded.join(bucketMin, Seq("_chunk", "_ckey"))
       .filter(col("_cand") < col("_id"))
       .select(col("_id"), col("_sig"), col("_cand"))
-      .distinct()
 
     // no distinct before the anti-join — duplicate loser ids are harmless
     // there and the dedup would cost a shuffle
