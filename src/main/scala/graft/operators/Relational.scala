@@ -162,4 +162,52 @@ object Relational {
       df.withColumn(s"asof_$c", when(inTol, col("_last_r").getField(c)))
     }.drop("_last_r")
   }
+
+  /** Bloom-prefiltered join: semi-join reduction for a big probe side
+    * joining a (relatively) small build side on `key`. A Bloom filter of
+    * the build keys broadcasts as a few MB of task closure; probe rows
+    * whose key cannot be in the build set are dropped BEFORE the shuffle,
+    * so the exchange carries only (true matches + fpp·non-matches) instead
+    * of the whole probe table — the classic semi-join-reduction / runtime-
+    * filter technique (Spark's own runtime row-group filtering applies
+    * only to scans it plans itself; this composes with any DataFrame).
+    *
+    * The follow-up join stays EXACT: Bloom false positives survive the
+    * prefilter and are eliminated by the real join, so results are
+    * identical to `probe.join(build, key, joinType)` for "inner" and
+    * "left_semi" (the only types offered — an outer/anti join must see
+    * non-matching probe rows, which the prefilter deliberately drops).
+    *
+    * `build.stat.bloomFilter` runs one partial+final aggregate job whose
+    * result (the sketch) returns to the driver — a bounded sketch like
+    * tfidf's count, not a data collect.
+    */
+  def bloomPrefilteredJoin(
+      probe: DataFrame, build: DataFrame, key: String,
+      joinType: String = "inner",
+      expectedBuildKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom prefilter preserves only inner/left_semi semantics, got $joinType")
+    val bloom = build.stat.bloomFilter(key, expectedBuildKeys, fpp)
+    // the probe predicate needs a concrete input type (UDFs are encoded by
+    // TypeTag); integral keys were inserted as longs by the bloom
+    // aggregate, so the widening cast matches insertion exactly. Null keys
+    // never join — dropping them at the prefilter is semantics-preserving
+    // for inner/semi.
+    import org.apache.spark.sql.types._
+    val pred: Column = probe.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val f = udf((v: java.lang.Long) => v != null && bloom.mightContainLong(v))
+        f(col(key).cast(LongType))
+      case StringType =>
+        val f = udf((v: String) => v != null && bloom.mightContainString(v))
+        f(col(key))
+      case BinaryType =>
+        val f = udf((v: Array[Byte]) => v != null && bloom.mightContainBinary(v))
+        f(col(key))
+      case other => throw new IllegalArgumentException(
+        s"bloom prefilter supports integral/string/binary keys, got $other")
+    }
+    probe.filter(pred).join(build, Seq(key), joinType)
+  }
 }

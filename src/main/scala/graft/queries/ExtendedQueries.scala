@@ -173,6 +173,61 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q44 — ordered conversion funnel view → click → purchase per user:
+    * first view, first click strictly after it, first purchase strictly
+    * after that, folded to the furthest stage reached and aggregated to
+    * stage counts. Each step is a partial+final min-aggregate plus a
+    * broadcast-size join on user_id (150 users here; at scale the per-user
+    * step frames stay one row per user — the fact table is never joined
+    * to itself row-by-row).
+    */
+  def q44Funnel(spark: SparkSession, dir: String): DataFrame = {
+    // first-36-hours slice: over the full 30 days every user completes
+    // the funnel (degenerate single-row result); the early window leaves
+    // users spread across all four stages
+    val ev = Tables.loadEvents(spark, dir)
+      .filter(col("event_time") < lit("2024-01-02 12:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_type"), col("event_time"))
+    def firstAfter(etype: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+      ev.filter(col("event_type") === etype)
+        .join(prev, Seq("user_id"))
+        .filter(col("event_time") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("event_time")).as(outCol))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("event_time")).as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    val users = ev.select(col("user_id")).distinct()
+    users
+      .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        asLong(coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).as("stage"))
+      .groupBy(col("stage")).agg(asLong(count(lit(1))).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** q45 — weekly retention cohorts: users cohorted by the ISO week of
+    * their first signup; distinct active users per (cohort week, week
+    * offset). Two shuffles total (cohort min-agg + the distinct-count
+    * agg); the cohort frame joins broadcast-size.
+    */
+  def q45Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("event_time"))).cast("date").as("cohort_wk"))
+    ev.select(col("user_id"), date_trunc("week", col("event_time")).cast("date").as("wk"))
+      .join(cohort, Seq("user_id"))
+      .filter(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"),
+        asLong(datediff(col("wk"), col("cohort_wk")) / 7).as("wk_offset"))
+      .agg(asLong(count_distinct(col("user_id"))).as("active"))
+      .orderBy(col("cohort_wk"), col("wk_offset"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q38_array_fns"     -> (q38ArrayFns _),
@@ -181,6 +236,8 @@ object ExtendedQueries {
     "q41_ivf_topk"      -> (q41IvfTopK _),
     "q42_stats_corr"    -> (q42StatsCorr _),
     "q43_sample_hash"   -> (q43SampleHash _),
+    "q44_funnel"        -> (q44Funnel _),
+    "q45_retention"     -> (q45Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +300,37 @@ object ExtendedQueries {
                     THEN substr(md5(text), 1, 2) <= '7f'
                     ELSE substr(md5(text), 1, 2) <= '1f' END
          ORDER BY doc_id""",
+    "q44_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events
+                     WHERE ts < TIMESTAMP '2024-01-02 12:00:00'),
+              v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+                    WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM ev e
+                    JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+                    WHERE e.event_type = 'click' GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM ev e
+                    JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+                    WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+              u AS (SELECT DISTINCT user_id FROM ev)
+         SELECT stage, count(*) AS n_users FROM (
+           SELECT u.user_id,
+                  CAST((CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+           FROM u
+           LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id) t
+         GROUP BY stage ORDER BY stage""",
+    "q45_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_wk
+           FROM events WHERE event_type = 'signup' GROUP BY user_id)
+         SELECT c.cohort_wk,
+                CAST(date_diff('day', c.cohort_wk, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS wk_offset,
+                count(DISTINCT e.user_id) AS active
+         FROM events e JOIN cohort c ON e.user_id = c.user_id
+         WHERE CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort_wk
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

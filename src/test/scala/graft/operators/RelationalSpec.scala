@@ -25,6 +25,50 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bloomPrefilteredJoin is exact for inner and left_semi, and actually prunes") {
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val custs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_acctbal") > 9000) // small build side
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").as[Long].collect().sorted.toSeq
+
+    val plainInner = key(orders.join(custs,
+      orders("o_custkey") === custs("c_custkey"), "inner")
+      .select(orders("o_orderkey")))
+    // long-key path (o_custkey is BIGINT)
+    val bloomInner = key(Relational.bloomPrefilteredJoin(
+      orders.withColumnRenamed("o_custkey", "c_custkey"), custs, "c_custkey",
+      "inner", expectedBuildKeys = 1000))
+    assert(bloomInner == plainInner)
+
+    val plainSemi = key(orders.withColumnRenamed("o_custkey", "c_custkey")
+      .join(custs.select("c_custkey"), Seq("c_custkey"), "left_semi"))
+    val bloomSemi = key(Relational.bloomPrefilteredJoin(
+      orders.withColumnRenamed("o_custkey", "c_custkey"),
+      custs.select("c_custkey"), "c_custkey", "left_semi",
+      expectedBuildKeys = 1000))
+    assert(bloomSemi == plainSemi)
+
+    // string-key path
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val someSrc = docs.select("source").distinct().limit(3)
+    val plainStr = Relational.bloomPrefilteredJoin(docs, someSrc, "source", "left_semi",
+      expectedBuildKeys = 10).count()
+    assert(plainStr ==
+      docs.join(someSrc, Seq("source"), "left_semi").count())
+
+    // the prefilter must DROP rows pre-join (the whole point): with a
+    // tiny build set the surviving probe fraction ≈ matches + 1% fpp
+    val pruned = orders.withColumnRenamed("o_custkey", "c_custkey")
+    val bloom = custs.select("c_custkey").stat.bloomFilter("c_custkey", 1000, 0.01)
+    val kept = pruned.filter(udf((v: java.lang.Long) => v != null &&
+      bloom.mightContainLong(v)).apply(col("c_custkey"))).count()
+    assert(kept < orders.count(), s"prefilter kept all $kept rows")
+
+    intercept[IllegalArgumentException](
+      Relational.bloomPrefilteredJoin(orders, custs, "o_custkey", "left_anti"))
+  }
+
   test("saltedCount equals plain groupBy count") {
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val plain = li.groupBy("l_returnflag").count()
