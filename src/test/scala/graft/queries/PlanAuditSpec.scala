@@ -107,6 +107,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q40: GROUPING SETS plans as ONE Expand + partial+final aggregate (no union of scans)") {
+    val df = ExtendedQueries.all("q40_grouping_sets")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the naive alternative — one scan per grouping set unioned — would
+    // show multiple parquet scans
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q37: native as-of join plans as the custom AsOfJoin operator, with sorted children") {
+    val df = ExtendedQueries.all("q37_asof_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q42: power-sum statistics compute in ONE aggregate pass (no per-stat scans)") {
+    val df = ExtendedQueries.all("q42_stats_corr")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+  }
+
+  test("q43: content-hash sample is a pure scan+filter — no shuffle at any scale") {
+    val df = ExtendedQueries.all("q43_sample_hash")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q44/q45: behavioral analytics plans stay cross-join-free") {
+    for (name <- Seq("q44_funnel", "q45_retention")) {
+      val p = ExtendedQueries.all(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: $p")
+    }
+  }
+
+  test("bloomPrefilteredJoin: the probe-side filter sits BELOW the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val orders = graft.core.Tables.load(spark, dir, "orders")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val custs = graft.core.Tables.load(spark, dir, "customer")
+    val lp = graft.operators.Relational
+      .bloomPrefilteredJoin(orders, custs, "c_custkey", "inner", 1000)
+      .queryExecution.optimizedPlan
+    val filterUnderJoin = lp.collect { case j: Join => j }.exists { j =>
+      j.children.exists(_.collectFirst { case f: Filter => f }.isDefined)
+    }
+    assert(filterUnderJoin, lp.toString)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
