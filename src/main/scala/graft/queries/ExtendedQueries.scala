@@ -228,6 +228,61 @@ object ExtendedQueries {
       .orderBy(col("cohort_wk"), col("wk_offset"))
   }
 
+  /** q46 — multiset set-ops (EXCEPT ALL / INTERSECT ALL, B10 extension):
+    * bag semantics preserve duplicate multiplicity, which DISTINCT-based
+    * set ops destroy. Both branches tagged and unioned into one result.
+    */
+  def q46ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    a.exceptAll(b).withColumn("op", lit("e"))
+      .unionByName(a.intersectAll(b).withColumn("op", lit("i")))
+      .select(col("op"), col("o_custkey"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** q47 — RANGE window frame (value-based, not row-based): 30-day
+    * trailing spend per customer. The frame is over a numeric
+    * days-since-epoch key, so rows with equal dates share a frame —
+    * semantics rows-frames cannot express. DECIMAL window sum → DOUBLE.
+    */
+  def q47RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1992-01-01")))
+      .rangeBetween(-30, 0)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast(DoubleType).as("r30"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q48 — discrete quantiles (percentile_disc WITHIN GROUP): returns
+    * actual data values (no interpolation), so cross-engine results are
+    * exact doubles with zero float-arithmetic drift.
+    */
+  def q48Quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("q50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("q75"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q49 — ordered string aggregation: the deterministic form
+    * (sorted distinct values joined) — an unordered collect would be
+    * partition-order-dependent and unhashable cross-engine.
+    */
+  def q49StringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        asLong(count_distinct(col("source"))).as("n_src"))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q38_array_fns"     -> (q38ArrayFns _),
@@ -238,6 +293,10 @@ object ExtendedQueries {
     "q43_sample_hash"   -> (q43SampleHash _),
     "q44_funnel"        -> (q44Funnel _),
     "q45_retention"     -> (q45Retention _),
+    "q46_except_all"    -> (q46ExceptAll _),
+    "q47_range_frame"   -> (q47RangeFrame _),
+    "q48_quantiles"     -> (q48Quantiles _),
+    "q49_string_agg"    -> (q49StringAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +391,30 @@ object ExtendedQueries {
          FROM events e JOIN cohort c ON e.user_id = c.user_id
          WHERE CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort_wk
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q46_except_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+              b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         SELECT 'e' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+         UNION ALL
+         SELECT 'i' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+         ORDER BY op, o_custkey""",
+    "q47_range_frame" ->
+      """SELECT o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS r30
+         FROM orders ORDER BY o_orderkey""",
+    "q48_quantiles" ->
+      """SELECT o_orderstatus,
+                quantile_disc(o_totalprice, 0.25) AS q25,
+                quantile_disc(o_totalprice, 0.5)  AS q50,
+                quantile_disc(o_totalprice, 0.75) AS q75
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q49_string_agg" ->
+      """SELECT lang,
+                string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+                count(DISTINCT source) AS n_src
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

@@ -87,4 +87,15 @@ object Sources {
   /** JSONL sink. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC source — the other columnar format Spark ships natively (schema
+    * from file metadata like parquet; predicate pushdown + column pruning
+    * apply the same way). Snappy by default.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

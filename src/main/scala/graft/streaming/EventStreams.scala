@@ -116,6 +116,26 @@ object EventStreams {
     df.withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Dedup-at-ingest for document streams: drop any document whose
+    * CONTENT signature (64-bit SimHash over the token stream — identical
+    * for verbatim and near-verbatim re-crawls that tokenize identically)
+    * was already seen within the watermark horizon. This is the streaming
+    * face of the batch two-stage dedup's exact-collapse stage
+    * ([[graft.operators.Dedup.simhashDedup]] stage 1): signature equality
+    * needs no verification join, so it composes with Spark's bounded
+    * dropDuplicatesWithinWatermark state — per-key state is one signature
+    * long, evicted at the watermark, and the signature computation itself
+    * is a stateless per-row projection (streaming-safe, no shuffle beyond
+    * the dedup's own keyed exchange).
+    */
+  def dedupContentWithinWatermark(
+      df: DataFrame, textCol: String, timeCol: String = "event_time",
+      lateness: String = "10 minutes"): DataFrame =
+    df.withColumn("_content_sig", graft.operators.Dedup.simhash(col(textCol)))
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark("_content_sig")
+      .drop("_content_sig")
+
   /** Parquet sink with checkpointing — the durable end of the
     * readStream → transform → writeStream pipeline (B20). Append mode;
     * state (watermarks, dedup sets, window aggs) recovers from the

@@ -85,6 +85,23 @@ class SourcesSpec extends SparkSpec {
       docs.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("ORC round-trip: schema and values exact, embeddings array intact") {
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(40)
+    val dir = tmp("orc-emb")
+    Sources.writeOrc(emb, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema == emb.schema, back.schema.treeString)
+    assert(back.count() == 40)
+    // array<float> column survives bit-exactly
+    val a = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val b = back.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(a == b)
+    // pushdown applies to ORC scans like parquet
+    val p = back.filter($"vec_id" === 7L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") || p.contains("pushedFilters"), p)
+  }
+
   test("malformed rows are quarantined, not fatal and not silently dropped") {
     val dir = tmp("bad-jsonl")
     // one good line, one broken line

@@ -123,6 +123,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids == List(1L, 2L, 5L))
   }
 
+  test("B24-ext: content-signature dedup at ingest drops re-crawled documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val df = EventStreams.withEventTime(
+      mem.toDF.toDF("event_id", "ts", "text"))
+    val q = EventStreams.dedupContentWithinWatermark(df, "text")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode(OutputMode.Append).start()
+    val doc = "the quick brown fox jumps over the lazy dog"
+    val other = "a completely different document about spark streaming state"
+    Seq(
+      Seq((1L, minuteNanos(1), doc), (2L, minuteNanos(2), doc)), // same-batch re-crawl
+      Seq((3L, minuteNanos(3), doc), (4L, minuteNanos(4), other)) // cross-batch re-crawl
+    ).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val ids = spark.table("content_dedup").select("event_id").as[Long].collect().toList.sorted
+    // 2 and 3 carry the same content signature as 1 → dropped; the helper
+    // must also not leak its internal _content_sig column
+    assert(ids == List(1L, 4L))
+    assert(!spark.table("content_dedup").columns.contains("_content_sig"))
+  }
+
   test("B24: mapGroupsWithState running per-user stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
