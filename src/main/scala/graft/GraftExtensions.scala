@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandSignatures, CosineSimilarity, LanguageId}
+import graft.functions.{BandSignatures, CosineSimilarity, LanguageId, SimHash64}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build, so both the Column API and SQL text can use
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(LanguageId.name),
       new ExpressionInfo(classOf[LanguageId].getName, LanguageId.name),
       (exprs: Seq[Expression]) => LanguageId.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(SimHash64.name),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHash64.name),
+      (exprs: Seq[Expression]) => SimHash64.build(exprs)))
   }
 }

@@ -130,11 +130,18 @@ object EventStreams {
     */
   def dedupContentWithinWatermark(
       df: DataFrame, textCol: String, timeCol: String = "event_time",
-      lateness: String = "10 minutes"): DataFrame =
-    df.withColumn("_content_sig", graft.operators.Dedup.simhash(col(textCol)))
+      lateness: String = "10 minutes"): DataFrame = {
+    // native fused signature (one int[64] per row) — the HOF fold
+    // allocates two arrays per token per row; bit parity pinned in
+    // SimHash64Spec so batch and streaming dedup agree on signatures
+    graft.functions.SimHash64.register(df.sparkSession)
+    df.withColumn("_content_sig",
+        graft.functions.SimHash64.simhash64(
+          graft.operators.TextAnalysis.tokens(col(textCol))))
       .withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark("_content_sig")
       .drop("_content_sig")
+  }
 
   /** Parquet sink with checkpointing — the durable end of the
     * readStream → transform → writeStream pipeline (B20). Append mode;
