@@ -163,6 +163,28 @@ object Relational {
     }.drop("_last_r")
   }
 
+  /** Gap-fill a per-key daily series: emit one row for EVERY day in each
+    * key's [min(day), max(day)] span, with `fill` expressions supplying
+    * values for the manufactured rows (e.g. zero counts). Shape: the
+    * span aggregate is partial+final; densification is a per-key
+    * `sequence` + explode (array length = span days — bounded by
+    * calendar time, not data volume); the join back to observed rows is
+    * an equi-join on (key, day). No windows, no driver materialization.
+    */
+  def gapFillDaily(
+      df: DataFrame, keys: Seq[String], dayCol: String,
+      fill: Map[String, Column]): DataFrame = {
+    val keyCols = keys.map(col)
+    val spans = df.groupBy(keyCols: _*)
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+    val dense = spans.select(
+      keyCols :+ explode(sequence(col("_d0"), col("_d1"))).as(dayCol): _*)
+    val joined = dense.join(df, keys :+ dayCol, "left")
+    fill.foldLeft(joined) { case (acc, (c, default)) =>
+      acc.withColumn(c, coalesce(col(c), default))
+    }
+  }
+
   /** Bloom-prefiltered join: semi-join reduction for a big probe side
     * joining a (relatively) small build side on `key`. A Bloom filter of
     * the build keys broadcasts as a few MB of task closure; probe rows

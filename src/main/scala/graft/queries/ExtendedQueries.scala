@@ -283,6 +283,21 @@ object ExtendedQueries {
         asLong(count_distinct(col("source"))).as("n_src"))
       .orderBy(col("lang"))
 
+  /** q50 — daily gap-fill per user ([[graft.operators.Relational
+    * .gapFillDaily]]): every day in each user's activity span appears,
+    * zero-filled where no events landed — the densification every
+    * time-series rollup needs before window math.
+    */
+  def q50GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .groupBy(col("user_id"), col("event_time").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Relational
+      .gapFillDaily(daily, Seq("user_id"), "day", Map("n" -> lit(0L)))
+      .select(col("user_id"), col("day"), asLong(col("n")).as("n"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q38_array_fns"     -> (q38ArrayFns _),
@@ -297,6 +312,7 @@ object ExtendedQueries {
     "q47_range_frame"   -> (q47RangeFrame _),
     "q48_quantiles"     -> (q48Quantiles _),
     "q49_string_agg"    -> (q49StringAgg _),
+    "q50_gap_fill"      -> (q50GapFill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +432,18 @@ object ExtendedQueries {
                 string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
                 count(DISTINCT source) AS n_src
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q50_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         dense AS (
+           SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM spans)
+         SELECT d.user_id, d.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+         FROM dense d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day
+         ORDER BY d.user_id, d.day""",
   )
 }

@@ -69,6 +69,20 @@ class RelationalSpec extends SparkSpec {
       Relational.bloomPrefilteredJoin(orders, custs, "o_custkey", "left_anti"))
   }
 
+  test("gapFillDaily fills missing days with the default, spans are per-key") {
+    val d = java.sql.Date.valueOf(_: String)
+    val daily = Seq(
+      (1L, d("2024-01-01"), 5L), (1L, d("2024-01-03"), 2L), // gap on the 2nd
+      (2L, d("2024-02-10"), 7L))                            // single-day span
+      .toDF("user_id", "day", "n")
+    val got = Relational.gapFillDaily(daily, Seq("user_id"), "day", Map("n" -> lit(0L)))
+      .select("user_id", "day", "n")
+      .as[(Long, java.sql.Date, Long)].collect().toSet
+    assert(got == Set(
+      (1L, d("2024-01-01"), 5L), (1L, d("2024-01-02"), 0L), (1L, d("2024-01-03"), 2L),
+      (2L, d("2024-02-10"), 7L)))
+  }
+
   test("saltedCount equals plain groupBy count") {
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val plain = li.groupBy("l_returnflag").count()
