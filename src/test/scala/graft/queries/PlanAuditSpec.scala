@@ -162,6 +162,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterUnderJoin, lp.toString)
   }
 
+  test("q50: gap-fill densification joins on (key, day) — no cross join, no window") {
+    val p = ExtendedQueries.all("q50_gap_fill")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
