@@ -176,6 +176,23 @@ object Export {
     * dedup (this pipeline's order anyway), or give rows a distinguishing
     * id column first.
     */
+  /** Write a bucketed + sorted catalog table: rows hash-clustered into
+    * `buckets` files per partition on `keys` and sorted within each. Two
+    * tables bucketed the same way join WITHOUT a shuffle (the planner
+    * reuses the on-disk clustering — verified by ExportSpec's
+    * exchange-free join plan), and point lookups prune to one bucket.
+    * This is the persistent-layout face of repartition(): pay the
+    * cluster-by once at write, skip it on every subsequent join/agg over
+    * the key — at 100 TB the dominant join cost is exactly that shuffle.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   def mixCorpora(
       spark: SparkSession,
       sources: Seq[(String, DataFrame, Double)], // (name, data, fraction)

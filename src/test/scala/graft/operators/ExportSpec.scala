@@ -101,6 +101,34 @@ class ExportSpec extends SparkSpec {
     assert(broken.select("shard").as[Int].collect().contains(0))
   }
 
+  test("writeBucketed: co-bucketed tables join with NO exchange on either side") {
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val custs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    Export.writeBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_bkt", Seq("o_custkey"), buckets = 4)
+    Export.writeBucketed(custs.select("c_custkey", "c_name"),
+      "cust_bkt", Seq("c_custkey"), buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the bucketing (not a broadcast)
+      // is what eliminates the exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("cust_bkt"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the same result as the plain join
+      assert(joined.count() ==
+        orders.join(custs, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS cust_bkt")
+    }
+  }
+
   test("mixCorpora: provenance tags, fractions respected, deterministic") {
     val en = docs.filter(col("lang") === "en")
     val de = docs.filter(col("lang") === "de")
