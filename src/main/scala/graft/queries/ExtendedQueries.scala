@@ -53,6 +53,24 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q37b — bounded-tolerance as-of join: same native operator, 30-minute
+    * match horizon. DuckDB's ASOF JOIN has no tolerance clause; the oracle
+    * post-filters the unbounded latest-prior match (equivalent: the as-of
+    * candidate is unique, so bounding it after the fact equals bounding it
+    * during the merge).
+    */
+  def q37bAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("event_time"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_time"), col("value"))
+    AsOfJoin.asOfJoin(clicks, views, "user_id", "event_time", Seq("value"),
+        toleranceMs = 30L * 60 * 1000)
+      .select(col("event_id"), col("asof_value").as("v"))
+      .orderBy(col("event_id"))
+  }
+
   /** q38 — array / higher-order function suite over the embedding column:
     * length, element access, array max, sequential-fold sum, filtered
     * count. Element casts to DOUBLE are exact (float32 ⊂ float64) and the
@@ -283,6 +301,27 @@ object ExtendedQueries {
         asLong(count_distinct(col("source"))).as("n_src"))
       .orderBy(col("lang"))
 
+  /** q51 — null-handling semantics: NULLIF-manufactured nullable keys
+    * joined NULL-SAFELY (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM — null
+    * keys MATCH null keys, unlike ordinary equi-joins which drop them),
+    * plus COALESCE and null-aware counting. The null-safe condition still
+    * plans as a hash join (EqualNullSafe is a valid equi-key), not a
+    * nested loop.
+    */
+  def q51NullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      // '1-URGENT' priority becomes a NULL key on both sides
+      .select(col("o_orderkey"), col("o_totalprice"),
+        nullif(substring(col("o_orderpriority"), 1, 1), lit("1")).as("pk"))
+    // explicit aliases: agg derives from o, so bare o("pk")/agg("pk")
+    // trip Spark's ambiguous-self-join detection
+    val agg = o.groupBy(col("pk")).agg(count(lit(1)).as("n_orders"))
+    o.as("l").join(agg.as("r"), col("l.pk") <=> col("r.pk"))
+      .groupBy(coalesce(col("l.pk"), lit("URGENT")).as("bucket"), col("r.n_orders"))
+      .agg(asLong(count(lit(1))).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
   /** q50 — daily gap-fill per user ([[graft.operators.Relational
     * .gapFillDaily]]): every day in each user's activity span appears,
     * zero-filled where no events landed — the densification every
@@ -300,6 +339,7 @@ object ExtendedQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
+    "q37b_asof_tol"     -> (q37bAsofTolerance _),
     "q38_array_fns"     -> (q38ArrayFns _),
     "q39_regex"         -> (q39Regex _),
     "q40_grouping_sets" -> (q40GroupingSets _),
@@ -313,9 +353,27 @@ object ExtendedQueries {
     "q48_quantiles"     -> (q48Quantiles _),
     "q49_string_agg"    -> (q49StringAgg _),
     "q50_gap_fill"      -> (q50GapFill _),
+    "q51_null_safe"     -> (q51NullSafe _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q37b_asof_tol" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+              views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+         SELECT c.event_id,
+                CASE WHEN c.ts - v.ts <= INTERVAL 30 MINUTE THEN v.value END AS v
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.event_id""",
+    "q51_null_safe" ->
+      """WITH o AS (SELECT o_orderkey,
+                           nullif(substr(o_orderpriority, 1, 1), '1') AS pk
+                    FROM orders),
+              agg AS (SELECT pk, count(*) AS n_orders FROM o GROUP BY pk)
+         SELECT coalesce(o.pk, 'URGENT') AS bucket, agg.n_orders,
+                count(*) AS n_rows
+         FROM o JOIN agg ON o.pk IS NOT DISTINCT FROM agg.pk
+         GROUP BY 1, 2 ORDER BY bucket""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
