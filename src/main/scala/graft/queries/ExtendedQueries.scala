@@ -337,6 +337,40 @@ object ExtendedQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** q52/q53 — correlated-subquery surface, run as the IDENTICAL SQL
+    * text on both engines (the queries registry form passes it through
+    * `spark.sql`; the oracle passes it to DuckDB verbatim):
+    *  - q52: LATERAL join (top-2-per-group as a correlated FROM-clause
+    *    subquery with ORDER BY + LIMIT) — exercises Catalyst's
+    *    DecorrelateInnerQuery/RewriteLateralSubquery path, planned as a
+    *    partitioned window underneath, never a per-row re-execution;
+    *  - q53: correlated SCALAR aggregate subqueries (two per row),
+    *    decorrelated to one aggregate + join. The predicate compares
+    *    exact DECIMALs (sum×count form instead of avg), so the row set
+    *    is bit-deterministic cross-engine where a double `avg()`
+    *    threshold could flip boundary rows.
+    */
+  private val q52Sql =
+    """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS bal
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, bal DESC, t.c_name"""
+
+  private val q53Sql =
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders o1
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+            > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+      ORDER BY o_orderkey"""
+
+  private def sqlOn(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -354,6 +388,8 @@ object ExtendedQueries {
     "q49_string_agg"    -> (q49StringAgg _),
     "q50_gap_fill"      -> (q50GapFill _),
     "q51_null_safe"     -> (q51NullSafe _),
+    "q52_lateral"       -> (sqlOn(q52Sql) _),
+    "q53_corr_scalar"   -> (sqlOn(q53Sql) _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +410,8 @@ object ExtendedQueries {
                 count(*) AS n_rows
          FROM o JOIN agg ON o.pk IS NOT DISTINCT FROM agg.pk
          GROUP BY 1, 2 ORDER BY bucket""",
+    "q52_lateral" -> q52Sql,
+    "q53_corr_scalar" -> q53Sql,
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

@@ -176,6 +176,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q52/q53: correlated subqueries decorrelate — no per-row re-execution shapes") {
+    // LATERAL + LIMIT becomes a partitioned window + equi-join; correlated
+    // scalar aggregates become one aggregate + join. Neither may plan as a
+    // cartesian/nested-loop per-row loop.
+    for (name <- Seq("q52_lateral", "q53_corr_scalar")) {
+      val p = ExtendedQueries.all(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+    val p52 = ExtendedQueries.all("q52_lateral")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p52.contains("Window"), p52)
+  }
+
   test("whole-stage codegen covers the hot paths (final AQE plan)") {
     val df = InventoryQueries.all("q11_agg_suite")(spark, dir)
     df.collect() // finalize the adaptive plan
