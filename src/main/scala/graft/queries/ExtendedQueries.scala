@@ -149,11 +149,20 @@ object ExtendedQueries {
     * values are 5-digit with 2 decimals, far inside double's 53 bits.)
     */
   def q42StatsCorr(spark: SparkSession, dir: String): DataFrame = {
+    // tight input precisions keep every product under DECIMAL(18,_):
+    // x*x=(9,4), y*y=(17,4), x*y=(13,4) all fit Spark's compact-long
+    // Decimal representation — DECIMAL(18,2) inputs would make products
+    // (37,4) and push the whole aggregation onto java.math.BigDecimal
+    // (~2-3x slower). Value bounds are data-model constants, not
+    // SF-dependent: l_quantity <= 50 (4,2); l_extendedprice = qty x
+    // part price <= ~110k (8,2). The declared precision doesn't reach
+    // the output (exact value -> DOUBLE is identical either way), so
+    // the DuckDB oracle can keep its generic (18,2) casts.
     val li = t(spark, dir, "lineitem")
       .select(
         col("l_returnflag"),
-        col("l_quantity").cast(dec).as("x"),
-        col("l_extendedprice").cast(dec).as("y"))
+        col("l_quantity").cast(DecimalType(4, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(8, 2)).as("y"))
     val g = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).cast(DoubleType).as("sx"),
