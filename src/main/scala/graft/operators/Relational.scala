@@ -185,6 +185,39 @@ object Relational {
     }
   }
 
+  /** Linear interpolation of missing values in a per-key ordered series
+    * (the companion to [[gapFillDaily]]: densify first, then fill the
+    * manufactured nulls from the neighbors). For each null `vCol` row,
+    * finds the nearest non-null value before and after (two
+    * ignoreNulls window passes carrying (t, v) structs — one shuffle on
+    * the key, no self-joins) and fills
+    * `prev + (next − prev) · (t − tPrev)/(tNext − tPrev)`. Edge rows
+    * with no neighbor on one side stay null. `tCol` must be numeric
+    * (cast dates to day numbers upstream).
+    */
+  def interpolateLinear(
+      df: DataFrame, keys: Seq[String], tCol: String, vCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val known = when(col(vCol).isNotNull,
+      struct(col(tCol).as("_t"), col(vCol).as("_v")))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tCol))
+    val prev = last(known, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val next = first(known, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    // the fraction divides DOUBLE casts explicitly: an integer tCol would
+    // otherwise integer-divide, and the oracle mirror depends on the
+    // exact same float expression tree on both engines
+    val frac = (col(tCol) - col("_p._t")).cast("double") /
+      (col("_n._t") - col("_p._t")).cast("double")
+    df.withColumn("_p", prev).withColumn("_n", next)
+      .withColumn(vCol,
+        when(col(vCol).isNotNull, col(vCol))
+          .when(col("_p").isNotNull && col("_n").isNotNull,
+            col("_p._v") + (col("_n._v") - col("_p._v")) * frac))
+      .drop("_p", "_n")
+  }
+
   /** Bloom-prefiltered join: semi-join reduction for a big probe side
     * joining a (relatively) small build side on `key`. A Bloom filter of
     * the build keys broadcasts as a few MB of task closure; probe rows

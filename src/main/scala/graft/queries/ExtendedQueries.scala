@@ -346,6 +346,29 @@ object ExtendedQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** q54 — gap-fill + linear interpolation: per-user daily spend
+    * densified over each user's span ([[graft.operators.Relational
+    * .gapFillDaily]] with NO fill default, so manufactured days carry
+    * null) and the nulls linearly interpolated from the nearest observed
+    * days ([[graft.operators.Relational.interpolateLinear]]). Daily
+    * totals are exact-DECIMAL sums cast to DOUBLE; the interpolation
+    * fraction is the identical double expression tree on both engines.
+    * Users are restricted to id < 30 to keep the oracle join light.
+    */
+  def q54Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.loadEvents(spark, dir)
+      .filter(col("user_id") < 30)
+      .groupBy(col("user_id"), col("event_time").cast("date").as("day"))
+      .agg(sum(col("value").cast(dec)).cast(DoubleType).as("v"))
+    val dense = graft.operators.Relational
+      .gapFillDaily(daily, Seq("user_id"), "day", Map.empty)
+      .withColumn("t", datediff(col("day"), lit("2024-01-01")))
+    graft.operators.Relational
+      .interpolateLinear(dense, Seq("user_id"), "t", "v")
+      .select(col("user_id"), col("day"), col("v"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** q52/q53 — correlated-subquery surface, run as the IDENTICAL SQL
     * text on both engines (the queries registry form passes it through
     * `spark.sql`; the oracle passes it to DuckDB verbatim):
@@ -399,6 +422,7 @@ object ExtendedQueries {
     "q51_null_safe"     -> (q51NullSafe _),
     "q52_lateral"       -> (sqlOn(q52Sql) _),
     "q53_corr_scalar"   -> (sqlOn(q53Sql) _),
+    "q54_interpolate"   -> (q54Interpolate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,6 +443,36 @@ object ExtendedQueries {
                 count(*) AS n_rows
          FROM o JOIN agg ON o.pk IS NOT DISTINCT FROM agg.pk
          GROUP BY 1, 2 ORDER BY bucket""",
+    "q54_interpolate" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events WHERE user_id < 30 GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         dense AS (
+           SELECT s.user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                       CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM spans s),
+         filled AS (
+           SELECT d.user_id, d.day, daily.v,
+                  date_diff('day', DATE '2024-01-01', d.day) AS t
+           FROM dense d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day),
+         win AS (
+           SELECT user_id, day, v, t,
+                  last_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := t, v := v) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+                  first_value(CASE WHEN v IS NOT NULL THEN struct_pack(t := t, v := v) END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+           FROM filled)
+         SELECT user_id, day,
+                CASE WHEN v IS NOT NULL THEN v
+                     WHEN p IS NOT NULL AND n IS NOT NULL
+                     THEN p.v + (n.v - p.v) * (CAST(t - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE))
+                END AS v
+         FROM win ORDER BY user_id, day""",
     "q52_lateral" -> q52Sql,
     "q53_corr_scalar" -> q53Sql,
     "q37_asof_join" ->

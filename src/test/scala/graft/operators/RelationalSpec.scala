@@ -83,6 +83,25 @@ class RelationalSpec extends SparkSpec {
       (2L, d("2024-02-10"), 7L)))
   }
 
+  test("interpolateLinear: proportional fill between neighbors, edges stay null") {
+    val df = Seq(
+      (1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 3L, None), (1L, 4L, Some(40.0)),
+      (1L, 5L, None),                     // trailing edge: no next
+      (2L, 0L, None), (2L, 1L, Some(7.0)) // leading edge: no prev
+    ).toDF("k", "t", "v")
+    val got = Relational.interpolateLinear(df, Seq("k"), "t", "v")
+      .select("k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, 0L, Some(10.0)),
+      (1L, 1L, Some(10.0 + 30.0 * (1.0 / 4.0))), // 17.5
+      (1L, 3L, Some(10.0 + 30.0 * (3.0 / 4.0))), // 32.5
+      (1L, 4L, Some(40.0)),
+      (1L, 5L, None),
+      (2L, 0L, None),
+      (2L, 1L, Some(7.0))))
+  }
+
   test("saltedCount equals plain groupBy count") {
     val li = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val plain = li.groupBy("l_returnflag").count()
