@@ -398,6 +398,19 @@ object ExtendedQueries {
             > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
       ORDER BY o_orderkey"""
 
+  /** q55 — aggregate FILTER clause + try_cast + explicit NULLS ordering,
+    * identical SQL text on both engines: FILTER is the standard-SQL form
+    * of conditional aggregation (one pass, no CASE nesting), try_cast
+    * returns null instead of raising on malformed input (ANSI-mode-safe
+    * ingest), and the CASE-wrapped max exercises null-skipping aggregates.
+    */
+  private val q55Sql =
+    """SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       count(*) FILTER (WHERE try_cast(substr(o_orderpriority, 1, 1) AS INTEGER) <= 2) AS n_pri,
+       CAST(max(CASE WHEN o_totalprice > 200000 THEN o_orderdate END) AS DATE) AS last_big
+     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST"""
+
   private def sqlOn(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(sql)
@@ -423,6 +436,7 @@ object ExtendedQueries {
     "q52_lateral"       -> (sqlOn(q52Sql) _),
     "q53_corr_scalar"   -> (sqlOn(q53Sql) _),
     "q54_interpolate"   -> (q54Interpolate _),
+    "q55_filter_clause" -> (sqlOn(q55Sql) _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +489,7 @@ object ExtendedQueries {
          FROM win ORDER BY user_id, day""",
     "q52_lateral" -> q52Sql,
     "q53_corr_scalar" -> q53Sql,
+    "q55_filter_clause" -> q55Sql,
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
