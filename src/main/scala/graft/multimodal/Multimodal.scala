@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * carried as opaque `binary` columns with typed metadata structs, processed
   * by per-partition batch operators.
   *
-  * The decode/resize/frame-sample kernels are STUBS — deterministic fakes
-  * clearly marked below, because no image/audio codec libraries exist in
-  * this container. Everything around them is real and tested: the schema
-  * contract, the `mapPartitions` batch shape (one codec init per partition,
-  * not per row), the partition-preserving plumbing, and the hand-off of
-  * extracted features into the ANN operators ([[graft.operators.Similarity]]).
-  * Swapping a stub for a real codec changes only the function body.
+  * The IMAGE path is REAL: the JDK ships PNG/BMP/GIF/JPEG readers in
+  * `java.desktop` (javax.imageio, headless-safe), so [[decodeImagesIO]],
+  * [[imageAHash]], [[imageGridFeatures]] and [[imageDedupByAHash]] decode
+  * actual pixels with no external codec libraries. The audio/video kernels
+  * remain STUBS — deterministic fakes clearly marked below, because those
+  * formats genuinely need codec libraries absent from this container.
+  * Everything around them is real and tested: the schema contract, the
+  * `mapPartitions` batch shape (one codec init per partition, not per
+  * row), the partition-preserving plumbing, and the hand-off of extracted
+  * features into the ANN operators ([[graft.operators.Similarity]]).
   */
 object Multimodal {
 
@@ -142,6 +145,154 @@ object Multimodal {
         VideoFrame(m.media_id, i, m.content.slice(start, math.min(start + 256, m.content.length)))
       }
     }
+  }
+
+  // ------------------------------------------------- real image codec path
+
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Deterministic synthetic PNG corpus: real, decodable PNG payloads
+    * (patterned from a per-image seed). `dupEvery` makes image i a pixel-
+    * identical duplicate of image i−1 when i % dupEvery == 0 — planted
+    * clusters for the image-dedup tests. Generated distributed.
+    */
+  def syntheticImages(spark: SparkSession, n: Int, size: Int = 32,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val rnd = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(
+        size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) { img.setRGB(x, y, rnd.nextInt() & 0xffffff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Media(id, "image", bos.toByteArray,
+        MediaMeta("png", Some(size), Some(size), None, None))
+    }
+  }
+
+  /** REAL image decode via the JDK's ImageIO readers: payload bytes →
+    * packed RGB (3 bytes/pixel, row-major). Rows no reader accepts are
+    * dropped rather than failing the job — at corpus scale undecodable
+    * blobs are data, not errors. mapPartitions keeps the one-reader-
+    * spin-up-per-partition batch shape.
+    */
+  def decodeImagesIO(media: Dataset[Media]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "image") None
+        else decodeBuffered(m.content).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Byte](w * h * 3)
+          var i = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(i) = ((rgb >> 16) & 0xff).toByte
+              px(i + 1) = ((rgb >> 8) & 0xff).toByte
+              px(i + 2) = (rgb & 0xff).toByte
+              i += 3; x += 1
+            }
+            y += 1
+          }
+          DecodedImage(m.media_id, w, h, 3, px)
+        }
+      }
+    }
+  }
+
+  private def decodeBuffered(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** g×g mean-luma grid of a decoded image (box-averaged, integer cell
+    * assignment — deterministic, no interpolation variance). The shared
+    * kernel under [[imageAHash]] and [[imageGridFeatures]].
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val gy = y * g / h
+      var x = 0
+      while (x < w) {
+        val gx = x * g / w
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = gy * g + gx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(g * g)(i => if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+  }
+
+  /** 64-bit perceptual average-hash: 8×8 mean-luma grid, bit i set iff
+    * cell i is brighter than the grid mean. Pixel-identical images hash
+    * identically; small perturbations move few bits — so Hamming distance
+    * is a near-duplicate metric, exactly the contract
+    * [[graft.operators.Dedup.signatureLosers]] needs. Undecodable rows
+    * are dropped.
+    */
+  def imageAHash(media: Dataset[Media]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "image") None
+        else decodeBuffered(m.content).map { img =>
+          val grid = lumaGrid(img, 8)
+          val mean = grid.sum / grid.length
+          var bits = 0L; var i = 0
+          while (i < 64) { if (grid(i) > mean) bits |= (1L << i); i += 1 }
+          ImageHash(m.media_id, bits)
+        }
+      }
+    }
+  }
+
+  /** Real image embedding: unit-normalized g×g mean-luma grid (the
+    * classic pre-neural perceptual feature) — feeds the ANN operators
+    * like any other embedding column.
+    */
+  def imageGridFeatures(media: Dataset[Media], grid: Int = 8): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "image") None
+        else decodeBuffered(m.content).map { img =>
+          val g = lumaGrid(img, grid).map(_.toFloat)
+          val n = math.sqrt(g.map(x => x.toDouble * x).sum).toFloat
+          MediaFeature(m.media_id, "image", if (n > 0) g.map(_ / n) else g)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate IMAGE dedup, keep-smallest-id: decode → average-hash →
+    * [[graft.operators.Dedup.signatureLosers]] (exact-hash collapse +
+    * pigeonhole-chunk Hamming ≤ maxDist) → anti-join. The whole pipeline
+    * runs on real pixels; undecodable rows are never losers (they carry
+    * no signature) and survive.
+    */
+  def imageDedupByAHash(media: Dataset[Media], maxDist: Int = 3): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs = imageAHash(media).toDF()
+      .select(col("media_id").as("_id"), col("ahash").as("_sig"))
+    val losers = graft.operators.Dedup.signatureLosers(sigs, maxDist)
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
   }
 
   /** Deterministic (kind, id-bucket) partitioner: partition =

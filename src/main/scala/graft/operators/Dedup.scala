@@ -437,10 +437,25 @@ object Dedup {
     * fingerprint) AND guarantees replica recall regardless of crowding.
     */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val losers = signatureLosers(simhashSignatures(df, idCol, textCol), maxDist)
+    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+  }
+
+  /** The signature-space core of [[simhashDedup]], reusable for ANY 64-bit
+    * content signature (text SimHash here; image average-hash in
+    * [[graft.multimodal.Multimodal.imageDedupByAHash]]): given (_id, _sig)
+    * rows, return the `_loser` ids to drop under keep-smallest-id with
+    * Hamming distance ≤ `maxDist` — exact-signature collapse first, then
+    * pigeonhole-chunk near-dup among distinct-signature representatives
+    * (same staging rationale as the scaladoc above). The input subtree is
+    * persisted for the duration of the call and the loser set is
+    * materialized behind a localCheckpoint barrier.
+    */
+  def signatureLosers(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     // same persist-and-barrier discipline as [[minhashDedup]]
-    val withSig = simhashSignatures(df, idCol, textCol)
+    val withSig = sigs.select(col("_id"), col("_sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val repOf = withSig.groupBy(col("_sig")).agg(min(col("_id")).as("_rep"))
@@ -475,10 +490,8 @@ object Dedup {
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
       .select(col("_id").as("_loser"))
 
-    val losers =
-      try exactLosers.union(nearLosers).localCheckpoint(true)
-      finally { withSig.unpersist(false); banded.unpersist(false) }
-    df.join(losers, df(idCol) === losers("_loser"), "left_anti")
+    try exactLosers.union(nearLosers).localCheckpoint(true)
+    finally { withSig.unpersist(false); banded.unpersist(false) }
   }
 
   // -------------------------------------------------- n-gram Jaccard join

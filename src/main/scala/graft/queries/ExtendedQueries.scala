@@ -416,6 +416,20 @@ object ExtendedQueries {
     spark.sql(sql)
   }
 
+  /** q56 — REAL-codec image near-dup dedup end-to-end: decodable synthetic
+    * PNGs (planted pixel-identical duplicates every 10th id) → JDK ImageIO
+    * decode → 8×8 average-hash → signature dedup (exact-hash collapse +
+    * pigeonhole Hamming) → survivors. Fully deterministic (seeded pattern,
+    * deterministic decode and hash), driver-checked against a pinned
+    * fixture like q29/q30; semantics pinned in MultimodalSpec.
+    */
+  def q56ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticImages(spark, 300)
+    graft.multimodal.Multimodal.imageDedupByAHash(media, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -437,6 +451,7 @@ object ExtendedQueries {
     "q53_corr_scalar"   -> (sqlOn(q53Sql) _),
     "q54_interpolate"   -> (q54Interpolate _),
     "q55_filter_clause" -> (sqlOn(q55Sql) _),
+    "q56_image_dedup"   -> (q56ImageDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -490,6 +505,14 @@ object ExtendedQueries {
     "q52_lateral" -> q52Sql,
     "q53_corr_scalar" -> q53Sql,
     "q55_filter_clause" -> q55Sql,
+    // q56 — expected-survivor pin (same scheme as q29/q30: DuckDB cannot
+    // decode PNGs or reproduce the hash; semantics are pinned in
+    // MultimodalSpec, the fixture pins the exact survivor set across
+    // rounds through the driver's rows+schema+hash gate). Regenerate via
+    // tools/regen_fixtures.sh if the generator or hash changes.
+    "q56_image_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q56_image_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

@@ -9,6 +9,60 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   lazy val media = Multimodal.syntheticMedia(spark, 60, partitions = 4).cache()
+  lazy val pngs = Multimodal.syntheticImages(spark, 50, size = 32, dupEvery = 10).cache()
+
+  test("REAL codec: ImageIO decodes the synthetic PNGs to exact pixels") {
+    // hand-build one PNG with a known pixel and round-trip it through the
+    // distributed decode path
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 3, 0xFF8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val one = Seq(Multimodal.Media(7L, "image", bos.toByteArray,
+      Multimodal.MediaMeta("png", Some(8), Some(6), None, None))).toDS()
+    val d = Multimodal.decodeImagesIO(one).collect().head
+    assert(d.width == 8 && d.height == 6 && d.channels == 3)
+    val i = (3 * 8 + 2) * 3
+    assert((d.pixels(i) & 0xff) == 0xFF && (d.pixels(i + 1) & 0xff) == 0x80 &&
+      (d.pixels(i + 2) & 0xff) == 0x40)
+    // undecodable payloads are dropped, not fatal
+    val junk = Seq(Multimodal.Media(8L, "image", Array[Byte](1, 2, 3), null)).toDS()
+    assert(Multimodal.decodeImagesIO(junk).count() == 0)
+  }
+
+  test("REAL codec: average-hash — identical pixels identical hash, noise stays near") {
+    val hashes = Multimodal.imageAHash(pngs).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hashes.size == 50)
+    // planted duplicates (id % 10 == 0 duplicates id-1) hash identically
+    for (id <- Seq(10L, 20L, 30L, 40L))
+      assert(hashes(id) == hashes(id - 1), s"dup $id")
+    // distinct random patterns are far apart (expected Hamming ~32)
+    val d01 = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(d01 > 8, s"independent images too close: $d01")
+  }
+
+  test("REAL codec: image near-dup dedup drops planted duplicates, keeps min id") {
+    val out = Multimodal.imageDedupByAHash(pngs, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    for (id <- Seq(10L, 20L, 30L, 40L)) {
+      assert(!out.contains(id), s"duplicate $id survived")
+      assert(out.contains(id - 1), s"cluster representative ${id - 1} missing")
+    }
+    assert(out.size == 46) // 50 - 4 planted duplicates
+  }
+
+  test("REAL codec: grid features are unit-norm and feed ANN") {
+    val feats = Multimodal.imageGridFeatures(pngs, grid = 8).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val norms = feats.select(
+      sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x)).as("n"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    val knn = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 9L),
+      "vec_id", "embedding", 1)
+    // image 10 is a pixel-identical copy of image 9 → nearest neighbor
+    assert(knn.select("neighbor_id").as[Long].head() == 10L)
+  }
 
   test("synthetic corpus: schema contract and determinism") {
     val df = media.toDF()
