@@ -295,6 +295,150 @@ object Multimodal {
       .as[Media]
   }
 
+  // -------------------------------------------------- real audio codec path
+
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Int,
+      samples: Array[Float])
+  case class AudioHash(media_id: Long, fp: Long)
+
+  /** Deterministic synthetic PCM-WAV corpus: real, decodable WAV payloads
+    * (a seeded mixture of 1–3 sine tones, 16-bit mono). `dupEvery` plants
+    * sample-identical duplicates like [[syntheticImages]].
+    */
+  def syntheticWavs(spark: SparkSession, n: Int, sampleRate: Int = 8000,
+      durationMs: Int = 200, dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val rnd = new scala.util.Random(seed)
+      val nTones = 1 + rnd.nextInt(3)
+      val tones = Seq.fill(nTones)((220.0 + rnd.nextInt(1200), 0.2 + rnd.nextDouble() * 0.5))
+      val nSamp = sampleRate * durationMs / 1000
+      val pcm = new Array[Byte](nSamp * 2)
+      var i = 0
+      while (i < nSamp) {
+        val t = i.toDouble / sampleRate
+        val x = tones.map { case (f, a) => a * math.sin(2 * math.Pi * f * t) }.sum / nTones
+        val s = (x * 28000).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamp.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Media(id, "audio", bos.toByteArray,
+        MediaMeta("wav", None, None, Some(sampleRate), Some(durationMs.toLong)))
+    }
+  }
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/PCM readers
+    * ship with java.desktop): payload → float samples in [−1, 1].
+    * 16-bit little-endian mono PCM supported (the synthetic corpus shape);
+    * anything the reader rejects is dropped, not fatal.
+    */
+  def decodeAudioIO(media: Dataset[Media]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "audio") None
+        else decodePcm(m.content).map { case (rate, samples) =>
+          DecodedAudio(m.media_id, rate, samples.length, samples)
+        }
+      }
+    }
+  }
+
+  private def decodePcm(bytes: Array[Byte]): Option[(Int, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+      else {
+        val data = ais.readAllBytes()
+        val out = new Array[Float](data.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort / 32768.0f)
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-frame RMS energies over `nFrames` equal slices — the shared
+    * kernel under the fingerprint and the feature vector.
+    */
+  private def frameEnergies(samples: Array[Float], nFrames: Int): Array[Double] = {
+    val out = new Array[Double](nFrames)
+    if (samples.isEmpty) return out
+    var f = 0
+    while (f < nFrames) {
+      val lo = (f.toLong * samples.length / nFrames).toInt
+      val hi = ((f + 1).toLong * samples.length / nFrames).toInt
+      var s = 0.0; var i = lo
+      while (i < hi) { s += samples(i).toDouble * samples(i); i += 1 }
+      out(f) = if (hi > lo) math.sqrt(s / (hi - lo)) else 0.0
+      f += 1
+    }
+    out
+  }
+
+  /** 64-bit audio fingerprint: bit i = energy(frame i+1) > energy(frame i)
+    * over 65 frames (the classic energy-delta sign hash). Sample-identical
+    * clips fingerprint identically; small perturbations flip few bits —
+    * Hamming distance is the near-dup metric for
+    * [[graft.operators.Dedup.signatureLosers]], exactly like the image
+    * average-hash.
+    */
+  def audioFingerprint(media: Dataset[Media]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "audio") None
+        else decodePcm(m.content).map { case (_, samples) =>
+          val e = frameEnergies(samples, 65)
+          var bits = 0L; var i = 0
+          while (i < 64) { if (e(i + 1) > e(i)) bits |= (1L << i); i += 1 }
+          AudioHash(m.media_id, bits)
+        }
+      }
+    }
+  }
+
+  /** Real audio embedding: unit-normalized per-frame RMS energy profile
+    * (`dim` frames) — ANN-ready like the image luma grid.
+    */
+  def audioEnergyFeatures(media: Dataset[Media], dim: Int = 32): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        if (m.kind != "audio") None
+        else decodePcm(m.content).map { case (_, samples) =>
+          val e = frameEnergies(samples, dim).map(_.toFloat)
+          val n = math.sqrt(e.map(x => x.toDouble * x).sum).toFloat
+          MediaFeature(m.media_id, "audio", if (n > 0) e.map(_ / n) else e)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate AUDIO dedup, keep-smallest-id, on real decoded
+    * samples — same staging as [[imageDedupByAHash]].
+    */
+  def audioDedupByFingerprint(media: Dataset[Media], maxDist: Int = 3): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs = audioFingerprint(media).toDF()
+      .select(col("media_id").as("_id"), col("fp").as("_sig"))
+    val losers = graft.operators.Dedup.signatureLosers(sigs, maxDist)
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
   /** Deterministic (kind, id-bucket) partitioner: partition =
     * kindIndex * partitionsPerKind + media_id % partitionsPerKind, so every
     * partition holds exactly one modality — hash repartitioning can't

@@ -430,6 +430,18 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q57 — REAL-codec audio near-dup dedup end-to-end: decodable synthetic
+    * WAVs (planted sample-identical duplicates) → javax.sound PCM decode →
+    * 64-bit energy-delta fingerprint → signature dedup → survivors.
+    * Fixture-pinned like q56; semantics pinned in MultimodalSpec.
+    */
+  def q57AudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticWavs(spark, 300)
+    graft.multimodal.Multimodal.audioDedupByFingerprint(media, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -452,6 +464,7 @@ object ExtendedQueries {
     "q54_interpolate"   -> (q54Interpolate _),
     "q55_filter_clause" -> (sqlOn(q55Sql) _),
     "q56_image_dedup"   -> (q56ImageDedup _),
+    "q57_audio_dedup"   -> (q57AudioDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +525,9 @@ object ExtendedQueries {
     // tools/regen_fixtures.sh if the generator or hash changes.
     "q56_image_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q56_image_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q57_audio_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q57_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

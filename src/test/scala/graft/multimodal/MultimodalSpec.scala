@@ -51,6 +51,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.size == 46) // 50 - 4 planted duplicates
   }
 
+  lazy val wavs = Multimodal.syntheticWavs(spark, 50, dupEvery = 10).cache()
+
+  test("REAL codec: javax.sound decodes the synthetic WAVs sample-exactly") {
+    val d = Multimodal.decodeAudioIO(wavs.filter(_.media_id == 3L)).collect().head
+    assert(d.sample_rate == 8000 && d.n_samples == 1600)
+    // re-synthesize sample 100 from the id-3 seed and compare
+    val rnd = new scala.util.Random(3L)
+    val nTones = 1 + rnd.nextInt(3)
+    val tones = Seq.fill(nTones)((220.0 + rnd.nextInt(1200), 0.2 + rnd.nextDouble() * 0.5))
+    val t = 100.0 / 8000
+    val expected = ((tones.map { case (f, a) => a * math.sin(2 * math.Pi * f * t) }.sum / nTones)
+      * 28000).toShort / 32768.0f
+    assert(math.abs(d.samples(100) - expected) < 1e-6, s"${d.samples(100)} vs $expected")
+    // junk payloads are dropped, not fatal
+    val junk = Seq(Multimodal.Media(9L, "audio", Array[Byte](9, 9), null)).toDS()
+    assert(Multimodal.decodeAudioIO(junk).count() == 0)
+  }
+
+  test("REAL codec: audio fingerprint dedup drops planted duplicates") {
+    val fps = Multimodal.audioFingerprint(wavs).collect().map(h => h.media_id -> h.fp).toMap
+    for (id <- Seq(10L, 20L, 30L, 40L)) assert(fps(id) == fps(id - 1), s"dup $id")
+    val out = Multimodal.audioDedupByFingerprint(wavs, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    for (id <- Seq(10L, 20L, 30L, 40L)) assert(!out.contains(id) && out.contains(id - 1))
+    // energy features are unit-norm and ANN-compatible
+    val feats = Multimodal.audioEnergyFeatures(wavs).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val knn = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 19L),
+      "vec_id", "embedding", 1)
+    assert(knn.select("neighbor_id").as[Long].head() == 20L) // its planted twin
+  }
+
   test("REAL codec: grid features are unit-norm and feed ANN") {
     val feats = Multimodal.imageGridFeatures(pngs, grid = 8).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
