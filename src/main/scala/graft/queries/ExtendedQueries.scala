@@ -8,11 +8,13 @@ import graft.core.Tables
 import graft.operators.Similarity
 import graft.plans.AsOfJoin
 
-/** Round-3 coverage extensions (q37–q43): every entry is dual-engine
-  * (DuckDB oracle), following the cross-engine result-type discipline
-  * documented in [[InventoryQueries]] — integer-valued columns pinned to
-  * BIGINT, no DECIMAL in final outputs, double aggregation done in exact
-  * DECIMAL internally and cast to DOUBLE at the end on BOTH sides.
+/** Round-3 coverage extensions (q37–q57): dual-engine DuckDB-oracled
+  * entries except the two real-codec media queries (q56/q57, pinned by
+  * fixture — DuckDB cannot decode PNG/WAV), all following the
+  * cross-engine result-type discipline documented in
+  * [[InventoryQueries]] — integer-valued columns pinned to BIGINT, no
+  * DECIMAL in final outputs, double aggregation done in exact DECIMAL
+  * internally and cast to DOUBLE at the end on BOTH sides.
   *
   * Highlights:
   *  - q37 puts the custom as-of join SparkPlan ([[graft.plans.AsOfJoin]])
