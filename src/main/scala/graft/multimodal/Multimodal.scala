@@ -439,6 +439,105 @@ object Multimodal {
       .as[Media]
   }
 
+  // -------------------------------------------------- real video (GIF) path
+
+  /** Deterministic synthetic animated-GIF corpus: real multi-frame GIF
+    * payloads (seeded block patterns per frame) written with the JDK's
+    * ImageIO sequence writer. `dupEvery` plants frame-identical
+    * duplicates like the image/audio generators.
+    */
+  def syntheticGifs(spark: SparkSession, n: Int, size: Int = 16, frames: Int = 6,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val rnd = new scala.util.Random(seed)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // 4×4 black/white blocks: GIF is palette-quantized, so block
+        // patterns (not per-pixel noise) survive the encode bit-exactly
+        var by = 0
+        while (by < size) {
+          var bx = 0
+          while (bx < size) {
+            val c = if (rnd.nextBoolean()) 0xffffff else 0x000000
+            var y = by
+            while (y < math.min(by + 4, size)) {
+              var x = bx
+              while (x < math.min(bx + 4, size)) { img.setRGB(x, y, c); x += 1 }
+              y += 1
+            }
+            bx += 4
+          }
+          by += 4
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence(); ios.close(); w.dispose()
+      Media(id, "video", bos.toByteArray,
+        MediaMeta("gif", Some(size), Some(size), None, Some(frames * 100L)))
+    }
+  }
+
+  /** REAL frame sampling for GIF video payloads: the JDK's GIF reader
+    * exposes every frame; up to `maxFrames` evenly-spaced frames are
+    * extracted and re-encoded as PNG — so sampled frames feed directly
+    * into the real image path ([[decodeImagesIO]]/[[imageAHash]]).
+    * Non-GIF video containers (mp4/avi) still need external codecs —
+    * [[sampleFrames]] remains their declared stub. Unreadable payloads
+    * are dropped.
+    */
+  def sampleFramesIO(media: Dataset[Media], maxFrames: Int = 4): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.kind != "video") Nil
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Nil
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          val take = math.min(maxFrames, math.max(n, 1))
+          val out = (0 until take).map { i =>
+            val idx = if (take == 1) 0 else i * (n - 1) / (take - 1)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(idx), "png", bos)
+            VideoFrame(m.media_id, i, bos.toByteArray)
+          }
+          r.dispose()
+          out
+        }
+      } catch { case _: Exception => Nil }
+    }
+  }
+
+  /** Near-duplicate VIDEO dedup on real decoded content: average-hash the
+    * middle sampled frame of each GIF and run the shared signature dedup
+    * — frame-identical re-encodes collapse, keep-smallest-id.
+    */
+  def videoDedupByFrameHash(media: Dataset[Media], maxDist: Int = 3): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val midFrames = sampleFramesIO(media, maxFrames = 3)
+      .filter(_.frame_idx == 1)
+      .map(f => Media(f.media_id, "image", f.frame, null))
+    val sigs = imageAHash(midFrames).toDF()
+      .select(col("media_id").as("_id"), col("ahash").as("_sig"))
+    val losers = graft.operators.Dedup.signatureLosers(sigs, maxDist)
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
   /** Deterministic (kind, id-bucket) partitioner: partition =
     * kindIndex * partitionsPerKind + media_id % partitionsPerKind, so every
     * partition holds exactly one modality — hash repartitioning can't

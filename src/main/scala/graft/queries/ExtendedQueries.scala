@@ -444,6 +444,18 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q58 — REAL-codec video near-dup dedup: multi-frame GIFs (planted
+    * frame-identical duplicates) → JDK ImageIO frame extraction →
+    * middle-frame average-hash → signature dedup. Fixture-pinned like
+    * q56/q57; semantics pinned in MultimodalSpec.
+    */
+  def q58VideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.syntheticGifs(spark, 200)
+    graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -467,6 +479,7 @@ object ExtendedQueries {
     "q55_filter_clause" -> (sqlOn(q55Sql) _),
     "q56_image_dedup"   -> (q56ImageDedup _),
     "q57_audio_dedup"   -> (q57AudioDedup _),
+    "q58_video_dedup"   -> (q58VideoDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +543,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q57_audio_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q57_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q58_video_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q58_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -83,6 +83,25 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.select("neighbor_id").as[Long].head() == 20L) // its planted twin
   }
 
+  test("REAL codec: GIF frame sampling extracts decodable frames; video dedup works") {
+    val gifs = Multimodal.syntheticGifs(spark, 40, dupEvery = 10).cache()
+    val frames = Multimodal.sampleFramesIO(gifs, maxFrames = 3)
+    // every gif yields 3 frames, each a decodable PNG of the right size
+    assert(frames.count() == 120)
+    val asImages = frames.filter(_.frame_idx == 0)
+      .map(f => Multimodal.Media(f.media_id, "image", f.frame, null))
+    val decoded = Multimodal.decodeImagesIO(asImages)
+    assert(decoded.count() == 40)
+    assert(decoded.collect().forall(d => d.width == 16 && d.height == 16))
+    // planted frame-identical duplicates dedup away, min id kept
+    val out = Multimodal.videoDedupByFrameHash(gifs, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    for (id <- Seq(10L, 20L, 30L)) {
+      assert(!out.contains(id), s"duplicate video $id survived")
+      assert(out.contains(id - 1), s"representative ${id - 1} missing")
+    }
+  }
+
   test("REAL codec: grid features are unit-norm and feed ANN") {
     val feats = Multimodal.imageGridFeatures(pngs, grid = 8).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
