@@ -94,13 +94,25 @@ object Bench {
     // the odds that at least one pass lands on a quiet window
     val wall = Seq(wallPass(), wallPass(), wallPass()).min
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the whole line ~2 KB so it survives the
+    // driver's tail-window capture intact (r1-r3 all recorded
+    // "parsed": null — the full-precision line was cut mid-JSON)
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val seqSum = results.map(_._2).filter(_ >= 0).sum
     // metric stays "total" (the original contract key); value = total
     // wall-clock of the declared set (concurrent execution). The
     // sequential sum is preserved under "sum_queries".
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sum_queries":$seqSum,"mode":"concurrent","sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r4(wall)},"unit":"sec","queries":$qs,"sum_queries":${r4(seqSum)},"mode":"concurrent","sf":"$sfDir"}"""
+    // bare-file copy FIRST: the driver's stdout capture is tail-limited
+    // and sbt wraps program output in its own log stream, so the file is
+    // the one channel guaranteed to carry the full JSON
+    val out = new java.io.PrintWriter("/root/repo/bench_out.json")
+    try out.println(json) finally out.close()
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

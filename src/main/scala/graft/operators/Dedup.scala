@@ -19,8 +19,38 @@ import org.apache.spark.storage.StorageLevel
   * has a verified near-duplicate with a smaller id — deterministic, local,
   * and transitive-closure-free (no iterative connected components, which
   * would be the scalability bottleneck).
+  *
+  * Non-transitivity caveat: in a similarity chain A~B~C where A≁C, C is
+  * dropped because of B even though B itself is dropped because of A — the
+  * drop decision looks at the ORIGINAL corpus, not at survivors. That is
+  * the right semantics for crawl dedup (every member of a fuzzy cluster
+  * except its smallest id goes, whether or not the cluster is a clique),
+  * and it is deliberate: the alternative ("keep C because its only match
+  * was itself dropped") is a sequential greedy over ids, inherently
+  * iterative. [[iterateToFixpoint]] is the bounded opt-in for callers who
+  * at least want a pass-stable result; the chain behavior is pinned in
+  * DedupSpec.
   */
 object Dedup {
+
+  /** Inputs under this optimizer-estimated size skip the persist +
+    * localCheckpoint barriers inside the staged dedup operators. The
+    * barriers exist to stop Catalyst re-deriving the heavy shingle /
+    * signature subtrees once per consumer — the right trade when a
+    * re-derivation means re-scanning terabytes, but at small scale each
+    * barrier costs more (an extra job + ~2 stage boundaries of fixed
+    * scheduling latency) than the bounded 2-4× subtree re-computation it
+    * avoids. 256 MB ≈ the point where one corpus re-shingle pass clearly
+    * exceeds two stage floors on commodity executors.
+    */
+  private[operators] val barrierThresholdBytes: Long = 256L << 20
+
+  /** Optimizer size estimate — driver-side only, no job. Unknown sizes
+    * (e.g. opaque RDD-backed plans) report Long.MaxValue-ish defaults and
+    * land on the barrier path, the safe side.
+    */
+  private[operators] def isSmallInput(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes < barrierThresholdBytes
 
   // ---------------------------------------------------------------- exact
 
@@ -191,10 +221,20 @@ object Dedup {
     // gives an execution barrier that does NOT register in the plan cache
     // (so repeated calls re-run honestly); at cluster scale with executor
     // churn, swap it for a reliable `checkpoint` directory.
-    val shingled = df.select(
+    //
+    // Below [[barrierThresholdBytes]] the whole pipeline instead runs as
+    // ONE lazy job: the 2-4× subtree re-derivation is cheaper than the
+    // barrier's extra job + stage boundaries at that scale (the bounded
+    // re-computations: 2× shingling in the exact-key projection, 2× the
+    // signature/banding chain — never k×, because the signature lambda
+    // reads `_sh` as a join-output attribute, which CollapseProject
+    // cannot inline a definition into).
+    val small = isSmallInput(df)
+    val shingledBase = df.select(
       col(idCol).as("_id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shingled =
+      if (small) shingledBase else shingledBase.persist(StorageLevel.MEMORY_AND_DISK)
 
     // STAGE 1 — exact-duplicate collapse: identical shingle SETS (sorted
     // hashed shingles as the group key) keep only their smallest id. On
@@ -224,11 +264,12 @@ object Dedup {
     // Zero-shingle reps yield an all-null signature: they bucket only
     // with each other and verify at jaccard 0 — harmless.
     val reps = shingled.join(repOf.select(col("_rep").as("_id")), "_id")
-    val banded = minhashBandKeys(
+    val bandedBase = minhashBandKeys(
       reps.select(col("_id"),
         minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig")),
       bands, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded =
+      if (small) bandedBase else bandedBase.persist(StorageLevel.MEMORY_AND_DISK)
 
     val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
       .agg(min(col("_id")).as("_cand"))
@@ -253,8 +294,10 @@ object Dedup {
     // shuffle. try/finally: a failed materialization must not leave the
     // two heavy caches pinned in the block manager.
     val allLosers =
-      try exactLosers.union(nearLosers).localCheckpoint(true)
-      finally { shingled.unpersist(false); banded.unpersist(false) }
+      if (small) exactLosers.union(nearLosers)
+      else
+        try exactLosers.union(nearLosers).localCheckpoint(true)
+        finally { shingled.unpersist(false); banded.unpersist(false) }
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
 
@@ -293,8 +336,12 @@ object Dedup {
         minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig")),
       bands, rowsPerBand)
 
-    val cSh = shingle(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val rSh = shingle(reference).persist(StorageLevel.MEMORY_AND_DISK)
+    // same adaptive-barrier policy as [[minhashDedup]]
+    val small = isSmallInput(corpus) && isSmallInput(reference)
+    val (cSh, rSh) =
+      if (small) (shingle(corpus), shingle(reference))
+      else (shingle(corpus).persist(StorageLevel.MEMORY_AND_DISK),
+        shingle(reference).persist(StorageLevel.MEMORY_AND_DISK))
 
     val exactHits = keys(cSh)
       .join(keys(rSh).select(col("_ck1"), col("_ck2")), Seq("_ck1", "_ck2"), "left_semi")
@@ -312,9 +359,40 @@ object Dedup {
       .select(col("_id").as("_dirty"))
 
     val dirty =
-      try exactHits.union(nearHits).localCheckpoint(true)
-      finally { cSh.unpersist(false); rSh.unpersist(false) }
+      if (small) exactHits.union(nearHits)
+      else
+        try exactHits.union(nearHits).localCheckpoint(true)
+        finally { cSh.unpersist(false); rSh.unpersist(false) }
     corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
+  }
+
+  /** Iterate a row-dropping operator until its output stops shrinking —
+    * the opt-in transitive-chain companion to the single-pass dedups: one
+    * pass over A~B~C (A≁C) drops BOTH B and C (see the object scaladoc);
+    * re-running on the survivors {A, C} finds no pair, so the fixpoint of
+    * "drop only rows with a SURVIVING smaller near-dup" needs iteration.
+    * Each round costs a full `count()` action, so this is for final-stage
+    * cluster refinement at bounded size, not the 100 TB hot path — dedup
+    * passes only remove rows, so the iteration count is bounded by
+    * `maxRounds` and in practice converges in 2-3 rounds.
+    *
+    * NOTE: for keep-smallest-id operators this does NOT resurrect rows a
+    * previous round dropped (C stays dropped once removed) — it only
+    * guarantees the RESULT is a fixpoint of `op`, i.e. no further pass
+    * changes it.
+    */
+  def iterateToFixpoint(
+      df: DataFrame, op: DataFrame => DataFrame, maxRounds: Int = 5): DataFrame = {
+    var cur = df
+    var n = cur.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val next = op(cur)
+      val m = next.count()
+      if (m == n) return cur
+      cur = next; n = m; rounds += 1
+    }
+    cur
   }
 
   /** Exact Jaccard over two shingle arrays (treated as sets). */
@@ -437,7 +515,21 @@ object Dedup {
     * fingerprint) AND guarantees replica recall regardless of crowding.
     */
   def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val losers = signatureLosers(simhashSignatures(df, idCol, textCol), maxDist)
+    // signatures via the native codegen'd expression: one fused per-row
+    // loop, NO shuffle — vs [[simhashSignatures]]'s explode + 64-slot
+    // aggregate, which blows each doc up to one row per token and pays a full
+    // exchange before the first dedup stage even starts. Bit-for-bit
+    // equal for tokenizer output (SimHash64Spec pins parity with the HOF
+    // form; [[TextAnalysis.tokens]] never emits null elements). The
+    // coalesce maps null-text docs to signature 0, matching
+    // simhashSignatures' explode_outer handling of empty docs.
+    graft.functions.SimHash64.register(df.sparkSession)
+    val sigs = df.select(
+      col(idCol).as("_id"),
+      coalesce(
+        graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col(textCol))),
+        lit(0L)).as("_sig"))
+    val losers = signatureLosers(sigs, maxDist)
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
 
@@ -447,16 +539,23 @@ object Dedup {
     * rows, return the `_loser` ids to drop under keep-smallest-id with
     * Hamming distance ≤ `maxDist` — exact-signature collapse first, then
     * pigeonhole-chunk near-dup among distinct-signature representatives
-    * (same staging rationale as the scaladoc above). The input subtree is
-    * persisted for the duration of the call and the loser set is
-    * materialized behind a localCheckpoint barrier.
+    * (same staging rationale as the scaladoc above). Above
+    * [[barrierThresholdBytes]] the input subtree is persisted for the
+    * duration of the call and the loser set is materialized behind a
+    * localCheckpoint barrier; below it the whole pipeline stays lazy
+    * (one job, no barriers).
     */
   def signatureLosers(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    // same persist-and-barrier discipline as [[minhashDedup]]
-    val withSig = sigs.select(col("_id"), col("_sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same persist-and-barrier discipline as [[minhashDedup]], including
+    // the small-input bypass: below the threshold the loser set computes
+    // in the final job (bounded re-derivation of the signature subtree —
+    // 2×, one per direct consumer — instead of an extra job + barriers)
+    val small = isSmallInput(sigs)
+    val withSigBase = sigs.select(col("_id"), col("_sig"))
+    val withSig =
+      if (small) withSigBase else withSigBase.persist(StorageLevel.MEMORY_AND_DISK)
 
     val repOf = withSig.groupBy(col("_sig")).agg(min(col("_id")).as("_rep"))
     val exactLosers = withSig.join(repOf, "_sig")
@@ -464,7 +563,7 @@ object Dedup {
       .select(col("_id").as("_loser"))
 
     val reps = repOf.select(col("_rep").as("_id"), col("_sig"))
-    val banded = reps.select(
+    val bandedBase = reps.select(
       col("_id"), col("_sig"),
       posexplode(
         transform(
@@ -472,7 +571,8 @@ object Dedup {
           c => call_function("shiftrightunsigned", col("_sig"), c * width)
             .bitwiseAND(if (width >= 64) lit(-1L) else lit((1L << width) - 1)))))
       .withColumnsRenamed(Map("pos" -> "_chunk", "col" -> "_ckey"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded =
+      if (small) bandedBase else bandedBase.persist(StorageLevel.MEMORY_AND_DISK)
 
     val bucketMin = banded.groupBy(col("_chunk"), col("_ckey"))
       .agg(min(col("_id")).as("_cand"))
@@ -490,8 +590,10 @@ object Dedup {
       .filter(hamming(col("_sig"), col("_sig_c")) <= maxDist)
       .select(col("_id").as("_loser"))
 
-    try exactLosers.union(nearLosers).localCheckpoint(true)
-    finally { withSig.unpersist(false); banded.unpersist(false) }
+    if (small) exactLosers.union(nearLosers)
+    else
+      try exactLosers.union(nearLosers).localCheckpoint(true)
+      finally { withSig.unpersist(false); banded.unpersist(false) }
   }
 
   // -------------------------------------------------- n-gram Jaccard join
@@ -499,17 +601,40 @@ object Dedup {
   /** Exact n-gram Jaccard similarity join via inverted index (no LSH
     * approximation): explode shingles, equi-join on shingle, count common
     * shingles per pair, compute Jaccard from the counts. Quadratic only
-    * within shingle buckets — the standard exact verification path when
-    * recall must be 1.0. Returns (id_a, id_b, jaccard ≥ threshold).
+    * within shingle buckets — and the bucket size is BOUNDED by `maxDf`:
+    * shingles whose document frequency exceeds it are dropped before the
+    * self-join (one partial+final agg pre-pass, then a broadcastable
+    * anti-join against the small hot-shingle set). Without the cap, one
+    * boilerplate shingle appearing in d documents ("all rights reserved")
+    * makes a d² bucket — the classic exact-similarity-join skew bomb; with
+    * it, no bucket exceeds maxDf² candidate rows.
+    *
+    * Semantics under the cap: results are exact whenever no shingle
+    * exceeds `maxDf` (the default 1000 is far above any real corpus's
+    * NEAR-DUP-discriminating shingles — at sf-scale test corpora nothing
+    * is dropped at all). When the cap does bite, a dropped shingle no
+    * longer counts toward the intersection, so reported `jaccard` is a
+    * lower bound and pairs overlapping ONLY in ultra-common shingles are
+    * not reported — the standard document-frequency-filter trade: such
+    * pairs are boilerplate matches, not near-duplicates. Denominator set
+    * sizes stay exact (computed from the full shingle arrays).
+    * Returns (id_a, id_b, jaccard ≥ threshold).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(
       col(idCol).as("_id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh"))
     val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
-    val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val invAll = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    // hot-shingle set: tiny by construction (only shingles in > maxDf
+    // docs), so the anti-join broadcasts; the agg is partial+final
+    val hot = invAll.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("_s"))
+    val inv = invAll.join(hot, Seq("_s"), "left_anti")
 
     val common = inv.as("x").join(inv.as("y"), col("x._s") === col("y._s"))
       .filter(col("x._id") < col("y._id"))
@@ -581,10 +706,11 @@ object Dedup {
       .dropDuplicates("_id")
     val rVec = reference.select(col(idCol).as("_rid"), col(vecCol).as("_rv"))
       .dropDuplicates("_rid")
-    // same eager-barrier discipline as [[minhashDecontaminate]]: the
+    // same eager-barrier discipline as [[minhashDecontaminate]] (the
     // corpus subtree would otherwise be scanned and banded once per
-    // consumer of the lazy plan
-    val dirty = Similarity.hyperplaneBandKeys(
+    // consumer of the lazy plan), with the same small-input bypass
+    val small = isSmallInput(corpus) && isSmallInput(reference)
+    val dirtyBase = Similarity.hyperplaneBandKeys(
         corpus, idCol, vecCol, "_id", bands, planesPerBand, dim)
       .join(Similarity.hyperplaneBandKeys(
         reference, idCol, vecCol, "_rid", bands, planesPerBand, dim),
@@ -595,7 +721,7 @@ object Dedup {
       .join(rVec, "_rid")
       .filter(graft.functions.CosineSimilarity.cosineSim(col("_cv"), col("_rv")) >= threshold)
       .select(col("_id").as("_dirty"))
-      .localCheckpoint(true)
+    val dirty = if (small) dirtyBase else dirtyBase.localCheckpoint(true)
     corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
   }
 

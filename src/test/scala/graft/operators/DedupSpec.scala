@@ -154,6 +154,76 @@ class DedupSpec extends SparkSpec {
       .count() == emb.count())
   }
 
+  test("ngramJaccardPairs: document-frequency cap bounds boilerplate buckets, exact below it") {
+    // 30 docs of mutually-unrelated unique text, every one ending in the
+    // same boilerplate phrase — the classic skew bomb: the shared trigram
+    // alone would put all 30 docs in one inverted-index bucket (30² ≈ 900
+    // candidate rows from a single shingle). Plus one planted true
+    // near-dup pair (100, 101) whose shared shingles are all rare.
+    val boiler = "all rights reserved worldwide"
+    val uniques = (0 until 30).map(i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e $boiler"))
+    val nearDup = Seq(
+      (100L, "spark executes stages of tasks over partitioned data with lineage recovery"),
+      (101L, "spark executes stages of tasks over partitioned data with checkpoint recovery"))
+    val corpus2 = (uniques ++ nearDup).toDF("doc_id", "text")
+
+    // tiny threshold so even a single shared shingle WOULD report a pair
+    val uncapped = Dedup.ngramJaccardPairs(corpus2, "doc_id", "text",
+      shingleN = 3, threshold = 0.01, maxDf = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(corpus2, "doc_id", "text",
+      shingleN = 3, threshold = 0.01, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // uncapped: the boilerplate shingle alone links every unique-doc pair
+    assert(uncapped.size >= 30 * 29 / 2,
+      s"expected the boilerplate bucket to link all pairs, got ${uncapped.size}")
+    // capped: boilerplate (df=30 > 10) is dropped — only the true near-dup
+    // pair (rare shingles, df=2) survives; the d² bucket never forms
+    assert(capped == Set((100L, 101L)),
+      s"capped pairs should be exactly the planted near-dup, got $capped")
+    // exactness when the cap doesn't bite: same corpus, cap above every df
+    val cap50 = Dedup.ngramJaccardPairs(corpus2, "doc_id", "text",
+      shingleN = 3, threshold = 0.01, maxDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cap50 == uncapped)
+  }
+
+  test("chain semantics: A~B~C with A≁C drops both B and C; fixpoint is pass-stable") {
+    // 20-token base; B changes 2 tokens vs A; C changes 2 MORE vs B.
+    // Trigram Jaccard: J(A,B) ≈ J(B,C) ≈ 0.5, J(A,C) ≈ 0.26 — threshold
+    // 0.4 makes the chain A~B~C with A≁C.
+    val toksA = (0 until 20).map(i => s"w$i")
+    val toksB = toksA.updated(5, "x5").updated(12, "x12")
+    val toksC = toksB.updated(8, "y8").updated(16, "y16")
+    val chain = Seq(
+      (0L, toksA.mkString(" ")), (1L, toksB.mkString(" ")), (2L, toksC.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // verify the planted structure with the exact pair join
+    val j = Dedup.ngramJaccardPairs(chain, "doc_id", "text", shingleN = 3, threshold = 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((0L, 1L)) >= 0.4 && j((1L, 2L)) >= 0.4 && j((0L, 2L)) < 0.4,
+      s"planted chain structure broken: $j")
+
+    // keep-smallest-id drops B (near A) AND C (near B — even though B is
+    // itself dropped and A≁C): the drop decision reads the ORIGINAL
+    // corpus. This is the documented non-transitive cluster semantics.
+    val kept = Dedup.minhashDedup(chain, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L), s"chain should collapse to {A}, got $kept")
+
+    // the fixpoint wrapper converges (a second pass removes nothing) and
+    // does NOT resurrect C
+    val fix = Dedup.iterateToFixpoint(chain,
+      d => Dedup.minhashDedup(d, "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.4))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fix == Set(0L))
+  }
+
   test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
     // regression for the scale defect found by DedupScaleBench: single-
     // stage bucket-min simhash kept 60k of 150k docs at 30x replication
