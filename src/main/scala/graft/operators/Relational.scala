@@ -244,22 +244,18 @@ object Relational {
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom prefilter preserves only inner/left_semi semantics, got $joinType")
     val bloom = build.stat.bloomFilter(key, expectedBuildKeys, fpp)
-    // the probe predicate needs a concrete input type (UDFs are encoded by
-    // TypeTag); integral keys were inserted as longs by the bloom
-    // aggregate, so the widening cast matches insertion exactly. Null keys
-    // never join — dropping them at the prefilter is semantics-preserving
-    // for inner/semi.
+    // native codegen'd probe (graft.functions.BloomMightContain) — stays
+    // inside the fused stage instead of fencing it like a scala UDF.
+    // Integral keys were inserted as longs by the bloom aggregate, so the
+    // widening cast matches insertion exactly. Null keys never join —
+    // the probe's null propagates and the Filter drops the row, which is
+    // semantics-preserving for inner/semi.
     import org.apache.spark.sql.types._
     val pred: Column = probe.schema(key).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        val f = udf((v: java.lang.Long) => v != null && bloom.mightContainLong(v))
-        f(col(key).cast(LongType))
-      case StringType =>
-        val f = udf((v: String) => v != null && bloom.mightContainString(v))
-        f(col(key))
-      case BinaryType =>
-        val f = udf((v: Array[Byte]) => v != null && bloom.mightContainBinary(v))
-        f(col(key))
+        graft.functions.BloomMightContain.mightContain(col(key).cast(LongType), bloom)
+      case StringType | BinaryType =>
+        graft.functions.BloomMightContain.mightContain(col(key), bloom)
       case other => throw new IllegalArgumentException(
         s"bloom prefilter supports integral/string/binary keys, got $other")
     }

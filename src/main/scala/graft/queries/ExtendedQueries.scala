@@ -8,9 +8,9 @@ import graft.core.Tables
 import graft.operators.Similarity
 import graft.plans.AsOfJoin
 
-/** Round-3 coverage extensions (q37–q57): dual-engine DuckDB-oracled
-  * entries except the two real-codec media queries (q56/q57, pinned by
-  * fixture — DuckDB cannot decode PNG/WAV), all following the
+/** Round-3/4 coverage extensions (q37–q59): dual-engine DuckDB-oracled
+  * entries except the three real-codec media queries (q56–q58, pinned by
+  * fixture — DuckDB cannot decode PNG/WAV/GIF), all following the
   * cross-engine result-type discipline documented in
   * [[InventoryQueries]] — integer-valued columns pinned to BIGINT, no
   * DECIMAL in final outputs, double aggregation done in exact DECIMAL
@@ -456,6 +456,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q59 — Bloom-prefiltered join (semi-join reduction with the native
+    * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
+    * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
+    * the Bloom prefilter (false positives included) must be invisible in
+    * the result, which is the operator's entire contract.
+    */
+  def q59BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val custs = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    graft.operators.Relational.bloomPrefilteredJoin(
+      orders, custs, "c_custkey", "inner", expectedBuildKeys = 100000)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -480,9 +498,15 @@ object ExtendedQueries {
     "q56_image_dedup"   -> (q56ImageDedup _),
     "q57_audio_dedup"   -> (q57AudioDedup _),
     "q58_video_dedup"   -> (q58VideoDedup _),
+    "q59_bloom_join"    -> (q59BloomJoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_bloom_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
+         ORDER BY o_orderkey""",
     "q37b_asof_tol" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

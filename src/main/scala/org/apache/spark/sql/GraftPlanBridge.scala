@@ -15,4 +15,14 @@ object GraftPlanBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataFrame].queryExecution.analyzed
+
+  /** Column ⇄ Expression, for expressions that carry driver-built objects
+    * (e.g. a Bloom filter) and therefore can't round-trip through the
+    * function registry's name-based builders.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
