@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * carried as opaque `binary` columns with typed metadata structs, processed
   * by per-partition batch operators.
   *
-  * The IMAGE path is REAL: the JDK ships PNG/BMP/GIF/JPEG readers in
-  * `java.desktop` (javax.imageio, headless-safe), so [[decodeImagesIO]],
-  * [[imageAHash]], [[imageGridFeatures]] and [[imageDedupByAHash]] decode
-  * actual pixels with no external codec libraries. The audio/video kernels
-  * remain STUBS — deterministic fakes clearly marked below, because those
-  * formats genuinely need codec libraries absent from this container.
-  * Everything around them is real and tested: the schema contract, the
+  * The IMAGE, AUDIO and GIF-VIDEO paths are REAL: the JDK ships
+  * PNG/BMP/GIF/JPEG readers (javax.imageio, headless-safe) and PCM-WAV
+  * readers (javax.sound.sampled) in `java.desktop`, so
+  * [[decodeImagesIO]]/[[imageAHash]]/[[imageDedupByAHash]],
+  * [[decodeAudioIO]]/[[audioFingerprint]]/[[audioDedupByFingerprint]] and
+  * [[sampleFramesIO]]/[[videoDedupByFrameHash]] decode actual
+  * pixels/samples/frames with no external codec libraries. Non-GIF video
+  * containers (mp4/avi) genuinely need codec libraries absent from this
+  * container: their entry point is the injectable [[FrameDecoder]] hook
+  * (GIF ships as the working instance) plus the clearly-marked
+  * deterministic stubs below for the generic-payload pipeline shape.
+  * Everything else is real and tested: the schema contract, the
   * `mapPartitions` batch shape (one codec init per partition, not per
   * row), the partition-preserving plumbing, and the hand-off of extracted
   * features into the ANN operators ([[graft.operators.Similarity]]).
@@ -133,7 +138,9 @@ object Multimodal {
   }
 
   /** Sample up to `maxFrames` evenly-spaced frames per video. STUB slices
-    * the payload; the real impl would seek+decode. One row in, N rows out —
+    * the payload; the real path is [[sampleFramesIO]], whose injectable
+    * [[FrameDecoder]] is where a real mp4/avi codec plugs in (the GIF
+    * decoder ships as the working instance). One row in, N rows out —
     * the generator (flatMap) shape.
     */
   def sampleFrames(media: Dataset[Media], maxFrames: Int = 4): Dataset[VideoFrame] = {
@@ -487,38 +494,79 @@ object Multimodal {
     }
   }
 
-  /** REAL frame sampling for GIF video payloads: the JDK's GIF reader
-    * exposes every frame; up to `maxFrames` evenly-spaced frames are
-    * extracted and re-encoded as PNG — so sampled frames feed directly
-    * into the real image path ([[decodeImagesIO]]/[[imageAHash]]).
-    * Non-GIF video containers (mp4/avi) still need external codecs —
-    * [[sampleFrames]] remains their declared stub. Unreadable payloads
-    * are dropped.
+  /** Injectable video-container decoder — the plug-in point for codecs
+    * this container can't ship (mp4/avi need ffmpeg-class libraries; a
+    * JavaCV- or jcodec-backed implementation drops in here with no change
+    * to the pipeline). Contract:
+    *
+    *  - `sampleFrames(content, maxFrames)` returns up to `maxFrames`
+    *    evenly-spaced frames as PNG-encoded byte arrays (so sampled
+    *    frames feed the real image path — [[imageAHash]] etc. — whatever
+    *    the source container was), or Nil for payloads it can't read
+    *    (undecodable blobs are data, not errors, at corpus scale).
+    *  - implementations are `Serializable` and are serialized INTO the
+    *    task closure: each task deserializes its own instance, so
+    *    `@transient lazy` codec state initializes once per task and is
+    *    never shared across threads — the one-codec-init-per-partition
+    *    discipline without any thread-safety burden on the codec.
     */
-  def sampleFramesIO(media: Dataset[Media], maxFrames: Int = 4): Dataset[VideoFrame] = {
+  trait FrameDecoder extends Serializable {
+    def sampleFrames(content: Array[Byte], maxFrames: Int): Seq[Array[Byte]]
+  }
+
+  /** The shipped [[FrameDecoder]]: JDK ImageIO multi-frame readers (GIF —
+    * the one video container java.desktop decodes natively). The reader
+    * is `@transient lazy`: created once per deserialized instance (= once
+    * per task), re-bound per payload via `setInput`, never recreated
+    * per row.
+    */
+  class GifFrameDecoder extends FrameDecoder {
+    @transient private lazy val reader: Option[javax.imageio.ImageReader] = {
+      val it = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+      if (it.hasNext) Some(it.next()) else None
+    }
+
+    override def sampleFrames(content: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+      reader match {
+        case None => Nil
+        case Some(r) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(content))
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              if (n < 1) Nil
+              else {
+                val take = math.min(maxFrames, n)
+                (0 until take).map { i =>
+                  val idx = if (take == 1) 0 else i * (n - 1) / (take - 1)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(r.read(idx), "png", bos)
+                  bos.toByteArray
+                }
+              }
+            } finally iis.close()
+          } catch { case _: Exception => Nil }
+      }
+  }
+
+  /** REAL frame sampling for video payloads via a pluggable
+    * [[FrameDecoder]] (default: the GIF decoder — mp4/avi arrive by
+    * injecting a codec-backed decoder, see the trait scaladoc).
+    * mapPartitions keeps the batch shape; the decoder instance is task-
+    * local, so its lazy codec state amortizes across the partition.
+    * One row in, N frame rows out; unreadable payloads are dropped.
+    */
+  def sampleFramesIO(media: Dataset[Media], maxFrames: Int = 4,
+      decoder: FrameDecoder = new GifFrameDecoder): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
-    media.flatMap { m =>
-      if (m.kind != "video") Nil
-      else try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(m.content))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Nil
-        else {
-          val r = readers.next()
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          val take = math.min(maxFrames, math.max(n, 1))
-          val out = (0 until take).map { i =>
-            val idx = if (take == 1) 0 else i * (n - 1) / (take - 1)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(r.read(idx), "png", bos)
-            VideoFrame(m.media_id, i, bos.toByteArray)
-          }
-          r.dispose()
-          out
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "video").flatMap { m =>
+        decoder.sampleFrames(m.content, maxFrames).zipWithIndex.map {
+          case (png, i) => VideoFrame(m.media_id, i, png)
         }
-      } catch { case _: Exception => Nil }
+      }
     }
   }
 

@@ -102,6 +102,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FrameDecoder hook: an injected codec drives sampleFramesIO; GIF is the shipped instance") {
+    // a fake "codec" standing in for an mp4/avi decoder: deterministic
+    // frames derived from the payload — proves the pipeline is decoder-
+    // agnostic (schema, frame indexing, drop-on-unreadable all unchanged)
+    class FakeMp4Decoder extends Multimodal.FrameDecoder {
+      override def sampleFrames(content: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+        if (content.isEmpty) Nil // "unreadable" payload
+        else (0 until math.min(maxFrames, 2)).map(i => content.take(8) :+ i.toByte)
+    }
+    val media = Seq(
+      Multimodal.Media(0L, "video", Array.tabulate(32)(_.toByte), null),
+      Multimodal.Media(1L, "video", Array.emptyByteArray, null), // dropped
+      Multimodal.Media(2L, "image", Array.tabulate(8)(_.toByte), null)) // not video
+      .toDS()
+    val frames = Multimodal.sampleFramesIO(media, maxFrames = 4, new FakeMp4Decoder)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(_.media_id).toSeq == Seq(0L, 0L))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(frames(0).frame.last == 0.toByte && frames(1).frame.last == 1.toByte)
+
+    // the shipped GIF decoder through the same hook: explicit == default
+    val gifs = Multimodal.syntheticGifs(spark, 6, dupEvery = 0)
+    val viaHook = Multimodal.sampleFramesIO(gifs, 3, new Multimodal.GifFrameDecoder)
+      .collect().map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).toSet
+    val viaDefault = Multimodal.sampleFramesIO(gifs, 3)
+      .collect().map(f => (f.media_id, f.frame_idx, f.frame.toSeq)).toSet
+    assert(viaHook == viaDefault && viaHook.size == 18)
+  }
+
   test("REAL codec: grid features are unit-norm and feed ANN") {
     val feats = Multimodal.imageGridFeatures(pngs, grid = 8).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
