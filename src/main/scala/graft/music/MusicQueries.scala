@@ -81,6 +81,29 @@ object MusicQueries {
       .agg(count(col("song_id")).as("num_ratings"))
       .orderBy(col("num_ratings").desc, col("username").asc)
 
+  /** RQ1 under MySQL's default utf8mb4 case-insensitive collation.
+    *
+    * The reference runs on MySQL, whose default collation makes `ORDER BY
+    * name` compare case-insensitively; the repo's canonical rq1/rq3
+    * standardize on binary collation for cross-engine determinism
+    * (documented divergence, SURVEY §1.4). This variant closes that last
+    * dialect gap: name tie-breaks go through Spark 4's `UNICODE_CI`
+    * collation, reproducing MySQL's ordering of case-mixed names. A
+    * trailing binary key keeps names EQUAL under CI ('Drake'/'drake')
+    * deterministically ordered — MySQL leaves those implementation-
+    * ordered, so any such order is reference-compatible.
+    */
+  def rq1MostSinglesCI(artist: DataFrame, song: DataFrame): DataFrame =
+    rq1MostSingles(artist, song) // outer Sort supersedes the inner one
+      .orderBy(col("num_singles").desc,
+        collate(col("name"), "UNICODE_CI").asc, col("name").asc)
+
+  /** RQ3 under MySQL's case-insensitive collation — see [[rq1MostSinglesCI]]. */
+  def rq3GenresMostSongsCI(genre: DataFrame, songGenre: DataFrame): DataFrame =
+    rq3GenresMostSongs(genre, songGenre)
+      .orderBy(col("num_songs").desc,
+        collate(col("genre"), "UNICODE_CI").asc, col("genre").asc)
+
   /** All six, bound to a loaded table set (e.g. [[SeedData.registerAll]]). */
   def all(t: Map[String, DataFrame]): Map[String, DataFrame] = Map(
     "rq1" -> rq1MostSingles(t("Artist"), t("Song")),

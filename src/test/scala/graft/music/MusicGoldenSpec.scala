@@ -106,6 +106,49 @@ class MusicGoldenSpec extends SparkSpec {
     assert(Constraints.keyViolationsCI(mixed, Seq("k1", "name")).count() == 1)
   }
 
+  test("CI-collation query variants: MySQL-style name tie-breaks on a case-mixed fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three artists, one 2016 single each → rq1 ties entirely on name.
+    // Binary order: ALPHA < Zeta < beta (uppercase sorts before lowercase);
+    // MySQL's utf8mb4 CI order: ALPHA < beta < Zeta.
+    val artist = Seq((1, "beta", 0), (2, "ALPHA", 0), (3, "Zeta", 0))
+      .toDF("artist_id", "name", "is_group")
+    val song = Seq(
+      (10, 1, "s1"), (11, 2, "s2"), (12, 3, "s3"))
+      .map { case (sid, aid, t) => (sid, aid, t, null.asInstanceOf[Integer],
+        java.sql.Date.valueOf("2016-06-01")) }
+      .toDF("song_id", "artist_id", "title", "album_id", "single_release_date")
+
+    val binary = MusicQueries.rq1MostSingles(artist, song)
+      .select("name").as[String].collect().toSeq
+    val ci = MusicQueries.rq1MostSinglesCI(artist, song)
+      .select("name").as[String].collect().toSeq
+    assert(binary == Seq("ALPHA", "Zeta", "beta"))
+    assert(ci == Seq("ALPHA", "beta", "Zeta"))
+
+    // CI-EQUAL names ('Drake'/'drake') stay adjacent and deterministic
+    // (trailing binary key): MySQL's order among them is undefined, so
+    // this specific order is reference-compatible.
+    val dupArtist = artist.union(Seq((4, "Drake", 0), (5, "drake", 0))
+      .toDF("artist_id", "name", "is_group"))
+    val dupSong = song.union(Seq(
+      (13, 4, "s4", null.asInstanceOf[Integer], java.sql.Date.valueOf("2016-06-01")),
+      (14, 5, "s5", null.asInstanceOf[Integer], java.sql.Date.valueOf("2016-06-01")))
+      .toDF("song_id", "artist_id", "title", "album_id", "single_release_date"))
+    val ciDup = MusicQueries.rq1MostSinglesCI(dupArtist, dupSong)
+      .select("name").as[String].collect().toSeq
+    assert(ciDup == Seq("ALPHA", "beta", "Drake", "drake", "Zeta"))
+
+    // rq3: same dialect difference through the genre name
+    val genre = Seq((1, "beta"), (2, "ALPHA"), (3, "Zeta")).toDF("genre_id", "name")
+    val sg = Seq((10, 1), (11, 2), (12, 3)).toDF("song_id", "genre_id")
+    assert(MusicQueries.rq3GenresMostSongs(genre, sg)
+      .select("genre").as[String].collect().toSeq == Seq("ALPHA", "Zeta", "beta"))
+    assert(MusicQueries.rq3GenresMostSongsCI(genre, sg)
+      .select("genre").as[String].collect().toSeq == Seq("ALPHA", "beta", "Zeta"))
+  }
+
   test("full audit run on seed includes the semantic audits and stays clean") {
     assert(Constraints.violatedConstraints(tables).isEmpty)
     assert(Constraints.auditAll(tables).keySet.exists(_.contains("Rating.domain")))
