@@ -63,6 +63,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ivfTopK partial-probe recall bound at corpus scale (pinned quality number)") {
+    // the q41 oracle cross-checks only FULL-probe IVF (≡ exhaustive); this
+    // pins the measured quality of the approximate path users actually
+    // deploy: top-5 recall vs brute force on the sf0.01 embeddings
+    // (~3000 vectors), 50 queries, probing half / a quarter of the cells.
+    // Measured on the driver-generated corpus: ~0.74 at 8/16 probes,
+    // ~0.46 at 4/16 — the asserted floors leave headroom for corpus
+    // regeneration but hold the documented quality level. (This corpus is
+    // near-uniform on the sphere — the IVF worst case; clustered real
+    // embeddings probe better.)
+    val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(probes: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbes = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val r8 = recallAt(8)
+    val r4 = recallAt(4)
+    assert(r8 >= 0.65, s"IVF recall at 8/16 probes: $r8")
+    assert(r4 >= 0.4, s"IVF recall at 4/16 probes: $r4")
+    // more probes must not hurt (candidate sets are nested)
+    assert(r8 >= r4, s"recall not monotone in probes: $r4 -> $r8")
+    info(f"IVF top-5 recall sf0.01: 8/16 probes $r8%.3f, 4/16 probes $r4%.3f")
+  }
+
   test("int8 quantization: bounded error, zero-safe, top-k mostly preserved") {
     val emb = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val deq = emb.select(col("vec_id"),
