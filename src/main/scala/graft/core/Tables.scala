@@ -118,6 +118,26 @@ object Tables {
     }
   }
 
+  /** Fan a narrow scan out to the session's parallelism before heavy
+    * per-row work. A small parquet file (single row group) plans as ONE
+    * scan partition no matter how `maxPartitionBytes` is tuned, so
+    * per-row-expensive operators downstream (shingling, signatures,
+    * per-doc annotation, per-vector banding) would serialize on one core.
+    * A round-robin `repartition(n)` unlocks the cluster: its
+    * REPARTITION_BY_NUM shuffle is exempt from AQE coalescing, the
+    * shuffled data is by definition small (that's why it was one
+    * partition), and every operator in this repo is partition-layout-
+    * independent (content-derived hashes/salts, total orderings) by
+    * design. No-op when the input already has enough partitions — the
+    * 100 TB case, where the scan itself provides the parallelism and an
+    * extra full-corpus shuffle would be the bug.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(8, target)) df
+    else df.repartition(target)
+  }
+
   /** Register every batch table as a temp view named after the file. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     (relational ++ pipeline).foreach { n =>

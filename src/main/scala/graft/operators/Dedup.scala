@@ -230,7 +230,11 @@ object Dedup {
     // reads `_sh` as a join-output attribute, which CollapseProject
     // cannot inline a definition into).
     val small = isSmallInput(df)
-    val shingledBase = df.select(
+    // small inputs are usually also FEW-PARTITION inputs (one row group →
+    // one scan partition): fan out so shingling/signatures parallelize
+    // instead of serializing on one core per re-derivation
+    val input = if (small) graft.core.Tables.fanOut(df) else df
+    val shingledBase = input.select(
       col(idCol).as("_id"),
       array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
     val shingled =
@@ -251,10 +255,29 @@ object Dedup {
     val sorted = array_sort(col("_sh"))
     val keyed = shingled.select(col("_id"),
       xxhash64(sorted).as("_ck1"), xxhash64(lit(1), sorted).as("_ck2"))
-    val repOf = keyed.groupBy(col("_ck1"), col("_ck2")).agg(min(col("_id")).as("_rep"))
-    val exactLosers = keyed.join(repOf, Seq("_ck1", "_ck2"))
-      .filter(col("_id") =!= col("_rep"))
-      .select(col("_id").as("_loser"))
+    // Two forms of "smallest id per group + who lost":
+    //  - big path: partial+final AGG then join back — map-side combine
+    //    collapses replica-heavy groups before the shuffle, so a hot
+    //    group (a million-fold replica cluster) costs each mapper one
+    //    row. The group-min window would instead shuffle EVERY member to
+    //    one reducer — the skew bomb.
+    //  - small path: group-min WINDOW — one exchange, reused by both
+    //    consumers (losers + representatives) via ReuseExchange, where
+    //    the agg form costs an extra join and a re-derivation of `keyed`
+    //    per consumer. No skew concern below the threshold.
+    val (exactLosers, repIds) =
+      if (small) {
+        val wk = Window.partitionBy(col("_ck1"), col("_ck2"))
+        val marked = keyed.withColumn("_rep", min(col("_id")).over(wk))
+        (marked.filter(col("_id") =!= col("_rep")).select(col("_id").as("_loser")),
+          marked.filter(col("_id") === col("_rep")).select(col("_id")))
+      } else {
+        val repOf = keyed.groupBy(col("_ck1"), col("_ck2")).agg(min(col("_id")).as("_rep"))
+        (keyed.join(repOf, Seq("_ck1", "_ck2"))
+            .filter(col("_id") =!= col("_rep"))
+            .select(col("_id").as("_loser")),
+          repOf.select(col("_rep").as("_id")))
+      }
 
     // STAGE 2 — near-dup LSH over the distinct representatives only.
     // Signatures in per-row column form over the CACHED `_sh` attribute:
@@ -263,7 +286,7 @@ object Dedup {
     // CollapseProject would otherwise inline into all k hash branches).
     // Zero-shingle reps yield an all-null signature: they bucket only
     // with each other and verify at jaccard 0 — harmless.
-    val reps = shingled.join(repOf.select(col("_rep").as("_id")), "_id")
+    val reps = shingled.join(repIds, "_id")
     val bandedBase = minhashBandKeys(
       reps.select(col("_id"),
         minhashSignatureFromShingles(col("_sh"), numHashes).as("_sig")),
@@ -271,17 +294,27 @@ object Dedup {
     val banded =
       if (small) bandedBase else bandedBase.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
-      .agg(min(col("_id")).as("_cand"))
     // NO distinct on (id, cand): duplicates (same pair colliding in
     // several bands) only re-verify a pair — harmless to the anti-join —
     // and are bounded by `bands`; mostly TRUE near-dups (chance collisions
     // rarely repeat across independent bands), a small minority after the
     // stage-1 exact collapse. A distinct would spend a full extra shuffle
     // barrier at every scale to save that bounded re-verification.
-    val candidates = banded.join(bucketMin, Seq("_band", "_bkey"))
-      .filter(col("_cand") < col("_id"))
-      .select(col("_id"), col("_cand"))
+    // Same agg-vs-window split as stage 1, same skew rationale: a hot LSH
+    // bucket must map-side-combine at scale, not sort on one reducer.
+    val candidates =
+      if (small) {
+        val wb = Window.partitionBy(col("_band"), col("_bkey"))
+        banded.withColumn("_cand", min(col("_id")).over(wb))
+          .filter(col("_cand") < col("_id"))
+          .select(col("_id"), col("_cand"))
+      } else {
+        val bucketMin = banded.groupBy(col("_band"), col("_bkey"))
+          .agg(min(col("_id")).as("_cand"))
+        banded.join(bucketMin, Seq("_band", "_bkey"))
+          .filter(col("_cand") < col("_id"))
+          .select(col("_id"), col("_cand"))
+      }
 
     val nearLosers = candidates
       .join(shingled.withColumnsRenamed(Map("_id" -> "_cand", "_sh" -> "_sh_c")), "_cand")
@@ -557,12 +590,23 @@ object Dedup {
     val withSig =
       if (small) withSigBase else withSigBase.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val repOf = withSig.groupBy(col("_sig")).agg(min(col("_id")).as("_rep"))
-    val exactLosers = withSig.join(repOf, "_sig")
-      .filter(col("_id") =!= col("_rep"))
-      .select(col("_id").as("_loser"))
-
-    val reps = repOf.select(col("_rep").as("_id"), col("_sig"))
+    // agg+join at scale (map-side combine absorbs replica-heavy groups
+    // before the shuffle), group-min window below the threshold (one
+    // exchange, reused by both consumers) — same split and skew
+    // rationale as [[minhashDedup]]'s stage 1.
+    val (exactLosers, reps) =
+      if (small) {
+        val wk = Window.partitionBy(col("_sig"))
+        val marked = withSig.withColumn("_rep", min(col("_id")).over(wk))
+        (marked.filter(col("_id") =!= col("_rep")).select(col("_id").as("_loser")),
+          marked.filter(col("_id") === col("_rep")).select(col("_id"), col("_sig")))
+      } else {
+        val repOf = withSig.groupBy(col("_sig")).agg(min(col("_id")).as("_rep"))
+        (withSig.join(repOf, "_sig")
+            .filter(col("_id") =!= col("_rep"))
+            .select(col("_id").as("_loser")),
+          repOf.select(col("_rep").as("_id"), col("_sig")))
+      }
     val bandedBase = reps.select(
       col("_id"), col("_sig"),
       posexplode(
@@ -574,14 +618,22 @@ object Dedup {
     val banded =
       if (small) bandedBase else bandedBase.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val bucketMin = banded.groupBy(col("_chunk"), col("_ckey"))
-      .agg(min(col("_id")).as("_cand"))
     // no distinct on candidates — same rationale as [[minhashDedup]]:
     // duplicate (id, cand) pairs only re-verify (bounded by chunks),
     // while a distinct costs a full shuffle barrier at every scale
-    val candidates = banded.join(bucketMin, Seq("_chunk", "_ckey"))
-      .filter(col("_cand") < col("_id"))
-      .select(col("_id"), col("_sig"), col("_cand"))
+    val candidates =
+      if (small) {
+        val wb = Window.partitionBy(col("_chunk"), col("_ckey"))
+        banded.withColumn("_cand", min(col("_id")).over(wb))
+          .filter(col("_cand") < col("_id"))
+          .select(col("_id"), col("_sig"), col("_cand"))
+      } else {
+        val bucketMin = banded.groupBy(col("_chunk"), col("_ckey"))
+          .agg(min(col("_id")).as("_cand"))
+        banded.join(bucketMin, Seq("_chunk", "_ckey"))
+          .filter(col("_cand") < col("_id"))
+          .select(col("_id"), col("_sig"), col("_cand"))
+      }
 
     // no distinct before the anti-join — duplicate loser ids are harmless
     // there and the dedup would cost a shuffle

@@ -19,6 +19,15 @@ object PipelineQueries {
     Tables.load(spark, dir, "documents")
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+  // fan-out variant for per-row-HEAVY consumers only (annotate: ~10
+  // expression trees over every token of every doc). A single-row-group
+  // parquet plans as one scan partition, which serializes that work on
+  // one core — see Tables.fanOut. Measured: a win exactly where per-row
+  // compute dominates the repartition's serialize+sort+shuffle cost
+  // (q32: −0.5 s at sf0.1); a LOSS for plain aggregates/joins, which is
+  // why the other queries keep the raw scan.
+  private def docsF(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(docs(spark, dir))
 
   /** q22 — exact dedup, keep-smallest-id (B16). */
   def q22DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -110,7 +119,7 @@ object PipelineQueries {
     * rows-only check, semantics pinned in TextAnalysisSpec).
     */
   def q32Annotate(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.annotate(docs(spark, dir), "text")
+    TextAnalysis.annotate(docsF(spark, dir), "text")
       .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
         col("lang_id"), col("quality"), col("fingerprint"))
       .orderBy(col("doc_id"))
