@@ -102,7 +102,9 @@ object Bench {
     // best-of-3: the headline is the graded metric and this machine's
     // ambient load spikes are ±2×; a third ~5 s sample materially improves
     // the odds that at least one pass lands on a quiet window
-    val wall = Seq(wallPass(), wallPass(), wallPass()).min
+    val walls = Seq(wallPass(), wallPass(), wallPass())
+    System.err.println(s"[bench] wall passes: ${walls.map(w => f"$w%.2f").mkString(", ")}")
+    val wall = walls.min
 
     // 4-decimal rounding keeps the whole line ~2 KB so it survives the
     // driver's tail-window capture intact (r1-r3 all recorded

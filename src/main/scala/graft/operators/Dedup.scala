@@ -42,8 +42,12 @@ object Dedup {
     * scheduling latency) than the bounded 2-4× subtree re-computation it
     * avoids. 256 MB ≈ the point where one corpus re-shingle pass clearly
     * exceeds two stage floors on commodity executors.
+    *
+    * Volatile var (not val) so tests can force the barrier path on small
+    * fixtures — DedupSpec pins small-path ≡ big-path results; production
+    * code never mutates it.
     */
-  private[operators] val barrierThresholdBytes: Long = 256L << 20
+  @volatile private[operators] var barrierThresholdBytes: Long = 256L << 20
 
   /** Optimizer size estimate — driver-side only, no job. Unknown sizes
     * (e.g. opaque RDD-backed plans) report Long.MaxValue-ish defaults and

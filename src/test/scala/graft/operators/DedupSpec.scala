@@ -224,6 +224,26 @@ class DedupSpec extends SparkSpec {
     assert(fix == Set(0L))
   }
 
+  test("small (lazy/window) and big (barrier/agg-join) paths produce identical results") {
+    // every test input is under the adaptive-barrier threshold, so the
+    // scale path (persist + localCheckpoint + agg-join group-min) would
+    // otherwise never run in CI; force it and pin equivalence
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def survivors(dedup: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val smallPath = dedup(docs).select("doc_id").as[Long].collect().toSet
+      val saved = Dedup.barrierThresholdBytes
+      Dedup.barrierThresholdBytes = 0L // force the barrier path
+      try {
+        val bigPath = dedup(docs).select("doc_id").as[Long].collect().toSet
+        (smallPath, bigPath)
+      } finally Dedup.barrierThresholdBytes = saved
+    }
+    val (mhS, mhB) = survivors(d => Dedup.minhashDedup(d, "doc_id", "text", numHashes = 32, bands = 8))
+    assert(mhS == mhB, s"minhash paths diverge: ${mhS.size} vs ${mhB.size}")
+    val (shS, shB) = survivors(d => Dedup.simhashDedup(d, "doc_id", "text"))
+    assert(shS == shB, s"simhash paths diverge: ${shS.size} vs ${shB.size}")
+  }
+
   test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
     // regression for the scale defect found by DedupScaleBench: single-
     // stage bucket-min simhash kept 60k of 150k docs at 30x replication
