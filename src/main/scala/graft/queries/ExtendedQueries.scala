@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Layout, Relational, Similarity}
 import graft.plans.AsOfJoin
 
-/** Round-3/4 coverage extensions (q37–q59): dual-engine DuckDB-oracled
+/** Round-3/4 coverage extensions (q37–q61): dual-engine DuckDB-oracled
   * entries except the three real-codec media queries (q56–q58, pinned by
   * fixture — DuckDB cannot decode PNG/WAV/GIF), all following the
   * cross-engine result-type discipline documented in
@@ -474,6 +474,43 @@ object ExtendedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q60 — Z-order layout roundtrip under the EXACTNESS gate: documents
+    * are rewritten as a z-clustered parquet layout
+    * ([[graft.operators.Layout.zOrderWrite]] on (n_chars, doc_id)), read
+    * back, and probed with a 2-D box filter. The oracle is the SAME box
+    * filter on the ORIGINAL table — a layout is correct iff it is
+    * invisible in query results. The skipping payoff (fewer files touched
+    * than any 1-D sort) is measured in LayoutSpec; at 100 TB this is the
+    * difference between scanning 2% and 100% of a table for a
+    * two-column-selective probe.
+    */
+  def q60ZOrderBox(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_q60_z_" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    Layout.zOrderWrite(t(spark, dir, "documents"), Seq("n_chars", "doc_id"),
+      path, nChunks = 8, bits = 10)
+    spark.read.parquet(path)
+      .filter(col("n_chars").between(100, 300) && col("doc_id").between(100, 400))
+      .select(col("doc_id"), col("lang"), asLong(col("n_chars")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q61 — per-domain document cap (crawl-pipeline "keep the best k per
+    * source"), via the bounded-buffer TopKPairs aggregate
+    * ([[graft.operators.Relational.topKPerGroup]]): partial aggregation
+    * ships ≤ k pairs per group per map task instead of window-sorting
+    * every row of every domain — the shape that survives a domain with a
+    * billion pages. Tie policy (score desc, id asc) is exactly DuckDB's
+    * `row_number() ORDER BY n_chars DESC, doc_id ASC`, making the
+    * bounded-state path oracle-checkable row-for-row.
+    */
+  def q61DomainCap(spark: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(t(spark, dir, "documents"),
+        Seq("source"), "n_chars", "doc_id", k = 5)
+      .select(col("source"), col("doc_id"),
+        asLong(col("n_chars")).as("n_chars"), asLong(col("rank")).as("rank"))
+      .orderBy(col("source"), col("rank"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -499,9 +536,22 @@ object ExtendedQueries {
     "q57_audio_dedup"   -> (q57AudioDedup _),
     "q58_video_dedup"   -> (q58VideoDedup _),
     "q59_bloom_join"    -> (q59BloomJoin _),
+    "q60_zorder_box"    -> (q60ZOrderBox _),
+    "q61_domain_cap"    -> (q61DomainCap _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_zorder_box" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 400
+         ORDER BY doc_id""",
+    "q61_domain_cap" ->
+      """SELECT source, doc_id, n_chars, rank FROM (
+           SELECT source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS rank
+           FROM documents) t
+         WHERE rank <= 5 ORDER BY source, rank""",
     "q59_bloom_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,179 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("interleaveBits: hand-computed bit positions") {
+    // a = 0b101, b = 0b011, bits = 3, n = 2: bit j of col k → position 2j+k
+    // a contributes bits {0,2} → positions {0,4}; b bits {0,1} → {1,3}
+    // z = 1 + 2 + 8 + 16 = 27
+    val row = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.interleaveBits(Seq(col("a"), col("b")), 3).as("z"))
+      .as[Long].head()
+    assert(row == 27L)
+    // single column degenerates to identity on the low bits
+    val id = Seq(6L).toDF("a")
+      .select(Layout.interleaveBits(Seq(col("a")), 3).as("z"))
+      .as[Long].head()
+    assert(id == 6L)
+  }
+
+  test("zOrdered: z-value locality — neighbors in both dims are near in z") {
+    val grid = spark.range(0, 1024).select(
+      (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    val z = Layout.zOrdered(grid, Seq("x", "y"), bits = 5)
+      .select("x", "y", "_z").as[(Long, Long, Long)].collect()
+    // distinct inputs → distinct z (lossless at bits ≥ log2(domain))
+    assert(z.map(_._3).distinct.length == 1024)
+    // a 4×4 box spans a bounded z-range: max z-spread of any aligned
+    // 4×4 quad is < 64 (the defining property of the Morton curve:
+    // aligned 2^k × 2^k quads are contiguous 4^k-length z-runs)
+    val quad = z.filter(r => r._1 >= 8 && r._1 < 12 && r._2 >= 8 && r._2 < 12)
+    assert(quad.length == 16)
+    assert(quad.map(_._3).max - quad.map(_._3).min < 64)
+  }
+
+  test("zOrderWrite roundtrip is lossless and skips files a 1-D sort cannot") {
+    // 64×64 grid, 10k-ish rows; two layouts of the same data
+    val n = 64
+    val grid = spark.range(0, n.toLong * n).select(
+      col("id").as("rid"), (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val zDir = tmp("graft-z")
+    val sDir = tmp("graft-sorted")
+    Layout.zOrderWrite(grid, Seq("x", "y"), zDir, nChunks = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    // lossless: identical row sets under both layouts
+    val a = spark.read.parquet(zDir).select("rid", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = spark.read.parquet(sDir).select("rid", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.size == n * n)
+
+    // file skipping for a 2-D box probe, judged by per-file min/max — the
+    // exact stats parquet footers carry. The x-sorted layout prunes on x
+    // but every surviving file spans all of y; the z-ordered layout
+    // bounds both.
+    def filesTouched(dir: String): (Long, Long) = {
+      val stats = Layout.fileStats(spark, dir, Seq("x", "y"))
+      val total = stats.count()
+      val touched = stats.filter(
+        col("x_min") <= 15 && col("x_max") >= 8 &&
+        col("y_min") <= 15 && col("y_max") >= 8).count()
+      (touched, total)
+    }
+    val (zTouched, zTotal) = filesTouched(zDir)
+    val (sTouched, _) = filesTouched(sDir)
+    // z-order: the 8..15 box is one aligned quad → a small fraction of
+    // the 16 chunks; x-sort: every file covering x∈[8,15] spans all y
+    assert(zTouched < sTouched,
+      s"z-order touched $zTouched of $zTotal, sort touched $sTouched")
+    assert(zTouched <= zTotal / 4)
+
+    // and the box query itself returns identical results on both layouts
+    val box = (d: String) => spark.read.parquet(d)
+      .filter(col("x").between(8, 15) && col("y").between(8, 15))
+      .select("rid").as[Long].collect().toSet
+    assert(box(zDir) == box(sDir))
+  }
+
+  test("rank mode: equal-frequency buckets resist heavy skew") {
+    // heavy-tailed: 99% of mass in [1,10], a few outliers near 10^6.
+    // Linear binning maps the whole body to bucket 0 (the outliers
+    // stretch the range); rank binning spreads the body across buckets.
+    val skewed = spark.range(0, 2000).select(
+      col("id").as("rid"),
+      when(col("id") % 100 =!= 0, col("id") % 10 + 1)
+        .otherwise(col("id") + 1000000).cast("double").as("v"),
+      (col("id") % 50).as("u"))
+    // share of rows in the most crowded bucket — the clustering-quality
+    // metric that matters (a crowded bucket = files spanning everything)
+    def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy("_z").count()
+        .agg(max("count"), sum("count")).head()
+      counts.getLong(0).toDouble / counts.getLong(1)
+    }
+    val linear = Layout.zOrdered(skewed, Seq("v"), bits = 8)
+    val ranked = Layout.zOrdered(skewed, Seq("v"), bits = 8, rankMode = true)
+    assert(maxShare(linear) > 0.9)    // collapsed: body all in bucket 0
+    assert(maxShare(ranked) < 0.25)   // quantile buckets stay balanced
+    // rank mode still round-trips losslessly through a write
+    val dir = tmp("graft-zrank")
+    Layout.zOrderWrite(skewed, Seq("v", "u"), dir, nChunks = 8,
+      bits = 8, rankMode = true)
+    assert(spark.read.parquet(dir).select("rid").as[Long].collect().toSet
+      == (0L until 2000L).toSet)
+  }
+
+  test("nulls and degenerate domains land in bucket 0, rows never dropped") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("rid", "v")
+    // min == max → every bucket 0 → z = 0; nulls likewise
+    val z = Layout.zOrdered(df, Seq("v"), bits = 6)
+      .select("rid", "_z").as[(Long, Long)].collect().toMap
+    assert(z.values.forall(_ == 0L) && z.size == 3)
+    val dir = tmp("graft-znull")
+    Layout.zOrderWrite(df, Seq("v"), dir, nChunks = 4, bits = 6)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("writePartitioned: static pruning prunes, DPP subquery planned") {
+    val dir = tmp("graft-part")
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    Layout.writePartitioned(docs, "lang", dir)
+    val facts = spark.read.parquet(dir)
+
+    // static partition pruning: a lang filter becomes a partition filter
+    // and the scan reads fewer files than the full table's
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    }
+    val allFiles = scanOf(facts).metrics("numFiles").value
+    val prunedScan = scanOf(facts.filter(col("lang") === "en"))
+    assert(prunedScan.partitionFilters.nonEmpty,
+      "lang filter should plan as a partition filter")
+    assert(prunedScan.metrics("numFiles").value < allFiles)
+
+    // dynamic partition pruning: joining against a filtered dim plans a
+    // runtime pruning subquery on the partition column. The optimizer's
+    // stats heuristic vetoes DPP on kilobyte-sized test tables (correctly
+    // — the subquery isn't worth it), so pin the decision to the
+    // fallback-ratio path for the assertion, as Spark's own DPP suite
+    // does; at warehouse scale the stats path fires on its own.
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      // the dim must be a file-backed relation: an in-memory LocalRelation
+      // gets its filter constant-folded away, and DPP's "selective
+      // predicate on the other side" precondition sees nothing to prune by
+      val dimDir = tmp("graft-dim")
+      Seq(("en", 1), ("de", 2)).toDF("lang", "grp")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter(col("grp") === 1)
+      val joined = facts.join(broadcast(dim), "lang")
+      // under AQE the pruning filter is inserted while query stages
+      // materialize — execute first, then read the final adaptive plan
+      val nRows = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery in:\n$plan")
+      assert(nRows == docs.filter(col("lang") === "en").count())
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+}
