@@ -236,6 +236,86 @@ object Similarity {
   def ivfAssign(df: DataFrame, vecCol: String, nCells: Int = 16, dim: Int = 64): DataFrame =
     df.withColumn("ivf_cell", array_max(cellScores(col(vecCol), nCells, dim)).getField("cell"))
 
+  /** Per-vector scores against TRAINED centroids (plan-time literal
+    * arrays, like [[literalPlane]]): struct(dot, cell) per centroid.
+    * Ties resolve to the larger cell id under array_max's struct order —
+    * the same deterministic policy as [[cellScores]].
+    */
+  private def trainedCellScores(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(
+        aggregate(
+          zip_with(vec, typedlit(cv), (x, w) => coalesce(x.cast("double") * w, lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** Train IVF centroids: Lloyd's k-means iterations on a deterministic
+    * content-hash sample, maximizing dot(vec, centroid) with
+    * unit-normalized centroids — spherical k-means, the right objective
+    * for cosine ANN.
+    *
+    * 100 TB shape: training runs on a hash-derived Bernoulli sample
+    * (layout/retry/cluster-size independent, the Export.mixCorpora
+    * argument), each iteration is one assign-and-average pass —
+    * posexplode to (cell, dim) pairs, partial+final AVG, `nCells × dim`
+    * doubles back to the driver (bounded driver bytes, like the Bloom
+    * build and Layout's quantile boundaries). The corpus itself is
+    * assigned in ONE narrow pass afterwards; only the sample pays the
+    * iteration cost. Empty cells keep their previous centroid (no NaN
+    * poisoning). Fully deterministic: seeded hash init, literal-constant
+    * centroids at every step.
+    */
+  def trainCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 5, sampleFraction: Double = 1.0,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(nCells >= 1 && iters >= 0, "need nCells >= 1, iters >= 0")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0, "fraction in (0,1]")
+    val denom = 1L << 20
+    val base = if (sampleFraction >= 1.0) df
+      else df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(denom))
+        < lit((sampleFraction * denom).toLong))
+    val sample = base.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    // init = the nCells sample rows with smallest seeded id-hash: a
+    // deterministic uniform draw (k-means++ would need k sequential
+    // passes; hash-init + iterations reaches the same place here)
+    var centroids = sample
+      .orderBy(xxhash64(col("_id"), lit(seed ^ 0x9e3779b97f4a7c15L)), col("_id"))
+      .limit(nCells)
+      .select("_v").collect().map(r => unit(r.getSeq[Double](0).toArray))
+    require(centroids.length == nCells,
+      s"sample has ${centroids.length} vectors < nCells=$nCells — lower nCells or raise sampleFraction")
+
+    for (_ <- 1 to iters) {
+      val means = sample
+        .withColumn("_cell",
+          array_max(trainedCellScores(col("_v"), centroids)).getField("cell"))
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_i", "_x")))
+        .groupBy("_cell", "_i").agg(avg(col("_x")).as("_m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next.map(unit)
+    }
+    centroids
+  }
+
+  /** [[ivfAssign]] with trained centroids instead of hash directions. */
+  def ivfAssignTrained(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("ivf_cell",
+      array_max(trainedCellScores(col(vecCol), centroids)).getField("cell"))
+
   /** IVF probe top-k: the actual search path over the coarse quantization
     * (not just the cell label). Corpus rows live in exactly ONE cell
     * (argmax assignment); each query probes its `nProbes` best-scoring
@@ -268,16 +348,54 @@ object Similarity {
         explode(transform(
           slice(reverse(array_sort(col("_scored"))), 1, nProbes),
           s => s.getField("cell"))).as("_cell"))
-    // no distinct needed: a corpus row has exactly one cell and a query
-    // probes distinct cells, so each (query, corpus) pair joins at most once
+    probeJoin(corpus.sparkSession, c, q, k, excludeSelf)
+  }
+
+  /** Shared IVF probe body: equi-join corpus cells with query probe
+    * cells, re-rank candidates by the fused native cosine, top-k per
+    * query. No distinct needed: a corpus row has exactly one cell and a
+    * query probes distinct cells, so each (query, corpus) pair joins at
+    * most once.
+    */
+  private def probeJoin(spark: org.apache.spark.sql.SparkSession,
+      c: DataFrame, q: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
     q.join(c, Seq("_cell"))
       .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
-      .withColumn("cosine", fastCosine(corpus.sparkSession, col("_qv"), col("_cv")))
+      .withColumn("cosine", fastCosine(spark, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** [[ivfTopK]] over TRAINED centroids ([[trainCentroids]]) — the
+    * classic two-phase IVF: train the coarse quantizer on a sample, then
+    * search with cells aligned to the data's actual cluster structure
+    * instead of arbitrary hash directions. Same scale shape as
+    * [[ivfTopK]] (one narrow cell per corpus row, nProbes per query, one
+    * equi-join); the payoff is recall per probe on clustered corpora —
+    * hash-direction cells split real clusters across cell boundaries,
+    * trained cells wrap them (recall gain pinned in SimilaritySpec).
+    * `nProbes = centroids.length` still degenerates to exhaustive search.
+    */
+  def ivfTopKTrained(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbes: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nProbes >= 1 && nProbes <= centroids.length,
+      "need 1 <= nProbes <= centroids.length")
+    val c = ivfAssignTrained(corpus.filter(col(vecCol).isNotNull), vecCol, centroids)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("ivf_cell").as("_cell"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+        trainedCellScores(col(vecCol), centroids).as("_scored"))
+      .select(col("_qid"), col("_qv"),
+        explode(transform(
+          slice(reverse(array_sort(col("_scored"))), 1, nProbes),
+          s => s.getField("cell"))).as("_cell"))
+    probeJoin(corpus.sparkSession, c, q, k, excludeSelf)
   }
 }

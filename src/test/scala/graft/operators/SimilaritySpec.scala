@@ -224,4 +224,97 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect()
     assert(sigs(0) == sigs(1))
   }
+
+  // deterministic clustered corpus: 6 unit-ish center directions in 16-d,
+  // 40 points each with small gaussian jitter — the regime IVF training
+  // exists for (hash-direction cells split real clusters; trained cells
+  // wrap them)
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val kC = 6; val perC = 40
+    val centers = Array.fill(kC) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = for { c <- 0 until kC; i <- 0 until perC } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.12).toFloat)
+      ((c * perC + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("trainCentroids: deterministic, layout-independent, NaN-free") {
+    val c1 = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 6, iters = 4)
+    val c2 = Similarity.trainCentroids(clustered.repartition(13), "vec_id",
+      "embedding", nCells = 6, iters = 4)
+    assert(c1.length == 6 && c1.forall(_.length == 16))
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.flatten.forall(x => !x.isNaN && !x.isInfinite))
+    // unit-normalized (spherical k-means invariant)
+    c1.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // over-provisioned cells (nCells > true clusters): training must not
+    // NaN-poison empties — they keep their previous centroid
+    val c3 = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 12, iters = 3)
+    assert(c3.flatten.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("trained IVF: full-probe equals brute force; cells align to clusters") {
+    val queries = clustered.filter(col("vec_id") % 40 < 3) // 3 per cluster
+    val cents = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 6, iters = 4)
+    val exact = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // full probe degenerates to exhaustive search regardless of training
+    val full = Similarity.ivfTopKTrained(clustered, queries, "vec_id", "embedding", 5,
+      cents, nProbes = 6)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+
+    // trained cells wrap the planted clusters: every cluster maps to ONE
+    // dominant cell, and cells are balanced (~40 rows each)
+    val cellOf = Similarity.ivfAssignTrained(clustered, "embedding", cents)
+      .select((col("vec_id") / 40).cast("int").as("cluster"), col("ivf_cell"))
+      .as[(Int, Int)].collect()
+    val purity = cellOf.groupBy(_._1).map { case (_, rows) =>
+      rows.groupBy(_._2).values.map(_.size).max.toDouble / rows.size
+    }
+    assert(purity.forall(_ >= 0.95), s"cluster→cell purity: ${purity.toSeq.sorted}")
+    val cellSizes = cellOf.groupBy(_._2).values.map(_.size)
+    assert(cellSizes.max <= 2 * 40, s"trained cells unbalanced: $cellSizes")
+
+    // the payoff: single-probe recall on clustered data — trained cells
+    // find in-cluster neighbors hash directions scatter
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = res.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val exactPairs = exact.map { case (q, n, _) => (q, n) }
+      exactPairs.intersect(pairs).size.toDouble / exactPairs.size
+    }
+    val trained1 = recall(Similarity.ivfTopKTrained(clustered, queries,
+      "vec_id", "embedding", 5, cents, nProbes = 1))
+    val hash1 = recall(Similarity.ivfTopK(clustered, queries,
+      "vec_id", "embedding", 5, nCells = 6, nProbes = 1, dim = 16))
+    assert(trained1 >= 0.9, s"trained single-probe recall: $trained1")
+    assert(trained1 >= hash1,
+      s"training should not lose to hash cells: $trained1 < $hash1")
+    info(f"single-probe recall on clustered corpus: trained $trained1%.3f vs hash $hash1%.3f")
+  }
+
+  test("trainCentroids on a hash sample still clusters the full corpus") {
+    // train on ~half the rows; assignment quality on the FULL corpus holds
+    val cents = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 6, iters = 4, sampleFraction = 0.5)
+    val purity = Similarity.ivfAssignTrained(clustered, "embedding", cents)
+      .select((col("vec_id") / 40).cast("int").as("cluster"), col("ivf_cell"))
+      .as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (_, rows) =>
+        rows.groupBy(_._2).values.map(_.size).max.toDouble / rows.size
+      }
+    assert(purity.forall(_ >= 0.9), s"sampled-training purity: ${purity.toSeq.sorted}")
+  }
 }
