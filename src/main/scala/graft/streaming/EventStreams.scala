@@ -143,6 +143,45 @@ object EventStreams {
       .drop("_content_sig")
   }
 
+  /** Content signatures of a static corpus — the build side for
+    * [[dedupAgainstCorpus]]. Compute ONCE and persist (ideally bucketed
+    * on `_content_sig`, Export.writeBucketed): the signature table is a
+    * few bytes per document, so the historical side of ingest dedup
+    * stays a compact index instead of the corpus itself.
+    */
+  def corpusSignatures(corpus: DataFrame, textCol: String): DataFrame = {
+    graft.functions.SimHash64.register(corpus.sparkSession)
+    corpus.select(
+      graft.functions.SimHash64.simhash64(
+        graft.operators.TextAnalysis.tokens(col(textCol))).as("_content_sig"))
+      .distinct()
+  }
+
+  /** Dedup-at-ingest against a HISTORICAL corpus, then within the stream
+    * itself: the full crawl-ingest shape. A document is dropped if its
+    * content signature (same fused SimHash64 as
+    * [[dedupContentWithinWatermark]] — batch and streaming agree bit-for-
+    * bit) already exists in the static signature table (stream-static
+    * LEFT ANTI join — Spark plans the static side once per micro-batch,
+    * broadcast when small), or was already seen in-stream within the
+    * watermark horizon (bounded keyed state, evicted at the watermark).
+    * Pass the PRECOMPUTED [[corpusSignatures]] table: recomputing
+    * signatures of a 100 TB corpus every micro-batch is the bug this
+    * two-argument shape makes impossible to write.
+    */
+  def dedupAgainstCorpus(
+      stream: DataFrame, corpusSigs: DataFrame, textCol: String,
+      timeCol: String = "event_time", lateness: String = "10 minutes"): DataFrame = {
+    graft.functions.SimHash64.register(stream.sparkSession)
+    stream.withColumn("_content_sig",
+        graft.functions.SimHash64.simhash64(
+          graft.operators.TextAnalysis.tokens(col(textCol))))
+      .withWatermark(timeCol, lateness)
+      .join(corpusSigs, Seq("_content_sig"), "left_anti")
+      .dropDuplicatesWithinWatermark("_content_sig")
+      .drop("_content_sig")
+  }
+
   /** Parquet sink with checkpointing — the durable end of the
     * readStream → transform → writeStream pipeline (B20). Append mode;
     * state (watermarks, dedup sets, window aggs) recovers from the

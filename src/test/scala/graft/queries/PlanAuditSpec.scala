@@ -197,4 +197,39 @@ class PlanAuditSpec extends SparkSpec {
     // codegen'd operators render as "*(n) Op" in the final plan string
     assert(p.contains("*("), p)
   }
+
+  test("AQE splits a skewed join partition at runtime (isSkew in final plan)") {
+    // one key carries ~all rows of the left side — the layout-level answer
+    // is salting (Relational.saltedAggregate); this pins the RUNTIME
+    // answer: AQE detects the oversized shuffle partition and splits it,
+    // so a skewed key degrades one task instead of stalling the stage.
+    // Thresholds are shrunk so kilobyte-scale test data trips the same
+    // code path 100 GB partitions trip in production.
+    import org.apache.spark.sql.functions._
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("s"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), col("id").as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS df's QueryExecution so its adaptive plan finalizes
+      val n = joined.collect().length
+      // 57000 rows of the hot key 7, plus the multiples of 20 below 2000
+      assert(n == 57000 + 100)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isSkew=true") || p.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

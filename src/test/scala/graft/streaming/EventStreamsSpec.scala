@@ -145,6 +145,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(!spark.table("content_dedup").columns.contains("_content_sig"))
   }
 
+  test("B24-ext: ingest dedup against a historical corpus + within-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val known = "the quick brown fox jumps over the lazy dog"
+    val fresh = "a brand new document the archive has never seen"
+    val corpus = Seq((100L, known)).toDF("doc_id", "text")
+    val sigs = EventStreams.corpusSignatures(corpus, "text")
+    val mem = MemoryStream[(Long, Long, String)]
+    val df = EventStreams.withEventTime(
+      mem.toDF.toDF("event_id", "ts", "text"))
+    val q = EventStreams.dedupAgainstCorpus(df, sigs, "text")
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append).start()
+    Seq(
+      Seq((1L, minuteNanos(1), known), (2L, minuteNanos(2), fresh)),
+      Seq((3L, minuteNanos(3), fresh)) // in-stream re-crawl of 2
+    ).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val ids = spark.table("corpus_dedup").select("event_id").as[Long].collect().toList.sorted
+    // 1 is already in the historical corpus; 3 repeats 2 within the stream
+    assert(ids == List(2L))
+    assert(!spark.table("corpus_dedup").columns.contains("_content_sig"))
+  }
+
   test("B24: mapGroupsWithState running per-user stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
