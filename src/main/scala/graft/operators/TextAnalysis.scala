@@ -155,6 +155,32 @@ object TextAnalysis {
       round(lenScore * 0.3 + distinctRatio * 0.3 + alphaRatio * 0.2 + wordLenScore * 0.2, 6)
   }
 
+  /** Corpus-statistics language-model quality score (the CCNet-style
+    * filter): per-document mean unigram surprisal, −mean log2 P(token),
+    * where P comes from the corpus's own token frequencies. Low scores =
+    * text made of common words in typical proportions; high scores =
+    * gibberish, boilerplate tails, wrong-language fragments. The standard
+    * second-stage quality signal after [[qualityScore]]'s shape
+    * heuristics.
+    *
+    * Two-pass 100 TB shape: pass 1 builds the unigram table (explode →
+    * count, one shuffle — or reuse a persisted vocabulary); pass 2 is an
+    * explode + equi-join on token + per-doc average (broadcastable when
+    * the vocabulary is capped). Returns (idCol…, ppx_bits). Documents
+    * with zero tokens are dropped (no distribution to score them under —
+    * callers filter those with [[tokenCount]] first).
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+    val freq = toks.groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+    val total = freq.agg(sum(col("_n")).as("_total"))
+    toks.join(freq, "_t")
+      .crossJoin(broadcast(total)) // 1-row literal, not a real cross join
+      .groupBy(col(idCol))
+      .agg((-avg(log2(col("_n").cast("double") / col("_total").cast("double"))))
+        .as("ppx_bits"))
+  }
+
   /** Deterministic document fingerprint: 64-bit rolling hash over the token
     * stream (order-sensitive, whitespace-insensitive) via chained xxhash64 —
     * hash mixing instead of polynomial multiply, so ANSI overflow semantics

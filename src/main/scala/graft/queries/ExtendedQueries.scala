@@ -511,6 +511,21 @@ object ExtendedQueries {
         asLong(col("n_chars")).as("n_chars"), asLong(col("rank")).as("rank"))
       .orderBy(col("source"), col("rank"))
 
+  /** q62 — corpus-LM quality scoring: per-document mean unigram surprisal
+    * ([[graft.operators.TextAnalysis.unigramSurprisal]], the CCNet-style
+    * second-stage filter) under the dual-engine gate. Both engines
+    * compute −avg(log2(tokenFreq/corpusTotal)) from their own two-pass
+    * frequency tables; outputs rounded to 6 decimals so double-summation
+    * order (Spark partial aggs vs DuckDB's scan order) cannot flip a
+    * hash — the per-value drift is ~1e-13, nine orders below the
+    * rounding grain.
+    */
+  def q62UnigramPpx(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.unigramSurprisal(
+        t(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), round(col("ppx_bits"), 6).as("ppx_bits"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -538,6 +553,7 @@ object ExtendedQueries {
     "q59_bloom_join"    -> (q59BloomJoin _),
     "q60_zorder_box"    -> (q60ZOrderBox _),
     "q61_domain_cap"    -> (q61DomainCap _),
+    "q62_unigram_ppx"   -> (q62UnigramPpx _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,6 +568,18 @@ object ExtendedQueries {
                     ORDER BY n_chars DESC, doc_id ASC) AS rank
            FROM documents) t
          WHERE rank <= 5 ORDER BY source, rank""",
+    "q62_unigram_ppx" ->
+      """WITH tok AS (
+           SELECT doc_id, t FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+             FROM documents) raw
+           WHERE t <> ''),
+         freq AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+         tot AS (SELECT sum(n) AS total FROM freq)
+         SELECT doc_id,
+                round(-avg(log2(CAST(n AS DOUBLE) / total)), 6) AS ppx_bits
+         FROM tok JOIN freq USING (t) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "q59_bloom_join" ->
       """SELECT o_orderkey, o_custkey AS c_custkey, c_name
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.getString(0) == "b" && top.getLong(1) == 2L) // b appears in both docs
   }
 
+  test("unigramSurprisal: common-word docs score lower than rare-word docs") {
+    // corpus where "the cat sat" words dominate; doc 3 is made of hapaxes
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "zyx qwv jkp"),
+      (4L, "the the the"),
+      (5L, "   ")) // zero tokens → no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(5L))
+    // hapax-only doc carries maximal surprisal; the all-"the" doc minimal
+    assert(got(3L) > got(1L) && got(3L) > got(2L))
+    assert(got(4L) < got(2L))
+    // hand-check doc 4: P(the) = 6/15 → surprisal = -log2(6/15) for every token
+    assert(math.abs(got(4L) - (-math.log(6.0 / 15) / math.log(2))) < 1e-12)
+  }
+
   test("annotate runs one-pass on the documents table") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val ann = TextAnalysis.annotate(docs, "text")
