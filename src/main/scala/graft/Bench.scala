@@ -105,16 +105,17 @@ object Bench {
     // passes minimum; keep sampling — up to 10 passes / a 12-minute wall
     // budget — while either (a) the minimum is still improving (last
     // pass cut it by >20%: the spike is ending, ride it down), or (b)
-    // the best wall shows almost no concurrency speedup over the
-    // sequential sum (< 3×, against ~5× quiet-window measurements on 32
-    // cores): the whole window so far was load-inflated and a later
-    // pass may land on quiet.
+    // the best wall shows weak concurrency speedup over the sequential
+    // sum (< 4×, against ~5× quiet-window measurements on 32 cores —
+    // observed: a 7.8 s best wall at 3.2× was still ~50% load-inflated):
+    // the whole window so far was contended and a later pass may land
+    // on quiet.
     val seqSumForGate = results.map(_._2).filter(_ >= 0).sum
     val budgetNs = 12L * 60 * 1000 * 1000 * 1000
     val t0 = System.nanoTime()
     var walls = List(wallPass(), wallPass(), wallPass())
     while (walls.size < 10 && (System.nanoTime() - t0) < budgetNs &&
-           (walls.min < walls.init.min * 0.8 || walls.min > seqSumForGate / 3))
+           (walls.min < walls.init.min * 0.8 || walls.min > seqSumForGate / 4))
       walls = walls :+ wallPass()
     System.err.println(s"[bench] wall passes: ${walls.map(w => f"$w%.2f").mkString(", ")}")
     val wall = walls.min

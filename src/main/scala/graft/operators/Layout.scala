@@ -145,6 +145,27 @@ object Layout {
   def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
     df.write.partitionBy(partCol).mode("overwrite").parquet(path)
 
+  /** Compact a small-files parquet directory into ~`targetFileBytes`
+    * files — the operational companion to [[zOrderWrite]]: streaming
+    * sinks and over-parallel writers leave thousands of KB-scale files,
+    * and at 100 TB the file count itself becomes the bottleneck (driver
+    * listing memory, task-per-file scheduling, footer-read storms). One
+    * file-size estimate from the read's own file index (no data pass),
+    * then a single round-robin repartition to the target count. Returns
+    * the target count. Ordering within files is NOT preserved — compact
+    * BEFORE sort/z-order steps, or re-run [[zOrderWrite]] instead when
+    * clustering matters.
+    */
+  def compactSmallFiles(spark: SparkSession, path: String, outPath: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Per-file min/max of `cols` for every parquet part-file under `path`
     * — the harness view of what the scan planner's stats pruning sees.
     * Returns (file, col_min, col_max, …) one row per file. Test/audit

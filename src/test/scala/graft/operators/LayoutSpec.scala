@@ -127,6 +127,19 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("compactSmallFiles: many tiny files → target count, rows intact") {
+    val src = tmp("graft-small")
+    val dst = tmp("graft-compact")
+    val df = spark.range(0, 5000).select(col("id"), (col("id") % 97).as("v"))
+    df.repartition(64).write.mode("overwrite").parquet(src) // 64 tiny files
+    val srcFiles = spark.read.parquet(src).inputFiles.length
+    assert(srcFiles >= 32)
+    val n = Layout.compactSmallFiles(spark, src, dst, targetFileBytes = 1L << 20)
+    val out = spark.read.parquet(dst)
+    assert(out.inputFiles.length == n && n < srcFiles / 4)
+    assert(out.select("id").as[Long].collect().toSet == (0L until 5000L).toSet)
+  }
+
   test("writePartitioned: static pruning prunes, DPP subquery planned") {
     val dir = tmp("graft-part")
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
