@@ -521,8 +521,10 @@ object ExtendedQueries {
     * rounding grain.
     */
   def q62UnigramPpx(spark: SparkSession, dir: String): DataFrame =
+    // fan-out: the tokenizing explode is per-row-heavy and the sf0.1
+    // parquet is a single scan partition (see PipelineQueries.docsF)
     graft.operators.TextAnalysis.unigramSurprisal(
-        t(spark, dir, "documents"), "doc_id", "text")
+        Tables.fanOut(t(spark, dir, "documents")), "doc_id", "text")
       .select(col("doc_id"), round(col("ppx_bits"), 6).as("ppx_bits"))
       .orderBy(col("doc_id"))
 
