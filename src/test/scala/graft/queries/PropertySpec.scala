@@ -86,4 +86,70 @@ class PropertySpec extends SparkSpec {
         exc.subsetOf(lSet) && exc.intersect(rSet).isEmpty
     })
   }
+
+  // --- round-4 operator properties ---
+
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000L),
+      Gen.oneOf("aa bb", "cc dd ee", "ff", "aa bb", "gg hh ii jj")))
+      .map(_.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+
+  test("exactKeepMinId ≡ per-content min id (hand oracle), any layout") {
+    check(Prop.forAll(docsGen, Gen.choose(1, 7)) { (docs, parts) =>
+      val expect = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      val got = graft.operators.Dedup.exactKeepMinId(
+        docs.toDF("id", "text").repartition(parts), "id", "text")
+        .select("id").as[Long].collect().toSet
+      got == expect
+    })
+  }
+
+  test("interleaveBits is injective on its domain and order-embeds boxes") {
+    check(Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 63L), Gen.choose(0L, 63L)))) { pts =>
+      val z = pts.distinct.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.operators.Layout.interleaveBits(Seq(col("x"), col("y")), 6).as("z"))
+        .as[(Long, Long, Long)].collect()
+      // injective: distinct (x,y) → distinct z
+      z.map(_._3).distinct.length == z.length &&
+        // z stays within the 12-bit interleave domain
+        z.forall(r => r._3 >= 0 && r._3 < (1L << 12))
+    })
+  }
+
+  test("topKPerGroup is layout-independent and matches a window-rank oracle") {
+    check(Prop.forAll(rowsGen.suchThat(_.nonEmpty), Gen.choose(1, 3)) { (ls, k) =>
+      val df = ls.zipWithIndex
+        .map { case ((g, s), i) => (g, s.toDouble, i.toLong) }
+        .toDF("g", "score", "id")
+      val got = graft.operators.Relational
+        .topKPerGroup(df.repartition(5), Seq("g"), "score", "id", k)
+        .select("g", "id").as[(Int, Long)].collect().toSet
+      // oracle: rank by (score desc, id asc) within each group, take k.
+      // (groupBy returns a Map — flatMap on it would rebuild a Map keyed
+      // by g and silently keep ONE pair per group; go through toList.)
+      val expect = ls.zipWithIndex
+        .map { case ((g, s), i) => (g, s.toDouble, i.toLong) }
+        .groupBy(_._1).toList.flatMap { case (g, rows) =>
+          rows.sortBy(r => (-r._2, r._3)).take(k).map(r => (g, r._3))
+        }.toSet
+      got == expect
+    })
+  }
+
+  test("HLL sketch merge is split-invariant (register-exact)") {
+    check(Prop.forAll(rowsGen.suchThat(_.size > 4), Gen.choose(1, 5)) { (ls, splitAt) =>
+      val df = ls.zipWithIndex.map { case ((k, _), i) => (i % (splitAt + 1), k) }
+        .toDF("part", "v")
+      val one = graft.operators.Sketches
+        .sketchBy(df.withColumn("part", lit(0)), Seq("part"), "v")
+      val split = graft.operators.Sketches.sketchBy(df, Seq("part"), "v")
+      val mergedEst = graft.operators.Sketches
+        .mergeSketches(split, Seq.empty, "v_sketch")
+        .select(graft.operators.Sketches.estimate(col("v_sketch"))).as[Long].head()
+      val oneEst = one
+        .select(graft.operators.Sketches.estimate(col("v_sketch"))).as[Long].head()
+      mergedEst == oneEst
+    })
+  }
 }
