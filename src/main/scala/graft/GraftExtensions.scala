@@ -35,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.name),
       new ExpressionInfo(classOf[SimHash64].getName, SimHash64.name),
       (exprs: Seq[Expression]) => SimHash64.build(exprs)))
+    // native as-of join planner: sessions built with these extensions
+    // plan AsOfJoinPlan without the per-session
+    // AsOfJoin.ensureRegistered call (which remains for live sessions,
+    // where getOrCreate ignores withExtensions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -186,6 +186,11 @@ class RelationalSpec extends SparkSpec {
       val lang = s2.sql(
         "SELECT lang_id(array('the', 'and', 'of')) AS l").head.getString(0)
       assert(lang == "en")
+      // the native as-of join planner strategy rides along too: an
+      // extension-built session carries it without the per-session
+      // registration AsOfJoin.asOfJoin performs
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
