@@ -133,10 +133,23 @@ object Tables {
     * extra full-corpus shuffle would be the bug.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.min(8, target)) df
+    val spark = df.sparkSession
+    // Intra-query DOP is a deployment-mode decision: a lone query wants
+    // the whole machine (default = defaultParallelism); a session running
+    // many queries concurrently already has every core busy with
+    // inter-query parallelism, so per-query fan-out only adds an exchange
+    // — `spark.graft.fanout.width` lets that deployment bound or disable
+    // it (≤1 = off). Runtime conf, so one long-lived session can adjust
+    // as its workload shape changes.
+    val target = spark.conf.getOption(fanoutKey).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (target <= 1) df
+    else if (df.rdd.getNumPartitions >= math.min(8, target)) df
     else df.repartition(target)
   }
+
+  /** Session conf bounding [[fanOut]]'s target width; ≤1 disables. */
+  val fanoutKey = "spark.graft.fanout.width"
 
   /** Register every batch table as a temp view named after the file. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
