@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.core.Tables
-import graft.operators.{Layout, Relational, Similarity}
+import graft.operators.{Layout, Relational, Similarity, Snapshot}
 import graft.plans.AsOfJoin
 
-/** Round-3/4 coverage extensions (q37–q61): dual-engine DuckDB-oracled
+/** Round-3/4 coverage extensions (q37–q64): dual-engine DuckDB-oracled
   * entries except the three real-codec media queries (q56–q58, pinned by
   * fixture — DuckDB cannot decode PNG/WAV/GIF), all following the
   * cross-engine result-type discipline documented in
@@ -528,6 +528,39 @@ object ExtendedQueries {
       .select(col("doc_id"), round(col("ppx_bits"), 6).as("ppx_bits"))
       .orderBy(col("doc_id"))
 
+  /** q63 — snapshot compaction: latest event per user as the user's
+    * current state ([[Snapshot.latestByKey]]). The version vector
+    * (ts, event_id) is unique per user, so the agg-based winner is
+    * deterministic and matches DuckDB's `row_number` form row-for-row —
+    * while shipping a map-side-combined aggregate instead of the
+    * window's full-history shuffle (see [[Snapshot]] scaladoc).
+    */
+  def q63SnapshotLatest(spark: SparkSession, dir: String): DataFrame =
+    Snapshot.latestByKey(
+        Tables.loadEvents(spark, dir)
+          .select("user_id", "ts", "event_id", "event_type", "value"),
+        Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+
+  /** q64 — CDC upsert compaction ([[Snapshot.merge]]): a correction
+    * batch re-states every purchase record (value doubled) at its
+    * ORIGINAL version; per event_id the merge must prefer the delta on
+    * the exact-version tie — the re-statement semantics a correction
+    * feed relies on. Doubling is exact in binary floating point, so the
+    * corrected doubles hash-match DuckDB's bit-for-bit.
+    */
+  def q64UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val corrections = ev.filter(col("event_type") === "purchase")
+      .withColumn("value", col("value") * 2)
+    Snapshot.merge(ev, corrections, Seq("event_id"), Seq("ts"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -556,9 +589,30 @@ object ExtendedQueries {
     "q60_zorder_box"    -> (q60ZOrderBox _),
     "q61_domain_cap"    -> (q61DomainCap _),
     "q62_unigram_ppx"   -> (q62UnigramPpx _),
+    "q63_snapshot_latest" -> (q63SnapshotLatest _),
+    "q64_upsert_merge"  -> (q64UpsertMerge _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_snapshot_latest" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value
+         FROM (SELECT user_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q64_upsert_merge" ->
+      """WITH delta AS (SELECT event_id, ts, event_type, value * 2 AS value
+                        FROM events WHERE event_type = 'purchase'),
+              u AS (SELECT event_id, ts, event_type, value, 0 AS src FROM events
+                    UNION ALL
+                    SELECT event_id, ts, event_type, value, 1 AS src FROM delta)
+         SELECT event_id, event_type, value
+         FROM (SELECT event_id, event_type, value,
+                      row_number() OVER (PARTITION BY event_id
+                        ORDER BY ts DESC, src DESC) AS rn
+               FROM u) t
+         WHERE rn = 1 ORDER BY event_id""",
     "q60_zorder_box" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 400
