@@ -59,6 +59,23 @@ object TextAnalysis {
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Within-document repetition signal: the fraction of token n-gram
+    * windows that duplicate another window of the same document —
+    * `1 − distinct(shingles)/count(shingles)` — the standard repetition
+    * filter of corpus quality pipelines (boilerplate, keyword stuffing,
+    * and degenerate generations all score high; clean prose scores ~0).
+    * Documents with fewer than n tokens have one whole-text shingle and
+    * score 0; empty documents score 0. A pure per-row expression over
+    * string shingles (not [[shingleHashes]]: cross-engine oracles compare
+    * exact distinct counts, and a hash collision — however unlikely —
+    * would silently shift the fraction), so it runs shuffle-free at any
+    * corpus size.
+    */
+  def repetitionFraction(text: Column, n: Int): Column =
+    bindOnce(shingles(text, n), sh =>
+      when(size(sh) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)))
+
   /** 64-bit hashes of the token n-gram shingles, skipping the string
     * materialization entirely: xxhash64 over the token-array slice hashes
     * the n tokens directly. Set operations (Jaccard, MinHash) on these

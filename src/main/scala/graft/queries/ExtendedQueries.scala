@@ -561,6 +561,21 @@ object ExtendedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** q65 — within-document repetition scoring
+    * ([[graft.operators.TextAnalysis.repetitionFraction]], the Gopher-
+    * style duplicate-trigram filter). Shuffle-free per-row expression on
+    * the Spark side; DuckDB rebuilds the same trigram windows with a
+    * list comprehension. Both engines round to 6 decimals (ratio of two
+    * small ints — the division is the only inexact step and both compute
+    * it in one IEEE op, but the rounding keeps the pin robust).
+    */
+  def q65Repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(graft.operators.TextAnalysis.repetitionFraction(col("text"), 3), 6)
+          .as("rep3"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -591,6 +606,7 @@ object ExtendedQueries {
     "q62_unigram_ppx"   -> (q62UnigramPpx _),
     "q63_snapshot_latest" -> (q63SnapshotLatest _),
     "q64_upsert_merge"  -> (q64UpsertMerge _),
+    "q65_repetition"    -> (q65Repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,6 +629,20 @@ object ExtendedQueries {
                         ORDER BY ts DESC, src DESC) AS rn
                FROM u) t
          WHERE rn = 1 ORDER BY event_id""",
+    "q65_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+                             list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '') AS ts
+                      FROM documents),
+              sh AS (SELECT doc_id,
+                            CASE WHEN len(ts) < 3 THEN 1 ELSE len(ts) - 2 END AS n_sh,
+                            CASE WHEN len(ts) < 3 THEN 1
+                                 ELSE len(list_distinct(
+                                   [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                    for i in range(1, len(ts) - 1)])) END AS n_d
+                     FROM tok)
+         SELECT doc_id, round(1.0 - CAST(n_d AS DOUBLE) / n_sh, 6) AS rep3
+         FROM sh ORDER BY doc_id""",
     "q60_zorder_box" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 400

@@ -256,6 +256,32 @@ object EventStreams {
         OutputMode.Update)
   }
 
+  /** Streaming face of [[graft.operators.Snapshot.latestByKey]]: the
+    * per-user latest record (greatest `event_id` — the CDC sequence
+    * number) maintained in typed state, emitted on every batch that
+    * touches the user (Update mode: the sink upserts by key). An
+    * out-of-order arrival with a SMALLER version than the held state is
+    * a no-op — same semantics the batch operator gives a late delta —
+    * which is what distinguishes an upsert view from last-arrival-wins
+    * `dropDuplicates`. State is one record per key, shuffle-partitioned:
+    * the horizontally-scalable shape; bound the key space (or add a
+    * timeout) before pointing it at an unbounded-cardinality stream.
+    */
+  def latestUserSnapshot(ds: Dataset[Event]): Dataset[Event] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[Event], state: GroupState[Event]) =>
+          val incoming = events.maxBy(_.event_id)
+          val next = state.getOption match {
+            case Some(cur) if cur.event_id >= incoming.event_id => cur
+            case _ => incoming
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** B24 — arbitrary stateful processing via mapGroupsWithState: running
     * per-user event count + value sum maintained in typed state. State is
     * per-key and shuffle-partitioned — the horizontally-scalable shape.

@@ -25,6 +25,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("repetitionFraction: duplicate trigram share; degenerate docs pinned") {
+    val rep = Seq(
+      "a b c a b c a b c", // 7 trigram windows, 3 distinct → 4/7
+      "w x y z",           // no repetition → 0
+      "a b",               // < n tokens: one whole-text shingle → 0
+      ""                   // empty → 0 (guarded, not NaN)
+    ).toDF("t").select(TextAnalysis.repetitionFraction(col("t"), 3).as("r"))
+      .as[Double].collect().toSeq
+    assert(math.abs(rep.head - 4.0 / 7.0) < 1e-12)
+    assert(rep.tail == Seq(0.0, 0.0, 0.0))
+    // a degenerate generation ("the the the ...") scores ~1
+    val loop = Seq(Seq.fill(50)("the").mkString(" ")).toDF("t")
+      .select(TextAnalysis.repetitionFraction(col("t"), 3).as("r")).as[Double].head
+    assert(loop > 0.97)
+  }
+
   test("languageId: stopword heuristic on hand-made samples") {
     val samples = Seq(
       ("the cat and the dog is in a house", "en"),

@@ -188,6 +188,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(last == Set((100L, 3L, 10.0), (200L, 1L, 7.0)))
   }
 
+  test("latestUserSnapshot: streaming upsert view; out-of-order arrivals are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.latestUserSnapshot(mem.toDS())
+      .writeStream.format("memory").queryName("usersnap")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(EventStreams.Event(5, 100, "view", 1.0),
+        EventStreams.Event(2, 100, "click", 9.0)) // within-batch: 5 wins
+      q.processAllAvailable()
+      // late arrival BELOW the held version must not regress the snapshot
+      mem.addData(EventStreams.Event(3, 100, "click", 7.0),
+        EventStreams.Event(1, 200, "signup", 4.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(8, 100, "purchase", 2.0)) // advances
+      q.processAllAvailable()
+      // memory sink in Update mode appends each emission; the LAST row
+      // per user (max event_id emitted) is the current snapshot
+      val last = spark.table("usersnap")
+        .groupBy("user_id")
+        .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("s"))
+        .select(col("user_id"), col("s.event_id"), col("s.event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(last == Set((100L, 8L, "purchase"), (200L, 1L, "signup")))
+      // the late batch emitted the UNCHANGED snapshot for user 100
+      // (event_id 5), not the stale record (3)
+      val emitted = spark.table("usersnap")
+        .filter(col("user_id") === 100).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(emitted == Set(5L, 8L) && !emitted.contains(3L))
+    } finally q.stop()
+  }
+
   test("B24: transformWithState (new API) matches mapGroupsWithState results") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState needs multi-column-family state → RocksDB provider
