@@ -75,6 +75,37 @@ class SnapshotSpec extends SparkSpec {
       l.contains("Aggregate") && l.contains("max_by")) >= 2, plan)
   }
 
+  test("randomized differential: merge ≡ window-based reference") {
+    // seeded generator: a few hot keys, colliding versions across base
+    // and delta (the tie path), plus tombstones
+    val rnd = new scala.util.Random(42)
+    // deleted derives from row CONTENT (not an independent coin): rows
+    // identical in (k, v, payload, src) must be fully identical, or the
+    // documented arbitrary-among-exact-ties pick would differ from the
+    // reference's equally-arbitrary pick on semantically distinct rows
+    def rows(src: Int) = Seq.fill(300) {
+      val (k, v, p) = (s"k${rnd.nextInt(20)}", rnd.nextInt(8).toLong, rnd.nextInt(1000))
+      (k, v, p, (k, v, p, src).hashCode.abs % 10 == 0, src)
+    }
+    val base = rows(0).toDF("k", "v", "payload", "deleted", "src")
+    val delta = rows(1).toDF("k", "v", "payload", "deleted", "src")
+    // operator under test (drop the src tag first — merge adds its own)
+    val got = Snapshot.merge(base.drop("src"), delta.drop("src"),
+        Seq("k"), Seq("v", "payload"), tombstoneCol = Some("deleted"))
+      .select("k", "v", "payload").as[(String, Long, Int)].collect().toSet
+    // reference: window row_number over the union with src as tie-break.
+    // (v, payload) is not unique per (k, src) either, so the reference
+    // adds payload to its ordering exactly as merge's version vector does
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("v").desc, col("payload").desc, col("src").desc)
+    val expect = base.unionByName(delta)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(!col("deleted"))
+      .select("k", "v", "payload").as[(String, Long, Int)].collect().toSet
+    assert(got == expect)
+  }
+
   test("withIsLatest flags exactly the rows latestByKey keeps") {
     val flagged = Snapshot.withIsLatest(changes, Seq("k"), Seq("v"))
       .filter(col("is_latest"))

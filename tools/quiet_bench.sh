@@ -22,8 +22,13 @@ for i in $(seq 1 "$MAX"); do
   if [ -e /tmp/graft_pause_hunter ]; then sleep 60; continue; fi
   L=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "exit(0 if float('$L') < float('$LOAD_MAX') else 1)"; then
-    echo "[hunter] iter $i load=$L -> benching" >&2
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 /opt/spark/bin/spark-submit \
+    # alternate shuffle partitions 8/4 across iterations: quiet windows
+    # are too scarce for a dedicated sweep, so the hunt doubles as the
+    # A/B (the log records which setting produced each wall)
+    SHUF=$([ $((i % 2)) -eq 0 ] && echo 4 || echo 8)
+    echo "[hunter] iter $i load=$L shuffle=$SHUF -> benching" >&2
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SHUFFLE=$SHUF \
+      /opt/spark/bin/spark-submit \
       --class graft.Bench --master 'local[32]' --driver-memory 8g \
       target/scala-2.13/musicdatabasespark_2.13-0.1.0.jar \
       > "/tmp/quiet_bench_$i.log" 2>&1
