@@ -570,7 +570,9 @@ object ExtendedQueries {
     * it in one IEEE op, but the rounding keeps the pin robust).
     */
   def q65Repetition(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    // fan-out: trigram window materialization is per-row-heavy and the
+    // sf0.1 parquet is a single scan partition (see PipelineQueries.docsF)
+    Tables.fanOut(t(spark, dir, "documents"))
       .select(col("doc_id"),
         round(graft.operators.TextAnalysis.repetitionFraction(col("text"), 3), 6)
           .as("rep3"))
