@@ -18,14 +18,17 @@ TARGET=${TARGET:-5.2}
 ORACLE=${ORACLE:-/tmp/verify_r4c/oracle_sql.json}
 MAX=${1:-200}
 BEST=999
+NBENCH=0
 for i in $(seq 1 "$MAX"); do
   if [ -e /tmp/graft_pause_hunter ]; then sleep 60; continue; fi
   L=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "exit(0 if float('$L') < float('$LOAD_MAX') else 1)"; then
-    # alternate shuffle partitions 8/4 across iterations: quiet windows
-    # are too scarce for a dedicated sweep, so the hunt doubles as the
-    # A/B (the log records which setting produced each wall)
-    SHUF=$([ $((i % 2)) -eq 0 ] && echo 4 || echo 8)
+    # alternate shuffle partitions 8/4 across BENCH RUNS (not loop
+    # iterations: quiet-gated fires land on a biased iteration parity):
+    # quiet windows are too scarce for a dedicated sweep, so the hunt
+    # doubles as the A/B (the log records each wall's setting)
+    NBENCH=$((NBENCH + 1))
+    SHUF=$([ $((NBENCH % 2)) -eq 0 ] && echo 4 || echo 8)
     echo "[hunter] iter $i load=$L shuffle=$SHUF -> benching" >&2
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SHUFFLE=$SHUF \
       /opt/spark/bin/spark-submit \
