@@ -46,8 +46,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // extra bench-session conf for A/B experiments, e.g.
     // SPARK_GRAFT_BENCH_CONF="spark.sql.constraintPropagation.enabled=false,k=v"
+    // split("=", 2): conf VALUES may themselves contain '=' (URLs,
+    // expressions); a key with no '=' at all is a typo'd experiment —
+    // fail loudly rather than silently run the A/B without its knob
     val spark = sys.env.get("SPARK_GRAFT_BENCH_CONF").toSeq
-      .flatMap(_.split(',')).map(_.split('=')).filter(_.length == 2)
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+      .map { e =>
+        val kv = e.split("=", 2)
+        require(kv.length == 2 && kv(0).trim.nonEmpty,
+          s"SPARK_GRAFT_BENCH_CONF entry '$e' is not key=value")
+        kv
+      }
       .foldLeft(builder)((b, kv) => b.config(kv(0).trim, kv(1).trim))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

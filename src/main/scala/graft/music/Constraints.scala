@@ -60,6 +60,16 @@ object Constraints {
   def domainViolations(df: DataFrame, colName: String, allowed: Seq[Any]): DataFrame =
     df.filter(col(colName).isNotNull && !col(colName).isin(allowed: _*))
 
+  /** C5 — varchar(n) length audit: rows whose string column exceeds the
+    * DDL-declared length. SURVEY §1.4 maps MySQL `varchar(n)` to
+    * StringType + load-time validation — this is that validator. Length is
+    * measured in CHARACTERS (`char_length`), matching MySQL's varchar(n)
+    * semantics, not bytes. Nulls are C1's concern and are skipped. Pure
+    * pushed-down scan filter, no shuffle.
+    */
+  def lengthViolations(df: DataFrame, colName: String, maxLen: Int): DataFrame =
+    df.filter(col(colName).isNotNull && char_length(col(colName)) > maxLen)
+
   /** I1 — every song carries at least one genre (music_db.pdf p.5:
     * application-enforced, stated in SURVEY §1.3 as must-preserve
     * behavior). Violations = songs with no Song_genre row; left-anti join
@@ -119,7 +129,10 @@ object Constraints {
         s"${t.name}.fk(${cc.mkString(",")}→$pName)" ->
           orphanViolations(df, cc, tables(pName), pc)
       }
-      c1 ++ c2 ++ c3
+      val c5 = t.varcharLimits.map { case (c, n) =>
+        s"${t.name}.varchar($c≤$n)" -> lengthViolations(df, c, n)
+      }
+      c1 ++ c2 ++ c3 ++ c5
     }
     // reference-documented domain + application-level invariants
     // (music_db.pdf p.5–6)

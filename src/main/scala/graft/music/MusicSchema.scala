@@ -22,7 +22,8 @@ object MusicSchema {
       schema: StructType,
       primaryKey: Seq[String],
       unique: Seq[Seq[String]],
-      fks: Seq[(Seq[String], (String, Seq[String]))])
+      fks: Seq[(Seq[String], (String, Seq[String]))],
+      varcharLimits: Seq[(String, Int)] = Nil)
 
   val artist: TableDef = TableDef(
     "Artist",
@@ -32,7 +33,8 @@ object MusicSchema {
       StructField("is_group", ByteType, nullable = false))),   // tinyint(1): 1=group, 0=individual (sql:9)
     primaryKey = Seq("artist_id"),
     unique = Seq(Seq("artist_id"), Seq("name")),
-    fks = Nil)
+    fks = Nil,
+    varcharLimits = Seq("name" -> 200)) // varchar(200), music_db.sql:8
 
   val genre: TableDef = TableDef(
     "Genre",
@@ -41,7 +43,8 @@ object MusicSchema {
       StructField("name", StringType, nullable = false))),  // UNIQUE (sql:24)
     primaryKey = Seq("genre_id"),
     unique = Seq(Seq("genre_id"), Seq("name")),
-    fks = Nil)
+    fks = Nil,
+    varcharLimits = Seq("name" -> 100)) // varchar(100), music_db.sql:22
 
   val album: TableDef = TableDef(
     "Album",
@@ -55,7 +58,8 @@ object MusicSchema {
     unique = Seq(Seq("album_id"), Seq("artist_id", "title")),    // UNIQUE (sql:40)
     fks = Seq(
       Seq("artist_id") -> ("Artist", Seq("artist_id")),
-      Seq("genre_id") -> ("Genre", Seq("genre_id"))))
+      Seq("genre_id") -> ("Genre", Seq("genre_id"))),
+    varcharLimits = Seq("title" -> 200)) // varchar(200), music_db.sql:36
 
   val user: TableDef = TableDef(
     "User",
@@ -64,7 +68,8 @@ object MusicSchema {
       StructField("created_at", TimestampType, nullable = false))),
     primaryKey = Seq("username"),
     unique = Seq(Seq("username")),
-    fks = Nil)
+    fks = Nil,
+    varcharLimits = Seq("username" -> 50)) // varchar(50), music_db.sql:52
 
   val song: TableDef = TableDef(
     "Song",
@@ -78,7 +83,8 @@ object MusicSchema {
     unique = Seq(Seq("song_id"), Seq("artist_id", "title")),   // UNIQUE (sql:70)
     fks = Seq(
       Seq("artist_id") -> ("Artist", Seq("artist_id")),
-      Seq("album_id") -> ("Album", Seq("album_id"))))
+      Seq("album_id") -> ("Album", Seq("album_id"))),
+    varcharLimits = Seq("title" -> 200)) // varchar(200), music_db.sql:66
 
   val songGenre: TableDef = TableDef(
     "Song_genre",
@@ -102,7 +108,8 @@ object MusicSchema {
     unique = Seq(Seq("username", "song_id", "rating_date")),
     fks = Seq(
       Seq("username") -> ("User", Seq("username")),
-      Seq("song_id") -> ("Song", Seq("song_id"))))
+      Seq("song_id") -> ("Song", Seq("song_id"))),
+    varcharLimits = Seq("username" -> 50)) // varchar(50), music_db.sql:98
 
   val all: Seq[TableDef] = Seq(artist, genre, album, user, song, songGenre, rating)
 

@@ -98,11 +98,14 @@ object Layout {
           Seq(min(col(c).cast(DoubleType)), max(col(c).cast(DoubleType))))
         val row = df.agg(statCols.head, statCols.tail: _*).head()
         cols.zipWithIndex.map { case (c, i) =>
-          val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-          linearBucket(col(c), lo, hi, bits)
+          // empty input or an all-null column yields null min/max: map the
+          // whole (degenerate) domain to bucket 0, matching the documented
+          // null policy, instead of an opaque NPE out of getDouble
+          if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+          else linearBucket(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
         }
       }
-    df.withColumn("_z", interleaveBits(buckets, if (rankMode) bits.min(8) else bits))
+    df.withColumn("_z", interleaveBits(buckets, bits))
   }
 
   /** Write `df` as `nChunks` z-contiguous parquet directories
@@ -122,8 +125,10 @@ object Layout {
   def zOrderWrite(df: DataFrame, cols: Seq[String], path: String,
                   nChunks: Int, bits: Int = 12, rankMode: Boolean = false): Unit = {
     require(nChunks >= 1, "nChunks must be >= 1")
-    val effBits = if (rankMode) bits.min(8) else bits
-    val zSpace = 1L << (effBits * cols.size)
+    // uniform contract with zOrdered: rank mode REQUIRES bits <= 8 (it
+    // folds 2^bits-1 boundaries per row) — no silent clamping here that
+    // zOrdered would then reject anyway
+    val zSpace = 1L << (bits * cols.size)
     val chunkWidth = math.max(1L, zSpace / nChunks)
     zOrdered(df, cols, bits, rankMode)
       .withColumn("z_chunk", (col("_z") / chunkWidth).cast(LongType))
@@ -159,8 +164,14 @@ object Layout {
   def compactSmallFiles(spark: SparkSession, path: String, outPath: String,
                         targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val df = spark.read.parquet(path)
-    val totalBytes = df.inputFiles.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length).sum
+    // resolve sizes through the Hadoop FileSystem API, not java.io.File:
+    // File.length() is 0 for any non-local scheme (hdfs://, s3a://), which
+    // would silently collapse nFiles to 1 and rewrite 100 TB as one file
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
     nFiles

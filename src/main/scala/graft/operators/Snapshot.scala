@@ -35,6 +35,11 @@ object Snapshot {
     */
   def latestByKey(df: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String]): DataFrame = {
+    // "_latest" is this function's internal agg alias; an input column of
+    // the same name would collide in the post-agg select and silently
+    // corrupt the payload — refuse instead
+    require(!df.columns.contains("_latest"),
+      "input must not contain a column named _latest (internal alias)")
     val payload = df.columns.filterNot(keyCols.contains)
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*),
@@ -56,6 +61,10 @@ object Snapshot {
     */
   def merge(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
       versionCols: Seq[String], tombstoneCol: Option[String] = None): DataFrame = {
+    // "_src" is the internal tie-break column; a pre-existing one would be
+    // silently overwritten by withColumn and corrupt the delta-wins rule
+    require(!base.columns.contains("_src") && !delta.columns.contains("_src"),
+      "inputs must not contain a column named _src (internal tie-break)")
     val tagged = base.withColumn("_src", lit(0))
       .unionByName(delta.withColumn("_src", lit(1)))
     // _src as the LAST version component: strictly-newer versions still

@@ -62,6 +62,31 @@ class MusicGoldenSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("varchar length audit: over-limit strings flagged, seed passes, nulls skipped") {
+    import org.apache.spark.sql.functions._
+    val t = tables
+    // seed respects every DDL varchar(n) limit — auditAll now includes C5
+    val c5Keys = Constraints.auditAll(t).keySet.filter(_.contains("varchar"))
+    assert(c5Keys == Set(
+      "Artist.varchar(name≤200)", "Genre.varchar(name≤100)",
+      "Album.varchar(title≤200)", "User.varchar(username≤50)",
+      "Song.varchar(title≤200)", "Rating.varchar(username≤50)"))
+    assert(Constraints.violatedConstraints(t).isEmpty)
+    // corrupt: a 201-char artist name violates varchar(200)
+    val longName = t("Artist").withColumn("name",
+      when(col("artist_id") === 1, lit("x" * 201)).otherwise(col("name")))
+    assert(Constraints.lengthViolations(longName, "name", 200).count() == 1)
+    // boundary: exactly 200 CHARACTERS passes even when multi-byte in UTF-8
+    // (MySQL varchar(n) counts characters, not bytes)
+    val atLimit = t("Artist").withColumn("name",
+      when(col("artist_id") === 1, lit("é" * 200)).otherwise(col("name")))
+    assert(Constraints.lengthViolations(atLimit, "name", 200).isEmpty)
+    // nulls are C1's concern, not C5's
+    val withNull = t("Song").withColumn("title",
+      when(col("song_id") === 1, lit(null: String)).otherwise(col("title")))
+    assert(Constraints.lengthViolations(withNull, "title", 200).isEmpty)
+  }
+
   test("domain audit: rating outside 1..5 is flagged, in-range is not") {
     import org.apache.spark.sql.functions._
     val t = tables
