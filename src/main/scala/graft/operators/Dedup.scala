@@ -56,6 +56,34 @@ object Dedup {
   private[operators] def isSmallInput(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes < barrierThresholdBytes
 
+  /** Materialize `df` behind an eager execution barrier.
+    *
+    * Default (`checkpointDir = None`): `localCheckpoint(eager = true)` —
+    * blocks live on executors and the lineage is CUT, so losing an
+    * executor after the barrier fails the job instead of recomputing.
+    * Right for single-node and short-lived jobs (this sandbox).
+    *
+    * `Some(dir)`: RELIABLE `checkpoint` into `dir` — a fault-tolerant
+    * filesystem path (HDFS/S3A) at cluster scale. Survives executor
+    * churn: downstream stages re-read the checkpoint files, which is the
+    * form a multi-hour 100 TB dedup needs. Costs one distributed write +
+    * re-read of the (small: loser/dirty ids only) barrier set. Spark
+    * stores data under `dir/<uuid>/rdd-N`; the dir is app-global on the
+    * SparkContext, so concurrent calls with DIFFERENT dirs on one context
+    * race on that setting — use one dir per context. Checkpoint files are
+    * reclaimed by the context's normal cleanup policy
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`), not by this
+    * call.
+    */
+  private def materializeBarrier(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on full row or a column subset — `dropDuplicates`. */
@@ -212,7 +240,8 @@ object Dedup {
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // `shingled` feeds the exact stage, signature banding, and both
@@ -221,10 +250,10 @@ object Dedup {
     // consumer — shingling the corpus 4x. Persist both for the duration
     // of this call and eagerly reduce to the (small) loser-id set, after
     // which the heavy caches are dropped; the returned plan is a lazy
-    // anti-join of `df` against the materialized losers. localCheckpoint
-    // gives an execution barrier that does NOT register in the plan cache
-    // (so repeated calls re-run honestly); at cluster scale with executor
-    // churn, swap it for a reliable `checkpoint` directory.
+    // anti-join of `df` against the materialized losers. The barrier does
+    // NOT register in the plan cache (so repeated calls re-run honestly);
+    // `checkpointDir` selects the executor-churn-safe reliable form for
+    // cluster scale — see [[materializeBarrier]].
     //
     // Below [[barrierThresholdBytes]] the whole pipeline instead runs as
     // ONE lazy job: the 2-4× subtree re-derivation is cheaper than the
@@ -333,7 +362,7 @@ object Dedup {
     val allLosers =
       if (small) exactLosers.union(nearLosers)
       else
-        try exactLosers.union(nearLosers).localCheckpoint(true)
+        try materializeBarrier(exactLosers.union(nearLosers), checkpointDir)
         finally { shingled.unpersist(false); banded.unpersist(false) }
     df.join(allLosers, df(idCol) === allLosers("_loser"), "left_anti")
   }
@@ -356,7 +385,8 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -398,7 +428,7 @@ object Dedup {
     val dirty =
       if (small) exactHits.union(nearHits)
       else
-        try exactHits.union(nearHits).localCheckpoint(true)
+        try materializeBarrier(exactHits.union(nearHits), checkpointDir)
         finally { cSh.unpersist(false); rSh.unpersist(false) }
     corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
   }
@@ -551,7 +581,8 @@ object Dedup {
     * signatures first makes buckets sparse again (one row per distinct
     * fingerprint) AND guarantees replica recall regardless of crowding.
     */
-  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     // signatures via the native codegen'd expression: one fused per-row
     // loop, NO shuffle — vs [[simhashSignatures]]'s explode + 64-slot
     // aggregate, which blows each doc up to one row per token and pays a full
@@ -566,7 +597,7 @@ object Dedup {
       coalesce(
         graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col(textCol))),
         lit(0L)).as("_sig"))
-    val losers = signatureLosers(sigs, maxDist)
+    val losers = signatureLosers(sigs, maxDist, checkpointDir)
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
 
@@ -582,7 +613,8 @@ object Dedup {
     * localCheckpoint barrier; below it the whole pipeline stays lazy
     * (one job, no barriers).
     */
-  def signatureLosers(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def signatureLosers(sigs: DataFrame, maxDist: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     // same persist-and-barrier discipline as [[minhashDedup]], including
@@ -648,7 +680,7 @@ object Dedup {
 
     if (small) exactLosers.union(nearLosers)
     else
-      try exactLosers.union(nearLosers).localCheckpoint(true)
+      try materializeBarrier(exactLosers.union(nearLosers), checkpointDir)
       finally { withSig.unpersist(false); banded.unpersist(false) }
   }
 
@@ -756,7 +788,8 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame,
       idCol: String, vecCol: String,
       bands: Int = 8, planesPerBand: Int = 8,
-      threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, dim: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.CosineSimilarity.register(corpus.sparkSession)
     val cVec = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
       .dropDuplicates("_id")
@@ -777,7 +810,7 @@ object Dedup {
       .join(rVec, "_rid")
       .filter(graft.functions.CosineSimilarity.cosineSim(col("_cv"), col("_rv")) >= threshold)
       .select(col("_id").as("_dirty"))
-    val dirty = if (small) dirtyBase else dirtyBase.localCheckpoint(true)
+    val dirty = if (small) dirtyBase else materializeBarrier(dirtyBase, checkpointDir)
     corpus.join(dirty, corpus(idCol) === dirty("_dirty"), "left_anti")
   }
 

@@ -244,6 +244,38 @@ class DedupSpec extends SparkSpec {
     assert(shS == shB, s"simhash paths diverge: ${shS.size} vs ${shB.size}")
   }
 
+  test("reliable-checkpoint barrier mode: identical survivors, checkpoint files written") {
+    // the executor-churn-safe 100 TB form: the big path's eager barrier
+    // goes through a reliable checkpoint directory instead of
+    // localCheckpoint. Force the barrier path and pin result equivalence
+    // across all three barrier variants (lazy small path, localCheckpoint,
+    // reliable checkpoint).
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val lazySmall = ids(Dedup.minhashDedup(docs, "doc_id", "text", numHashes = 32, bands = 8))
+    val saved = Dedup.barrierThresholdBytes
+    Dedup.barrierThresholdBytes = 0L
+    try {
+      val local = ids(Dedup.minhashDedup(docs, "doc_id", "text", numHashes = 32, bands = 8))
+      val reliable = ids(Dedup.minhashDedup(docs, "doc_id", "text", numHashes = 32, bands = 8,
+        checkpointDir = Some(ckptDir)))
+      val simLocal = ids(Dedup.simhashDedup(docs, "doc_id", "text"))
+      val simReliable = ids(Dedup.simhashDedup(docs, "doc_id", "text",
+        checkpointDir = Some(ckptDir)))
+      assert(reliable == local && local == lazySmall,
+        s"minhash barrier variants diverge: ${lazySmall.size}/${local.size}/${reliable.size}")
+      assert(simReliable == simLocal,
+        s"simhash barrier variants diverge: ${simLocal.size} vs ${simReliable.size}")
+      // the reliable form actually wrote checkpoint data (rdd-N dirs)
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      assert(walk(new java.io.File(ckptDir)).exists(_.getName.startsWith("rdd-")),
+        s"no rdd-* checkpoint dirs under $ckptDir")
+    } finally Dedup.barrierThresholdBytes = saved
+  }
+
   test("replica recall is structural: N-fold replication dedups to the 1x survivor set") {
     // regression for the scale defect found by DedupScaleBench: single-
     // stage bucket-min simhash kept 60k of 150k docs at 30x replication
