@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * carried as opaque `binary` columns with typed metadata structs, processed
   * by per-partition batch operators.
   *
-  * The IMAGE, AUDIO and GIF-VIDEO paths are REAL: the JDK ships
+  * The IMAGE, AUDIO and VIDEO paths are REAL: the JDK ships
   * PNG/BMP/GIF/JPEG readers (javax.imageio, headless-safe) and PCM-WAV
   * readers (javax.sound.sampled) in `java.desktop`, so
   * [[decodeImagesIO]]/[[imageAHash]]/[[imageDedupByAHash]],
   * [[decodeAudioIO]]/[[audioFingerprint]]/[[audioDedupByFingerprint]] and
   * [[sampleFramesIO]]/[[videoDedupByFrameHash]] decode actual
-  * pixels/samples/frames with no external codec libraries. Non-GIF video
-  * containers (mp4/avi) genuinely need codec libraries absent from this
-  * container: their entry point is the injectable [[FrameDecoder]] hook
-  * (GIF ships as the working instance) plus the clearly-marked
-  * deterministic stubs below for the generic-payload pipeline shape.
+  * pixels/samples/frames with no external codec libraries. Video covers
+  * GIF plus mp4 and avi CONTAINERS parsed from the public specs
+  * ([[VideoContainers]]) with real frame decode for Motion-JPEG payloads;
+  * the one remaining genuinely-codec-bound gap — H.264/H.265 bitstream
+  * decompression — enters through the injectable [[FrameDecoder]] hook,
+  * plus the clearly-marked deterministic stubs below for the
+  * generic-payload pipeline shape.
   * Everything else is real and tested: the schema contract, the
   * `mapPartitions` batch shape (one codec init per partition, not per
   * row), the partition-preserving plumbing, and the hand-off of extracted
@@ -494,10 +496,97 @@ object Multimodal {
     }
   }
 
-  /** Injectable video-container decoder — the plug-in point for codecs
-    * this container can't ship (mp4/avi need ffmpeg-class libraries; a
-    * JavaCV- or jcodec-backed implementation drops in here with no change
-    * to the pipeline). Contract:
+  /** Deterministic synthetic MJPEG-AVI corpus: real, decodable AVI
+    * payloads ([[VideoContainers.buildAviMjpeg]] containers holding
+    * ImageIO-encoded JPEG frames with seeded block patterns). `dupEvery`
+    * plants byte-identical duplicates like the other generators; JPEG is
+    * lossy, but identical inputs encode identically, so planted dups
+    * decode pixel-identical and collapse under the frame hash.
+    */
+  def syntheticAvis(spark: SparkSession, n: Int, size: Int = 16, frames: Int = 6,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val content = VideoContainers.buildAviMjpeg(jpegBlockFrames(seed, size, frames), size, size)
+      Media(id, "video", content,
+        MediaMeta("avi", Some(size), Some(size), None, Some(frames * 100L)))
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-mp4 corpus —
+    * [[VideoContainers.buildMp4Mjpeg]] form of [[syntheticAvis]]. */
+  def syntheticMp4s(spark: SparkSession, n: Int, size: Int = 16, frames: Int = 6,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val content = VideoContainers.buildMp4Mjpeg(jpegBlockFrames(seed, size, frames), size, size)
+      Media(id, "video", content,
+        MediaMeta("mp4", Some(size), Some(size), None, Some(frames * 100L)))
+    }
+  }
+
+  /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
+    * GIF generator (block structure survives lossy encode far better
+    * than per-pixel noise, keeping frame hashes stable).
+    */
+  private def jpegBlockFrames(seed: Long, size: Int, frames: Int): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until frames).map { _ =>
+      val img = new java.awt.image.BufferedImage(
+        size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var by = 0
+      while (by < size) {
+        var bx = 0
+        while (bx < size) {
+          val c = if (rnd.nextBoolean()) 0xffffff else 0x000000
+          var y = by
+          while (y < math.min(by + 4, size)) {
+            var x = bx
+            while (x < math.min(bx + 4, size)) { img.setRGB(x, y, c); x += 1 }
+            y += 1
+          }
+          bx += 4
+        }
+        by += 4
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+  }
+
+  case class VideoMeta(media_id: Long, container: String, codec: String,
+      width: Int, height: Int, duration_ms: Long, n_frames: Int)
+
+  /** Container-level video metadata probe — codec fourcc, dimensions,
+    * duration, frame count straight from the mp4 moov / avi hdrl headers,
+    * NO frame decode (so it runs on any codec, including H.264 payloads
+    * whose bitstreams this library can't decompress). The real form of
+    * "typed metadata for an opaque binary column". Unparseable payloads
+    * are dropped.
+    */
+  def probeVideosIO(media: Dataset[Media]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "video").flatMap { m =>
+        (VideoContainers.sniff(m.content) match {
+          case "mp4" => VideoContainers.probeMp4(m.content)
+          case "avi" => VideoContainers.probeAvi(m.content)
+          case _     => None
+        }).map(i => VideoMeta(m.media_id, i.container, i.codec,
+          i.width, i.height, i.durationMs, i.nFrames))
+      }
+    }
+  }
+
+  /** Injectable video-container decoder — the plug-in point for the
+    * remaining codec gap (H.264/H.265 bitstream decode needs an
+    * ffmpeg-class library; a JavaCV- or jcodec-backed implementation
+    * drops in here with no change to the pipeline — GIF, AVI/MJPEG and
+    * MP4/MJPEG already decode for real via [[ContainerFrameDecoder]]).
+    * Contract:
     *
     *  - `sampleFrames(content, maxFrames)` returns up to `maxFrames`
     *    evenly-spaced frames as PNG-encoded byte arrays (so sampled
@@ -514,8 +603,43 @@ object Multimodal {
     def sampleFrames(content: Array[Byte], maxFrames: Int): Seq[Array[Byte]]
   }
 
-  /** The shipped [[FrameDecoder]]: JDK ImageIO multi-frame readers (GIF —
-    * the one video container java.desktop decodes natively). The reader
+  /** The shipped default [[FrameDecoder]]: sniffs the container by magic
+    * bytes and decodes GIF (ImageIO multi-frame reader), AVI/MJPEG and
+    * MP4/MJPEG (pure-JDK container parsing, [[VideoContainers]] — each
+    * sample is a complete JPEG decoded by the JDK reader). Frames are
+    * evenly sampled and re-encoded PNG so every container feeds the same
+    * image path. Payloads in a readable container but a codec the JDK
+    * can't entropy-decode (H.264/H.265 mp4, non-MJPEG avi) yield Nil —
+    * THAT bitstream decode is the remaining injectable boundary.
+    */
+  class ContainerFrameDecoder extends FrameDecoder {
+    private val gif = new GifFrameDecoder
+
+    private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    private def sampleEven[T](all: Seq[T], maxFrames: Int): Seq[T] = {
+      val n = all.length
+      if (n == 0) Nil
+      else {
+        val take = math.min(maxFrames, n)
+        (0 until take).map(i => all(if (take == 1) 0 else i * (n - 1) / (take - 1)))
+      }
+    }
+
+    override def sampleFrames(content: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+      VideoContainers.sniff(content) match {
+        case "gif" => gif.sampleFrames(content, maxFrames)
+        case "avi" => sampleEven(VideoContainers.aviFrames(content), maxFrames).map(pngBytes)
+        case "mp4" => sampleEven(VideoContainers.mp4Frames(content), maxFrames).map(pngBytes)
+        case _     => Nil
+      }
+  }
+
+  /** GIF-only [[FrameDecoder]]: JDK ImageIO multi-frame reader. The reader
     * is `@transient lazy`: created once per deserialized instance (= once
     * per task), re-bound per payload via `setInput`, never recreated
     * per row.
@@ -552,14 +676,15 @@ object Multimodal {
   }
 
   /** REAL frame sampling for video payloads via a pluggable
-    * [[FrameDecoder]] (default: the GIF decoder — mp4/avi arrive by
+    * [[FrameDecoder]] (default: the container-sniffing decoder — GIF,
+    * AVI/MJPEG and MP4/MJPEG all decode; other codecs arrive by
     * injecting a codec-backed decoder, see the trait scaladoc).
     * mapPartitions keeps the batch shape; the decoder instance is task-
     * local, so its lazy codec state amortizes across the partition.
     * One row in, N frame rows out; unreadable payloads are dropped.
     */
   def sampleFramesIO(media: Dataset[Media], maxFrames: Int = 4,
-      decoder: FrameDecoder = new GifFrameDecoder): Dataset[VideoFrame] = {
+      decoder: FrameDecoder = new ContainerFrameDecoder): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.kind == "video").flatMap { m =>

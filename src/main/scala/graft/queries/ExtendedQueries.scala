@@ -8,9 +8,9 @@ import graft.core.Tables
 import graft.operators.{Layout, Relational, Similarity, Snapshot}
 import graft.plans.AsOfJoin
 
-/** Round-3/4 coverage extensions (q37–q64): dual-engine DuckDB-oracled
-  * entries except the three real-codec media queries (q56–q58, pinned by
-  * fixture — DuckDB cannot decode PNG/WAV/GIF), all following the
+/** Round-3/4/5 coverage extensions (q37–q66): dual-engine DuckDB-oracled
+  * entries except the real-codec media queries (q56–q58, q66, pinned by
+  * fixture — DuckDB cannot decode PNG/WAV/GIF/MJPEG), all following the
   * cross-engine result-type discipline documented in
   * [[InventoryQueries]] — integer-valued columns pinned to BIGINT, no
   * DECIMAL in final outputs, double aggregation done in exact DECIMAL
@@ -456,6 +456,25 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q66 — REAL-container video dedup over mp4 + avi: MJPEG payloads in
+    * both containers ([[graft.multimodal.VideoContainers]] pure-JDK
+    * ISO-BMFF/RIFF parsing, JDK JPEG frame decode) → middle-frame
+    * average-hash → signature dedup. Disjoint seed spaces (avi 0–99,
+    * mp4 100–199) keep the planted every-10th duplicates within each
+    * container; the mixed-corpus cross-container collapse is pinned in
+    * MultimodalSpec. Fixture-pinned like q56–q58.
+    */
+  def q66Mp4AviDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avis = graft.multimodal.Multimodal.syntheticAvis(spark, 100)
+    val mp4s = graft.multimodal.Multimodal.syntheticMp4s(spark, 200)
+      .filter(_.media_id >= 100) // seeds 100–199: disjoint from the avi patterns
+    val media = avis.unionByName(mp4s)
+    graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q59 — Bloom-prefiltered join (semi-join reduction with the native
     * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
     * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
@@ -609,6 +628,7 @@ object ExtendedQueries {
     "q63_snapshot_latest" -> (q63SnapshotLatest _),
     "q64_upsert_merge"  -> (q64UpsertMerge _),
     "q65_repetition"    -> (q65Repetition _),
+    "q66_mp4avi_dedup"  -> (q66Mp4AviDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -736,6 +756,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q58_video_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q58_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q66_mp4avi_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q66_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

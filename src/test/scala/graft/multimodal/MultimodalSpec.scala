@@ -131,6 +131,102 @@ class MultimodalSpec extends SparkSpec {
     assert(viaHook == viaDefault && viaHook.size == 18)
   }
 
+  test("REAL container: MP4 build → probe → MJPEG frame decode round-trip") {
+    // hand-build one MJPEG mp4 with a known block pattern and round-trip
+    // it through the container parser — no Spark, pure byte work
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val mp4 = VideoContainers.buildMp4Mjpeg(Seq(jpeg, jpeg, jpeg), 16, 16, fps = 10)
+
+    assert(VideoContainers.sniff(mp4) == "mp4")
+    val info = VideoContainers.probeMp4(mp4).get
+    assert(info.container == "mp4" && info.codec == "jpeg")
+    assert(info.width == 16 && info.height == 16)
+    assert(info.nFrames == 3 && info.durationMs == 300L)
+    // sample table reconstruction: 3 samples of identical size, contiguous
+    val ranges = VideoContainers.mp4SampleRanges(mp4)
+    assert(ranges.length == 3 && ranges.forall(_._2 == jpeg.length))
+    assert(ranges(1)._1 == ranges(0)._1 + jpeg.length)
+    // frames decode to real pixels: left half bright, right half dark
+    val frames = VideoContainers.mp4Frames(mp4)
+    assert(frames.length == 3)
+    val f = frames.head
+    assert(f.getWidth == 16 && f.getHeight == 16)
+    assert((f.getRGB(2, 8) & 0xff) > 200 && (f.getRGB(13, 8) & 0xff) < 60)
+    // junk and truncated payloads are data, not errors
+    assert(VideoContainers.probeMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoContainers.mp4Frames(mp4.take(40)).isEmpty)
+  }
+
+  test("REAL container: AVI build → probe → MJPEG frame decode round-trip") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (y < 8) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avi = VideoContainers.buildAviMjpeg(Seq(jpeg, jpeg), 16, 16, fps = 10)
+
+    assert(VideoContainers.sniff(avi) == "avi")
+    val info = VideoContainers.probeAvi(avi).get
+    assert(info.container == "avi" && info.codec == "MJPG")
+    assert(info.width == 16 && info.height == 16 && info.nFrames == 2)
+    val frames = VideoContainers.aviFrames(avi)
+    assert(frames.length == 2)
+    val f = frames.head
+    assert((f.getRGB(8, 2) & 0xff) > 200 && (f.getRGB(8, 13) & 0xff) < 60)
+    assert(VideoContainers.probeAvi(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("REAL container: mixed GIF+AVI+MP4 corpus — one decoder, one dedup, one probe") {
+    // 20 of each container, duplicates planted every 10th id within each;
+    // ids offset so the three sub-corpora don't collide
+    val gifs = Multimodal.syntheticGifs(spark, 20, dupEvery = 10)
+    val avis = Multimodal.syntheticAvis(spark, 20, dupEvery = 10)
+      .map(m => m.copy(media_id = m.media_id + 100))
+    val mp4s = Multimodal.syntheticMp4s(spark, 20, dupEvery = 10)
+      .map(m => m.copy(media_id = m.media_id + 200))
+    val mixed = gifs.unionByName(avis).unionByName(mp4s).cache()
+
+    // the default decoder handles all three containers
+    val frames = Multimodal.sampleFramesIO(mixed, maxFrames = 3)
+    assert(frames.count() == 180, "3 frames from each of 60 videos")
+    // every sampled frame is a decodable PNG
+    val asImages = frames.map(f => Multimodal.Media(f.media_id, "image", f.frame, null))
+    assert(Multimodal.decodeImagesIO(asImages).count() == 180)
+
+    // cross-container collapse: the generators share seed → pattern, so
+    // gif/avi/mp4 triples with the same seed are pixel-near-identical
+    // (JPEG loss moves few aHash bits on block patterns) and
+    // keep-smallest-id keeps only the GIF instance — the frame hash sees
+    // CONTENT, not container bytes. Survivors of the mixed corpus ==
+    // survivors of the gif corpus alone.
+    val out = Multimodal.videoDedupByFrameHash(mixed, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    val gifOnly = Multimodal.videoDedupByFrameHash(gifs, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    assert(out == gifOnly, s"mixed survivors $out != gif-only survivors $gifOnly")
+    // within a single container, planted every-10th duplicates collapse
+    val aviOnly = Multimodal.videoDedupByFrameHash(avis, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    assert(!aviOnly.contains(110L) && aviOnly.contains(109L))
+    val mp4Only = Multimodal.videoDedupByFrameHash(mp4s, maxDist = 3)
+      .select("media_id").as[Long].collect().toSet
+    assert(!mp4Only.contains(210L) && mp4Only.contains(209L))
+
+    // container metadata probe, no frame decode: avi + mp4 rows
+    val metas = Multimodal.probeVideosIO(mixed).collect()
+    assert(metas.length == 40, "20 avi + 20 mp4 (gif has no container probe)")
+    assert(metas.filter(_.container == "avi").forall(m =>
+      m.codec == "MJPG" && m.width == 16 && m.n_frames == 6))
+    assert(metas.filter(_.container == "mp4").forall(m =>
+      m.codec == "jpeg" && m.width == 16 && m.n_frames == 6))
+  }
+
   test("REAL codec: grid features are unit-norm and feed ANN") {
     val feats = Multimodal.imageGridFeatures(pngs, grid = 8).toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))

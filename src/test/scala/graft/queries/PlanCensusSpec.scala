@@ -7,8 +7,8 @@ import graft.tools.PlanReport
   * plan (planning only, AQE wrapper bypassed via a no-AQE audit run)
   * stays inside coarse scale-safety budgets. PlanAuditSpec spot-checks
   * the load-bearing plans in depth; this census is the regression net
-  * that catches a shuffle or nested-loop join sneaking into ANY of the
-  * 80 queries.
+  * that catches a shuffle or nested-loop join sneaking into ANY declared
+  * query.
   */
 class PlanCensusSpec extends SparkSpec {
 
@@ -25,9 +25,9 @@ class PlanCensusSpec extends SparkSpec {
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into
   private val noScan = Set("q36_media_features", "q56_image_dedup",
-    "q57_audio_dedup", "q58_video_dedup")
+    "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup")
 
-  test("all 80 plans: bounded shuffles, no stray nested-loop joins, pushdown present") {
+  test("all plans: bounded shuffles, no stray nested-loop joins, pushdown present") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
