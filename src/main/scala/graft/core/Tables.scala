@@ -156,4 +156,40 @@ object Tables {
     (relational ++ pipeline).foreach { n =>
       load(spark, sfDir, n).createOrReplaceTempView(n)
     }
+
+  /** Register the batch tables as EXTERNAL parquet tables in the session
+    * CATALOG — the real metastore path, vs [[registerAll]]'s session-local
+    * temp views and the resolved-relation cache above (which this
+    * complements, not replaces: the catalog persists table → location
+    * mappings; the cache skips re-listing files within a session).
+    *
+    * Catalog entries live in the SharedState external catalog: visible to
+    * every session on the SparkContext (`newSession()` included, unlike
+    * temp views), and — when the session is built with
+    * `enableHiveSupport()` (hive + derby ship on the classpath) — persisted
+    * in the warehouse metastore across application restarts, exactly how a
+    * production deployment resolves `db.table` names. Tables are EXTERNAL
+    * (explicit LOCATION): dropping them never deletes data.
+    *
+    * Re-registering with a DIFFERENT sfDir re-points the table (drop +
+    * recreate); with the same location it is a no-op. `events` is not
+    * registered: its TIMESTAMP(NANOS) column needs the [[loadEvents]]
+    * session-flag workaround, which a bare catalog lookup cannot apply.
+    */
+  def registerCatalog(spark: SparkSession, sfDir: String,
+      database: String = "graft"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    (relational ++ pipeline).foreach { n =>
+      val location = s"$sfDir/$n.parquet"
+      val stale = spark.catalog.tableExists(s"`$database`.`$n`") && {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(n, Some(database)))
+        new org.apache.hadoop.fs.Path(meta.location).toUri.getPath !=
+          new org.apache.hadoop.fs.Path(location).toUri.getPath
+      }
+      if (stale) spark.sql(s"DROP TABLE `$database`.`$n`")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$database`.`$n` " +
+        s"USING parquet LOCATION '$location'")
+    }
+  }
 }

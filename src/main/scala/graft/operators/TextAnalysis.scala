@@ -302,13 +302,36 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
-  /** Full per-document annotation: all text-analysis columns from ONE
-    * tokenization pass — the token array is bound once and every derived
-    * column reads the bound value (tokenizing per column would 4× the
-    * dominant cost; see [[bindOnce]]). Single narrow projection, no
-    * shuffle.
+  /** Full per-document annotation: all five text-analysis columns from
+    * ONE fused byte pass over the text — the native
+    * [[graft.functions.AnnotateText]] expression (whole-stage codegen,
+    * zero regex passes, no per-column re-derivation). Single narrow
+    * projection, no shuffle. Bit-for-bit parity with
+    * [[annotateComposable]] is pinned in TextAnalysisSpec.
     */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.AnnotateText.register(df.sparkSession)
+    val ann = graft.functions.AnnotateText.annotateText(col(textCol))
+    // explode(array(struct)) routes the struct through a Generate node so
+    // `_ann` is a bound attribute downstream — without it CollapseProject
+    // copies the whole fused expression into each of the 5 field
+    // extractions (5× the pass; same reason as the composable form)
+    df.select(df.columns.map(col) :+ explode(array(ann)).as("_ann"): _*)
+      .select(df.columns.map(col) ++ Seq(
+        col("_ann.n_tokens").as("n_tokens"),
+        col("_ann.n_subwords").as("n_subwords"),
+        col("_ann.lang_id").as("lang_id"),
+        col("_ann.quality").as("quality"),
+        col("_ann.fingerprint").as("fingerprint")): _*)
+  }
+
+  /** The composable-builtins form of [[annotate]]: one tokenization pass
+    * (`bindOnce`) feeding per-column derived expressions. Kept as the
+    * executable specification the fused native expression is pinned
+    * against — and as the fallback if the annotation set is extended
+    * faster than the native expression.
+    */
+  def annotateComposable(df: DataFrame, textCol: String): DataFrame = {
     // native lang_id: one hash probe per token (the composable literal-map
     // form linear-scans all stopword entries per token — the dominant cost
     // of this operator); lowercasing happens inside the expression's loop,

@@ -167,4 +167,45 @@ class TextAnalysisSpec extends SparkSpec {
     val row = ann.filter(col("n_tokens") > 0).head
     assert(row.getAs[Int]("n_tokens") > 0)
   }
+
+  test("fused native annotate == composable form, bit-for-bit, corpus + adversarial rows") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // adversarial shapes the corpus may not cover: empty, whitespace-only,
+    // mixed scripts, non-ASCII "other" runs, long alpha/digit runs, every
+    // ASCII whitespace flavor, stopword ties across languages
+    val weird = Seq(
+      (9001L, ""), (9002L, "   \t\n\f\r  "),
+      (9003L, "the la que des los y con für über 你好 的 是"),
+      (9004L, "abcdefghijklmnop 1234567890 !!!###$$$ mix3d-t0kens"),
+      (9005L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (9006L, "café naïve – em—dash … ellipsis 🙂 emoji"),
+      (9007L, "der der der die die das und ist nicht ein"),
+      (9008L, "  leading and trailing  "),
+      (9009L, " nbsp is not ascii ws"),
+      (9010L, "ThE QuIcK bRoWn FoX 123abc456"))
+      .toDF("doc_id", "text")
+    val input = docs.unionByName(weird)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_subwords", "lang_id", "quality", "fingerprint")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getString(3), r.getDouble(4), r.getLong(5))).toMap
+    val fused = rows(TextAnalysis.annotate(input, "text"))
+    val composable = rows(TextAnalysis.annotateComposable(input, "text"))
+    assert(fused.size == composable.size)
+    for ((id, c) <- composable)
+      assert(fused(id) == c, s"doc $id: fused ${fused(id)} != composable $c")
+
+    // the interpreted (non-codegen) path agrees with codegen
+    val expr = graft.functions.AnnotateText(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the quick 123 ... fox"),
+        org.apache.spark.sql.types.StringType))
+    val interp = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val viaDf = rows(TextAnalysis.annotate(
+      Seq((1L, "the quick 123 ... fox")).toDF("doc_id", "text"), "text"))(1L)
+    assert((interp.getInt(0), interp.getInt(1), interp.getUTF8String(2).toString,
+      interp.getDouble(3), interp.getLong(4)) == viaDf)
+  }
 }

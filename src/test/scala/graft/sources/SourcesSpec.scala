@@ -14,6 +14,40 @@ class SourcesSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-sources-$name").toString
 
+  test("catalog registration: db.table resolution, cross-session visibility, pushdown intact") {
+    val dir = "/root/testdata/sf0.001"
+    graft.core.Tables.registerCatalog(spark, dir)
+    // resolution by catalog name equals the direct path read
+    val viaCatalog = spark.table("graft.lineitem")
+    val direct = graft.core.Tables.load(spark, dir, "lineitem")
+    assert(viaCatalog.count() == direct.count())
+    assert(viaCatalog.schema == direct.schema)
+    // SQL over catalog names, catalog listing
+    assert(spark.sql("SELECT count(*) AS n FROM graft.orders").head().getLong(0) ==
+      graft.core.Tables.load(spark, dir, "orders").count())
+    val names = spark.catalog.listTables("graft").collect().map(_.name).toSet
+    assert(graft.core.Tables.relational.toSet.subsetOf(names))
+    assert(graft.core.Tables.pipeline.toSet.subsetOf(names))
+    // catalog relations still push filters/projection into the parquet scan
+    val plan = spark.sql(
+      "SELECT l_orderkey FROM graft.lineitem WHERE l_quantity > 49")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"no pushdown through catalog relation:\n$plan")
+    // catalog entries are SharedState-scoped: a NEW session resolves the
+    // name with no re-registration — what temp views cannot do
+    val fresh = spark.newSession()
+    assert(fresh.table("graft.customer").count() ==
+      graft.core.Tables.load(spark, dir, "customer").count())
+    // idempotent; re-pointing to a different sfDir re-registers
+    graft.core.Tables.registerCatalog(spark, dir)
+    graft.core.Tables.registerCatalog(spark, "/root/testdata/sf0.01")
+    assert(spark.table("graft.lineitem").count() ==
+      graft.core.Tables.load(spark, "/root/testdata/sf0.01", "lineitem").count())
+    graft.core.Tables.registerCatalog(spark, dir) // restore for other tests
+    assert(spark.table("graft.lineitem").count() == direct.count())
+  }
+
   test("music schema CSV round-trip: every table, schema and values exact") {
     // the Spark-native analog of the reference's dump-file ingest: write
     // each seed table as CSV, read it back with the DECLARED schema, and
