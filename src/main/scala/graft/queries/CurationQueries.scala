@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Curation
+
+/** Round-5 corpus-curation coverage (q67–q70): PII redaction,
+  * deterministic split assignment, exact stratified sampling, and
+  * chunk-ownership dedup — all dual-engine DuckDB-oracled over the real
+  * `documents` table. The synthetic corpus contains no PII, so q67
+  * plants a deterministic PII suffix (derived from `doc_id`) in BOTH
+  * engines and checks detection counts + the md5 of the redacted text —
+  * an exact cross-engine pin of the redaction semantics, including the
+  * precision case (an SSN-shaped token no pattern should touch).
+  */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** The planted-PII text: 120 chars of the real document followed by an
+    * email / IPv4 / phone derived from doc_id, plus an SSN-shaped decoy
+    * that must SURVIVE redaction (precision, not just recall).
+    */
+  private def plantedPii: org.apache.spark.sql.Column = concat(
+    substring(col("text"), 1, 120),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com from 10."),
+    (col("doc_id") % 200).cast("string"), lit(".3.44 call +1-555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" ref 123-45-6789"))
+
+  /** q67 — PII detect + redact (counts on the original, md5-pinned
+    * redacted text). Shuffle-free per-row expressions.
+    */
+  def q67PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val countCols = Curation.piiCounts(plantedPii)
+      .map { case (name, c) => c.as(name) }
+    docs(spark, dir).select(
+      (col("doc_id") +: countCols :+
+        md5(Curation.piiRedact(plantedPii)).as("red_md5")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68 — deterministic 80/10/10 train/val/test assignment by
+    * `hash16(doc_id)`, rolled up per (split, lang).
+    */
+  def q68SplitCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        Curation.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  /** q69 — exact stratified sample: the 40 smallest-(md5, id) docs per
+    * source, via the hash-prefilter two-phase plan (Curation.scala).
+    */
+  def q69StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(spark, dir), "source", "doc_id", k = 40)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  /** q70 — chunk-level exact dedup by ownership: 8-token chunks, each
+    * distinct chunk text owned by its smallest doc_id; rows = owners,
+    * owned_chunks = distinct chunks kept.
+    */
+  def q70ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkOwnershipStats(docs(spark, dir), "doc_id", "text",
+      chunkTokens = 8)
+      .orderBy(col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_pii_redact" -> (q67PiiRedact _),
+    "q68_split_counts" -> (q68SplitCounts _),
+    "q69_stratified_sample" -> (q69StratifiedSample _),
+    "q70_chunk_dedup" -> (q70ChunkDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q67_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  concat(substr(text, 1, 120), ' contact user',
+                         CAST(doc_id AS VARCHAR), '@example.com from 10.',
+                         CAST(doc_id % 200 AS VARCHAR), '.3.44 call +1-555-',
+                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                         ' ref 123-45-6789') AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+                md5(regexp_replace(regexp_replace(regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                      '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_md5
+         FROM aug ORDER BY doc_id""",
+    "q68_split_counts" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h16
+           FROM documents)
+         SELECT CASE WHEN h16 < 52428 THEN 'train'
+                     WHEN h16 < 58982 THEN 'val'
+                     ELSE 'test' END AS split,
+                lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM h GROUP BY 1, 2 ORDER BY split, lang""",
+    "q69_stratified_sample" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+           FROM documents)
+         WHERE rk <= 40 ORDER BY source, rk""",
+    "q70_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts
+           FROM documents),
+         w AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+               FROM toks),
+         ch AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS chunk_text
+                FROM w GROUP BY doc_id, floor((i - 1) / 8)),
+         own AS (SELECT chunk_text, min(doc_id) AS doc_id FROM ch GROUP BY chunk_text)
+         SELECT doc_id, count(*) AS owned_chunks
+         FROM own GROUP BY doc_id ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.core.Tables.load(
+    spark, "/root/testdata/sf0.001", "documents")
+
+  test("piiRedact masks email/ipv4/phone, leaves SSN-shaped decoys, counts match") {
+    val df = Seq(
+      (1L, "write a.b-c_9@mail.example.org or ping 192.168.0.1 then +1-555-0199 done"),
+      (2L, "no pii here, 1.2.3 is not an ip and 123-45-6789 is not matched"),
+      (3L, "two mails x@y.io z@w.co plus 10.0.0.255 10.0.0.256 edge"),
+    ).toDF("id", "text")
+    val out = Curation.piiScan(df, "text").orderBy("id")
+      .select("id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+
+    assert(out(0) == ((1L, 1L, 1L, 1L,
+      "write <EMAIL> or ping <IP> then <PHONE> done")))
+    // precision: version-ish dotted triple and SSN shape untouched
+    assert(out(1) == ((2L, 0L, 0L, 0L,
+      "no pii here, 1.2.3 is not an ip and 123-45-6789 is not matched")))
+    // \d{1,3} matches 256 too (purely syntactic IPv4, documented), and both
+    // mails redact
+    assert(out(2)._2 == 2L && out(2)._3 == 2L)
+    assert(out(2)._5 == "two mails <EMAIL> <EMAIL> plus <IP> <IP> edge")
+  }
+
+  test("assignSplit: deterministic, total, respects weights roughly, stable under growth") {
+    val d = docs
+    val split = Curation.assignSplit(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = d.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    val n = d.count().toDouble
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n.toLong) // total: every row lands somewhere
+    assert(counts("train") / n > 0.6 && counts("train") / n < 0.95)
+
+    // growth-stability: the assignment of a doc doesn't depend on the
+    // rest of the corpus
+    val sub = d.filter(col("doc_id") % 3 === 0)
+    val full = d.select(col("doc_id"), split.as("s")).as[(Long, String)]
+      .collect().toMap
+    val subM = sub.select(col("doc_id"), split.as("s")).as[(Long, String)]
+      .collect().toMap
+    assert(subM.forall { case (id, s) => full(id) == s })
+
+    // determinism across evaluations
+    val again = d.select(col("doc_id"), split.as("s")).as[(Long, String)]
+      .collect().toMap
+    assert(again == full)
+  }
+
+  test("stratifiedSample equals the naive per-stratum top-k, prefilter prunes the exchange") {
+    val d = docs
+    val k = 7
+    def naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .as[(String, Long, Int)].collect().toSet
+    }
+    val two = Curation.stratifiedSample(d, "source", "doc_id", k)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(two == naive)
+
+    // tight overscan forces the fallback path on some strata; result must
+    // still be exact
+    val tight = Curation.stratifiedSample(d, "source", "doc_id", k,
+      overscan = 1.0)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(tight == naive)
+
+    // k >= stratum size degenerates to "everything, ranked"
+    val all = Curation.stratifiedSample(d, "source", "doc_id", 100000)
+    assert(all.count() == d.count())
+  }
+
+  test("chunkOwnershipStats: every distinct chunk owned exactly once, by its min doc") {
+    val df = Seq(
+      (10L, "a b c d e f g h i j"),   // chunks: "a..h", "i j"
+      (20L, "a b c d e f g h x y"),   // first chunk duplicates doc 10's
+      (30L, ""),                      // empty: zero chunks, no output row
+      (40L, "i j"),                   // duplicates doc 10's tail chunk
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkOwnershipStats(df, "doc_id", "text", chunkTokens = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 2L, 20L -> 1L)) // 30 empty, 40 fully deduped
+    // conservation: owned chunks sum to the number of distinct chunk texts
+    val distinctChunks = TextAnalysis.chunkDocuments(df, "doc_id", "text", 8, 0)
+      .select("chunk_text").distinct().count()
+    assert(out.values.sum == distinctChunks)
+  }
+}
