@@ -49,6 +49,26 @@ object Multimodal {
   case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
   case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Read a media corpus from an on-disk parquet fixture if present, else
+    * fall back to the in-memory generator. The synthetic generators are
+    * seeded-deterministic, so a fixture written once by
+    * `tools.GenMediaFixtures` is byte-identical to what `gen` would
+    * produce — committing the parquet just stops every query run from
+    * re-paying ~2k ImageIO/container encodes, and makes the media
+    * queries read an opaque-binary-column table exactly the way a
+    * production pipeline reads a media lakehouse table. The read is
+    * repartitioned so the downstream mapPartitions codec work fans out
+    * instead of serializing on the single small-file scan partition.
+    */
+  def fromFixtureOr(spark: SparkSession, path: String, partitions: Int = 8)(
+      gen: => Dataset[Media]): Dataset[Media] = {
+    import spark.implicits._
+    if (new java.io.File(path).isDirectory)
+      spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Media]].schema)
+        .parquet(path).as[Media].repartition(partitions, col("media_id"))
+    else gen
+  }
+
   /** Deterministic synthetic media corpus (seeded by media_id) for testing
     * the plumbing at any scale — generated distributed, not on the driver.
     */

@@ -426,7 +426,9 @@ object ExtendedQueries {
     * fixture like q29/q30; semantics pinned in MultimodalSpec.
     */
   def q56ImageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.syntheticImages(spark, 300)
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("images_300"))(
+      graft.multimodal.Multimodal.syntheticImages(spark, 300))
     graft.multimodal.Multimodal.imageDedupByAHash(media, maxDist = 3)
       .select(col("media_id"))
       .orderBy(col("media_id"))
@@ -438,7 +440,9 @@ object ExtendedQueries {
     * Fixture-pinned like q56; semantics pinned in MultimodalSpec.
     */
   def q57AudioDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.syntheticWavs(spark, 300)
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("wavs_300"))(
+      graft.multimodal.Multimodal.syntheticWavs(spark, 300))
     graft.multimodal.Multimodal.audioDedupByFingerprint(media, maxDist = 3)
       .select(col("media_id"))
       .orderBy(col("media_id"))
@@ -450,7 +454,9 @@ object ExtendedQueries {
     * q56/q57; semantics pinned in MultimodalSpec.
     */
   def q58VideoDedup(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.syntheticGifs(spark, 200)
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("gifs_200"))(
+      graft.multimodal.Multimodal.syntheticGifs(spark, 200))
     graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
       .select(col("media_id"))
       .orderBy(col("media_id"))
@@ -466,10 +472,13 @@ object ExtendedQueries {
     */
   def q66Mp4AviDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val avis = graft.multimodal.Multimodal.syntheticAvis(spark, 100)
-    val mp4s = graft.multimodal.Multimodal.syntheticMp4s(spark, 200)
-      .filter(_.media_id >= 100) // seeds 100–199: disjoint from the avi patterns
-    val media = avis.unionByName(mp4s)
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("mp4avi_200")) {
+      val avis = graft.multimodal.Multimodal.syntheticAvis(spark, 100)
+      val mp4s = graft.multimodal.Multimodal.syntheticMp4s(spark, 200)
+        .filter(_.media_id >= 100) // seeds 100–199: disjoint from the avi patterns
+      avis.unionByName(mp4s)
+    }
     graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
       .select(col("media_id"))
       .orderBy(col("media_id"))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Media
+
+/** Write the synthetic media corpora used by q56/q57/q58/q66 to parquet
+  * input fixtures under fixtures/, and verify the round-trip is
+  * byte-identical to the generators. The query paths read these via
+  * [[Multimodal.fromFixtureOr]] (falling back to in-memory generation
+  * when absent), so each bench/verify run skips the ~2k deterministic
+  * ImageIO/container encodes that only exist to build the corpus.
+  *
+  * Usage: sbt "runMain graft.tools.GenMediaFixtures"
+  */
+object GenMediaFixtures {
+
+  /** Corpus name → generator; the single definition both this tool and
+    * the query paths rely on (via [[paths]]).
+    */
+  def corpora(spark: SparkSession): Seq[(String, Dataset[Media])] = Seq(
+    "images_300" -> Multimodal.syntheticImages(spark, 300),
+    "wavs_300" -> Multimodal.syntheticWavs(spark, 300),
+    "gifs_200" -> Multimodal.syntheticGifs(spark, 200),
+    "mp4avi_200" -> {
+      import spark.implicits._
+      Multimodal.syntheticAvis(spark, 100).unionByName(
+        Multimodal.syntheticMp4s(spark, 200).filter(_.media_id >= 100))
+    },
+  )
+
+  def path(name: String): String = s"/root/repo/fixtures/media_$name.parquet"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    corpora(spark).foreach { case (name, gen) =>
+      val p = path(name)
+      gen.write.mode("overwrite").parquet(p)
+      // round-trip audit: every (id, content) pair byte-identical
+      val back = spark.read.parquet(p).as[Media]
+        .map(m => (m.media_id, m.content.toSeq)).collect().toMap
+      val src = gen.map(m => (m.media_id, m.content.toSeq)).collect().toMap
+      require(back == src, s"fixture $name round-trip mismatch")
+      println(s"$name: ${back.size} rows -> $p (byte-identical)")
+    }
+    spark.stop()
+  }
+}
