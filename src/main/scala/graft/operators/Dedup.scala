@@ -777,6 +777,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Exact embedding near-dup pairs: EVERY (id_a < id_b) pair with cosine
+    * ≥ `threshold`, by exhaustive pairwise comparison — the declared
+    * exact BASELINE that [[embeddingNearDupPairs]]'s banded-LSH candidate
+    * generation is pinned against in CI (DedupSpec: LSH ≡ exact on a
+    * planted-near-dup corpus). Quadratic in corpus size: correct at any
+    * scale but only affordable for bounded inputs (validation samples,
+    * reference sets, per-cluster verification); the LSH path is the
+    * 100 TB form. Returns (id_a, id_b, cosine).
+    */
+  def embeddingNearDupPairsExact(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineSim(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Embedding-space decontamination: drop every `corpus` row whose
     * vector has cosine ≥ `threshold` with ANY `reference` vector — the
     * semantic-similarity variant of [[minhashDecontaminate]] (paraphrased

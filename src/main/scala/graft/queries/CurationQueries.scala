@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Curation
 
-/** Round-5 corpus-curation coverage (q67–q70): PII redaction,
-  * deterministic split assignment, exact stratified sampling, and
-  * chunk-ownership dedup — all dual-engine DuckDB-oracled over the real
-  * `documents` table. The synthetic corpus contains no PII, so q67
-  * plants a deterministic PII suffix (derived from `doc_id`) in BOTH
-  * engines and checks detection counts + the md5 of the redacted text —
-  * an exact cross-engine pin of the redaction semantics, including the
-  * precision case (an SSN-shaped token no pattern should touch).
+/** Round-5 corpus-curation coverage (q67–q72): PII redaction,
+  * deterministic split assignment, exact stratified sampling,
+  * chunk-ownership dedup, n-gram Jaccard near-dup pairs, and
+  * embedding-cosine near-dup dedup — all dual-engine DuckDB-oracled over
+  * the real `documents`/`embeddings` tables. The synthetic corpus
+  * contains no PII, so q67 plants a deterministic PII suffix (derived
+  * from `doc_id`) in BOTH engines and checks detection counts + the md5
+  * of the redacted text — an exact cross-engine pin of the redaction
+  * semantics, including the precision case (an SSN-shaped token no
+  * pattern should touch). The embeddings likewise contain no cosine
+  * near-dups (max pair cosine 0.513), so q72 plants jittered copies and
+  * reversed decoys with the same both-engines construction.
   */
 object CurationQueries {
 
@@ -74,11 +78,56 @@ object CurationQueries {
       chunkTokens = 8)
       .orderBy(col("doc_id"))
 
+  /** q71 — exact n-gram Jaccard near-dup pairs (3-token shingles,
+    * Jaccard ≥ 0.5) via the inverted-index plan (Dedup.ngramJaccardPairs:
+    * quadratic only within df-capped shingle buckets, never all-pairs).
+    * The default maxDf=1000 cap provably never bites here (max shingle
+    * df is 7 at sf0.01 / 25 at sf0.1), so the result is EXACT and the
+    * DuckDB oracle computes the same pairs from first principles. The
+    * jaccard column is an exact small-int ratio — bit-identical IEEE
+    * division in both engines.
+    */
+  def q71NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(
+      docs(spark, dir), "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q72 — embedding-cosine near-dup dedup survivors. The corpus is the
+    * real embeddings table (cast to double) plus BOTH-ENGINES-planted
+    * rows: a scale-jittered near-copy of every 5th vector (per-element
+    * factor 1 + 0.002·((i mod 7) − 3); cosine ≈ 0.99999 to its original)
+    * and a reversed decoy of every 7th (cosine ≤ 0.513 to everything —
+    * must SURVIVE). A row is dropped iff some smaller-id row has cosine
+    * ≥ 0.95. Margins are wide (max non-dup pair 0.513 vs min dup
+    * 0.99999), so a last-ulp cosine difference cannot flip membership.
+    * Spark side: Dedup.embeddingNearDupPairsExact (the declared exact
+    * baseline; DedupSpec pins the banded-LSH scale path ≡ this exact
+    * pair set on the same planted corpus).
+    */
+  def q72CosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val jit = e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(1.0) + lit(0.002) * (i % 7 - 3))).as("v"))
+    val dec = e.filter(col("vec_id") % 7 === 3).select(
+      (col("vec_id") + 200000).as("vec_id"), reverse(col("v")).as("v"))
+    val corpus = e.unionByName(jit).unionByName(dec)
+    val losers = graft.operators.Dedup
+      .embeddingNearDupPairsExact(corpus, "vec_id", "v", threshold = 0.95)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
+    "q71_ngram_jaccard" -> (q71NgramJaccard _),
+    "q72_cosine_dedup" -> (q72CosineDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +180,48 @@ object CurationQueries {
          own AS (SELECT chunk_text, min(doc_id) AS doc_id FROM ch GROUP BY chunk_text)
          SELECT doc_id, count(*) AS owned_chunks
          FROM own GROUP BY doc_id ORDER BY doc_id""",
+    "q71_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE
+                    WHEN len(t) = 0 THEN []
+                    WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i+1:i+3], ' ') FOR i IN range(0, len(t)-2)]
+                  END) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         common AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+           FROM inv x JOIN inv y ON x.sg = y.sg AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT common.id_a, common.id_b,
+                CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+         FROM common
+         JOIN sizes na ON na.doc_id = common.id_a
+         JOIN sizes nb ON nb.doc_id = common.id_b
+         WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q72_cosine_dedup" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         jit AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  [v[i+1] * (1 + 0.002*((i % 7) - 3)) FOR i IN range(0, len(v))] AS v
+           FROM base WHERE vec_id % 5 = 0),
+         dec AS (
+           SELECT vec_id + 200000 AS vec_id, list_reverse(v) AS v
+           FROM base WHERE vec_id % 7 = 3),
+         corpus AS (
+           SELECT * FROM base UNION ALL SELECT * FROM jit UNION ALL SELECT * FROM dec)
+         SELECT c.vec_id FROM corpus c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM corpus o
+           WHERE o.vec_id < c.vec_id AND list_cosine_similarity(o.v, c.v) >= 0.95)
+         ORDER BY vec_id""",
   )
 }

@@ -294,4 +294,35 @@ class DedupSpec extends SparkSpec {
       assert(five == one, s"$name: ${five.size} survivors at 5x vs ${one.size} at 1x")
     }
   }
+
+  test("banded-LSH embedding pairs ≡ exhaustive exact baseline on a planted corpus") {
+    // the q72 construction in miniature: deterministic random vectors,
+    // scale-jittered near-copies (cosine ≈ 0.99999), reversed decoys
+    // (cosine ≪ threshold). Pins embeddingNearDupPairs' candidate
+    // generation against embeddingNearDupPairsExact: at 8 bands × 8
+    // planes the per-pair miss probability at this cosine is ~1e-16, and
+    // the seeded hyperplanes make the outcome deterministic — any
+    // divergence is a real recall regression, not flakiness.
+    val rnd = new scala.util.Random(42)
+    val origs = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val jit = origs.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (i + 100000L, v.zipWithIndex.map { case (x, j) =>
+        (x * (1.0 + 0.002 * (j % 7 - 3))).toFloat })
+    }
+    val dec = origs.filter(_._1 % 7 == 3).map { case (i, v) =>
+      (i + 200000L, v.reverse)
+    }
+    val corpus = (origs ++ jit ++ dec).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.embeddingNearDupPairsExact(
+      corpus, "vec_id", "embedding", threshold = 0.95))
+    val lsh = pairSet(Dedup.embeddingNearDupPairs(
+      corpus, "vec_id", "embedding",
+      bands = 8, planesPerBand = 8, threshold = 0.95, dim = 64))
+    assert(exact == jit.map { case (jid, _) => (jid - 100000L, jid) }.toSet,
+      "exact baseline must find exactly the planted near-copies")
+    assert(lsh == exact, s"LSH recall gap: missing ${exact -- lsh}, extra ${lsh -- exact}")
+  }
 }

@@ -21,7 +21,12 @@ class PlanCensusSpec extends SparkSpec {
   //    baseline the ANN paths are measured against
   //  - q62_unigram_ppx: a 1-row scalar broadcast (corpus token total)
   //    — a "nested loop" over exactly one build row
-  private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx")
+  //  - q72_cosine_dedup: Dedup.embeddingNearDupPairsExact, the declared
+  //    exhaustive exact baseline; the banded-LSH scale path
+  //    (embeddingNearDupPairs) is equi-join-only and pinned pair-set-
+  //    identical to it in DedupSpec
+  private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
+    "q72_cosine_dedup")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into
   private val noScan = Set("q36_media_features", "q56_image_dedup",
