@@ -183,4 +183,102 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("owned_chunks"))
   }
+
+  // --------------------------------------- token-budget mixture sampling
+
+  /** Deterministic token-budget mixture sampling: for each source, take
+    * documents in `(md5(key), key)` order — the same reproducible uniform
+    * draw as [[stratifiedSample]] — until that source's TOKEN budget is
+    * reached. This is how training mixtures are actually specified
+    * ("200 B tokens of web, 50 B of code"): the unit is tokens, not
+    * documents, so a fixed-k sample under/overshoots by the doc-length
+    * distribution while this hits the budget exactly. A document is kept
+    * iff the total tokens of the documents BEFORE it in its source's
+    * draw order is < the budget — i.e. the selection is a prefix of the
+    * draw and the boundary document (the one that crosses the budget) is
+    * included, so the kept total always reaches the budget when the
+    * source has enough tokens.
+    *
+    * Scale shape — the naive form is one window (cumulative token sum)
+    * over a shuffle by source: every row of a 100 TB source ships
+    * through its reducer chain just to be discarded. Instead, the same
+    * two-phase hash-prefilter as [[stratifiedSample]], exact because
+    * `hash16` is a PREFIX of the md5 draw order:
+    *
+    *   1. per-(source, hash16-bucket) token totals (partial+final agg,
+    *      ≤ 65536 rows per source);
+    *   2. a running sum over that TINY table finds each source's
+    *      boundary bucket b* (first bucket whose cumulative total
+    *      reaches the budget) and the token offset before it;
+    *   3. broadcast (source, b*, offset): rows in buckets < b* are kept
+    *      outright (their whole-bucket prefix total is < budget — no
+    *      window needed), rows in buckets > b* are dropped AT THE SCAN,
+    *      and only the boundary bucket — bounded at ~1/65536 of the
+    *      source — pays the exact cumulative-sum window, started at the
+    *      broadcast offset.
+    *
+    * Returns the kept rows plus `n_tok` (the doc's token count) and
+    * `tok_start` (exclusive cumulative offset of the doc in its source's
+    * draw: the kept set is exactly `tok_start < budget`).
+    */
+  def tokenBudgetMixture(df: DataFrame, sourceCol: String, keyCol: String,
+                         textCol: String, budget: Column): DataFrame = {
+    Seq("_h16", "_ntok", "_bstar", "_off", "_budget", "n_tok", "tok_start")
+      .foreach { c =>
+        require(!df.columns.contains(c), s"input already has a $c column")
+      }
+    val base = df
+      .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("_h16", hash16(col(keyCol)))
+      .withColumn("_budget", budget)
+    // phase 1: coarse per-bucket totals — at most 65536 rows per source
+    val coarse = base.groupBy(col(sourceCol), col("_h16"), col("_budget"))
+      .agg(sum(col("_ntok")).as("_btok"))
+    // phase 2: boundary bucket per source over the tiny coarse table.
+    // The window partitions by source over ≤65536 rows — driver-free and
+    // bounded regardless of corpus size.
+    val wc = Window.partitionBy(col(sourceCol)).orderBy(col("_h16"))
+    val bounds = coarse
+      .withColumn("_cum", sum(col("_btok")).over(wc))
+      .filter(col("_cum") - col("_btok") < col("_budget"))
+      .groupBy(col(sourceCol))
+      .agg(max(col("_h16")).as("_bstar"),
+        (max_by(col("_cum"), col("_h16")) -
+          max_by(col("_btok"), col("_h16"))).as("_off"))
+    // phase 3: keep buckets < b* outright; drop > b*; window only inside
+    // the boundary bucket, seeded with the broadcast offset
+    val tagged = base.join(broadcast(bounds), Seq(sourceCol))
+    val kept = tagged.filter(col("_h16") < col("_bstar"))
+      .withColumn("tok_start", lit(null).cast("long"))
+    val wb = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val boundary = tagged.filter(col("_h16") === col("_bstar"))
+      .withColumn("tok_start",
+        col("_off") + coalesce(
+          sum(col("_ntok")).over(wb.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("tok_start") < col("_budget"))
+    // back-fill tok_start for the outright-kept buckets with the same
+    // bounded trick, now that the survivor set is budget-sized: a second
+    // tiny coarse cumsum gives each bucket's start offset, and an
+    // in-bucket window (bounded at ~1/65536 of the source) finishes.
+    val keptCoarse = kept.groupBy(col(sourceCol), col("_h16"))
+      .agg(sum(col("_ntok")).as("_btok"))
+      .withColumn("_cum", sum(col("_btok")).over(wc))
+      .select(col(sourceCol), col("_h16"),
+        (col("_cum") - col("_btok")).as("_boff"))
+    val wkb = Window.partitionBy(col(sourceCol), col("_h16"))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val keptFilled = kept.drop("tok_start")
+      .join(broadcast(keptCoarse), Seq(sourceCol, "_h16"))
+      .withColumn("tok_start",
+        col("_boff") + coalesce(
+          sum(col("_ntok")).over(wkb.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_boff")
+    val outCols = (df.columns.map(col) :+
+      col("_ntok").cast("long").as("n_tok") :+ col("tok_start")).toSeq
+    keptFilled.select(outCols: _*)
+      .unionByName(boundary.select(outCols: _*))
+  }
 }

@@ -687,15 +687,28 @@ object Dedup {
   // -------------------------------------------------- n-gram Jaccard join
 
   /** Exact n-gram Jaccard similarity join via inverted index (no LSH
-    * approximation): explode shingles, equi-join on shingle, count common
-    * shingles per pair, compute Jaccard from the counts. Quadratic only
-    * within shingle buckets — and the bucket size is BOUNDED by `maxDf`:
-    * shingles whose document frequency exceeds it are dropped before the
-    * self-join (one partial+final agg pre-pass, then a broadcastable
-    * anti-join against the small hot-shingle set). Without the cap, one
+    * approximation): fingerprint each doc's distinct shingles to 64-bit
+    * `xxhash64` keys in the scan, group the inverted index into per-key
+    * buckets, generate in-bucket pairs with a codegen'd array-combination
+    * expression, and compute Jaccard directly from the pair counts.
+    * Quadratic only within shingle buckets — and the bucket size is
+    * BOUNDED by `maxDf`: keys whose document frequency exceeds it are
+    * dropped before bucket collection (one partial+final count pre-pass,
+    * then a broadcastable anti-join against the small hot-key set — the
+    * count pass also protects the bucket `collect_list` from a
     * boilerplate shingle appearing in d documents ("all rights reserved")
-    * makes a d² bucket — the classic exact-similarity-join skew bomb; with
-    * it, no bucket exceeds maxDf² candidate rows.
+    * building a d-element list on one reducer: the classic
+    * exact-similarity-join skew bomb). With the cap, no bucket exceeds
+    * maxDf ids / maxDf² candidate rows.
+    *
+    * Plan shape (vs the naive string self-join, which was 7× slower at
+    * sf0.1): every shuffle carries longs, never shingle strings; each
+    * inverted row carries the doc's distinct-shingle count `_n`, so the
+    * final Jaccard needs NO join back to per-doc sizes — the pair
+    * generator emits (id_a, n_a, id_b, n_b) and one partial+final
+    * count-agg finishes the job. Three shuffles total (df-count, bucket
+    * group, pair count), all map-side combinable except the bounded
+    * bucket collect.
     *
     * Semantics under the cap: results are exact whenever no shingle
     * exceeds `maxDf` (the default 1000 is far above any real corpus's
@@ -704,8 +717,12 @@ object Dedup {
     * longer counts toward the intersection, so reported `jaccard` is a
     * lower bound and pairs overlapping ONLY in ultra-common shingles are
     * not reported — the standard document-frequency-filter trade: such
-    * pairs are boilerplate matches, not near-duplicates. Denominator set
-    * sizes stay exact (computed from the full shingle arrays).
+    * pairs are boilerplate matches, not near-duplicates. Set sizes and
+    * intersections are counted over 64-bit fingerprints, so "exact"
+    * is modulo an xxhash64 collision between two distinct shingles of
+    * the same document pair — vanishingly unlikely and deterministic
+    * (the dual-engine oracle computes from raw strings; a green hash
+    * match certifies no collision bit the corpus).
     * Returns (id_a, id_b, jaccard ≥ threshold).
     */
   def ngramJaccardPairs(
@@ -713,30 +730,108 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(
       col(idCol).as("_id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_sh"))
-    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
-    val invAll = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    // hot-shingle set: tiny by construction (only shingles in > maxDf
-    // docs), so the anti-join broadcasts; the agg is partial+final
-    val hot = invAll.groupBy(col("_s"))
+      array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleN),
+        s => xxhash64(s))).as("_hs"))
+    val inv = sh.select(
+      col("_id"), size(col("_hs")).as("_n"), explode(col("_hs")).as("_h"))
+    // hot-key set: tiny by construction (only keys in > maxDf docs), so
+    // the anti-join broadcasts; the agg is partial+final
+    val hot = inv.groupBy(col("_h"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf)
-      .select(col("_s"))
-    val inv = invAll.join(hot, Seq("_s"), "left_anti")
+      .select(col("_h"))
+    val buckets = inv.join(hot, Seq("_h"), "left_anti")
+      .groupBy(col("_h"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_n")))).as("_ds"))
+    // in-bucket ordered pairs (id_a < id_b via the sort above), sizes
+    // carried along; size-1 buckets are filtered first — `sequence(1, 0)`
+    // would DESCEND in Spark, not return empty
+    val ds = col("_ds")
+    val pairs = buckets.filter(size(ds) >= 2).select(explode(flatten(
+      transform(sequence(lit(1), size(ds) - 1), i =>
+        transform(slice(ds, i + 1, size(ds) - i), d => struct(
+          element_at(ds, i)("_id").as("id_a"),
+          element_at(ds, i)("_n").as("_na"),
+          d("_id").as("id_b"),
+          d("_n").as("_nb"))))))
+      .as("_p"))
 
-    val common = inv.as("x").join(inv.as("y"), col("x._s") === col("y._s"))
-      .filter(col("x._id") < col("y._id"))
-      .groupBy(col("x._id").as("id_a"), col("y._id").as("id_b"))
+    pairs
+      .groupBy(
+        col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"),
+        col("_p._na").as("_na"), col("_p._nb").as("_nb"))
       .agg(count(lit(1)).as("_common"))
-
-    common
-      .join(sizes.withColumnsRenamed(Map("_id" -> "id_a", "_n" -> "_na")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("_id" -> "id_b", "_n" -> "_nb")), "id_b")
       .withColumn("jaccard",
         col("_common").cast("double") /
           (col("_na") + col("_nb") - col("_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------- repeated-substring span dedup
+
+  /** Sub-document repeated-span detection (the exact-substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", at token granularity): find, per document, the maximal
+    * token spans every position of which starts a `gramN`-token window
+    * that occurs at least `minCount` times ANYWHERE in the corpus
+    * (another document, or elsewhere in the same one). Doc-level dedup
+    * ([[exactKeepMinId]]/[[minhashDedup]]) misses these — the classic
+    * case is a unique page wrapping a boilerplate license block or a
+    * long quotation; span detection localizes the repeated region so a
+    * pipeline can cut it while keeping the novel text around it.
+    *
+    * Plan shape (all narrow, no all-pairs step anywhere):
+    *   1. positioned gram fingerprints: `posexplode` over the shingle
+    *      array, each gram hashed to a 64-bit `xxhash64` key AT THE SCAN —
+    *      every later shuffle carries (id, pos, long), never gram text;
+    *   2. corpus-wide occurrence count per key (partial+final hash agg —
+    *      map-side combine collapses within-partition repeats of hot
+    *      boilerplate before the exchange), keys with count ≥ minCount
+    *      form the duplicated-gram set;
+    *   3. left-semi equi-join grams against that set on the 64-bit key;
+    *   4. gaps-and-islands: `pos − row_number()` over (doc, pos-order)
+    *      groups consecutive duplicated starts; the window partitions by
+    *      document id — state is bounded by document length, never by
+    *      corpus size — then one agg emits each island's span.
+    *
+    * A position is covered iff the gram STARTING there is duplicated, so
+    * a span's last covered window extends `gramN − 1` tokens past its
+    * last duplicated start: `span_end = max(pos) + gramN − 1` (inclusive
+    * 0-based token indexes). Documents with fewer than `gramN` tokens
+    * cannot contain a full window and are excluded up front (cheap
+    * `tokenCount` filter at the scan — also keeps [[TextAnalysis
+    * .shingles]]'s short-doc whole-text collapse out of the semantics).
+    * Duplication is judged over 64-bit fingerprints — exact modulo an
+    * xxhash64 collision, same trade as [[ngramJaccardPairs]] (the
+    * dual-engine oracle counts raw gram strings; a green hash match
+    * certifies no collision bit the corpus).
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens), one row per
+    * maximal span.
+    */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, minCount: Int = 2): DataFrame = {
+    require(gramN >= 1, s"gramN must be >= 1, got $gramN")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val grams = df
+      .filter(TextAnalysis.tokenCount(col(textCol)) >= gramN)
+      .select(col(idCol).as("_id"),
+        posexplode(transform(TextAnalysis.shingles(col(textCol), gramN),
+          g => xxhash64(g))).as(Seq("_p", "_h")))
+    val dup = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select(col("_h"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    grams.join(dup, Seq("_h"), "left_semi")
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(min(col("_p")).as("span_start"),
+        (max(col("_p")) + lit(gramN - 1)).as("span_end"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -121,6 +121,52 @@ object CurationQueries {
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** The planted-boilerplate text for q73: every 10th document gets two
+    * shared 8-token blocks separated by a doc-unique token, so each
+    * planted doc contains (at least) two disjoint repeated spans with a
+    * guaranteed gap between them — exercising the island-merge, the
+    * island-split, and the `+ gramN − 1` end extension. Planted in BOTH
+    * engines (the construction is pure string concat on doc_id), same
+    * technique as q67/q72.
+    */
+  private def plantedBoiler: org.apache.spark.sql.Column =
+    when(col("doc_id") % 10 === 0, concat(
+      col("text"),
+      lit(" bpa bpb bpc bpd bpe bpf bpg bph u"),
+      col("doc_id").cast("string"),
+      lit(" bqa bqb bqc bqd bqe bqf bqg bqh")))
+      .otherwise(col("text"))
+
+  /** q73 — repeated-substring span detection (Lee et al. 2022-style
+    * sub-document dedup): maximal token spans whose every 5-gram occurs
+    * ≥2 times corpus-wide (Dedup.repeatedSpans: positioned 64-bit gram
+    * fingerprints → corpus count → semi-join → per-doc gaps-and-islands).
+    * The synthetic corpus has few natural repeated 5-grams, so
+    * [[plantedBoiler]] adds two shared blocks around a doc-unique token
+    * to every 10th doc — both engines plant identically.
+    */
+  def q73RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.repeatedSpans(
+      docs(spark, dir).select(col("doc_id"), plantedBoiler.as("text")),
+      "doc_id", "text", gramN = 5, minCount = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** q74 — token-budget mixture sampling: per-source deterministic
+    * (md5-draw-order) document prefix until the source's token budget is
+    * met (Curation.tokenBudgetMixture — two-phase hash-prefilter plan;
+    * budgets 500 tokens for src0–src9, 650 for src10–src19). `tok_start`
+    * (the doc's exclusive cumulative token offset in its source's draw)
+    * is part of the output, pinning the ORDER of the draw cross-engine,
+    * not just the selected set.
+    */
+  def q74TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetMixture(
+      docs(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      "source", "doc_id", "text",
+      when(length(col("source")) === 4, 500L).otherwise(650L))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"))
+      .orderBy(col("source"), col("tok_start"), col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
@@ -128,6 +174,8 @@ object CurationQueries {
     "q70_chunk_dedup" -> (q70ChunkDedup _),
     "q71_ngram_jaccard" -> (q71NgramJaccard _),
     "q72_cosine_dedup" -> (q72CosineDedup _),
+    "q73_repeated_spans" -> (q73RepeatedSpans _),
+    "q74_token_budget" -> (q74TokenBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +271,49 @@ object CurationQueries {
            SELECT 1 FROM corpus o
            WHERE o.vec_id < c.vec_id AND list_cosine_similarity(o.v, c.v) >= 0.95)
          ORDER BY vec_id""",
+    "q73_repeated_spans" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN concat(text,
+                         ' bpa bpb bpc bpd bpe bpf bpg bph u',
+                         CAST(doc_id AS VARCHAR),
+                         ' bqa bqb bqc bqd bqe bqf bqg bqh')
+                       ELSE text END AS t0
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(t0, '\s+'), x -> len(x) > 0) AS t
+           FROM aug),
+         g AS (
+           SELECT doc_id, unnest(gs) AS gr, generate_subscripts(gs, 1) - 1 AS p
+           FROM (SELECT doc_id,
+                        [array_to_string(t[i+1:i+5], ' ') FOR i IN range(0, len(t)-4)] AS gs
+                 FROM toks WHERE len(t) >= 5)),
+         d AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, p FROM g JOIN d USING (gr)),
+         isl AS (SELECT doc_id, p,
+                        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                 FROM dp)
+         SELECT doc_id, CAST(min(p) AS INTEGER) AS span_start,
+                CAST(max(p) + 4 AS INTEGER) AS span_end,
+                CAST(max(p) + 4 - min(p) + 1 AS INTEGER) AS span_tokens
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+    "q74_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0)) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tok,
+                  CAST(coalesce(sum(n_tok) OVER (
+                    PARTITION BY source ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tok_start,
+                  CASE WHEN len(source) = 4 THEN 500 ELSE 650 END AS b
+           FROM t)
+         SELECT doc_id, source, n_tok, tok_start
+         FROM c WHERE tok_start < b ORDER BY source, tok_start, doc_id""",
   )
 }

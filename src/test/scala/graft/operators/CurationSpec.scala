@@ -101,4 +101,50 @@ class CurationSpec extends SparkSpec {
       .select("chunk_text").distinct().count()
     assert(out.values.sum == distinctChunks)
   }
+
+  test("tokenBudgetMixture ≡ naive full-window form; budget-hit property") {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    // naive: one cumulative-sum window over the whole source — the
+    // definitional form the two-phase hash-prefilter plan must reproduce
+    def naive(budget: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("tok_start") < budget)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    }
+    def twoPhase(budget: org.apache.spark.sql.Column) =
+      Curation.tokenBudgetMixture(d, "source", "doc_id", "text", budget)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
+        .as[(String, Long, Long, Long)].collect().toSet
+
+    for (b <- Seq(lit(1L), lit(120L), lit(700L), lit(1000000L),
+        when(length(col("source")) === 4, 150L).otherwise(400L))) {
+      assert(twoPhase(b) == naive(b), s"two-phase != naive for budget $b")
+    }
+
+    // budget-hit property: kept tokens reach the budget (source permitting)
+    // and removing the boundary doc drops below it
+    val b = 300L
+    val kept = twoPhase(lit(b)).groupBy(_._1)
+    val totals = d
+      .withColumn("n", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy("source").agg(sum(col("n")).as("t"))
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (src, rows) =>
+      val tot = rows.toSeq.map(_._3).sum
+      if (totals(src) >= b) {
+        assert(tot >= b, s"$src kept $tot < budget $b")
+        val maxStart = rows.maxBy(_._4)
+        assert(tot - maxStart._3 < b, s"$src boundary doc not minimal")
+      } else assert(tot == totals(src))
+    }
+
+    // budget larger than every source: identity selection
+    assert(twoPhase(lit(1000000L)).size == d.count())
+  }
 }

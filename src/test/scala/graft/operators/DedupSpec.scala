@@ -325,4 +325,43 @@ class DedupSpec extends SparkSpec {
       "exact baseline must find exactly the planted near-copies")
     assert(lsh == exact, s"LSH recall gap: missing ${exact -- lsh}, extra ${lsh -- exact}")
   }
+
+  test("repeatedSpans: cross-doc and within-doc duplicated windows, maximal islands") {
+    // docs 1/2 share a 5-token prefix block and a 5-token suffix block
+    // around a doc-unique middle token; doc 3 repeats its own 4-token
+    // phrase; doc 4 is shorter than the gram window; doc 5 shares nothing.
+    val df = Seq(
+      (1L, "a b c d e X1 f g h i j"),
+      (2L, "a b c d e X2 f g h i j"),
+      (3L, "p q r s p q r s"),
+      (4L, "x y"),
+      (5L, "k l m n o q w"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", gramN = 3, minCount = 2)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // docs 1/2: duplicated 3-gram starts at 0,1,2 (inside "a b c d e")
+    // and 6,7,8 (inside "f g h i j") — two islands each, ends extended by
+    // gramN-1; the X-crossing windows (3,4,5) are doc-unique and split
+    // the islands. doc 3: "p q r" and "q r s" recur at starts 4,5 →
+    // islands [0,1] and [4,5]. docs 4 (too short) and 5 (unique): none.
+    assert(out == Seq(
+      (1L, 0, 4, 5), (1L, 6, 10, 5),
+      (2L, 0, 4, 5), (2L, 6, 10, 5),
+      (3L, 0, 3, 4), (3L, 4, 7, 4)))
+  }
+
+  test("repeatedSpans: adjacent duplicated starts merge into one maximal span") {
+    // every window of the shared sentence is duplicated → one island
+    // covering the whole doc, not per-window fragments
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", gramN = 3, minCount = 2)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(out == Set((1L, 0, 5, 6), (2L, 0, 5, 6)))
+  }
 }
