@@ -102,14 +102,29 @@ object Tables {
       spark.conf.set(nanosKey, "true")
     }
 
-  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Adds `event_time` (µs-precision TimestampType), adapting to how the
+    * file delivers `ts`: bigint NANOS (timestamp[ns] parquet read under
+    * nanosAsLong — integer `DIV 1000`, since double promotion of int64
+    * nanos is lossy ±512 ns) or a real timestamp column (timestamp[us]
+    * parquet, the regenerated round-5 testdata — plain cast; the session
+    * time zone is pinned UTC everywhere, so the NTZ→LTZ cast is
+    * value-preserving on the underlying micros).
+    */
+  private[graft] def withEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val ev = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _ => df.col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    df.withColumn("event_time", ev)
+  }
+
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     cached(spark, s"$sfDir/events+nanos") {
       nanosFlagLock.synchronized {
         val prev = spark.conf.getOption(nanosKey)
         spark.conf.set(nanosKey, "true")
-        try spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        try withEventTime(spark.read.parquet(s"$sfDir/events.parquet"))
         finally if (!nanosPinned.contains(spark)) prev match {
           case Some(v) => spark.conf.set(nanosKey, v)
           case None => spark.conf.unset(nanosKey)

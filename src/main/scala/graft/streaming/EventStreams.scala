@@ -27,22 +27,27 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType))) // JSON string, e.g. {"k": 87}
 
-  /** Derive event_time (µs precision) from the nanosecond bigint. Integer
-    * `DIV`, not `/`: double promotion of int64 nanos is lossy (±512 ns) —
-    * see [[graft.core.Tables.loadEvents]].
+  /** Derive event_time (µs precision) from however `ts` arrives — bigint
+    * nanos (integer `DIV`, not `/`: double promotion of int64 nanos is
+    * lossy ±512 ns) or a native timestamp column — shared with the batch
+    * loader: see [[graft.core.Tables.withEventTime]].
     */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    graft.core.Tables.withEventTime(df)
 
-  /** Streaming source over an events parquet directory. The nanos legacy
-    * flag is PINNED for this session (via Tables.pinNanosFlag, under the
-    * shared lock): streaming parquet scans re-plan every microbatch and
-    * re-read the conf, so a batch load's save/restore must not unset it
-    * mid-stream.
+  /** Streaming source over an events parquet directory. The schema is
+    * inferred from the existing files with one batch footer read (a
+    * streaming parquet source requires an explicit schema), so the source
+    * adapts to either `ts` encoding like the batch loader. The nanos
+    * legacy flag is PINNED for this session (via Tables.pinNanosFlag,
+    * under the shared lock): streaming parquet scans re-plan every
+    * microbatch and re-read the conf, so a batch load's save/restore must
+    * not unset it mid-stream.
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     graft.core.Tables.pinNanosFlag(spark)
-    withEventTime(spark.readStream.schema(rawSchema).parquet(path))
+    val schema = spark.read.parquet(path).schema
+    withEventTime(spark.readStream.schema(schema).parquet(path))
   }
 
   /** B15 — JSON prop extraction: adds `k` from the props JSON string. */
