@@ -941,4 +941,145 @@ object Dedup {
       .select(col("id_b").as("_loser")).distinct()
     df.join(losers, df(idCol) === losers("_loser"), "left_anti")
   }
+
+  // ------------------------------------ connected components (clusters)
+
+  /** Distributed connected components over an undirected pair graph via
+    * the alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014). Returns
+    * one row per node appearing in `pairs`: (`id`, `component`), where
+    * `component` is the smallest node id in the node's connected
+    * component. Nodes in no pair are absent — callers union them back
+    * with `component = id` (see q76 / [[clusterDedup]]).
+    *
+    * Why this algorithm: min-label propagation needs O(diameter) rounds —
+    * a million-link similarity chain takes a million shuffles — while
+    * alternating star contraction converges in O(log² n) rounds (O(log n)
+    * in practice) on ANY graph shape, so a 100 TB candidate-pair graph
+    * with pathological chains still finishes in tens of rounds. Each
+    * round is two shuffle-bounded relinks:
+    *
+    *   large-star: each node u links its LARGER neighbors to
+    *     m = min(N(u) ∪ {u}) — emit (v, m) for v ∈ N(u), v > u
+    *   small-star: orient edges large→small; each node u links its
+    *     smaller neighbors and itself to m = min(N(u) ∪ {u})
+    *
+    * Both steps are a groupBy-min plus an equi-join back on the node id —
+    * deliberately NO collect_list, so a hub node's neighbor set never
+    * materializes in one row: degree skew lands on an AQE-splittable
+    * shuffle, not a single fat task. Edges stay (long, long) end-to-end —
+    * 16 bytes per edge on the wire regardless of document size.
+    *
+    * Every round ends in `distinct` + a materialization barrier
+    * ([[materializeBarrier]]): iterative lineage otherwise grows a new
+    * copy of all prior rounds into each action. The default
+    * `localCheckpoint` pins each round's edge set in executor memory
+    * until context GC — fine for tens of rounds of id-pairs; pass
+    * `checkpointDir` at cluster scale to land rounds on reliable storage
+    * (executor-churn-safe AND evictable). Convergence is detected by an
+    * order-independent (count, xxhash-sum) signature, one tiny agg per
+    * round: a round that changes nothing means the edge set is exactly
+    * the star forest {(node, root)}.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val a = col("_cc_a"); val b = col("_cc_b")
+    // Canonical orientation large→small; self-loops and null ids dropped.
+    val edges0 = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("_cc_a"),
+        least(col(aCol), col(bCol)).cast("long").as("_cc_b"))
+      .filter(a.isNotNull && b.isNotNull && a =!= b)
+      .distinct()
+
+    // (v, m) for every neighbor v of u with v > u; m = min(N(u) ∪ {u}).
+    // Output stays large→small: m <= u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(b.as("_cc_a"), a.as("_cc_b")))
+      val mins = sym.groupBy(a).agg(min(b).as("_cc_mn"))
+        .select(a, least(col("_cc_mn"), a).as("_cc_m"))
+      sym.filter(b > a).join(mins, "_cc_a")
+        .select(b.as("_cc_a"), col("_cc_m").as("_cc_b"))
+        .distinct()
+    }
+    // Edges arrive oriented a > b, so each edge belongs to exactly one
+    // group (its larger endpoint) and m = min(b) < a; emit (v, m) for
+    // v ∈ N(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(a).agg(min(b).as("_cc_m"))
+      val relink = e.join(mins, "_cc_a").filter(b =!= col("_cc_m"))
+        .select(b.as("_cc_a"), col("_cc_m").as("_cc_b"))
+      relink.union(mins.select(a, col("_cc_m").as("_cc_b"))).distinct()
+    }
+    // Order-independent (count, xor-of-row-hashes) — xor, not sum, so
+    // the fold can't overflow under ANSI arithmetic.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(_cc_a, _cc_b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = materializeBarrier(edges0, checkpointDir)
+    var sig = signature(cur)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = materializeBarrier(smallStar(largeStar(cur)), checkpointDir)
+      val nsig = signature(next)
+      converged = nsig == sig
+      cur = next; sig = nsig; round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "theoretically impossible for alternating star on a finite graph; " +
+        "raise maxRounds only if the input edge set is being mutated underneath")
+    // Star forest: every non-root points at its root; roots self-map.
+    cur.select(a.as("id"), b.as("component"))
+      .union(cur.select(b.as("id"), b.as("component")))
+      .distinct()
+  }
+
+  /** Cluster-level survivor selection: connected components over
+    * `pairs`, then exactly ONE surviving row per component — the row
+    * minimizing (`precedence`, id) — plus every row in no pair.
+    *
+    * Policy contrast with the single-pass dedups (object scaladoc): on a
+    * chain A~B~C (A≁C), single-pass keep-smallest-id drops B and C — the
+    * same rows this method drops — but the two diverge in what they CAN
+    * express. Single-pass cannot name C's cluster (it only knows C lost
+    * to B), so cluster membership reports, keep-BEST-quality survivor
+    * selection, and cluster-size stats all need the component id this
+    * method materializes. And [[iterateToFixpoint]] of "drop rows with a
+    * smaller SURVIVING neighbor" is a genuinely different policy: it
+    * keeps {A, C} on the chain (a maximal-independent-set flavor),
+    * where cluster dedup keeps {A} (one representative per fuzzy
+    * cluster — the standard corpus-dedup contract). Pinned in DedupSpec.
+    *
+    * `precedence` defaults to the id itself (keep-smallest-id). Pass
+    * e.g. a negated quality score to keep the best-quality member:
+    * survivor = argmin over (precedence, id), deterministic via the id
+    * tiebreak. The winner is found with a partial+final `min_by` agg on
+    * a (precedence, id) struct — map-side combine, no window, no skew on
+    * giant clusters.
+    */
+  def clusterDedup(
+      df: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b",
+      precedence: Option[Column] = None,
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir)
+      .withColumnRenamed("id", "_cd_id")
+    val withComp = df
+      .join(comp, df(idCol).cast("long") === comp("_cd_id"), "left")
+      .withColumn("_cd_comp", coalesce(col("component"), df(idCol).cast("long")))
+      .drop("_cd_id", "component")
+    val ord = struct(precedence.getOrElse(df(idCol).cast("long")),
+      df(idCol).cast("long"))
+    val winners = withComp
+      .groupBy(col("_cd_comp"))
+      .agg(min_by(col(idCol), ord).as("_cd_win"))
+      .select(col("_cd_win"))
+    withComp.join(winners, withComp(idCol) === winners("_cd_win"), "left_semi")
+      .drop("_cd_comp")
+  }
 }

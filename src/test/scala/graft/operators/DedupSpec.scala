@@ -364,4 +364,98 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Int, Int)].collect().toSet
     assert(out == Set((1L, 0, 5, 6), (2L, 0, 5, 6)))
   }
+
+  // ------------------------------------- connected components / clusters
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: long path converges to the min label") {
+    // a 40-node path is the adversarial diameter case — min-label
+    // propagation needs 40 rounds; alternating star needs ~log
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val cc = ccMap(path)
+    assert(cc.keySet == (0L to 39L).toSet)
+    assert(cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: cycles, duplicate/reversed edges, self-loops, multiple components") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),      // cycle
+      (3L, 2L), (2L, 3L),                // reversed + duplicate
+      (7L, 7L),                          // self-loop only → node absent
+      (10L, 11L), (12L, 11L))            // second component
+    val cc = ccMap(edges)
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents: randomized differential vs driver-side union-find") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    val roots = (0 until n).map(find)
+    val minOfRoot = (0 until n).groupBy(roots).map { case (r, ids) => r -> ids.min.toLong }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val expected = touched.map(i => i -> minOfRoot(roots(i.toInt))).toMap
+    assert(ccMap(edges) == expected)
+  }
+
+  test("clusterDedup: chain keeps ONE representative; fixpoint policy keeps an independent set") {
+    // A~B~C chain (A≁C): cluster dedup keeps {A} — one survivor per
+    // fuzzy cluster; iterateToFixpoint of "drop rows with a smaller
+    // SURVIVING neighbor" keeps {A, C} — the documented policy contrast
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "solo")).toDF("id", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clustered = Dedup.clusterDedup(rows, pairs, "id")
+      .select("id").as[Long].collect().toSet
+    assert(clustered == Set(1L, 9L))
+    // fixpoint contrast: each round keeps the ORIGINAL rows minus those
+    // with a smaller neighbor in the CURRENT survivor estimate — the
+    // op converges to "x survives iff every smaller neighbor is dropped"
+    // (greedy MIS by id): C returns once B is out
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("v", "nb").filter(col("nb") < col("v"))
+    val drop = (cur: org.apache.spark.sql.DataFrame) => {
+      val losers = cur.select(col("id").as("nb"))
+        .join(sym, "nb").select("v").distinct()
+      rows.join(losers, rows("id") === col("v"), "left_anti")
+    }
+    val fixpoint = Dedup.iterateToFixpoint(rows, drop)
+      .select("id").as[Long].collect().toSet
+    assert(fixpoint == Set(1L, 3L, 9L))
+  }
+
+  test("clusterDedup: precedence picks the best-quality member, id breaks ties") {
+    val rows = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),   // cluster {1,2,3}: best quality 0.9, tie → id 2
+      (8L, 0.5), (9L, 0.7),              // cluster {8,9}: keep 9
+      (20L, 0.1))                        // singleton survives regardless
+      .toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterDedup(rows, pairs, "id",
+      precedence = Some(-col("quality")))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L, 20L))
+  }
+
+  test("connectedComponents: reliable-checkpoint rounds produce identical components") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = (0L until 25L).map(i => (i, i + 1)) ++ Seq((40L, 41L))
+    val local = ccMap(edges)
+    val reliable = Dedup.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b", checkpointDir = Some(ckptDir))
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
+    assert(walk(new java.io.File(ckptDir)).exists(_.getName.startsWith("rdd-")),
+      s"no rdd-* checkpoint dirs under $ckptDir")
+  }
 }
