@@ -167,6 +167,59 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"))
       .orderBy(col("source"), col("tok_start"), col("doc_id"))
 
+  /** The deterministic candidate-pair graph for q75/q76: pure arithmetic
+    * on `doc_id`, so both engines construct it identically (the q67/q72
+    * planting technique, applied to graph topology). Chain edges
+    * (doc_id, doc_id−1) broken at multiples of 17 give diameter-17
+    * paths — the adversarial case for label propagation — and cross
+    * edges (doc_id, doc_id−2) at multiples of 5 add cycles and bridge
+    * some chain breaks (merged 34-node components). Docs with
+    * doc_id % 101 = 50 touch no edge → singleton path exercised.
+    */
+  private def syntheticPairs(d: DataFrame): org.apache.spark.sql.DataFrame = {
+    def inGraph(c: org.apache.spark.sql.Column) = c % 101 =!= 50
+    d.filter(col("doc_id") % 17 =!= 0 &&
+        inGraph(col("doc_id")) && inGraph(col("doc_id") - 1))
+      .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      .union(
+        d.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 2 &&
+            inGraph(col("doc_id")) && inGraph(col("doc_id") - 2))
+          .select(col("doc_id").as("id_a"), (col("doc_id") - 2).as("id_b")))
+  }
+
+  /** q75 — distributed connected components (alternating large/small-star,
+    * [[graft.operators.Dedup.connectedComponents]]) over the synthetic
+    * pair graph: every doc mapped to the min doc_id of its component,
+    * singletons mapping to themselves. The DuckDB oracle computes the
+    * same fixpoint from first principles with a recursive reachability
+    * CTE + min — engine-independent semantics, engine-specific algorithm
+    * (log-round star contraction vs transitive closure).
+    */
+  def q75ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cc = graft.operators.Dedup.connectedComponents(
+      syntheticPairs(d), "id_a", "id_b")
+    d.select(col("doc_id"))
+      .join(cc, d("doc_id") === cc("id"), "left")
+      .select(d("doc_id"),
+        coalesce(col("component"), d("doc_id")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q76 — cluster-level dedup ([[graft.operators.Dedup.clusterDedup]]):
+    * one survivor per connected component of the pair graph — the
+    * LONGEST member (precedence −n_chars), doc_id breaking ties — plus
+    * all singletons. This is the policy single-pass dedup cannot
+    * express (it has no component id to select a best member within).
+    */
+  def q76ClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.Dedup.clusterDedup(d, syntheticPairs(d), "doc_id",
+      precedence = Some(-col("n_chars")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
@@ -176,6 +229,8 @@ object CurationQueries {
     "q72_cosine_dedup" -> (q72CosineDedup _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
     "q74_token_budget" -> (q74TokenBudget _),
+    "q75_connected_components" -> (q75ConnectedComponents _),
+    "q76_cluster_dedup" -> (q76ClusterDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,5 +370,40 @@ object CurationQueries {
            FROM t)
          SELECT doc_id, source, n_tok, tok_start
          FROM c WHERE tok_start < b ORDER BY source, tok_start, doc_id""",
+    "q75_connected_components" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+             WHERE doc_id % 17 <> 0 AND doc_id % 101 <> 50 AND (doc_id - 1) % 101 <> 50
+             UNION ALL
+             SELECT doc_id, doc_id - 2 FROM documents
+             WHERE doc_id % 5 = 0 AND doc_id >= 2 AND doc_id % 101 <> 50 AND (doc_id - 2) % 101 <> 50),
+           sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           walk(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.r)
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         FROM walk GROUP BY id ORDER BY doc_id""",
+    "q76_cluster_dedup" ->
+      """WITH RECURSIVE
+           e AS (
+             SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+             WHERE doc_id % 17 <> 0 AND doc_id % 101 <> 50 AND (doc_id - 1) % 101 <> 50
+             UNION ALL
+             SELECT doc_id, doc_id - 2 FROM documents
+             WHERE doc_id % 5 = 0 AND doc_id >= 2 AND doc_id % 101 <> 50 AND (doc_id - 2) % 101 <> 50),
+           sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           walk(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.r),
+           cc AS (SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id),
+           sel AS (
+             SELECT d.doc_id, d.n_chars,
+                    row_number() OVER (PARTITION BY cc.component
+                                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             FROM documents d JOIN cc USING (doc_id))
+         SELECT doc_id, n_chars FROM sel WHERE rn = 1 ORDER BY doc_id""",
   )
 }
