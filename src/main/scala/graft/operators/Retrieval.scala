@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring over a document corpus.
+  *
+  * Reference behavior: the reference system's query surface is exact SQL
+  * over relational tables (reference Queries:1–57); ranked text retrieval
+  * is part of this library's training-data-pipeline extension (SURVEY §2
+  * pipeline tier), alongside the dedup/quality operators — corpus search
+  * ("find the docs matching this probe set") is how curation teams audit
+  * what a filter kept.
+  *
+  * Scale shape: everything is expressed against the (term, doc, tf)
+  * inverted-index relation, built on the fly by an explode that FILTERS
+  * TO THE QUERY TERMS before any shuffle — the grouped state is
+  * O(matching doc-term pairs), never O(corpus vocabulary). Corpus-level
+  * constants (N, avgdl) ride a one-row broadcast (the q62 pattern); the
+  * per-term df/idf table is at most |query| rows and broadcasts into the
+  * scoring join. Net: one narrow shuffle on (doc, term) plus one on doc —
+  * no corpus-wide dictionary, no driver materialization, AQE-splittable
+  * if one probe term is hot.
+  */
+object Retrieval {
+
+  /** Whitespace tokens, empty-token-free — the shared corpus tokenizer
+    * (same contract as TextAnalysis/Dedup: `\s+` split, no stemming).
+    */
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** BM25 scores for `queryTerms` over the corpus: one row per document
+    * containing at least one query term — (`idCol`, `score`). Standard
+    * Robertson/Lucene form with the +1 idf smoothing (never negative):
+    *
+    *   idf(t)  = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * where dl is the document token count and avgdl the corpus mean.
+    * Non-matching documents are absent (their score is exactly 0) —
+    * union them back with `lit(0.0)` if a dense score column is needed.
+    * Callers order by (score desc, id) for a deterministic ranking.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val probe = queryTerms.distinct
+    val docs = df.select(col(idCol).as("_bm_id"), toks(col(textCol)).as("_bm_t"))
+      .withColumn("_bm_dl", size(col("_bm_t")).cast("double"))
+
+    // corpus constants: one row, broadcast (exactly the q62 1-row pattern)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_bm_n"), avg(col("_bm_dl")).as("_bm_avgdl"))
+
+    // inverted-index slice for the probe terms: (doc, term, tf).
+    // The isin filter runs BEFORE the groupBy shuffle, so grouped state
+    // is bounded by matching pairs, not corpus vocabulary.
+    val tf = docs
+      .select(col("_bm_id"), col("_bm_dl"), explode(col("_bm_t")).as("_bm_term"))
+      .filter(col("_bm_term").isin(probe: _*))
+      .groupBy(col("_bm_id"), col("_bm_dl"), col("_bm_term"))
+      .agg(count(lit(1)).cast("double").as("_bm_tf"))
+
+    // per-term document frequency → idf; ≤ |probe| rows, broadcast side
+    val idf = tf.groupBy(col("_bm_term"))
+      .agg(count(lit(1)).cast("double").as("_bm_df"))
+      .crossJoin(broadcast(stats))
+      .select(col("_bm_term"),
+        log(lit(1.0) + (col("_bm_n") - col("_bm_df") + 0.5) / (col("_bm_df") + 0.5))
+          .as("_bm_idf"),
+        col("_bm_avgdl"))
+
+    val contrib = col("_bm_idf") * col("_bm_tf") * (lit(k1) + 1.0) /
+      (col("_bm_tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("_bm_dl") / col("_bm_avgdl")))
+    tf.join(broadcast(idf), "_bm_term")
+      .groupBy(col("_bm_id"))
+      .agg(sum(contrib).as("score"))
+      .select(col("_bm_id").as(idCol), col("score"))
+  }
+
+  /** Top-k retrieval: the k best-scoring matches, ordered (score desc,
+    * id asc) with the id tiebreak making the cut deterministic. Plans as
+    * TakeOrderedAndProject — no global sort materialization.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

@@ -220,6 +220,21 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q77 — BM25 retrieval ([[graft.operators.Retrieval.bm25]]) for the
+    * probe {dup, vector, hash} — 'dup' is rare (df 25/500), the others
+    * common (df ~380/500), so the idf spread is exercised. All inputs to
+    * the formula are exact in both engines (integer tf/df/dl, exact
+    * integer-sum avgdl); ln and the 3-term sum can drift ±1 ulp between
+    * engines, so the score is rounded to 6 decimals (the q62 rule —
+    * drift is nine orders below the grain). Output is every matching
+    * doc, ordered by doc_id: a full-score pin, stronger than a top-k cut.
+    */
+  def q77Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25(
+      docs(spark, dir), "doc_id", "text", Seq("dup", "vector", "hash"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
@@ -231,6 +246,7 @@ object CurationQueries {
     "q74_token_budget" -> (q74TokenBudget _),
     "q75_connected_components" -> (q75ConnectedComponents _),
     "q76_cluster_dedup" -> (q76ClusterDedup _),
+    "q77_bm25" -> (q77Bm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +421,32 @@ object CurationQueries {
                                        ORDER BY d.n_chars DESC, d.doc_id) AS rn
              FROM documents d JOIN cc USING (doc_id))
          SELECT doc_id, n_chars FROM sel WHERE rn = 1 ORDER BY doc_id""",
+    "q77_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(avg(len(t)) AS DOUBLE) AS avgdl
+           FROM toks),
+         tf AS (
+           SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok
+                 FROM toks)
+           WHERE tok IN ('dup', 'vector', 'hash')
+           GROUP BY doc_id, dl, tok),
+         idf AS (
+           SELECT tok,
+                  ln(1.0 + (n - CAST(count(*) AS DOUBLE) + 0.5)
+                           / (CAST(count(*) AS DOUBLE) + 0.5)) AS idf,
+                  avgdl
+           FROM tf CROSS JOIN stats GROUP BY tok, n, avgdl)
+         SELECT tf.doc_id,
+                round(sum(idf.idf * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / idf.avgdl))),
+                      6) AS score
+         FROM tf JOIN idf USING (tok)
+         GROUP BY tf.doc_id ORDER BY tf.doc_id""",
   )
 }

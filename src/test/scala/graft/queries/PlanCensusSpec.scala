@@ -25,8 +25,10 @@ class PlanCensusSpec extends SparkSpec {
   //    exhaustive exact baseline; the banded-LSH scale path
   //    (embeddingNearDupPairs) is equi-join-only and pinned pair-set-
   //    identical to it in DedupSpec
+  //  - q77_bm25: a 1-row scalar broadcast (corpus N + avgdl) — the same
+  //    single-build-row class as q62
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
-    "q72_cosine_dedup")
+    "q72_cosine_dedup", "q77_bm25")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into
   private val noScan = Set("q36_media_features", "q56_image_dedup",
