@@ -981,6 +981,43 @@ object Dedup {
     * round: a round that changes nothing means the edge set is exactly
     * the star forest {(node, root)}.
     */
+  /** Edge-count threshold at or below which [[connectedComponents]]
+    * solves the graph on the driver with union-find instead of iterating
+    * distributed star rounds. The candidate-pair graph of a dedup pass
+    * is usually minuscule next to its corpus (pairs are the OUTPUT of
+    * LSH banding, not the input scan), so at 2M edges (32 MB of long
+    * pairs — the same order as a broadcast-join build side) the driver
+    * solve is exact, one collect, zero iterative jobs; above it the
+    * log-round star loop runs. Tests pin both paths identical (DedupSpec)
+    * — var, test seam only (same pattern as [[barrierThresholdBytes]]).
+    */
+  var ccLocalMaxEdges: Long = 2L << 20
+
+  /** Driver union-find over canonicalized edges — the small-graph path.
+    * Path-compressed; component label = min member id.
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent(ru) = rv
+    }
+    val minOf = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { k =>
+      val r = find(k)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), k)
+    }
+    parent.keys.map(k => (k, minOf(find(k)))).toArray
+  }
+
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
@@ -1021,6 +1058,17 @@ object Dedup {
 
     var cur = materializeBarrier(edges0, checkpointDir)
     var sig = signature(cur)
+
+    // Small-graph fast path: the signature's count doubles as the size
+    // probe, so the decision costs no extra job.
+    if (sig._1 <= ccLocalMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = cur.select(a, b).as[(Long, Long)].collect()
+      return spark.createDataset(localComponents(edges).toSeq)
+        .toDF("id", "component")
+    }
+
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

@@ -367,36 +367,42 @@ class DedupSpec extends SparkSpec {
 
   // ------------------------------------- connected components / clusters
 
-  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+  private def ccMap(pairs: Seq[(Long, Long)],
+      forceDistributed: Boolean = false): Map[Long, Long] = {
+    val saved = Dedup.ccLocalMaxEdges
+    if (forceDistributed) Dedup.ccLocalMaxEdges = -1L
+    try Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
       .select("id", "component").as[(Long, Long)].collect().toMap
+    finally Dedup.ccLocalMaxEdges = saved
+  }
 
-  test("connectedComponents: long path converges to the min label") {
+  test("connectedComponents: long path converges to the min label (distributed rounds)") {
     // a 40-node path is the adversarial diameter case — min-label
     // propagation needs 40 rounds; alternating star needs ~log
     val path = (0L until 39L).map(i => (i, i + 1))
-    val cc = ccMap(path)
+    val cc = ccMap(path, forceDistributed = true)
     assert(cc.keySet == (0L to 39L).toSet)
     assert(cc.values.forall(_ == 0L))
   }
 
-  test("connectedComponents: cycles, duplicate/reversed edges, self-loops, multiple components") {
+  test("connectedComponents: cycles, duplicate/reversed edges, self-loops, multiple components — both paths") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L),      // cycle
       (3L, 2L), (2L, 3L),                // reversed + duplicate
       (7L, 7L),                          // self-loop only → node absent
       (10L, 11L), (12L, 11L))            // second component
-    val cc = ccMap(edges)
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    assert(ccMap(edges) == expected, "driver union-find path")
+    assert(ccMap(edges, forceDistributed = true) == expected, "star-rounds path")
   }
 
-  test("connectedComponents: randomized differential vs driver-side union-find") {
+  test("connectedComponents: randomized differential vs independent union-find, both paths agree") {
     val rnd = new scala.util.Random(42)
     val n = 300
     val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }
-    // driver-side union-find ground truth
+    // independent ground truth (array-indexed, rank-free, recursive)
     val parent = Array.tabulate(n)(identity)
     def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
     edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
@@ -404,7 +410,8 @@ class DedupSpec extends SparkSpec {
     val minOfRoot = (0 until n).groupBy(roots).map { case (r, ids) => r -> ids.min.toLong }
     val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
     val expected = touched.map(i => i -> minOfRoot(roots(i.toInt))).toMap
-    assert(ccMap(edges) == expected)
+    assert(ccMap(edges) == expected, "driver union-find path")
+    assert(ccMap(edges, forceDistributed = true) == expected, "star-rounds path")
   }
 
   test("clusterDedup: chain keeps ONE representative; fixpoint policy keeps an independent set") {
@@ -449,9 +456,13 @@ class DedupSpec extends SparkSpec {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val edges = (0L until 25L).map(i => (i, i + 1)) ++ Seq((40L, 41L))
     val local = ccMap(edges)
-    val reliable = Dedup.connectedComponents(
-      edges.toDF("id_a", "id_b"), "id_a", "id_b", checkpointDir = Some(ckptDir))
-      .select("id", "component").as[(Long, Long)].collect().toMap
+    val saved = Dedup.ccLocalMaxEdges
+    Dedup.ccLocalMaxEdges = -1L // force the distributed rounds
+    val reliable =
+      try Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", checkpointDir = Some(ckptDir))
+        .select("id", "component").as[(Long, Long)].collect().toMap
+      finally Dedup.ccLocalMaxEdges = saved
     assert(reliable == local)
     def walk(f: java.io.File): Iterator[java.io.File] =
       Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
