@@ -281,4 +281,38 @@ object Curation {
     keptFilled.select(outCols: _*)
       .unionByName(boundary.select(outCols: _*))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * exponential-race form of Efraimidis–Spirakis A-ES): each row draws
+    * E = −ln(u)/w, where u ∈ (0,1) is its first-8-hex md5 fraction and
+    * `weight` w must be strictly positive; the k SMALLEST draws are a
+    * weighted sample without replacement with inclusion ∝ w — the
+    * mixture-construction primitive ("sample docs proportional to
+    * quality"). Returns the selected rows plus `rankCol` (1-based draw
+    * order).
+    *
+    * Deterministic like [[assignSplit]]/[[stratifiedSample]]: the draw
+    * is a pure function of the row key, so the sample is identical
+    * under repartitioning, task retries, and corpus reordering — and
+    * scale-invariant in the weights (multiplying every w by a constant
+    * divides every draw by it, preserving order). Scale shape: the cut
+    * is orderBy+limit → TakeOrderedAndProject (per-partition top-k,
+    * driver merges k·partitions candidates) — no global sort, no
+    * corpus-wide window; the rank window runs AFTER the cut, over
+    * exactly k rows.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                     rankCol: String = "rk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    Seq("_ws_key", rankCol).foreach { c =>
+      require(!df.columns.contains(c), s"input already has a $c column")
+    }
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = Window.orderBy(col("_ws_key"), col(keyCol))
+    df.withColumn("_ws_key", -log(u) / weight)
+      .orderBy(col("_ws_key"), col(keyCol)).limit(k)
+      .withColumn(rankCol, row_number().over(w).cast("int"))
+      .drop("_ws_key")
+  }
 }

@@ -235,6 +235,20 @@ object CurationQueries {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("doc_id"))
 
+  /** q78 — deterministic weighted sampling without replacement
+    * ([[graft.operators.Curation.weightedSample]]): 60 docs drawn ∝
+    * n_chars via the exponential race. Both engines compute the draw
+    * −ln((md5_8hex + 0.5)/2³²)/n_chars from exact integer inputs; the
+    * probability of two draws landing within the engines' ±1-ulp ln
+    * disagreement is negligible (draws are spread over ~e⁻¹ scales),
+    * and doc_id breaks any exact tie. Output is the selected set WITH
+    * draw order — the same order-pinning trick as q74's tok_start.
+    */
+  def q78WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(docs(spark, dir), "doc_id", col("n_chars"), k = 60)
+      .select(col("doc_id"), col("n_chars"), col("rk"))
+      .orderBy(col("rk"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
@@ -247,6 +261,7 @@ object CurationQueries {
     "q75_connected_components" -> (q75ConnectedComponents _),
     "q76_cluster_dedup" -> (q76ClusterDedup _),
     "q77_bm25" -> (q77Bm25 _),
+    "q78_weighted_sample" -> (q78WeightedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +463,16 @@ object CurationQueries {
                       6) AS score
          FROM tf JOIN idf USING (tok)
          GROUP BY tf.doc_id ORDER BY tf.doc_id""",
+    "q78_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id, n_chars,
+                  -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                      / 4294967296.0) / n_chars AS k
+           FROM documents)
+         SELECT doc_id, n_chars, rk FROM (
+           SELECT doc_id, n_chars,
+                  CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS rk
+           FROM keyed)
+         WHERE rk <= 60 ORDER BY rk""",
   )
 }

@@ -147,4 +147,37 @@ class CurationSpec extends SparkSpec {
     // budget larger than every source: identity selection
     assert(twoPhase(lit(1000000L)).size == d.count())
   }
+
+  test("weightedSample: matches the driver-computed exponential race; invariances hold") {
+    val rows = (1L to 200L).map(i => (i, (i % 13) + 1L))
+    val d = rows.toDF("id", "w")
+    // independent driver-side computation of the same draws
+    def draw(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      -math.log(u) / w
+    }
+    val expected = rows.sortBy { case (id, w) => (draw(id, w), id) }
+      .take(25).map(_._1)
+    val got = Curation.weightedSample(d, "id", col("w"), k = 25)
+      .orderBy(col("rk")).select("id").as[Long].collect().toSeq
+    assert(got == expected)
+
+    // weight scale-invariance: c·w divides every draw by c — same sample
+    val scaled = Curation.weightedSample(d, "id", col("w") * 7.0, k = 25)
+      .orderBy(col("rk")).select("id").as[Long].collect().toSeq
+    assert(scaled == expected)
+
+    // partitioning-independence: the draw is a pure key function
+    val repart = Curation.weightedSample(d.repartition(17), "id", col("w"), k = 25)
+      .orderBy(col("rk")).select("id").as[Long].collect().toSeq
+    assert(repart == expected)
+
+    // the cut plans as TakeOrderedAndProject, not a global sort
+    val plan = Curation.weightedSample(d, "id", col("w"), k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+  }
 }
