@@ -114,4 +114,61 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
+
+  /** Misra–Gries frequent-items summary (capacity k), the heavy-hitters
+    * sketch next to the HLL cardinality sketch (operators.Sketches): a
+    * k-entry (item, count) table whose estimates satisfy
+    *
+    *   true − ⌊n/(k+1)⌋ ≤ estimate ≤ true
+    *
+    * so every item with frequency > n/(k+1) is guaranteed present — the
+    * single-pass answer to "which tokens/URLs dominate this 100 TB
+    * corpus" when the full vocabulary is too wide to exact-count. The
+    * buffer is O(k) regardless of input size, partial aggregation prunes
+    * map-side, and the merge is the Agarwal et al. 2013 mergeable-summary
+    * form (sum counts; if over capacity, subtract the (k+1)-th largest
+    * and drop non-positives) — associative and bound-preserving across
+    * any partition tree. When k ≥ the true distinct count the sketch
+    * never evicts and the counts are EXACT (pinned by the q82 oracle).
+    *
+    * Determinism: counts are partition-order independent; the finish
+    * ordering (−count, item) makes the emitted sequence deterministic
+    * whenever counts are (always, for exact-regime capacity).
+    */
+  case class MGState(k: Int, items: Seq[String], counts: Seq[Long])
+
+  class MisraGries(k: Int) extends Aggregator[String, MGState, Seq[(String, Long)]] {
+    require(k > 0, "capacity must be positive")
+    override def zero: MGState = MGState(k, Seq.empty, Seq.empty)
+    override def reduce(s: MGState, x: String): MGState = {
+      val at = s.items.indexOf(x)
+      if (at >= 0)
+        MGState(s.k, s.items, s.counts.updated(at, s.counts(at) + 1))
+      else if (s.items.size < s.k)
+        MGState(s.k, s.items :+ x, s.counts :+ 1L)
+      else {
+        // classic MG decrement: every stored count pays 1 for the miss
+        val kept = s.items.zip(s.counts.map(_ - 1)).filter(_._2 > 0)
+        MGState(s.k, kept.map(_._1), kept.map(_._2))
+      }
+    }
+    override def merge(a: MGState, b: MGState): MGState = {
+      val summed = (a.items.zip(a.counts) ++ b.items.zip(b.counts))
+        .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      if (summed.size <= a.k.max(b.k)) {
+        val s = summed.sortBy { case (i, c) => (-c, i) }
+        MGState(a.k.max(b.k), s.map(_._1), s.map(_._2))
+      } else {
+        val t = summed.map(_._2).sorted(Ordering[Long].reverse)(a.k.max(b.k))
+        val kept = summed.map { case (i, c) => (i, c - t) }
+          .filter(_._2 > 0).sortBy { case (i, c) => (-c, i) }
+        MGState(a.k.max(b.k), kept.map(_._1), kept.map(_._2))
+      }
+    }
+    override def finish(s: MGState): Seq[(String, Long)] =
+      s.items.zip(s.counts).sortBy { case (i, c) => (-c, i) }
+    override def bufferEncoder: Encoder[MGState] = Encoders.product[MGState]
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
 }

@@ -249,6 +249,25 @@ object CurationQueries {
       .select(col("doc_id"), col("n_chars"), col("rk"))
       .orderBy(col("rk"))
 
+  /** q82 — frequent terms via the Misra–Gries heavy-hitters sketch
+    * ([[graft.functions.Aggregators.MisraGries]]): corpus token counts
+    * through the mergeable O(k) summary. Capacity 64 exceeds the
+    * corpus vocabulary (31 distinct tokens), so the sketch provably
+    * never evicts and its counts are EXACT — the DuckDB oracle is a
+    * plain exact group-by count, putting the whole sketch path
+    * (partial buffers, mergeable-summary combine) under a hash-equal
+    * driver check rather than a weak bounds assertion.
+    */
+  def q82FrequentTerms(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(64))
+    docs(spark, dir)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(mg(col("t")).as("top"))
+      .select(explode(col("top")).as("kv"))
+      .select(col("kv._1").as("term"), col("kv._2").as("cnt"))
+      .orderBy(col("term"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q68_split_counts" -> (q68SplitCounts _),
@@ -262,6 +281,7 @@ object CurationQueries {
     "q76_cluster_dedup" -> (q76ClusterDedup _),
     "q77_bm25" -> (q77Bm25 _),
     "q78_weighted_sample" -> (q78WeightedSample _),
+    "q82_frequent_terms" -> (q82FrequentTerms _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +494,11 @@ object CurationQueries {
                   CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS rk
            FROM keyed)
          WHERE rk <= 60 ORDER BY rk""",
+    "q82_frequent_terms" ->
+      """SELECT t AS term, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS t
+           FROM documents)
+         GROUP BY t ORDER BY term""",
   )
 }

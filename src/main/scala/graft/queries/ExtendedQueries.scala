@@ -606,6 +606,74 @@ object ExtendedQueries {
           .as("rep3"))
       .orderBy(col("doc_id"))
 
+  /** q83 — RECURSIVE CTE, identical SQL text on both engines (the
+    * q52/q53 trick): each customer walks the implicit binary-tree
+    * hierarchy key → ⌊key/2⌋ to the root, aggregating path depth and
+    * ancestor-key sum. Acyclic by construction so UNION ALL recursion
+    * terminates (≤ ⌈log₂ max key⌉ ≈ 11 rounds at sf0.01, within
+    * Spark's default recursion limit of 100); `floor(x / 2.0)` instead
+    * of integer division because `/` is double-typed in both dialects
+    * while `DIV`/`//` spellings differ. Spark 4's recursive CTE
+    * executes as an iterative union plan — the SQL-surface counterpart
+    * of [[graft.operators.Dedup.connectedComponents]]' programmatic
+    * iteration.
+    */
+  private val q83Sql =
+    """WITH RECURSIVE chain(c_custkey, anc, depth) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer
+         UNION ALL
+         SELECT c_custkey, CAST(floor(anc / 2.0) AS BIGINT), depth + 1
+         FROM chain WHERE anc > 1)
+       SELECT c_custkey, CAST(max(depth) AS INTEGER) AS depth,
+              CAST(sum(anc) AS BIGINT) AS anc_sum
+       FROM chain GROUP BY c_custkey ORDER BY c_custkey"""
+
+  /** q79 — ranking-distribution windows (NTILE / PERCENT_RANK /
+    * CUME_DIST): quartile tile and exact rank fractions per order within
+    * its priority, ordered by (o_totalprice, o_orderkey) — the unique-key
+    * tiebreak makes NTILE's tie-splitting deterministic cross-engine.
+    * percent_rank = (rank−1)/(n−1) and cume_dist = rank/n are exact
+    * small-int ratios — bit-identical IEEE division in both engines, no
+    * rounding needed.
+    */
+  def q79DistributionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      ntile(4).over(w).as("tile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q80 — PIVOT to year columns: per-priority revenue by order year,
+    * explicit pivot values (no extra distinct-scan job, deterministic
+    * column order — the scale-safe pivot form). Sums run in exact
+    * DECIMAL and surface as DOUBLE per the cross-engine discipline;
+    * DuckDB reproduces the pivot as FILTERed aggregates.
+    */
+  def q80Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("prio", col("o_orderpriority"))
+      .groupBy("prio")
+      .pivot(year(col("o_orderdate")), 1995 to 2001)
+      .agg(sum(col("o_totalprice").cast(dec)).cast(DoubleType))
+      .orderBy(col("prio"))
+
+  /** q81 — edit-distance fuzzy matching: parts whose name is within
+    * Levenshtein distance 5 of a probe (catalog-matching / record-
+    * linkage shape). Per-row codegen'd expression, shuffle-free; exact
+    * integer distances on both engines.
+    */
+  def q81FuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), lit("small ring")).as("dist"))
+      .filter(col("dist") <= 5)
+      .orderBy(col("p_partkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_asof_join"     -> (q37AsofJoin _),
     "q37b_asof_tol"     -> (q37bAsofTolerance _),
@@ -638,6 +706,10 @@ object ExtendedQueries {
     "q64_upsert_merge"  -> (q64UpsertMerge _),
     "q65_repetition"    -> (q65Repetition _),
     "q66_mp4avi_dedup"  -> (q66Mp4AviDedup _),
+    "q79_dist_windows"  -> (q79DistributionWindows _),
+    "q80_pivot"         -> (q80Pivot _),
+    "q81_fuzzy_match"   -> (q81FuzzyMatch _),
+    "q83_recursive_cte" -> (sqlOn(q83Sql) _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -769,6 +841,39 @@ object ExtendedQueries {
     "q66_mp4avi_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q66_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
+    "q79_dist_windows" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+                CAST(ntile(4) OVER w AS INTEGER) AS tile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q80_pivot" ->
+      """SELECT o_orderpriority AS prio,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE) AS "1995",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 1996) AS DOUBLE) AS "1996",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE) AS "1997",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 1998) AS DOUBLE) AS "1998",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 1999) AS DOUBLE) AS "1999",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 2000) AS DOUBLE) AS "2000",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (WHERE year(o_orderdate) = 2001) AS DOUBLE) AS "2001"
+         FROM orders GROUP BY o_orderpriority ORDER BY prio""",
+    "q81_fuzzy_match" ->
+      """SELECT p_partkey,
+                CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS dist
+         FROM part
+         WHERE levenshtein(p_name, 'small ring') <= 5
+         ORDER BY p_partkey""",
+    "q83_recursive_cte" -> q83Sql,
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

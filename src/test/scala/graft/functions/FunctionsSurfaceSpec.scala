@@ -67,6 +67,34 @@ class FunctionsSurfaceSpec extends SparkSpec {
     assert(runPairs(1) == runPairs(4) && runPairs(1) == runPairs(7))
   }
 
+  test("MisraGries: error bound holds, exact when capacity covers distincts, partition-independent") {
+    // skewed stream: 'hot' 60×, 'warm' 25×, then 40 singletons — n = 125
+    val data = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 40).map(i => s"cold$i")
+    val n = data.size.toLong
+    def run(k: Int, parts: Int): Map[String, Long] = {
+      val mg = udaf(new Aggregators.MisraGries(k))
+      Seq(data: _*).toDF("t").repartition(parts)
+        .agg(mg(col("t"))).head
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    // k=7: anything over n/(k+1) ≈ 15.6 MUST survive with bounded undercount
+    for (parts <- Seq(1, 5, 13)) {
+      val est = run(7, parts)
+      assert(est.size <= 7)
+      for ((item, truth) <- Seq("hot" -> 60L, "warm" -> 25L)) {
+        val e = est.getOrElse(item, 0L)
+        assert(e <= truth, s"$item overcounted: $e > $truth (parts=$parts)")
+        assert(e >= truth - n / 8, s"$item undercount past bound (parts=$parts)")
+      }
+    }
+    // capacity ≥ distincts: exact counts, identical across partitionings
+    val truthMap = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    assert(run(64, 1) == truthMap)
+    assert(run(64, 9) == truthMap)
+  }
+
   test("mergeable sketches: bloom filter and count-min via stat functions") {
     val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     // bloom filter: no false negatives on members
