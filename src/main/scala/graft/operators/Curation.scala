@@ -310,7 +310,12 @@ object Curation {
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
     val w = Window.orderBy(col("_ws_key"), col(keyCol))
-    df.withColumn("_ws_key", -log(u) / weight)
+    // a null/zero/negative weight would draw null or -Inf and silently WIN
+    // the nulls-first ascending cut (r5 advisor) — fail loudly instead
+    val checkedWeight = when(weight.isNull || weight <= 0.0,
+      raise_error(concat(lit("weightedSample: weight must be strictly positive, got "),
+        coalesce(weight.cast("string"), lit("null"))))).otherwise(weight)
+    df.withColumn("_ws_key", -log(u) / checkedWeight)
       .orderBy(col("_ws_key"), col(keyCol)).limit(k)
       .withColumn(rankCol, row_number().over(w).cast("int"))
       .drop("_ws_key")

@@ -985,8 +985,9 @@ object Dedup {
     * solves the graph on the driver with union-find instead of iterating
     * distributed star rounds. The candidate-pair graph of a dedup pass
     * is usually minuscule next to its corpus (pairs are the OUTPUT of
-    * LSH banding, not the input scan), so at 2M edges (32 MB of long
-    * pairs — the same order as a broadcast-join build side) the driver
+    * LSH banding, not the input scan), so at 2M edges (collected as one
+    * primitive interleaved Array[Long]: 32 MB flat, no per-edge Tuple2
+    * boxing — the same order as a broadcast-join build side) the driver
     * solve is exact, one collect, zero iterative jobs; above it the
     * log-round star loop runs. Tests pin both paths identical (DedupSpec)
     * — var, test seam only (same pattern as [[barrierThresholdBytes]]).
@@ -994,9 +995,11 @@ object Dedup {
   var ccLocalMaxEdges: Long = 2L << 20
 
   /** Driver union-find over canonicalized edges — the small-graph path.
-    * Path-compressed; component label = min member id.
+    * Path-compressed; component label = min member id. `edges` is
+    * interleaved [u0,v0,u1,v1,…]: one primitive long array, no per-edge
+    * Tuple2 boxing (r5 advisor: boxed pairs cost ~5× the flat bytes).
     */
-  private def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private def localComponents(edges: Array[Long]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -1005,7 +1008,9 @@ object Dedup {
       while (c != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { case (u, v) =>
+    var i = 0
+    while (i < edges.length) {
+      val u = edges(i); val v = edges(i + 1); i += 2
       parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
       val ru = find(u); val rv = find(v)
       if (ru != rv) parent(ru) = rv
@@ -1064,7 +1069,16 @@ object Dedup {
     if (sig._1 <= ccLocalMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val edges = cur.select(a, b).as[(Long, Long)].collect()
+      // primitive interleaved collect: each task ships one Array[Long]
+      // (no Row/Tuple2 boxing on the wire or the driver heap)
+      val perPart = cur.select(a, b).rdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+      val edges = new Array[Long](perPart.iterator.map(_.length).sum)
+      var off = 0
+      perPart.foreach { p => System.arraycopy(p, 0, edges, off, p.length); off += p.length }
       return spark.createDataset(localComponents(edges).toSeq)
         .toDF("id", "component")
     }
@@ -1115,6 +1129,12 @@ object Dedup {
       aCol: String = "id_a", bCol: String = "id_b",
       precedence: Option[Column] = None,
       maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    // an input 'component' column would make the coalesce below resolve
+    // ambiguously (or silently win); the _cd_* temps must be free too —
+    // same guard posture as Curation.weightedSample (r5 advisor)
+    Seq("component", "_cd_id", "_cd_comp", "_cd_win").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a $c column")
+    }
     val comp = connectedComponents(pairs, aCol, bCol, maxRounds, checkpointDir)
       .withColumnRenamed("id", "_cd_id")
     val withComp = df

@@ -261,4 +261,91 @@ object Relational {
     }
     probe.filter(pred).join(build, Seq(key), joinType)
   }
+
+  /** Two-pass distribution ranking (NTILE / PERCENT_RANK / CUME_DIST) for
+    * LOW-CARDINALITY partition keys — the case where a plain ranking window
+    * single-tasks: `Window.partitionBy(k)` with 5 distinct k values sorts
+    * 20% of the table in one task each, no matter how many executors exist.
+    *
+    * Scale shape instead: (1) per-key approx-percentile boundaries split
+    * each key into `buckets` value ranges; (2) a tiny (key, bucket) count
+    * aggregate (map-side combined; |keys|·buckets rows to the driver)
+    * yields exact global offsets; (3) the only sort is a window over
+    * (key, bucket) — parallelism |keys|·`buckets` instead of |keys| — and
+    * rank arithmetic is `offset + row_number`. Results are EXACT: boundary
+    * skew from the approximate percentiles only unbalances bucket sizes,
+    * never row order, because buckets are value ranges on the first order
+    * column and ranks are recovered from exact counted offsets.
+    *
+    * Requirements: `orderCols` must form a unique total order within each
+    * key (tiebreak on a key-unique column), so rank == row_number and
+    * percent_rank/cume_dist need no tie handling — the same discipline the
+    * dual-engine oracle needs anyway for deterministic window output. The
+    * first order column must be numeric non-null (it feeds
+    * percentile_approx and the range-bucket predicate). Designed for
+    * |keys| up to ~10⁴ (beyond that a plain window already parallelizes
+    * and this operator's driver-side count collect stops paying).
+    *
+    * Appends `tile` (1..numTiles), `pr`, `cd` to `df`'s columns.
+    */
+  def distributionRanks(
+      df: DataFrame, partKey: String, orderCols: Seq[String],
+      numTiles: Int = 4, buckets: Int = 64): DataFrame = {
+    require(numTiles >= 1 && buckets >= 2, "numTiles >= 1, buckets >= 2")
+    Seq("_dr_bnds", "_dr_b", "_dr_off", "_dr_n", "_dr_rn", "tile", "pr", "cd")
+      .foreach(c => require(!df.columns.contains(c), s"input already has column $c"))
+    val spark = df.sparkSession
+    val v = col(orderCols.head)
+
+    // pass 1a: interior boundaries per key (approximate is fine — see doc)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.groupBy(col(partKey)).agg(
+      percentile_approx(v.cast("double"), lit(qs.toArray), lit(2500)).as("_dr_bnds"))
+    // bucket = count of boundaries <= value: a codegen'd array fold, no UDF
+    val withB = df.join(broadcast(bounds), Seq(partKey))
+      .withColumn("_dr_b",
+        aggregate(col("_dr_bnds"), lit(0),
+          (acc, b) => acc + when(v.cast("double") >= b, 1).otherwise(0)))
+      .drop("_dr_bnds")
+
+    // pass 1b: exact (key, bucket) counts -> per-bucket global offsets and
+    // per-key totals. |keys|·buckets rows: driver-tiny by the doc'd bound.
+    val keyType = df.schema(partKey).dataType
+    val cnts = withB.groupBy(col(partKey), col("_dr_b")).count()
+      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    val offRows = cnts.groupBy(_._1).iterator.flatMap { case (k, perKey) =>
+      val n = perKey.map(_._3).sum
+      var run = 0L
+      perKey.sortBy(_._2).map { case (_, b, c) =>
+        val off = run; run += c
+        org.apache.spark.sql.Row(k, b, off, n)
+      }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partKey, keyType),
+      org.apache.spark.sql.types.StructField("_dr_b", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_dr_off", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_dr_n", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(spark.sparkContext.parallelize(offRows, 1), offSchema)
+
+    // pass 2: the only per-row sort — window over (key, bucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partKey), col("_dr_b"))
+      .orderBy(orderCols.map(col): _*)
+    val rn = col("_dr_rn"); val n = col("_dr_n")
+    // NTILE from (rn, n): first n%k tiles get floor(n/k)+1 rows. Integral
+    // DIV keeps exactness for n beyond double's 2^53 mantissa.
+    val q = expr(s"_dr_n DIV $numTiles"); val r = expr(s"_dr_n % $numTiles")
+    withB.join(broadcast(offDf), Seq(partKey, "_dr_b"))
+      .withColumn("_dr_rn", col("_dr_off") + row_number().over(w))
+      .withColumn("tile",
+        when(rn <= r * (q + 1), expr(s"(_dr_rn + (_dr_n DIV $numTiles)) DIV ((_dr_n DIV $numTiles) + 1)"))
+          .otherwise(expr(
+            s"(_dr_n % $numTiles) + (_dr_rn - (_dr_n % $numTiles) * ((_dr_n DIV $numTiles) + 1) + (_dr_n DIV $numTiles) - 1) DIV (_dr_n DIV $numTiles)"))
+          .cast("int"))
+      .withColumn("pr",
+        when(n === 1, lit(0.0)).otherwise((rn - 1).cast("double") / (n - 1)))
+      .withColumn("cd", rn.cast("double") / n)
+      .drop("_dr_b", "_dr_off", "_dr_n", "_dr_rn")
+  }
 }

@@ -46,7 +46,13 @@ object EventStreams {
     */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     graft.core.Tables.pinNanosFlag(spark)
-    val schema = spark.read.parquet(path).schema
+    // batch-inferring the schema throws on an empty/not-yet-created source
+    // directory; rawSchema keeps the start-before-producer pattern working
+    // (r5 advisor) — the footer read only refines `ts`'s encoding when
+    // files already exist
+    val schema =
+      try spark.read.parquet(path).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     withEventTime(spark.readStream.schema(schema).parquet(path))
   }
 

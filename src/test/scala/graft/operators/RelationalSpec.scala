@@ -212,4 +212,34 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaAgg == viaWindow)
   }
+
+  test("distributionRanks matches plain ntile/percent_rank/cume_dist windows exactly") {
+    val orders = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("k"), col("o_totalprice"))
+    // buckets=7 deliberately tiny and non-divisor so rows cross bucket
+    // boundaries mid-key and tile arithmetic exercises both NTILE branches
+    val two = Relational.distributionRanks(orders, "k",
+        Seq("o_totalprice", "o_orderkey"), numTiles = 4, buckets = 7)
+      .select("o_orderkey", "tile", "pr", "cd")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val win = orders.select(col("o_orderkey"),
+        ntile(4).over(w).as("tile"), percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(two == win)
+    // single-row-per-key edge: pr must be 0.0, tile 1, cd 1.0
+    val single = Relational.distributionRanks(
+      orders.limit(0).union(orders.limit(1)), "k",
+      Seq("o_totalprice", "o_orderkey"), numTiles = 4, buckets = 2)
+      .select("tile", "pr", "cd").collect()
+    assert(single.length == 1 && single(0).getInt(0) == 1 &&
+      single(0).getDouble(1) == 0.0 && single(0).getDouble(2) == 1.0)
+    // column-collision guard fires
+    intercept[IllegalArgumentException] {
+      Relational.distributionRanks(orders.withColumn("tile", lit(1)), "k",
+        Seq("o_totalprice", "o_orderkey"))
+    }
+  }
 }

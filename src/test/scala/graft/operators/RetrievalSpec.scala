@@ -43,4 +43,27 @@ class RetrievalSpec extends SparkSpec {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
   }
+
+  test("fused and inverted bm25 paths agree to 1e-12 on a real corpus slice") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("dup", "vector", "hash")
+    val prev = Retrieval.fusedMaxTerms
+    def run(): Map[Long, Double] =
+      Retrieval.bm25(docs, "doc_id", "text", terms)
+        .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val fused = try { Retrieval.fusedMaxTerms = 16; run() }
+      finally Retrieval.fusedMaxTerms = prev
+    val inverted = try { Retrieval.fusedMaxTerms = 0; run() }
+      finally Retrieval.fusedMaxTerms = prev
+    assert(fused.keySet == inverted.keySet, "matching-doc row sets differ")
+    fused.foreach { case (id, s) =>
+      assert(math.abs(s - inverted(id)) < 1e-12, s"doc $id: $s vs ${inverted(id)}")
+    }
+    // the fused plan must not shuffle per-row data: no hashpartitioning
+    // exchange on doc/term keys (its only exchange is the 1-row stats agg)
+    val fusedPlan = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .queryExecution.executedPlan.toString
+    assert(!fusedPlan.contains("hashpartitioning(_bm_id"),
+      s"fused path shuffles per-doc rows:\n$fusedPlan")
+  }
 }

@@ -30,9 +30,13 @@ class PlanCensusSpec extends SparkSpec {
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q77_bm25")
   // media queries read generated in-memory bytes, not parquet — there is
-  // no scan to push filters into
+  // no scan to push filters into; q83's seed scan is an unplanned logical
+  // Relation nested inside UnionLoop (recursive CTEs plan each iteration
+  // lazily at execution), so the initial-plan census structurally sees
+  // scans=0 — PlanOne shows the seed already projects only c_custkey
   private val noScan = Set("q36_media_features", "q56_image_dedup",
-    "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup")
+    "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup",
+    "q83_recursive_cte")
 
   test("all plans: bounded shuffles, no stray nested-loop joins, pushdown present") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
