@@ -547,6 +547,97 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic H.264 mp4 corpus (`avc1`): a REAL container
+    * with a REAL avcC/SPS/PPS ([[H264.writeSps]] — parseable back to the
+    * declared dimensions) and AVCC-framed access units whose SLICE bytes
+    * are seeded pseudo-entropy (actual CABAC payload generation would
+    * need an encoder — and the operators under test never entropy-decode
+    * slices, by design). Structure per video: `frames` samples, IDR sync
+    * samples every 4 starting at 1 (SPS/PPS prepended in-band like real
+    * encoders emit), non-IDR type-1 slices between. `dupEvery` plants
+    * byte-identical duplicates for the keyframe-hash dedup tests.
+    */
+  def syntheticAvcMp4s(spark: SparkSession, n: Int, frames: Int = 8,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val seed: Long = if (dupEvery > 0 && id % dupEvery == 0 && id > 0) id - 1 else id
+      val rnd = new scala.util.Random(seed)
+      val width = 320 + 16 * (seed % 4).toInt
+      val height = 240 + 16 * (seed % 3).toInt
+      val sps = H264.writeSps(width, height)
+      val pps = H264.writePps()
+      def avccNal(header: Int, payload: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream(payload.length + 5)
+        val len = payload.length + 1
+        b.write(len >> 24); b.write((len >> 16) & 0xff)
+        b.write((len >> 8) & 0xff); b.write(len & 0xff)
+        b.write(header)
+        b.write(payload, 0, payload.length)
+        b.toByteArray
+      }
+      def sliceBytes(): Array[Byte] = {
+        val p = new Array[Byte](64 + rnd.nextInt(192))
+        rnd.nextBytes(p)
+        p
+      }
+      val syncSamples = (1 to frames by 4).toSeq
+      val samples = (1 to frames).map { s =>
+        val b = new java.io.ByteArrayOutputStream()
+        def add(a: Array[Byte]): Unit = b.write(a, 0, a.length)
+        if (syncSamples.contains(s)) {
+          add(avccNal(0x67, sps)); add(avccNal(0x68, pps))
+          add(avccNal(0x65, sliceBytes())) // IDR slice, nal_ref_idc=3
+        } else add(avccNal(0x41, sliceBytes())) // non-IDR slice
+        b.toByteArray
+      }
+      val content = VideoContainers.buildMp4Avc(
+        samples, syncSamples, sps, pps, width, height)
+      Media(id, "video", content,
+        MediaMeta("mp4", Some(width), Some(height), None, Some(frames * 100L)))
+    }
+  }
+
+  case class KeyframeSig(media_id: Long, sig: Array[Byte])
+
+  /** EXACT compressed-domain video dedup for H.264 mp4s: hash the
+    * concatenated IDR keyframe payloads ([[VideoContainers
+    * .mp4AvcKeyframes]] — container + NAL parsing, NO entropy decode)
+    * and collapse byte-identical keyframe streams, keep-smallest-id.
+    * This is the 100 TB-shape for video exact-dedup: the signature is
+    * SHA-256 over ~keyframe bytes, computed in one mapPartitions pass
+    * (one digest instance per partition), and only (id, 32-byte sig)
+    * rows ever shuffle. Videos with no parsable keyframes can't claim
+    * duplicates and survive unconditionally.
+    */
+  def videoDedupByKeyframeHash(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs: Dataset[KeyframeSig] = media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { m =>
+        if (m.kind != "video") None
+        else {
+          val keys = VideoContainers.mp4AvcKeyframes(m.content)
+          if (keys.isEmpty) None
+          else {
+            digest.reset()
+            keys.foreach(digest.update)
+            Some(KeyframeSig(m.media_id, digest.digest()))
+          }
+        }
+      }
+    }
+    val losers = sigs.toDF()
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("_winner"),
+        collect_list(col("media_id")).as("_ids"))
+      .select(explode(col("_ids")).as("_loser"), col("_winner"))
+      .filter(col("_loser") =!= col("_winner"))
+      .select(col("_loser"))
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

@@ -482,4 +482,205 @@ object VideoContainers {
     out.write(body, 0, body.length)
     out.toByteArray
   }
+
+  // ====================================================== mp4 avc1 (H.264)
+
+  /** The `avcC` (AVCDecoderConfigurationRecord) payload of the first
+    * video track's `avc1` sample entry — sample-entry children start
+    * after the 86-byte VisualSampleEntry fixed part (ISO 14496-12
+    * §12.1.3 + 14496-15 §5.3).
+    */
+  def mp4AvcC(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      for {
+        moov <- boxes(bytes, 0, bytes.length).find(_.typ == "moov")
+        trak <- videoTrak(bytes, moov)
+        stbl <- sampleTableBox(bytes, trak)
+        stsd <- child(bytes, stbl, "stsd")
+        if stsd.len >= 16 && fourcc(bytes, stsd.off + 12) == "avc1"
+        entryOff = stsd.off + 8
+        entryLen = be32(bytes, entryOff).toInt
+        avcC <- boxes(bytes, entryOff + 86, entryLen - 86).find(_.typ == "avcC")
+      } yield java.util.Arrays.copyOfRange(bytes, avcC.off, avcC.off + avcC.len)
+    } catch { case _: Exception => None }
+
+  /** stss sync-sample table: 1-based sample numbers of the keyframes.
+    * An absent stss box means EVERY sample is a sync sample (ISO
+    * 14496-12 §8.6.2) — encoded here as Nil; callers that need the
+    * every-sample default combine this with the sample count.
+    */
+  def mp4SyncSamples(bytes: Array[Byte]): Seq[Int] =
+    try {
+      val r = for {
+        moov <- boxes(bytes, 0, bytes.length).find(_.typ == "moov")
+        trak <- videoTrak(bytes, moov)
+        stbl <- sampleTableBox(bytes, trak)
+        stss <- child(bytes, stbl, "stss")
+      } yield {
+        val n = be32(bytes, stss.off + 4).toInt
+        (0 until n).map(i => be32(bytes, stss.off + 8 + 4 * i).toInt)
+      }
+      r.getOrElse(Nil)
+    } catch { case _: Exception => Nil }
+
+  /** Probe an avc1 mp4 down to the BITSTREAM level: parse the avcC's
+    * first SPS ([[H264.parseSps]]) for the real coded width/height —
+    * stronger than the container-declared tkhd/sample-entry dimensions,
+    * which remuxers routinely get wrong.
+    */
+  def probeAvcMp4(bytes: Array[Byte]): Option[H264.SpsInfo] =
+    for {
+      avcc <- mp4AvcC(bytes)
+      (_, spsList, _) <- H264.parseAvcC(avcc)
+      sps <- spsList.headOption
+      info <- H264.parseSps(sps)
+    } yield info
+
+  /** Compressed-domain keyframes of an avc1 mp4: for each sync sample,
+    * the concatenated IDR slice payloads (AVCC framing resolved via the
+    * avcC lengthSize). No entropy decode — byte-identical sources yield
+    * byte-identical payloads, which is exactly what keyframe-hash dedup
+    * needs. Empty for non-avc1 or malformed payloads.
+    */
+  def mp4AvcKeyframes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val parsed = for {
+      avcc <- mp4AvcC(bytes)
+      (lengthSize, _, _) <- H264.parseAvcC(avcc)
+    } yield {
+      val ranges = mp4SampleRanges(bytes)
+      val sync = mp4SyncSamples(bytes) match {
+        case Nil => ranges.indices.map(_ + 1) // no stss: all samples sync
+        case s => s
+      }
+      sync.flatMap { s1 =>
+        ranges.lift(s1 - 1).flatMap { case (off, len) =>
+          if (off < 0 || len <= 0 || off + len > bytes.length) None
+          else {
+            val sample = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, off.toInt + len)
+            val idr = H264.nalUnitsAvcc(sample, lengthSize)
+              .filter(_.nalType == 5)
+            if (idr.isEmpty) None
+            else {
+              val b = new ByteArrayOutputStream()
+              idr.foreach(n => b.write(n.payload, 0, n.payload.length))
+              Some(b.toByteArray)
+            }
+          }
+        }
+      }
+    }
+    parsed.getOrElse(Nil)
+  }
+
+  /** Build a minimal valid H.264-in-mp4 (`avc1`) file: same box layout
+    * as [[buildMp4Mjpeg]] plus the avcC decoder configuration in the
+    * sample entry and an stss sync-sample table. `samples` are AVCC
+    * (length-prefixed, 4-byte) access units; `sps`/`pps` are NAL
+    * payloads WITHOUT the header byte (headers 0x67/0x68 are added in
+    * the avcC record). Deterministic byte-for-byte for fixed inputs.
+    */
+  def buildMp4Avc(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
+      sps: Array[Byte], pps: Array[Byte], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(samples.nonEmpty, "at least one sample")
+    require(syncSamples.nonEmpty, "at least one sync sample")
+    val ftyp = box("ftyp", {
+      val w = new BoxWriter
+      w.ascii("isom").u32(0x200).ascii("isom").ascii("iso2").ascii("avc1").ascii("mp41")
+      w.bytes
+    })
+    val mdatHeaderOff = ftyp.length
+    val sampleOffsets = samples.scanLeft(mdatHeaderOff + 8L)(_ + _.length).init
+    val timescale = 1000L
+    val delta = timescale / fps
+    val duration = delta * samples.length
+
+    def fullBox(typ: String, versionFlags: Long)(body: BoxWriter => Unit): Array[Byte] = {
+      val w = new BoxWriter
+      w.u32(versionFlags)
+      body(w)
+      box(typ, w.bytes)
+    }
+    val mvhd = fullBox("mvhd", 0) { w =>
+      w.u32(0).u32(0).u32(timescale).u32(duration)
+      w.u32(0x00010000).u16(0x0100).u16(0)
+      w.zeros(8)
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L).foreach(w.u32)
+      w.zeros(24)
+      w.u32(2)
+    }
+    val tkhd = fullBox("tkhd", 7) { w =>
+      w.u32(0).u32(0).u32(1).u32(0).u32(duration)
+      w.zeros(8).u16(0).u16(0).u16(0).u16(0)
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L).foreach(w.u32)
+      w.u32(width.toLong << 16).u32(height.toLong << 16)
+    }
+    val mdhd = fullBox("mdhd", 0) { w =>
+      w.u32(0).u32(0).u32(timescale).u32(duration)
+      w.u16(0x55c4).u16(0)
+    }
+    val hdlr = fullBox("hdlr", 0) { w =>
+      w.u32(0).ascii("vide").zeros(12)
+      w.ascii("graft avc   ")
+    }
+    val vmhd = fullBox("vmhd", 1) { w => w.u16(0).u16(0).u16(0).u16(0) }
+    val dref = fullBox("dref", 0) { w =>
+      w.u32(1)
+      w.raw(fullBox("url ", 1)(_ => ()))
+    }
+    val dinf = box("dinf", dref)
+    val avcC = box("avcC", {
+      val w = new BoxWriter
+      // configurationVersion, AVCProfileIndication, compatibility, level
+      w.raw(Array[Byte](1, sps(0), sps(1), sps(2)))
+      w.raw(Array[Byte](0xff.toByte)) // 6 reserved bits + lengthSizeMinusOne=3
+      w.raw(Array[Byte](0xe1.toByte)) // 3 reserved bits + numOfSPS=1
+      w.u16(sps.length + 1).raw(Array[Byte](0x67)).raw(sps) // with NAL header
+      w.raw(Array[Byte](1)) // numOfPPS
+      w.u16(pps.length + 1).raw(Array[Byte](0x68)).raw(pps)
+      w.bytes
+    })
+    val sampleEntry = {
+      val w = new BoxWriter
+      w.zeros(6).u16(1)
+      w.u16(0).u16(0).zeros(12)
+      w.u16(width).u16(height)
+      w.u32(0x00480000).u32(0x00480000).u32(0)
+      w.u16(1)
+      w.zeros(32)
+      w.u16(0x0018).u16(0xffff)
+      w.raw(avcC)
+      box("avc1", w.bytes)
+    }
+    val stsd = fullBox("stsd", 0) { w => w.u32(1).raw(sampleEntry) }
+    val stts = fullBox("stts", 0) { w => w.u32(1).u32(samples.length).u32(delta) }
+    val stsc = fullBox("stsc", 0) { w => w.u32(1).u32(1).u32(1).u32(1) }
+    val stsz = fullBox("stsz", 0) { w =>
+      w.u32(0).u32(samples.length)
+      samples.foreach(f => w.u32(f.length))
+    }
+    val stco = fullBox("stco", 0) { w =>
+      w.u32(samples.length)
+      sampleOffsets.foreach(w.u32)
+    }
+    val stss = fullBox("stss", 0) { w =>
+      w.u32(syncSamples.length)
+      syncSamples.foreach(s => w.u32(s))
+    }
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stss ++ stco)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    val mdatHdr = new BoxWriter
+    mdatHdr.u32(8L + samples.map(_.length.toLong).sum).ascii("mdat")
+    out.write(mdatHdr.bytes, 0, 8)
+    samples.foreach(f => out.write(f, 0, f.length))
+    out.write(moov, 0, moov.length)
+    out.toByteArray
+  }
 }

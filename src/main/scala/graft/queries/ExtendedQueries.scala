@@ -484,6 +484,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q84 — H.264 compressed-domain video dedup: real `avc1` mp4
+    * containers ([[graft.multimodal.VideoContainers.buildMp4Avc]]) with
+    * real avcC/SPS bitstream parameter sets ([[graft.multimodal.H264]],
+    * pure-Scala ITU-T parsing), keyframes located via stss + AVCC NAL
+    * scanning and hashed WITHOUT entropy decode —
+    * [[graft.multimodal.Multimodal.videoDedupByKeyframeHash]]. Planted
+    * every-10th byte-identical duplicates collapse; survivors pinned in
+    * MultimodalSpec and fixture-pinned here like q56–q58/q66.
+    */
+  def q84AvcKeyframeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avc_200"))(
+      graft.multimodal.Multimodal.syntheticAvcMp4s(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByKeyframeHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q59 — Bloom-prefiltered join (semi-join reduction with the native
     * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
     * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
@@ -711,6 +729,7 @@ object ExtendedQueries {
     "q80_pivot"         -> (q80Pivot _),
     "q81_fuzzy_match"   -> (q81FuzzyMatch _),
     "q83_recursive_cte" -> (sqlOn(q83Sql) _),
+    "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -875,6 +894,9 @@ object ExtendedQueries {
          WHERE levenshtein(p_name, 'small ring') <= 5
          ORDER BY p_partkey""",
     "q83_recursive_cte" -> q83Sql,
+    "q84_avc_keydedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q84_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

@@ -305,4 +305,86 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(kindsPerPartition.forall(_ <= 1)) // each partition holds one modality (or none)
   }
+
+  test("H.264 BITSTREAM: SPS writer/parser round-trip incl. frame cropping") {
+    for ((w, h) <- Seq((320, 240), (1920, 1080), (640, 360), (354, 288))) {
+      val sps = H264.parseSps(H264.writeSps(w, h))
+      assert(sps.isDefined, s"${w}x$h did not parse")
+      assert(sps.get.width == w && sps.get.height == h,
+        s"got ${sps.get.width}x${sps.get.height}, wanted ${w}x$h")
+      assert(sps.get.profileIdc == 66 && sps.get.frameMbsOnly)
+    }
+    // 1080 = 68 map units * 16 - 8 → cropping is actually exercised
+    assert(H264.parseSps(H264.writeSps(1920, 1080)).get.height == 1080)
+    // truncated payloads probe to None; arbitrary bytes may parse as a
+    // syntactically-valid SPS (all-ones does) — the contract is only
+    // "never throw"
+    assert(H264.parseSps(Array[Byte](1, 2)).isEmpty)
+    H264.parseSps(Array.fill[Byte](8)(-1)) // must not throw
+    H264.parseSps(Array.emptyByteArray)    // must not throw
+  }
+
+  test("H.264 BITSTREAM: Annex-B and AVCC NAL scanning, EP-byte round-trip") {
+    val sps = H264.writeSps(320, 240)
+    val slice = Array.tabulate[Byte](300)(i => (i * 7 + 1).toByte)
+    // Annex-B: [00 00 00 01] SPS [00 00 01] IDR [00 00 01] non-IDR
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(sc: Array[Byte], hdr: Int, p: Array[Byte]): Unit = {
+      bos.write(sc, 0, sc.length); bos.write(hdr); bos.write(p, 0, p.length)
+    }
+    put(Array[Byte](0, 0, 0, 1), 0x67, sps)
+    put(Array[Byte](0, 0, 1), 0x65, slice)
+    put(Array[Byte](0, 0, 1), 0x41, slice)
+    val nals = H264.nalUnitsAnnexB(bos.toByteArray)
+    assert(nals.map(_.nalType) == Seq(7, 5, 1))
+    assert(H264.probeAnnexB(bos.toByteArray).map(i => (i.width, i.height))
+      .contains((320, 240)))
+    assert(H264.idrPayloads(bos.toByteArray).map(_.toSeq) == Seq(slice.toSeq))
+    // EBSP round-trip: a payload full of 00 00 0x runs survives
+    val nasty = Array[Byte](0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 0, 0)
+    assert(H264.rbsp(H264.ebsp(nasty)).toSeq == nasty.toSeq)
+    // AVCC framing
+    val avcc = {
+      val b = new java.io.ByteArrayOutputStream()
+      val len = slice.length + 1
+      b.write(0); b.write(0); b.write(len >> 8); b.write(len & 0xff)
+      b.write(0x65); b.write(slice, 0, slice.length)
+      b.toByteArray
+    }
+    val avccNals = H264.nalUnitsAvcc(avcc, 4)
+    assert(avccNals.map(_.nalType) == Seq(5))
+    assert(avccNals.head.payload.toSeq == slice.toSeq)
+  }
+
+  test("REAL container: avc1 mp4 build → avcC/SPS probe → keyframe extraction") {
+    val one = Multimodal.syntheticAvcMp4s(spark, 1, dupEvery = 0).collect().head
+    // container probe sees the avc1 codec and declared dims
+    val info = VideoContainers.probeMp4(one.content)
+    assert(info.exists(_.codec == "avc1"), s"probe: $info")
+    // bitstream probe recovers the SPS dims (= declared dims here)
+    val spsInfo = VideoContainers.probeAvcMp4(one.content)
+    assert(spsInfo.map(i => (i.width, i.height))
+      .contains((one.meta.width.get, one.meta.height.get)), s"sps: $spsInfo")
+    // 8 samples, sync at 1 and 5 → exactly 2 compressed keyframes
+    val keys = VideoContainers.mp4AvcKeyframes(one.content)
+    assert(keys.length == 2, s"got ${keys.length} keyframes")
+    assert(keys.forall(_.length > 32))
+    // non-avc payloads yield Nil, not an error
+    assert(VideoContainers.mp4AvcKeyframes(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("H.264 keyframe-hash dedup: planted duplicates collapse, unique ids survive") {
+    val corpus = Multimodal.syntheticAvcMp4s(spark, 40, dupEvery = 10)
+    val survivors = Multimodal.videoDedupByKeyframeHash(corpus)
+      .map(_.media_id).collect().toSet
+    // ids 10, 20, 30 are byte-identical to 9, 19, 29 → dropped
+    assert(survivors == (0L until 40L).toSet -- Set(10L, 20L, 30L))
+    // an undecodable video survives unconditionally
+    import spark.implicits._
+    val withJunk = corpus.union(spark.createDataset(Seq(
+      Multimodal.Media(999L, "video", Array[Byte](9, 9, 9), null))))
+    val survivors2 = Multimodal.videoDedupByKeyframeHash(withJunk)
+      .map(_.media_id).collect().toSet
+    assert(survivors2.contains(999L))
+  }
 }

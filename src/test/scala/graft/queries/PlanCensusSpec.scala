@@ -81,7 +81,8 @@ class PlanCensusSpec extends SparkSpec {
     "q80_pivot"                -> (3, 0, 0, true),
     "q81_fuzzy_match"          -> (1, 0, 0, true),
     "q82_frequent_terms"       -> (1, 0, 0, true),
-    "q83_recursive_cte"        -> (2, 0, 0, false)) // seed plans lazily in UnionLoop
+    "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
+    "q84_avc_keydedup"         -> (4, 1, 0, true)) // keyframe sigs: narrow rows only
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
