@@ -112,6 +112,42 @@ object Dedup {
     df.join(winner, df(idCol) === winner("_keep"), "left_semi")
   }
 
+  /** INCREMENTAL exact dedup — the daily-batch shape of corpus curation:
+    * dedup `incoming` against an `existing` corpus SNAPSHOT without ever
+    * re-deduping the snapshot. Returns the incoming survivors: rows whose
+    * content matches nothing in `existing` and that are the min-id owner
+    * of their content within `incoming`.
+    *
+    * Scale shape (existing is the 100 TB side, incoming the new batch):
+    * a Bloom filter of the INCOMING content hashes (one small-side agg,
+    * few-MB sketch) drops non-colliding existing rows AT THE MAP, so the
+    * only thing shuffled from the snapshot is ≈ |true matches| +
+    * fpp·|existing|; the exact anti-join on the full content string then
+    * removes Bloom false positives — results are EXACT, identical to
+    * `incoming.join(existing, content, "left_anti")` + within-batch
+    * keep-min-id. The matched content set (≤ |incoming| rows) broadcasts.
+    */
+  def incrementalExactDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, contentCol: String,
+      expectedIncoming: Long = 10000000L): DataFrame = {
+    // stat.bloomFilter returns a null sketch for an EMPTY build side
+    // (Spark reads no partial from zero partitions) — an empty batch
+    // dedups to an empty result, skip the machinery
+    val bloom =
+      try incoming.stat.bloomFilter(contentCol, expectedIncoming, 0.01)
+      catch { case _: NullPointerException =>
+        return exactKeepMinId(incoming, idCol, contentCol) }
+    val hit = existing
+      .select(col(contentCol).as("_ix_c"))
+      .filter(graft.functions.BloomMightContain.mightContain(col("_ix_c"), bloom))
+    // exact match set, deduped to ≤ |incoming distinct contents| rows
+    val matched = incoming.select(col(contentCol).as("_ix_c")).distinct()
+      .join(hit, Seq("_ix_c"), "left_semi")
+    val fresh = incoming
+      .join(broadcast(matched), incoming(contentCol) === matched("_ix_c"), "left_anti")
+    exactKeepMinId(fresh, idCol, contentCol)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** k MinHash values over token `n`-gram shingles. Each hash family member

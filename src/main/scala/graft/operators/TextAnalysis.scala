@@ -358,4 +358,68 @@ object TextAnalysis {
         col("_ann.quality").as("quality"),
         col("_ann.fingerprint").as("fingerprint")): _*)
   }
+
+  /** Train/eval n-gram CONTAMINATION audit — the standard benchmark-
+    * leakage check of LLM training pipelines: for each eval document,
+    * how many of its distinct token n-grams also occur anywhere in the
+    * training corpus. Returns one row per eval doc:
+    * (idCol, n_grams, n_contaminated, frac) with frac = contaminated /
+    * distinct grams (0.0 for docs shorter than n tokens).
+    *
+    * Scale shape (train is the 100 TB side, eval the benchmark — MB to
+    * GB): eval's distinct gram set aggregates to a Bloom filter (one
+    * tiny partial+final agg, few-MB sketch in the task closure); train
+    * explodes its grams but drops everything outside the Bloom AT THE
+    * MAP, so the shuffle carries ≈ |matching grams| + fpp·|train grams|
+    * rows instead of the whole exploded corpus; the follow-up LEFT SEMI
+    * join on the exact gram STRING (not a hash — the oracle compares
+    * exact counts, and collisions would silently shift them) removes
+    * Bloom false positives, so results are EXACT. The matched-gram set
+    * (≤ |eval grams|) broadcasts back into the per-doc count join.
+    */
+  def ngramContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      expectedEvalGrams: Long = 10000000L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // distinct grams per eval doc; docs with < n tokens contribute none
+    // (shingles() emits a single short-text gram — excluded here, the
+    // audit contract is "windows of exactly n tokens")
+    val evalGrams = eval
+      .select(col(idCol).as("_ct_id"), tokens(col(textCol)).as("_ct_t"))
+      .filter(size(col("_ct_t")) >= n)
+      .select(col("_ct_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("_ct_t")) - n),
+          i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n)))))).as("_ct_g"))
+    // empty eval gram set (all eval docs shorter than n): Spark's
+    // bloomFilter agg yields a null sketch — every output row is zeros
+    val bloom =
+      try evalGrams.stat.bloomFilter("_ct_g", expectedEvalGrams, 0.01)
+      catch { case _: NullPointerException =>
+        return eval.select(col(idCol), lit(0L).as("n_grams"),
+          lit(0L).as("n_contaminated"), lit(0.0).as("frac")) }
+    val trainGrams = train
+      .select(tokens(col(textCol)).as("_ct_t"))
+      .filter(size(col("_ct_t")) >= n)
+      .select(explode(
+        transform(sequence(lit(0), size(col("_ct_t")) - n),
+          i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n))))).as("_ct_g"))
+      .filter(graft.functions.BloomMightContain.mightContain(col("_ct_g"), bloom))
+    // matched grams: ≤ |eval gram set| rows — broadcastable by construction
+    val matched = evalGrams.select(col("_ct_g")).distinct()
+      .join(trainGrams, Seq("_ct_g"), "left_semi")
+    val perDoc = evalGrams
+      .join(broadcast(matched.withColumn("_ct_hit", lit(1))), Seq("_ct_g"), "left")
+      .groupBy(col("_ct_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("_ct_hit")), lit(0L)).as("n_contaminated"))
+    // every eval doc appears, including short/gram-free ones
+    eval.select(col(idCol).as("_ct_id"))
+      .join(perDoc, Seq("_ct_id"), "left")
+      .select(col("_ct_id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_grams"))
+          .as("frac"))
+  }
 }

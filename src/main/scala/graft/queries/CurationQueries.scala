@@ -268,8 +268,55 @@ object CurationQueries {
       .orderBy(col("term"))
   }
 
+  /** q85 — train/eval n-gram contamination audit
+    * ([[graft.operators.TextAnalysis.ngramContamination]]): eval = every
+    * 10th doc, train = the rest, n = 13 (the standard benchmark-leakage
+    * window). The corpus's planted duplicate/boilerplate structure makes
+    * contamination REAL (282 of 2139 distinct eval 13-grams hit at
+    * sf0.01), so the count columns are load-bearing, not all-zero. The
+    * Bloom prefilter is exactness-invisible (exact string semi-join
+    * after); the oracle recomputes from first principles with DuckDB
+    * list slicing. frac = n_contaminated/n_grams is a small-int ratio —
+    * bit-identical IEEE division both sides.
+    */
+  def q85Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.operators.TextAnalysis.ngramContamination(
+      train = d.filter(col("doc_id") % 10 =!= 0),
+      eval = d.filter(col("doc_id") % 10 === 0),
+      idCol = "doc_id", textCol = "text", n = 13)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q86 — incremental exact dedup against a corpus snapshot
+    * ([[graft.operators.Dedup.incrementalExactDedup]]): incoming = every
+    * 3rd doc PLUS re-idded copies (doc_id + 100000) of every 5th-mod-1
+    * doc, existing = the rest. The corpus has no natural exact text
+    * duplicates, so the copies are planted IN BOTH ENGINES to make both
+    * rejection modes load-bearing: a copy whose original sits in the
+    * snapshot is rejected by the anti-join; a copy whose original is in
+    * the same batch loses the within-batch min-id collapse. Every copy
+    * must die — a broken anti-join or collapse surfaces as extra rows
+    * and a hash mismatch. Bloom prefilter exactness-invisible as in
+    * q59/q85.
+    */
+  def q86IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val incoming = d.filter(col("doc_id") % 3 === 0)
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    graft.operators.Dedup.incrementalExactDedup(
+      existing = d.filter(col("doc_id") % 3 =!= 0),
+      incoming = incoming,
+      idCol = "doc_id", contentCol = "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
+    "q85_contamination" -> (q85Contamination _),
+    "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
@@ -500,5 +547,46 @@ object CurationQueries {
                                      x -> len(x) > 0)) AS t
            FROM documents)
          GROUP BY t ORDER BY term""",
+    "q85_contamination" ->
+      """WITH ev AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                      x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id % 10 = 0),
+         tr AS (
+           SELECT list_filter(string_split_regex(text, '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id % 10 <> 0),
+         evg AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+           FROM ev, LATERAL unnest(generate_series(1, len(t) - 12)) AS u(i)
+           WHERE len(t) >= 13),
+         trg AS (
+           SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+           FROM tr, LATERAL unnest(generate_series(1, len(t) - 12)) AS u(i)
+           WHERE len(t) >= 13),
+         pd AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN g IN (SELECT g FROM trg) THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_contaminated
+           FROM evg GROUP BY doc_id)
+         SELECT e.doc_id,
+                COALESCE(pd.n_grams, 0) AS n_grams,
+                COALESCE(pd.n_contaminated, 0) AS n_contaminated,
+                CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN 0.0
+                     ELSE CAST(pd.n_contaminated AS DOUBLE) / pd.n_grams
+                END AS frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) e
+         LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
+    "q86_incremental_dedup" ->
+      """WITH inc AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 1),
+         ex AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+         fresh AS (SELECT doc_id, text FROM inc
+                   WHERE text NOT IN (SELECT text FROM ex))
+         SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text
+         ORDER BY doc_id""",
   )
 }

@@ -36,11 +36,12 @@ object R6ScaleBench {
     val nDocs = big.count()
     println(s"corpus: $nDocs docs (${repl}x replication)")
 
-    def time(label: String)(f: => Long): Unit = {
+    def timeOver(label: String, denom: Long)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$label: $sec%.1f s, $n rows, ${sec * 1e6 / nDocs}%.1f us/doc")
+      println(f"$label: $sec%.1f s, $n rows, ${sec * 1e6 / denom}%.1f us/doc")
     }
+    def time(label: String)(f: => Long): Unit = timeOver(label, nDocs)(f)
 
     // q71 outputs PAIRS: identical replicas would make the true-pair set
     // grow quadratically in repl (a workload artifact — real crawls keep
@@ -50,7 +51,12 @@ object R6ScaleBench {
     // (prefix salting is NOT enough on long docs — measured 239k pairs),
     // so output stays ~repl× and the row measures the OPERATOR's
     // scaling, not the output explosion.
-    val salted = (0 until repl)
+    // jaccard caps at 30×: its shingle inverted index shuffles ~0.8 GB per
+    // replica of text-bearing rows, and 100× (>80 GB of shuffle scratch)
+    // exceeds this shared box's free disk — a cluster has per-node scratch;
+    // the 10×→30× ratio is the linearity evidence either way
+    val jaccardRepl = math.min(repl, 30)
+    val salted = (0 until jaccardRepl)
       .map { i =>
         docs
           .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
@@ -61,8 +67,8 @@ object R6ScaleBench {
       }
       .reduce(_.unionByName(_))
       .persist()
-    salted.count()
-    time(s"ngram-jaccard ${repl}x salted")(
+    val nSalted = salted.count()
+    timeOver(s"ngram-jaccard ${jaccardRepl}x salted", nSalted)(
       graft.operators.Dedup.ngramJaccardPairs(
         salted, "doc_id", "text", shingleN = 3, threshold = 0.5).count())
     salted.unpersist()

@@ -469,4 +469,29 @@ class DedupSpec extends SparkSpec {
     assert(walk(new java.io.File(ckptDir)).exists(_.getName.startsWith("rdd-")),
       s"no rdd-* checkpoint dirs under $ckptDir")
   }
+
+  test("incrementalExactDedup: snapshot rejection, within-batch collapse, bloom-invisible") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"),   // in snapshot → rejected
+      (11L, "delta"),   // fresh, unique → survives
+      (12L, "epsilon"), // fresh dup, min id → survives
+      (13L, "epsilon"), // fresh dup, loses to 12 → rejected
+      (14L, "beta")     // in snapshot → rejected
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(existing, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 12L))
+    // equals the naive anti-join + keep-min-id (bloom invisible)
+    val naive = Dedup.exactKeepMinId(
+      incoming.join(existing.select(col("text")), Seq("text"), "left_anti"),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(out == naive)
+    // empty incoming and empty existing edges
+    assert(Dedup.incrementalExactDedup(existing, incoming.limit(0), "doc_id", "text")
+      .count() == 0)
+    assert(Dedup.incrementalExactDedup(existing.limit(0), incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 12L, 14L))
+  }
 }

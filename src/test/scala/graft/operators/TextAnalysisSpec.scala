@@ -208,4 +208,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert((interp.getInt(0), interp.getInt(1), interp.getUTF8String(2).toString,
       interp.getDouble(3), interp.getLong(4)) == viaDf)
   }
+
+  test("ngramContamination: hand-computed overlap, short docs, bloom-invisible exactness") {
+    val train = Seq(
+      (1L, "a b c d e f"),         // grams(3): "a b c" "b c d" "c d e" "d e f"
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d q"),          // "a b c"(hit) "b c d"(hit) "c d q"(miss)
+      (11L, "q r s"),              // "q r s"(miss)
+      (12L, "x y"),                // < 3 tokens: 0 grams
+      (13L, "b c d e f g")).toDF("doc_id", "text") // hits: "b c d","c d e","d e f"; miss "e f g"
+    val out = TextAnalysis.ngramContamination(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((3L, 2L, 2.0 / 3)))
+    assert(out(11L) == ((1L, 0L, 0.0)))
+    assert(out(12L) == ((0L, 0L, 0.0)))
+    assert(out(13L) == ((4L, 3L, 0.75)))
+    // duplicate grams inside one eval doc count once (distinct contract):
+    // windows are "a b c","b c a","c a b","a b c" → 3 distinct, 1 hit
+    val rep = Seq((20L, "a b c a b c")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.ngramContamination(train, rep, "doc_id", "text", n = 3)
+      .collect().head
+    assert(o2.getLong(1) == 3 && o2.getLong(2) == 1)
+  }
 }

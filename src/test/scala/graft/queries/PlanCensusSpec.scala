@@ -82,7 +82,9 @@ class PlanCensusSpec extends SparkSpec {
     "q81_fuzzy_match"          -> (1, 0, 0, true),
     "q82_frequent_terms"       -> (1, 0, 0, true),
     "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
-    "q84_avc_keydedup"         -> (4, 1, 0, true)) // keyframe sigs: narrow rows only
+    "q84_avc_keydedup"         -> (4, 1, 0, true), // keyframe sigs: narrow rows only
+    "q85_contamination"        -> (3, 3, 0, true), // bloom prefilter + broadcast matches
+    "q86_incremental_dedup"    -> (3, 4, 0, true)) // bloom + broadcast matched set
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
