@@ -54,7 +54,16 @@ object R6ScaleBench {
     // jaccard caps at 30×: its shingle inverted index shuffles ~0.8 GB per
     // replica of text-bearing rows, and 100× (>80 GB of shuffle scratch)
     // exceeds this shared box's free disk — a cluster has per-node scratch;
-    // the 10×→30× ratio is the linearity evidence either way
+    // the 10×→30× ratio is the linearity evidence either way.
+    // Perturbation: every EVEN-position token is replaced with a
+    // copy-unique token, so every trigram of copy i contains a c<i>_
+    // token and NO trigram is shared across copies — zero cross-copy LSH
+    // candidates (a 1/7-density same-position variant left same-mod
+    // copies sharing 4/7 of their trigrams: candidate verification went
+    // quadratic in repl and 30× measured 10× the per-doc cost). Within a
+    // copy both members of a planted near-dup pair perturb identically,
+    // so the true-pair structure replicates — the real-crawl shape
+    // (corpus grows, duplicate-cluster size constant).
     val jaccardRepl = math.min(repl, 30)
     val salted = (0 until jaccardRepl)
       .map { i =>
@@ -62,7 +71,7 @@ object R6ScaleBench {
           .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
           .withColumn("text", array_join(
             transform(split(col("text"), "\\s+"),
-              (t, j) => when(pmod(j, lit(7)) === lit(i % 7), concat(lit(s"c${i}_"), t))
+              (t, j) => when(pmod(j, lit(2)) === lit(0), concat(lit(s"c${i}_"), t))
                 .otherwise(t)), " "))
       }
       .reduce(_.unionByName(_))
