@@ -269,8 +269,9 @@ object Relational {
     *
     * Scale shape instead: (1) per-key approx-percentile boundaries split
     * each key into `buckets` value ranges; (2) a tiny (key, bucket) count
-    * aggregate (map-side combined; |keys|·buckets rows to the driver)
-    * yields exact global offsets; (3) the only sort is a window over
+    * aggregate (map-side combined; |keys|·buckets rows) prefix-sums into
+    * exact global offsets via a window over that tiny frame — fully
+    * lazy, no driver collect; (3) the only per-row sort is a window over
     * (key, bucket) — parallelism |keys|·`buckets` instead of |keys| — and
     * rank arithmetic is `offset + row_number`. Results are EXACT: boundary
     * skew from the approximate percentiles only unbalances bucket sizes,
@@ -294,7 +295,6 @@ object Relational {
     require(numTiles >= 1 && buckets >= 2, "numTiles >= 1, buckets >= 2")
     Seq("_dr_bnds", "_dr_b", "_dr_off", "_dr_n", "_dr_rn", "tile", "pr", "cd")
       .foreach(c => require(!df.columns.contains(c), s"input already has column $c"))
-    val spark = df.sparkSession
     val v = col(orderCols.head)
 
     // pass 1a: interior boundaries per key (approximate is fine — see doc)
@@ -308,25 +308,21 @@ object Relational {
           (acc, b) => acc + when(v.cast("double") >= b, 1).otherwise(0)))
       .drop("_dr_bnds")
 
-    // pass 1b: exact (key, bucket) counts -> per-bucket global offsets and
-    // per-key totals. |keys|·buckets rows: driver-tiny by the doc'd bound.
-    val keyType = df.schema(partKey).dataType
-    val cnts = withB.groupBy(col(partKey), col("_dr_b")).count()
-      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-    val offRows = cnts.groupBy(_._1).iterator.flatMap { case (k, perKey) =>
-      val n = perKey.map(_._3).sum
-      var run = 0L
-      perKey.sortBy(_._2).map { case (_, b, c) =>
-        val off = run; run += c
-        org.apache.spark.sql.Row(k, b, off, n)
-      }
-    }.toSeq
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(partKey, keyType),
-      org.apache.spark.sql.types.StructField("_dr_b", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("_dr_off", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_dr_n", org.apache.spark.sql.types.LongType)))
-    val offDf = spark.createDataFrame(spark.sparkContext.parallelize(offRows, 1), offSchema)
+    // pass 1b: exact (key, bucket) counts -> per-bucket global offsets
+    // (prefix sum) and per-key totals. |keys|·buckets rows, so the
+    // prefix-sum window runs over a TINY frame — and staying lazy keeps
+    // the whole operator one plan: no driver collect, no eager jobs at
+    // construction time (the first cut collected counts to the driver
+    // and re-paid two build jobs on every re-execution).
+    val W = org.apache.spark.sql.expressions.Window
+    val wOff = W.partitionBy(col(partKey)).orderBy(col("_dr_b"))
+    val offDf = withB.groupBy(col(partKey), col("_dr_b")).count()
+      .select(col(partKey), col("_dr_b"),
+        coalesce(sum(col("count")).over(
+          wOff.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_dr_off"),
+        sum(col("count")).over(
+          wOff.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+          .as("_dr_n"))
 
     // pass 2: the only per-row sort — window over (key, bucket)
     val w = org.apache.spark.sql.expressions.Window

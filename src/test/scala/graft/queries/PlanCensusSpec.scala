@@ -77,7 +77,8 @@ class PlanCensusSpec extends SparkSpec {
     "q76_cluster_dedup"        -> (4, 2, 0, true),
     "q77_bm25"                 -> (1, 0, 0, true), // fused: only the 1-row stats agg
     "q78_weighted_sample"      -> (0, 0, 0, true), // TakeOrderedAndProject, shuffle-free
-    "q79_dist_windows"         -> (3, 2, 0, true), // window at keys×buckets parallelism
+    "q79_dist_windows"         -> (5, 2, 0, true), // window at keys×buckets parallelism;
+                                                   // +2 tiny-frame shuffles (offsets prefix sum)
     "q80_pivot"                -> (3, 0, 0, true),
     "q81_fuzzy_match"          -> (1, 0, 0, true),
     "q82_frequent_terms"       -> (1, 0, 0, true),
