@@ -130,6 +130,17 @@ object Dedup {
   def incrementalExactDedup(existing: DataFrame, incoming: DataFrame,
       idCol: String, contentCol: String,
       expectedIncoming: Long = 10000000L): DataFrame = {
+    // Small snapshots (optimizer estimate, no job — same seam as the
+    // barrier small/big split) take the plain lazy anti-join: the Bloom
+    // prefilter exists to keep a 100 TB snapshot out of the shuffle, and
+    // its eagerly-collected sketch job costs more than it saves below
+    // the threshold. Results identical by construction (DedupSpec).
+    if (isSmallInput(existing)) {
+      val fresh = incoming.join(
+        existing.select(col(contentCol).as("_ix_c")),
+        incoming(contentCol) === col("_ix_c"), "left_anti")
+      return exactKeepMinId(fresh, idCol, contentCol)
+    }
     // stat.bloomFilter returns a null sketch for an EMPTY build side
     // (Spark reads no partial from zero partitions) — an empty batch
     // dedups to an empty result, skip the machinery

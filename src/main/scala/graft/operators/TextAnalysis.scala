@@ -390,20 +390,30 @@ object TextAnalysis {
       .select(col("_ct_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("_ct_t")) - n),
           i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n)))))).as("_ct_g"))
-    // empty eval gram set (all eval docs shorter than n): Spark's
-    // bloomFilter agg yields a null sketch — every output row is zeros
-    val bloom =
-      try evalGrams.stat.bloomFilter("_ct_g", expectedEvalGrams, 0.01)
-      catch { case _: NullPointerException =>
-        return eval.select(col(idCol), lit(0L).as("n_grams"),
-          lit(0L).as("n_contaminated"), lit(0.0).as("frac")) }
-    val trainGrams = train
+    val rawTrainGrams = train
       .select(tokens(col(textCol)).as("_ct_t"))
       .filter(size(col("_ct_t")) >= n)
       .select(explode(
         transform(sequence(lit(0), size(col("_ct_t")) - n),
           i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n))))).as("_ct_g"))
-      .filter(graft.functions.BloomMightContain.mightContain(col("_ct_g"), bloom))
+    // Small training corpora (optimizer estimate, no job — the Dedup
+    // small/big seam) skip the Bloom prefilter: the sketch exists to
+    // keep a 100 TB side's exploded grams out of the shuffle, and its
+    // eagerly-collected build job costs more than it saves below the
+    // threshold. Exactness unaffected — the semi-join is the same.
+    val trainGrams =
+      if (Dedup.isSmallInput(train)) rawTrainGrams
+      else {
+        // empty eval gram set (all eval docs shorter than n): Spark's
+        // bloomFilter agg yields a null sketch — every output row is zeros
+        val bloom =
+          try evalGrams.stat.bloomFilter("_ct_g", expectedEvalGrams, 0.01)
+          catch { case _: NullPointerException =>
+            return eval.select(col(idCol), lit(0L).as("n_grams"),
+              lit(0L).as("n_contaminated"), lit(0.0).as("frac")) }
+        rawTrainGrams.filter(
+          graft.functions.BloomMightContain.mightContain(col("_ct_g"), bloom))
+      }
     // matched grams: ≤ |eval gram set| rows — broadcastable by construction
     val matched = evalGrams.select(col("_ct_g")).distinct()
       .join(trainGrams, Seq("_ct_g"), "left_semi")

@@ -483,6 +483,15 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.incrementalExactDedup(existing, incoming, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(11L, 12L))
+    // big-path parity: force the Bloom-prefiltered shape on the same data
+    val saved = Dedup.barrierThresholdBytes
+    val viaBloom =
+      try {
+        Dedup.barrierThresholdBytes = 0L
+        Dedup.incrementalExactDedup(existing, incoming, "doc_id", "text")
+          .select("doc_id").as[Long].collect().toSet
+      } finally Dedup.barrierThresholdBytes = saved
+    assert(viaBloom == out)
     // equals the naive anti-join + keep-min-id (bloom invisible)
     val naive = Dedup.exactKeepMinId(
       incoming.join(existing.select(col("text")), Seq("text"), "left_anti"),

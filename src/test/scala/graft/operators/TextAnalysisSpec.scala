@@ -218,12 +218,19 @@ class TextAnalysisSpec extends SparkSpec {
       (11L, "q r s"),              // "q r s"(miss)
       (12L, "x y"),                // < 3 tokens: 0 grams
       (13L, "b c d e f g")).toDF("doc_id", "text") // hits: "b c d","c d e","d e f"; miss "e f g"
-    val out = TextAnalysis.ngramContamination(train, eval, "doc_id", "text", n = 3)
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def run(): Map[Long, (Long, Long, Double)] =
+      TextAnalysis.ngramContamination(train, eval, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val out = run()
     assert(out(10L) == ((3L, 2L, 2.0 / 3)))
     assert(out(11L) == ((1L, 0L, 0.0)))
     assert(out(12L) == ((0L, 0L, 0.0)))
     assert(out(13L) == ((4L, 3L, 0.75)))
+    // big-path parity: force the Bloom-prefiltered shape on the same data
+    val saved = Dedup.barrierThresholdBytes
+    val viaBloom = try { Dedup.barrierThresholdBytes = 0L; run() }
+      finally Dedup.barrierThresholdBytes = saved
+    assert(viaBloom == out)
     // duplicate grams inside one eval doc count once (distinct contract):
     // windows are "a b c","b c a","c a b","a b c" → 3 distinct, 1 hit
     val rep = Seq((20L, "a b c a b c")).toDF("doc_id", "text")

@@ -85,7 +85,7 @@ class PlanCensusSpec extends SparkSpec {
     "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
     "q84_avc_keydedup"         -> (4, 1, 0, true), // keyframe sigs: narrow rows only
     "q85_contamination"        -> (3, 3, 0, true), // bloom prefilter + broadcast matches
-    "q86_incremental_dedup"    -> (3, 4, 0, true)) // bloom + broadcast matched set
+    "q86_incremental_dedup"    -> (2, 3, 0, true)) // small path at sf0.001: plain anti-join
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
