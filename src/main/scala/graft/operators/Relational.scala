@@ -301,11 +301,12 @@ object Relational {
     val qs = (1 until buckets).map(_.toDouble / buckets)
     val bounds = df.groupBy(col(partKey)).agg(
       percentile_approx(v.cast("double"), lit(qs.toArray), lit(2500)).as("_dr_bnds"))
-    // bucket = count of boundaries <= value: a codegen'd array fold, no UDF
+    // bucket = count of boundaries <= value, via the native binary-search
+    // expression (an `aggregate` fold emits one `when` branch per boundary
+    // — measured ~0.7 s/pass at 150k rows × 63 boundaries, Q79Profile)
     val withB = df.join(broadcast(bounds), Seq(partKey))
-      .withColumn("_dr_b",
-        aggregate(col("_dr_bnds"), lit(0),
-          (acc, b) => acc + when(v.cast("double") >= b, 1).otherwise(0)))
+      .withColumn("_dr_b", graft.functions.UpperBoundCount.upperBoundCount(
+        col("_dr_bnds"), v.cast("double")))
       .drop("_dr_bnds")
 
     // pass 1b: exact (key, bucket) counts -> per-bucket global offsets
