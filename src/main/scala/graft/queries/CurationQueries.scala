@@ -313,10 +313,34 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q87 — MAP-type function suite (the B-tier type-system face the
+    * reference's flat varchar schema never exercises): construct a map
+    * per row, extract / default-on-miss / membership / sorted-key list /
+    * transform_values, all surfaced as scalar columns so the oracle
+    * compares values not container renderings (DuckDB MAP extraction is
+    * list-wrapped — `m['k'][1]` — and its cardinality is UBIGINT, both
+    * normalized in the SQL).
+    */
+  def q87MapFns(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("m", map(
+        lit("lang"), col("lang"), lit("src"), col("source"),
+        lit("id"), col("doc_id").cast("string")))
+      .select(
+        col("doc_id"),
+        element_at(col("m"), "lang").as("lv"),
+        size(col("m")).cast("long").as("n"),
+        map_contains_key(col("m"), "src").as("hk"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("ks"),
+        element_at(transform_values(col("m"), (_, v) => upper(v)), "src").as("up_src"),
+        coalesce(element_at(col("m"), "zz"), lit("none")).as("miss"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
+    "q87_map_fns" -> (q87MapFns _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
@@ -587,6 +611,19 @@ object CurationQueries {
          fresh AS (SELECT doc_id, text FROM inc
                    WHERE text NOT IN (SELECT text FROM ex))
          SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text
+         ORDER BY doc_id""",
+    "q87_map_fns" ->
+      """SELECT doc_id,
+                m['lang'][1] AS lv,
+                CAST(cardinality(m) AS BIGINT) AS n,
+                list_contains(map_keys(m), 'src') AS hk,
+                array_to_string(list_sort(map_keys(m)), ',') AS ks,
+                upper(m['src'][1]) AS up_src,
+                COALESCE(m['zz'][1], 'none') AS miss
+         FROM (SELECT doc_id,
+                      MAP(['lang', 'src', 'id'],
+                          [lang, source, CAST(doc_id AS VARCHAR)]) AS m
+               FROM documents)
          ORDER BY doc_id""",
   )
 }

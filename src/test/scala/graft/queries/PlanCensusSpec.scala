@@ -85,7 +85,8 @@ class PlanCensusSpec extends SparkSpec {
     "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
     "q84_avc_keydedup"         -> (4, 1, 0, true), // keyframe sigs: narrow rows only
     "q85_contamination"        -> (3, 3, 0, true), // bloom prefilter + broadcast matches
-    "q86_incremental_dedup"    -> (2, 3, 0, true)) // small path at sf0.001: plain anti-join
+    "q86_incremental_dedup"    -> (2, 3, 0, true), // small path at sf0.001: plain anti-join
+    "q87_map_fns"              -> (1, 0, 0, true)) // pure per-row projection + sort
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
