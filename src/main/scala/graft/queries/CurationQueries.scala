@@ -336,11 +336,40 @@ object CurationQueries {
         coalesce(element_at(col("m"), "zz"), lit("none")).as("miss"))
       .orderBy(col("doc_id"))
 
+  /** q88 — UNPIVOT (B6's inverse face, completing q80's pivot): three
+    * per-doc metric columns melt to (doc_id, metric, value) rows via
+    * Spark's native `unpivot` (one Expand node, no union-of-selects);
+    * DuckDB's UNPIVOT reproduces it. Metrics pinned BIGINT both sides.
+    */
+  def q88Unpivot(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("m_chars"),
+        length(col("text")).cast("long").as("m_len"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("m_tok"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("m_chars"), col("m_len"), col("m_tok")), "metric", "value")
+      .orderBy(col("doc_id"), col("metric"))
+
+  /** q89 — array-returning regex (B11 widening beyond q39's scalar
+    * extract): all lowercase runs and all digit runs per doc, compared
+    * as joined strings plus counts (the engines agree on match order —
+    * both scan left to right). */
+  def q89RegexpExtractAll(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)), "|").as("words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_words"),
+        array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), "|").as("nums"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q87_map_fns" -> (q87MapFns _),
+    "q88_unpivot" -> (q88Unpivot _),
+    "q89_regexp_all" -> (q89RegexpExtractAll _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
@@ -625,5 +654,23 @@ object CurationQueries {
                           [lang, source, CAST(doc_id AS VARCHAR)]) AS m
                FROM documents)
          ORDER BY doc_id""",
+    "q88_unpivot" ->
+      """SELECT * FROM (
+           UNPIVOT (SELECT doc_id,
+                           CAST(n_chars AS BIGINT) AS m_chars,
+                           CAST(len(text) AS BIGINT) AS m_len,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                                x -> len(x) > 0)) AS BIGINT) AS m_tok
+                    FROM documents)
+           ON m_chars, m_len, m_tok INTO NAME metric VALUE value)
+         ORDER BY doc_id, metric""",
+    "q89_regexp_all" ->
+      """SELECT doc_id,
+                array_to_string(regexp_extract_all(text, '[a-z]+'), '|') AS words,
+                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+                -- DuckDB renders the no-match case as NULL where Spark's
+                -- array_join of an empty array is '' — normalize
+                COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), '|'), '') AS nums
+         FROM documents ORDER BY doc_id""",
   )
 }
