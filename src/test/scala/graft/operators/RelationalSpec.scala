@@ -242,4 +242,27 @@ class RelationalSpec extends SparkSpec {
         Seq("o_totalprice", "o_orderkey"))
     }
   }
+
+  test("distributionRanks adversarial shapes: constant values, one giant key, tiny keys") {
+    import spark.implicits._
+    // constant order value: every percentile boundary collapses to the same
+    // number, all rows land in one bucket — results must STILL equal the
+    // plain window (rank comes from the unique tiebreak, not the value)
+    val const = (1L to 500L).map(i => (i, "k" + (i % 3), 42.0)).toDF("id", "k", "v")
+    // one giant key + two singleton keys; values half-duplicated
+    val skew = ((1L to 800L).map(i => (i, "big", (i % 7).toDouble)) ++
+      Seq((900L, "s1", 1.0), (901L, "s2", 2.0))).toDF("id", "k", "v")
+    for (df <- Seq(const, skew)) {
+      val two = Relational.distributionRanks(df, "k", Seq("v", "id"),
+          numTiles = 5, buckets = 4)
+        .select("id", "tile", "pr", "cd")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"), col("id"))
+      val win = df.select(col("id"), ntile(5).over(w).as("tile"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(two == win)
+    }
+  }
 }
