@@ -371,11 +371,14 @@ object TextAnalysis {
     * tiny partial+final agg, few-MB sketch in the task closure); train
     * explodes its grams but drops everything outside the Bloom AT THE
     * MAP, so the shuffle carries ≈ |matching grams| + fpp·|train grams|
-    * rows instead of the whole exploded corpus; the follow-up LEFT SEMI
-    * join on the exact gram STRING (not a hash — the oracle compares
-    * exact counts, and collisions would silently shift them) removes
-    * Bloom false positives, so results are EXACT. The matched-gram set
-    * (≤ |eval grams|) broadcasts back into the per-doc count join.
+    * rows instead of the whole exploded corpus — and what it carries is
+    * a 16-byte DOUBLE 64-bit hash pair per gram, not the ~n·word gram
+    * text (the [[Dedup.exactKeepMinId]] identity standard: two
+    * independently-seeded xxhash64 values; a false equality needs a
+    * simultaneous 128-bit collision). The semi-join on that pair removes
+    * Bloom false positives; the matched set (≤ |eval grams|) broadcasts
+    * back into the per-doc count join, where the gram STRING never left
+    * the eval side.
     */
   def ngramContamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
@@ -384,6 +387,10 @@ object TextAnalysis {
     // distinct grams per eval doc; docs with < n tokens contribute none
     // (shingles() emits a single short-text gram — excluded here, the
     // audit contract is "windows of exactly n tokens")
+    // hash-pair identity (salt FIRST — see exactKeepMinId on why
+    // hash(salt, g) is an independent second hash and hash(g, salt) is not)
+    def h1(g: Column): Column = xxhash64(g)
+    def h2(g: Column): Column = xxhash64(lit(1), g)
     val evalGrams = eval
       .select(col(idCol).as("_ct_id"), tokens(col(textCol)).as("_ct_t"))
       .filter(size(col("_ct_t")) >= n)
@@ -414,9 +421,16 @@ object TextAnalysis {
         rawTrainGrams.filter(
           graft.functions.BloomMightContain.mightContain(col("_ct_g"), bloom))
       }
+    // train side sheds the gram text BEFORE the exchange: only the
+    // 16-byte hash pair shuffles from the big side
+    val trainHashes = trainGrams.select(
+      h1(col("_ct_g")).as("_ct_h1"), h2(col("_ct_g")).as("_ct_h2"))
     // matched grams: ≤ |eval gram set| rows — broadcastable by construction
     val matched = evalGrams.select(col("_ct_g")).distinct()
-      .join(trainGrams, Seq("_ct_g"), "left_semi")
+      .withColumn("_ct_h1", h1(col("_ct_g")))
+      .withColumn("_ct_h2", h2(col("_ct_g")))
+      .join(trainHashes, Seq("_ct_h1", "_ct_h2"), "left_semi")
+      .select(col("_ct_g"))
     val perDoc = evalGrams
       .join(broadcast(matched.withColumn("_ct_hit", lit(1))), Seq("_ct_g"), "left")
       .groupBy(col("_ct_id"))
