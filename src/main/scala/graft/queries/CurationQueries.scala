@@ -363,6 +363,24 @@ object CurationQueries {
         array_join(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)), "|").as("nums"))
       .orderBy(col("doc_id"))
 
+  /** q90 — array SET operations (B-tier completion over q38's scalar
+    * array suite): intersect/union/except of two distinct-element token
+    * slices per doc, normalized by array_sort + join because the
+    * engines' set-op output orders are implementation-defined. Inputs
+    * pass through array_distinct on BOTH sides so the engines'
+    * differing duplicate semantics never matter.
+    */
+  def q90ArraySetOps(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("_t", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("a", array_distinct(slice(col("_t"), 1, 6)))
+      .withColumn("b", array_distinct(slice(col("_t"), 4, 6)))
+      .select(col("doc_id"),
+        array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("i"),
+        array_join(array_sort(array_union(col("a"), col("b"))), ",").as("u"),
+        array_join(array_sort(array_except(col("a"), col("b"))), ",").as("x"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
@@ -370,6 +388,7 @@ object CurationQueries {
     "q87_map_fns" -> (q87MapFns _),
     "q88_unpivot" -> (q88Unpivot _),
     "q89_regexp_all" -> (q89RegexpExtractAll _),
+    "q90_array_setops" -> (q90ArraySetOps _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
@@ -672,5 +691,22 @@ object CurationQueries {
                 -- array_join of an empty array is '' — normalize
                 COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), '|'), '') AS nums
          FROM documents ORDER BY doc_id""",
+    "q90_array_setops" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_distinct(t[1:6]) AS a,
+                  list_distinct(t[4:9]) AS b
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                                    x -> len(x) > 0) AS t
+                 FROM documents))
+         SELECT doc_id,
+                -- COALESCE: DuckDB's list_sort of an empty list renders
+                -- NULL through array_to_string; Spark's array_join is ''
+                COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+                COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+                COALESCE(array_to_string(list_sort(
+                  list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS x
+         FROM base ORDER BY doc_id""",
   )
 }
