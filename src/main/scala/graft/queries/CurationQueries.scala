@@ -381,6 +381,22 @@ object CurationQueries {
         array_join(array_sort(array_except(col("a"), col("b"))), ",").as("x"))
       .orderBy(col("doc_id"))
 
+  /** q91 — boolean/conditional aggregates (bool_and / bool_or /
+    * count_if) per language over doc stats, plus JSON CONSTRUCTION
+    * (to_json over a named struct — the inverse of q33's extraction;
+    * both engines emit compact `{"k":v}` with insertion-order keys).
+    */
+  def q91BoolAggsJson(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        bool_and(col("n_chars") > 50).as("all_gt50"),
+        bool_or(col("n_chars") > 900).as("any_gt900"),
+        count_if(col("source") === "web").as("n_web"),
+        min(col("doc_id")).as("first_id"))
+      .withColumn("j", to_json(struct(col("lang"), col("n_web"))))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
@@ -389,6 +405,7 @@ object CurationQueries {
     "q88_unpivot" -> (q88Unpivot _),
     "q89_regexp_all" -> (q89RegexpExtractAll _),
     "q90_array_setops" -> (q90ArraySetOps _),
+    "q91_bool_aggs" -> (q91BoolAggsJson _),
     "q68_split_counts" -> (q68SplitCounts _),
     "q69_stratified_sample" -> (q69StratifiedSample _),
     "q70_chunk_dedup" -> (q70ChunkDedup _),
@@ -708,5 +725,14 @@ object CurationQueries {
                 COALESCE(array_to_string(list_sort(
                   list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS x
          FROM base ORDER BY doc_id""",
+    "q91_bool_aggs" ->
+      """SELECT lang,
+                bool_and(n_chars > 50) AS all_gt50,
+                bool_or(n_chars > 900) AS any_gt900,
+                CAST(count_if(source = 'web') AS BIGINT) AS n_web,
+                min(doc_id) AS first_id,
+                CAST(to_json(struct_pack(lang := lang,
+                       n_web := CAST(count_if(source = 'web') AS BIGINT))) AS VARCHAR) AS j
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

@@ -89,7 +89,8 @@ class PlanCensusSpec extends SparkSpec {
     "q87_map_fns"              -> (1, 0, 0, true), // pure per-row projection + sort
     "q88_unpivot"              -> (1, 0, 0, true), // single Expand node, no union
     "q89_regexp_all"           -> (1, 0, 0, true), // per-row regex, sort only
-    "q90_array_setops"         -> (1, 0, 0, true)) // per-row array ops, sort only
+    "q90_array_setops"         -> (1, 0, 0, true), // per-row array ops, sort only
+    "q91_bool_aggs"            -> (2, 0, 0, true)) // partial+final agg, tiny sort
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
