@@ -310,6 +310,43 @@ object Similarity {
     centroids
   }
 
+  /** Persist trained centroids as a tiny parquet table (cell, dim,
+    * value) — the production IVF lifecycle trains the coarse quantizer
+    * ONCE offline and loads it in every query job; shipping the
+    * Array[Array[Double]] through a driver variable only works inside
+    * one application. Deterministic layout (one file, cell-major rows)
+    * so re-saves of identical centroids are byte-comparable.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (c, cell) <- centroids.zipWithIndex
+      (v, dim) <- c.zipWithIndex
+    } yield (cell, dim, v)
+    rows.toSeq.toDF("cell", "dim", "value")
+      .coalesce(1).sortWithinPartitions("cell", "dim")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveCentroids]]; validates the (cell, dim) grid is
+    * dense so a torn write surfaces as an error, not a skewed index.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "dim", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(rows.nonEmpty, s"no centroid rows at $path")
+    val nCells = rows.map(_._1).max + 1
+    val dim = rows.map(_._2).max + 1
+    require(rows.length == nCells * dim,
+      s"sparse centroid grid at $path: ${rows.length} rows for ${nCells}x$dim")
+    val out = Array.fill(nCells)(new Array[Double](dim))
+    rows.foreach { case (c, d, v) => out(c)(d) = v }
+    out
+  }
+
   /** [[ivfAssign]] with trained centroids instead of hash directions. */
   def ivfAssignTrained(df: DataFrame, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =

@@ -317,4 +317,29 @@ class SimilaritySpec extends SparkSpec {
       }
     assert(purity.forall(_ >= 0.9), s"sampled-training purity: ${purity.toSeq.sorted}")
   }
+
+  test("centroid save/load round-trip: bit-identical index, torn grids rejected") {
+    val cents = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-centroids").resolve("ivf").toString
+    Similarity.saveCentroids(spark, cents, path)
+    val back = Similarity.loadCentroids(spark, path)
+    assert(back.length == cents.length)
+    cents.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // assignments through the loaded index are identical
+    val a1 = Similarity.ivfAssignTrained(clustered, "embedding", cents)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val a2 = Similarity.ivfAssignTrained(clustered, "embedding", back)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(a1 == a2)
+    // a sparse (torn) grid fails loudly
+    val torn = java.nio.file.Files
+      .createTempDirectory("graft-centroids-torn").resolve("ivf").toString
+    spark.createDataFrame(Seq((0, 0, 1.0), (1, 3, 2.0)))
+      .toDF("cell", "dim", "value").write.parquet(torn)
+    intercept[IllegalArgumentException] {
+      Similarity.loadCentroids(spark, torn)
+    }
+  }
 }
