@@ -152,4 +152,59 @@ class PropertySpec extends SparkSpec {
       mergedEst == oneEst
     })
   }
+
+  test("distributionRanks is layout-independent and rank-complete per key") {
+    check(Prop.forAll(rowsGen, Gen.choose(2, 5)) { (ls, parts) =>
+      // unique (id via zipWithIndex) so the order tuple is a total order
+      val rows = ls.zipWithIndex.map { case ((k, v), i) => (i.toLong, k % 3, v.toDouble) }
+      val df = rows.toDF("id", "k", "v")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Relational.distributionRanks(d, "k", Seq("v", "id"),
+            numTiles = 3, buckets = 3)
+          .select("id", "tile", "pr", "cd")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+          .toSet
+      val base = run(df)
+      val shuffled = run(df.repartition(parts, col("id")))
+      // layout-independent AND cume_dist hits exactly 1.0 at each key max
+      base == shuffled && {
+        val byKey = rows.groupBy(_._2)
+        byKey.forall { case (_, rs) =>
+          val ids = rs.map(_._1).toSet
+          base.filter(t => ids(t._1)).map(_._4).max == 1.0
+        }
+      }
+    })
+  }
+
+  test("incrementalExactDedup: survivors fresh, distinct, min-id — any split") {
+    check(Prop.forAll(rowsGen, rowsGen) { (es, is) =>
+      val existing = es.zipWithIndex
+        .map { case ((k, _), i) => (i.toLong, s"c$k") }.toDF("id", "c")
+      val incoming = is.zipWithIndex
+        .map { case ((k, _), i) => (1000L + i, s"c${k + 3}") }.toDF("id", "c")
+      val exContents = es.map(t => s"c${t._1}").toSet
+      val out = graft.operators.Dedup
+        .incrementalExactDedup(existing, incoming, "id", "c")
+        .select("id", "c").as[(Long, String)].collect()
+      val inContents = is.zipWithIndex.map { case ((k, _), i) => (1000L + i, s"c${k + 3}") }
+      val expected = inContents.filterNot(t => exContents(t._2))
+        .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSet
+      out.toSet == expected
+    })
+  }
+
+  test("ngramContamination: counts bounded, self-contamination is total") {
+    check(Prop.forAll(Gen.listOfN(8, Gen.listOfN(6, Gen.choose(0, 4))), Gen.choose(1, 3)) {
+      (docs, n) =>
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.map("w" + _).mkString(" ")) }
+          .toDF("doc_id", "text")
+        val out = graft.operators.TextAnalysis
+          .ngramContamination(df, df, "doc_id", "text", n)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // eval == train ⇒ every gram is contaminated; counts bounded
+        out.forall { case (_, g, c) => c == g && c >= 0 && g >= 0 }
+    })
+  }
 }
