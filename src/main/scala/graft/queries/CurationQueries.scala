@@ -397,9 +397,24 @@ object CurationQueries {
       .withColumn("j", to_json(struct(col("lang"), col("n_web"))))
       .orderBy(col("lang"))
 
+  /** q92 — INTERPOLATED quantiles (percentile_cont WITHIN GROUP), the
+    * continuous counterpart of q48's percentile_disc: both engines
+    * compute (1−f)·lo + f·hi at the same fractional index; the 6-decimal
+    * round absorbs any last-ulp drift per the float-comparison rule.
+    */
+  def q92PercentileCont(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile_cont(0.3) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p30"),
+        round(expr("percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p60"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p90"))
+      .orderBy(col("o_orderstatus"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
+    "q92_percentile_cont" -> (q92PercentileCont _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q87_map_fns" -> (q87MapFns _),
     "q88_unpivot" -> (q88Unpivot _),
@@ -734,5 +749,11 @@ object CurationQueries {
                 CAST(to_json(struct_pack(lang := lang,
                        n_web := CAST(count_if(source = 'web') AS BIGINT))) AS VARCHAR) AS j
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q92_percentile_cont" ->
+      """SELECT o_orderstatus,
+                round(percentile_cont(0.3) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p30,
+                round(percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p60,
+                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }

@@ -90,7 +90,8 @@ class PlanCensusSpec extends SparkSpec {
     "q88_unpivot"              -> (1, 0, 0, true), // single Expand node, no union
     "q89_regexp_all"           -> (1, 0, 0, true), // per-row regex, sort only
     "q90_array_setops"         -> (1, 0, 0, true), // per-row array ops, sort only
-    "q91_bool_aggs"            -> (2, 0, 0, true)) // partial+final agg, tiny sort
+    "q91_bool_aggs"            -> (2, 0, 0, true), // partial+final agg, tiny sort
+    "q92_percentile_cont"      -> (2, 0, 0, true)) // sort-agg per status group
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
