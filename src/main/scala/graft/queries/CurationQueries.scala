@@ -411,10 +411,45 @@ object CurationQueries {
         round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p90"))
       .orderBy(col("o_orderstatus"))
 
+  /** q93 — DETERMINISTIC mode (most-frequent value per group): built-in
+    * `mode()` returns an arbitrary tie member on both engines, so the
+    * deterministic form is a count + ranking window with a lexicographic
+    * tiebreak — same discipline as every other cross-engine ranking.
+    */
+  def q93DeterministicMode(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("source"))
+    docs(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("mode_src"), col("cnt"))
+      .orderBy(col("lang"))
+  }
+
+  /** q94 — date arithmetic suite over order dates: day offset, month add
+    * with end-of-month clamping (Jan 31 + 1 month = Feb 29 in a leap
+    * year — both engines clamp identically, probed), last_day, and a
+    * day difference. DuckDB's interval addition yields TIMESTAMP; cast
+    * back to DATE.
+    */
+  def q94DateArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 45).as("d45"),
+        add_months(col("o_orderdate"), 1).as("m1"),
+        last_day(col("o_orderdate")).as("eom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("dd"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
     "q92_percentile_cont" -> (q92PercentileCont _),
+    "q93_mode" -> (q93DeterministicMode _),
+    "q94_date_arith" -> (q94DateArithmetic _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q87_map_fns" -> (q87MapFns _),
     "q88_unpivot" -> (q88Unpivot _),
@@ -755,5 +790,21 @@ object CurationQueries {
                 round(percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p60,
                 round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q93_mode" ->
+      """SELECT lang, source AS mode_src, cnt FROM (
+           SELECT lang, source, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY count(*) DESC, source) AS rn
+           FROM documents GROUP BY lang, source)
+         WHERE rn = 1 ORDER BY lang""",
+    "q94_date_arith" ->
+      """SELECT o_orderkey,
+                d + 45 AS d45,
+                CAST(d + INTERVAL 1 MONTH AS DATE) AS m1,
+                last_day(d) AS eom,
+                CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS dd
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey < 2000)
+         ORDER BY o_orderkey""",
   )
 }

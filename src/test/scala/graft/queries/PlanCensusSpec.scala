@@ -91,7 +91,9 @@ class PlanCensusSpec extends SparkSpec {
     "q89_regexp_all"           -> (1, 0, 0, true), // per-row regex, sort only
     "q90_array_setops"         -> (1, 0, 0, true), // per-row array ops, sort only
     "q91_bool_aggs"            -> (2, 0, 0, true), // partial+final agg, tiny sort
-    "q92_percentile_cont"      -> (2, 0, 0, true)) // sort-agg per status group
+    "q92_percentile_cont"      -> (2, 0, 0, true), // sort-agg per status group
+    "q93_mode"                 -> (3, 0, 0, true), // count agg + tiny ranking window
+    "q94_date_arith"           -> (1, 0, 0, true)) // per-row date math, key-pruned scan
 
   test("q63-q83 initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
