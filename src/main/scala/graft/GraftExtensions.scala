@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandSignatures, CosineSimilarity, LanguageId, SimHash64}
+import graft.functions.{BandSignatures, CosineSimilarity, JaroWinkler, LanguageId, SimHash64}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build, so both the Column API and SQL text can use
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHash64.name),
       new ExpressionInfo(classOf[SimHash64].getName, SimHash64.name),
       (exprs: Seq[Expression]) => SimHash64.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(JaroWinkler.name),
+      new ExpressionInfo(classOf[JaroWinkler].getName, JaroWinkler.name),
+      (exprs: Seq[Expression]) => JaroWinkler.build(exprs)))
     // native as-of join planner: sessions built with these extensions
     // plan AsOfJoinPlan without the per-session
     // AsOfJoin.ensureRegistered call (which remains for live sessions,

@@ -295,11 +295,18 @@ object Similarity {
       s"sample has ${centroids.length} vectors < nCells=$nCells — lower nCells or raise sampleFraction")
 
     for (_ <- 1 to iters) {
+      // exact-DECIMAL sums, not double avg: double addition is partition-
+      // order dependent, so layout changes (repartition, task retries)
+      // would drift the trained centroids in the last ulp — the decimal
+      // sum is order-independent and the 1e-18 truncation is far below
+      // float32 input precision (same determinism discipline as q42)
       val means = sample
         .withColumn("_cell",
           array_max(trainedCellScores(col("_v"), centroids)).getField("cell"))
         .select(col("_cell"), posexplode(col("_v")).as(Seq("_i", "_x")))
-        .groupBy("_cell", "_i").agg(avg(col("_x")).as("_m"))
+        .groupBy("_cell", "_i")
+        .agg((sum(col("_x").cast("decimal(28,18)")).cast("double")
+          / count(lit(1))).as("_m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
@@ -434,5 +441,231 @@ object Similarity {
           slice(reverse(array_sort(col("_scored"))), 1, nProbes),
           s => s.getField("cell"))).as("_cell"))
     probeJoin(corpus.sparkSession, c, q, k, excludeSelf)
+  }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Unit-normalize a vector column to double elements (all-zero vectors
+    * pass through unchanged). PQ for COSINE ranking quantizes normalized
+    * vectors: on the unit sphere `‖a−b‖² = 2 − 2·cos(a,b)`, so ascending
+    * ADC distance is exactly descending cosine — without this, L2 code
+    * distances and cosine ranks disagree whenever norms vary.
+    */
+  private[operators] def unitNorm(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0, transform(vec, x => x.cast("double") / n))
+      .otherwise(transform(vec, x => x.cast("double")))
+  }
+
+  /** Squared-L2 distance of subvector `sv` (double elements, 1-based from
+    * `offset+1`, length = codebook row width) against ONE literal
+    * centroid — fully unrolled plan-time constant arithmetic, like
+    * [[literalPlane]]'s projections.
+    */
+  private def subDist(sv: Column, offset: Int, centroid: Array[Double]): Column =
+    centroid.zipWithIndex.map { case (c, d) =>
+      val x = element_at(sv, offset + d + 1) - lit(c)
+      x * x
+    }.reduce(_ + _)
+
+  /** argmin cell over one subspace codebook: array_min of
+    * struct(dist, cell) — deterministic smallest-cell tiebreak.
+    */
+  private def subArgmin(sv: Column, offset: Int, codebook: Array[Array[Double]]): Column =
+    array_min(array(codebook.zipWithIndex.map { case (c, cell) =>
+      struct(subDist(sv, offset, c).as("dist"), lit(cell).as("cell"))
+    }: _*)).getField("cell")
+
+  /** Train product-quantization codebooks: the vector space is split into
+    * `m` contiguous subspaces of `dim/m` dimensions; each subspace gets an
+    * independent `ksub`-centroid k-means (plain L2, over unit-NORMALIZED
+    * vectors — see [[unitNorm]]). Returns `codebooks(j)(cell)(d)`.
+    *
+    * Scale shape (mirrors [[trainCentroids]]): init = the `ksub`
+    * smallest-seeded-hash sample rows, sliced into all m subspaces at
+    * once (one bounded collect); then each iteration is ONE pass over the
+    * sample — posexplode to (subspace, subvector-element) AFTER computing
+    * all m assignments per row in a single fused projection, partial+final
+    * AVG, `m × ksub × dim/m = ksub × dim` doubles back to the driver.
+    * Deterministic end to end. Train once offline at 100 TB and persist
+    * via [[savePqCodebooks]].
+    */
+  def trainPqCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      iters: Int = 4, sampleFraction: Double = 1.0,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub >= 1 && ksub <= 256, "need 1 <= ksub <= 256 (byte codes)")
+    val dsub = dim / m
+    val denom = 1L << 20
+    val base = if (sampleFraction >= 1.0) df
+      else df.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(denom))
+        < lit((sampleFraction * denom).toLong))
+    val sample = base.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"), unitNorm(col(vecCol)).as("_v"))
+
+    val initRows = sample
+      .orderBy(xxhash64(col("_id"), lit(seed ^ 0x9e3779b97f4a7c15L)), col("_id"))
+      .limit(ksub)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub,
+      s"sample has ${initRows.length} vectors < ksub=$ksub — lower ksub or raise sampleFraction")
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { j =>
+        initRows.map(v => v.slice(j * dsub, (j + 1) * dsub)
+          .padTo(dsub, 0.0))
+      }
+
+    for (_ <- 1 to iters) {
+      // one fused projection computes every subspace's assignment, then
+      // ONE posexplode/agg pass collects all m × ksub × dsub means
+      val assigned = sample.select(
+        array((0 until m).map(j =>
+          subArgmin(col("_v"), j * dsub, codebooks(j))): _*).as("_cells"),
+        col("_v"))
+      val means = assigned
+        .select(posexplode(col("_v")).as(Seq("_gd", "_x")), col("_cells"))
+        .select((col("_gd") / dsub).cast("int").as("_j"),
+          pmod(col("_gd"), lit(dsub)).cast("int").as("_d"),
+          element_at(col("_cells"), (col("_gd") / dsub).cast("int") + 1).as("_cell"),
+          col("_x"))
+        .groupBy("_j", "_cell", "_d")
+        // exact-DECIMAL sum for layout-independent means (see
+        // trainCentroids — double sums drift with partition order)
+        .agg((sum(col("_x").cast("decimal(28,18)")).cast("double")
+          / count(lit(1))).as("_mn"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      codebooks = next // empty cells keep their previous centroid
+    }
+    codebooks
+  }
+
+  /** Persist PQ codebooks as a tiny dense parquet grid
+    * (subspace, cell, dim, value) — same offline-train lifecycle as
+    * [[saveCentroids]].
+    */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (cb, j) <- codebooks.zipWithIndex
+      (c, cell) <- cb.zipWithIndex
+      (v, d) <- c.zipWithIndex
+    } yield (j, cell, d, v)
+    rows.toSeq.toDF("subspace", "cell", "dim", "value")
+      .coalesce(1).sortWithinPartitions("subspace", "cell", "dim")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[savePqCodebooks]]; rejects sparse/torn grids. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "cell", "dim", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    require(rows.nonEmpty, s"no codebook rows at $path")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val dsub = rows.map(_._3).max + 1
+    require(rows.length == m * ksub * dsub,
+      s"sparse codebook grid at $path: ${rows.length} rows for ${m}x${ksub}x$dsub")
+    val out = Array.fill(m, ksub)(new Array[Double](dsub))
+    rows.foreach { case (j, c, d, v) => out(j)(c)(d) = v }
+    out
+  }
+
+  /** Encode vectors to PQ codes: `codeCol` = array<int> of length m, code
+    * j = argmin-L2 cell of subspace j (over the unit-normalized vector).
+    * One fused per-row projection, no shuffle — at 100 TB the persisted
+    * index row is (id, coarse cell, m small ints) ≈ tens of bytes instead
+    * of the 4·dim-byte raw vector: the ~30× footprint drop is the whole
+    * point of PQ.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      codeCol: String = "pq_code"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val nv = unitNorm(col(vecCol))
+    df.withColumn(codeCol,
+      array((0 until m).map(j => subArgmin(nv, j * dsub, codebooks(j))): _*))
+  }
+
+  /** IVF-PQ top-k — the 100 TB ANN search shape. Corpus rows are indexed
+    * ONCE as (id, coarse cell, PQ codes); queries probe their `nProbes`
+    * best coarse cells (trained centroids, as in [[ivfTopKTrained]]),
+    * score every candidate with the asymmetric-distance (ADC) lookup —
+    * `Σ_j lut(j)(code_j)`, where the per-QUERY lut holds the exact
+    * subvector-to-centroid distances, computed once per query BEFORE the
+    * join fan-out — keep the best `rerank` candidates per query by ADC,
+    * and only those few rows join back to full vectors for the exact
+    * native-cosine re-rank and final top-k.
+    *
+    * Scale shape: the wide candidate join ships only the compressed index
+    * rows (never full vectors); the full-vector join-back touches
+    * `rerank` rows per query. `nProbes = nCells` with
+    * `rerank ≥ candidate count` degenerates to exhaustive exact search
+    * (the q100 oracle pin); production settings trade recall for the
+    * 1/nCells·compression candidate cost (recall pinned in
+    * SimilaritySpec).
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]],
+      coarse: Array[Array[Double]], nProbes: Int,
+      rerank: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(nProbes >= 1 && nProbes <= coarse.length,
+      "need 1 <= nProbes <= coarse.length")
+    require(rerank >= k, "rerank depth must be >= k")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val spark = corpus.sparkSession
+
+    val full = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    // the compressed index: id + coarse cell + m codes, no vectors
+    val compressed = pqEncode(
+        ivfAssignTrained(corpus.filter(col(vecCol).isNotNull), vecCol, coarse),
+        vecCol, codebooks, "_codes")
+      .select(col(idCol).as("_cid"), col("ivf_cell").as("_cell"), col("_codes"))
+
+    val qn = unitNorm(col(vecCol))
+    val lut = array((0 until m).map { j =>
+      array(codebooks(j).map(c => subDist(qn, j * dsub, c)): _*)
+    }: _*)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), lut.as("_lut"),
+        trainedCellScores(col(vecCol), coarse).as("_scored"))
+      .select(col("_qid"), col("_qv"), col("_lut"),
+        explode(transform(
+          slice(reverse(array_sort(col("_scored"))), 1, nProbes),
+          s => s.getField("cell"))).as("_cell"))
+
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("_lut"), j + 1),
+        element_at(col("_codes"), j + 1) + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("_qid"))
+      .orderBy(col("_adc").asc, col("_cid").asc)
+    val candidates = q.join(compressed, Seq("_cell"))
+      .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
+      .withColumn("_adc", adc)
+      .withColumn("_ar", row_number().over(wAdc))
+      .filter(col("_ar") <= rerank)
+      .select(col("_qid"), col("_qv"), col("_cid"))
+
+    val wk = Window.partitionBy(col("_qid"))
+      .orderBy(col("cosine").desc, col("_cid").asc)
+    candidates.join(full, Seq("_cid"))
+      .withColumn("cosine", fastCosine(spark, col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
+        col("cosine"), col("rank"))
   }
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.JaroWinkler
+import graft.operators.Similarity
+
+/** Round-7 surface + ANN coverage (q95+): linear-regression /
+  * higher-moment statistical aggregates, bitwise aggregates, native
+  * Jaro-Winkler fuzzy scoring, width_bucket histograms, URL parsing, and
+  * IVF-PQ compressed-index vector search — each dual-engine
+  * DuckDB-oracled.
+  *
+  * Cross-engine float discipline (SURVEY §6): O(1)-magnitude statistics
+  * (slope, r2, corr, skewness, kurtosis, JW similarity) round at 6
+  * decimals; the one large-magnitude output (regr_intercept, ~1e5) rounds
+  * at 4 — streaming-moment vs two-pass arithmetic drifts ~1e-12 relative,
+  * so the guard band is >10^3 in both cases. Moments in the DuckDB oracle
+  * are spelled population-style ( m3/m2^1.5, m4/m2^2 - 3 ) because DuckDB's
+  * own skewness/kurtosis apply sample bias correction and Spark's do not.
+  */
+object SurfaceQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** q95 — regression + higher-moment aggregate suite over orders:
+    * slope/intercept/r2/count of o_totalprice on o_custkey, plus corr and
+    * population skewness/kurtosis of o_totalprice, per order status. All
+    * single-pass hash aggregates (partial+final, map-side combined).
+    */
+  def q95RegrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(regr_slope(col("o_totalprice"), col("o_custkey")), 6).as("slope"),
+        round(regr_intercept(col("o_totalprice"), col("o_custkey")), 4).as("icept"),
+        round(regr_r2(col("o_totalprice"), col("o_custkey")), 6).as("r2"),
+        regr_count(col("o_totalprice"), col("o_custkey")).as("n"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("c"),
+        round(skewness(col("o_totalprice")), 6).as("skew"),
+        round(kurtosis(col("o_totalprice")), 6).as("kurt"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q96 — bitwise aggregates (bit_and / bit_or / bit_xor) over order keys
+    * per status — exact integer semantics, no float discipline needed.
+    */
+  def q96BitAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bit_and(col("o_orderkey")).as("b_and"),
+        bit_or(col("o_orderkey")).as("b_or"),
+        bit_xor(col("o_orderkey")).as("b_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q97 — native Jaro-Winkler over the 25x25 nation-name cross pairs
+    * (broadcast on both sides — a 625-row fuzzy-match scoring surface).
+    * The interesting part is the [[graft.functions.JaroWinkler]] codegen
+    * expression, pinned byte-for-byte to DuckDB's definition.
+    */
+  def q97JaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    JaroWinkler.register(spark)
+    val a = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("a_key"), col("n_name").as("a_name"))
+    val b = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("b_key"), col("n_name").as("b_name"))
+    a.crossJoin(broadcast(b))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"),
+        round(JaroWinkler.jaroWinkler(col("a_name"), col("b_name")), 6).as("jw"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  /** q98 — equal-width histogram of order totals via width_bucket (fixed
+    * literal bounds so partition-local binning needs no global min/max
+    * pass): per-bucket count, exact decimal sum, and bounds. Bucket 0 /
+    * n+1 are the out-of-range clamps (none with these bounds — asserted
+    * by the count reconciliation in the spec).
+    */
+  def q98Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("bucket",
+        width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(24)))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** q99 — URL construction + parse_url extraction (HOST / PATH / full
+    * QUERY / one query parameter) over per-document synthetic URLs; the
+    * DuckDB oracle re-derives the same components with regexes, so the
+    * check is a genuine parse, not string-building parity.
+    */
+  def q99UrlParse(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://www."), col("source"), lit(".example.com/"), col("lang"),
+      lit("/doc/"), col("doc_id").cast("string"),
+      lit("?q="), col("lang"), lit("&p="), (col("doc_id") % 7).cast("string"))
+    docs(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("qs"),
+        parse_url(col("url"), lit("QUERY"), lit("p")).as("p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q100 — IVF-PQ approximate-nearest-neighbor search
+    * ([[Similarity.pqTopK]]) run at the exhaustive setting (full coarse
+    * probes + unbounded ADC re-rank), where the whole pipeline — coarse
+    * k-means training, per-subspace codebook training, code encoding,
+    * per-query ADC lookup tables, candidate cut, exact-cosine re-rank —
+    * provably returns the exact cosine top-k, so DuckDB's brute-force
+    * ranking oracles it end to end (the q41 discipline). Production
+    * settings (fewer probes, shallow re-rank over the ~30x-compressed
+    * code index) are recall-pinned in SimilaritySpec.
+    */
+  def q100PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val coarse = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val cb = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      m = 8, ksub = 16, dim = 64, iters = 2)
+    Similarity.pqTopK(e, e.filter(col("vec_id").between(200, 204)),
+        "vec_id", "embedding", k = 10, cb, coarse,
+        nProbes = 8, rerank = 1 << 20)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_regr_stats" -> (q95RegrStats _),
+    "q96_bit_aggs" -> (q96BitAggs _),
+    "q97_jaro_winkler" -> (q97JaroWinkler _),
+    "q98_histogram" -> (q98Histogram _),
+    "q99_url_parse" -> (q99UrlParse _),
+    "q100_pq_topk" -> (q100PqTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "q95_regr_stats" ->
+      """WITH mu AS (SELECT o_orderstatus, avg(o_totalprice) AS m
+                     FROM orders GROUP BY o_orderstatus)
+         SELECT o.o_orderstatus,
+                round(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+                round(regr_intercept(o_totalprice, o_custkey), 4) AS icept,
+                round(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+                CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n,
+                round(corr(o_totalprice, o_custkey), 6) AS c,
+                round(avg(pow(o_totalprice - m, 3))
+                      / pow(avg(pow(o_totalprice - m, 2)), 1.5), 6) AS skew,
+                round(avg(pow(o_totalprice - m, 4))
+                      / pow(avg(pow(o_totalprice - m, 2)), 2) - 3, 6) AS kurt
+         FROM orders o JOIN mu USING (o_orderstatus)
+         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""",
+    "q96_bit_aggs" ->
+      """SELECT o_orderstatus,
+                bit_and(o_orderkey) AS b_and,
+                bit_or(o_orderkey) AS b_or,
+                bit_xor(o_orderkey) AS b_xor,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q97_jaro_winkler" ->
+      """SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                round(jaro_winkler_similarity(a.n_name, b.n_name), 6) AS jw
+         FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+         ORDER BY a_key, b_key""",
+    // no width_bucket in DuckDB: the oracle mirrors Spark's exact in-range
+    // formula (multiply THEN divide) plus the 0 / n+1 out-of-range clamps
+    "q98_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 25
+                     ELSE CAST(FLOOR(24.0 * (o_totalprice - 0.0) / 600000.0 + 1) AS BIGINT)
+                END AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q99_url_parse" ->
+      """SELECT doc_id,
+                regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS qs,
+                regexp_extract(url, '[?&]p=([^&#]*)', 1) AS p
+         FROM (SELECT doc_id,
+                      'https://www.' || source || '.example.com/' || lang ||
+                      '/doc/' || CAST(doc_id AS VARCHAR) ||
+                      '?q=' || lang || '&p=' || CAST(doc_id % 7 AS VARCHAR) AS url
+               FROM documents)
+         ORDER BY doc_id""",
+    "q100_pq_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY a.vec_id
+                    ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])) DESC,
+                             b.vec_id ASC) AS rank
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id BETWEEN 200 AND 204 AND a.vec_id <> b.vec_id) t
+         WHERE rank <= 10 ORDER BY query_id, rank""")
+}

@@ -342,4 +342,87 @@ class SimilaritySpec extends SparkSpec {
       Similarity.loadCentroids(spark, torn)
     }
   }
+
+  // ----------------------------------------- product quantization (PQ)
+
+  test("trainPqCodebooks: deterministic, layout-independent, dense grid") {
+    val c1 = Similarity.trainPqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 16, iters = 3)
+    val c2 = Similarity.trainPqCodebooks(clustered.repartition(13), "vec_id",
+      "embedding", m = 4, ksub = 8, dim = 16, iters = 3)
+    assert(c1.length == 4 && c1.forall(_.length == 8) &&
+      c1.forall(_.forall(_.length == 4)))
+    assert(c1.map(_.map(_.toSeq).toSeq).toSeq == c2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(c1.flatten.flatten.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("pqEncode: codes in range, deterministic, ~30x smaller than vectors") {
+    val cb = Similarity.trainPqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 16, iters = 3)
+    val codes = Similarity.pqEncode(clustered, "embedding", cb)
+      .select(col("vec_id"), col("pq_code")).as[(Long, Seq[Int])].collect()
+    assert(codes.length == 240)
+    assert(codes.forall(_._2.length == 4))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 8)))
+    // same-cluster rows concentrate per SUBSPACE (the whole-code-vector
+    // share is roughly the product of the m per-subspace shares, so the
+    // per-subspace modal share is the right concentration metric)
+    val byCluster = codes.groupBy(_._1 / 40)
+    val subShares = for {
+      rows <- byCluster.values.toSeq
+      j <- 0 until 4
+    } yield rows.groupBy(_._2(j)).values.map(_.size).max.toDouble / rows.size
+    val mean = subShares.sum / subShares.size
+    assert(mean >= 0.55,
+      f"mean per-subspace modal share within clusters: $mean%.3f")
+  }
+
+  test("pqTopK: full probes + full rerank equals brute force exactly") {
+    val queries = clustered.filter(col("vec_id") % 40 < 3)
+    val coarse = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 6, iters = 4)
+    val cb = Similarity.trainPqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 16, iters = 3)
+    val exact = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val pq = Similarity.pqTopK(clustered, queries, "vec_id", "embedding", 5,
+        cb, coarse, nProbes = 6, rerank = 1 << 20)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("pqTopK: pruned probes + shallow ADC rerank keep recall (pinned)") {
+    val queries = clustered.filter(col("vec_id") % 40 < 3)
+    val coarse = Similarity.trainCentroids(clustered, "vec_id", "embedding",
+      nCells = 6, iters = 4)
+    val cb = Similarity.trainPqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 16, iters = 3)
+    val exactPairs = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // rerank = 40 ≈ one cluster's candidate count: the ADC cut must keep
+    // the true top-5 inside the best 8·k of ~80 probed candidates
+    val pruned = Similarity.pqTopK(clustered, queries, "vec_id", "embedding", 5,
+        cb, coarse, nProbes = 2, rerank = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exactPairs.intersect(pruned).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"IVF-PQ recall at nProbes=2/rerank=40: $recall")
+    info(f"IVF-PQ pruned recall: $recall%.3f")
+  }
+
+  test("savePqCodebooks/loadPqCodebooks round-trip; torn grid rejected") {
+    val cb = Similarity.trainPqCodebooks(clustered, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 16, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq").resolve("cb").toString
+    Similarity.savePqCodebooks(spark, cb, path)
+    val back = Similarity.loadPqCodebooks(spark, path)
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val torn = java.nio.file.Files
+      .createTempDirectory("graft-pq-torn").resolve("cb").toString
+    spark.createDataFrame(Seq((0, 0, 0, 1.0), (1, 2, 3, 2.0)))
+      .toDF("subspace", "cell", "dim", "value").write.parquet(torn)
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqCodebooks(spark, torn)
+    }
+  }
 }

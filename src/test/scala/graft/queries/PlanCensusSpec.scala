@@ -27,8 +27,11 @@ class PlanCensusSpec extends SparkSpec {
   //    identical to it in DedupSpec
   // (q77_bm25 left this list in r6: the fused path folds corpus stats
   //  into literals — no 1-row crossJoin remains)
+  //  - q97_jaro_winkler: all-pairs fuzzy scoring over the 25-row nation
+  //    DIM table (broadcast nested loop over a bounded dimension — the
+  //    JaroWinkler expression itself composes with any join shape)
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
-    "q72_cosine_dedup")
+    "q72_cosine_dedup", "q97_jaro_winkler")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -93,9 +96,16 @@ class PlanCensusSpec extends SparkSpec {
     "q91_bool_aggs"            -> (2, 0, 0, true), // partial+final agg, tiny sort
     "q92_percentile_cont"      -> (2, 0, 0, true), // sort-agg per status group
     "q93_mode"                 -> (3, 0, 0, true), // count agg + tiny ranking window
-    "q94_date_arith"           -> (1, 0, 0, true)) // per-row date math, key-pruned scan
+    "q94_date_arith"           -> (1, 0, 0, true), // per-row date math, key-pruned scan
+    "q95_regr_stats"           -> (2, 0, 0, true), // one-pass partial+final stat agg
+    "q96_bit_aggs"             -> (2, 0, 0, true), // one-pass partial+final bit agg
+    "q97_jaro_winkler"         -> (1, 1, 1, true), // 25-row dim broadcast cross (declared)
+    "q98_histogram"            -> (2, 0, 0, true), // per-row bucket expr + hash agg
+    "q99_url_parse"            -> (1, 0, 0, true), // per-row parse, sort only
+    "q100_pq_topk"             -> (2, 2, 0, true)) // cell equi-join + compressed
+                                                   // candidate cut + vector join-back
 
-  test("q63-q83 initial plans match their pinned census rows exactly") {
+  test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
