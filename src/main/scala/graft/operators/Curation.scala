@@ -320,4 +320,141 @@ object Curation {
       .withColumn(rankCol, row_number().over(w).cast("int"))
       .drop("_ws_key")
   }
+
+  // -------------------------------------- sequence packing (prefix sums)
+
+  /** Concatenation-style sequence packing for LLM training batches: lay
+    * documents out in `idCol` order as one token stream and cut it into
+    * `capacity`-token bins (the GPT-style pack-and-split). Adds
+    *   `start`      — the document's exclusive global token offset,
+    *   `bin_start`  — bin of its first token (start / capacity),
+    *   `bin_end`    — bin of its last token,
+    *   `spans`      — whether the document straddles a bin boundary.
+    *
+    * The global running sum is computed as a PARALLEL PREFIX SCAN, never
+    * a single-task global window. Same fully-lazy shape as
+    * [[Relational.distributionRanks]]: (1) `buckets−1` approximate id
+    * quantiles make every row's bucket a PURE FUNCTION of its id (native
+    * binary search; approximation only skews bucket sizes, never
+    * results); (2) exact per-bucket token totals (a `buckets`-row frame)
+    * turn into exclusive global offsets through a window over that tiny
+    * frame; (3) one per-row window partitioned BY BUCKET (parallelism =
+    * `buckets`) adds the local exclusive cumsum. No driver collect, no
+    * `spark_partition_id()` — an earlier cut derived offsets from
+    * `repartitionByRange` partition ids, but range boundaries are
+    * re-SAMPLED per job (seeded by RDD id), so the totals job and the
+    * main job could disagree on pid contents: offsets silently shifted
+    * at sf0.1. A bucket derived only from the row's own id cannot drift
+    * across jobs, retries, or layouts.
+    *
+    * Ids must be unique (the pack order is total); token counts are
+    * exact integers, so the layout is bit-reproducible.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    capacity: Long, buckets: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    Seq("_pp_bnds", "_pp_b", "_pp_off", "start", "bin_start", "bin_end", "spans")
+      .foreach { c =>
+        require(!df.columns.contains(c), s"input already has a $c column")
+      }
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val n = col(nTokensCol).cast("long")
+    val id = col(idCol)
+
+    val qs = (1 until nb).map(_.toDouble / nb)
+    val bounds = df.agg(percentile_approx(id.cast("double"),
+      lit(qs.toArray), lit(2500)).as("_pp_bnds"))
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("_pp_b", graft.functions.UpperBoundCount.upperBoundCount(
+        col("_pp_bnds"), id.cast("double")))
+      .drop("_pp_bnds")
+
+    val wOff = Window.orderBy(col("_pp_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = withB.groupBy(col("_pp_b"))
+      .agg(sum(n).as("_t"))
+      .select(col("_pp_b"),
+        coalesce(sum(col("_t")).over(wOff), lit(0L)).as("_pp_off"))
+
+    val wLoc = Window.partitionBy(col("_pp_b")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("_pp_b"))
+      .withColumn("start", col("_pp_off") + coalesce(sum(n).over(wLoc), lit(0L)))
+      .withColumn("bin_start", floor(col("start") / capacity))
+      // empty documents (n = 0) occupy no tokens: pin them to bin_start
+      .withColumn("bin_end",
+        floor((col("start") + greatest(n, lit(1L)) - 1) / capacity))
+      .withColumn("spans", col("bin_end") =!= col("bin_start"))
+      .drop("_pp_b", "_pp_off")
+  }
+
+  // ------------------------- DSIR-style importance scoring (selection)
+
+  /** Unigram importance-weight table in the style of DSIR (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): for every token in the RAW corpus vocabulary, the
+    * add-one-smoothed log-likelihood ratio
+    * `ln((ct+1)/(Nt+V)) − ln((cr+1)/(Nr+V))` of the TARGET distribution
+    * (the domain you want more of) against the raw distribution. Returns
+    * (`token`, `weight`). Corpus constants (token totals, vocab size)
+    * are collected once and folded in as literals — the output plan is
+    * two token-count aggregates and one join, no 1-row cross joins.
+    *
+    * `hashBuckets > 0` switches to DSIR's hashed-feature form: tokens
+    * collapse into `md5`-derived buckets (cross-engine-reproducible, like
+    * [[hash16]]), bounding the weight table at `hashBuckets` rows — the
+    * 100 TB setting, where the table stays broadcastable no matter how
+    * large the open vocabulary grows.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                        hashBuckets: Int = 0): DataFrame = {
+    def tok(df: DataFrame): DataFrame = {
+      val t = explode(TextAnalysis.tokens(col(textCol))).as("token")
+      val keyed = df.select(t)
+      if (hashBuckets > 0)
+        keyed.select((conv(substring(md5(col("token")), 1, 8), 16, 10)
+          .cast("long") % hashBuckets).cast("string").as("token"))
+      else keyed
+    }
+    val rawCnt = tok(raw).groupBy(col("token"))
+      .agg(count(lit(1)).as("_cr"))
+    val tgtCnt = tok(target).groupBy(col("token"))
+      .agg(count(lit(1)).as("_ct"))
+    val Array(nr, v) = rawCnt
+      .agg(sum(col("_cr")), count(lit(1))).collect()
+      .map(r => Array(r.getLong(0), r.getLong(1))).head
+    val nt = tgtCnt.agg(coalesce(sum(col("_ct")), lit(0L)))
+      .collect().head.getLong(0)
+    rawCnt.join(tgtCnt, Seq("token"), "left")
+      .select(col("token"),
+        (log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / lit((nt + v).toDouble))
+          - log((col("_cr") + lit(1.0)) / lit((nr + v).toDouble))).as("weight"))
+  }
+
+  /** Per-document DSIR importance score: the sum of [[importanceWeights]]
+    * over the document's tokens (out-of-vocabulary tokens contribute 0,
+    * exactly as in the hashed production form where OOV is impossible).
+    * Scale shape: explode → one equi-join on token (broadcast when the
+    * weight table is small or hashed; shuffle join otherwise — AQE
+    * decides) → partial+final sum per id. Empty documents keep score 0
+    * via the join-back.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       weights: DataFrame, scoreCol: String = "score",
+                       hashBuckets: Int = 0): DataFrame = {
+    require(!df.columns.contains(scoreCol), s"input already has $scoreCol")
+    val t = explode(TextAnalysis.tokens(col(textCol))).as("token")
+    val keyed0 = df.select(col(idCol), t)
+    val keyed = if (hashBuckets > 0)
+      keyed0.select(col(idCol),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10)
+          .cast("long") % hashBuckets).cast("string").as("token"))
+    else keyed0
+    val scores = keyed.join(weights, Seq("token"))
+      .groupBy(col(idCol)).agg(sum(col("weight")).as(scoreCol))
+    df.join(scores, Seq(idCol), "left")
+      .withColumn(scoreCol, coalesce(col(scoreCol), lit(0.0)))
+  }
 }

@@ -137,7 +137,40 @@ object SurfaceQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q101 — LLM-batch sequence packing ([[Curation.packSequences]]):
+    * documents concatenated in id order and cut into 512-token bins,
+    * with the global offsets computed as a parallel prefix scan (range
+    * partition + partition-local cumsum + broadcast partition offsets) —
+    * never a single-task global window. Integer arithmetic end to end;
+    * the DuckDB oracle is the naive global window cumsum.
+    */
+  def q101SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Curation.packSequences(d, "doc_id", "n_tok", 512)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q102 — DSIR-style importance scoring
+    * ([[Curation.importanceWeights]] / [[Curation.importanceScores]]):
+    * add-one-smoothed unigram log-likelihood ratio of the English target
+    * slice against the whole corpus, summed per document — the data-
+    * selection score used to up-sample target-like documents. Scores
+    * round at 6 decimals (ln + sum-order drift is ~1e-13).
+    */
+  def q102Dsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = graft.operators.Curation.importanceWeights(
+      d, d.filter(col("lang") === "en"), "text")
+    graft.operators.Curation.importanceScores(
+        d.select(col("doc_id"), col("text")), "doc_id", "text", w)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_seq_packing" -> (q101SeqPacking _),
+    "q102_dsir" -> (q102Dsir _),
     "q95_regr_stats" -> (q95RegrStats _),
     "q96_bit_aggs" -> (q96BitAggs _),
     "q97_jaro_winkler" -> (q97JaroWinkler _),
@@ -206,5 +239,45 @@ object SurfaceQueries {
                              b.vec_id ASC) AS rank
            FROM embeddings a, embeddings b
            WHERE a.vec_id BETWEEN 200 AND 204 AND a.vec_id <> b.vec_id) t
-         WHERE rank <= 10 ORDER BY query_id, rank""")
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q101_seq_packing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> len(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         laid AS (
+           SELECT doc_id, n_tok,
+                  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start
+           FROM toks)
+         SELECT doc_id, n_tok, start,
+                CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_start,
+                CAST(FLOOR((start + GREATEST(n_tok, 1) - 1) / 512.0) AS BIGINT) AS bin_end,
+                CAST(FLOOR((start + GREATEST(n_tok, 1) - 1) / 512.0) AS BIGINT)
+                  <> CAST(FLOOR(start / 512.0) AS BIGINT) AS spans
+         FROM laid ORDER BY doc_id""",
+    "q102_dsir" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS token
+           FROM documents),
+         rawc AS (SELECT token, count(*) AS cr FROM tok GROUP BY token),
+         tgtc AS (SELECT token, count(*) AS ct
+                  FROM tok t JOIN documents d USING (doc_id)
+                  WHERE d.lang = 'en' GROUP BY token),
+         consts AS (SELECT (SELECT sum(cr) FROM rawc) AS nr,
+                           (SELECT count(*) FROM rawc) AS v,
+                           (SELECT COALESCE(sum(ct), 0) FROM tgtc) AS nt),
+         w AS (SELECT rawc.token,
+                      ln((COALESCE(tgtc.ct, 0) + 1.0) / (consts.nt + consts.v))
+                        - ln((rawc.cr + 1.0) / (consts.nr + consts.v)) AS weight
+               FROM rawc LEFT JOIN tgtc USING (token) CROSS JOIN consts),
+         s AS (SELECT tok.doc_id, sum(w.weight) AS score
+               FROM tok JOIN w USING (token) GROUP BY tok.doc_id)
+         SELECT d.doc_id, round(COALESCE(s.score, 0.0), 6) AS score
+         FROM documents d LEFT JOIN s USING (doc_id)
+         ORDER BY d.doc_id""")
 }

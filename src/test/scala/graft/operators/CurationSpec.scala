@@ -180,4 +180,85 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
   }
+
+  test("packSequences equals the naive global-window cumsum (all buckets)") {
+    // non-contiguous ids, zero-token docs, and a doc longer than capacity
+    val rnd = new scala.util.Random(11)
+    val d = (0 until 500).map { i =>
+      val n = if (i % 37 == 0) 0L else if (i % 101 == 0) 900L
+        else rnd.nextInt(120).toLong
+      (i.toLong * 7 + (i % 3), n) // unique, uneven spacing
+    }.toDF("id", "n")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = d
+      .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("bin_start", floor(col("start") / 256))
+      .withColumn("bin_end",
+        floor((col("start") + greatest(col("n"), lit(1L)) - 1) / 256))
+      .withColumn("spans", col("bin_end") =!= col("bin_start"))
+      .select("id", "n", "start", "bin_start", "bin_end", "spans")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    for (b <- Seq(2, 7, 32)) {
+      val got = Curation.packSequences(d, "id", "n", 256, buckets = b)
+        .select("id", "n", "start", "bin_start", "bin_end", "spans")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == naive, s"buckets=$b diverges from the naive scan")
+    }
+    // layout independence (the repartitionByRange pid bug regression pin)
+    val re = Curation.packSequences(d.repartition(13), "id", "n", 256, buckets = 7)
+      .select("id", "start").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == naive.map(t => (t._1, t._3)))
+    // a 900-token doc in 256-token bins always crosses >= 3 boundaries
+    val big = naive.find(_._2 == 900L).get
+    assert(big._5 - big._4 >= 3, s"multi-bin span: $big")
+    // column-collision guard
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(d.withColumn("start", lit(1)), "id", "n", 256)
+    }
+  }
+
+  test("importanceWeights/Scores: hand-computed DSIR ratios on a toy corpus") {
+    val raw = Seq(
+      (1L, "cat dog"), (2L, "cat cat fish"), (3L, "dog bird")).toDF("id", "text")
+    val target = raw.filter(col("id") === 2L) // target: cat cat fish
+    val w = Curation.importanceWeights(raw, target, "text")
+      .as[(String, Double)].collect().toMap
+    // raw: cat=3 dog=2 fish=1 bird=1, Nr=7, V=4; target: cat=2 fish=1, Nt=3
+    def expw(ct: Long, cr: Long): Double =
+      math.log((ct + 1.0) / (3 + 4)) - math.log((cr + 1.0) / (7 + 4))
+    assert(w.keySet == Set("cat", "dog", "fish", "bird"))
+    assert(math.abs(w("cat") - expw(2, 3)) < 1e-12)
+    assert(math.abs(w("dog") - expw(0, 2)) < 1e-12)
+    assert(math.abs(w("fish") - expw(1, 1)) < 1e-12)
+    assert(math.abs(w("bird") - expw(0, 1)) < 1e-12)
+    // scores: sum of weights; target-like docs score higher
+    val weights = Curation.importanceWeights(raw, target, "text")
+    val s = Curation.importanceScores(raw, "id", "text", weights)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(math.abs(s(2L) - (2 * w("cat") + w("fish"))) < 1e-12)
+    assert(s(2L) > s(3L), "the target doc must outscore the off-target doc")
+    // empty/untokenizable doc scores 0 through the join-back
+    val withEmpty = raw.union(Seq((9L, "   ")).toDF("id", "text"))
+    val s2 = Curation.importanceScores(withEmpty, "id", "text", weights)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(s2(9L) == 0.0)
+  }
+
+  test("hashed-feature DSIR: bucket collapse is consistent between train and score") {
+    val raw = docs.limit(120).select(col("doc_id").as("id"), col("text"))
+    val target = raw.filter(col("id") % 5 === 0)
+    val w = Curation.importanceWeights(raw, target, "text", hashBuckets = 64)
+    assert(w.count() <= 64, "hashed weight table must be bounded by the bucket count")
+    val s = Curation.importanceScores(raw, "id", "text", w, hashBuckets = 64)
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(s.length == 120 && s.forall(r => !r._2.isNaN))
+    // hashing must be the md5-derived cross-engine bucket, so scoring with
+    // the same bucket count reproduces exactly under repartitioning
+    val s2 = Curation.importanceScores(raw.repartition(7), "id", "text", w,
+        hashBuckets = 64)
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(s.sortBy(_._1).map(t => (t._1, math.round(t._2 * 1e9))).toSeq ==
+      s2.sortBy(_._1).map(t => (t._1, math.round(t._2 * 1e9))).toSeq)
+  }
 }

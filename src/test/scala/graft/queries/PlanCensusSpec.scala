@@ -30,8 +30,10 @@ class PlanCensusSpec extends SparkSpec {
   //  - q97_jaro_winkler: all-pairs fuzzy scoring over the 25-row nation
   //    DIM table (broadcast nested loop over a bounded dimension — the
   //    JaroWinkler expression itself composes with any join shape)
+  //  - q101_seq_packing: the packing-bucket boundaries are a 1-row
+  //    broadcast (q62's declared shape), replayed on both consumers
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
-    "q72_cosine_dedup", "q97_jaro_winkler")
+    "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -102,8 +104,11 @@ class PlanCensusSpec extends SparkSpec {
     "q97_jaro_winkler"         -> (1, 1, 1, true), // 25-row dim broadcast cross (declared)
     "q98_histogram"            -> (2, 0, 0, true), // per-row bucket expr + hash agg
     "q99_url_parse"            -> (1, 0, 0, true), // per-row parse, sort only
-    "q100_pq_topk"             -> (2, 2, 0, true)) // cell equi-join + compressed
+    "q100_pq_topk"             -> (2, 2, 0, true), // cell equi-join + compressed
                                                    // candidate cut + vector join-back
+    "q101_seq_packing"         -> (5, 2, 2, true), // prefix scan: tiny offsets frame +
+                                                   // per-bucket windows; 1-row bounds ×2
+    "q102_dsir"                -> (4, 3, 0, true)) // two count aggs + weight join + score agg
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
