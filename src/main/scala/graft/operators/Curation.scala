@@ -351,7 +351,8 @@ object Curation {
     * exact integers, so the layout is bit-reproducible.
     */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
-                    capacity: Long, buckets: Int = 0): DataFrame = {
+                    capacity: Long, buckets: Int = 0,
+                    tieCols: Seq[String] = Nil): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     Seq("_pp_bnds", "_pp_b", "_pp_off", "start", "bin_start", "bin_end", "spans")
       .foreach { c =>
@@ -361,7 +362,12 @@ object Curation {
     val nb = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val n = col(nTokensCol).cast("long")
+    // `tieCols` extend the pack order when `idCol` alone is not unique
+    // (e.g. a hash-derived shuffle key): buckets still come from idCol
+    // quantiles (equal keys share a bucket, so bucket totals stay exact)
+    // while the within-bucket window breaks ties deterministically.
     val id = col(idCol)
+    val ord = id +: tieCols.map(col)
 
     val qs = (1 until nb).map(_.toDouble / nb)
     val bounds = df.agg(percentile_approx(id.cast("double"),
@@ -378,7 +384,7 @@ object Curation {
       .select(col("_pp_b"),
         coalesce(sum(col("_t")).over(wOff), lit(0L)).as("_pp_off"))
 
-    val wLoc = Window.partitionBy(col("_pp_b")).orderBy(id)
+    val wLoc = Window.partitionBy(col("_pp_b")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     withB.join(broadcast(offDf), Seq("_pp_b"))
       .withColumn("start", col("_pp_off") + coalesce(sum(n).over(wLoc), lit(0L)))

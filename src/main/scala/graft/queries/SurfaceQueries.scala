@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -168,9 +168,84 @@ object SurfaceQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q103 — deterministic corpus SHUFFLE + pack: the training-data step
+    * before batching is a reproducible pseudorandom permutation, here an
+    * md5-derived 60-bit key (cross-engine, layout-independent — never
+    * `rand()`), fed through the same parallel-prefix [[Curation
+    * .packSequences]] with `doc_id` as the tiebreak. Shows shuffle order
+    * and pack layout are one composition, not two passes.
+    */
+  def q103ShufflePack(spark: SparkSession, dir: String): DataFrame = {
+    val key = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = docs(spark, dir).select(col("doc_id"), key.as("skey"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Curation
+      .packSequences(d, "skey", "n_tok", 512, tieCols = Seq("doc_id"))
+      .select(col("doc_id"), col("skey"), col("n_tok"),
+        col("start"), col("bin_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q104 — exact regression second-moment suite (REGR_AVGX / AVGY +
+    * population std and covariance): co-moment sums are order-dependent
+    * in double, so both engines accumulate exact DECIMAL power sums and
+    * combine them in ONE identical double formula (the q42 discipline).
+    * Outputs are normalized to O(1e3–1e6) statistics (std, cov) rather
+    * than the raw 1e15-magnitude power sums, whose double ulp exceeds
+    * any decimal rounding guard.
+    */
+  def q104RegrPowerSums(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey").cast("decimal(18,2)")
+    val y = col("o_totalprice").cast("decimal(18,2)")
+    def d(c: Column): Column = c.cast("double")
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
+      .select(col("o_orderstatus"), col("n"),
+        round(d(col("_sx")) / col("n"), 6).as("avgx"),
+        round(d(col("_sy")) / col("n"), 6).as("avgy"),
+        round(sqrt((d(col("_sxx")) - d(col("_sx")) * d(col("_sx")) / col("n"))
+          / col("n")), 6).as("stdx"),
+        round(sqrt((d(col("_syy")) - d(col("_sy")) * d(col("_sy")) / col("n"))
+          / col("n")), 6).as("stdy"),
+        round((d(col("_sxy")) - d(col("_sx")) * d(col("_sy")) / col("n"))
+          / col("n"), 4).as("covp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q105 — error-safe `try_*` arithmetic surface: try_divide (null on
+    * /0), try_to_number (null on malformed numerics), try_element_at
+    * (null out of bounds), try_cast to date (null on garbage). The
+    * DuckDB oracle reaches the same semantics through NULLIF / TRY_CAST
+    * / native list indexing, so the check is semantic, not syntactic.
+    */
+  def q105TrySurface(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        try_divide(col("n_chars"), col("doc_id") % 7).as("d7"),
+        try_to_number(
+          when(col("doc_id") % 3 === 0, concat(lit("x"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")),
+          lit("999999999")).cast("double").as("num"),
+        try_element_at(graft.operators.TextAnalysis.tokens(col("text")),
+          lit(40)).as("tok40"),
+        try_to_timestamp(
+          when(col("doc_id") % 4 === 0, lit("not-a-date"))
+            .otherwise(concat(lit("2024-03-0"),
+              (col("doc_id") % 9 + 1).cast("string"))),
+          lit("yyyy-MM-dd")).cast("date").as("dt"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101SeqPacking _),
     "q102_dsir" -> (q102Dsir _),
+    "q103_shuffle_pack" -> (q103ShufflePack _),
+    "q104_regr_power_sums" -> (q104RegrPowerSums _),
+    "q105_try_surface" -> (q105TrySurface _),
     "q95_regr_stats" -> (q95RegrStats _),
     "q96_bit_aggs" -> (q96BitAggs _),
     "q97_jaro_winkler" -> (q97JaroWinkler _),
@@ -279,5 +354,52 @@ object SurfaceQueries {
                FROM tok JOIN w USING (token) GROUP BY tok.doc_id)
          SELECT d.doc_id, round(COALESCE(s.score, 0.0), 6) AS score
          FROM documents d LEFT JOIN s USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q103_shuffle_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS skey,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> len(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         laid AS (
+           SELECT doc_id, skey, n_tok,
+                  CAST(COALESCE(sum(n_tok) OVER (ORDER BY skey, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start
+           FROM t)
+         SELECT doc_id, skey, n_tok, start,
+                CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_start
+         FROM laid ORDER BY doc_id""",
+    "q104_regr_power_sums" ->
+      """WITH s AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))
+                           * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderstatus, n,
+                round(sx / n, 6) AS avgx,
+                round(sy / n, 6) AS avgy,
+                round(sqrt((sxx - sx * sx / n) / n), 6) AS stdx,
+                round(sqrt((syy - sy * sy / n) / n), 6) AS stdy,
+                round((sxy - sx * sy / n) / n, 4) AS covp
+         FROM s ORDER BY o_orderstatus""",
+    "q105_try_surface" ->
+      """SELECT doc_id,
+                n_chars / NULLIF(doc_id % 7, 0) AS d7,
+                TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+                              ELSE CAST(doc_id AS VARCHAR) END AS DOUBLE) AS num,
+                list_filter(string_split_regex(text, '\s+'),
+                            x -> len(x) > 0)[40] AS tok40,
+                TRY_CAST(CASE WHEN doc_id % 4 = 0 THEN 'not-a-date'
+                              ELSE '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                         END AS DATE) AS dt
+         FROM documents ORDER BY doc_id""")
 }

@@ -30,10 +30,12 @@ class PlanCensusSpec extends SparkSpec {
   //  - q97_jaro_winkler: all-pairs fuzzy scoring over the 25-row nation
   //    DIM table (broadcast nested loop over a bounded dimension — the
   //    JaroWinkler expression itself composes with any join shape)
-  //  - q101_seq_packing: the packing-bucket boundaries are a 1-row
-  //    broadcast (q62's declared shape), replayed on both consumers
+  //  - q101_seq_packing / q103_shuffle_pack: the packing-bucket
+  //    boundaries are a 1-row broadcast (q62's declared shape), replayed
+  //    on both consumers
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
-    "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing")
+    "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
+    "q103_shuffle_pack")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -108,7 +110,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // candidate cut + vector join-back
     "q101_seq_packing"         -> (5, 2, 2, true), // prefix scan: tiny offsets frame +
                                                    // per-bucket windows; 1-row bounds ×2
-    "q102_dsir"                -> (4, 3, 0, true)) // two count aggs + weight join + score agg
+    "q102_dsir"                -> (4, 3, 0, true), // two count aggs + weight join + score agg
+    "q103_shuffle_pack"        -> (5, 2, 2, true), // q101's scan over the md5 shuffle key
+    "q104_regr_power_sums"     -> (2, 0, 0, true), // one-pass decimal power-sum agg
+    "q105_try_surface"         -> (1, 0, 0, true)) // per-row try_* exprs, sort only
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
