@@ -171,4 +171,103 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
   }
+
+  /** Mergeable QUANTILE sketch — the missing member of the sketch family
+    * (HLL distinct / count-min / Misra-Gries heavy hitters / this):
+    * bounded-memory approximate percentiles over any double column, the
+    * single-pass answer to "what does the length/score distribution of
+    * this 100 TB corpus look like" when an exact sort is off the table.
+    *
+    * Design: the KLL/MRL compactor hierarchy (Karnin-Lang-Liberty 2016,
+    * derandomized): level i holds items of weight 2^i in a ≤ k buffer;
+    * a full buffer sorts and promotes alternate elements to level i+1.
+    * Instead of KLL's random offset, the kept-parity alternates with a
+    * per-level compaction counter — DETERMINISTIC for a fixed
+    * reduce/merge order (the repo's reproducibility discipline; the
+    * classic unbiasing coin is the only thing sacrificed). Merge
+    * concatenates level-wise and recompacts — the mergeable-summaries
+    * form, so partial aggregation prunes map-side like every other
+    * sketch here.
+    *
+    * Error: rank error is O(log²(n/k)/k)·n (MRL bound for deterministic
+    * compaction); k = 128 keeps observed error well under 2 % of n at
+    * 100k rows (pinned in FunctionsSurfaceSpec). Like percentile_approx,
+    * results vary within that bound across partition layouts — only the
+    * BOUND is layout-independent.
+    */
+  case class QSState(k: Int, levels: Seq[Seq[Double]], flips: Seq[Long])
+
+  class QuantileSketch(k: Int, qs: Seq[Double])
+      extends Aggregator[Double, QSState, Seq[Double]] {
+    require(k >= 8, "compactor capacity must be >= 8")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+
+    override def zero: QSState = QSState(k, Seq(Seq.empty), Seq(0L))
+
+    private def compact(s: QSState): QSState = {
+      var levels = s.levels.map(_.toVector).toVector
+      var flips = s.flips.toVector
+      var i = 0
+      while (i < levels.length) {
+        if (levels(i).size > s.k) {
+          val sorted = levels(i).sorted
+          val offset = (flips(i) % 2).toInt
+          val kept = sorted.zipWithIndex
+            .collect { case (v, idx) if idx % 2 == offset => v }
+          if (i + 1 >= levels.length) {
+            levels = levels :+ Vector.empty[Double]
+            flips = flips :+ 0L
+          }
+          levels = levels
+            .updated(i, Vector.empty[Double])
+            .updated(i + 1, levels(i + 1) ++ kept)
+          flips = flips.updated(i, flips(i) + 1)
+        }
+        i += 1
+      }
+      QSState(s.k, levels, flips)
+    }
+
+    override def reduce(s: QSState, x: Double): QSState = {
+      val withX = QSState(s.k,
+        s.levels.updated(0, s.levels.head :+ x), s.flips)
+      if (withX.levels.head.size > s.k) compact(withX) else withX
+    }
+
+    override def merge(a: QSState, b: QSState): QSState = {
+      val n = a.levels.size.max(b.levels.size)
+      def pad(x: Seq[Seq[Double]]): Seq[Seq[Double]] =
+        x ++ Seq.fill(n - x.size)(Seq.empty[Double])
+      def padF(x: Seq[Long]): Seq[Long] = x ++ Seq.fill(n - x.size)(0L)
+      val levels = pad(a.levels).zip(pad(b.levels)).map { case (x, y) => x ++ y }
+      val flips = padF(a.flips).zip(padF(b.flips)).map { case (x, y) => x + y }
+      compact(QSState(a.k.max(b.k), levels, flips))
+    }
+
+    override def finish(s: QSState): Seq[Double] = {
+      val weighted = s.levels.zipWithIndex.flatMap { case (items, i) =>
+        items.map(v => (v, 1L << i))
+      }.sortBy(_._1)
+      if (weighted.isEmpty) return qs.map(_ => Double.NaN)
+      val total = weighted.map(_._2).sum
+      qs.map { q =>
+        val target = q * total
+        var acc = 0L
+        var ans = weighted.last._1
+        var i = 0
+        var done = false
+        while (i < weighted.length && !done) {
+          acc += weighted(i)._2
+          if (acc >= target) { ans = weighted(i)._1; done = true }
+          i += 1
+        }
+        ans
+      }
+    }
+
+    override def bufferEncoder: Encoder[QSState] = Encoders.product[QSState]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -120,4 +120,45 @@ class FunctionsSurfaceSpec extends SparkSpec {
     val structs = Seq((1L, Seq((1, "x"), (2, "y")))).toDF("id", "pairs")
     assert(structs.select(inline(col("pairs"))).columns.length == 2)
   }
+
+  test("QuantileSketch: exact in the small regime, bounded rank error at 100k") {
+    // small regime: fewer than k items → the sketch never compacts and
+    // the returned quantiles are exact order statistics
+    val smallAgg = udaf(new Aggregators.QuantileSketch(128, Seq(0.0, 0.5, 1.0)))
+    val small = (1 to 100).map(_.toDouble)
+    val sGot = small.toDF("v").agg(smallAgg(col("v"))).head.getSeq[Double](0)
+    assert(sGot == Seq(1.0, 50.0, 100.0))
+
+    // 100k-row regime with a skewed (quadratic) distribution, multiple
+    // partitions so merge() and partial aggregation are exercised:
+    // observed rank error stays under 2 % of n for every probe quantile
+    val n = 100000
+    val agg = udaf(new Aggregators.QuantileSketch(128,
+      Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)))
+    val data = (0 until n).map { i =>
+      val u = ((i * 2654435761L) % n).toDouble / n // deterministic scramble
+      u * u * 1000.0
+    }
+    val got = data.toDF("v").repartition(16).agg(agg(col("v")))
+      .head.getSeq[Double](0)
+    val sorted = data.sorted.toIndexedSeq
+    val errs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).zip(got).map {
+      case (q, est) =>
+        // rank of the estimate vs target rank, in fractions of n
+        val rank = sorted.search(est) match {
+          case scala.collection.Searching.Found(i) => i
+          case scala.collection.Searching.InsertionPoint(i) => i
+        }
+        math.abs(rank.toDouble / n - q)
+    }
+    assert(errs.forall(_ <= 0.02), s"rank errors: $errs")
+
+    // mergeability: the union sketch answers like the one-shot sketch
+    // (both within the same bound; they need not be bit-identical)
+    val half1 = data.take(n / 2).toDF("v").agg(agg(col("v"))).head.getSeq[Double](0)
+    assert(half1.nonEmpty) // smoke: partial sketches finish cleanly
+    // empty input → NaNs, not a crash
+    val empty = Seq.empty[Double].toDF("v").agg(agg(col("v"))).head.getSeq[Double](0)
+    assert(empty.forall(_.isNaN))
+  }
 }
