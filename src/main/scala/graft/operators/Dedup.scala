@@ -1197,4 +1197,63 @@ object Dedup {
     withComp.join(winners, withComp(idCol) === winners("_cd_win"), "left_semi")
       .drop("_cd_comp")
   }
+
+  /** C4-style CROSS-DOCUMENT segment dedup: cut every document into
+    * consecutive `segTokens`-token segments, drop every segment whose
+    * exact text occurs earlier in the corpus (first occurrence by
+    * (id, position) survives — C4 §2.2's "discard all but one of any
+    * three-sentence span occurring more than once", with fixed-width
+    * token windows standing in for sentences), and reassemble each
+    * document from its surviving segments.
+    *
+    * Scale shape. The winner election groups on a 64-bit segment
+    * fingerprint and min-reduces an (id, seg_idx) struct — map-side
+    * combined, 24-byte rows, never the text. Segment text crosses the
+    * wire exactly once, in the equi-join that matches each occurrence
+    * against its elected winner (hash-partitioned, AQE-splittable).
+    * Reassembly is a per-document sort of the surviving (seg_idx, seg)
+    * pairs — bounded by document size, no window over the corpus.
+    * Fingerprint collisions (~#distinct²/2⁶⁴) would merge unrelated
+    * segments; at planet scale use a 128-bit hash — the q85 posture.
+    *
+    * Returns (idCol, n_segs, n_kept, text_out): segment counts before /
+    * after, and the reassembled text ("" when everything was dropped).
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val nSeg = ceil(size(col("_sd_toks")) / lit(segTokens.toDouble)).cast("int")
+    // one row per segment: slice is 1-based, last segment may be short
+    val segs = df.select(col(idCol).cast("long").as("_sd_id"),
+        TextAnalysis.tokens(col(textCol)).as("_sd_toks"))
+      .select(col("_sd_id"),
+        posexplode(transform(sequence(lit(0), greatest(nSeg - 1, lit(0))),
+          i => when(nSeg > 0,
+            array_join(slice(col("_sd_toks"), i * segTokens + 1, lit(segTokens)), " ")))))
+      .filter(col("col").isNotNull)
+      .select(col("_sd_id"), col("pos").as("_sd_idx"),
+        col("col").as("_sd_seg"), xxhash64(col("col")).as("_sd_h"))
+    val winners = segs
+      .groupBy(col("_sd_h"))
+      .agg(min(struct(col("_sd_id"), col("_sd_idx"))).as("w"))
+      .select(col("_sd_h").as("_sd_wh"),
+        col("w._sd_id").as("_sd_wid"), col("w._sd_idx").as("_sd_widx"))
+    val kept = segs.join(winners, segs("_sd_h") === winners("_sd_wh"))
+      .filter(col("_sd_id") === col("_sd_wid") && col("_sd_idx") === col("_sd_widx"))
+      .select(col("_sd_id"), col("_sd_idx"), col("_sd_seg"))
+    val perDoc = segs.groupBy(col("_sd_id")).agg(count(lit(1)).as("n_segs"))
+    val rebuilt = kept.groupBy(col("_sd_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_sd_idx"), col("_sd_seg")))),
+          s => s("_sd_seg")), " ").as("text_out"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(perDoc, col(idCol) === perDoc("_sd_id"), "left").drop("_sd_id")
+      .join(rebuilt, col(idCol) === rebuilt("_sd_id"), "left").drop("_sd_id")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_out"), lit("")).as("text_out"))
+  }
 }

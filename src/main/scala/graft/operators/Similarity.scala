@@ -668,4 +668,52 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** Per-vector symmetric int8 quantization audit + matryoshka truncation
+    * energy — the embedding-compression stats a vector store computes
+    * before switching its index to 4×-smaller codes.
+    *
+    * For each vector x: scale s = max|xᵢ|/127, code qᵢ =
+    * clamp(round(xᵢ/s), ±127), dequantized x̂ᵢ = qᵢ·s. Emits the L2 norm,
+    * the scale, the worst absolute reconstruction error (≤ s/2 by
+    * construction — pinned in SimilaritySpec), the full-vs-dequantized
+    * cosine, and the fraction of L2 energy kept by the first `prefixDims`
+    * dimensions (the matryoshka head strength). All-zero vectors get
+    * scale 0 and pass through exactly (error 0, cosine 1 by convention).
+    *
+    * Scale shape: pure `transform`/`zip_with`/`aggregate` higher-order
+    * expressions over the array column — map-only, codegen-friendly, no
+    * shuffle, no UDF. At 100 TB this runs at scan speed and is the
+    * pre-pass that feeds [[pqTopK]]'s code index.
+    */
+  def int8QuantStats(
+      df: DataFrame, idCol: String, vecCol: String,
+      prefixDims: Int = 16): DataFrame = {
+    require(prefixDims > 0, "prefixDims must be positive")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // one quantization definition in the repo: this audit round-trips
+    // [[quantizeInt8]] → [[dequantizeInt8]] rather than re-deriving codes
+    val dv = transform(col(vecCol), x => x.cast("double"))
+    val norm2 = dot(dv, dv)
+    val head2 = dot(slice(dv, 1, prefixDims), slice(dv, 1, prefixDims))
+    // zero-vector guards live INSIDE CaseWhen branches (lazily evaluated
+    // per row) — under ANSI mode an unconditional x/0 throws even when a
+    // later projection would discard it
+    df.select(col(idCol), dv.as("_dv"), norm2.as("_n2"), head2.as("_h2"),
+        dequantizeInt8(quantizeInt8(col(vecCol))).as("_dq"),
+        (array_max(transform(dv, x => abs(x))) / 127.0).as("_s"))
+      .select(col(idCol),
+        round(sqrt(col("_n2")), 6).as("norm"),
+        round(col("_s"), 9).as("scale"),
+        when(col("_s") === 0, lit(0.0)).otherwise(
+          round(array_max(zip_with(col("_dv"), col("_dq"),
+            (a, b) => abs(a - b))), 9)).as("max_err"),
+        when(col("_s") === 0, lit(1.0)).otherwise(
+          round(dot(col("_dv"), col("_dq"))
+            / (sqrt(col("_n2")) * sqrt(dot(col("_dq"), col("_dq")))), 6))
+          .as("cos_dq"),
+        when(col("_s") === 0, lit(1.0))
+          .otherwise(round(col("_h2") / col("_n2"), 6)).as("head_energy"))
+  }
 }

@@ -446,4 +446,30 @@ object TextAnalysis {
           .otherwise(col("n_contaminated").cast("double") / col("n_grams"))
           .as("frac"))
   }
+
+  /** Token-level blocklist screening (the safety-filter pass of a crawl
+    * pipeline): per document, the count and ratio of tokens that appear
+    * in `blocklist`, plus the keep/drop decision at `maxRatio`.
+    *
+    * Scale shape: the blocklist folds into the plan as a LITERAL array —
+    * `array_contains` over a broadcast-free constant, evaluated inside
+    * whole-stage codegen. The whole operator is map-only: no shuffle, no
+    * join, no UDF; at 100 TB it is one scan at I/O speed. For blocklists
+    * too large to inline (>~10⁴ terms) switch to an exploded-token
+    * broadcast semi-join — same results, one extra map-side hash probe.
+    */
+  def blocklistStats(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxRatio: Double): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val bl = array(blocklist.map(lit): _*)
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(bl, t))).cast("long").as("n_hits"))
+      .withColumn("hit_ratio",
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_tok")))
+      .withColumn("keep", col("hit_ratio") <= maxRatio)
+  }
 }

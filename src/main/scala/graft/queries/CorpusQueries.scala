@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Graph, Relational, Similarity, TextAnalysis}
+
+/** Round-6 continuation (q106+): corpus-graph and compression operators —
+  * C4-style cross-document segment dedup, link-graph PageRank, blocklist
+  * safety screening, int8 embedding quantization audits, the Spark 4
+  * VARIANT semi-structured surface, skew-salted aggregation under the
+  * exact oracle, and case-insensitive collation semantics. Each entry is
+  * dual-engine DuckDB-oracled.
+  *
+  * Float discipline (SURVEY §6): PageRank values are O(1/N) sums of ≤ N
+  * double terms — drift ~1e-17, rounded at 10. Quantization stats are
+  * O(1) — rounded at 6 (9 for the tiny scale/error magnitudes). Both
+  * guard bands are >10³ above the drift.
+  */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** q106 — C4-style cross-document segment dedup
+    * ([[Dedup.segmentDedup]]): 8-token segments, first occurrence by
+    * (doc_id, position) wins, documents reassembled from survivors.
+    * ~175 duplicate occurrences collapse at sf0.01.
+    */
+  def q106SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(docs(spark, dir), "doc_id", "text", segTokens = 8)
+      .orderBy(col("doc_id"))
+
+  /** q107 — fixed-depth PageRank ([[Graph.pageRank]], 3 synchronous power
+    * iterations, d = 0.85) over a deterministic synthetic link graph: two
+    * out-edges per document, (id·31+17) mod N and (id·97+43) mod N —
+    * derived via a 1-row broadcast of N so edge generation stays lazy and
+    * layout-independent. The DuckDB oracle unrolls the same three
+    * iterations as CTEs.
+    */
+  def q107PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val nn = docs(spark, dir).agg(count(lit(1)).as("_n"))
+    val base = docs(spark, dir).select(col("doc_id")).crossJoin(broadcast(nn))
+    val edges =
+      base.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 17) % col("_n")).as("dst"))
+        .unionAll(base.select(col("doc_id").as("src"),
+          ((col("doc_id") * 97 + 43) % col("_n")).as("dst")))
+    Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      .select(col("id"), round(col("rank"), 10).as("rank"))
+      .orderBy(col("id"))
+  }
+
+  /** q108 — blocklist safety screening ([[TextAnalysis.blocklistStats]]):
+    * per-document hit count/ratio against a literal blocklist and the
+    * keep decision at 12 % — entirely map-side (no shuffle, no join; the
+    * list folds into codegen as a constant array).
+    */
+  val q108Blocklist: Seq[String] = Seq("slow", "dup", "drop", "leak")
+  def q108BlocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistStats(docs(spark, dir), "doc_id", "text",
+        q108Blocklist, maxRatio = 0.12)
+      .select(col("doc_id"), col("n_tok"), col("n_hits"),
+        round(col("hit_ratio"), 6).as("hit_ratio"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** q109 — int8 embedding quantization audit
+    * ([[Similarity.int8QuantStats]]): per-vector scale, worst
+    * reconstruction error, full-vs-dequantized cosine, and 16-dim
+    * matryoshka head energy — pure higher-order array expressions, no
+    * shuffle. The DuckDB oracle re-derives every stat from list lambdas.
+    */
+  def q109Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantStats(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        prefixDims = 16)
+      .orderBy(col("vec_id"))
+
+  /** q110 — Spark 4 VARIANT semi-structured surface: JSON built per
+    * document, `parse_json` into a VariantType value, then `variant_get`
+    * nested-path / array-index / typed extraction plus a missing-path
+    * null. The DuckDB oracle extracts the same paths with its native JSON
+    * functions, so the check is semantic parity of the two JSON engines.
+    */
+  def q110Variant(spark: SparkSession, dir: String): DataFrame = {
+    val js = concat(
+      lit("{\"id\":"), col("doc_id"),
+      lit(",\"meta\":{\"lang\":\""), col("lang"),
+      lit("\",\"n\":"), col("n_chars"),
+      lit("},\"tags\":[\""), col("source"),
+      lit("\",\"t"), (col("doc_id") % 5).cast("string"), lit("\"]}"))
+    val v = parse_json(js)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        variant_get(v, "$.meta.lang", "string").as("lang_v"),
+        variant_get(v, "$.meta.n", "long").as("n_v"),
+        variant_get(v, "$.tags[1]", "string").as("tag1"),
+        try_variant_get(v, "$.meta.absent", "long").as("absent"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q111 — skew-salted aggregation under the EXACT oracle
+    * ([[Relational.saltedAggregate]]): per-(source, lang) count and
+    * char sum computed via the two-phase (key, salt)→key plan — the
+    * hot-key spreading shape — checked against DuckDB's plain GROUP BY,
+    * proving salting is invisible in results.
+    */
+  def q111SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Relational.saltedAggregate(
+        docs(spark, dir).select(col("source"), col("lang"), col("n_chars")),
+        keys = Seq("source", "lang"), saltBuckets = 8,
+        partial = Seq(count(lit(1)).as("_pn"), sum(col("n_chars")).as("_ps")),
+        merge = Seq(sum(col("_pn")).as("n"), sum(col("_ps")).as("sum_chars")))
+      .orderBy(col("source"), col("lang"))
+
+  /** q112 — case-insensitive collation semantics (Spark 4 `collate`):
+    * a mixed-case language column compared and counted under UTF8_LCASE —
+    * collated equality to a literal and collated COUNT(DISTINCT) — vs
+    * DuckDB's lower() normalization. Comparison/count shapes only (never
+    * emitting a collated representative value, which is layout-dependent
+    * in both engines).
+    */
+  def q112Collation(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("doc_id") % 2 === 0, upper(col("lang")))
+      .otherwise(col("lang"))
+    docs(spark, dir)
+      .select(col("source"), collate(mixed, "UTF8_LCASE").as("_m"))
+      .groupBy(col("source"))
+      .agg(
+        sum((col("_m") === lit("en")).cast("long")).as("n_en"),
+        count_distinct(col("_m")).as("n_langs_ci"),
+        count(lit(1)).as("n"))
+      .orderBy(col("source"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_segment_dedup" -> (q106SegmentDedup _),
+    "q107_pagerank" -> (q107PageRank _),
+    "q108_blocklist" -> (q108BlocklistFilter _),
+    "q109_int8_quant" -> (q109Int8Quant _),
+    "q110_variant" -> (q110Variant _),
+    "q111_salted_agg" -> (q111SaltedAgg _),
+    "q112_collation" -> (q112Collation _))
+
+  val oracles: Map[String, String] = Map(
+    "q106_segment_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         segs AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                  array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS seg
+           FROM toks, unnest(range(CAST(ceil(len(ts)/8.0) AS BIGINT))) AS t(i)),
+         ranked AS (
+           SELECT doc_id, seg_idx, seg,
+                  row_number() OVER (PARTITION BY seg
+                                     ORDER BY doc_id, seg_idx) AS rn
+           FROM segs),
+         per_doc AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+         reb AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(seg, ' ' ORDER BY seg_idx) AS text_out
+           FROM ranked WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(p.n_segs, 0) AS n_segs,
+                COALESCE(r.n_kept, 0) AS n_kept,
+                COALESCE(r.text_out, '') AS text_out
+         FROM documents d
+         LEFT JOIN per_doc p USING (doc_id)
+         LEFT JOIN reb r USING (doc_id)
+         ORDER BY d.doc_id""",
+    "q107_pagerank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src, (doc_id*31+17) % nn.n AS dst FROM documents, nn
+           UNION ALL
+           SELECT doc_id, (doc_id*97+43) % nn.n FROM documents, nn),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE)/nn.n AS rank
+                FROM documents, nn),
+         i1 AS (SELECT d.doc_id AS id,
+                       (CAST(1.0 AS DOUBLE)-0.85)/nn.n
+                         + 0.85*COALESCE(s.sm, 0) AS rank
+                FROM documents d CROSS JOIN nn
+                LEFT JOIN (SELECT e.dst AS id,
+                                  sum(r.rank/deg.outdeg) AS sm
+                           FROM e JOIN r0 r ON e.src = r.id
+                                JOIN deg ON e.src = deg.src
+                           GROUP BY e.dst) s ON d.doc_id = s.id),
+         i2 AS (SELECT d.doc_id AS id,
+                       (CAST(1.0 AS DOUBLE)-0.85)/nn.n
+                         + 0.85*COALESCE(s.sm, 0) AS rank
+                FROM documents d CROSS JOIN nn
+                LEFT JOIN (SELECT e.dst AS id,
+                                  sum(r.rank/deg.outdeg) AS sm
+                           FROM e JOIN i1 r ON e.src = r.id
+                                JOIN deg ON e.src = deg.src
+                           GROUP BY e.dst) s ON d.doc_id = s.id),
+         i3 AS (SELECT d.doc_id AS id,
+                       (CAST(1.0 AS DOUBLE)-0.85)/nn.n
+                         + 0.85*COALESCE(s.sm, 0) AS rank
+                FROM documents d CROSS JOIN nn
+                LEFT JOIN (SELECT e.dst AS id,
+                                  sum(r.rank/deg.outdeg) AS sm
+                           FROM e JOIN i2 r ON e.src = r.id
+                                JOIN deg ON e.src = deg.src
+                           GROUP BY e.dst) s ON d.doc_id = s.id)
+         SELECT id, round(rank, 10) AS rank FROM i3 ORDER BY id""",
+    "q108_blocklist" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> len(x) > 0) AS ts
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+                  CAST(len(list_filter(ts,
+                    x -> list_contains(['slow','dup','drop','leak'], x)))
+                    AS BIGINT) AS n_hits
+           FROM t)
+         SELECT doc_id, n_tok, n_hits,
+                round(CASE WHEN n_tok = 0 THEN 0.0
+                           ELSE CAST(n_hits AS DOUBLE)/n_tok END, 6) AS hit_ratio,
+                (CASE WHEN n_tok = 0 THEN 0.0
+                      ELSE CAST(n_hits AS DOUBLE)/n_tok END) <= 0.12 AS keep
+         FROM c ORDER BY doc_id""",
+    "q109_int8_quant" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x) AS dv
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, dv,
+                  list_aggregate(list_transform(dv, x -> abs(x)), 'max')
+                    / 127.0 AS sc,
+                  list_dot_product(dv, dv) AS n2
+           FROM v),
+         q AS (
+           SELECT vec_id, dv, sc, n2,
+                  list_transform(dv, x ->
+                    least(greatest(round(x/sc, 0), -127.0), 127.0) * sc) AS dq,
+                  list_dot_product(dv[1:16], dv[1:16]) AS h2
+           FROM s)
+         SELECT vec_id,
+                round(sqrt(n2), 6) AS norm,
+                round(sc, 9) AS scale,
+                CASE WHEN sc = 0 THEN 0.0 ELSE
+                  round(list_aggregate(
+                    list_transform(list_zip(dv, dq),
+                                   p -> abs(p[1] - p[2])), 'max'), 9)
+                END AS max_err,
+                CASE WHEN sc = 0 THEN 1.0 ELSE
+                  round(list_dot_product(dv, dq)
+                        / (sqrt(n2) * sqrt(list_dot_product(dq, dq))), 6)
+                END AS cos_dq,
+                CASE WHEN sc = 0 THEN 1.0 ELSE round(h2 / n2, 6) END
+                  AS head_energy
+         FROM q ORDER BY vec_id""",
+    "q110_variant" ->
+      """WITH j AS (
+           SELECT doc_id,
+                  '{"id":' || CAST(doc_id AS VARCHAR) ||
+                  ',"meta":{"lang":"' || lang ||
+                  '","n":' || CAST(n_chars AS VARCHAR) ||
+                  '},"tags":["' || source ||
+                  '","t' || CAST(doc_id % 5 AS VARCHAR) || '"]}' AS js
+           FROM documents)
+         SELECT doc_id,
+                json_extract_string(js, '$.meta.lang') AS lang_v,
+                CAST(json_extract(js, '$.meta.n') AS BIGINT) AS n_v,
+                json_extract_string(js, '$.tags[1]') AS tag1,
+                CAST(json_extract(js, '$.meta.absent') AS BIGINT) AS absent
+         FROM j ORDER BY doc_id""",
+    "q111_salted_agg" ->
+      """SELECT source, lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "q112_collation" ->
+      """WITH t AS (
+           SELECT source,
+                  lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                             ELSE lang END) AS m
+           FROM documents)
+         SELECT source,
+                CAST(sum(CASE WHEN m = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_en,
+                count(DISTINCT m) AS n_langs_ci,
+                count(*) AS n
+         FROM t GROUP BY source ORDER BY source""")
+}

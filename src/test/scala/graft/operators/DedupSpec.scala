@@ -503,4 +503,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalExactDedup(existing.limit(0), incoming, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 12L, 14L))
   }
+
+  test("segmentDedup: cross-doc first occurrence wins, docs reassemble in order") {
+    val df = Seq(
+      (0L, "a b c d e f"),      // segs "a b c" | "d e f"
+      (1L, "a b c x y z"),      // "a b c" duplicates doc 0 seg 0 → dropped
+      (2L, "p q r p q r"),      // within-doc dup: second "p q r" dropped
+      (3L, ""),                 // tokenless → 0 segs, "" out
+      (4L, "d e f g")           // "d e f" dup; short tail "g" survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((0L, 2L, 2L, "a b c d e f")))
+    assert(out(1) == ((1L, 2L, 1L, "x y z")))
+    assert(out(2) == ((2L, 2L, 1L, "p q r")))
+    assert(out(3) == ((3L, 0L, 0L, "")))
+    assert(out(4) == ((4L, 2L, 1L, "g")))
+  }
+
+  test("segmentDedup: duplicate-free corpus passes through verbatim") {
+    val df = Seq((0L, "one two three four five"), (1L, "six seven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", segTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("one two three four five", "six seven"))
+    assert(out.map(r => r.getLong(1) -> r.getLong(2)).forall(p => p._1 == p._2))
+  }
 }

@@ -425,4 +425,37 @@ class SimilaritySpec extends SparkSpec {
       Similarity.loadPqCodebooks(spark, torn)
     }
   }
+
+  test("int8QuantStats: error bounded by scale/2, cosine near 1, zero-vec passthrough") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(32)((rnd.nextFloat() - 0.5f) * 4f))) :+
+      (20L, Array.fill(32)(0f))
+    val out = Similarity.int8QuantStats(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", prefixDims = 8)
+      .orderBy("vec_id").collect()
+    out.dropRight(1).foreach { r =>
+      val (scale, err, cos, head) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(err <= scale / 2 + 1e-9, s"vec ${r.getLong(0)}: err $err > s/2")
+      assert(cos > 0.999, s"vec ${r.getLong(0)}: cos $cos")
+      assert(head >= 0.0 && head <= 1.0)
+    }
+    // all-zero vector: scale 0, error 0, cosine/head 1 by convention
+    val z = out.last
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 &&
+      z.getDouble(3) == 0.0 && z.getDouble(4) == 1.0 && z.getDouble(5) == 1.0)
+  }
+
+  test("int8QuantStats: a vector already on the int8 grid reconstructs exactly") {
+    import spark.implicits._
+    // values k·(127/127)·s with s = 1: max|x| = 127 → scale 1, codes = values
+    val v = Seq((0L, Array(127f, -127f, 3f, 0f, 64f))).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantStats(v, "vec_id", "embedding", prefixDims = 2)
+      .collect().head
+    assert(r.getDouble(2) == 1.0)   // scale
+    assert(r.getDouble(3) == 0.0)   // max_err: exact grid
+    assert(r.getDouble(4) == 1.0)   // cosine
+  }
 }

@@ -238,4 +238,28 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head
     assert(o2.getLong(1) == 3 && o2.getLong(2) == 1)
   }
+
+  test("blocklistStats: token-exact hits, ratio, and keep threshold") {
+    val df = Seq(
+      (0L, "good words only here"),         // 0 hits → keep
+      (1L, "bad bad good"),                 // 2/3 hits → drop at 0.5
+      (2L, "badge embedded bad"),           // substrings don't count: 1/3
+      (3L, "")                              // empty: ratio 0, keep
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistStats(df, "doc_id", "text",
+        Seq("bad", "worse"), maxRatio = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(out(0) == ((0L, 4L, 0L, true)))
+    assert(out(1) == ((1L, 3L, 2L, false)))
+    assert(out(2) == ((2L, 3L, 1L, true)))
+    assert(out(3) == ((3L, 0L, 0L, true)))
+  }
+
+  test("blocklistStats rejects an empty blocklist") {
+    val df = Seq((0L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistStats(df, "doc_id", "text", Nil, 0.5)
+    }
+  }
 }

@@ -113,7 +113,16 @@ class PlanCensusSpec extends SparkSpec {
     "q102_dsir"                -> (4, 3, 0, true), // two count aggs + weight join + score agg
     "q103_shuffle_pack"        -> (5, 2, 2, true), // q101's scan over the md5 shuffle key
     "q104_regr_power_sums"     -> (2, 0, 0, true), // one-pass decimal power-sum agg
-    "q105_try_surface"         -> (1, 0, 0, true)) // per-row try_* exprs, sort only
+    "q105_try_surface"         -> (1, 0, 0, true), // per-row try_* exprs, sort only
+    "q106_segment_dedup"       -> (4, 3, 0, true), // 24-byte winner agg + 1 text join;
+                                                   // reassembly agg; small-side broadcasts
+    "q107_pagerank"            -> (4, 2, 0, true), // cached adjacency; per-iteration
+                                                   // contrib agg (joins broadcast at this SF)
+    "q108_blocklist"           -> (1, 0, 0, true), // map-only literal-array screen + sort
+    "q109_int8_quant"          -> (1, 0, 0, true), // map-only array lambdas + sort
+    "q110_variant"             -> (1, 0, 0, true), // per-row parse_json/variant_get + sort
+    "q111_salted_agg"          -> (3, 0, 0, true), // (key,salt) partial + key merge + sort
+    "q112_collation"           -> (3, 0, 0, true)) // collated distinct: expand + 2-phase agg
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
