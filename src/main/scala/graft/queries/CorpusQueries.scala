@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Graph, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Linkage, Relational, Similarity, TextAnalysis}
 
 /** Round-6 continuation (q106+): corpus-graph and compression operators —
   * C4-style cross-document segment dedup, link-graph PageRank, blocklist
@@ -134,6 +134,75 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** q113 — edit-distance similarity self-join
+    * ([[Linkage.editDistanceSelfJoin]], PassJoin partitioning, τ = 1):
+    * supplier-name pairs within one edit — candidates from the lossless
+    * segment/substring equi-join, verified with `levenshtein`. The
+    * DuckDB oracle is the brute-force all-pairs filter, so the check
+    * proves the pruning loses nothing.
+    */
+  def q113EditDistJoin(spark: SparkSession, dir: String): DataFrame =
+    Linkage.editDistanceSelfJoin(
+        Tables.load(spark, dir, "supplier"), "s_suppkey", "s_name", tau = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q114 — winsorized robust statistics: exact per-group p05/p95
+    * (percentile_cont interpolation, the q92 discipline), values clipped
+    * to the band, then DECIMAL-exact mean of the clipped column combined
+    * in one double formula (the q104 discipline — the percentile bounds
+    * make the sums order-sensitive in plain double).
+    */
+  def q114Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val b = o.groupBy(col("o_orderstatus").as("_w_st"))
+      .agg(
+        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("_w_lo"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("_w_hi"))
+    val clip = least(greatest(col("o_totalprice"), col("_w_lo")), col("_w_hi"))
+    o.join(broadcast(b), col("o_orderstatus") === col("_w_st"))
+      .select(col("o_orderstatus"), col("_w_lo"), col("_w_hi"),
+        clip.cast("decimal(18,6)").as("_w_clip"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("_w_lo")), 6).as("p05"),
+        round(first(col("_w_hi")), 6).as("p95"),
+        sum(col("_w_clip")).as("_w_sum"))
+      .select(col("o_orderstatus"), col("n"), col("p05"), col("p95"),
+        round(col("_w_sum").cast("double") / col("n"), 6).as("avg_clip"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q115 — per-source token-distribution Shannon entropy (the corpus
+    * diversity metric): token counts → −Σ p·ln p, plus totals and
+    * distinct counts. Two hash aggregations, map-side combined.
+    */
+  def q115TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    docs(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_p", col("cnt") / sum(col("cnt")).over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        round(-sum(col("_p") * log(col("_p"))), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
+  /** q116 — shingle-containment self-join
+    * ([[Linkage.containmentSelfJoin]], 5-gram, ≥ 0.5): detects documents
+    * quoted/embedded inside larger ones where plain Jaccard dilutes —
+    * inverted-index equi-join, never all-pairs; the DuckDB oracle
+    * re-derives containment from first-principles list comprehensions.
+    */
+  def q116Containment(spark: SparkSession, dir: String): DataFrame =
+    Linkage.containmentSelfJoin(docs(spark, dir), "doc_id", "text",
+        n = 5, minContainment = 0.5)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_segment_dedup" -> (q106SegmentDedup _),
     "q107_pagerank" -> (q107PageRank _),
@@ -141,7 +210,11 @@ object CorpusQueries {
     "q109_int8_quant" -> (q109Int8Quant _),
     "q110_variant" -> (q110Variant _),
     "q111_salted_agg" -> (q111SaltedAgg _),
-    "q112_collation" -> (q112Collation _))
+    "q112_collation" -> (q112Collation _),
+    "q113_editdist_join" -> (q113EditDistJoin _),
+    "q114_winsorize" -> (q114Winsorize _),
+    "q115_token_entropy" -> (q115TokenEntropy _),
+    "q116_containment" -> (q116Containment _))
 
   val oracles: Map[String, String] = Map(
     "q106_segment_dedup" ->
@@ -288,5 +361,62 @@ object CorpusQueries {
                   AS n_en,
                 count(DISTINCT m) AS n_langs_ci,
                 count(*) AS n
-         FROM t GROUP BY source ORDER BY source""")
+         FROM t GROUP BY source ORDER BY source""",
+    "q113_editdist_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM supplier a, supplier b
+         WHERE a.s_suppkey < b.s_suppkey
+           AND levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY id_a, id_b""",
+    "q114_winsorize" ->
+      """WITH b AS (
+           SELECT o_orderstatus,
+                  percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+                  percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o.o_orderstatus, count(*) AS n,
+                round(any_value(b.lo), 6) AS p05,
+                round(any_value(b.hi), 6) AS p95,
+                round(CAST(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                                    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                  AS avg_clip
+         FROM orders o JOIN b USING (o_orderstatus)
+         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""",
+    "q115_token_entropy" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS t
+           FROM documents),
+         c AS (SELECT source, t, count(*) AS cnt FROM tok GROUP BY source, t),
+         tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source)
+         SELECT c.source, any_value(tot.n) AS n_tok, count(*) AS n_distinct,
+                round(-sum((cnt / CAST(tot.n AS DOUBLE))
+                           * ln(cnt / CAST(tot.n AS DOUBLE))), 6) AS entropy
+         FROM c JOIN tot USING (source)
+         GROUP BY c.source ORDER BY c.source""",
+    "q116_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(
+                    [array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ')
+                     for i in range(CAST(len(ts)-4 AS BIGINT))])) AS gram
+           FROM toks),
+         sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ov
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT p.id_a, p.id_b, p.ov AS overlap,
+                round(greatest(p.ov / CAST(sa.s AS DOUBLE),
+                               p.ov / CAST(sb.s AS DOUBLE)), 6) AS containment
+         FROM p JOIN sz sa ON p.id_a = sa.doc_id
+                JOIN sz sb ON p.id_b = sb.doc_id
+         WHERE greatest(p.ov / CAST(sa.s AS DOUBLE),
+                        p.ov / CAST(sb.s AS DOUBLE)) >= 0.5
+         ORDER BY p.id_a, p.id_b""")
 }

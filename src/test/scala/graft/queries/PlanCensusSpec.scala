@@ -122,7 +122,13 @@ class PlanCensusSpec extends SparkSpec {
     "q109_int8_quant"          -> (1, 0, 0, true), // map-only array lambdas + sort
     "q110_variant"             -> (1, 0, 0, true), // per-row parse_json/variant_get + sort
     "q111_salted_agg"          -> (3, 0, 0, true), // (key,salt) partial + key merge + sort
-    "q112_collation"           -> (3, 0, 0, true)) // collated distinct: expand + 2-phase agg
+    "q112_collation"           -> (3, 0, 0, true), // collated distinct: expand + 2-phase agg
+    "q113_editdist_join"       -> (2, 1, 0, true), // PassJoin segment/substring equi-join
+                                                   // (probe side broadcast at this SF) + distinct
+    "q114_winsorize"           -> (3, 1, 0, true), // percentile agg + broadcast bounds + clip agg
+    "q115_token_entropy"       -> (3, 0, 0, true), // token agg + source window + final agg
+    "q116_containment"         -> (3, 2, 0, true)) // inverted-index gram join + overlap agg
+                                                   // + small size-frame broadcasts
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
