@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * Zero-length segments (strings shorter than τ+1) degrade gracefully:
   * the empty segment keys on (srcLen, segIdx) only, which is exactly the
   * tiny length-bucket bruteforce the pigeonhole requires there.
+  *
+  * Common-prefix caveat: keys sharing a long identical region (serial
+  * numbers, `Supplier#0000…`) make that region's segment a hot join key —
+  * candidates degrade toward all-pairs (measured: TPC-H supplier names,
+  * where segment 0 is identical corpus-wide, cost ≈ brute force). No
+  * exact-substring filter can prune inputs whose segments carry no
+  * entropy; strip or rotate the constant region into a discriminative
+  * form first (the salting analogue for similarity joins).
   */
 object Linkage {
 

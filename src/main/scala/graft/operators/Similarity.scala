@@ -458,23 +458,33 @@ object Similarity {
   }
 
   /** Squared-L2 distance of subvector `sv` (double elements, 1-based from
-    * `offset+1`, length = codebook row width) against ONE literal
-    * centroid — fully unrolled plan-time constant arithmetic, like
-    * [[literalPlane]]'s projections.
+    * `offset+1`, length = codebook row width) against a centroid given as
+    * a single ArrayType literal (or lambda variable).
+    *
+    * Plan-size discipline: the first implementation unrolled one
+    * `element_at(sv, i) − lit(c)` pair PER DIMENSION, which copies the
+    * `sv` subtree (often a whole [[unitNorm]] expression) dim × cells ×
+    * subspaces times — ~10⁵ expression nodes for the default PQ shape,
+    * and the optimizer's tree passes turned planning into ~40 s of driver
+    * CPU (measured on q100). `slice`+`zip_with`+`aggregate` against ONE
+    * array literal keeps the same left-fold float order in ~15 nodes.
     */
-  private def subDist(sv: Column, offset: Int, centroid: Array[Double]): Column =
-    centroid.zipWithIndex.map { case (c, d) =>
-      val x = element_at(sv, offset + d + 1) - lit(c)
-      x * x
-    }.reduce(_ + _)
+  private def subDist(sv: Column, offset: Int, centroid: Column, dsub: Int): Column =
+    aggregate(
+      zip_with(slice(sv, offset + 1, dsub), centroid, (a, c) => (a - c) * (a - c)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** argmin cell over one subspace codebook: array_min of
-    * struct(dist, cell) — deterministic smallest-cell tiebreak.
+    * struct(dist, cell) — deterministic smallest-cell tiebreak. The
+    * codebook is ONE nested-array literal; the index lambda supplies the
+    * cell id.
     */
-  private def subArgmin(sv: Column, offset: Int, codebook: Array[Array[Double]]): Column =
-    array_min(array(codebook.zipWithIndex.map { case (c, cell) =>
-      struct(subDist(sv, offset, c).as("dist"), lit(cell).as("cell"))
-    }: _*)).getField("cell")
+  private def subArgmin(sv: Column, offset: Int, codebook: Array[Array[Double]]): Column = {
+    val dsub = codebook(0).length
+    array_min(transform(typedlit(codebook.map(_.toSeq).toSeq), (c, i) =>
+      struct(subDist(sv, offset, c, dsub).as("dist"), i.as("cell"))))
+      .getField("cell")
+  }
 
   /** Train product-quantization codebooks: the vector space is split into
     * `m` contiguous subspaces of `dim/m` dimensions; each subspace gets an
@@ -591,9 +601,11 @@ object Similarity {
       codeCol: String = "pq_code"): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val nv = unitNorm(col(vecCol))
+    // bindOnce: the normalized vector is a lambda variable, not a subtree
+    // copied into every subspace argmin (see subDist's plan-size note)
     df.withColumn(codeCol,
-      array((0 until m).map(j => subArgmin(nv, j * dsub, codebooks(j))): _*))
+      graft.operators.TextAnalysis.bindOnce(unitNorm(col(vecCol)), nv =>
+        array((0 until m).map(j => subArgmin(nv, j * dsub, codebooks(j))): _*)))
   }
 
   /** IVF-PQ top-k — the 100 TB ANN search shape. Corpus rows are indexed
@@ -635,10 +647,11 @@ object Similarity {
         vecCol, codebooks, "_codes")
       .select(col(idCol).as("_cid"), col("ivf_cell").as("_cell"), col("_codes"))
 
-    val qn = unitNorm(col(vecCol))
-    val lut = array((0 until m).map { j =>
-      array(codebooks(j).map(c => subDist(qn, j * dsub, c)): _*)
-    }: _*)
+    val lut = graft.operators.TextAnalysis.bindOnce(unitNorm(col(vecCol)), qn =>
+      array((0 until m).map { j =>
+        transform(typedlit(codebooks(j).map(_.toSeq).toSeq),
+          c => subDist(qn, j * dsub, c, dsub))
+      }: _*))
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), lut.as("_lut"),
         trainedCellScores(col(vecCol), coarse).as("_scored"))

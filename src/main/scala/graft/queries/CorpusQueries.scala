@@ -135,15 +135,22 @@ object CorpusQueries {
   }
 
   /** q113 — edit-distance similarity self-join
-    * ([[Linkage.editDistanceSelfJoin]], PassJoin partitioning, τ = 1):
-    * supplier-name pairs within one edit — candidates from the lossless
+    * ([[Linkage.editDistanceSelfJoin]], PassJoin partitioning, τ = 1)
+    * over 4-token document prefixes: candidates from the lossless
     * segment/substring equi-join, verified with `levenshtein`. The
-    * DuckDB oracle is the brute-force all-pairs filter, so the check
-    * proves the pruning loses nothing.
+    * DuckDB oracle is the brute-force all-pairs filter, so the green
+    * hash proves the pruning loses nothing (26 true pairs out of ~1.4M
+    * at sf0.1). The input is deliberately high-entropy: identical-prefix
+    * keys (TPC-H's `Supplier#0000…` names) flood ANY exact-substring
+    * filter — see the operator's common-prefix caveat.
     */
   def q113EditDistJoin(spark: SparkSession, dir: String): DataFrame =
     Linkage.editDistanceSelfJoin(
-        Tables.load(spark, dir, "supplier"), "s_suppkey", "s_name", tau = 1)
+        docs(spark, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            array_join(slice(graft.operators.TextAnalysis.tokens(col("text")),
+              1, 4), " ").as("prefix")),
+        "doc_id", "prefix", tau = 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -363,11 +370,15 @@ object CorpusQueries {
                 count(*) AS n
          FROM t GROUP BY source ORDER BY source""",
     "q113_editdist_join" ->
-      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-                CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
-         FROM supplier a, supplier b
-         WHERE a.s_suppkey < b.s_suppkey
-           AND levenshtein(a.s_name, b.s_name) <= 1
+      """WITH s AS (
+           SELECT doc_id,
+                  array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                              x -> len(x) > 0)[1:4], ' ') AS p
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 1
          ORDER BY id_a, id_b""",
     "q114_winsorize" ->
       """WITH b AS (
