@@ -72,4 +72,57 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count over an undirected graph given as an edge list
+    * (direction, duplicates, and self-loops are normalized away).
+    *
+    * The degree-orientation algorithm (the MapReduce-era standard —
+    * Suri & Vassilvitskii 2011): orient every canonical edge from its
+    * lower-(degree, id) endpoint to its higher one, enumerate wedges by
+    * self-joining oriented edges on their source, and close each wedge
+    * with a semi-join against the canonical edge set. Orientation bounds
+    * the wedge fan-out per node by O(√|E|) regardless of raw degree —
+    * the hub that would explode a naive neighbor self-join generates
+    * almost no wedges because nearly all its edges point INTO it.
+    * Every join is an equi-join (shuffle-partitionable, AQE-splittable);
+    * each triangle is counted exactly once (its lowest-ranked vertex
+    * owns the wedge).
+    *
+    * Returns one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val canon = e0.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(col("a").as("id")).unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): rank(u) < rank(v) ⇒ u→v
+    val oriented = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), Seq("b"))
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("w1"))
+      .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
+      .filter(col("w1") < col("w2"))
+    // wedges carries canon in its lineage, so the closing semi-join is a
+    // self-join: canon's columns must be renamed or col("a")/col("b")
+    // resolve into the LEFT side and the filter passes every wedge
+    val closing = canon.select(col("a").as("_tc_a"), col("b").as("_tc_b"))
+    val tri = wedges.join(closing,
+        col("_tc_a") === col("w1") && col("_tc_b") === col("w2"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n")).select(col("n"))
+    val nEdges = canon.agg(count(lit(1)).as("n")).select(col("n"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(nNodes.select(col("n").as("n_nodes"))))
+      .crossJoin(broadcast(nEdges.select(col("n").as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -210,6 +210,62 @@ object CorpusQueries {
         round(col("containment"), 6).as("containment"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q117 — exact triangle counting ([[Graph.triangleCount]], the
+    * degree-orientation algorithm) over a deterministic synthetic graph
+    * (three modular out-edges per document). The DuckDB oracle is the
+    * textbook three-way self-join over canonical a<b<c edges.
+    */
+  def q117Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val nn = docs(spark, dir).agg(count(lit(1)).as("_n"))
+    val base = docs(spark, dir).select(col("doc_id")).crossJoin(broadcast(nn))
+    val edges = Seq(
+        ((col("doc_id") + 1) % col("_n")),
+        ((col("doc_id") * 2) % col("_n")),
+        ((col("doc_id") * 3 + 1) % col("_n")))
+      .map(d => base.select(col("doc_id").as("src"), d.as("dst")))
+      .reduce(_.unionAll(_))
+    Graph.triangleCount(edges, "src", "dst")
+  }
+
+  /** q118 — bounded-buffer top-k aggregate under the EXACT oracle: the
+    * B26 [[graft.functions.Aggregators.TopKPairs]] UDAF (partial
+    * aggregation ships ≤ k pairs per group per map task) versus DuckDB's
+    * ranking window — per-source top-3 documents by n_chars, ties by
+    * smallest doc_id. Proves the typed-Aggregator surface matches a
+    * ranking window's semantics row for row.
+    */
+  def q118TopKAgg(spark: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+        docs(spark, dir).select(col("source"),
+          col("n_chars").cast("double").as("score"), col("doc_id")),
+        groupCols = Seq("source"), scoreCol = "score", idCol = "doc_id", k = 3)
+      .select(col("source"), col("doc_id"),
+        col("score").cast("long").as("n_chars"), col("rank").cast("long").as("rank"))
+      .orderBy(col("source"), col("rank"))
+
+  /** q119 — gap-and-islands: maximal runs of consecutive order months
+    * per customer (the classic streak analysis), via the index-minus-
+    * row_number grouping trick. The window partitions on o_custkey —
+    * ~cardinality(customers) parallelism, each partition a handful of
+    * months — so the shape holds at any scale.
+    */
+  def q119GapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("mi"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+      .distinct()
+      .withColumn("grp", col("mi") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(min(col("mi")).as("start_mi"), max(col("mi")).as("end_mi"),
+        count(lit(1)).as("len"))
+      .filter(col("len") >= 3)
+      .select(col("o_custkey"), col("start_mi").cast("long").as("start_mi"),
+        col("end_mi").cast("long").as("end_mi"), col("len"))
+      .orderBy(col("o_custkey"), col("start_mi"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_segment_dedup" -> (q106SegmentDedup _),
     "q107_pagerank" -> (q107PageRank _),
@@ -221,7 +277,10 @@ object CorpusQueries {
     "q113_editdist_join" -> (q113EditDistJoin _),
     "q114_winsorize" -> (q114Winsorize _),
     "q115_token_entropy" -> (q115TokenEntropy _),
-    "q116_containment" -> (q116Containment _))
+    "q116_containment" -> (q116Containment _),
+    "q117_triangles" -> (q117Triangles _),
+    "q118_topk_agg" -> (q118TopKAgg _),
+    "q119_gap_islands" -> (q119GapIslands _))
 
   val oracles: Map[String, String] = Map(
     "q106_segment_dedup" ->
@@ -429,5 +488,44 @@ object CorpusQueries {
                 JOIN sz sb ON p.id_b = sb.doc_id
          WHERE greatest(p.ov / CAST(sa.s AS DOUBLE),
                         p.ov / CAST(sb.s AS DOUBLE)) >= 0.5
-         ORDER BY p.id_a, p.id_b""")
+         ORDER BY p.id_a, p.id_b""",
+    "q117_triangles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS s, (doc_id+1) % nn.n AS d FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id*2) % nn.n FROM documents, nn
+           UNION ALL SELECT doc_id, (doc_id*3+1) % nn.n FROM documents, nn),
+         canon AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                   FROM e0 WHERE s <> d)
+         SELECT (SELECT count(*) FROM
+                   (SELECT DISTINCT id FROM
+                     (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)))
+                  AS n_nodes,
+                (SELECT count(*) FROM canon) AS n_edges,
+                (SELECT count(*) FROM canon e1
+                   JOIN canon e2 ON e2.a = e1.b
+                   JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+    "q118_topk_agg" ->
+      """SELECT source, doc_id, n_chars, rank FROM (
+           SELECT source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rank
+           FROM documents) t
+         WHERE rank <= 3 ORDER BY source, rank""",
+    "q119_gap_islands" ->
+      """WITH m AS (
+           SELECT DISTINCT o_custkey,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+           FROM orders),
+         g AS (
+           SELECT o_custkey, mi,
+                  mi - row_number() OVER (PARTITION BY o_custkey ORDER BY mi)
+                    AS grp
+           FROM m)
+         SELECT o_custkey,
+                CAST(min(mi) AS BIGINT) AS start_mi,
+                CAST(max(mi) AS BIGINT) AS end_mi, count(*) AS len
+         FROM g GROUP BY o_custkey, grp
+         HAVING count(*) >= 3
+         ORDER BY o_custkey, start_mi""")
 }

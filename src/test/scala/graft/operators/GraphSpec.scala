@@ -82,4 +82,39 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", -1))
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "d", 1, damping = 1.0))
   }
+
+  test("triangleCount: complete graphs, squares, and normalization") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K3: one triangle
+    assert(count(Seq((0L, 1L), (1L, 2L), (2L, 0L))) == ((3L, 3L, 1L)))
+    // K4: C(4,3) = 4 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(count(k4) == ((4L, 6L, 4L)))
+    // square without diagonals: 0 triangles
+    assert(count(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) == ((4L, 4L, 0L)))
+    // duplicates, reversed edges, self-loops all normalize away
+    assert(count(Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (1L, 2L), (2L, 0L))) == ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches a driver-side reference on a random graph") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val cs = canon.toSet
+    // brute-force triple enumeration (NOT an adjacency-set comprehension:
+    // a Set generator in a for/yield collapses same-valued yields)
+    val n = 30L
+    val want = (for {
+      x <- 0L until n; y <- x + 1 until n; z <- y + 1 until n
+      if cs((x, y)) && cs((x, z)) && cs((y, z))
+    } yield (x, y, z)).size
+    val r = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect().head
+    assert(r.getLong(1) == canon.size.toLong)
+    assert(r.getLong(2) == want.toLong, s"expected $want triangles")
+  }
 }

@@ -33,9 +33,12 @@ class PlanCensusSpec extends SparkSpec {
   //  - q101_seq_packing / q103_shuffle_pack: the packing-bucket
   //    boundaries are a 1-row broadcast (q62's declared shape), replayed
   //    on both consumers
+  //  - q117_triangles: the node-count/edge-count scalars join the 1-row
+  //    result via broadcast "loops" over exactly one row (q62's shape);
+  //    the triangle enumeration itself is equi-join only
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
-    "q103_shuffle_pack")
+    "q103_shuffle_pack", "q117_triangles")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -127,8 +130,12 @@ class PlanCensusSpec extends SparkSpec {
                                                    // (probe side broadcast at this SF) + distinct
     "q114_winsorize"           -> (3, 1, 0, true), // percentile agg + broadcast bounds + clip agg
     "q115_token_entropy"       -> (3, 0, 0, true), // token agg + source window + final agg
-    "q116_containment"         -> (3, 2, 0, true)) // inverted-index gram join + overlap agg
+    "q116_containment"         -> (3, 2, 0, true), // inverted-index gram join + overlap agg
                                                    // + small size-frame broadcasts
+    "q117_triangles"           -> (5, 6, 2, true), // orient joins + wedge join + closing
+                                                   // semi; 1-row scalar broadcasts (q62 shape)
+    "q118_topk_agg"            -> (2, 0, 0, true), // bounded-buffer partial+final agg + sort
+    "q119_gap_islands"         -> (3, 0, 0, true)) // distinct + custkey window + island agg
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
