@@ -266,6 +266,52 @@ object CorpusQueries {
       .orderBy(col("o_custkey"), col("start_mi"))
   }
 
+  /** q120 — snapshot TIME-TRAVEL diff (the lakehouse AS-OF read): the
+    * per-customer latest-order state ([[graft.operators.Snapshot
+    * .latestByKey]] — map-side-combining max_by, never a full-history
+    * window) materialized at two cutoff dates, then the SCD-style change
+    * census between them: keys added, keys whose latest record moved,
+    * keys unchanged. Two bounded aggregations + one key join.
+    */
+  def q120SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    def asOf(cut: String): DataFrame =
+      graft.operators.Snapshot.latestByKey(
+        o.filter(col("o_orderdate") <= lit(cut)),
+        keyCols = Seq("o_custkey"), versionCols = Seq("o_orderdate", "o_orderkey"))
+    val t1 = asOf("1997-01-01").select(col("o_custkey"), col("o_orderkey").as("k1"))
+    val t2 = asOf("1999-01-01").select(col("o_custkey"), col("o_orderkey").as("k2"))
+    // CASE-style counting: a null k1 must fall into the 0 branch, not
+    // null out the sum (an all-null condition would make sum() NULL)
+    t2.join(t1, Seq("o_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_t2"),
+        sum(when(col("k1").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("k1").isNotNull && col("k1") =!= col("k2"), 1L)
+          .otherwise(0L)).as("changed"),
+        sum(when(col("k1") === col("k2"), 1L).otherwise(0L)).as("unchanged"))
+  }
+
+  /** q121 — feature hashing (the hashing-trick featurizer): tokens
+    * bucketed by an md5-derived hash mod 64 (cross-engine, seed-free),
+    * per-document bucket counts as sparse (doc_id, bucket, cnt) rows.
+    * Map-side explode + one hash aggregation; the hash is computed from
+    * the token text so the feature space is fixed at 64 regardless of
+    * vocabulary size — the property that makes it work on an unbounded
+    * 100 TB vocabulary.
+    */
+  def q121FeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long"), lit(64))
+    docs(spark, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_segment_dedup" -> (q106SegmentDedup _),
     "q107_pagerank" -> (q107PageRank _),
@@ -280,7 +326,9 @@ object CorpusQueries {
     "q116_containment" -> (q116Containment _),
     "q117_triangles" -> (q117Triangles _),
     "q118_topk_agg" -> (q118TopKAgg _),
-    "q119_gap_islands" -> (q119GapIslands _))
+    "q119_gap_islands" -> (q119GapIslands _),
+    "q120_snapshot_diff" -> (q120SnapshotDiff _),
+    "q121_feature_hash" -> (q121FeatureHash _))
 
   val oracles: Map[String, String] = Map(
     "q106_segment_dedup" ->
@@ -527,5 +575,38 @@ object CorpusQueries {
                 CAST(max(mi) AS BIGINT) AS end_mi, count(*) AS len
          FROM g GROUP BY o_custkey, grp
          HAVING count(*) >= 3
-         ORDER BY o_custkey, start_mi""")
+         ORDER BY o_custkey, start_mi""",
+    "q120_snapshot_diff" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderkey AS k1 FROM (
+             SELECT o_custkey, o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate <= DATE '1997-01-01') WHERE rn = 1),
+         s2 AS (
+           SELECT o_custkey, o_orderkey AS k2 FROM (
+             SELECT o_custkey, o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE o_orderdate <= DATE '1999-01-01') WHERE rn = 1)
+         SELECT count(*) AS n_t2,
+                CAST(sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS added,
+                CAST(sum(CASE WHEN k1 IS NOT NULL AND k1 <> k2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS changed,
+                CAST(sum(CASE WHEN k1 = k2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS unchanged
+         FROM s2 LEFT JOIN s1 USING (o_custkey)""",
+    "q121_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS t
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id,
+                CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT) % 64
+                  AS bucket,
+                count(*) AS cnt
+         FROM tok GROUP BY doc_id, bucket
+         ORDER BY doc_id, bucket""")
 }

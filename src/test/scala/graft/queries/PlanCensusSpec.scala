@@ -135,7 +135,9 @@ class PlanCensusSpec extends SparkSpec {
     "q117_triangles"           -> (5, 6, 2, true), // orient joins + wedge join + closing
                                                    // semi; 1-row scalar broadcasts (q62 shape)
     "q118_topk_agg"            -> (2, 0, 0, true), // bounded-buffer partial+final agg + sort
-    "q119_gap_islands"         -> (3, 0, 0, true)) // distinct + custkey window + island agg
+    "q119_gap_islands"         -> (3, 0, 0, true), // distinct + custkey window + island agg
+    "q120_snapshot_diff"       -> (3, 1, 0, true), // two max_by snapshots + key join + census
+    "q121_feature_hash"        -> (2, 0, 0, true)) // explode + hash agg + sort
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
