@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics extensions: time-decayed features, data-profiling
+  * and privacy audits, robust statistics, n-gram language-model counts,
+  * and contrastive-pair mining — the feature-engineering layer of a
+  * training-data pipeline, each with a dual-engine DuckDB oracle shape.
+  *
+  * Scale discipline (SURVEY §6): every operator here either aggregates
+  * before it windows (weightedMedian, bigramConditionalTop), windows
+  * over high-cardinality partitions only (ewmaLast, runningDistinct), or
+  * reduces to a constant-size frame (columnProfile, madOutlierStats) —
+  * no full-table sort, no low-cardinality window partition, no driver
+  * collect.
+  */
+object Analytics {
+
+  /** Fused native cosine (codegen'd single loop) — same expression the
+    * Similarity operators use on their hot paths.
+    */
+  private def cosineOf(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    graft.functions.CosineSimilarity.cosineSim(a, b)
+  }
+
+  /** Exponentially-weighted moving average, last value per key.
+    *
+    * The recursive form s_i = α·x_i + (1−α)·s_{i−1} (s_1 = x_1) has the
+    * closed form, at the final row n of each key:
+    *
+    *   s_n = (1−α)^(n−1)·x_1 + Σ_{i=2..n} α·(1−α)^(n−i)·x_i
+    *
+    * which is a plain aggregate once each row knows its position i and
+    * its key's length n — one window pass (partition = `key`, a
+    * high-cardinality column by contract) followed by a groupBy on the
+    * SAME key, so Catalyst reuses the window's hash partitioning and the
+    * whole operator is a single exchange.
+    *
+    * Float discipline: a sum of ≤ n doubles with identical per-term
+    * values on both engines (pow is IEEE on both); drift is
+    * O(n·ulp·magnitude) ≈ 1e−9 absolute for n ≤ 100 at 1e5 magnitude —
+    * callers round at 4 decimals, a >10³ guard band.
+    */
+  def ewmaLast(
+      df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    Seq("_ew_rn", "_ew_n").foreach(c =>
+      require(!df.columns.contains(c), s"input already has column $c"))
+    val w = Window.partitionBy(col(key)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(key))
+    val x = col(valueCol).cast("double")
+    val decay = pow(lit(1.0 - alpha), col("_ew_n") - col("_ew_rn"))
+    val term = when(col("_ew_rn") === 1, decay * x)
+      .otherwise(lit(alpha) * decay * x)
+    df.withColumn("_ew_rn", row_number().over(w))
+      .withColumn("_ew_n", count(lit(1)).over(wAll))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(term).as("ewma"))
+  }
+
+  /** Exact per-column profile of numeric columns — the data-contract /
+    * expectations primitive (count, nulls, exact distinct, min, max,
+    * mean): one aggregate pass computing every stat, then a map-side
+    * `stack` pivots the 6·|cols| scalars into one row per column.
+    *
+    * Exact COUNT(DISTINCT c1), ..., COUNT(DISTINCT ck) in one agg plans
+    * as a k-way Expand (each input row k copies) — the exact form is the
+    * oracle-checkable one; at 100 TB swap `count_distinct` for
+    * `approx_count_distinct` (B5's HLL surface) and the Expand vanishes.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(count(v).as(s"_n_$c"),
+        sum(v.isNull.cast("long")).as(s"_nn_$c"),
+        count_distinct(v).as(s"_nd_$c"),
+        min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"),
+        avg(v).as(s"_av_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', _n_$c, _nn_$c, _nd_$c, _mn_$c, _mx_$c, round(_av_$c, 6)")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n, n_null, n_distinct, min_v, max_v, avg_v)")
+  }
+
+  /** Running COUNT(DISTINCT `valueCol`) per `key` in `orderCols` order —
+    * the streaming-feature form of cumulative cardinality. Exact, no
+    * distinct-over-window (which Spark does not support): a row is a
+    * "first sight" when row_number over (key, value) is 1; the running
+    * distinct count is the running sum of first-sight flags over (key).
+    * Two window passes, both partitioned by the high-cardinality key
+    * (the second re-shuffles from (key, value) to (key)).
+    */
+  def runningDistinct(
+      df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    Seq("_rd_first", "rd").foreach(c =>
+      require(!df.columns.contains(c), s"input already has column $c"))
+    val wFirst = Window.partitionBy(col(key), col(valueCol))
+      .orderBy(orderCols.map(col): _*)
+    val wRun = Window.partitionBy(col(key))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_rd_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("rd", sum(col("_rd_first")).over(wRun))
+      .drop("_rd_first")
+  }
+
+  /** k-anonymity audit: quasi-identifier groups with fewer than `k`
+    * members — the rows a privacy review must generalize or suppress.
+    * One hash aggregate over the QID tuple; output is the risky-group
+    * listing (QIDs + group size), small by construction at any scale
+    * (bounded by the number of distinct QID tuples under k members).
+    */
+  def kAnonymityRisk(df: DataFrame, qids: Seq[Column], names: Seq[String],
+      k: Int): DataFrame = {
+    require(qids.nonEmpty && qids.size == names.size && k >= 2)
+    df.groupBy(qids.zip(names).map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** Exact weighted median over INTEGER weights, computed
+    * aggregate-first: per-(group, value) weight sums shrink the frame to
+    * |groups|·|distinct values| rows BEFORE any window runs, so the
+    * cumulative-weight scan is over a tiny aggregated histogram — the
+    * scale-safe shape for low-cardinality groups where a per-row window
+    * would single-task each group (the q79 lesson). Integer weights keep
+    * the cumulative sums and the 2·cum ≥ total boundary predicate exact
+    * on both engines — no float discipline needed anywhere.
+    *
+    * Returns the lower weighted median: the smallest value v whose
+    * cumulative weight W(≤v) satisfies 2·W ≥ total.
+    */
+  def weightedMedian(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: Column): DataFrame = {
+    val gs = groupCols.map(col)
+    val hist = df.groupBy(gs :+ col(valueCol): _*)
+      .agg(sum(weightCol).as("_wm_w"))
+    val wCum = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = hist
+      .withColumn("_wm_cum", sum(col("_wm_w")).over(wCum))
+      .withColumn("_wm_tot", sum(col("_wm_w")).over(wAll))
+      .filter(col("_wm_cum") * 2 >= col("_wm_tot"))
+    val wPick = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    ranked.withColumn("_wm_rn", row_number().over(wPick))
+      .filter(col("_wm_rn") === 1)
+      .select(gs ++ Seq(col(valueCol).cast("double").as("wmedian"),
+        col("_wm_tot").as("total_w")): _*)
+  }
+
+  /** Robust outlier statistics per group: median, MAD (median absolute
+    * deviation), and the count of |x − med| > cutoff·1.4826·MAD rows —
+    * the median/MAD z-score filter of a data-cleaning pass. Three
+    * aggregate passes (median → MAD → outlier count), each a map-side-
+    * combined hash agg; the per-group interpolated medians use
+    * percentile_cont, the q92 cross-engine discipline. The two broadcast
+    * joins ship |groups| rows. At 100 TB the exact percentiles swap for
+    * approx_percentile without changing the operator shape.
+    */
+  def madOutlierStats(
+      df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double): DataFrame = {
+    val g = col(groupCol); val x = col(valueCol).cast("double")
+    val base = df.select(g, x.as("_mo_x"))
+    val med = base.groupBy(g)
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _mo_x)").as("_mo_med"))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+    val mad = withMed.groupBy(g)
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _mo_ad)").as("_mo_mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("_mo_med")), 6).as("med"),
+        round(first(col("_mo_mad")), 6).as("mad"),
+        sum((col("_mo_ad") > lit(cutoff * 1.4826) * col("_mo_mad"))
+          .cast("long")).as("n_outliers"))
+  }
+
+  /** Top-k bigrams per group with conditional probability — the n-gram
+    * language-model count table (KenLM-style) over a corpus. Bigrams are
+    * built map-side with arrays_zip over two token-array slices (no
+    * self-join), counted by (group, w1, w2); P(w2|w1) divides by the
+    * bigram-prefix count via a window over (group, w1) — which runs on
+    * the AGGREGATED count frame, not per-token rows. The final top-k is
+    * a ranking window per group over that same small frame.
+    */
+  def bigramConditionalTop(
+      df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val ts = TextAnalysis.tokens(col(textCol))
+    val bigrams = TextAnalysis.bindOnce(ts, t =>
+      arrays_zip(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0)))))
+    val pairs = df
+      .select(col(groupCol), explode(bigrams).as("_bg"))
+      .select(col(groupCol), col("_bg").getField("0").as("w1"),
+        col("_bg").getField("1").as("w2"))
+    val counts = pairs.groupBy(col(groupCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPrefix = Window.partitionBy(col(groupCol), col("w1"))
+    val wTop = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+    counts
+      .withColumn("cond_p",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(wPrefix), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  /** Contrastive hard-negative mining: for each probe vector, the single
+    * most-cosine-similar corpus vector with a DIFFERENT label — the
+    * highest-loss negative for metric learning. This is the exact O(P·N)
+    * baseline (probes broadcast against the corpus, same contract as
+    * [[Similarity.bruteForceTopK]]); the 100 TB form swaps the candidate
+    * generator for [[Similarity.lshTopK]]-style banding with a
+    * label-inequality post-filter and is pinned against this one on
+    * overlapping data in AnalyticsSpec.
+    */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      probeFilter: Column): DataFrame = {
+    val c = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+        col(labelCol).as("_cl"))
+    val q = emb.filter(col(vecCol).isNotNull).filter(probeFilter)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+        col(labelCol).as("_ql"))
+    // argmax as an AGGREGATE, not a window: max over the orderable struct
+    // (cos, -id, payload) is map-side combinable, so each scan partition
+    // reduces its candidates to one row per probe before the (tiny)
+    // shuffle — a window by probe would instead shuffle the full P·N
+    // candidate frame and sort corpus-sized partitions.
+    val best = c.crossJoin(broadcast(q))
+      .filter(col("_ql") =!= col("_cl"))
+      .withColumn("_cos", cosineOf(emb, col("_qv"), col("_cv")))
+      .groupBy(col("_qid"), col("_ql"))
+      .agg(max(struct(col("_cos"), (-col("_cid")).as("_negid"),
+        col("_cl"))).as("_b"))
+    best.select(col("_qid").as("query_id"), col("_ql").as("query_label"),
+      (-col("_b._negid")).as("negative_id"),
+      col("_b._cl").as("negative_label"),
+      round(col("_b._cos"), 6).as("cosine"))
+  }
+
+  /** SemDeDup-style embedding pruning, exact form: drop every vector
+    * that has a cosine-≥-tau neighbor with a SMALLER id (the greedy
+    * min-id-wins rule — non-transitive, one pass, the pruning used on
+    * embedding-deduped corpora). Pair generation here is the exact
+    * all-pairs baseline; at scale the SAME keep rule runs over
+    * [[Dedup.embeddingNearDupPairs]]'s banded LSH candidates (candidate
+    * generation swaps, the keep rule does not — AnalyticsSpec pins the
+    * rule itself on hand-planted pair sets).
+    */
+  def semDedupKeep(
+      emb: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val a = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_aid"), col(vecCol).as("_av"))
+    val b = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+    val dominated = a.crossJoin(b)
+      .filter(col("_bid") < col("_aid"))
+      .filter(cosineOf(emb, col("_av"), col("_bv")) >= tau)
+      .select(col("_aid")).distinct()
+    emb.join(dominated, emb(idCol) === dominated("_aid"), "left_anti")
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit pins for [[Analytics]]: each operator against a hand-computed or
+  * independently-derived reference on data small enough to verify by eye
+  * — edge cases the sf-scale dual-engine oracles don't reach (empty
+  * groups, ties at predicate boundaries, single-element partitions,
+  * all-same-label probes).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ewmaLast -----------------------------------------------------
+
+  test("ewmaLast matches the recursive definition") {
+    // s_1 = x_1; s_i = a x_i + (1-a) s_{i-1}
+    val xs = Map(
+      1L -> Seq(10.0, 20.0, 30.0, 40.0),
+      2L -> Seq(5.0),
+      3L -> Seq(1.0, 1.0, 1.0))
+    val a = 0.3
+    val rows = xs.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i, v) }
+    }
+    val df = rows.toDF("k", "ord", "x")
+    val got = Analytics.ewmaLast(df, "k", Seq("ord"), "x", a)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    xs.foreach { case (k, vs) =>
+      val ref = vs.tail.foldLeft(vs.head)((s, x) => a * x + (1 - a) * s)
+      val (n, ew) = got(k)
+      assert(n == vs.size)
+      assert(math.abs(ew - ref) < 1e-9, s"key $k: $ew vs $ref")
+    }
+  }
+
+  test("ewmaLast rejects out-of-range alpha and colliding columns") {
+    val df = Seq((1L, 1, 1.0)).toDF("k", "ord", "x")
+    intercept[IllegalArgumentException](
+      Analytics.ewmaLast(df, "k", Seq("ord"), "x", 0.0))
+    intercept[IllegalArgumentException](
+      Analytics.ewmaLast(df, "k", Seq("ord"), "x", 1.0))
+    val bad = df.withColumn("_ew_rn", lit(1))
+    intercept[IllegalArgumentException](
+      Analytics.ewmaLast(bad, "k", Seq("ord"), "x", 0.5))
+  }
+
+  // ---- columnProfile ------------------------------------------------
+
+  test("columnProfile counts nulls, exact distincts, min/max/avg") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 4.0), (2.0, 6.0), (3.0, null))
+      .toDF("a", "b")
+    val p = Analytics.columnProfile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = p("a")
+    assert(ra.getLong(1) == 4 && ra.getLong(2) == 0 && ra.getLong(3) == 3)
+    assert(ra.getDouble(4) == 1.0 && ra.getDouble(5) == 3.0 &&
+      ra.getDouble(6) == 2.0)
+    val rb = p("b")
+    assert(rb.getLong(1) == 2 && rb.getLong(2) == 2 && rb.getLong(3) == 2)
+    assert(rb.getDouble(4) == 4.0 && rb.getDouble(5) == 6.0 &&
+      rb.getDouble(6) == 5.0)
+  }
+
+  // ---- runningDistinct ----------------------------------------------
+
+  test("runningDistinct is the exact cumulative cardinality") {
+    val df = Seq(
+      (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "a"), (1L, 4, "c"), (1L, 5, "b"),
+      (2L, 1, "z"))
+      .toDF("k", "ord", "v")
+    val got = Analytics.runningDistinct(df, "k", Seq("ord"), "v")
+      .orderBy($"k", $"ord").select($"rd").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 2L, 3L, 3L, 1L))
+  }
+
+  // ---- kAnonymityRisk -----------------------------------------------
+
+  test("kAnonymityRisk lists only under-k groups") {
+    val df = (Seq.fill(5)(("x", 1)) ++ Seq(("y", 1), ("y", 2)))
+      .toDF("q1", "q2")
+    val got = Analytics.kAnonymityRisk(df, Seq($"q1", $"q2"),
+        Seq("a", "b"), k = 5)
+      .orderBy($"a", $"b").collect()
+    assert(got.toSeq == Seq(Row("y", 1, 1L), Row("y", 2, 1L)))
+  }
+
+  // ---- weightedMedian -----------------------------------------------
+
+  test("weightedMedian picks the lower weighted median, exact at the boundary") {
+    // group g1: values 1 (w 1), 2 (w 1) — total 2, 2*cum(1)=2 >= 2 → 1.0
+    // group g2: values 1 (w 1), 2 (w 3) — total 4, value 1 has 2*1 < 4 → 2.0
+    // group g3: single value           → itself
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 1L),
+      ("g2", 1.0, 1L), ("g2", 2.0, 2L), ("g2", 2.0, 1L),
+      ("g3", 7.0, 9L))
+      .toDF("g", "v", "w")
+    val got = Analytics.weightedMedian(df, Seq("g"), "v", col("w"))
+      .orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq(("g1", 1.0, 2L), ("g2", 2.0, 4L), ("g3", 7.0, 9L)))
+  }
+
+  // ---- madOutlierStats ----------------------------------------------
+
+  test("madOutlierStats matches hand-computed median/MAD/outliers") {
+    // values: 1..9 plus a wild 1000 → med 5.5, ads {0.5,...,4.5, 994.5}
+    // → mad 2.5, cutoff 3·1.4826·2.5 = 11.1195 → one outlier (1000)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("g", "x")
+    val r = Analytics.madOutlierStats(df, "g", "x", cutoff = 3.0).collect()(0)
+    assert(r.getLong(1) == 10)
+    assert(r.getDouble(2) == 5.5)
+    assert(r.getDouble(3) == 2.5)
+    assert(r.getLong(4) == 1L)
+  }
+
+  // ---- bigramConditionalTop -----------------------------------------
+
+  test("bigramConditionalTop counts bigrams and conditional probabilities") {
+    val df = Seq(
+      ("s", "a b a b"), // bigrams: (a,b) (b,a) (a,b)
+      ("s", "a c"),     // (a,c)
+      ("s", "x"),       // no bigram
+      ("s", ""))        // no bigram
+      .toDF("src", "text")
+    val got = Analytics.bigramConditionalTop(df, "src", "text", k = 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // counts: (a,b)=2, (a,c)=1, (b,a)=1; P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    assert(got == Seq(("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  // ---- hardNegatives -------------------------------------------------
+
+  test("hardNegatives struct-max agg equals a ranking-window reference") {
+    val rnd = new scala.util.Random(42)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val got = Analytics.hardNegatives(df, "vec_id", "embedding", "label",
+        col("vec_id") % 5 === 0)
+      .orderBy($"query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+
+    // reference: explicit window ranking over the same cosine expression
+    graft.functions.CosineSimilarity.register(spark)
+    val c = df.select($"vec_id".as("cid"), $"embedding".as("cv"), $"label".as("cl"))
+    val q = df.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"label".as("ql"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+    val ref = q.crossJoin(c).filter($"ql" =!= $"cl")
+      .withColumn("cos",
+        graft.functions.CosineSimilarity.cosineSim($"qv", $"cv"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .orderBy($"qid").collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == ref)
+  }
+
+  test("hardNegatives emits no row when every candidate shares the label") {
+    val df = Seq((1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Analytics.hardNegatives(df, "vec_id", "embedding", "label",
+      col("vec_id") === 1).count() == 0)
+  }
+
+  // ---- semDedupKeep --------------------------------------------------
+
+  test("semDedupKeep: min id survives each planted near-dup pair") {
+    // 1 and 3 identical; 2 orthogonal; 4 = 3 scaled (cos 1) — keep {1, 2}
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0f, 0f)),
+      (4L, Array(2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Analytics.semDedupKeep(df, "vec_id", "embedding", tau = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("semDedupKeep keep rule is non-transitive (chain keeps the middle-dropped ends correctly)") {
+    // a·b = cos 0.9, b·c = cos 0.9, a·c = cos 0.62 (below tau): with
+    // tau 0.8 the min-id rule drops b (near a) and keeps c (its only
+    // smaller-id near-neighbor is b, but the rule is pairwise against
+    // ALL smaller ids regardless of their own survival — c's neighbor b
+    // is < c and near, so c drops too). Documents the greedy semantics.
+    val deg = math.toRadians(25.84) // cos ≈ 0.9
+    val a = Array(1f, 0f)
+    val b = Array(math.cos(deg).toFloat, math.sin(deg).toFloat)
+    val c = Array(math.cos(2 * deg).toFloat, math.sin(2 * deg).toFloat)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val kept = Analytics.semDedupKeep(df, "vec_id", "embedding", tau = 0.8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+}

@@ -36,9 +36,13 @@ class PlanCensusSpec extends SparkSpec {
   //  - q117_triangles: the node-count/edge-count scalars join the 1-row
   //    result via broadcast "loops" over exactly one row (q62's shape);
   //    the triangle enumeration itself is equi-join only
+  //  - q129_hard_negatives / q130_semdedup: the declared exact all-pairs
+  //    baselines (q28's contract) — the scale path is the banded-LSH
+  //    candidate generator, equi-join only
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
-    "q103_shuffle_pack", "q117_triangles")
+    "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
+    "q130_semdedup")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -137,7 +141,22 @@ class PlanCensusSpec extends SparkSpec {
     "q118_topk_agg"            -> (2, 0, 0, true), // bounded-buffer partial+final agg + sort
     "q119_gap_islands"         -> (3, 0, 0, true), // distinct + custkey window + island agg
     "q120_snapshot_diff"       -> (3, 1, 0, true), // two max_by snapshots + key join + census
-    "q121_feature_hash"        -> (2, 0, 0, true)) // explode + hash agg + sort
+    "q121_feature_hash"        -> (2, 0, 0, true), // explode + hash agg + sort
+    "q122_ewma"                -> (2, 0, 0, true), // custkey window reused by the
+                                                   // groupBy (same key) + final sort
+    "q123_profile"             -> (2, 0, 0, true), // 4-way Expand distinct agg, 1-row stack
+    "q124_running_distinct"    -> (3, 0, 0, true), // (key,val) window + key window + sort
+    "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
+    "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
+                                                   // the |groups|×50 frame + sort
+    "q127_mad_outliers"        -> (4, 2, 0, true), // med agg + mad agg (each broadcast
+                                                   // back) + final census agg + sort
+    "q128_bigram_lm"           -> (3, 0, 0, true), // map-side bigrams + count agg +
+                                                   // prefix/ranking windows + sort
+    "q129_hard_negatives"      -> (2, 1, 1, true), // declared exact baseline: probe
+                                                   // broadcast loop + struct-max agg
+    "q130_semdedup"            -> (3, 1, 1, true)) // declared exact baseline: all-pairs
+                                                   // + distinct + anti-join
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
