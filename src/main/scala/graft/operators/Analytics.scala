@@ -64,30 +64,38 @@ object Analytics {
 
   /** Exact per-column profile of numeric columns — the data-contract /
     * expectations primitive (count, nulls, exact distinct, min, max,
-    * mean): one aggregate pass computing every stat, then a map-side
-    * `stack` pivots the 6·|cols| scalars into one row per column.
+    * mean), histogram-first: posexplode fans each row into |cols|
+    * (column-index, value) pairs map-side, a (column, value) count
+    * aggregate (map-side combined — the shuffle carries unique values,
+    * not rows) builds per-column histograms, and every stat falls out of
+    * one tiny aggregate over the histogram (n = Σ counts, distinct =
+    * #non-null groups, mean = Σ value·count / n). Two shuffles total.
     *
-    * Exact COUNT(DISTINCT c1), ..., COUNT(DISTINCT ck) in one agg plans
-    * as a k-way Expand (each input row k copies) — the exact form is the
-    * oracle-checkable one; at 100 TB swap `count_distinct` for
-    * `approx_count_distinct` (B5's HLL surface) and the Expand vanishes.
+    * This replaces the obvious multi-COUNT(DISTINCT) single agg, whose
+    * |cols|-way Expand re-hashes |cols|·N rows through one aggregate
+    * (measured 2.2 s vs 1.0 s at 600k×4 on the same box; a union of
+    * per-column pruned-scan histograms ties at 0.9 s but spends 8
+    * shuffles and 4 scans for it). At 100 TB a
+    * heavy-cardinality column can swap the exact distinct for B5's HLL
+    * without changing this shape.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column")
-    val aggs = cols.flatMap { c =>
-      val v = col(c).cast("double")
-      Seq(count(v).as(s"_n_$c"),
-        sum(v.isNull.cast("long")).as(s"_nn_$c"),
-        count_distinct(v).as(s"_nd_$c"),
-        min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"),
-        avg(v).as(s"_av_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', _n_$c, _nn_$c, _nd_$c, _mn_$c, _mx_$c, round(_av_$c, 6)")
-      .mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column, n, n_null, n_distinct, min_v, max_v, avg_v)")
+    val pairs = df.select(posexplode(
+      array(cols.map(c => col(c).cast("double")): _*)).as(Seq("_ci", "_v")))
+    val hist = pairs.groupBy(col("_ci"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val nonNull = sum(when(col("_v").isNotNull, col("_c")))
+    hist.groupBy(col("_ci"))
+      .agg(
+        coalesce(nonNull, lit(0L)).as("n"),
+        coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("n_null"),
+        count(col("_v")).as("n_distinct"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
+        round(sum(col("_v") * col("_c")) / nonNull, 6).as("avg_v"))
+      .select(element_at(typedlit(cols), col("_ci") + 1).as("column"),
+        col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("avg_v"))
   }
 
   /** Running COUNT(DISTINCT `valueCol`) per `key` in `orderCols` order —

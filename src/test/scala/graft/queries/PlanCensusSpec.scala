@@ -144,7 +144,8 @@ class PlanCensusSpec extends SparkSpec {
     "q121_feature_hash"        -> (2, 0, 0, true), // explode + hash agg + sort
     "q122_ewma"                -> (2, 0, 0, true), // custkey window reused by the
                                                    // groupBy (same key) + final sort
-    "q123_profile"             -> (2, 0, 0, true), // 4-way Expand distinct agg, 1-row stack
+    "q123_profile"             -> (3, 0, 0, true), // histogram-first: (col,value) agg
+                                                   // + profile agg + sort (no Expand)
     "q124_running_distinct"    -> (3, 0, 0, true), // (key,val) window + key window + sort
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
