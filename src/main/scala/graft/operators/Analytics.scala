@@ -263,6 +263,75 @@ object Analytics {
       round(col("_b._cos"), 6).as("cosine"))
   }
 
+  /** Cross-corpus n-gram overlap matrix: for every unordered pair of
+    * groups (sources, shards, snapshots), the DISTINCT word-n-gram
+    * overlap and Jaccard similarity — the corpus-level contamination /
+    * drift matrix (which sources re-post which, how much a new crawl
+    * shares with the last one).
+    *
+    * Scale shape: per-doc distinct grams (array_distinct map-side) →
+    * global distinct (group, gram) — vocabulary-sized, not corpus-sized
+    * — → inverted-index equi-join on the gram between groups (per-gram
+    * fan-out bounded by |groups|², never all-document-pairs) → map-side
+    * combinable overlap counts; sizes join back as a |groups|-row
+    * broadcast. Jaccard = ov/(|A|+|B|−ov) is an integer division, exact
+    * cross-engine.
+    */
+  def corpusOverlapMatrix(
+      df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val gramArr = TextAnalysis.bindOnce(toks, ts =>
+      when(size(ts) >= n,
+        array_distinct(transform(sequence(lit(0), size(ts) - n),
+          i => array_join(slice(ts, i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>")))
+    val grams = df.select(col(groupCol).as("_co_grp"),
+        explode(gramArr).as("_co_gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("_co_grp"))
+      .agg(count(lit(1)).as("_co_sz"))
+    grams.select(col("_co_grp").as("_co_a"), col("_co_gram"))
+      .join(grams.select(col("_co_grp").as("_co_b"), col("_co_gram")),
+        Seq("_co_gram"))
+      .filter(col("_co_a") < col("_co_b"))
+      .groupBy(col("_co_a"), col("_co_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(sizes.select(col("_co_grp").as("_co_a"),
+        col("_co_sz").as("n_a"))), Seq("_co_a"))
+      .join(broadcast(sizes.select(col("_co_grp").as("_co_b"),
+        col("_co_sz").as("n_b"))), Seq("_co_b"))
+      .select(col("_co_a").as("group_a"), col("_co_b").as("group_b"),
+        col("n_a"), col("n_b"), col("overlap"),
+        round(col("overlap") / (col("n_a") + col("n_b") - col("overlap"))
+          .cast("double"), 6).as("jaccard"))
+  }
+
+  /** Zipf power-law fit per group: OLS slope and R² of log(frequency)
+    * against log(rank) over the group's token frequency table — the
+    * corpus-health fingerprint (natural text sits near slope −1;
+    * templated/duplicated corpora flatten, degenerate generations
+    * steepen). Token counting aggregates FIRST; the ranking window and
+    * the regression run over the vocabulary frame (types, not tokens),
+    * which is heavy-tail-bounded at any corpus size. Rank ties break
+    * lexicographically so both engines rank identically.
+    */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("_zf_t"))
+      .groupBy(col(groupCol), col("_zf_t"))
+      .agg(count(lit(1)).as("_zf_c"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_zf_c").desc, col("_zf_t").asc)
+    counts
+      .withColumn("_zf_r", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("_zf_c")).as("n_tokens"),
+        round(expr("regr_slope(ln(_zf_c), ln(_zf_r))"), 6).as("slope"),
+        round(expr("regr_r2(ln(_zf_c), ln(_zf_r))"), 6).as("r2"))
+  }
+
   /** SemDeDup-style embedding pruning, exact form: drop every vector
     * that has a cosine-≥-tau neighbor with a SMALLER id (the greedy
     * min-id-wins rule — non-transitive, one pass, the pruning used on

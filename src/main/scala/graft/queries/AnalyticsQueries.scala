@@ -134,6 +134,21 @@ object AnalyticsQueries {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  /** q131 — cross-source 5-gram overlap matrix
+    * ([[Analytics.corpusOverlapMatrix]]): distinct-gram Jaccard between
+    * every source pair — the corpus contamination/drift matrix.
+    */
+  def q131SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Analytics.corpusOverlapMatrix(docs(spark, dir), "source", "text", n = 5)
+      .orderBy(col("group_a"), col("group_b"))
+
+  /** q132 — Zipf power-law fit per source ([[Analytics.zipfFit]]):
+    * log-log OLS slope + R² over each source's token frequency table.
+    */
+  def q132ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    Analytics.zipfFit(docs(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_ewma" -> (q122Ewma _),
     "q123_profile" -> (q123Profile _),
@@ -143,7 +158,9 @@ object AnalyticsQueries {
     "q127_mad_outliers" -> (q127MadOutliers _),
     "q128_bigram_lm" -> (q128BigramLm _),
     "q129_hard_negatives" -> (q129HardNegatives _),
-    "q130_semdedup" -> (q130SemDedup _))
+    "q130_semdedup" -> (q130SemDedup _),
+    "q131_source_overlap" -> (q131SourceOverlap _),
+    "q132_zipf_fit" -> (q132ZipfFit _))
 
   val oracles: Map[String, String] = Map(
     "q122_ewma" ->
@@ -312,5 +329,45 @@ object AnalyticsQueries {
                                         CAST(b.embedding AS DOUBLE[])) >= 0.4)
          SELECT e.vec_id, e.label
          FROM embeddings e LEFT JOIN d ON e.vec_id = d.aid
-         WHERE d.aid IS NULL ORDER BY e.vec_id""")
+         WHERE d.aid IS NULL ORDER BY e.vec_id""",
+    "q131_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, list_filter(string_split_regex(text, '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         g0 AS (
+           SELECT source,
+                  unnest([array_to_string(ts[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ')
+                          for i in range(CAST(len(ts)-4 AS BIGINT))]) AS gram
+           FROM toks WHERE len(ts) >= 5),
+         g AS (SELECT DISTINCT source, gram FROM g0),
+         sz AS (SELECT source, count(*) AS s FROM g GROUP BY source),
+         p AS (
+           SELECT a.source AS sa, b.source AS sb, count(*) AS ov
+           FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.sa AS group_a, p.sb AS group_b,
+                CAST(za.s AS BIGINT) AS n_a, CAST(zb.s AS BIGINT) AS n_b,
+                p.ov AS overlap,
+                round(p.ov / CAST(za.s + zb.s - p.ov AS DOUBLE), 6) AS jaccard
+         FROM p JOIN sz za ON p.sa = za.source
+                JOIN sz zb ON p.sb = zb.source
+         ORDER BY group_a, group_b""",
+    "q132_zipf_fit" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS t
+           FROM documents),
+         c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         r AS (
+           SELECT source, c,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY c DESC, t ASC) AS rk
+           FROM c)
+         SELECT source, count(*) AS n_types,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                round(regr_slope(ln(c), ln(rk)), 6) AS slope,
+                round(regr_r2(ln(c), ln(rk)), 6) AS r2
+         FROM r GROUP BY source ORDER BY source""")
 }

@@ -171,6 +171,45 @@ class AnalyticsSpec extends SparkSpec {
       col("vec_id") === 1).count() == 0)
   }
 
+  // ---- corpusOverlapMatrix -------------------------------------------
+
+  test("corpusOverlapMatrix: hand-computed distinct-gram overlap and Jaccard") {
+    // 2-grams: A = {a b, b c, c d} ∪ {a b} (dup collapses) = 3 grams
+    //          B = {b c, c d, d e}          = 3 grams, overlap 2
+    //          C = "x" (too short) → no grams → no pair rows
+    val df = Seq(
+      ("A", "a b c d"), ("A", "a b"),
+      ("B", "b c d e"),
+      ("C", "x"))
+      .toDF("g", "text")
+    val got = Analytics.corpusOverlapMatrix(df, "g", "text", n = 2).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1)) == ("A", "B"))
+    assert(r.getLong(2) == 3 && r.getLong(3) == 3 && r.getLong(4) == 2)
+    assert(r.getDouble(5) == 0.5) // 2 / (3 + 3 - 2)
+  }
+
+  // ---- zipfFit -------------------------------------------------------
+
+  test("zipfFit matches a driver-side OLS on the same (rank, freq) table") {
+    // frequencies: w1×8, w2×4, w3×2, w4×1 → ranks 1..4
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")).mkString(" ")
+    val df = Seq(("s", text)).toDF("g", "text")
+    val r = Analytics.zipfFit(df, "g", "text").collect()(0)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 15)
+    val pts = Seq((8.0, 1.0), (4.0, 2.0), (2.0, 3.0), (1.0, 4.0))
+      .map { case (c, rk) => (math.log(rk), math.log(c)) } // x = ln rank, y = ln freq
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(3) - slope) < 1e-5, s"${r.getDouble(3)} vs $slope")
+    assert(r.getDouble(4) > 0.9) // near-perfect power law by construction
+  }
+
   // ---- semDedupKeep --------------------------------------------------
 
   test("semDedupKeep: min id survives each planted near-dup pair") {

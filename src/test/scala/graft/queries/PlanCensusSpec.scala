@@ -156,8 +156,12 @@ class PlanCensusSpec extends SparkSpec {
                                                    // prefix/ranking windows + sort
     "q129_hard_negatives"      -> (2, 1, 1, true), // declared exact baseline: probe
                                                    // broadcast loop + struct-max agg
-    "q130_semdedup"            -> (3, 1, 1, true)) // declared exact baseline: all-pairs
+    "q130_semdedup"            -> (3, 1, 1, true), // declared exact baseline: all-pairs
                                                    // + distinct + anti-join
+    "q131_source_overlap"      -> (5, 2, 0, true), // (grp,gram) distinct + inverted-index
+                                                   // gram join + sizes broadcast ×2 + sort
+    "q132_zipf_fit"            -> (3, 0, 0, true)) // token agg + vocab-frame ranking
+                                                   // window + regr agg + sort
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
