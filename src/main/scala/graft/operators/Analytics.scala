@@ -86,15 +86,23 @@ object Analytics {
     val hist = pairs.groupBy(col("_ci"), col("_v"))
       .agg(count(lit(1)).as("_c"))
     val nonNull = sum(when(col("_v").isNotNull, col("_c")))
-    hist.groupBy(col("_ci"))
+    val prof = hist.groupBy(col("_ci"))
       .agg(
         coalesce(nonNull, lit(0L)).as("n"),
         coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("n_null"),
         count(col("_v")).as("n_distinct"),
         min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
         round(sum(col("_v") * col("_c")) / nonNull, 6).as("avg_v"))
+    // left join FROM the literal column list: an empty input still yields
+    // one all-zero row per requested column, matching the oracle's
+    // UNION-ALL-per-column shape (r6 advice — latent empty-table skew)
+    val seed = df.sparkSession.range(cols.size)
+      .select(col("id").cast("int").as("_ci"))
+    seed.join(prof, Seq("_ci"), "left")
       .select(element_at(typedlit(cols), col("_ci") + 1).as("column"),
-        col("n"), col("n_null"), col("n_distinct"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_v"), col("max_v"), col("avg_v"))
   }
 
@@ -146,13 +154,20 @@ object Analytics {
     * on both engines — no float discipline needed anywhere.
     *
     * Returns the lower weighted median: the smallest value v whose
-    * cumulative weight W(≤v) satisfies 2·W ≥ total.
+    * cumulative weight W(≤v) satisfies 2·W ≥ total. NULL values are
+    * excluded before the histogram (Spark orders NULLS FIRST ascending,
+    * DuckDB NULLS LAST — an unfiltered null row would shift cumulative
+    * weights on exactly one engine); a group whose values are all NULL
+    * yields no row.
     */
   def weightedMedian(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       weightCol: Column): DataFrame = {
+    Seq("_wm_w", "_wm_cum", "_wm_tot", "_wm_rn").foreach(c =>
+      require(!df.columns.contains(c), s"input already has column $c"))
     val gs = groupCols.map(col)
-    val hist = df.groupBy(gs :+ col(valueCol): _*)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol): _*)
       .agg(sum(weightCol).as("_wm_w"))
     val wCum = Window.partitionBy(gs: _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -171,30 +186,35 @@ object Analytics {
   /** Robust outlier statistics per group: median, MAD (median absolute
     * deviation), and the count of |x − med| > cutoff·1.4826·MAD rows —
     * the median/MAD z-score filter of a data-cleaning pass. Three
-    * aggregate passes (median → MAD → outlier count), each a map-side-
-    * combined hash agg; the per-group interpolated medians use
-    * percentile_cont, the q92 cross-engine discipline. The two broadcast
-    * joins ship |groups| rows. At 100 TB the exact percentiles swap for
-    * approx_percentile without changing the operator shape.
+    * aggregate passes (median → MAD → outlier count); the per-group
+    * interpolated medians use [[Relational.percentileContExact]]'s
+    * bucketed two-pass — NOT the built-in `percentile_cont`, whose
+    * sort-buffer aggregate holds every group value (the q92 scale-killer
+    * shape, fixed here in the same r7 sweep). The two median frames ship
+    * |groups| rows back as broadcast LEFT joins: an all-NULL group keeps
+    * its row with NULL med/mad (percentileContExact emits no row for it,
+    * matching the built-in's NULL).
     */
   def madOutlierStats(
       df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double): DataFrame = {
     val g = col(groupCol); val x = col(valueCol).cast("double")
     val base = df.select(g, x.as("_mo_x"))
-    val med = base.groupBy(g)
-      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _mo_x)").as("_mo_med"))
-    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val med = Relational.percentileContExact(
+      base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5))
+    val withMed = base.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
-    val mad = withMed.groupBy(g)
-      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _mo_ad)").as("_mo_mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    val mad = Relational.percentileContExact(
+      withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5))
+    withMed.join(broadcast(mad), Seq(groupCol), "left")
       .groupBy(g)
       .agg(count(lit(1)).as("n"),
         round(first(col("_mo_med")), 6).as("med"),
         round(first(col("_mo_mad")), 6).as("mad"),
-        sum((col("_mo_ad") > lit(cutoff * 1.4826) * col("_mo_mad"))
-          .cast("long")).as("n_outliers"))
+        // coalesce: an all-NULL group sums NULL comparisons to NULL in
+        // Spark while the oracle's CASE WHEN ... ELSE 0 yields 0 — pin 0
+        coalesce(sum((col("_mo_ad") > lit(cutoff * 1.4826) * col("_mo_mad"))
+          .cast("long")), lit(0L)).as("n_outliers"))
   }
 
   /** Top-k bigrams per group with conditional probability — the n-gram

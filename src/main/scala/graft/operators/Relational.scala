@@ -345,4 +345,103 @@ object Relational {
       .withColumn("cd", rn.cast("double") / n)
       .drop("_dr_b", "_dr_off", "_dr_n", "_dr_rn")
   }
+
+  /** Exact interpolated percentiles (percentile_cont semantics) for
+    * LOW-CARDINALITY group keys, without per-group value buffering.
+    *
+    * Spark's built-in `percentile_cont` materializes EVERY group value in
+    * the aggregation buffer — per-group state linear in the table, the
+    * one aggregate shape that OOMs a 100 TB run when the key has a
+    * handful of values (q92: 3 order statuses over all of orders). This
+    * operator reuses the [[distributionRanks]] bucketing discipline and
+    * adds rank-targeted pruning:
+    *
+    *   1. per-key approx-percentile boundaries split each key's values
+    *      into `buckets` ranges; exact (key, bucket) counts prefix-sum
+    *      into global offsets and totals — a |keys|·`buckets`-row frame;
+    *   2. each requested fraction p needs only ranks
+    *      ⌊p·(n−1)⌋+1 and ⌊p·(n−1)⌋+2 (1-based); buckets whose exact
+    *      [offset+1, offset+count] rank range contains NO needed rank are
+    *      DROPPED before the per-row sort — the inner join against the
+    *      kept-bucket frame prunes ~(1 − 2·|ps|/buckets) of the data;
+    *   3. the only per-row sort is a row_number window over the ≤2·|ps|
+    *      surviving (key, bucket) slices; value-at-rank rows feed the
+    *      closed-form interpolation lo + (p·(n−1) − ⌊p·(n−1)⌋)·(hi − lo).
+    *
+    * Exactness: boundary skew from the approximate percentiles shifts
+    * bucket SIZES, never value order, and ranks come from exact counted
+    * offsets — so the selected order statistics are exact. Ties are
+    * harmless: row_number breaks them arbitrarily, but equal ranks map to
+    * equal values. The fractional index p·(n−1) is computed in doubles,
+    * the same IEEE arithmetic Spark's and DuckDB's percentile_cont use,
+    * so ⌊·⌋ lands on the same rank cross-engine. NULL values are
+    * excluded, matching percentile_cont on both engines; a key whose
+    * values are all NULL yields no row (as does the built-in).
+    *
+    * Returns one row per key: (`partKey`, ps.map(_._1)) with double
+    * percentile columns.
+    */
+  def percentileContExact(
+      df: DataFrame, partKey: String, valueCol: String,
+      ps: Seq[(String, Double)], buckets: Int = 64): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile")
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      "fractions must be in [0, 1]")
+    require(buckets >= 2, "buckets >= 2")
+    Seq("_pc_v", "_pc_b", "_pc_c", "_pc_off", "_pc_n", "_pc_rn", "_pc_bnds")
+      .foreach(c => require(!df.columns.contains(c), s"input already has column $c"))
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(partKey), col(valueCol).cast("double").as("_pc_v"))
+
+    // pass 1a: interior boundaries per key (approximate is fine — see doc)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = base.groupBy(col(partKey)).agg(
+      percentile_approx(col("_pc_v"), lit(qs.toArray), lit(2500)).as("_pc_bnds"))
+    val withB = base.join(broadcast(bounds), Seq(partKey))
+      .withColumn("_pc_b", graft.functions.UpperBoundCount.upperBoundCount(
+        col("_pc_bnds"), col("_pc_v")))
+      .drop("_pc_bnds")
+
+    // pass 1b: exact (key, bucket) counts -> offsets + totals, then DROP
+    // every bucket holding no needed rank (the pruning step distribution-
+    // Ranks cannot do — it needs every row ranked; percentiles need ~2·|ps|)
+    val wOff = W.partitionBy(col(partKey)).orderBy(col("_pc_b"))
+    val off = col("_pc_off"); val n = col("_pc_n")
+    val cnts = withB.groupBy(col(partKey), col("_pc_b"))
+      .agg(count(lit(1)).as("_pc_c"))
+      .select(col(partKey), col("_pc_b"), col("_pc_c"),
+        coalesce(sum(col("_pc_c")).over(
+          wOff.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_pc_off"),
+        sum(col("_pc_c")).over(
+          wOff.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+          .as("_pc_n"))
+    def kLo(p: Double): Column = floor(lit(p) * (n - 1).cast("double")).cast("long") + 1
+    def kHi(p: Double): Column = least(kLo(p) + 1, n)
+    val bucketNeeded = ps.map { case (_, p) =>
+      (kLo(p) > off && kLo(p) <= off + col("_pc_c")) ||
+        (kHi(p) > off && kHi(p) <= off + col("_pc_c"))
+    }.reduce(_ || _)
+    val kept = cnts.filter(bucketNeeded).drop("_pc_c")
+
+    // pass 2: per-row sort over ONLY the kept (key, bucket) slices
+    val w = W.partitionBy(col(partKey), col("_pc_b")).orderBy(col("_pc_v"))
+    val rn = col("_pc_rn")
+    val rankNeeded = ps.map { case (_, p) =>
+      rn === kLo(p) || rn === kHi(p)
+    }.reduce(_ || _)
+    val hits = withB.join(broadcast(kept), Seq(partKey, "_pc_b"))
+      .withColumn("_pc_rn", off + row_number().over(w))
+      .filter(rankNeeded)
+
+    // closed-form interpolation from the ≤2·|ps| value-at-rank rows/key
+    val aggs = ps.map { case (name, p) =>
+      val lo = max(when(rn === kLo(p), col("_pc_v")))
+      val hi = max(when(rn === kHi(p), col("_pc_v")))
+      val idx = lit(p) * (max(n) - 1).cast("double")
+      (lo + (idx - floor(idx)) * (coalesce(hi, lo) - lo)).as(name)
+    }
+    hits.groupBy(col(partKey)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -134,6 +134,34 @@ object AnalyticsQueries {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
+  /** q130b — SemDeDup survivors via the DECLARED SCALE PATH: candidate
+    * pairs from banded random-hyperplane LSH + exact-cosine verification
+    * ([[graft.operators.Dedup.embeddingDedup]]), keep rule = drop the
+    * larger id of every verified pair — the same greedy min-id-wins rule
+    * as q130, with candidate generation swapped from exact all-pairs to
+    * equi-join-only banding (r6 verdict item 3). Oracled on the q72
+    * planted construction (jittered near-copies at cosine ≈ 0.99999,
+    * reversed decoys ≤ 0.513) so the oracle's exhaustive NOT EXISTS is
+    * exact while the wide margin makes the 8×8-band recall loss
+    * probability ~1e−16 per planted pair — a hash mismatch would mean a
+    * genuinely dropped duplicate, which is the property under test.
+    */
+  def q130bSemDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val jit = e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("v"),
+        (x, i) => x * (lit(1.0) + lit(0.002) * (i % 7 - 3))).as("v"))
+    val dec = e.filter(col("vec_id") % 7 === 3).select(
+      (col("vec_id") + 200000).as("vec_id"), reverse(col("v")).as("v"))
+    val corpus = e.unionByName(jit).unionByName(dec)
+    graft.operators.Dedup.embeddingDedup(
+        corpus, "vec_id", "v", bands = 8, planesPerBand = 8,
+        threshold = 0.95, dim = 64)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   /** q131 — cross-source 5-gram overlap matrix
     * ([[Analytics.corpusOverlapMatrix]]): distinct-gram Jaccard between
     * every source pair — the corpus contamination/drift matrix.
@@ -159,6 +187,7 @@ object AnalyticsQueries {
     "q128_bigram_lm" -> (q128BigramLm _),
     "q129_hard_negatives" -> (q129HardNegatives _),
     "q130_semdedup" -> (q130SemDedup _),
+    "q130b_semdedup_lsh" -> (q130bSemDedupLsh _),
     "q131_source_overlap" -> (q131SourceOverlap _),
     "q132_zipf_fit" -> (q132ZipfFit _))
 
@@ -330,6 +359,23 @@ object AnalyticsQueries {
          SELECT e.vec_id, e.label
          FROM embeddings e LEFT JOIN d ON e.vec_id = d.aid
          WHERE d.aid IS NULL ORDER BY e.vec_id""",
+    "q130b_semdedup_lsh" ->
+      """WITH base AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         jit AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  [v[i+1] * (1 + 0.002*((i % 7) - 3)) FOR i IN range(0, len(v))] AS v
+           FROM base WHERE vec_id % 5 = 0),
+         dec AS (
+           SELECT vec_id + 200000 AS vec_id, list_reverse(v) AS v
+           FROM base WHERE vec_id % 7 = 3),
+         corpus AS (
+           SELECT * FROM base UNION ALL SELECT * FROM jit UNION ALL SELECT * FROM dec)
+         SELECT c.vec_id FROM corpus c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM corpus o
+           WHERE o.vec_id < c.vec_id AND list_cosine_similarity(o.v, c.v) >= 0.95)
+         ORDER BY vec_id""",
     "q131_source_overlap" ->
       """WITH toks AS (
            SELECT source, list_filter(string_split_regex(text, '\s+'),

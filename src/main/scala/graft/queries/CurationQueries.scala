@@ -399,16 +399,25 @@ object CurationQueries {
 
   /** q92 — INTERPOLATED quantiles (percentile_cont WITHIN GROUP), the
     * continuous counterpart of q48's percentile_disc: both engines
-    * compute (1−f)·lo + f·hi at the same fractional index; the 6-decimal
+    * compute lo + f·(hi − lo) at the same fractional index; the 6-decimal
     * round absorbs any last-ulp drift per the float-comparison rule.
+    *
+    * NOT the built-in `percentile_cont`: with 3 status values over all of
+    * orders, its sort-buffer aggregate holds a third of the table per
+    * group — the r6 verdict's one genuine scale-killer. The
+    * [[graft.operators.Relational.percentileContExact]] bucketed two-pass
+    * (q79/q126 discipline) selects the same exact order statistics with
+    * bounded per-task state; the DuckDB oracle stays the stock
+    * percentile_cont, certifying equivalence.
     */
   def q92PercentileCont(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        round(expr("percentile_cont(0.3) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p30"),
-        round(expr("percentile_cont(0.6) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p60"),
-        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6).as("p90"))
+    graft.operators.Relational.percentileContExact(
+        Tables.load(spark, dir, "orders"), "o_orderstatus", "o_totalprice",
+        Seq("p30" -> 0.3, "p60" -> 0.6, "p90" -> 0.9))
+      .select(col("o_orderstatus"),
+        round(col("p30"), 6).as("p30"),
+        round(col("p60"), 6).as("p60"),
+        round(col("p90"), 6).as("p90"))
       .orderBy(col("o_orderstatus"))
 
   /** q93 — DETERMINISTIC mode (most-frequent value per group): built-in

@@ -143,9 +143,7 @@ object PipelineQueries {
     * FIXTURES.md §4 nanosAsLong recovery as semantically exact.
     */
   def q34EventsDaily(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadEvents(spark, dir)
-      .groupBy(date_trunc("day", col("event_time")).cast(org.apache.spark.sql.types.DateType).as("day"))
-      .agg(count(lit(1)).as("n"))
+    graft.streaming.EventStreams.dailyCounts(Tables.loadEvents(spark, dir))
       .orderBy(col("day"))
 
   /** q35 — session-window aggregation over events in batch mode (B22),

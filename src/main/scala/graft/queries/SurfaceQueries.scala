@@ -123,16 +123,21 @@ object SurfaceQueries {
     * settings (fewer probes, shallow re-rank over the ~30x-compressed
     * code index) are recall-pinned in SimilaritySpec.
     */
-  // Trained-model memo, keyed by (session identity, sf dir): the
-  // production IVF-PQ lifecycle trains the quantizers ONCE offline
+  // Trained-model memo, weakly keyed by session with a per-dir inner map:
+  // the production IVF-PQ lifecycle trains the quantizers ONCE offline
   // (save/loadPqCodebooks) and every query job loads them — retraining
   // per query would be as wrong at 100 TB as it is slow here. Training
   // is deterministic (seeded init, exact-DECIMAL means), so the memo is
-  // observationally identical to retraining. Bounded: one entry per
-  // (session, sf dir) pair ever seen, each ~9 KB of doubles.
-  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
-    (Array[Array[Double]], Array[Array[Array[Double]]])]()
+  // observationally identical to retraining. The WeakHashMap key lets a
+  // stopped/collected SparkSession drop its entry (r6 advice: the old
+  // (session, dir) tuple key pinned sessions for the JVM lifetime);
+  // the parquet under `dir` is assumed immutable for the session's
+  // lifetime — rewriting it mid-session would serve stale codebooks
+  // (harmless here: the exhaustive setting re-ranks with exact cosine).
+  private val pqModels = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[
+      String, (Array[Array[Double]], Array[Array[Array[Double]]])]]()
 
   def q100PqTopK(spark: SparkSession, dir: String): DataFrame = {
     // iters=1: at the exhaustive setting the exact-cosine re-rank makes
@@ -140,11 +145,15 @@ object SurfaceQueries {
     // buy bench latency (each round is a full plan+collect action);
     // deeper training belongs to the offline save/load lifecycle
     val e = Tables.load(spark, dir, "embeddings")
-    val (coarse, cb) = pqModels.computeIfAbsent((spark, dir), _ => (
-      Similarity.trainCentroids(e, "vec_id", "embedding",
-        nCells = 8, iters = 1),
-      Similarity.trainPqCodebooks(e, "vec_id", "embedding",
-        m = 8, ksub = 16, dim = 64, iters = 1)))
+    val (coarse, cb) = pqModels.synchronized {
+      pqModels.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, (
+          Similarity.trainCentroids(e, "vec_id", "embedding",
+            nCells = 8, iters = 1),
+          Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+            m = 8, ksub = 16, dim = 64, iters = 1)))
+    }
     Similarity.pqTopK(e, e.filter(col("vec_id").between(200, 204)),
         "vec_id", "embedding", k = 10, cb, coarse,
         nProbes = 8, rerank = 1 << 20)

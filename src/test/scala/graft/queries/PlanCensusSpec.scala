@@ -52,6 +52,14 @@ class PlanCensusSpec extends SparkSpec {
     "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup",
     "q83_recursive_cte")
 
+  // per-query shuffle-budget overrides (default 8), each with its reason:
+  //  - q127_mad_outliers: three sequential exact-percentile passes
+  //    (median → MAD → outlier census), each a percentileContExact whose
+  //    extra exchanges are over tiny |keys|·buckets frames — the r7 swap
+  //    away from the built-in percentile_cont's per-group value buffering
+  //    trades 8 small-frame shuffles for bounded aggregation state
+  private val shuffleBudget = Map("q127_mad_outliers" -> 12).withDefaultValue(8)
+
   test("all plans: bounded shuffles, no stray nested-loop joins, pushdown present") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -60,7 +68,8 @@ class PlanCensusSpec extends SparkSpec {
         case (name, fn) =>
           val c = PlanReport.census(fn(spark, dir).queryExecution.executedPlan)
           val errs = Seq(
-            (c.shuffles > 8) -> s"$name: ${c.shuffles} shuffles (> 8)",
+            (c.shuffles > shuffleBudget(name)) ->
+              s"$name: ${c.shuffles} shuffles (> ${shuffleBudget(name)})",
             (c.loops > 0 && !loopOk(name)) -> s"$name: ${c.loops} nested-loop/cartesian joins",
             (!c.pushed && !noScan(name)) -> s"$name: no parquet filter/scan pushdown")
           errs.collect { case (true, msg) => msg }
@@ -105,7 +114,10 @@ class PlanCensusSpec extends SparkSpec {
     "q89_regexp_all"           -> (1, 0, 0, true), // per-row regex, sort only
     "q90_array_setops"         -> (1, 0, 0, true), // per-row array ops, sort only
     "q91_bool_aggs"            -> (2, 0, 0, true), // partial+final agg, tiny sort
-    "q92_percentile_cont"      -> (2, 0, 0, true), // sort-agg per status group
+    "q92_percentile_cont"      -> (6, 2, 0, true), // bucketed two-pass exact
+                                                   // percentiles (r7): bounds agg +
+                                                   // tiny (key,bucket) frames; no
+                                                   // per-group value buffering
     "q93_mode"                 -> (3, 0, 0, true), // count agg + tiny ranking window
     "q94_date_arith"           -> (1, 0, 0, true), // per-row date math, key-pruned scan
     "q95_regr_stats"           -> (2, 0, 0, true), // one-pass partial+final stat agg
@@ -144,20 +156,24 @@ class PlanCensusSpec extends SparkSpec {
     "q121_feature_hash"        -> (2, 0, 0, true), // explode + hash agg + sort
     "q122_ewma"                -> (2, 0, 0, true), // custkey window reused by the
                                                    // groupBy (same key) + final sort
-    "q123_profile"             -> (3, 0, 0, true), // histogram-first: (col,value) agg
-                                                   // + profile agg + sort (no Expand)
+    "q123_profile"             -> (3, 1, 0, true), // histogram-first: (col,value) agg
+                                                   // + profile agg + sort (no Expand);
+                                                   // +1 bc: column-list seed left join
     "q124_running_distinct"    -> (3, 0, 0, true), // (key,val) window + key window + sort
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
                                                    // the |groups|×50 frame + sort
-    "q127_mad_outliers"        -> (4, 2, 0, true), // med agg + mad agg (each broadcast
-                                                   // back) + final census agg + sort
+    "q127_mad_outliers"        -> (12, 7, 0, true), // r7: med + MAD each a bucketed
+                                                   // two-pass percentileContExact
+                                                   // (tiny-frame exchanges) + census agg
     "q128_bigram_lm"           -> (3, 0, 0, true), // map-side bigrams + count agg +
                                                    // prefix/ranking windows + sort
     "q129_hard_negatives"      -> (2, 1, 1, true), // declared exact baseline: probe
                                                    // broadcast loop + struct-max agg
     "q130_semdedup"            -> (3, 1, 1, true), // declared exact baseline: all-pairs
                                                    // + distinct + anti-join
+    "q130b_semdedup_lsh"       -> (7, 3, 0, true), // declared SCALE path: banded-LSH
+                                                   // candidates, equi-joins only
     "q131_source_overlap"      -> (5, 2, 0, true), // (grp,gram) distinct + inverted-index
                                                    // gram join + sizes broadcast ×2 + sort
     "q132_zipf_fit"            -> (3, 0, 0, true)) // token agg + vocab-frame ranking

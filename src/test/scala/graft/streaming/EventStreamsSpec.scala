@@ -309,6 +309,37 @@ class EventStreamsSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("batch≡stream parity: the ORACLED q34/q35 results reproduce through the streaming path") {
+    // r6 verdict item 5: q34/q35 are DuckDB-oracled in batch shape; this
+    // test replays the same events parquet through readStream and asserts
+    // the streaming sink contents equal those oracled DataFrames
+    // row-for-row — closing the loop batch-oracle ⇒ stream.
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("events-parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readStream(spark, dir.toString)
+
+    def runComplete(name: String,
+        t: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Row] = {
+      val q = t(stream).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try { q.processAllAvailable(); spark.table(name).collect().toSet }
+      finally q.stop()
+    }
+
+    val sDaily = runComplete("parity_daily", EventStreams.dailyCounts)
+    val bDaily = graft.SparkEntry.queries("q34_events_daily")(spark, sf).collect()
+    assert(bDaily.nonEmpty && sDaily == bDaily.toSet)
+
+    val sSess = runComplete("parity_sess", df =>
+      EventStreams.sessionCounts(df, "30 minutes")
+        .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events")))
+    val bSess = graft.SparkEntry.queries("q35_events_sessions")(spark, sf).collect()
+    assert(bSess.nonEmpty && sSess == bSess.toSet)
+  }
+
   test("B20: batch and streaming share the same transform (events table)") {
     val batch = graft.core.Tables.loadEvents(spark, "/root/testdata/sf0.001")
     val agg = EventStreams.tumblingCounts(batch, "1 hour")
