@@ -200,6 +200,9 @@ object Analytics {
       cutoff: Double): DataFrame = {
     val g = col(groupCol); val x = col(valueCol).cast("double")
     val base = df.select(g, x.as("_mo_x"))
+    // default 64 buckets beats 16 here: halving boundary comparisons
+    // doesn't pay for the 4× larger kept-bucket sort slices (measured
+    // 1.44 s vs 1.75 s at sf0.1)
     val med = Relational.percentileContExact(
       base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5))
     val withMed = base.join(broadcast(med), Seq(groupCol), "left")
