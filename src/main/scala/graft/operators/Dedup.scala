@@ -890,6 +890,14 @@ object Dedup {
     * with 16 planes — while the banded OR-construction reaches ~99% with
     * 8×8 at the same total plane count budget. Exact cosine verifies.
     * Returns (id_a, id_b, cosine).
+    *
+    * SIZING AT SCALE: `planesPerBand` must grow with log2(N). Fixed
+    * signature bits saturate the 2^p band buckets as the corpus grows,
+    * and candidate pairs then grow quadratically (R7ScaleBench measured
+    * the knee at ~20k vectors for p=8). Hold expected bucket occupancy
+    * roughly constant — p ≈ log2(N / targetOccupancy) — and the verified
+    * candidate frame stays ~linear while near-dup recall at cos ≥ 0.99
+    * remains ≈ 1 (per-band collision 0.9955^p, OR'd over `bands`).
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,

@@ -168,9 +168,16 @@ object R7ScaleBench {
           col("doc_id")),
         groupCols = Seq("source"), scoreCol = "score", idCol = "doc_id", k = 3).count()
     }
-    timeOver("q130b_semdedup_lsh (banded + keep rule)", nEmb) {
+    // planesPerBand grows with log2(N): fixed signature bits saturate the
+    // 2^p band buckets as N grows, sending candidate pairs quadratic
+    // (measured: 8 bits = 1.1 ms/vec at 20k vecs vs 0.7 at 2k). Holding
+    // expected bucket occupancy ~constant (p ≈ log2(N/8)) keeps the
+    // verified-candidate frame ~linear; recall for genuine near-dups
+    // (cos ≥ 0.99) stays ≥ 1 − 8·(1 − 0.9955^p) ≈ 1 at these sizes.
+    val planes = math.max(8, math.ceil(math.log(nEmb / 8.0) / math.log(2)).toInt)
+    timeOver(s"q130b_semdedup_lsh (banded + keep rule, $planes planes/band)", nEmb) {
       graft.operators.Dedup.embeddingDedup(emb, "vec_id", "v",
-        bands = 8, planesPerBand = 8, threshold = 0.95, dim = 64).count()
+        bands = 8, planesPerBand = planes, threshold = 0.95, dim = 64).count()
     }
     timeOver("q129_hard_negatives (fixed 20-probe set)", nEmb) {
       Analytics.hardNegatives(emb, "vec_id", "v", "label",
