@@ -8,13 +8,11 @@ package graft.multimodal
   * emulation-prevention stripping (§7.3.1), Exp-Golomb entropy of the
   * PARAMETER sets (§9.1), and the sequence-parameter-set syntax
   * (§7.3.2.1.1) down to the exact cropped width/height arithmetic
-  * (§7.4.2.1.1 equations 7-13…7-16). This narrows the library's
-  * remaining video-codec gap to SLICE-DATA entropy decode (CABAC/CAVLC
-  * pixel reconstruction): resolution/profile probing, keyframe (IDR)
-  * identification, and compressed-keyframe extraction are all real —
-  * which is what corpus curation at 100 TB actually needs, since
-  * exact/near dedup of videos works on compressed keyframe bytes
-  * without ever reconstructing pixels.
+  * (§7.4.2.1.1 equations 7-13…7-16). Resolution/profile probing,
+  * keyframe (IDR) identification and compressed-keyframe extraction are
+  * all real; since r7 the CAVLC INTRA slice-data decode is too
+  * ([[H264Decode]]/[[H264Cavlc]]) — pixels reconstruct for baseline
+  * IDR frames, leaving CABAC/inter/H.265 as the remaining codec tier.
   *
   * Reference context: the reference system stores media paths as plain
   * varchar (reference musicdb.sql:22 `songs.file_path`); bitstream
@@ -29,11 +27,14 @@ object H264 {
     */
   final case class Nal(nalType: Int, refIdc: Int, payload: Array[Byte])
 
-  /** Parsed SPS — the fields a corpus probe needs (§7.3.2.1.1). Width/
+  /** Parsed SPS — the fields a corpus probe needs (§7.3.2.1.1), plus the
+    * entropy-length fields slice-header decoding needs
+    * (log2MaxFrameNum / pocType / log2MaxPocLsb — [[H264Decode]]). Width/
     * height are the CROPPED display dimensions (§7.4.2.1.1).
     */
   final case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
-      width: Int, height: Int, frameMbsOnly: Boolean, chromaFormatIdc: Int)
+      width: Int, height: Int, frameMbsOnly: Boolean, chromaFormatIdc: Int,
+      log2MaxFrameNum: Int = 4, pocType: Int = 0, log2MaxPocLsb: Int = 4)
 
   // ------------------------------------------------------------ framing
 
@@ -170,9 +171,10 @@ object H264 {
           }
         }
       }
-      r.ue() // log2_max_frame_num_minus4
+      val log2MaxFrameNum = r.ue() + 4
       val pocType = r.ue()
-      if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+      var log2MaxPocLsb = 4
+      if (pocType == 0) log2MaxPocLsb = r.ue() + 4
       else if (pocType == 1) {
         r.flag(); r.se(); r.se()
         val cycles = r.ue()
@@ -202,7 +204,7 @@ object H264 {
         height -= (t + b) * cropUnitY
       }
       Some(SpsInfo(profileIdc, levelIdc, spsId, width, height,
-        frameMbsOnly, chromaFormatIdc))
+        frameMbsOnly, chromaFormatIdc, log2MaxFrameNum, pocType, log2MaxPocLsb))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -279,6 +281,10 @@ object H264 {
       u(0, len - 1); u(cp, len)
     }
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit run: zero-pad to the next byte boundary
+      * (§7.3.5 I_PCM). No-op when already aligned.
+      */
+    def alignZero(): this.type = { while (nBits != 0) u(0, 1); this }
     /** rbsp_trailing_bits: stop bit + zero-pad to byte boundary. */
     def stop(): Array[Byte] = {
       u(1, 1)

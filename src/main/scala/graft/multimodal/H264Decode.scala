@@ -1,0 +1,881 @@
+package graft.multimodal
+
+/** H.264 baseline-profile INTRA (IDR) frame decoding — pure Scala, no
+  * codec library: slice-header parse (§7.3.3), I-slice macroblock layer
+  * (§7.3.5: I_4x4 / I_16x16 / I_PCM), CAVLC residual entropy decode
+  * ([[H264Cavlc]], §9.2), dequantization + inverse integer transform
+  * (§8.5), and full intra prediction (§8.3.1–8.3.3: all nine 4x4 luma
+  * modes, four 16x16 luma modes, four chroma modes). This closes the
+  * slice-data gap the earlier rounds declared behind the
+  * [[Multimodal.FrameDecoder]] boundary — keyframe pixels now
+  * reconstruct, so video near-dup can hash DECODED pixels (aHash), not
+  * just compressed keyframe bytes.
+  *
+  * Scope (exactly what corpus keyframe extraction needs, stated
+  * honestly):
+  *  - IDR pictures only (nal_unit_type 5), frame_mbs_only, 4:2:0,
+  *    8-bit, CAVLC (entropy_coding_mode_flag 0 — baseline has no
+  *    CABAC), num_slice_groups 1. Anything else returns None — an
+  *    undecodable payload is data, not an error, at corpus scale.
+  *  - no deblocking filter: output is the pre-filter reconstruction
+  *    (bit-exact for streams encoded with
+  *    disable_deblocking_filter_idc = 1, which [[H264Encode]] sets; an
+  *    approximation 8x8-aHash cannot see for others).
+  *  - P/B slices (motion compensation) are out of scope: dedup samples
+  *    keyframes, which are self-contained by definition.
+  *
+  * Reference context: the reference system stores media as opaque
+  * varchar paths (reference musicdb.sql:22); decode itself is this
+  * library's multimodal extension tier.
+  */
+object H264Decode {
+
+  /** Parsed PPS — the fields an I-slice decode needs (§7.3.2.2). */
+  final case class PpsInfo(
+      ppsId: Int, spsId: Int, cavlc: Boolean, bottomFieldPoc: Boolean,
+      numSliceGroups: Int, picInitQp: Int, chromaQpOffset: Int,
+      deblockingPresent: Boolean, constrainedIntra: Boolean,
+      redundantPresent: Boolean)
+
+  /** Parse a PPS NAL payload (EBSP, header stripped) per §7.3.2.2. */
+  def parsePps(payload: Array[Byte]): Option[PpsInfo] =
+    try {
+      val r = new H264.BitReader(H264.rbsp(payload))
+      val ppsId = r.ue()
+      val spsId = r.ue()
+      val cavlc = !r.flag()
+      val bottomPoc = r.flag()
+      val groups = r.ue() + 1
+      if (groups != 1) return None // FMO out of scope
+      r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
+      r.flag() // weighted_pred_flag
+      r.u(2) // weighted_bipred_idc
+      val qp = 26 + r.se()
+      r.se() // pic_init_qs_minus26
+      val cqo = r.se()
+      val deb = r.flag()
+      val cip = r.flag()
+      val red = r.flag()
+      Some(PpsInfo(ppsId, spsId, cavlc, bottomPoc, groups, qp, cqo, deb, cip, red))
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Decoded picture: full (uncropped) planes; `width`/`height` are the
+    * CROPPED display dims from the SPS.
+    */
+  final case class Frame(width: Int, height: Int, mbW: Int, mbH: Int,
+      luma: Array[Byte], cb: Array[Byte], cr: Array[Byte]) {
+    def lumaStride: Int = mbW * 16
+    /** Cropped luma plane, row-major, one byte per pixel. */
+    def croppedLuma: Array[Byte] = {
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(luma, y * lumaStride, out, y * width, width)
+        y += 1
+      }
+      out
+    }
+  }
+
+  // -------------------------------------------------- tables (§8.5)
+
+  /** LevelScale4x4 entries by qp%6: (v0: DC-ish corners, v1: odd-odd,
+    * v2: the rest) — Table in §8.5.9.
+    */
+  private val levelScale: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  @inline private def scaleClass(i: Int, j: Int): Int =
+    if ((i & 1) == 0 && (j & 1) == 0) 0 else if ((i & 1) == 1 && (j & 1) == 1) 1 else 2
+
+  /** zig-zag scan: scan index → raster index within a 4x4 block (§8.5.6). */
+  val zigzag4x4: Array[Int] = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** 4x4 luma block decoding order within an MB → (x4, y4) block coords (§6.4.3). */
+  val blockScan: Array[(Int, Int)] = Array(
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+
+  /** Chroma QP mapping (Table 8-15). */
+  def chromaQp(qpRaw: Int): Int = {
+    val qp = math.max(0, math.min(51, qpRaw))
+    if (qp < 30) qp
+    else Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+      38, 38, 38, 39, 39, 39, 39)(qp - 30)
+  }
+
+  @inline private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Inverse 4x4 integer transform core (§8.5.12.2) on a raster block,
+    * IN PLACE, without the final rounding shift.
+    */
+  private def inverseTransform4x4(d: Array[Int]): Unit = {
+    // rows
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = (d(o + 1) >> 1) - d(o + 3); val e3 = d(o + 1) + (d(o + 3) >> 1)
+      d(o) = e0 + e3; d(o + 1) = e1 + e2; d(o + 2) = e1 - e2; d(o + 3) = e0 - e3
+      i += 1
+    }
+    // columns
+    var j = 0
+    while (j < 4) {
+      val e0 = d(j) + d(8 + j); val e1 = d(j) - d(8 + j)
+      val e2 = (d(4 + j) >> 1) - d(12 + j); val e3 = d(4 + j) + (d(12 + j) >> 1)
+      d(j) = e0 + e3; d(4 + j) = e1 + e2; d(8 + j) = e1 - e2; d(12 + j) = e0 - e3
+      j += 1
+    }
+  }
+
+  /** Inverse 4x4 Hadamard (for I_16x16 luma DC, §8.5.10), in place. */
+  private def inverseHadamard4x4(d: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) {
+      val o = i * 4
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = d(o + 1) - d(o + 3); val e3 = d(o + 1) + d(o + 3)
+      d(o) = e0 + e3; d(o + 1) = e1 + e2; d(o + 2) = e1 - e2; d(o + 3) = e0 - e3
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val e0 = d(j) + d(8 + j); val e1 = d(j) - d(8 + j)
+      val e2 = d(4 + j) - d(12 + j); val e3 = d(4 + j) + d(12 + j)
+      d(j) = e0 + e3; d(4 + j) = e1 + e2; d(8 + j) = e1 - e2; d(12 + j) = e0 - e3
+      j += 1
+    }
+  }
+
+  /** Dequantize a 4x4 residual block (raster order) for luma/chroma AC or
+    * whole-4x4 blocks: c·LevelScale(qp%6, class) << (qp/6) (§8.5.12.1).
+    * `skipDc` leaves index 0 untouched (I_16x16 / chroma AC blocks carry
+    * their DC separately).
+    */
+  private def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Unit = {
+    val ls = levelScale(qp % 6); val shift = qp / 6
+    var k = if (skipDc) 1 else 0
+    while (k < 16) {
+      val i = k / 4; val j = k % 4
+      c(k) = (c(k) * ls(scaleClass(i, j))) << shift
+      k += 1
+    }
+  }
+
+  // ---------------------------------------------- decoder frame state
+
+  private final class State(val sps: H264.SpsInfo, val pps: PpsInfo) {
+    val mbW: Int = (sps.width + 15) / 16
+    val mbH: Int = (sps.height + 15) / 16
+    val lumaStride: Int = mbW * 16
+    val chromaStride: Int = mbW * 8
+    val luma = new Array[Byte](lumaStride * mbH * 16)
+    val cb = new Array[Byte](chromaStride * mbH * 8)
+    val cr = new Array[Byte](chromaStride * mbH * 8)
+    // per-4x4-block nonzero-coefficient counts (nC context, §9.2.1)
+    val nnzLuma = new Array[Int](mbW * 4 * mbH * 4)
+    val nnzCb = new Array[Int](mbW * 2 * mbH * 2)
+    val nnzCr = new Array[Int](mbW * 2 * mbH * 2)
+    // per-4x4-block intra prediction modes (-1 = not an I_4x4 block;
+    // I_16x16/I_PCM blocks predict as DC (2) per §8.3.1.1)
+    val i4Modes = Array.fill(mbW * 4 * mbH * 4)(-1)
+    val mbDecoded = new Array[Boolean](mbW * mbH)
+
+    def mbAvailable(mbX: Int, mbY: Int): Boolean =
+      mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
+
+    /** nC for a luma 4x4 block at absolute block coords (§9.2.1). */
+    def lumaNc(x4: Int, y4: Int): Int = {
+      val availA = x4 > 0 && mbAvailable((x4 - 1) / 4, y4 / 4)
+      val availB = y4 > 0 && mbAvailable(x4 / 4, (y4 - 1) / 4)
+      val nA = if (availA) nnzLuma(y4 * mbW * 4 + (x4 - 1)) else 0
+      val nB = if (availB) nnzLuma((y4 - 1) * mbW * 4 + x4) else 0
+      if (availA && availB) (nA + nB + 1) >> 1
+      else if (availA) nA else if (availB) nB else 0
+    }
+
+    def chromaNc(nnz: Array[Int], x2: Int, y2: Int): Int = {
+      val availA = x2 > 0 && mbAvailable((x2 - 1) / 2, y2 / 2)
+      val availB = y2 > 0 && mbAvailable(x2 / 2, (y2 - 1) / 2)
+      val nA = if (availA) nnz(y2 * mbW * 2 + (x2 - 1)) else 0
+      val nB = if (availB) nnz((y2 - 1) * mbW * 2 + x2) else 0
+      if (availA && availB) (nA + nB + 1) >> 1
+      else if (availA) nA else if (availB) nB else 0
+    }
+  }
+
+  // ------------------------------------------------ intra prediction
+
+  /** 4x4 luma intra prediction (§8.3.1.2). Writes predicted samples into
+    * the plane at (px, py); residual add happens afterwards. Neighbor
+    * sample availability follows MB availability + block position; the
+    * top-right run (E–H) substitutes D when above-right is unavailable.
+    */
+  private def predict4x4(st: State, mode: Int, px: Int, py: Int,
+      availLeft: Boolean, availTop: Boolean, availTopRight: Boolean): Array[Int] = {
+    val s = st.lumaStride; val pl = st.luma
+    @inline def pix(x: Int, y: Int): Int = pl((py + y) * s + (px + x)) & 0xff
+    val top = new Array[Int](8) // A..H
+    val left = new Array[Int](4) // I..L
+    var corner = 0
+    if (availTop) {
+      var i = 0
+      while (i < 4) { top(i) = pix(i, -1); i += 1 }
+      if (availTopRight) { while (i < 8) { top(i) = pix(i, -1); i += 1 } }
+      else { while (i < 8) { top(i) = top(3); i += 1 } }
+    }
+    if (availLeft) { var i = 0; while (i < 4) { left(i) = pix(-1, i); i += 1 } }
+    if (availLeft && availTop) corner = pix(-1, -1)
+    val out = new Array[Int](16)
+    @inline def set(x: Int, y: Int, v: Int): Unit = out(y * 4 + x) = v
+    mode match {
+      case 0 => // Vertical
+        require(availTop, "V pred needs top")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { set(x, y, top(x)); x += 1 }; y += 1 }
+      case 1 => // Horizontal
+        require(availLeft, "H pred needs left")
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { set(x, y, left(y)); x += 1 }; y += 1 }
+      case 2 => // DC
+        val dc =
+          if (availLeft && availTop)
+            (top(0) + top(1) + top(2) + top(3) + left(0) + left(1) + left(2) + left(3) + 4) >> 3
+          else if (availTop) (top(0) + top(1) + top(2) + top(3) + 2) >> 2
+          else if (availLeft) (left(0) + left(1) + left(2) + left(3) + 2) >> 2
+          else 128
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Diagonal Down-Left
+        require(availTop, "DDL pred needs top")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v =
+              if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+              else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 4 => // Diagonal Down-Right
+        require(availLeft && availTop, "DDR pred needs left+top")
+        // index −1 = the corner sample p(−1,−1) (adjacent-diagonal rows)
+        @inline def tcd(i: Int): Int = if (i < 0) corner else top(i)
+        @inline def lcd(i: Int): Int = if (i < 0) corner else left(i)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v =
+              if (x > y) (tcd(x - y - 2) + 2 * tcd(x - y - 1) + tcd(x - y) + 2) >> 2
+              else if (x < y) (lcd(y - x - 2) + 2 * lcd(y - x - 1) + lcd(y - x) + 2) >> 2
+              else (top(0) + 2 * corner + left(0) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 5 => // Vertical-Right
+        require(availLeft && availTop, "VR pred needs left+top")
+        @inline def tc(i: Int): Int = if (i < 0) corner else top(i)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * x - y
+            val v =
+              if (z >= 0 && z % 2 == 0) (tc(x - (y >> 1) - 1) + tc(x - (y >> 1)) + 1) >> 1
+              else if (z >= 0) (tc(x - (y >> 1) - 2) + 2 * tc(x - (y >> 1) - 1) + tc(x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (left(0) + 2 * corner + top(0) + 2) >> 2
+              else { // zVR < −1: x == 0, indices y−k reach −1 = corner
+                @inline def lci(i: Int): Int = if (i < 0) corner else left(i)
+                (lci(y - 1) + 2 * lci(y - 2) + lci(y - 3) + 2) >> 2
+              }
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 6 => // Horizontal-Down
+        require(availLeft && availTop, "HD pred needs left+top")
+        @inline def lc(i: Int): Int = if (i < 0) corner else left(i)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * y - x
+            val v =
+              if (z >= 0 && z % 2 == 0) (lc(y - (x >> 1) - 1) + lc(y - (x >> 1)) + 1) >> 1
+              else if (z >= 0) (lc(y - (x >> 1) - 2) + 2 * lc(y - (x >> 1) - 1) + lc(y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (top(0) + 2 * corner + left(0) + 2) >> 2
+              else { // zHD < −1: y == 0, indices x−k reach −1 = corner
+                @inline def tci(i: Int): Int = if (i < 0) corner else top(i)
+                (tci(x - 1) + 2 * tci(x - 2) + tci(x - 3) + 2) >> 2
+              }
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 7 => // Vertical-Left
+        require(availTop, "VL pred needs top")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v =
+              if (y % 2 == 0) (top(x + (y >> 1)) + top(x + (y >> 1) + 1) + 1) >> 1
+              else (top(x + (y >> 1)) + 2 * top(x + (y >> 1) + 1) + top(x + (y >> 1) + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 8 => // Horizontal-Up
+        require(availLeft, "HU pred needs left")
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = x + 2 * y
+            val v =
+              if (z % 2 == 0 && z < 5) (left(y + (x >> 1)) + left(y + (x >> 1) + 1) + 1) >> 1
+              else if (z < 5) (left(y + (x >> 1)) + 2 * left(y + (x >> 1) + 1) + left(y + (x >> 1) + 2) + 2) >> 2
+              else if (z == 5) (left(2) + 3 * left(3) + 2) >> 2
+              else left(3)
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case other => throw new IllegalArgumentException(s"bad intra4x4 mode $other")
+    }
+    out
+  }
+
+  /** 16x16 luma (size 16) / 8x8 chroma (size 8) plane prediction shared
+    * helper for V/H/DC/Plane (§8.3.2 / §8.3.4 with the size-dependent
+    * plane constants).
+    */
+  private def predictPlaneBlock(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      size: Int, mode: Int, availLeft: Boolean, availTop: Boolean): Array[Int] = {
+    @inline def pix(x: Int, y: Int): Int = plane((py + y) * stride + (px + x)) & 0xff
+    val out = new Array[Int](size * size)
+    mode match {
+      case 0 => // Vertical (chroma mode 2 maps here by caller)
+        require(availTop, "V pred needs top")
+        var y = 0
+        while (y < size) { var x = 0; while (x < size) { out(y * size + x) = pix(x, -1); x += 1 }; y += 1 }
+      case 1 => // Horizontal
+        require(availLeft, "H pred needs left")
+        var y = 0
+        while (y < size) { var x = 0; while (x < size) { out(y * size + x) = pix(-1, y); x += 1 }; y += 1 }
+      case 2 => // DC (whole-block; chroma's per-quadrant DC handled by caller)
+        var sum = 0; var cnt = 0
+        if (availTop) { var x = 0; while (x < size) { sum += pix(x, -1); x += 1 }; cnt += size }
+        if (availLeft) { var y = 0; while (y < size) { sum += pix(-1, y); y += 1 }; cnt += size }
+        val dc = if (cnt == 0) 128 else (sum + cnt / 2) / cnt
+        java.util.Arrays.fill(out, dc)
+      case 3 => // Plane
+        require(availLeft && availTop, "plane pred needs left+top")
+        val half = size / 2
+        var h = 0; var v = 0
+        var i = 1
+        while (i <= half) {
+          h += i * (pix(half - 1 + i, -1) - pix(half - 1 - i, -1))
+          v += i * (pix(-1, half - 1 + i) - pix(-1, half - 1 - i))
+          i += 1
+        }
+        val (b, c) =
+          if (size == 16) (((5 * h + 32) >> 6), ((5 * v + 32) >> 6))
+          else (((17 * h + 16) >> 5), ((17 * v + 16) >> 5))
+        val a = 16 * (pix(-1, size - 1) + pix(size - 1, -1))
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) {
+            out(y * size + x) = clip255((a + b * (x - (half - 1)) + c * (y - (half - 1)) + 16) >> 5)
+            x += 1
+          }
+          y += 1
+        }
+      case other => throw new IllegalArgumentException(s"bad plane pred mode $other")
+    }
+    out
+  }
+
+  /** Chroma 8x8 DC prediction with the §8.3.4.1 per-4x4-quadrant rules:
+    * each 4x4 sub-block averages ITS top/left runs (top-only for the
+    * upper-right quadrant when left is also available, etc.).
+    */
+  private def predictChromaDc(plane: Array[Byte], stride: Int, px: Int, py: Int,
+      availLeft: Boolean, availTop: Boolean): Array[Int] = {
+    @inline def pix(x: Int, y: Int): Int = plane((py + y) * stride + (px + x)) & 0xff
+    val out = new Array[Int](64)
+    var by = 0
+    while (by < 2) {
+      var bx = 0
+      while (bx < 2) {
+        var sumT = 0; var sumL = 0
+        if (availTop) { var x = 0; while (x < 4) { sumT += pix(bx * 4 + x, -1); x += 1 } }
+        if (availLeft) { var y = 0; while (y < 4) { sumL += pix(-1, by * 4 + y); y += 1 } }
+        val dc =
+          if ((bx, by) == ((0, 0)) || (bx, by) == ((1, 1))) {
+            if (availTop && availLeft) (sumT + sumL + 4) >> 3
+            else if (availTop) (sumT + 2) >> 2
+            else if (availLeft) (sumL + 2) >> 2
+            else 128
+          } else if (bx == 1 && by == 0) {
+            if (availTop) (sumT + 2) >> 2
+            else if (availLeft) (sumL + 2) >> 2
+            else 128
+          } else { // bx == 0, by == 1
+            if (availLeft) (sumL + 2) >> 2
+            else if (availTop) (sumT + 2) >> 2
+            else 128
+          }
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) { out((by * 4 + y) * 8 + bx * 4 + x) = dc; x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------- coded_block_pattern
+
+  /** Table 9-4 (intra column): codeNum → coded_block_pattern for
+    * ChromaArrayType 1 (4:2:0).
+    */
+  val cbpIntraByCodeNum: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** Inverse of [[cbpIntraByCodeNum]] (for the encoder). */
+  lazy val cbpIntraToCodeNum: Map[Int, Int] =
+    cbpIntraByCodeNum.zipWithIndex.toMap
+
+  // ------------------------------------------------------ slice decode
+
+  /** Decode the first IDR picture of an Annex-B byte stream. Returns None
+    * when the stream is missing SPS/PPS/IDR NALs or uses features out of
+    * the declared scope.
+    */
+  def decodeIdrFrame(annexB: Array[Byte]): Option[Frame] =
+    try decodeIdrFrameUnsafe(annexB)
+    catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+          _: java.util.NoSuchElementException => None
+    }
+
+  /** [[decodeIdrFrame]] without the malformed-input catch — test/debug
+    * face: a fixture that SHOULD decode surfaces its failure as the
+    * exception instead of a silent None.
+    */
+  private[multimodal] def decodeIdrFrameUnsafe(annexB: Array[Byte]): Option[Frame] = {
+    val nals = H264.nalUnitsAnnexB(annexB)
+    var sps: Option[H264.SpsInfo] = None
+    var pps: Option[PpsInfo] = None
+    var st: State = null
+    var sawIdr = false
+    nals.foreach { nal =>
+      nal.nalType match {
+        case 7 => sps = H264.parseSps(nal.payload)
+        case 8 => pps = parsePps(nal.payload)
+        case 5 =>
+          (sps, pps) match {
+            case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly && s.chromaFormatIdc == 1 =>
+              if (st == null) st = new State(s, p)
+              decodeSlice(st, nal.payload)
+              sawIdr = true
+            case _ => return None
+          }
+        case _ => // ignore SEI, AUD, non-IDR slices after the first picture
+      }
+    }
+    if (!sawIdr || st == null || !st.mbDecoded.forall(identity)) None
+    else Some(Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
+      st.luma, st.cb, st.cr))
+  }
+
+  /** Decode the sync-sample IDR pictures of an avc1 mp4 to frames, by
+    * re-framing each keyframe as Annex-B (avcC SPS + PPS + the sample's
+    * IDR slice NALs) and running [[decodeIdrFrame]]. Keyframes outside
+    * the decode scope (CABAC, non-4:2:0, …) are skipped, not errors.
+    */
+  def decodeMp4AvcKeyframes(bytes: Array[Byte], maxFrames: Int = 4): Seq[Frame] = {
+    val parsed = for {
+      avcc <- VideoContainers.mp4AvcC(bytes)
+      (lengthSize, spsL, ppsL) <- H264.parseAvcC(avcc)
+      if spsL.nonEmpty && ppsL.nonEmpty
+    } yield {
+      val ranges = VideoContainers.mp4SampleRanges(bytes)
+      val sync = VideoContainers.mp4SyncSamples(bytes) match {
+        case Nil => ranges.indices.map(_ + 1)
+        case s => s
+      }
+      sync.iterator.flatMap { s1 =>
+        ranges.lift(s1 - 1).flatMap { case (off, len) =>
+          if (off < 0 || len <= 0 || off + len > bytes.length) None
+          else {
+            val sample = java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+            val idr = H264.nalUnitsAvcc(sample, lengthSize).filter(_.nalType == 5)
+            if (idr.isEmpty) None
+            else decodeIdrFrame(H264Encode.annexB(
+              Seq((7, 3, spsL.head), (8, 3, ppsL.head)) ++
+                idr.map(n => (5, n.refIdc, n.payload))))
+          }
+        }
+      }.take(maxFrames).toSeq
+    }
+    parsed.getOrElse(Nil)
+  }
+
+  /** Luma plane → 8-bit grayscale BufferedImage (the hand-off into the
+    * real image path: [[Multimodal.imageAHash]] and friends — gray RGB
+    * has luminance exactly equal to the luma byte).
+    */
+  def toGrayImage(frame: Frame): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      frame.width, frame.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, frame.width, frame.height, frame.croppedLuma)
+    img
+  }
+
+  private def decodeSlice(st: State, payload: Array[Byte]): Unit = {
+    val rb = H264.rbsp(payload)
+    val r = new H264.BitReader(rb)
+    // last 1 bit = rbsp_stop_one_bit; more_rbsp_data while bits remain before it
+    val totalBits = rb.length * 8
+    var lastOne = -1
+    var k = totalBits - 1
+    while (k >= 0 && lastOne < 0) {
+      if (((rb(k >> 3) >> (7 - (k & 7))) & 1) == 1) lastOne = k
+      k -= 1
+    }
+    require(lastOne >= 0, "no rbsp stop bit")
+    def moreData: Boolean = (totalBits - r.remaining) < lastOne
+
+    // ---- slice_header (§7.3.3), IDR I-slice subset
+    val firstMb = r.ue()
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+    r.ue() // pps_id (single active PPS assumed)
+    r.u(st.sps.log2MaxFrameNum) // frame_num
+    r.ue() // idr_pic_id
+    // pocType 1's delta_pic_order_cnt needs SPS flags we don't retain
+    require(st.sps.pocType == 0 || st.sps.pocType == 2,
+      s"poc type ${st.sps.pocType} out of scope")
+    if (st.sps.pocType == 0) r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (st.pps.redundantPresent) r.ue()
+    r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
+    var qp = st.pps.picInitQp + r.se()
+    if (st.pps.deblockingPresent) {
+      val disable = r.ue()
+      if (disable != 1) { r.se(); r.se() }
+    }
+
+    // ---- macroblock loop (CAVLC I-slice: no mb_skip)
+    var mbAddr = firstMb
+    var first = true
+    while (first || moreData) {
+      first = false
+      require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
+      // mark available BEFORE decoding: §6.4.11.4 treats the current
+      // MB's already-decoded 4x4 blocks as available neighbors — the nC
+      // context of in-MB blocks depends on it (H264ResidualSpec caught
+      // the post-hoc marking as a coeff_token table desync)
+      st.mbDecoded(mbAddr) = true
+      qp = decodeMacroblock(st, r, mbAddr, qp)
+      mbAddr += 1
+    }
+  }
+
+  /** Decode one I-slice macroblock; returns the updated QPy. */
+  private def decodeMacroblock(st: State, r: H264.BitReader, mbAddr: Int, qpIn: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val mbType = r.ue()
+    var qp = qpIn
+
+    if (mbType == 25) { // ---- I_PCM (§7.3.5 + §8.3.5)
+      while ((r.remaining % 8) != 0) require(r.u(1) == 0, "pcm alignment bit not 0")
+      var i = 0
+      while (i < 256) {
+        st.luma((py + i / 16) * st.lumaStride + px + i % 16) = r.u(8).toByte
+        i += 1
+      }
+      val cpx = mbX * 8; val cpy = mbY * 8
+      i = 0
+      while (i < 64) {
+        st.cb((cpy + i / 8) * st.chromaStride + cpx + i % 8) = r.u(8).toByte
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        st.cr((cpy + i / 8) * st.chromaStride + cpx + i % 8) = r.u(8).toByte
+        i += 1
+      }
+      // I_PCM blocks count as 16 nonzero coeffs for neighbor nC (§9.2.1)
+      var b = 0
+      while (b < 16) {
+        st.nnzLuma((mbY * 4 + b / 4) * st.mbW * 4 + mbX * 4 + b % 4) = 16
+        b += 1
+      }
+      b = 0
+      while (b < 4) {
+        st.nnzCb((mbY * 2 + b / 2) * st.mbW * 2 + mbX * 2 + b % 2) = 16
+        st.nnzCr((mbY * 2 + b / 2) * st.mbW * 2 + mbX * 2 + b % 2) = 16
+        b += 1
+      }
+      return qp
+    }
+
+    require(mbType <= 25, s"bad I-slice mb_type $mbType")
+    val availLeftMb = st.mbAvailable(mbX - 1, mbY)
+    val availTopMb = st.mbAvailable(mbX, mbY - 1)
+
+    if (mbType == 0) { // ---------------------------------------- I_4x4
+      // parse the 16 prediction modes first (syntax order), §8.3.1.1
+      val modes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val (x4r, y4r) = blockScan(b)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        // predIntra4x4PredMode from neighbors (DC=2 when unavailable or
+        // not I_4x4 — i4Modes stores -1 for non-I_4x4, mapped to 2)
+        val leftAvail =
+          if (x4r > 0) true else availLeftMb
+        val topAvail =
+          if (y4r > 0) true else availTopMb
+        val mA =
+          if (!leftAvail) -1
+          else {
+            val m = st.i4Modes(ay4 * st.mbW * 4 + ax4 - 1)
+            if (m < 0) 2 else m
+          }
+        val mB =
+          if (!topAvail) -1
+          else if (st.i4Modes((ay4 - 1) * st.mbW * 4 + ax4) < 0) 2
+          else st.i4Modes((ay4 - 1) * st.mbW * 4 + ax4)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode =
+          if (r.flag()) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        modes(b) = mode
+        st.i4Modes(ay4 * st.mbW * 4 + ax4) = mode
+        b += 1
+      }
+      val chromaMode = r.ue()
+      val cbp = {
+        val cn = r.ue()
+        require(cn < 48, s"bad cbp codeNum $cn")
+        cbpIntraByCodeNum(cn)
+      }
+      val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+      if (cbpLuma > 0 || cbpChroma > 0) qp = ((qp + r.se()) + 52) % 52
+
+      // residual luma 4x4 blocks (§7.3.5.3), then per-block reconstruct
+      val coeffs = Array.ofDim[Int](16, 16)
+      var blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        if ((cbpLuma & (1 << (blk / 4))) != 0) {
+          val nC = st.lumaNc(ax4, ay4)
+          val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 16, nC)
+          st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+          var si = 0
+          while (si < 16) { coeffs(blk)(zigzag4x4(si)) = scan(si); si += 1 }
+        } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+        blk += 1
+      }
+      // reconstruct in block scan order so intra pred sees neighbors
+      blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val bpx = px + x4r * 4; val bpy = py + y4r * 4
+        val leftAvail = if (x4r > 0) true else availLeftMb
+        val topAvail = if (y4r > 0) true else availTopMb
+        // top-right availability per §6.4.11.4 (within MB: only blocks
+        // whose above-right neighbor is decoded earlier in scan order)
+        val trAvail =
+          if (y4r == 0) (if (x4r < 3) availTopMb else st.mbAvailable(mbX + 1, mbY - 1))
+          else if (x4r == 3) false
+          else blockScan.indexOf((x4r + 1, y4r - 1)) < blk
+        val pred = predict4x4(st, modes(blk), bpx, bpy, leftAvail, topAvail, trAvail)
+        val res = coeffs(blk)
+        if ((cbpLuma & (1 << (blk / 4))) != 0) {
+          dequant4x4(res, qp, skipDc = false)
+          inverseTransform4x4(res)
+        }
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val rv = if ((cbpLuma & (1 << (blk / 4))) != 0) (res(y * 4 + x) + 32) >> 6 else 0
+            st.luma((bpy + y) * st.lumaStride + bpx + x) =
+              clip255(pred(y * 4 + x) + rv).toByte
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      decodeChroma(st, r, mbX, mbY, chromaMode, cbpChroma, qp, availLeftMb, availTopMb)
+
+    } else { // ------------------------------------------------ I_16x16
+      val m = mbType - 1
+      val predMode = m % 4
+      val cbpChroma = (m / 4) % 3
+      val cbpLuma = if (m >= 12) 15 else 0
+      // this MB's blocks predict future I_4x4 neighbors as DC
+      var b0 = 0
+      while (b0 < 16) {
+        st.i4Modes((mbY * 4 + b0 / 4) * st.mbW * 4 + mbX * 4 + b0 % 4) = -1
+        b0 += 1
+      }
+      val chromaMode = r.ue()
+      qp = ((qp + r.se()) + 52) % 52
+
+      // Intra16x16DCLevel: one 16-coeff CAVLC block, nC from block 0's
+      // neighbors (§9.2.1); its TotalCoeff does NOT enter the nnz cache
+      val dcNc = st.lumaNc(mbX * 4, mbY * 4)
+      val (dcScan, _) = H264Cavlc.decodeResidualBlock(r, 16, dcNc)
+      val dc = new Array[Int](16)
+      var si = 0
+      while (si < 16) { dc(zigzag4x4(si)) = dcScan(si); si += 1 }
+      inverseHadamard4x4(dc)
+      val ls = levelScale(qp % 6)(0)
+      si = 0
+      while (si < 16) {
+        dc(si) =
+          if (qp >= 36) (dc(si) * ls) << (qp / 6 - 6)
+          else (dc(si) * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+        si += 1
+      }
+
+      // AC blocks (15 coeffs each) when cbpLuma; nnz cache from AC counts
+      val coeffs = Array.ofDim[Int](16, 16)
+      var blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        if (cbpLuma != 0) {
+          val nC = st.lumaNc(ax4, ay4)
+          val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 15, nC)
+          st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+          var k = 0
+          while (k < 15) { coeffs(blk)(zigzag4x4(k + 1)) = scan(k); k += 1 }
+        } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+        // raster DC index for this block
+        coeffs(blk)(0) = dc(y4r * 4 + x4r)
+        blk += 1
+      }
+
+      val pred = predictPlaneBlock(st.luma, st.lumaStride, px, py, 16,
+        predMode, availLeftMb, availTopMb)
+      blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val res = coeffs(blk)
+        dequant4x4(res, qp, skipDc = true)
+        inverseTransform4x4(res)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val gx = x4r * 4 + x; val gy = y4r * 4 + y
+            st.luma((py + gy) * st.lumaStride + px + gx) =
+              clip255(pred(gy * 16 + gx) + ((res(y * 4 + x) + 32) >> 6)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      decodeChroma(st, r, mbX, mbY, chromaMode, cbpChroma, qp, availLeftMb, availTopMb)
+    }
+    qp
+  }
+
+  /** Chroma residual + reconstruction for one MB (§7.3.5.3.1 residual
+    * order: Cb DC, Cr DC, Cb AC×4, Cr AC×4 — DC blocks for both
+    * components precede the AC blocks).
+    */
+  private def decodeChroma(st: State, r: H264.BitReader, mbX: Int, mbY: Int,
+      chromaMode: Int, cbpChroma: Int, qpLuma: Int,
+      availLeft: Boolean, availTop: Boolean): Unit = {
+    val qpc = chromaQp(qpLuma + st.pps.chromaQpOffset)
+    val cpx = mbX * 8; val cpy = mbY * 8
+    val planes = Array(st.cb, st.cr)
+    val nnzs = Array(st.nnzCb, st.nnzCr)
+    val dc = Array.ofDim[Int](2, 4)
+    if (cbpChroma != 0) {
+      var c = 0
+      while (c < 2) {
+        val (scan, _) = H264Cavlc.decodeResidualBlock(r, 4, -1)
+        // 2x2 inverse Hadamard + §8.5.11 scaling
+        val f0 = scan(0) + scan(1); val f1 = scan(0) - scan(1)
+        val f2 = scan(2) + scan(3); val f3 = scan(2) - scan(3)
+        val g = Array(f0 + f2, f1 + f3, f0 - f2, f1 - f3)
+        val ls = levelScale(qpc % 6)(0)
+        var k = 0
+        while (k < 4) { dc(c)(k) = ((g(k) * ls) << (qpc / 6)) >> 5; k += 1 }
+        c += 1
+      }
+    }
+    val coeffs = Array.ofDim[Int](2, 4, 16)
+    var c = 0
+    while (c < 2) {
+      var b = 0
+      while (b < 4) {
+        val x2 = mbX * 2 + b % 2; val y2 = mbY * 2 + b / 2
+        if (cbpChroma == 2) {
+          val nC = st.chromaNc(nnzs(c), x2, y2)
+          val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 15, nC)
+          nnzs(c)(y2 * st.mbW * 2 + x2) = tc
+          var k = 0
+          while (k < 15) { coeffs(c)(b)(zigzag4x4(k + 1)) = scan(k); k += 1 }
+        } else nnzs(c)(y2 * st.mbW * 2 + x2) = 0
+        coeffs(c)(b)(0) = dc(c)(b)
+        b += 1
+      }
+      c += 1
+    }
+    c = 0
+    while (c < 2) {
+      val plane = planes(c)
+      val pred =
+        if (chromaMode == 0) predictChromaDc(plane, st.chromaStride, cpx, cpy, availLeft, availTop)
+        else predictPlaneBlock(plane, st.chromaStride, cpx, cpy, 8,
+          // chroma modes: 0=DC, 1=H, 2=V, 3=Plane → shared helper's 1/0/3
+          chromaMode match { case 1 => 1; case 2 => 0; case 3 => 3 },
+          availLeft, availTop)
+      var b = 0
+      while (b < 4) {
+        val res = coeffs(c)(b)
+        val doRes = cbpChroma != 0
+        if (doRes) { dequant4x4(res, qpc, skipDc = true); inverseTransform4x4(res) }
+        val bx = (b % 2) * 4; val by = (b / 2) * 4
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val rv = if (doRes) (res(y * 4 + x) + 32) >> 6 else 0
+            plane((cpy + by + y) * st.chromaStride + cpx + bx + x) =
+              clip255(pred((by + y) * 8 + bx + x) + rv).toByte
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+      c += 1
+    }
+  }
+}

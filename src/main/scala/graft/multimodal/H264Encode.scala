@@ -1,0 +1,234 @@
+package graft.multimodal
+
+/** Minimal H.264 baseline INTRA encoder — the fixture-producing inverse
+  * of [[H264Decode]], from the same public spec sections. Three encoding
+  * strategies, each emitting a complete conformant-by-construction
+  * Annex-B stream (SPS + PPS + one IDR slice):
+  *
+  *  - [[encodeIPcm]]: every macroblock I_PCM (§7.3.5 raw-sample mode) —
+  *    pixels round-trip EXACTLY, no transform/entropy involvement. This
+  *    is the ground-truth path: any decoder bug elsewhere cannot hide
+  *    here.
+  *  - [[encodeI16x16Dc]]: every macroblock I_16x16 with DC prediction
+  *    and a CAVLC-coded luma-DC-only residual — exercises slice/MB
+  *    headers, coeff_token/level/total_zeros entropy, the inverse
+  *    Hadamard + dequant chain, and DC intra prediction. The encoder
+  *    replicates the decoder's prediction recursion, so reconstruction
+  *    targets are computed, not assumed.
+  *  - [[encodeI4x4Modes]]: every macroblock I_4x4 with caller-chosen
+  *    per-block prediction modes and zero residual (cbp = 0) —
+  *    exercises the §8.3.1 mode-prediction syntax (prev/rem flags
+  *    against the min(A,B) predictor) and all nine spatial predictors.
+  *
+  * The deblocking filter is signalled OFF (disable_deblocking_filter_idc
+  * = 1), making [[H264Decode]]'s pre-filter reconstruction the exact
+  * conformant output.
+  */
+object H264Encode {
+
+  /** Wrap (nalType, refIdc, EBSP payload) triples as an Annex-B stream. */
+  def annexB(nals: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    nals.foreach { case (t, refIdc, payload) =>
+      out.write(Array[Byte](0, 0, 0, 1))
+      out.write(((refIdc & 3) << 5) | (t & 0x1f))
+      out.write(payload, 0, payload.length)
+    }
+    out.toByteArray
+  }
+
+  private def sliceHeader(w: H264.BitWriter, qp: Int): Unit = {
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices in picture)
+    w.ue(0) // pps_id
+    w.u(0, 4) // frame_num (log2_max_frame_num = 4 per writeSps)
+    w.ue(0) // idr_pic_id
+    w.u(0, 4) // pic_order_cnt_lsb (pocType 0, log2 = 4 per writeSps)
+    w.flag(false); w.flag(false) // dec_ref_pic_marking (IDR)
+    w.se(qp - 26) // slice_qp_delta (writePps sets pic_init_qp = 26)
+    w.ue(1) // disable_deblocking_filter_idc = 1 (writePps signals present)
+  }
+
+  private def mbPad(plane: Array[Byte], w: Int, h: Int, mbDim: Int): (Array[Byte], Int, Int) = {
+    val pw = (w + mbDim - 1) / mbDim * mbDim
+    val ph = (h + mbDim - 1) / mbDim * mbDim
+    val out = new Array[Byte](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        out(y * pw + x) = plane(sy * w + math.min(x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    (out, pw, ph)
+  }
+
+  /** All-I_PCM encode of 4:2:0 planes (luma w×h; cb/cr (w/2)×(h/2)).
+    * `width`/`height` must be even (4:2:0); non-multiple-of-16 dims pad
+    * by edge replication and crop via the SPS.
+    */
+  def encodeIPcm(luma: Array[Byte], cb: Array[Byte], cr: Array[Byte],
+      width: Int, height: Int): Array[Byte] = {
+    require(luma.length == width * height, "luma plane size mismatch")
+    require(cb.length == width / 2 * (height / 2) && cr.length == cb.length,
+      "chroma plane size mismatch (4:2:0)")
+    val (yP, yw, yh) = mbPad(luma, width, height, 16)
+    val (bP, cw, _) = mbPad(cb, width / 2, height / 2, 8)
+    val (rP, _, _) = mbPad(cr, width / 2, height / 2, 8)
+    val mbW = yw / 16; val mbH = yh / 16
+    val w = new H264.BitWriter
+    sliceHeader(w, qp = 26)
+    var mb = 0
+    while (mb < mbW * mbH) {
+      val mbX = mb % mbW; val mbY = mb / mbW
+      w.ue(25) // I_PCM
+      w.alignZero()
+      var i = 0
+      while (i < 256) {
+        w.u(yP((mbY * 16 + i / 16) * yw + mbX * 16 + i % 16) & 0xff, 8); i += 1
+      }
+      i = 0
+      while (i < 64) {
+        w.u(bP((mbY * 8 + i / 8) * cw + mbX * 8 + i % 8) & 0xff, 8); i += 1
+      }
+      i = 0
+      while (i < 64) {
+        w.u(rP((mbY * 8 + i / 8) * cw + mbX * 8 + i % 8) & 0xff, 8); i += 1
+      }
+      mb += 1
+    }
+    annexB(Seq(
+      (7, 3, H264.writeSps(width, height)),
+      (8, 3, H264.writePps()),
+      (5, 3, H264.ebsp(w.stop()))))
+  }
+
+  /** I_16x16/DC encode: one luma level per macroblock. `mbMeans(mbY)(mbX)`
+    * is the target mean luma; the encoder replicates the decoder's DC
+    * prediction recursion and picks the CAVLC DC level whose
+    * reconstruction lands closest. Chroma is predicted-DC with no
+    * residual (uniform gray). Returns (stream, expected) where `expected`
+    * is the exact per-MB reconstructed luma constant the decoder must
+    * produce.
+    */
+  def encodeI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26): (Array[Byte], Array[Array[Int]]) = {
+    val mbH = mbMeans.length; val mbW = mbMeans.head.length
+    require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
+    require(qp >= 0 && qp <= 51, s"bad qp $qp")
+    val w = new H264.BitWriter
+    sliceHeader(w, qp)
+    val recon = Array.ofDim[Int](mbH, mbW)
+    val scale0 = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+
+    /** decoder's §8.5.10 DC chain for a single level L at scan pos 0:
+      * per-pixel residual after Hadamard/dequant/IDCT rounding.
+      */
+    def pixelDelta(level: Int): Int = {
+      val dc =
+        if (qp >= 36) (level * scale0) << (qp / 6 - 6)
+        else (level * scale0 + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      (dc + 32) >> 6
+    }
+
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        // decoder's 16x16 DC prediction from reconstructed neighbors:
+        // whole rows/columns of constant-valued MBs
+        val availL = mbX > 0; val availT = mbY > 0
+        val pred =
+          if (availL && availT) ((recon(mbY)(mbX - 1) + recon(mbY - 1)(mbX)) * 16 + 16) >> 5
+          else if (availT) recon(mbY - 1)(mbX)
+          else if (availL) recon(mbY)(mbX - 1)
+          else 128
+        val want = mbMeans(mbY)(mbX) - pred
+        // smallest |level| whose reconstruction is nearest the target
+        // (±4000 spans the full ±255 delta range even at qp 26, where one
+        // level step moves the pixel by ~0.05 — also exercises the CAVLC
+        // level escape codes with realistic large DC levels)
+        var best = 0; var bestErr = math.abs(pixelDelta(0) - want)
+        var l = -4000
+        while (l <= 4000) {
+          val e = math.abs(pixelDelta(l) - want)
+          if (e < bestErr || (e == bestErr && math.abs(l) < math.abs(best))) {
+            best = l; bestErr = e
+          }
+          l += 1
+        }
+        recon(mbY)(mbX) = math.max(0, math.min(255, pred + pixelDelta(best)))
+
+        w.ue(3) // mb_type: I_16x16, predMode DC(2), cbpChroma 0, cbpLuma 0
+        w.ue(0) // intra_chroma_pred_mode: DC
+        w.se(0) // mb_qp_delta
+        // Intra16x16DCLevel: single coefficient at scan position 0.
+        // nC: all AC totalCoeffs are 0 in this stream, so nC = 0
+        val coeffs = new Array[Int](16)
+        coeffs(0) = best
+        H264Cavlc.encodeResidualBlock(w, coeffs, nC = 0)
+        // cbp = 0: no AC blocks, no chroma residual
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val stream = annexB(Seq(
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (8, 3, H264.writePps()),
+      (5, 3, H264.ebsp(w.stop()))))
+    (stream, recon)
+  }
+
+  /** I_4x4 encode with caller-chosen per-block prediction modes and ZERO
+    * residual: reconstruction is pure spatial prediction. `modes(mbY)(mbX)`
+    * holds 16 mode indices (0–8) in §6.4.3 block scan order. The encoder
+    * replicates the decoder's §8.3.1.1 most-probable-mode derivation to
+    * emit prev/rem syntax. Callers must respect availability (mode 0
+    * needs a top neighbor etc.) — the decoder enforces it.
+    */
+  def encodeI4x4Modes(modes: Array[Array[Array[Int]]], qp: Int = 26): Array[Byte] = {
+    val mbH = modes.length; val mbW = modes.head.length
+    val w = new H264.BitWriter
+    sliceHeader(w, qp)
+    // absolute per-4x4-block modes for predictor derivation
+    val blockModes = Array.fill(mbH * 4, mbW * 4)(-1)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        w.ue(0) // I_4x4
+        var b = 0
+        while (b < 16) {
+          val (x4r, y4r) = H264Decode.blockScan(b)
+          val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+          val leftAvail = ax4 > 0
+          val topAvail = ay4 > 0
+          val mA = if (!leftAvail) -1
+            else { val m = blockModes(ay4)(ax4 - 1); if (m < 0) 2 else m }
+          val mB = if (!topAvail) -1
+            else { val m = blockModes(ay4 - 1)(ax4); if (m < 0) 2 else m }
+          val predMode = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+          val mode = modes(mbY)(mbX)(b)
+          if (mode == predMode) w.flag(true)
+          else {
+            w.flag(false)
+            w.u(if (mode < predMode) mode else mode - 1, 3)
+          }
+          blockModes(ay4)(ax4) = mode
+          b += 1
+        }
+        w.ue(0) // intra_chroma_pred_mode: DC
+        w.ue(H264Decode.cbpIntraToCodeNum(0)) // coded_block_pattern = 0
+        // cbp == 0: no mb_qp_delta, no residual
+        mbX += 1
+      }
+      mbY += 1
+    }
+    annexB(Seq(
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (8, 3, H264.writePps()),
+      (5, 3, H264.ebsp(w.stop()))))
+  }
+}

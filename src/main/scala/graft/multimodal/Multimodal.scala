@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * [[sampleFramesIO]]/[[videoDedupByFrameHash]] decode actual
   * pixels/samples/frames with no external codec libraries. Video covers
   * GIF plus mp4 and avi CONTAINERS parsed from the public specs
-  * ([[VideoContainers]]) with real frame decode for Motion-JPEG payloads;
-  * the one remaining genuinely-codec-bound gap — H.264/H.265 bitstream
-  * decompression — enters through the injectable [[FrameDecoder]] hook,
-  * plus the clearly-marked deterministic stubs below for the
-  * generic-payload pipeline shape.
+  * ([[VideoContainers]]) with real frame decode for Motion-JPEG payloads
+  * AND (r7) H.264 baseline-profile INTRA keyframes — CAVLC entropy
+  * decode, inverse transform, full spatial prediction ([[H264Decode]]) —
+  * so avc1 keyframes reconstruct to pixels. The remaining codec tier
+  * (CABAC main/high-profile H.264, P/B motion compensation, H.265)
+  * enters through the injectable [[FrameDecoder]] hook, plus the
+  * clearly-marked deterministic stubs below for the generic-payload
+  * pipeline shape.
   * Everything else is real and tested: the schema contract, the
   * `mapPartitions` batch shape (one codec init per partition, not per
   * row), the partition-preserving plumbing, and the hand-off of extracted
@@ -598,6 +601,48 @@ object Multimodal {
     }
   }
 
+  /** Synthetic avc1 mp4s whose keyframes are REAL decodable H.264 CAVLC
+    * I_16x16 pictures ([[H264Encode.encodeI16x16Dc]]) — 3 IDR sync
+    * samples of a 64×64 per-seed brightness pattern. Every `dupEvery`-th
+    * video is a PIXEL near-duplicate of its predecessor: per-MB ±2
+    * brightness jitter re-encodes to DIFFERENT bytes (so compressed-
+    * domain keyframe-hash dedup cannot collapse it) while the decoded
+    * frames aHash within a couple of bits. Distinct seeds differ in at
+    * least one 130-level cell (the pattern embeds the seed's bits), so
+    * non-dup videos are ≥4 aHash bits apart by construction.
+    */
+  def syntheticAvcPixelMp4s(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id) // jitter keyed by id, not seed
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup) rnd.nextInt(5) - 2 else 0)
+      }
+      val annexB = H264Encode.encodeI16x16Dc(mbMeans)._1
+      val nals = H264.nalUnitsAnnexB(annexB)
+      val sps = nals.find(_.nalType == 7).get.payload
+      val pps = nals.find(_.nalType == 8).get.payload
+      val idr = nals.find(_.nalType == 5).get.payload
+      val sample = {
+        val b = new java.io.ByteArrayOutputStream(idr.length + 5)
+        val len = idr.length + 1
+        b.write(len >> 24); b.write((len >> 16) & 0xff)
+        b.write((len >> 8) & 0xff); b.write(len & 0xff)
+        b.write(0x65) // IDR, nal_ref_idc 3
+        b.write(idr, 0, idr.length)
+        b.toByteArray
+      }
+      val content = VideoContainers.buildMp4Avc(
+        Seq(sample, sample, sample), Seq(1, 2, 3), sps, pps, 64, 64)
+      Media(id, "video", content, MediaMeta("mp4", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   case class KeyframeSig(media_id: Long, sig: Array[Byte])
 
   /** EXACT compressed-domain video dedup for H.264 mp4s: hash the
@@ -693,10 +738,10 @@ object Multimodal {
   }
 
   /** Injectable video-container decoder — the plug-in point for the
-    * remaining codec gap (H.264/H.265 bitstream decode needs an
-    * ffmpeg-class library; a JavaCV- or jcodec-backed implementation
-    * drops in here with no change to the pipeline — GIF, AVI/MJPEG and
-    * MP4/MJPEG already decode for real via [[ContainerFrameDecoder]]).
+    * remaining codec tier (CABAC H.264, inter-coded frames, H.265: an
+    * ffmpeg-class library's implementation drops in here with no change
+    * to the pipeline — GIF, AVI/MJPEG, MP4/MJPEG and H.264 CAVLC intra
+    * keyframes already decode for real via [[ContainerFrameDecoder]]).
     * Contract:
     *
     *  - `sampleFrames(content, maxFrames)` returns up to `maxFrames`
@@ -717,11 +762,13 @@ object Multimodal {
   /** The shipped default [[FrameDecoder]]: sniffs the container by magic
     * bytes and decodes GIF (ImageIO multi-frame reader), AVI/MJPEG and
     * MP4/MJPEG (pure-JDK container parsing, [[VideoContainers]] — each
-    * sample is a complete JPEG decoded by the JDK reader). Frames are
-    * evenly sampled and re-encoded PNG so every container feeds the same
-    * image path. Payloads in a readable container but a codec the JDK
-    * can't entropy-decode (H.264/H.265 mp4, non-MJPEG avi) yield Nil —
-    * THAT bitstream decode is the remaining injectable boundary.
+    * sample is a complete JPEG decoded by the JDK reader), plus
+    * H.264/AVC INTRA keyframes — both raw Annex-B payloads and avc1 mp4
+    * sync samples — via the pure-Scala CAVLC baseline decoder
+    * ([[H264Decode]], r7). Frames are evenly sampled and re-encoded PNG
+    * so every container feeds the same image path. Still-undecodable
+    * codecs (CABAC main/high-profile H.264, H.265, VP9, …) yield Nil —
+    * that tier remains the injectable boundary.
     */
   class ContainerFrameDecoder extends FrameDecoder {
     private val gif = new GifFrameDecoder
@@ -745,8 +792,15 @@ object Multimodal {
       VideoContainers.sniff(content) match {
         case "gif" => gif.sampleFrames(content, maxFrames)
         case "avi" => sampleEven(VideoContainers.aviFrames(content), maxFrames).map(pngBytes)
-        case "mp4" => sampleEven(VideoContainers.mp4Frames(content), maxFrames).map(pngBytes)
-        case _     => Nil
+        case "mp4" =>
+          val mjpeg = sampleEven(VideoContainers.mp4Frames(content), maxFrames).map(pngBytes)
+          if (mjpeg.nonEmpty) mjpeg
+          else H264Decode.decodeMp4AvcKeyframes(content, maxFrames)
+            .map(f => pngBytes(H264Decode.toGrayImage(f)))
+        case "h264" =>
+          H264Decode.decodeIdrFrame(content).toSeq
+            .map(f => pngBytes(H264Decode.toGrayImage(f)))
+        case _ => Nil
       }
   }
 

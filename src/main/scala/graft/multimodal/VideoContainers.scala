@@ -48,6 +48,8 @@ object VideoContainers {
     else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ")
       "avi"
     else if (bytes.length >= 8 && fourcc(bytes, 4) == "ftyp") "mp4"
+    else if (bytes.length >= 4 && bytes(0) == 0 && bytes(1) == 0 &&
+      (bytes(2) == 1 || (bytes(2) == 0 && bytes(3) == 1))) "h264" // raw Annex-B
     else "unknown"
 
   private def fourcc(b: Array[Byte], off: Int): String =

@@ -384,6 +384,58 @@ object Relational {
   def percentileContExact(
       df: DataFrame, partKey: String, valueCol: String,
       ps: Seq[(String, Double)], buckets: Int = 64): DataFrame = {
+    val n = col("_pc_n")
+    def kLo(p: Double): Column = floor(lit(p) * (n - 1).cast("double")).cast("long") + 1
+    def kHi(p: Double): Column = least(kLo(p) + 1, n)
+    rankTargetedSelect(df, partKey, valueCol, ps, buckets,
+      neededRanks = p => Seq(kLo(p), kHi(p)),
+      finalAgg = { (name, p, rn) =>
+        val lo = max(when(rn === kLo(p), col("_pc_v")))
+        val hi = max(when(rn === kHi(p), col("_pc_v")))
+        val idx = lit(p) * (max(n) - 1).cast("double")
+        (lo + (idx - floor(idx)) * (coalesce(hi, lo) - lo)).as(name)
+      })
+  }
+
+  /** Exact DISCRETE percentiles (percentile_disc semantics) with the same
+    * bucketed rank-targeted plan as [[percentileContExact]] — the q48
+    * twin of the q92 rewrite. Selection follows the built-in exactly: the
+    * smallest value whose cumulative distribution k/n (computed in
+    * doubles, as both engines do) reaches p — NOT ⌈p·n⌉, whose double
+    * product can land one ulp above an exact integer (p = 0.7, n = 10:
+    * 0.7·10 = 7.000000000000001, yet 7/10 ≥ 0.7 holds in doubles) and
+    * select the wrong order statistic.
+    */
+  def percentileDiscExact(
+      df: DataFrame, partKey: String, valueCol: String,
+      ps: Seq[(String, Double)], buckets: Int = 64): DataFrame = {
+    val n = col("_pc_n")
+    // smallest k with k/n >= p: probe ceil(p·n) ± 1 with the double
+    // cume_dist comparison itself (all three candidates, clamped to [1,n])
+    def kDisc(p: Double): Column = {
+      val k0 = greatest(ceil(lit(p) * n.cast("double")).cast("long"), lit(1L))
+      when((k0 - 1) >= 1 && (k0 - 1).cast("double") / n.cast("double") >= p, k0 - 1)
+        .otherwise(when(k0.cast("double") / n.cast("double") >= p, k0)
+          .otherwise(least(k0 + 1, n)))
+    }
+    rankTargetedSelect(df, partKey, valueCol, ps, buckets,
+      neededRanks = p => Seq(kDisc(p)),
+      finalAgg = (name, p, rn) => max(when(rn === kDisc(p), col("_pc_v"))).as(name))
+  }
+
+  /** Shared core of [[percentileContExact]]/[[percentileDiscExact]]:
+    * bucket values per key by approx-percentile boundaries, recover exact
+    * global offsets from (key, bucket) counts, DROP every bucket holding
+    * none of the needed ranks, sort only the kept slices, and aggregate
+    * the value-at-rank rows. `neededRanks`/`finalAgg` receive columns
+    * that may reference `_pc_n` (per-key total) and `_pc_rn` (exact
+    * global rank).
+    */
+  private def rankTargetedSelect(
+      df: DataFrame, partKey: String, valueCol: String,
+      ps: Seq[(String, Double)], buckets: Int,
+      neededRanks: Double => Seq[Column],
+      finalAgg: (String, Double, Column) => Column): DataFrame = {
     require(ps.nonEmpty, "at least one percentile")
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       "fractions must be in [0, 1]")
@@ -406,9 +458,10 @@ object Relational {
 
     // pass 1b: exact (key, bucket) counts -> offsets + totals, then DROP
     // every bucket holding no needed rank (the pruning step distribution-
-    // Ranks cannot do — it needs every row ranked; percentiles need ~2·|ps|)
+    // Ranks cannot do — it needs every row ranked; percentiles need a
+    // handful of ranks)
     val wOff = W.partitionBy(col(partKey)).orderBy(col("_pc_b"))
-    val off = col("_pc_off"); val n = col("_pc_n")
+    val off = col("_pc_off")
     val cnts = withB.groupBy(col(partKey), col("_pc_b"))
       .agg(count(lit(1)).as("_pc_c"))
       .select(col(partKey), col("_pc_b"), col("_pc_c"),
@@ -417,31 +470,22 @@ object Relational {
         sum(col("_pc_c")).over(
           wOff.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
           .as("_pc_n"))
-    def kLo(p: Double): Column = floor(lit(p) * (n - 1).cast("double")).cast("long") + 1
-    def kHi(p: Double): Column = least(kLo(p) + 1, n)
-    val bucketNeeded = ps.map { case (_, p) =>
-      (kLo(p) > off && kLo(p) <= off + col("_pc_c")) ||
-        (kHi(p) > off && kHi(p) <= off + col("_pc_c"))
+    val bucketNeeded = ps.flatMap { case (_, p) =>
+      neededRanks(p).map(k => k > off && k <= off + col("_pc_c"))
     }.reduce(_ || _)
     val kept = cnts.filter(bucketNeeded).drop("_pc_c")
 
     // pass 2: per-row sort over ONLY the kept (key, bucket) slices
     val w = W.partitionBy(col(partKey), col("_pc_b")).orderBy(col("_pc_v"))
     val rn = col("_pc_rn")
-    val rankNeeded = ps.map { case (_, p) =>
-      rn === kLo(p) || rn === kHi(p)
+    val rankNeeded = ps.flatMap { case (_, p) =>
+      neededRanks(p).map(k => rn === k)
     }.reduce(_ || _)
     val hits = withB.join(broadcast(kept), Seq(partKey, "_pc_b"))
       .withColumn("_pc_rn", off + row_number().over(w))
       .filter(rankNeeded)
 
-    // closed-form interpolation from the ≤2·|ps| value-at-rank rows/key
-    val aggs = ps.map { case (name, p) =>
-      val lo = max(when(rn === kLo(p), col("_pc_v")))
-      val hi = max(when(rn === kHi(p), col("_pc_v")))
-      val idx = lit(p) * (max(n) - 1).cast("double")
-      (lo + (idx - floor(idx)) * (coalesce(hi, lo) - lo)).as(name)
-    }
+    val aggs = ps.map { case (name, p) => finalAgg(name, p, rn) }
     hits.groupBy(col(partKey)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -162,10 +162,12 @@ object CorpusQueries {
     */
   def q114Winsorize(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
-    val b = o.groupBy(col("o_orderstatus").as("_w_st"))
-      .agg(
-        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("_w_lo"),
-        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("_w_hi"))
+    // r7: bucketed exact percentiles (q92 discipline) — the built-in
+    // percentile_cont would buffer a third of orders per status group
+    val b = graft.operators.Relational.percentileContExact(
+        o, "o_orderstatus", "o_totalprice",
+        Seq("_w_lo" -> 0.05, "_w_hi" -> 0.95))
+      .withColumnRenamed("o_orderstatus", "_w_st")
     val clip = least(greatest(col("o_totalprice"), col("_w_lo")), col("_w_hi"))
     o.join(broadcast(b), col("o_orderstatus") === col("_w_st"))
       .select(col("o_orderstatus"), col("_w_lo"), col("_w_hi"),

@@ -290,14 +290,18 @@ object ExtendedQueries {
   /** q48 — discrete quantiles (percentile_disc WITHIN GROUP): returns
     * actual data values (no interpolation), so cross-engine results are
     * exact doubles with zero float-arithmetic drift.
+    *
+    * NOT the built-in `percentile_disc` (r7): its sort-buffer aggregate
+    * holds a third of orders per status group — the q92 scale-killer
+    * shape. [[graft.operators.Relational.percentileDiscExact]] selects
+    * the same order statistics via the bucketed rank-targeted plan; the
+    * DuckDB oracle stays the stock percentile_disc, certifying
+    * equivalence.
     */
   def q48Quantiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("q25"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("q50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("q75"))
+    graft.operators.Relational.percentileDiscExact(
+        t(spark, dir, "orders"), "o_orderstatus", "o_totalprice",
+        Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75))
       .orderBy(col("o_orderstatus"))
 
   /** q49 — ordered string aggregation: the deterministic form
@@ -498,6 +502,27 @@ object ExtendedQueries {
       spark, graft.tools.GenMediaFixtures.path("avc_200"))(
       graft.multimodal.Multimodal.syntheticAvcMp4s(spark, 200))
     graft.multimodal.Multimodal.videoDedupByKeyframeHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q133 — H.264 PIXEL-level video near-dup (r7, the upgrade q84's doc
+    * promised): avc1 mp4s whose keyframes are real CAVLC I_16x16
+    * pictures ([[graft.multimodal.Multimodal.syntheticAvcPixelMp4s]]),
+    * decoded to pixels by the pure-Scala intra decoder
+    * ([[graft.multimodal.H264Decode]]) inside the standard
+    * [[graft.multimodal.Multimodal.videoDedupByFrameHash]] pipeline —
+    * mid-keyframe aHash + Hamming signature dedup. The planted near-dups
+    * are byte-DIFFERENT re-encodes (±2 brightness jitter), so the
+    * compressed-domain q84 path cannot collapse them; only pixel decode
+    * can — which is exactly the capability under test. Deterministic
+    * survivors pinned in H264PipelineSpec; driver rows-only check here.
+    */
+  def q133AvcPixelDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcpix_200"))(
+      graft.multimodal.Multimodal.syntheticAvcPixelMp4s(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
       .select(col("media_id"))
       .orderBy(col("media_id"))
   }
@@ -730,6 +755,7 @@ object ExtendedQueries {
     "q81_fuzzy_match"   -> (q81FuzzyMatch _),
     "q83_recursive_cte" -> (sqlOn(q83Sql) _),
     "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),
+    "q133_avc_pixel_dedup" -> (q133AvcPixelDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -896,6 +922,9 @@ object ExtendedQueries {
     "q83_recursive_cte" -> q83Sql,
     "q84_avc_keydedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q84_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q133_avc_pixel_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q133_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -162,6 +162,53 @@ object PipelineQueries {
       .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** q134 — ordered FUNNEL analysis over the event stream (the product-
+    * analytics primitive): per-user earliest view → first click strictly
+    * AFTER that view → first purchase strictly after that click, counted
+    * per step. Scale shape: three filtered min-aggregations (map-side
+    * combined), stitched by |users|-row broadcast joins — no window ever
+    * sorts a user's full event history, so the plan is flat in events
+    * and tiny in users. Step ordering compares the raw int64 nanosecond
+    * `ts` (DuckDB compares its TIMESTAMP_NS natively — identical total
+    * order), and the output is pure counts — cross-engine exact.
+    */
+  def q134Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+    def step(typ: String, prev: DataFrame, prevCol: String, out: String): DataFrame =
+      e.filter(col("event_type") === typ)
+        .join(broadcast(prev), Seq("user_id"))
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = step("click", t1, "t1", "t2")
+    val t3 = step("purchase", t2, "t2", "t3")
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_view_click_purchase"))))
+  }
+
+  /** q135 — cohort RETENTION matrix: users cohorted by their first-ever
+    * event day, retention measured as distinct active users at day
+    * offsets 0/1/7 per cohort. Scale shape: distinct (user, day)
+    * activity pairs collapse map-side BEFORE the |users|-row cohort
+    * frame broadcasts back; the matrix aggregate runs over
+    * |users|·|active days| rows, never raw events. Day arithmetic is
+    * integer datediff on µs-truncated dates — cross-engine exact.
+    */
+  def q135Retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_time").cast(org.apache.spark.sql.types.DateType).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val active = e.distinct()
+    active.join(broadcast(cohort), Seq("user_id"))
+      .withColumn("off", datediff(col("d"), col("d0")).cast("long"))
+      .filter(col("off").isin(0L, 1L, 7L))
+      .groupBy(col("d0"), col("off"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("d0"), col("off"))
+  }
+
   /** q36 — multimodal feature extraction → the media plumbing end-to-end
     * (rows-only check, semantics pinned in MultimodalSpec).
     */
@@ -190,6 +237,8 @@ object PipelineQueries {
     "q34_events_daily"   -> (q34EventsDaily _),
     "q35_events_sessions"-> (q35EventsSessions _),
     "q36_media_features" -> (q36MediaFeatures _),
+    "q134_funnel"        -> (q134Funnel _),
+    "q135_retention"     -> (q135Retention _),
   )
 
   /** DuckDB oracles for the dual-engine subset (q22–q28). */
@@ -288,5 +337,33 @@ object PipelineQueries {
                 count(*) AS n_events
          FROM numbered GROUP BY user_id, sess_id
          ORDER BY user_id, sess_start""",
+    // q134 — the funnel's step ordering compares TIMESTAMP_NS natively,
+    // the same total order as Spark's int64 nanosecond ts
+    "q134_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+           WHERE e.event_type = 'click' GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT (SELECT count(*) FROM t1) AS n_view,
+                (SELECT count(*) FROM t2) AS n_view_click,
+                (SELECT count(*) FROM t3) AS n_view_click_purchase""",
+    // q135 — µs truncation then DATE matches Spark's event_time cast
+    "q135_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+         c AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1)
+         SELECT c.d0, CAST(a.d - c.d0 AS BIGINT) AS off,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         WHERE a.d - c.d0 IN (0, 1, 7)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

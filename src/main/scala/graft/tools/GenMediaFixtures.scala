@@ -29,6 +29,7 @@ object GenMediaFixtures {
         Multimodal.syntheticMp4s(spark, 200).filter(_.media_id >= 100))
     },
     "avc_200" -> Multimodal.syntheticAvcMp4s(spark, 200),
+    "avcpix_200" -> Multimodal.syntheticAvcPixelMp4s(spark, 200),
   )
 
   def path(name: String): String = s"/root/repo/fixtures/media_$name.parquet"

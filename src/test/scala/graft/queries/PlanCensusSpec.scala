@@ -39,10 +39,13 @@ class PlanCensusSpec extends SparkSpec {
   //  - q129_hard_negatives / q130_semdedup: the declared exact all-pairs
   //    baselines (q28's contract) — the scale path is the banded-LSH
   //    candidate generator, equi-join only
+  //  - q134_funnel: the three per-step 1-row count aggregates stitch into
+  //    one result row via broadcast "loops" over exactly one row each
+  //    (q62's declared scalar shape)
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
     "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
-    "q130_semdedup")
+    "q130_semdedup", "q134_funnel")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -144,7 +147,9 @@ class PlanCensusSpec extends SparkSpec {
     "q112_collation"           -> (3, 0, 0, true), // collated distinct: expand + 2-phase agg
     "q113_editdist_join"       -> (2, 1, 0, true), // PassJoin segment/substring equi-join
                                                    // (probe side broadcast at this SF) + distinct
-    "q114_winsorize"           -> (3, 1, 0, true), // percentile agg + broadcast bounds + clip agg
+    "q114_winsorize"           -> (7, 3, 0, true), // r7: bucketed percentileContExact
+                                                   // bounds (tiny-frame exchanges) +
+                                                   // broadcast bounds + clip agg
     "q115_token_entropy"       -> (3, 0, 0, true), // token agg + source window + final agg
     "q116_containment"         -> (3, 2, 0, true), // inverted-index gram join + overlap agg
                                                    // + small size-frame broadcasts
@@ -176,8 +181,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // candidates, equi-joins only
     "q131_source_overlap"      -> (5, 2, 0, true), // (grp,gram) distinct + inverted-index
                                                    // gram join + sizes broadcast ×2 + sort
-    "q132_zipf_fit"            -> (3, 0, 0, true)) // token agg + vocab-frame ranking
+    "q132_zipf_fit"            -> (3, 0, 0, true), // token agg + vocab-frame ranking
                                                    // window + regr agg + sort
+    "q133_avc_pixel_dedup"     -> (6, 1, 0, true)) // fixture parquet scan +
+                                                   // repartition; aHash sig agg +
+                                                   // Hamming chunk join + anti-join
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
