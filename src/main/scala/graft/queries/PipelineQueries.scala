@@ -209,6 +209,31 @@ object PipelineQueries {
       .orderBy(col("d0"), col("off"))
   }
 
+  /** q136 — click→view ATTRIBUTION (the stream-stream interval join's
+    * batch face, B-ext): every (click, view) pair of the same user with
+    * the view inside the 10-minute look-back window before the click —
+    * [[graft.streaming.EventStreams.attributedClicks]], the SAME
+    * transform the watermarked streaming path runs (EventStreamsSpec
+    * pins that face). In batch mode Spark plans the time band as an
+    * equi-join on user plus a residual range filter; output ids/times
+    * are integer/µs-exact cross-engine.
+    */
+  def q136Attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.attributedClicks(Tables.loadEvents(spark, dir))
+      .orderBy(col("click_id"), col("view_id"))
+
+  /** q137 — SLIDING-window event counts (B21's batch face under the
+    * oracle; the tumbling face is q34): 10-minute windows sliding by 5,
+    * so each event lands in exactly two windows. Spark's `window()`
+    * assigns via floor arithmetic on the µs timestamp; the oracle
+    * re-derives both covering windows per event with the same integer
+    * epoch arithmetic. Counts per (window start, event type).
+    */
+  def q137SlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.slidingCounts(
+        Tables.loadEvents(spark, dir), "10 minutes", "5 minutes")
+      .orderBy(col("win_start"), col("event_type"))
+
   /** q36 — multimodal feature extraction → the media plumbing end-to-end
     * (rows-only check, semantics pinned in MultimodalSpec).
     */
@@ -239,6 +264,8 @@ object PipelineQueries {
     "q36_media_features" -> (q36MediaFeatures _),
     "q134_funnel"        -> (q134Funnel _),
     "q135_retention"     -> (q135Retention _),
+    "q136_attribution"   -> (q136Attribution _),
+    "q137_sliding_counts"-> (q137SlidingCounts _),
   )
 
   /** DuckDB oracles for the dual-engine subset (q22–q28). */
@@ -365,5 +392,37 @@ object PipelineQueries {
          FROM a JOIN c ON a.user_id = c.user_id
          WHERE a.d - c.d0 IN (0, 1, 7)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q136 — µs-truncated timestamps; the 10-minute look-back band is
+    // closed on both ends exactly as attributedClicks declares
+    "q136_attribution" ->
+      """WITH v AS (
+           SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_time
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_time
+           FROM events WHERE event_type = 'click')
+         SELECT c.user_id, c.click_id, v.view_id, c.click_time, v.view_time
+         FROM c JOIN v ON c.user_id = v.user_id
+          AND v.view_time <= c.click_time
+          AND v.view_time >= c.click_time - INTERVAL 10 MINUTE
+         ORDER BY click_id, view_id""",
+    // q137 — each event covers two 10-min windows sliding by 5; window
+    // starts re-derived with the same epoch-µs floor arithmetic Spark's
+    // window() uses (no time_bucket: its origin is not the epoch)
+    "q137_sliding_counts" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS et FROM events),
+         w AS (
+           SELECT event_type,
+                  make_timestamp((epoch_us(et) // 300000000) * 300000000) AS s0
+           FROM e),
+         covering AS (
+           SELECT event_type, s0 AS win_start FROM w
+           UNION ALL
+           SELECT event_type, s0 - INTERVAL 5 MINUTE FROM w)
+         SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+                event_type, count(*) AS n
+         FROM covering GROUP BY 1, 2, 3
+         ORDER BY win_start, event_type""",
   )
 }

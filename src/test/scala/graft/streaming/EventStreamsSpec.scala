@@ -338,6 +338,16 @@ class EventStreamsSpec extends SparkSpec {
         .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events")))
     val bSess = graft.SparkEntry.queries("q35_events_sessions")(spark, sf).collect()
     assert(bSess.nonEmpty && sSess == bSess.toSet)
+
+    // q136's stream-stream interval join (watermarked, append mode): the
+    // streaming sink must emit exactly the oracled batch pair set
+    val qAttr = EventStreams.attributedClicks(stream).writeStream
+      .format("memory").queryName("parity_attr").outputMode(OutputMode.Append).start()
+    val sAttr =
+      try { qAttr.processAllAvailable(); spark.table("parity_attr").collect().toSet }
+      finally qAttr.stop()
+    val bAttr = graft.SparkEntry.queries("q136_attribution")(spark, sf).collect()
+    assert(bAttr.nonEmpty && sAttr == bAttr.toSet)
   }
 
   test("B20: batch and streaming share the same transform (events table)") {
