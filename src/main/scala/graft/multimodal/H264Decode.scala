@@ -671,6 +671,7 @@ object H264Decode {
         b += 1
       }
       val chromaMode = r.ue()
+      require(chromaMode <= 3, s"bad intra_chroma_pred_mode $chromaMode")
       val cbp = {
         val cn = r.ue()
         require(cn < 48, s"bad cbp codeNum $cn")
@@ -740,6 +741,7 @@ object H264Decode {
         b0 += 1
       }
       val chromaMode = r.ue()
+      require(chromaMode <= 3, s"bad intra_chroma_pred_mode $chromaMode")
       qp = ((qp + r.se()) + 52) % 52
 
       // Intra16x16DCLevel: one 16-coeff CAVLC block, nC from block 0's

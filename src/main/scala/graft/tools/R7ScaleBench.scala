@@ -183,6 +183,42 @@ object R7ScaleBench {
       Analytics.hardNegatives(emb, "vec_id", "v", "label",
         col("vec_id") % 29 === 0 && col("vec_id") < 580).count()
     }
+    // events replicated with offset users: per-user history depth stays
+    // constant, user count grows repl× — the real shape of event growth
+    val ev0 = graft.core.Tables.loadEvents(spark, dir) // nanosAsLong handled
+    val events = (0 until repl).map(i =>
+        ev0.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_.unionByName(_))
+      .persist()
+    val nEvents = events.count()
+    println(s"events: $nEvents rows")
+
+    timeOver("q134_funnel shape", nEvents) {
+      val t1 = events.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = events.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      t2.count()
+    }
+    timeOver("q135_retention shape", nEvents) {
+      val e = events.select(col("user_id"), col("event_time").cast("date").as("d"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      e.distinct().join(cohort, Seq("user_id"))
+        .withColumn("off", datediff(col("d"), col("d0")).cast("long"))
+        .filter(col("off").isin(0L, 1L, 7L))
+        .groupBy(col("d0"), col("off"))
+        .agg(countDistinct(col("user_id")).as("n_users")).count()
+    }
+    timeOver("q136_attribution shape", nEvents) {
+      graft.streaming.EventStreams.attributedClicks(events).count()
+    }
+    timeOver("q137_sliding shape", nEvents) {
+      graft.streaming.EventStreams.slidingCounts(
+        events, "10 minutes", "5 minutes").count()
+    }
+
     timeOver("q117_triangles (3 modular edges/doc)", nDocs) {
       val nn = docs.agg(count(lit(1)).as("_n"))
       val base = docs.select(col("doc_id")).crossJoin(broadcast(nn))

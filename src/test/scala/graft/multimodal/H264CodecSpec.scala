@@ -202,6 +202,26 @@ class H264CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random and bit-flipped streams never throw or hang — None or a frame") {
+    val rnd = new scala.util.Random(1234)
+    // pure garbage wrapped in valid NAL framing (random slice payloads)
+    for (_ <- 1 to 200) {
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      val stream = H264Encode.annexB(Seq(
+        (7, 3, H264.writeSps(32, 32)), (8, 3, H264.writePps()), (5, 3, junk)))
+      H264Decode.decodeIdrFrame(stream) // must not throw
+    }
+    // bit-flip corruption of a VALID stream (entropy desync paths)
+    val (valid, _) = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((a, b) => 60 + 40 * (a + b)))
+    for (_ <- 1 to 300) {
+      val c = valid.clone()
+      val pos = rnd.nextInt(c.length - 20) + 20 // keep SPS/PPS region intact-ish
+      c(pos) = (c(pos) ^ (1 << rnd.nextInt(8))).toByte
+      H264Decode.decodeIdrFrame(c) // any outcome, no throw/hang
+    }
+  }
+
   test("decode rejects out-of-scope or garbage payloads with None, not throws") {
     assert(H264Decode.decodeIdrFrame(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
     assert(H264Decode.decodeIdrFrame(Array.fill[Byte](64)(0)).isEmpty)

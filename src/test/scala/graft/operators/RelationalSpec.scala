@@ -265,4 +265,55 @@ class RelationalSpec extends SparkSpec {
       assert(two == win)
     }
   }
+
+  test("percentileCont/DiscExact match the built-in aggregates on randomized data (ties, nulls, tiny groups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy ties (values quantized to 0.5), explicit nulls, a 1-row and
+    // a 2-row group alongside big ones — every branch of the rank math
+    val rows = (1 to 4000).map { i =>
+      val k = "g" + (i % 5)
+      val v: java.lang.Double =
+        if (rnd.nextInt(20) == 0) null
+        else math.floor(rnd.nextDouble() * 40) / 2.0
+      (i.toLong, k, v)
+    } ++ Seq((9001L, "solo", java.lang.Double.valueOf(3.25)),
+      (9002L, "duo", java.lang.Double.valueOf(1.0)),
+      (9003L, "duo", java.lang.Double.valueOf(2.0)),
+      (9004L, "allnull", null.asInstanceOf[java.lang.Double]))
+    val df = rows.toDF("id", "k", "v")
+    val ps = Seq("p10" -> 0.1, "p37" -> 0.37, "p50" -> 0.5, "p70" -> 0.7, "p100" -> 1.0)
+
+    def canon(r: org.apache.spark.sql.Row): (String, Seq[Option[Double]]) =
+      (r.getString(0), (1 to ps.size).map(i =>
+        if (r.isNullAt(i)) None else Some(math.round(r.getDouble(i) * 1e9) / 1e9)))
+
+    val contExact = Relational.percentileContExact(df, "k", "v", ps, buckets = 8)
+      .collect().map(canon).toMap
+    val contBuiltin = df.groupBy(col("k")).agg(
+        ps.map { case (n, p) =>
+          expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY v)").as(n) }.head,
+        ps.tail.map { case (n, p) =>
+          expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY v)").as(n) }: _*)
+      .collect().map(canon).toMap
+    // all-NULL groups: built-in emits a NULL row, the exact form emits none
+    assert(contBuiltin("allnull").forall(_.isEmpty))
+    assert(contExact == contBuiltin.filter(_._2.exists(_.nonEmpty)))
+
+    val discExact = Relational.percentileDiscExact(df, "k", "v", ps, buckets = 8)
+      .collect().map(canon).toMap
+    val discBuiltin = df.groupBy(col("k")).agg(
+        ps.map { case (n, p) =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n) }.head,
+        ps.tail.map { case (n, p) =>
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as(n) }: _*)
+      .collect().map(canon).toMap
+    assert(discExact == discBuiltin.filter(_._2.exists(_.nonEmpty)))
+
+    // the scale property itself: no buffering percentile aggregate and no
+    // per-key-only window survives into the physical plan
+    val plan = Relational.percentileContExact(df, "k", "v", ps, buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile_cont"), "built-in percentile leaked into the plan")
+  }
 }
