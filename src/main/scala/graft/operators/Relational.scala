@@ -50,6 +50,43 @@ object Relational {
       .drop("_band_bucket")
   }
 
+  /** Salted equi-join for SKEWED probe keys: a hot key (a handful of
+    * values holding most rows) sends its entire probe volume to ONE
+    * sort-merge reducer, no matter how many executors exist. Salting
+    * splits each key into `saltBuckets` sub-keys: the probe side derives
+    * a DETERMINISTIC salt from `probeSaltCol` (any well-distributed
+    * probe column — layout-independent, unlike rand(), so retries and
+    * recomputations agree), the build side replicates each row across
+    * all salts, and the equi-join on (key, salt) spreads the hot key
+    * over `saltBuckets` reducers. Cost: build side ×`saltBuckets` — the
+    * right trade when the build is modest but too large (or too skewed)
+    * to broadcast. Exactness: each probe row carries exactly one salt
+    * and meets exactly one replica of every matching build row, so
+    * inner and left-outer results equal the plain join row-for-row
+    * (RelationalSpec pins the differential; q138 pins it under the
+    * DuckDB oracle — salting must be invisible in results, the q111
+    * salted-aggregation discipline). Right/full outer are rejected: an
+    * unmatched build row would surface once per salt. AQE's runtime
+    * skew-join split is the first line of defense; this operator is the
+    * declarative form for when the skew is known ahead of time or the
+    * join is inside a non-AQE context (streaming microbatches).
+    */
+  def saltedJoin(
+      probe: DataFrame, build: DataFrame, key: String,
+      saltBuckets: Int, probeSaltCol: Column,
+      joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salted build side preserves only inner/left semantics, got $joinType")
+    Seq(probe, build).foreach(df =>
+      require(!df.columns.contains("_sj_salt"), "input already has column _sj_salt"))
+    val p = probe.withColumn("_sj_salt",
+      pmod(xxhash64(probeSaltCol), lit(saltBuckets.toLong)).cast("int"))
+    val b = build.withColumn("_sj_salt",
+      explode(lit((0 until saltBuckets).toArray)))
+    p.join(b, Seq(key, "_sj_salt"), joinType).drop("_sj_salt")
+  }
+
   /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
     * (key, salt) with `saltBuckets`-way fan-out so one hot key spreads over
     * `saltBuckets` reducers; phase 2 merges the partials per key. Caller

@@ -303,6 +303,78 @@ object CorpusQueries {
     * vocabulary size — the property that makes it work on an unbounded
     * 100 TB vocabulary.
     */
+  /** q138 — skew-salted equi-JOIN under the EXACT oracle
+    * ([[Relational.saltedJoin]], the join twin of q111's salted
+    * aggregation): orders (every o_orderpriority value is a hot key —
+    * 5 keys over the whole table) joined to a per-priority statistics
+    * dim on the salted (key, salt) pair. The oracle is the PLAIN join —
+    * salting, like q111's, must be invisible in results; the operator's
+    * value is spreading each hot key over 16 reducers when the dim is
+    * too large or skewed to broadcast. Deterministic salt from
+    * o_orderkey (layout-independent, retry-stable).
+    */
+  def q138SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val dim = o.groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("prio_n"),
+        round(avg(col("o_totalprice")), 6).as("prio_avg"))
+      .withColumnRenamed("prio", "o_orderpriority")
+    Relational.saltedJoin(
+        o.filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        dim, "o_orderpriority", saltBuckets = 16, probeSaltCol = col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("prio_n"), col("prio_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q139 — BUCKETED co-located join under the EXACT oracle (the q60
+    * layout discipline: a storage layout is correct iff invisible in
+    * query results): orders and customer are written ONCE as co-bucketed
+    * catalog tables ([[graft.operators.Export.writeBucketed]], 8 buckets
+    * on the customer key) and the join reads the on-disk clustering —
+    * ExportSpec pins that this plan has NO exchange on either side,
+    * which at 100 TB is the entire shuffle cost of the dominant join,
+    * paid once at write time instead of on every query. The oracle is
+    * the plain parquet join.
+    */
+  def q139BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val to = s"graft_q139_orders_$suffix"
+    val tc = s"graft_q139_cust_$suffix"
+    // a previous JVM's in-memory catalog is gone but its warehouse files
+    // survive — saveAsTable then fails LOCATION_ALREADY_EXISTS. Drop the
+    // orphaned location before (re)creating the table.
+    def ensure(table: String, build: => DataFrame, keys: Seq[String]): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(wh, table)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(loc)
+        }
+        graft.operators.Export.writeBucketed(build, table, keys, buckets = 8)
+      }
+    graft.core.Tables.synchronized {
+      ensure(to,
+        Tables.load(spark, dir, "orders")
+          .filter(col("o_orderkey") % 19 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"))
+      ensure(tc,
+        Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        Seq("c_custkey"))
+    }
+    spark.table(to)
+      .join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def q121FeatureHash(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long"), lit(64))
@@ -330,9 +402,27 @@ object CorpusQueries {
     "q118_topk_agg" -> (q118TopKAgg _),
     "q119_gap_islands" -> (q119GapIslands _),
     "q120_snapshot_diff" -> (q120SnapshotDiff _),
-    "q121_feature_hash" -> (q121FeatureHash _))
+    "q121_feature_hash" -> (q121FeatureHash _),
+    "q138_salted_join" -> (q138SaltedJoin _),
+    "q139_bucketed_join" -> (q139BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
+    // q138/q139 — the layout-invisibility discipline: the oracle is the
+    // PLAIN join; salting / on-disk bucketing must not change one row
+    "q138_salted_join" ->
+      """WITH dim AS (
+           SELECT o_orderpriority, count(*) AS prio_n,
+                  round(avg(o_totalprice), 6) AS prio_avg
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderkey, o.o_orderpriority, dim.prio_n, dim.prio_avg
+         FROM orders o JOIN dim USING (o_orderpriority)
+         WHERE o.o_orderkey % 37 = 0
+         ORDER BY o.o_orderkey""",
+    "q139_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderkey % 19 = 0
+         ORDER BY o.o_orderkey""",
     "q106_segment_dedup" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

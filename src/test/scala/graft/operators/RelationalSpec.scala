@@ -266,6 +266,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain join for inner and left, incl. unmatched probe keys") {
+    import spark.implicits._
+    // 3 hot keys + a probe-only key (left-outer null path) + a build-only key
+    val probe = (1L to 900L).map(i => (i, "k" + (i % 3), i * 2)).toDF("id", "k", "pv")
+      .unionByName(Seq((901L, "noMatch", 0L)).toDF("id", "k", "pv"))
+    val build = Seq(("k0", 10), ("k0", 11), ("k1", 20), ("k2", 30), ("orphan", 99))
+      .toDF("k", "bv")
+    for (jt <- Seq("inner", "left")) {
+      val salted = Relational.saltedJoin(probe, build, "k",
+          saltBuckets = 7, probeSaltCol = col("id"), joinType = jt)
+        .select("id", "k", "pv", "bv")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).sorted.toSeq
+      val plain = probe.join(build, Seq("k"), jt)
+        .select("id", "k", "pv", "bv")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).sorted.toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(probe, build, "k", 7, col("id"), "full")
+    }
+  }
+
   test("percentileCont/DiscExact match the built-in aggregates on randomized data (ties, nulls, tiny groups)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -183,9 +183,15 @@ class PlanCensusSpec extends SparkSpec {
                                                    // gram join + sizes broadcast ×2 + sort
     "q132_zipf_fit"            -> (3, 0, 0, true), // token agg + vocab-frame ranking
                                                    // window + regr agg + sort
-    "q133_avc_pixel_dedup"     -> (6, 1, 0, true)) // fixture parquet scan +
+    "q133_avc_pixel_dedup"     -> (6, 1, 0, true), // fixture parquet scan +
                                                    // repartition; aHash sig agg +
                                                    // Hamming chunk join + anti-join
+    "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
+                                                   // (dim broadcasts at this SF;
+                                                   // exactness is the contract)
+    "q139_bucketed_join"       -> (1, 1, 0, true)) // catalog-bucketed scans; the
+                                                   // exchange-free SMJ pinned in
+                                                   // ExportSpec
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
