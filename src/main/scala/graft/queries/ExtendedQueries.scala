@@ -661,6 +661,45 @@ object ExtendedQueries {
     * of [[graft.operators.Dedup.connectedComponents]]' programmatic
     * iteration.
     */
+  /** q140 — CORRELATED scalar + EXISTS subqueries, ONE SQL text on both
+    * engines (the q83 discipline): per-customer order count, max price
+    * and a big-order EXISTS flag, each written as a correlated subquery.
+    * On Spark this exercises Catalyst's decorrelation rewrites
+    * (RewriteCorrelatedScalarSubquery → left outer aggregate joins;
+    * EXISTS → semi join) — the optimizer surface a SQL-first user hits
+    * constantly; DuckDB plans its own unnesting of the same text.
+    * COUNT over an empty correlation is 0 and MAX is NULL on both
+    * engines by the scalar-subquery contract.
+    */
+  private val q140Sql =
+    """SELECT c_custkey,
+              (SELECT count(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS max_price,
+              EXISTS(SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000) AS has_big
+       FROM customer c
+       WHERE c_custkey % 50 = 0
+       ORDER BY c_custkey"""
+
+  /** q141 — LATERAL correlated derived table with per-row ORDER BY +
+    * LIMIT (the SQL spelling of top-k-per-group), one text on both
+    * engines: each sampled customer's two most expensive orders. Spark
+    * decorrelates the lateral limit into a ranked window join; DuckDB
+    * executes its own lateral unnesting — identical rows either way.
+    */
+  private val q141Sql =
+    """SELECT c.c_custkey, t.o_orderkey,
+              CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       WHERE c.c_custkey % 100 = 0
+       ORDER BY c.c_custkey, t.o_orderkey"""
+
   private val q83Sql =
     """WITH RECURSIVE chain(c_custkey, anc, depth) AS (
          SELECT c_custkey, c_custkey, 0 FROM customer
@@ -754,6 +793,8 @@ object ExtendedQueries {
     "q80_pivot"         -> (q80Pivot _),
     "q81_fuzzy_match"   -> (q81FuzzyMatch _),
     "q83_recursive_cte" -> (sqlOn(q83Sql) _),
+    "q140_correlated_subq" -> (sqlOn(q140Sql) _),
+    "q141_lateral_topk" -> (sqlOn(q141Sql) _),
     "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),
     "q133_avc_pixel_dedup" -> (q133AvcPixelDedup _),
   )
@@ -920,6 +961,8 @@ object ExtendedQueries {
          WHERE levenshtein(p_name, 'small ring') <= 5
          ORDER BY p_partkey""",
     "q83_recursive_cte" -> q83Sql,
+    "q140_correlated_subq" -> q140Sql,
+    "q141_lateral_topk" -> q141Sql,
     "q84_avc_keydedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q84_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",

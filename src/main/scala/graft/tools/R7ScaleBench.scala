@@ -219,6 +219,44 @@ object R7ScaleBench {
         events, "10 minutes", "5 minutes").count()
     }
 
+    // ---- q138 skew-join experiment: one hot key holds HALF the probe.
+    // Broadcast disabled (the regime salting exists for: build too large
+    // or long-lived to broadcast); plain SMJ measured with AQE's runtime
+    // skew split ON and OFF, salted join with AQE OFF — the question is
+    // whether the declarative salt matches AQE's runtime fix where AQE
+    // isn't available (streaming microbatches, non-AQE engines).
+    {
+      val probe = orders.select(
+        when(col("o_orderkey") % 2 === 0, lit("hot"))
+          .otherwise((col("o_orderkey") % 10000).cast("string")).as("k"),
+        col("o_orderkey"))
+      val build = spark.range(0, 10001).select(
+        when(col("id") === 10000, lit("hot"))
+          .otherwise(col("id").cast("string")).as("k"),
+        (col("id") * 7).as("bv"))
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        timeOver("skew join: plain SMJ, AQE skew-split ON", nOrders) {
+          probe.join(build, Seq("k")).count()
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        timeOver("skew join: plain SMJ, AQE OFF (hot key single-reducer)", nOrders) {
+          probe.join(build, Seq("k")).count()
+        }
+        timeOver("skew join: saltedJoin(16), AQE OFF", nOrders) {
+          graft.operators.Relational.saltedJoin(
+            probe, build, "k", saltBuckets = 16,
+            probeSaltCol = col("o_orderkey")).count()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+
     timeOver("q117_triangles (3 modular edges/doc)", nDocs) {
       val nn = docs.agg(count(lit(1)).as("_n"))
       val base = docs.select(col("doc_id")).crossJoin(broadcast(nn))

@@ -189,9 +189,13 @@ class PlanCensusSpec extends SparkSpec {
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
-    "q139_bucketed_join"       -> (1, 1, 0, true)) // catalog-bucketed scans; the
+    "q139_bucketed_join"       -> (1, 1, 0, true), // catalog-bucketed scans; the
                                                    // exchange-free SMJ pinned in
                                                    // ExportSpec
+    "q140_correlated_subq"     -> (3, 3, 0, true), // decorrelated: two outer agg
+                                                   // joins + EXISTS semi, all equi
+    "q141_lateral_topk"        -> (2, 1, 0, true)) // lateral limit → ranked window
+                                                   // join, no per-row re-execution
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
