@@ -376,4 +376,78 @@ object Analytics {
       .select(col("_aid")).distinct()
     emb.join(dominated, emb(idCol) === dominated("_aid"), "left_anti")
   }
+
+  /** Population Stability Index between a reference and a current slice
+    * of a numeric column — the distribution-drift monitor every
+    * production data pipeline runs between snapshots. Fixed-width bins
+    * over [lo, hi) (out-of-range values clamp into the edge bins, the
+    * q98 histogram discipline), Laplace-smoothed bin probabilities
+    * p = (n + ½)/(N + buckets·½) so empty bins never produce ln(0) and
+    * both engines compute the identical closed form. Returns one row
+    * per bin — (bucket, n_ref, n_cur, contrib) with
+    * contrib = (p − q)·ln(p/q); Σ contrib is the PSI (>0.2 = actionable
+    * drift by the usual rule of thumb).
+    *
+    * Scale shape: each side collapses to a `buckets`-row histogram
+    * map-side before anything joins; the bin-list seed left-join (q123
+    * discipline) keeps every requested bin present even when empty, and
+    * the total counts come from a window over the `buckets`-row frame —
+    * nothing beyond the two scans touches data-sized rows.
+    */
+  def populationStability(
+      ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets >= 2 && hi > lo, "need >= 2 buckets and hi > lo")
+    val width = (hi - lo) / buckets
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(least(greatest(
+          floor((col(valueCol) - lit(lo)) / lit(width)), lit(0L)),
+          lit((buckets - 1).toLong)).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val seed = ref.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val w = Window.partitionBy()
+    val joined = seed
+      .join(binned(ref, "n_ref"), Seq("bucket"), "left")
+      .join(binned(cur, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("_ps_tr", sum(col("n_ref")).over(w))
+      .withColumn("_ps_tc", sum(col("n_cur")).over(w))
+    val p = (col("n_ref") + 0.5) / (col("_ps_tr") + buckets * 0.5)
+    val q = (col("n_cur") + 0.5) / (col("_ps_tc") + buckets * 0.5)
+    joined
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        ((p - q) * log(p / q)).as("contrib"))
+  }
+
+  /** Two-proportion A/B conversion test: variant assignment from a
+    * deterministic user hash, conversion = at least one target event,
+    * pooled-variance z statistic — the experiment-analysis primitive.
+    * One distinct-user collapse and two tiny aggregates; the z formula
+    * is a closed-form double expression over 4 integers, exact
+    * cross-engine at round(6).
+    */
+  def abTest(
+      events: DataFrame, userCol: String, convertCond: Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(convertCond.cast("int")).as("_ab_conv"))
+      .withColumn("_ab_variant", pmod(col(userCol), lit(2)).cast("int"))
+    val agg = perUser.groupBy(col("_ab_variant"))
+      .agg(count(lit(1)).as("n"), sum(col("_ab_conv")).as("conv"))
+    val a = agg.filter(col("_ab_variant") === 0)
+      .select(col("n").as("n0"), col("conv").as("c0"))
+    val b = agg.filter(col("_ab_variant") === 1)
+      .select(col("n").as("n1"), col("conv").as("c1"))
+    val joined = a.crossJoin(broadcast(b)) // 1-row × 1-row (q62 shape)
+    val p0 = col("c0").cast("double") / col("n0")
+    val p1 = col("c1").cast("double") / col("n1")
+    val pPool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    joined.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+      round((p1 - p0) /
+        sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+  }
 }

@@ -162,6 +162,35 @@ object AnalyticsQueries {
       .select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** q142 — Population Stability Index of the order-price distribution
+    * between pre-1997 and 1997+ orders ([[Analytics.populationStability]],
+    * 20 fixed bins over [0, 600k)): the snapshot-drift monitor. The
+    * contribution formula (p−q)·ln(p/q) over Laplace-smoothed bin
+    * probabilities is a closed-form double expression over exact integer
+    * counts — rounded at 6 on both engines.
+    */
+  def q142Psi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    Analytics.populationStability(
+        o.filter(col("o_orderdate") < lit("1997-01-01")),
+        o.filter(col("o_orderdate") >= lit("1997-01-01")),
+        "o_totalprice", lo = 0.0, hi = 600000.0, buckets = 20)
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("contrib"), 6).as("contrib"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q143 — two-proportion A/B conversion z-test over events
+    * ([[Analytics.abTest]]): variant = user_id parity, conversion = any
+    * purchase over 150 (a discriminating threshold — EVERY user has
+    * some purchase, which would pool p to 1.0 and zero the variance).
+    * Four exact integer counts in, one closed-form z out — the
+    * experiment-analysis primitive.
+    */
+  def q143AbTest(spark: SparkSession, dir: String): DataFrame =
+    Analytics.abTest(Tables.loadEvents(spark, dir), "user_id",
+      col("event_type") === "purchase" && col("value") > 150)
+
   /** q131 — cross-source 5-gram overlap matrix
     * ([[Analytics.corpusOverlapMatrix]]): distinct-gram Jaccard between
     * every source pair — the corpus contamination/drift matrix.
@@ -189,7 +218,9 @@ object AnalyticsQueries {
     "q130_semdedup" -> (q130SemDedup _),
     "q130b_semdedup_lsh" -> (q130bSemDedupLsh _),
     "q131_source_overlap" -> (q131SourceOverlap _),
-    "q132_zipf_fit" -> (q132ZipfFit _))
+    "q132_zipf_fit" -> (q132ZipfFit _),
+    "q142_psi" -> (q142Psi _),
+    "q143_ab_test" -> (q143AbTest _))
 
   val oracles: Map[String, String] = Map(
     "q122_ewma" ->
@@ -376,6 +407,47 @@ object AnalyticsQueries {
            SELECT 1 FROM corpus o
            WHERE o.vec_id < c.vec_id AND list_cosine_similarity(o.v, c.v) >= 0.95)
          ORDER BY vec_id""",
+    "q142_psi" ->
+      """WITH b AS (SELECT CAST(i AS BIGINT) AS bucket FROM range(20) t(i)),
+         r AS (
+           SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 0), 19) AS bucket,
+                  count(*) AS n
+           FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1),
+         c AS (
+           SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 0), 19) AS bucket,
+                  count(*) AS n
+           FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1),
+         j AS (
+           SELECT b.bucket, COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+           FROM b LEFT JOIN r USING (bucket) LEFT JOIN c USING (bucket)),
+         t AS (
+           SELECT bucket, n_ref, n_cur,
+                  sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+         SELECT bucket, n_ref, n_cur,
+                round(((n_ref + 0.5)/(tr + 10.0) - (n_cur + 0.5)/(tc + 10.0)) *
+                      ln(((n_ref + 0.5)/(tr + 10.0)) /
+                         ((n_cur + 0.5)/(tc + 10.0))), 6) AS contrib
+         FROM t ORDER BY bucket""",
+    "q143_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                           THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         v AS (
+           SELECT user_id % 2 AS variant, count(*) AS n,
+                  CAST(sum(conv) AS BIGINT) AS conv
+           FROM u GROUP BY 1),
+         a AS (SELECT n AS n0, conv AS c0 FROM v WHERE variant = 0),
+         b AS (SELECT n AS n1, conv AS c1 FROM v WHERE variant = 1)
+         SELECT n0, c0, n1, c1,
+                round(CAST(c0 AS DOUBLE)/n0, 6) AS p0,
+                round(CAST(c1 AS DOUBLE)/n1, 6) AS p1,
+                round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+                      sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
+                           (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
+                           (1.0/n0 + 1.0/n1)), 6) AS z
+         FROM a, b""",
     "q131_source_overlap" ->
       """WITH toks AS (
            SELECT source, list_filter(string_split_regex(text, '\s+'),

@@ -42,10 +42,12 @@ class PlanCensusSpec extends SparkSpec {
   //  - q134_funnel: the three per-step 1-row count aggregates stitch into
   //    one result row via broadcast "loops" over exactly one row each
   //    (q62's declared scalar shape)
+  //  - q143_ab_test: the two per-variant 1-row aggregates join via one
+  //    1-row × 1-row broadcast cross (same scalar shape)
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
     "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
-    "q130_semdedup", "q134_funnel")
+    "q130_semdedup", "q134_funnel", "q143_ab_test")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -194,8 +196,13 @@ class PlanCensusSpec extends SparkSpec {
                                                    // ExportSpec
     "q140_correlated_subq"     -> (3, 3, 0, true), // decorrelated: two outer agg
                                                    // joins + EXISTS semi, all equi
-    "q141_lateral_topk"        -> (2, 1, 0, true)) // lateral limit → ranked window
+    "q141_lateral_topk"        -> (2, 1, 0, true), // lateral limit → ranked window
                                                    // join, no per-row re-execution
+    "q142_psi"                 -> (3, 2, 0, true), // two bin histograms + seed
+                                                   // left-joins + 20-row window
+    "q143_ab_test"             -> (4, 1, 1, true)) // per-user collapse + variant
+                                                   // aggs; 1-row × 1-row cross
+                                                   // (q62's scalar shape)
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
