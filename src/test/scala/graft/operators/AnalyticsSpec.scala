@@ -240,4 +240,53 @@ class AnalyticsSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("populationStability: hand-computed PSI, every bin present, empty-slice safe") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(1.0, 1.0, 5.0, 9.0).toDF("v")
+    val cur = Seq(1.0, 9.0, 9.0).toDF("v")
+    // 2 bins over [0, 10), width 5: ref = (2 ones | 5, 9) = (2, 2);
+    // cur = (1.0 | 9, 9) = (1, 2)
+    val rows = Analytics.populationStability(ref, cur, "v", 0.0, 10.0, buckets = 2)
+      .orderBy(col("bucket")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 1L), (1L, 2L, 2L)))
+    // Laplace form: p0 = 2.5/5, q0 = 1.5/4; contrib = (p0-q0)·ln(p0/q0)
+    val p0 = 2.5 / 5; val q0 = 1.5 / 4
+    assert(math.abs(rows(0).getDouble(3) - (p0 - q0) * math.log(p0 / q0)) < 1e-12)
+    // drift symmetry: PSI(a, b) == PSI(b, a) (the formula is symmetric
+    // under swap up to sign inside both factors)
+    val psiAB = Analytics.populationStability(ref, cur, "v", 0.0, 10.0, 2)
+      .agg(org.apache.spark.sql.functions.sum(col("contrib"))).first().getDouble(0)
+    val psiBA = Analytics.populationStability(cur, ref, "v", 0.0, 10.0, 2)
+      .agg(org.apache.spark.sql.functions.sum(col("contrib"))).first().getDouble(0)
+    assert(math.abs(psiAB - psiBA) < 1e-12 && psiAB > 0)
+    // an EMPTY current slice: smoothing keeps every contrib finite, all
+    // bins still present
+    val empty = Analytics.populationStability(
+        ref, cur.filter(col("v") < 0), "v", 0.0, 10.0, buckets = 2)
+      .orderBy(col("bucket")).collect()
+    assert(empty.length == 2 && empty.forall(r => !r.getDouble(3).isNaN
+      && !r.getDouble(3).isInfinite))
+    // out-of-range values clamp into edge bins, never drop
+    val clamped = Analytics.populationStability(
+        Seq(-5.0, 50.0).toDF("v"), cur, "v", 0.0, 10.0, buckets = 2)
+      .orderBy(col("bucket")).collect()
+    assert(clamped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 1L)))
+  }
+
+  test("abTest: hand-computed z on a planted conversion split") {
+    import org.apache.spark.sql.functions.col
+    // users 0..9; conversion event only for users 1,3,5 (variant 1) and 2 (variant 0)
+    val events = (0L to 9L).map(u => (u, "view", 0.0)) ++
+      Seq((1L, "buy", 1.0), (3L, "buy", 1.0), (5L, "buy", 1.0), (2L, "buy", 1.0))
+    val df = events.toDF("user_id", "event_type", "value")
+    val r = Analytics.abTest(df, "user_id", col("event_type") === "buy").first()
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((n0, c0, n1, c1) == ((5L, 1L, 5L, 3L)))
+    val p0 = 1.0 / 5; val p1 = 3.0 / 5; val pp = 4.0 / 10
+    val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / 5 + 1.0 / 5))
+    assert(math.abs(r.getDouble(6) - math.round(z * 1e6) / 1e6) < 1e-9)
+  }
 }
