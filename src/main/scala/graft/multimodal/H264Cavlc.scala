@@ -20,8 +20,11 @@ package graft.multimodal
 object H264Cavlc {
 
   /** One VLC: codeword (as "010…" string) ↔ value. Decode walks bits and
-    * matches incrementally — max codeword length is 16, so the per-symbol
-    * cost is bounded and allocation-free apart from the lookup key.
+    * matches incrementally against an int-keyed sorted table — max
+    * codeword length is 16, so the per-symbol cost is a bounded number
+    * of binary searches with zero allocation (r7 advice: the former
+    * per-bit StringBuilder + string-map lookup was the innermost loop of
+    * residual decode).
     */
   final class Vlc(entries: Seq[(String, Int)]) {
     require(entries.nonEmpty)
@@ -30,21 +33,31 @@ object H264Cavlc {
     val byValue: Map[Int, String] = entries.map(_.swap).toMap
     require(byValue.size == entries.size, "duplicate values")
     val maxLen: Int = entries.map(_._1.length).max
+    require(maxLen <= 16, s"codeword longer than 16 bits")
+    // (length << 16 | bits) uniquely keys a codeword; sorted long array +
+    // parallel values = allocation-free probes via Arrays.binarySearch
+    private val decSorted = entries
+      .map { case (c, v) =>
+        ((c.length.toLong << 16) | java.lang.Long.parseLong(c, 2), v) }
+      .sortBy(_._1)
+    private val decKeys: Array[Long] = decSorted.map(_._1).toArray
+    private val decVals: Array[Int] = decSorted.map(_._2).toArray
     /** Prefix-free check: no codeword is a prefix of another. */
     def prefixFree: Boolean = {
       val cs = entries.map(_._1)
       !cs.exists(a => cs.exists(b => (a ne b) && b.startsWith(a) && a != b))
     }
     def decode(r: H264.BitReader): Int = {
-      val sb = new StringBuilder(maxLen)
-      while (sb.length <= maxLen) {
-        sb.append(if (r.u(1) == 1) '1' else '0')
-        byCode.get(sb.toString) match {
-          case Some(v) => return v
-          case None    =>
-        }
+      var acc = 0L
+      var len = 0
+      while (len < maxLen) {
+        acc = (acc << 1) | r.u(1)
+        len += 1
+        val i = java.util.Arrays.binarySearch(decKeys, (len.toLong << 16) | acc)
+        if (i >= 0) return decVals(i)
       }
-      throw new IllegalArgumentException(s"no VLC codeword in ${sb.toString}")
+      throw new IllegalArgumentException(
+        s"no VLC codeword in ${acc.toBinaryString.reverse.padTo(len, '0').reverse}")
     }
     def encode(w: H264.BitWriter, v: Int): Unit = {
       val code = byValue.getOrElse(v,

@@ -486,7 +486,10 @@ object H264Decode {
       nal.nalType match {
         case 7 => sps = H264.parseSps(nal.payload)
         case 8 => pps = parsePps(nal.payload)
-        case 5 =>
+        case 5 if st == null || !st.mbDecoded.forall(identity) =>
+          // stop consuming IDR NALs once the FIRST picture is complete
+          // (r7 advice): a multi-picture Annex-B stream must return
+          // picture 1's pixels, not let later IDR slices overwrite them
           (sps, pps) match {
             case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly && s.chromaFormatIdc == 1 =>
               if (st == null) st = new State(s, p)

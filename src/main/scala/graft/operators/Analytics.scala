@@ -203,12 +203,22 @@ object Analytics {
     // default 64 buckets beats 16 here: halving boundary comparisons
     // doesn't pay for the 4× larger kept-bucket sort slices (measured
     // 1.44 s vs 1.75 s at sf0.1)
+    val boundsX = Relational.approxBounds(base, groupCol, "_mo_x")
     val med = Relational.percentileContExact(
-      base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5))
+      base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
     val withMed = base.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+    // r8 shared-bucketization lever: the MAD pass's boundaries are
+    // DERIVED from the x boundaries (sorted |b − med| is a valid split
+    // set for |x − med|; splits steer bucket balance, never exactness) —
+    // the second per-row percentile_approx sketch scan disappears, and
+    // ReuseExchange serves boundsX's aggregate to both consumers.
+    val boundsD = boundsX.join(med, Seq(groupCol))
+      .select(col(groupCol), sort_array(transform(col("_pc_bnds"),
+        b => abs(b - col("_mo_med")))).as("_pc_bnds"))
     val mad = Relational.percentileContExact(
-      withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5))
+      withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5),
+      bounds = Some(boundsD))
     withMed.join(broadcast(mad), Seq(groupCol), "left")
       .groupBy(g)
       .agg(count(lit(1)).as("n"),
@@ -428,26 +438,38 @@ object Analytics {
     * One distinct-user collapse and two tiny aggregates; the z formula
     * is a closed-form double expression over 4 integers, exact
     * cross-engine at round(6).
+    *
+    * Degenerate experiments SURFACE instead of vanishing (r7 advice):
+    * an empty variant still yields the single result row (n=0, conv=0
+    * on that side) with NULL p for the empty side and NULL z; a pooled
+    * conversion of exactly 0 or 1 (zero variance) also yields NULL z.
+    * The one no-row case is a fully empty input — there is no
+    * experiment to report on.
     */
   def abTest(
       events: DataFrame, userCol: String, convertCond: Column): DataFrame = {
     val perUser = events.groupBy(col(userCol))
       .agg(max(convertCond.cast("int")).as("_ab_conv"))
       .withColumn("_ab_variant", pmod(col(userCol), lit(2)).cast("int"))
-    val agg = perUser.groupBy(col("_ab_variant"))
-      .agg(count(lit(1)).as("n"), sum(col("_ab_conv")).as("conv"))
-    val a = agg.filter(col("_ab_variant") === 0)
-      .select(col("n").as("n0"), col("conv").as("c0"))
-    val b = agg.filter(col("_ab_variant") === 1)
-      .select(col("n").as("n1"), col("conv").as("c1"))
-    val joined = a.crossJoin(broadcast(b)) // 1-row × 1-row (q62 shape)
-    val p0 = col("c0").cast("double") / col("n0")
-    val p1 = col("c1").cast("double") / col("n1")
+    // one row per PRESENT variant collapses to ONE result row via
+    // conditional sums — no per-variant filter + join, so an absent
+    // variant degrades to n=0 instead of annihilating the row
+    val joined = perUser.groupBy()
+      .agg(
+        coalesce(sum(when(col("_ab_variant") === 0, 1L)), lit(0L)).as("n0"),
+        coalesce(sum(when(col("_ab_variant") === 0, col("_ab_conv")
+          .cast("long"))), lit(0L)).as("c0"),
+        coalesce(sum(when(col("_ab_variant") === 1, 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("_ab_variant") === 1, col("_ab_conv")
+          .cast("long"))), lit(0L)).as("c1"))
+      .filter(col("n0") + col("n1") > 0)
+    val p0 = when(col("n0") > 0, col("c0").cast("double") / col("n0"))
+    val p1 = when(col("n1") > 0, col("c1").cast("double") / col("n1"))
     val pPool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
     joined.select(col("n0"), col("c0"), col("n1"), col("c1"),
       round(p0, 6).as("p0"), round(p1, 6).as("p1"),
-      round((p1 - p0) /
-        sqrt(pPool * (lit(1.0) - pPool) *
-          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+      round(when(col("n0") > 0 && col("n1") > 0 && pPool > 0 && pPool < 1,
+        (p1 - p0) / sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1")))), 6).as("z"))
   }
 }

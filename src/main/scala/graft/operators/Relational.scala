@@ -420,7 +420,8 @@ object Relational {
     */
   def percentileContExact(
       df: DataFrame, partKey: String, valueCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 64): DataFrame = {
+      ps: Seq[(String, Double)], buckets: Int = 64,
+      bounds: Option[DataFrame] = None): DataFrame = {
     val n = col("_pc_n")
     def kLo(p: Double): Column = floor(lit(p) * (n - 1).cast("double")).cast("long") + 1
     def kHi(p: Double): Column = least(kLo(p) + 1, n)
@@ -431,7 +432,8 @@ object Relational {
         val hi = max(when(rn === kHi(p), col("_pc_v")))
         val idx = lit(p) * (max(n) - 1).cast("double")
         (lo + (idx - floor(idx)) * (coalesce(hi, lo) - lo)).as(name)
-      })
+      },
+      bounds = bounds)
   }
 
   /** Exact DISCRETE percentiles (percentile_disc semantics) with the same
@@ -460,19 +462,42 @@ object Relational {
       finalAgg = (name, p, rn) => max(when(rn === kDisc(p), col("_pc_v"))).as(name))
   }
 
+  /** Pass 1a of the rank-targeted percentile plan, exposed so callers
+    * that run SEVERAL percentile passes over related columns (q127's
+    * med-then-MAD) can pay the per-row percentile_approx sketch ONCE and
+    * derive later passes' boundaries from the first's (boundaries only
+    * steer bucket balance — exactness never depends on them, see
+    * [[percentileContExact]]). Returns (`partKey`, `_pc_bnds`:
+    * array<double> of the `buckets`−1 interior approximate boundaries).
+    */
+  def approxBounds(
+      df: DataFrame, partKey: String, valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(partKey), col(valueCol).cast("double").as("_pc_v"))
+      .groupBy(col(partKey)).agg(
+        percentile_approx(col("_pc_v"), lit(qs.toArray), lit(2500)).as("_pc_bnds"))
+  }
+
   /** Shared core of [[percentileContExact]]/[[percentileDiscExact]]:
     * bucket values per key by approx-percentile boundaries, recover exact
     * global offsets from (key, bucket) counts, DROP every bucket holding
     * none of the needed ranks, sort only the kept slices, and aggregate
     * the value-at-rank rows. `neededRanks`/`finalAgg` receive columns
     * that may reference `_pc_n` (per-key total) and `_pc_rn` (exact
-    * global rank).
+    * global rank). `bounds`, when given, must be a (`partKey`,
+    * `_pc_bnds` array<double>) frame of per-key SORTED split points —
+    * any splits work (skew costs only pass-2 sort size); keys absent
+    * from it fall into one bucket via a null-safe upper-bound count.
     */
   private def rankTargetedSelect(
       df: DataFrame, partKey: String, valueCol: String,
       ps: Seq[(String, Double)], buckets: Int,
       neededRanks: Double => Seq[Column],
-      finalAgg: (String, Double, Column) => Column): DataFrame = {
+      finalAgg: (String, Double, Column) => Column,
+      bounds: Option[DataFrame] = None): DataFrame = {
     require(ps.nonEmpty, "at least one percentile")
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       "fractions must be in [0, 1]")
@@ -484,19 +509,22 @@ object Relational {
       .filter(col(valueCol).isNotNull)
       .select(col(partKey), col(valueCol).cast("double").as("_pc_v"))
 
-    // pass 1a: interior boundaries per key (approximate is fine — see doc)
-    val qs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = base.groupBy(col(partKey)).agg(
-      percentile_approx(col("_pc_v"), lit(qs.toArray), lit(2500)).as("_pc_bnds"))
-    val withB = base.join(broadcast(bounds), Seq(partKey))
-      .withColumn("_pc_b", graft.functions.UpperBoundCount.upperBoundCount(
-        col("_pc_bnds"), col("_pc_v")))
+    // pass 1a: interior boundaries per key (approximate is fine — see doc);
+    // a caller-provided bounds frame skips the sketch scan entirely
+    val bnds = bounds.getOrElse(approxBounds(df, partKey, valueCol, buckets))
+    val withB = base.join(broadcast(bnds), Seq(partKey), "left")
+      .withColumn("_pc_b", when(col("_pc_bnds").isNull, lit(0))
+        .otherwise(graft.functions.UpperBoundCount.upperBoundCount(
+          col("_pc_bnds"), col("_pc_v"))))
       .drop("_pc_bnds")
 
     // pass 1b: exact (key, bucket) counts -> offsets + totals, then DROP
     // every bucket holding no needed rank (the pruning step distribution-
     // Ranks cannot do — it needs every row ranked; percentiles need a
-    // handful of ranks)
+    // handful of ranks). (r8 note: a one-exchange |keys|-row histogram
+    // aggregate of `buckets` conditional sums was tried here and measured
+    // SLOWER — 2.05 s vs 1.37 s on q127 — the 64-wide agg buffer costs
+    // more per row than the tiny extra exchange saves in stages.)
     val wOff = W.partitionBy(col(partKey)).orderBy(col("_pc_b"))
     val off = col("_pc_off")
     val cnts = withB.groupBy(col(partKey), col("_pc_b"))

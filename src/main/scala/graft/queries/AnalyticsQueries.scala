@@ -435,19 +435,21 @@ object AnalyticsQueries {
                            THEN 1 ELSE 0 END) AS conv
            FROM events GROUP BY 1),
          v AS (
-           SELECT user_id % 2 AS variant, count(*) AS n,
-                  CAST(sum(conv) AS BIGINT) AS conv
-           FROM u GROUP BY 1),
-         a AS (SELECT n AS n0, conv AS c0 FROM v WHERE variant = 0),
-         b AS (SELECT n AS n1, conv AS c1 FROM v WHERE variant = 1)
+           SELECT CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1 END), 0) AS BIGINT) AS n0,
+                  CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN conv END), 0) AS BIGINT) AS c0,
+                  CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                  CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN conv END), 0) AS BIGINT) AS c1
+           FROM u)
          SELECT n0, c0, n1, c1,
-                round(CAST(c0 AS DOUBLE)/n0, 6) AS p0,
-                round(CAST(c1 AS DOUBLE)/n1, 6) AS p1,
-                round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+                round(CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE)/n0 END, 6) AS p0,
+                round(CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE)/n1 END, 6) AS p1,
+                round(CASE WHEN n0 > 0 AND n1 > 0
+                           AND c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                      (CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
                       sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
                            (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
-                           (1.0/n0 + 1.0/n1)), 6) AS z
-         FROM a, b""",
+                           (1.0/n0 + 1.0/n1)) END, 6) AS z
+         FROM v WHERE n0 + n1 > 0""",
     "q131_source_overlap" ->
       """WITH toks AS (
            SELECT source, list_filter(string_split_regex(text, '\s+'),

@@ -339,7 +339,17 @@ object CorpusQueries {
     * the plain parquet join.
     */
   def q139BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    // collision-safe table suffix (r7 advice): sha-256 of the ABSOLUTE
+    // data dir, so two distinct dirs can never share a persisted
+    // snapshot the way Integer.hashCode collisions could. ensure() below
+    // assumes the dir's parquet is immutable for the table's lifetime —
+    // a rewrite-in-place would keep serving the first snapshot (drop the
+    // graft_q139_* tables to refresh), the standard materialized-layout
+    // contract.
+    val suffix = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new java.io.File(dir).getAbsolutePath
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val to = s"graft_q139_orders_$suffix"
     val tc = s"graft_q139_cust_$suffix"
     // a previous JVM's in-memory catalog is gone but its warehouse files

@@ -289,4 +289,23 @@ class AnalyticsSpec extends SparkSpec {
     val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / 5 + 1.0 / 5))
     assert(math.abs(r.getDouble(6) - math.round(z * 1e6) / 1e6) < 1e-9)
   }
+
+  test("abTest: degenerate experiments surface a row with NULL z (r7 advice)") {
+    import org.apache.spark.sql.functions.col
+    // one-sided: only even user ids -> variant 1 empty, row still emitted
+    val oneSided = Seq((0L, "buy", 1.0), (2L, "view", 0.0), (4L, "buy", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r1 = Analytics.abTest(oneSided, "user_id", col("event_type") === "buy").first()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((3L, 2L, 0L, 0L)))
+    assert(r1.isNullAt(5) && r1.isNullAt(6)) // p1 and z NULL, not absent
+    // zero variance: every user converts -> pooled p = 1, z NULL
+    val allConv = Seq((0L, "buy", 1.0), (1L, "buy", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val r2 = Analytics.abTest(allConv, "user_id", col("event_type") === "buy").first()
+    assert(!r2.isNullAt(4) && !r2.isNullAt(5) && r2.isNullAt(6))
+    // fully empty input: nothing to report on -> zero rows
+    val empty = Seq.empty[(Long, String, Double)].toDF("user_id", "event_type", "value")
+    assert(Analytics.abTest(empty, "user_id", col("event_type") === "buy").count() == 0)
+  }
 }

@@ -42,12 +42,10 @@ class PlanCensusSpec extends SparkSpec {
   //  - q134_funnel: the three per-step 1-row count aggregates stitch into
   //    one result row via broadcast "loops" over exactly one row each
   //    (q62's declared scalar shape)
-  //  - q143_ab_test: the two per-variant 1-row aggregates join via one
-  //    1-row × 1-row broadcast cross (same scalar shape)
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
     "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
-    "q130_semdedup", "q134_funnel", "q143_ab_test")
+    "q130_semdedup", "q134_funnel")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -170,9 +168,10 @@ class PlanCensusSpec extends SparkSpec {
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
                                                    // the |groups|×50 frame + sort
-    "q127_mad_outliers"        -> (12, 7, 0, true), // r7: med + MAD each a bucketed
-                                                   // two-pass percentileContExact
-                                                   // (tiny-frame exchanges) + census agg
+    "q127_mad_outliers"        -> (11, 7, 0, true), // r8: med + MAD bucketed exact
+                                                   // passes SHARING one pass-1a sketch
+                                                   // (boundaries derived, exchange
+                                                   // reused) + census agg
     "q128_bigram_lm"           -> (3, 0, 0, true), // map-side bigrams + count agg +
                                                    // prefix/ranking windows + sort
     "q129_hard_negatives"      -> (2, 1, 1, true), // declared exact baseline: probe
@@ -188,6 +187,15 @@ class PlanCensusSpec extends SparkSpec {
     "q133_avc_pixel_dedup"     -> (6, 1, 0, true), // fixture parquet scan +
                                                    // repartition; aHash sig agg +
                                                    // Hamming chunk join + anti-join
+    "q134_funnel"              -> (8, 4, 2, true), // per-step matched aggs stitched
+                                                   // by 1-row broadcast "loops"
+                                                   // (q62's declared scalar shape)
+    "q135_retention"           -> (5, 1, 0, true), // cohort min-date agg + activity
+                                                   // join + (cohort, week) agg
+    "q136_attribution"         -> (1, 1, 0, true), // interval join batch face:
+                                                   // bucketed equi-join + window
+    "q137_sliding_counts"      -> (2, 0, 0, true), // explode windows map-side +
+                                                   // (window) agg + sort
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
@@ -200,9 +208,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // join, no per-row re-execution
     "q142_psi"                 -> (3, 2, 0, true), // two bin histograms + seed
                                                    // left-joins + 20-row window
-    "q143_ab_test"             -> (4, 1, 1, true)) // per-user collapse + variant
-                                                   // aggs; 1-row × 1-row cross
-                                                   // (q62's scalar shape)
+    "q143_ab_test"             -> (2, 0, 0, true)) // r8: per-user collapse + ONE
+                                                   // conditional-sum global agg (the
+                                                   // former per-variant 1-row cross
+                                                   // is gone with the degenerate-
+                                                   // experiment fix)
 
   test("q63+ initial plans match their pinned census rows exactly") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
