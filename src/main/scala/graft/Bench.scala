@@ -43,6 +43,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
+      // q83-class recursive CTEs: the default 1M-row recursion cap
+      // trips at >= 10x-replicated data; the queries are depth-bounded
+      // (log2 of the key domain), so the cap is a safety net, not a limit
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
     // extra bench-session conf for A/B experiments, e.g.
     // SPARK_GRAFT_BENCH_CONF="spark.sql.constraintPropagation.enabled=false,k=v"

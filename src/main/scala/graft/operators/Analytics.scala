@@ -39,10 +39,24 @@ object Analytics {
     * SAME key, so Catalyst reuses the window's hash partitioning and the
     * whole operator is a single exchange.
     *
-    * Float discipline: a sum of ≤ n doubles with identical per-term
-    * values on both engines (pow is IEEE on both); drift is
-    * O(n·ulp·magnitude) ≈ 1e−9 absolute for n ≤ 100 at 1e5 magnitude —
-    * callers round at 4 decimals, a >10³ guard band.
+    * Float discipline (r8, learned at 10× data): each TERM
+    * α·(1−α)^(n−i)·x_i is an identical double on both engines (pow is
+    * IEEE-close on both), but a double SUM depends on addition order —
+    * Spark's partial-agg order varies with file layout, and a group
+    * whose true value sits near a display-round boundary flips
+    * (observed at 10×: 225773.4886 vs .4887). So `ewma` is returned as
+    * DECIMAL(38,10): each term snaps to the 1e-10 grid (round(·,10) —
+    * both engines land within an ulp of the same grid point, and the
+    * double→decimal cast then recovers the IDENTICAL decimal on both,
+    * which a bare cast does not: Spark casts through the SHORTEST
+    * string representation, DuckDB through the exact binary expansion),
+    * and the decimal sum is EXACT and order-free. Callers doing display
+    * rounding must round IN DECIMAL before casting to double: with
+    * α = 3/10 the terms are exact short decimals (3·7^k·x / 10^(k+1)),
+    * so group sums land exactly ON .xxxx5 midpoints often enough that
+    * rounding the nearest-DOUBLE instead diverges per engine (Spark
+    * HALF_UPs the shortest string; DuckDB sees a binary value one ulp
+    * below the midpoint) — the q122 10× lesson.
     */
   def ewmaLast(
       df: DataFrame, key: String, orderCols: Seq[String],
@@ -59,7 +73,8 @@ object Analytics {
     df.withColumn("_ew_rn", row_number().over(w))
       .withColumn("_ew_n", count(lit(1)).over(wAll))
       .groupBy(col(key))
-      .agg(count(lit(1)).as("n"), sum(term).as("ewma"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(term, 10).cast("decimal(38,10)")).as("ewma"))
   }
 
   /** Exact per-column profile of numeric columns — the data-contract /

@@ -35,7 +35,9 @@ object AnalyticsQueries {
         Tables.load(spark, dir, "orders").filter(col("o_custkey") % 7 === 0),
         "o_custkey", Seq("o_orderdate", "o_orderkey"), "o_totalprice",
         alpha = 0.3)
-      .select(col("o_custkey"), col("n"), round(col("ewma"), 4).as("ewma"))
+      // round IN DECIMAL, cast to double last (ewmaLast's midpoint note)
+      .select(col("o_custkey"), col("n"),
+        round(col("ewma"), 4).cast("double").as("ewma"))
       .orderBy(col("o_custkey"))
 
   /** q123 — exact column profile of the lineitem measures
@@ -231,9 +233,10 @@ object AnalyticsQueries {
                   count(*) OVER (PARTITION BY o_custkey) AS n
            FROM orders WHERE o_custkey % 7 = 0)
          SELECT o_custkey, count(*) AS n,
-                round(sum(CASE WHEN rn = 1 THEN power(0.7, n - rn) * o_totalprice
-                               ELSE 0.3 * power(0.7, n - rn) * o_totalprice
-                          END), 4) AS ewma
+                CAST(round(sum(CAST(round(
+                  CASE WHEN rn = 1 THEN power(0.7, n - rn) * o_totalprice
+                       ELSE 0.3 * power(0.7, n - rn) * o_totalprice
+                  END, 10) AS DECIMAL(38,10))), 4) AS DOUBLE) AS ewma
          FROM o GROUP BY o_custkey ORDER BY o_custkey""",
     "q123_profile" ->
       """WITH c AS (

@@ -176,11 +176,15 @@ object ExtendedQueries {
     val cov = nD * col("sxy") - col("sx") * col("sy")
     val vx = nD * col("sxx") - col("sx") * col("sx")
     val vy = nD * col("syy") - col("sy") * col("sy")
+    // round(6): the closed form cancels ~1e21 terms down to ~1e17, so a
+    // 1-ulp difference in the engines' decimal→double conversions (Spark
+    // rounds once via BigDecimal; DuckDB converts INT128 then divides by
+    // 10^s) amplifies ~1e4× — unrounded last digits diverged at 10× data
     g.select(
       col("l_returnflag"),
       col("n"),
-      (cov / sqrt(vx * vy)).as("corr"),
-      (cov / vx).as("slope"))
+      round(cov / sqrt(vx * vy), 6).as("corr"),
+      round(cov / vx, 6).as("slope"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1018,9 +1022,9 @@ object ExtendedQueries {
                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
-                (CAST(n AS DOUBLE) * sxy - sx * sy)
-                  / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
-                (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+                round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr,
+                round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope
          FROM s ORDER BY l_returnflag""",
     "q43_sample_hash" ->
       """SELECT doc_id, source FROM documents

@@ -214,16 +214,24 @@ object SurfaceQueries {
 
   /** q104 — exact regression second-moment suite (REGR_AVGX / AVGY +
     * population std and covariance): co-moment sums are order-dependent
-    * in double, so both engines accumulate exact DECIMAL power sums and
-    * combine them in ONE identical double formula (the q42 discipline).
-    * Outputs are normalized to O(1e3–1e6) statistics (std, cov) rather
-    * than the raw 1e15-magnitude power sums, whose double ulp exceeds
-    * any decimal rounding guard.
+    * in double, so both engines accumulate exact INTEGER power sums
+    * (custkey raw, totalprice in cents — Spark DECIMAL(38,0) vs DuckDB
+    * HUGEINT, both exact 128-bit-class arithmetic) and even the
+    * VARIANCE NUMERATORS n·Σxx − (Σx)² are computed exactly before the
+    * single integer→double conversion. The r7 form converted the raw
+    * ~1e15 power sums to double FIRST; at 10× data the ~1e22-vs-1e10
+    * cancellation amplified the engines' 1-ulp decimal→double
+    * difference ~1e12× into the 6th decimal of stdx (the r8 10×
+    * lesson). An exact numerator cannot cancel: both engines convert
+    * the SAME integer and run the identical sqrt/divide tail.
     */
   def q104RegrPowerSums(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("o_custkey").cast("decimal(18,2)")
-    val y = col("o_totalprice").cast("decimal(18,2)")
+    val x = col("o_custkey").cast("decimal(19,0)")
+    val y = round(col("o_totalprice") * 100, 0).cast("decimal(19,0)")
     def d(c: Column): Column = c.cast("double")
+    val nDec = col("n").cast("decimal(19,0)")
+    def vNum(sumSq: String, s1: String, s2: String): Column =
+      nDec * col(sumSq) - col(s1) * col(s2) // (38,0): exact below 1e38
     Tables.load(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -232,13 +240,10 @@ object SurfaceQueries {
         sum(x * x).as("_sxx"), sum(y * y).as("_syy"), sum(x * y).as("_sxy"))
       .select(col("o_orderstatus"), col("n"),
         round(d(col("_sx")) / col("n"), 6).as("avgx"),
-        round(d(col("_sy")) / col("n"), 6).as("avgy"),
-        round(sqrt((d(col("_sxx")) - d(col("_sx")) * d(col("_sx")) / col("n"))
-          / col("n")), 6).as("stdx"),
-        round(sqrt((d(col("_syy")) - d(col("_sy")) * d(col("_sy")) / col("n"))
-          / col("n")), 6).as("stdy"),
-        round((d(col("_sxy")) - d(col("_sx")) * d(col("_sy")) / col("n"))
-          / col("n"), 4).as("covp"))
+        round(d(col("_sy")) / col("n") / 100, 6).as("avgy"),
+        round(sqrt(d(vNum("_sxx", "_sx", "_sx"))) / col("n"), 6).as("stdx"),
+        round(sqrt(d(vNum("_syy", "_sy", "_sy"))) / col("n") / 100, 6).as("stdy"),
+        round(d(vNum("_sxy", "_sx", "_sy")) / col("n") / col("n") / 100, 4).as("covp"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -398,23 +403,27 @@ object SurfaceQueries {
                 CAST(FLOOR(start / 512.0) AS BIGINT) AS bin_start
          FROM laid ORDER BY doc_id""",
     "q104_regr_power_sums" ->
-      """WITH s AS (
+      """WITH b AS (
+           -- HUGEINT power sums in integer units (custkey raw, price in
+           -- cents): the variance numerators n*sxx - sx*sx stay EXACT,
+           -- mirroring Spark's DECIMAL(38,0) arithmetic — converting
+           -- power sums to double first cancels catastrophically at
+           -- replicated scale (see q104RegrPowerSums scaladoc)
+           SELECT o_orderstatus,
+                  CAST(o_custkey AS HUGEINT) AS x,
+                  CAST(round(o_totalprice * 100, 0) AS HUGEINT) AS y
+           FROM orders),
+         s AS (
            SELECT o_orderstatus, count(*) AS n,
-                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))
-                           * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
-                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-                  CAST(sum(CAST(o_custkey AS DECIMAL(18,2))
-                           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-           FROM orders GROUP BY o_orderstatus)
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM b GROUP BY o_orderstatus)
          SELECT o_orderstatus, n,
-                round(sx / n, 6) AS avgx,
-                round(sy / n, 6) AS avgy,
-                round(sqrt((sxx - sx * sx / n) / n), 6) AS stdx,
-                round(sqrt((syy - sy * sy / n) / n), 6) AS stdy,
-                round((sxy - sx * sy / n) / n, 4) AS covp
+                round(CAST(sx AS DOUBLE) / n, 6) AS avgx,
+                round(CAST(sy AS DOUBLE) / n / 100, 6) AS avgy,
+                round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 6) AS stdx,
+                round(sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / n / 100, 6) AS stdy,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 100, 4) AS covp
          FROM s ORDER BY o_orderstatus""",
     "q105_try_surface" ->
       """SELECT doc_id,

@@ -16,6 +16,10 @@ object QTime {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // q83-class recursive CTEs: the default 1M-row recursion cap
+      // trips at >= 10x-replicated data; the queries are depth-bounded
+      // (log2 of the key domain), so the cap is a safety net, not a limit
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sustained-rate streaming throughput (r7 judge item 8): drives the
+  * B20–B24 pipeline shapes from a saturating `rate` source and records
+  * rows/s, so those rows carry a number and not just correctness.
+  *
+  * Three pipelines, each run for `secs` seconds against a rate source
+  * asked for far more rows/s than the box can do (so the measured
+  * processedRowsPerSecond is the pipeline's capacity, not the offer):
+  *   1. ingest: synth event projection → parquet sink (B20);
+  *   2. windowed: watermarked tumbling agg → parquet sink (B21+B23);
+  *   3. stateful: watermark dedup on event_id → parquet sink (B24).
+  *
+  * Throughput = mean processedRowsPerSecond over completed batches,
+  * first batch dropped (it pays stream start + codegen).
+  *
+  * Usage: sbt "runMain graft.tools.StreamThroughputBench [secs] [offerRowsPerSec]"
+  */
+object StreamThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val secs = args.headOption.map(_.toInt).getOrElse(30)
+    val offer = args.lift(1).map(_.toLong).getOrElse(8000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = java.nio.file.Files.createTempDirectory("stream_bench").toString
+
+    // rate source → the events shape (event_time, event_type, value,
+    // event_id, user_id); timestamps are the source's real clock, so
+    // watermarks advance naturally during the run
+    def synthEvents = spark.readStream.format("rate")
+      .option("rowsPerSecond", offer.toString)
+      .option("numPartitions", "16")
+      .load()
+      .select(
+        col("value").as("event_id"),
+        pmod(col("value"), lit(100000L)).as("user_id"),
+        element_at(
+          typedlit(Seq("view", "click", "purchase", "signup")),
+          (pmod(col("value"), lit(4L)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(1000L))).cast("double").as("value"),
+        col("timestamp").as("event_time"))
+
+    def run(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val q = graft.streaming.EventStreams.writeParquetStream(
+        df, s"$work/$label/out", s"$work/$label/ckpt")
+      Thread.sleep(secs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // drop batch 0 (stream start + codegen); rows/s weighted by rows
+      val settled = progress.filter(p => p.batchId > 0 && p.numInputRows > 0)
+      val rows = settled.map(_.numInputRows).sum
+      val batchSecs = settled.map(p => p.numInputRows /
+        math.max(p.processedRowsPerSecond, 1.0)).sum
+      val rps = if (batchSecs > 0) rows / batchSecs else 0.0
+      println(f"[stream] $label: ${rps / 1e6}%.2f M rows/s sustained " +
+        f"($rows rows over ${settled.size} batches, ${secs}s run)")
+    }
+
+    run("ingest", synthEvents)
+    run("windowed",
+      graft.streaming.EventStreams.watermarkedCounts(
+        synthEvents, width = "5 seconds", lateness = "5 seconds"))
+    run("dedup",
+      graft.streaming.EventStreams.dedupWithinWatermark(
+        synthEvents.withWatermark("event_time", "5 seconds"),
+        lateness = "5 seconds"))
+
+    spark.stop()
+  }
+}

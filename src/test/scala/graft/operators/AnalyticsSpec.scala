@@ -29,7 +29,9 @@ class AnalyticsSpec extends SparkSpec {
     }
     val df = rows.toDF("k", "ord", "x")
     val got = Analytics.ewmaLast(df, "k", Seq("ord"), "x", a)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2).doubleValue))
+      .toMap
     xs.foreach { case (k, vs) =>
       val ref = vs.tail.foldLeft(vs.head)((s, x) => a * x + (1 - a) * s)
       val (n, ew) = got(k)
