@@ -15,7 +15,13 @@ package graft.multimodal
   * exactly. Interop with externally-encoded streams should be treated
   * as unvalidated until checked against a reference decoder; the
   * structure (level prefix/suffix adaptation, zerosLeft bookkeeping,
-  * coefficient placement) follows §9.2.2–9.2.4 exactly.
+  * coefficient placement) follows §9.2.2–9.2.4 exactly. What IS
+  * enforced against corrupted/foreign bytes (H264FuzzSpec, r8):
+  * exhaustive single-bit-flip, truncation, and seeded multi-byte
+  * corruption over coded streams never crash, never allocate beyond
+  * the 8192² level bound, decode deterministically (retry-stable
+  * signatures), and reject-vs-decode both occur — so a real-corpus
+  * CAVLC mismatch degrades to a skipped frame, not a pipeline failure.
   */
 object H264Cavlc {
 

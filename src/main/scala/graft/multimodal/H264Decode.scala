@@ -491,7 +491,11 @@ object H264Decode {
           // (r7 advice): a multi-picture Annex-B stream must return
           // picture 1's pixels, not let later IDR slices overwrite them
           (sps, pps) match {
-            case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly && s.chromaFormatIdc == 1 =>
+            // dims bound: a corrupted SPS can declare absurd sizes via
+            // ue(v) and the State allocation would OOM before any parse
+            // error surfaces — 8192² is beyond every defined H.264 level
+            case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly && s.chromaFormatIdc == 1 &&
+                s.width > 0 && s.height > 0 && s.width <= 8192 && s.height <= 8192 =>
               if (st == null) st = new State(s, p)
               decodeSlice(st, nal.payload)
               sawIdr = true

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mutation-fuzz suite over the CAVLC intra decoder (r7 verdict item 5's
+  * fallback — no reference encoder exists in this container, so external
+  * interop stays a documented caveat; what CAN be enforced is that a
+  * corrupted real-world bitstream never crashes, never allocates
+  * unboundedly, and decodes deterministically):
+  *
+  *  - every SINGLE-BIT flip of a self-encoded coded stream (headers,
+  *    entropy-coded residuals, prediction modes — all positions) either
+  *    decodes to a structurally valid frame or is rejected as None;
+  *  - every TRUNCATION prefix likewise;
+  *  - seeded random MULTI-BYTE corruption likewise;
+  *  - mutated decode is DETERMINISTIC (two runs agree exactly), so a
+  *    task retry over a corrupt video shard reproduces the same answer —
+  *    the property the dedup pipeline's content signatures rely on.
+  *
+  * "Structurally valid" = dims match the (possibly mutated) SPS within
+  * the decoder's 8192² level bound and all three planes have exactly
+  * their declared sizes. Pixel VALUES under mutation are unspecified
+  * (a flipped residual bit legitimately decodes to different pixels);
+  * H264CodecSpec pins values on clean streams.
+  */
+class H264FuzzSpec extends AnyFunSuite {
+
+  private def codedStream(): Array[Byte] = {
+    // 4x3 macroblocks of I_16x16 DC + a second picture's worth of coded
+    // content via I_4x4 modes appended as extra bits is NOT valid; keep
+    // one clean coded stream with non-trivial residuals
+    val mbMeans = Array.tabulate(3, 4)((r, c) => 40 + 23 * r + 31 * c)
+    H264Encode.encodeI16x16Dc(mbMeans, qp = 24)._1
+  }
+
+  private def structurallyValid(f: H264Decode.Frame): Boolean = {
+    val lumaOk = f.luma.length == f.mbW * 16 * f.mbH * 16
+    val chromaOk = f.cb.length == f.mbW * 8 * f.mbH * 8 &&
+      f.cr.length == f.mbW * 8 * f.mbH * 8
+    val dimsOk = f.width > 0 && f.height > 0 &&
+      f.width <= f.mbW * 16 && f.height <= f.mbH * 16
+    lumaOk && chromaOk && dimsOk
+  }
+
+  test("the clean stream decodes (fuzz baseline sanity)") {
+    val f = H264Decode.decodeIdrFrame(codedStream())
+    assert(f.nonEmpty && structurallyValid(f.get))
+  }
+
+  test("every single-bit flip decodes to a valid frame or a clean None") {
+    val base = codedStream()
+    var decoded = 0; var rejected = 0
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      H264Decode.decodeIdrFrame(m) match {
+        case Some(f) =>
+          assert(structurallyValid(f), s"invalid frame at bit $bit")
+          decoded += 1
+        case None => rejected += 1
+      }
+    }
+    // both outcomes must actually occur: all-None would mean the decoder
+    // rejects everything (vacuous pass), all-Some that framing errors
+    // are silently absorbed
+    assert(decoded > 0 && rejected > 0, s"decoded=$decoded rejected=$rejected")
+  }
+
+  test("every truncation prefix decodes to a valid frame or a clean None") {
+    val base = codedStream()
+    for (len <- 0 until base.length) {
+      H264Decode.decodeIdrFrame(java.util.Arrays.copyOf(base, len)) match {
+        case Some(f) => assert(structurallyValid(f), s"invalid frame at len $len")
+        case None    =>
+      }
+    }
+  }
+
+  test("seeded multi-byte corruption: no crash, no unbounded allocation") {
+    val base = codedStream()
+    val rnd = new scala.util.Random(0x48264)
+    for (_ <- 0 until 1000) {
+      val m = base.clone()
+      val nMut = 1 + rnd.nextInt(8)
+      for (_ <- 0 until nMut)
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeIdrFrame(m).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
+  test("mutated decode is deterministic (retry-stable content signatures)") {
+    val base = codedStream()
+    val rnd = new scala.util.Random(0x264)
+    for (_ <- 0 until 200) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      val a = H264Decode.decodeIdrFrame(m)
+      val b = H264Decode.decodeIdrFrame(m)
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          assert(x.width == y.width && x.height == y.height &&
+            java.util.Arrays.equals(x.luma, y.luma) &&
+            java.util.Arrays.equals(x.cb, y.cb) &&
+            java.util.Arrays.equals(x.cr, y.cr))
+        case (None, None) =>
+        case _ => fail("nondeterministic accept/reject")
+      }
+    }
+  }
+
+  test("multi-IDR stream returns the FIRST complete picture (r7 advice pin)") {
+    val s1 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 60 + 40 * (r + c)))._1
+    val s2 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 200 - 40 * (r + c)))._1
+    val first = H264Decode.decodeIdrFrame(s1).get
+    // concatenated Annex-B: SPS/PPS/IDR + SPS/PPS/IDR of a second picture
+    val both = s1 ++ s2
+    val got = H264Decode.decodeIdrFrame(both).get
+    assert(java.util.Arrays.equals(got.luma, first.luma))
+  }
+}
