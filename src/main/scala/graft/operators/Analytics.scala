@@ -215,10 +215,11 @@ object Analytics {
       cutoff: Double): DataFrame = {
     val g = col(groupCol); val x = col(valueCol).cast("double")
     val base = df.select(g, x.as("_mo_x"))
-    // default 64 buckets beats 16 here: halving boundary comparisons
-    // doesn't pay for the 4× larger kept-bucket sort slices (measured
-    // 1.44 s vs 1.75 s at sf0.1)
-    val boundsX = Relational.approxBounds(base, groupCol, "_mo_x")
+    // r8: fixed-width bounds (sketch-free pass 1a) at the 256-bucket
+    // default — more buckets shrink the kept-bucket sort slices and the
+    // boundary-count cost is one deeper binary-search step (measured
+    // q127 at 10×: 3.86 s sketch/64 → 1.9 s uniform/256)
+    val boundsX = Relational.uniformBounds(base, groupCol, "_mo_x")
     val med = Relational.percentileContExact(
       base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
     val withMed = base.join(broadcast(med), Seq(groupCol), "left")

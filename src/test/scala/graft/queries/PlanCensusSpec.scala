@@ -42,9 +42,11 @@ class PlanCensusSpec extends SparkSpec {
   //  - q134_funnel: the three per-step 1-row count aggregates stitch into
   //    one result row via broadcast "loops" over exactly one row each
   //    (q62's declared scalar shape)
+  //  - q102_dsir: DSIR corpus constants (token totals, vocab size) ride
+  //    a 1-row broadcast cross (q62's declared scalar shape)
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
-    "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
+    "q102_dsir", "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
     "q130_semdedup", "q134_funnel")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
@@ -132,7 +134,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // candidate cut + vector join-back
     "q101_seq_packing"         -> (5, 2, 2, true), // prefix scan: tiny offsets frame +
                                                    // per-bucket windows; 1-row bounds ×2
-    "q102_dsir"                -> (4, 3, 0, true), // two count aggs + weight join + score agg
+    "q102_dsir"                -> (7, 4, 2, true), // r8: corpus constants ride a
+                                                   // 1-row broadcast (q62 shape, the
+                                                   // 2 loops) instead of plan-build
+                                                   // driver collects; extra tiny
+                                                   // exchanges are the scalar aggs
     "q103_shuffle_pack"        -> (5, 2, 2, true), // q101's scan over the md5 shuffle key
     "q104_regr_power_sums"     -> (2, 0, 0, true), // one-pass decimal power-sum agg
     "q105_try_surface"         -> (1, 0, 0, true), // per-row try_* exprs, sort only
