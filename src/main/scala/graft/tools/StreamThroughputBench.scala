@@ -70,8 +70,7 @@ object StreamThroughputBench {
         synthEvents, width = "5 seconds", lateness = "5 seconds"))
     run("dedup",
       graft.streaming.EventStreams.dedupWithinWatermark(
-        synthEvents.withWatermark("event_time", "5 seconds"),
-        lateness = "5 seconds"))
+        synthEvents, lateness = "5 seconds"))
 
     spark.stop()
   }
