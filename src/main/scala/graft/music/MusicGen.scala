@@ -27,35 +27,45 @@ object MusicGen {
       songGenres: Seq[(Int, Short)],
       ratings: Seq[(String, Int, Date, Byte)])
 
-  def generate(seed: Long = 42L): Data = {
+  /** `scale` multiplies every collection's cardinality (genres stay 8 —
+    * genre count is a domain constant, so genre GROUPS grow in size, the
+    * audit-relevant direction). scale = 1 reproduces the historical draw
+    * sequence byte-for-byte (the golden fixtures depend on it); the
+    * expressions below keep the same random-call order at any scale.
+    */
+  def generate(seed: Long = 42L, scale: Int = 1): Data = {
     val rnd = new scala.util.Random(seed)
     def date(y: Int, m: Int, d: Int) = Date.valueOf(f"$y-$m%02d-$d%02d")
 
-    val nArtists = 20
+    val nArtists = 20 * scale
     val artists = (1 to nArtists).map { i =>
       (i, s"Artist$i", (if (i % 4 == 0) 1 else 0).toByte) // every 4th is a group
     }
     val genres = (1 to 8).map(i => (i.toShort, s"Genre$i"))
 
-    // 60 albums over 2010–2022, ≤1 per (artist, title) by construction
-    val albums = (1 to 60).map { i =>
+    // 60·scale albums over 2010–2022, ≤1 per (artist, title) by construction
+    val albums = (1 to 60 * scale).map { i =>
       val artist = 1 + rnd.nextInt(nArtists)
       (i, artist, s"Album$i", date(2010 + rnd.nextInt(13), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)),
         (1 + rnd.nextInt(8)).toShort)
     }
-    val users = (1 to 100).map { i =>
+    val users = (1 to 100 * scale).map { i =>
       (s"user$i", Timestamp.valueOf(f"20${10 + i % 15}%02d-01-01 00:00:00"))
     }
     // 500 songs: ~40% singles (album_id NULL + single date), 60% album
     // tracks (album_id set, single date NULL — date inherited from album)
-    val songs = (1 to 500).map { i =>
+    // grouped once instead of filtered per song (O(songs·albums) at
+    // scale 100 otherwise); Seq#groupBy preserves in-group order, so the
+    // selected album — and every random draw — matches the filter form
+    val albumsByArtist = albums.groupBy(_._2)
+    val songs = (1 to 500 * scale).map { i =>
       val artist = 1 + rnd.nextInt(nArtists)
       if (rnd.nextDouble() < 0.4) {
         (i, artist, s"Song$i", Option.empty[Int],
           Some(date(2010 + rnd.nextInt(13), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))))
       } else {
         // album track: pick an album of the SAME artist when one exists
-        val owned = albums.filter(_._2 == artist)
+        val owned = albumsByArtist.getOrElse(artist, Seq.empty)
         val album = if (owned.nonEmpty) owned(rnd.nextInt(owned.size))
                     else albums(rnd.nextInt(albums.size))
         (i, album._2, s"Song$i", Some(album._1), Option.empty[Date])
@@ -76,9 +86,9 @@ object MusicGen {
     // users 95–100 never rate (zero-rating users must survive outer joins)
     val ratings = {
       val seen = scala.collection.mutable.Set[(String, Int, Date)]()
-      (1 to 2200).flatMap { _ =>
-        val u = s"user${1 + rnd.nextInt(94)}"
-        val s = 1 + rnd.nextInt(500)
+      (1 to 2200 * scale).flatMap { _ =>
+        val u = s"user${1 + rnd.nextInt(94 * scale)}"
+        val s = 1 + rnd.nextInt(500 * scale)
         val d = date(2019 + rnd.nextInt(4), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
         if (seen.add((u, s, d))) Some((u, s, d, (1 + rnd.nextInt(5)).toByte)) else None
       }
