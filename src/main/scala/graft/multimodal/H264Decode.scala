@@ -182,6 +182,11 @@ object H264Decode {
     // I_16x16/I_PCM blocks predict as DC (2) per §8.3.1.1)
     val i4Modes = Array.fill(mbW * 4 * mbH * 4)(-1)
     val mbDecoded = new Array[Boolean](mbW * mbH)
+    // inter (P-slice) state: the per-4x4-block L0 motion grid (§8.4.1.3
+    // prediction context) and the single reference picture (previous
+    // decoded frame) this decoder supports
+    val mv = new H264Inter.MvGrid(mbW, mbH)
+    var ref: Frame = null
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
       mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
@@ -567,46 +572,82 @@ object H264Decode {
     require(lastOne >= 0, "no rbsp stop bit")
     def moreData: Boolean = (totalBits - r.remaining) < lastOne
 
-    // ---- slice_header (§7.3.3), IDR I-slice subset
+    // ---- slice_header (§7.3.3): IDR I-slice subset, plus the P-slice
+    // subset (single L0 reference, no list modification, no MMCO) when
+    // the State carries a reference picture
     val firstMb = r.ue()
     val sliceType = r.ue()
-    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+    val isP = sliceType == 0 || sliceType == 5
+    require(sliceType == 2 || sliceType == 7 || isP,
+      s"slice type $sliceType out of scope")
+    require(!isP || st.ref != null, "P slice without a reference picture")
     r.ue() // pps_id (single active PPS assumed)
     r.u(st.sps.log2MaxFrameNum) // frame_num
-    r.ue() // idr_pic_id
+    if (!isP) r.ue() // idr_pic_id
     // pocType 1's delta_pic_order_cnt needs SPS flags we don't retain
     require(st.sps.pocType == 0 || st.sps.pocType == 2,
       s"poc type ${st.sps.pocType} out of scope")
     if (st.sps.pocType == 0) r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
     if (st.pps.redundantPresent) r.ue()
-    r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
+    if (isP) {
+      if (r.flag()) // num_ref_idx_active_override_flag
+        require(r.ue() == 0, "multiple L0 reference frames out of scope")
+      require(!r.flag(), "ref_pic_list_modification out of scope")
+      // dec_ref_pic_marking (non-IDR, nal_ref_idc > 0 assumed for P):
+      require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
+    } else {
+      r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
+    }
     var qp = st.pps.picInitQp + r.se()
     if (st.pps.deblockingPresent) {
       val disable = r.ue()
       if (disable != 1) { r.se(); r.se() }
     }
 
-    // ---- macroblock loop (CAVLC I-slice: no mb_skip)
+    // ---- macroblock loop; P slices interleave mb_skip_run (§7.3.4)
     var mbAddr = firstMb
     var first = true
-    while (first || moreData) {
+    var done = false
+    while (!done && (first || moreData)) {
       first = false
-      require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
-      // mark available BEFORE decoding: §6.4.11.4 treats the current
-      // MB's already-decoded 4x4 blocks as available neighbors — the nC
-      // context of in-MB blocks depends on it (H264ResidualSpec caught
-      // the post-hoc marking as a coeff_token table desync)
-      st.mbDecoded(mbAddr) = true
-      qp = decodeMacroblock(st, r, mbAddr, qp)
-      mbAddr += 1
+      if (isP) {
+        var skip = r.ue()
+        while (skip > 0) {
+          require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
+          st.mbDecoded(mbAddr) = true
+          st.mv.markMb(mbAddr)
+          decodePSkip(st, mbAddr)
+          mbAddr += 1
+          skip -= 1
+        }
+        if (!moreData) done = true
+      }
+      if (!done) {
+        require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
+        // mark available BEFORE decoding: §6.4.11.4 treats the current
+        // MB's already-decoded 4x4 blocks as available neighbors — the nC
+        // context of in-MB blocks depends on it (H264ResidualSpec caught
+        // the post-hoc marking as a coeff_token table desync)
+        st.mbDecoded(mbAddr) = true
+        st.mv.markMb(mbAddr)
+        val mbType = r.ue()
+        qp =
+          if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
+          else if (mbType >= 5) decodeMacroblock(st, r, mbAddr, qp, mbType - 5)
+          else decodeInterMacroblock(st, r, mbAddr, qp, mbType)
+        mbAddr += 1
+      }
     }
   }
 
-  /** Decode one I-slice macroblock; returns the updated QPy. */
-  private def decodeMacroblock(st: State, r: H264.BitReader, mbAddr: Int, qpIn: Int): Int = {
+  /** Decode one I-slice macroblock (`mbType` already read — P slices
+    * remap their intra range before dispatching here); returns the
+    * updated QPy.
+    */
+  private def decodeMacroblock(st: State, r: H264.BitReader, mbAddr: Int,
+      qpIn: Int, mbType: Int): Int = {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
-    val mbType = r.ue()
     var qp = qpIn
 
     if (mbType == 25) { // ---- I_PCM (§7.3.5 + §8.3.5)
@@ -886,5 +927,219 @@ object H264Decode {
       }
       c += 1
     }
+  }
+
+  // ------------------------------------------------ inter (P slices)
+
+  /** P_Skip reconstruction (§8.4.1.1): predicted motion, zero residual. */
+  private def decodePSkip(st: State, mbAddr: Int): Unit = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val (mx, my) = st.mv.skipMv(mbX * 4, mbY * 4)
+    st.mv.set(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
+    motionCompensate(st, mbX * 16, mbY * 16, 16, 16, mx, my)
+  }
+
+  /** MC one luma block (+ the matching chroma blocks) from st.ref into
+    * the current planes; (px, py)/(bw, bh) in LUMA samples.
+    */
+  private def motionCompensate(st: State, px: Int, py: Int,
+      bw: Int, bh: Int, mx: Int, my: Int): Unit = {
+    val f = st.ref
+    H264Inter.mcLuma(f.luma, f.lumaStride, f.mbH * 16,
+      st.luma, st.lumaStride, px, py, bw, bh, mx, my)
+    H264Inter.mcChroma(f.cb, f.mbW * 8, f.mbH * 8,
+      st.cb, st.chromaStride, px / 2, py / 2, bw / 2, bh / 2, mx, my)
+    H264Inter.mcChroma(f.cr, f.mbW * 8, f.mbH * 8,
+      st.cr, st.chromaStride, px / 2, py / 2, bw / 2, bh / 2, mx, my)
+  }
+
+  /** Decode one P-slice inter macroblock (P_L0_16x16 / P_L0_L0_16x8 /
+    * P_L0_L0_8x16 — P_8x8 sub-partitions are out of scope and reject
+    * the frame); returns the updated QPy.
+    */
+  private def decodeInterMacroblock(st: State, r: H264.BitReader,
+      mbAddr: Int, qpIn: Int, mbType: Int): Int = {
+    require(mbType <= 2, s"P_8x8 mb_type $mbType out of scope")
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    var qp = qpIn
+    // partitions as (offX4, offY4, w4, h4, mvp kind); ref_idx_l0 syntax
+    // elements are absent with one active reference
+    val parts: Seq[(Int, Int, Int, Int, Int)] = mbType match {
+      case 0 => Seq((0, 0, 4, 4, 0))
+      case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+      case _ => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+    }
+    // mvd_l0 in partition order; each partition's mvp sees the previous
+    // partitions' assigned vectors (§8.4.1.3 decode-order context)
+    parts.foreach { case (ox, oy, pw, ph, kind) =>
+      val mvdX = r.se(); val mvdY = r.se()
+      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+      val mx = px0 + mvdX; val my = py0 + mvdY
+      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
+      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
+    }
+    val cbp = {
+      val cn = r.ue()
+      require(cn < 48, s"bad inter cbp codeNum $cn")
+      H264Inter.cbpInterByCodeNum(cn)
+    }
+    val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+    if (cbpLuma > 0 || cbpChroma > 0) qp = ((qp + r.se()) + 52) % 52
+    // luma residual: plain 4x4 transforms ADDED to the MC prediction
+    // already in the plane (no intra pass, no 16x16 DC Hadamard)
+    var blk = 0
+    while (blk < 16) {
+      val (x4r, y4r) = blockScan(blk)
+      val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+      if ((cbpLuma & (1 << (blk / 4))) != 0) {
+        val nC = st.lumaNc(ax4, ay4)
+        val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 16, nC)
+        st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+        val res = new Array[Int](16)
+        var si = 0
+        while (si < 16) { res(zigzag4x4(si)) = scan(si); si += 1 }
+        dequant4x4(res, qp, skipDc = false)
+        inverseTransform4x4(res)
+        val bpx = px + x4r * 4; val bpy = py + y4r * 4
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val idx = (bpy + y) * st.lumaStride + bpx + x
+            st.luma(idx) = clip255(
+              (st.luma(idx) & 0xff) + ((res(y * 4 + x) + 32) >> 6)).toByte
+            x += 1
+          }
+          y += 1
+        }
+      } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+      blk += 1
+    }
+    decodeChromaInter(st, r, mbX, mbY, cbpChroma, qp)
+    qp
+  }
+
+  /** Chroma residual for an INTER MB: same §7.3.5.3.1 parse as
+    * [[decodeChroma]], but the prediction is the motion-compensated
+    * samples already in the planes — residual adds in place.
+    */
+  private def decodeChromaInter(st: State, r: H264.BitReader, mbX: Int,
+      mbY: Int, cbpChroma: Int, qpLuma: Int): Unit = {
+    val qpc = chromaQp(qpLuma + st.pps.chromaQpOffset)
+    val cpx = mbX * 8; val cpy = mbY * 8
+    val planes = Array(st.cb, st.cr)
+    val nnzs = Array(st.nnzCb, st.nnzCr)
+    val dc = Array.ofDim[Int](2, 4)
+    if (cbpChroma != 0) {
+      var c = 0
+      while (c < 2) {
+        val (scan, _) = H264Cavlc.decodeResidualBlock(r, 4, -1)
+        val f0 = scan(0) + scan(1); val f1 = scan(0) - scan(1)
+        val f2 = scan(2) + scan(3); val f3 = scan(2) - scan(3)
+        val g = Array(f0 + f2, f1 + f3, f0 - f2, f1 - f3)
+        val ls = levelScale(qpc % 6)(0)
+        var k = 0
+        while (k < 4) { dc(c)(k) = ((g(k) * ls) << (qpc / 6)) >> 5; k += 1 }
+        c += 1
+      }
+    }
+    var c = 0
+    while (c < 2) {
+      val coeffs = Array.ofDim[Int](4, 16)
+      var b = 0
+      while (b < 4) {
+        val x2 = mbX * 2 + b % 2; val y2 = mbY * 2 + b / 2
+        if (cbpChroma == 2) {
+          val nC = st.chromaNc(nnzs(c), x2, y2)
+          val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 15, nC)
+          nnzs(c)(y2 * st.mbW * 2 + x2) = tc
+          var k = 0
+          while (k < 15) { coeffs(b)(zigzag4x4(k + 1)) = scan(k); k += 1 }
+        } else nnzs(c)(y2 * st.mbW * 2 + x2) = 0
+        coeffs(b)(0) = dc(c)(b)
+        b += 1
+      }
+      if (cbpChroma != 0) {
+        val plane = planes(c)
+        b = 0
+        while (b < 4) {
+          val res = coeffs(b)
+          dequant4x4(res, qpc, skipDc = true)
+          inverseTransform4x4(res)
+          val bx = (b % 2) * 4; val by = (b / 2) * 4
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              val idx = (cpy + by + y) * st.chromaStride + cpx + bx + x
+              plane(idx) = clip255(
+                (plane(idx) & 0xff) + ((res(y * 4 + x) + 32) >> 6)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          b += 1
+        }
+      }
+      c += 1
+    }
+  }
+
+  /** Decode an Annex-B stream's picture SEQUENCE — the IDR intra frame
+    * plus following P pictures (single L0 reference = previous decoded
+    * picture), up to `maxFrames`. A slice with first_mb_in_slice 0
+    * starts a new picture; out-of-scope or malformed content ends the
+    * sequence gracefully with the pictures completed so far (corpus
+    * posture: undecodable tail = data, not an error).
+    */
+  def decodeAnnexBPictures(annexB: Array[Byte], maxFrames: Int = 8): Seq[Frame] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    var sps: Option[H264.SpsInfo] = None
+    var pps: Option[PpsInfo] = None
+    var st: State = null
+    var prev: Frame = null
+    def finish(): Unit =
+      if (st != null && st.mbDecoded.forall(identity)) {
+        val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
+          st.luma, st.cb, st.cr)
+        out += f; prev = f; st = null
+      }
+    try {
+      val nals = H264.nalUnitsAnnexB(annexB).iterator
+      while (nals.hasNext && out.size < maxFrames) {
+        val nal = nals.next()
+        nal.nalType match {
+          case 7 => sps = H264.parseSps(nal.payload)
+          case 8 => pps = parsePps(nal.payload)
+          case 5 | 1 =>
+            (sps, pps) match {
+              case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly &&
+                  s.chromaFormatIdc == 1 && s.width > 0 && s.height > 0 &&
+                  s.width <= 8192 && s.height <= 8192 =>
+                val firstMb = new H264.BitReader(H264.rbsp(nal.payload)).ue()
+                if (firstMb == 0) {
+                  finish()
+                  if (out.size < maxFrames) {
+                    st = new State(s, p)
+                    if (nal.nalType == 1) {
+                      if (prev == null) return out.toSeq // P before any IDR
+                      st.ref = prev
+                    }
+                  }
+                }
+                if (st != null) decodeSlice(st, nal.payload)
+              case _ => return out.toSeq
+            }
+          case _ => // SEI / AUD / filler
+        }
+      }
+      finish()
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+          _: java.util.NoSuchElementException => // keep completed pictures
+    }
+    out.toSeq
   }
 }

@@ -49,6 +49,61 @@ object H264Encode {
     w.ue(1) // disable_deblocking_filter_idc = 1 (writePps signals present)
   }
 
+  private def pSliceHeader(w: H264.BitWriter, qp: Int): Unit = {
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P (all slices in picture)
+    w.ue(0) // pps_id
+    w.u(1, 4) // frame_num = 1 (log2_max_frame_num = 4 per writeSps)
+    w.u(0, 4) // pic_order_cnt_lsb
+    w.flag(false) // num_ref_idx_active_override_flag (1 L0 ref)
+    w.flag(false) // ref_pic_list_modification_flag_l0
+    w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(qp - 26) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+  }
+
+  /** P-slice payload (non-IDR, NAL type 1, nal_ref_idc > 0): every
+    * macroblock P_L0_16x16 with the given quarter-pel motion vector and
+    * ZERO residual (cbp 0) — pure motion-compensated prediction from
+    * the previous picture. mvd_l0 derives from the SAME
+    * [[H264Inter.MvGrid]] §8.4.1.3 predictor the decoder runs, so the
+    * two sides cannot drift. `mvs(mbY)(mbX)` = (mvx, mvy) quarter-pel.
+    */
+  def encodeP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26): Array[Byte] = {
+    val mbH = mvs.length; val mbW = mvs.head.length
+    require(mvs.forall(_.length == mbW), "ragged mvs")
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp)
+    val grid = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        grid.markMb(mbY * mbW + mbX)
+        w.ue(0) // mb_skip_run
+        w.ue(0) // mb_type: P_L0_16x16
+        val (mx, my) = mvs(mbY)(mbX)
+        val (p0x, p0y) = grid.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+        w.se(mx - p0x); w.se(my - p0y) // mvd_l0
+        grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
+        w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** All-P_Skip slice payload: one mb_skip_run covering the picture —
+    * the §8.4.1.1 predicted-motion copy of the reference.
+    */
+  def encodePSkipFrame(mbW: Int, mbH: Int, qp: Int = 26): Array[Byte] = {
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp)
+    w.ue(mbW * mbH) // mb_skip_run = whole picture
+    H264.ebsp(w.stop())
+  }
+
   private def mbPad(plane: Array[Byte], w: Int, h: Int, mbDim: Int): (Array[Byte], Int, Int) = {
     val pw = (w + mbDim - 1) / mbDim * mbDim
     val ph = (h + mbDim - 1) / mbDim * mbDim

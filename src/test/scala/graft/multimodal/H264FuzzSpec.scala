@@ -108,6 +108,30 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("P-stream mutation fuzz: picture sequences decode or reject, never crash") {
+    val mvs = Array.tabulate(2, 3)((r, c) => ((c - 1) * 3, r * 5))
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 50 + 30 * r + 20 * c))._1 ++
+      H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(mvs)),
+        (1, 3, H264Encode.encodePSkipFrame(3, 2))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 3)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9264)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
   test("multi-IDR stream returns the FIRST complete picture (r7 advice pin)") {
     val s1 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 60 + 40 * (r + c)))._1
     val s2 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 200 - 40 * (r + c)))._1
