@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -641,6 +641,139 @@ object Multimodal {
         Seq(sample, sample, sample), Seq(1, 2, 3), sps, pps, 64, 64)
       Media(id, "video", content, MediaMeta("mp4", Some(64), Some(64), None, Some(300L)))
     }
+  }
+
+  /** Synthetic raw Annex-B H.264 streams with MOTION: an I_16x16 IDR
+    * picture plus two P_L0_16x16 pictures panning by a per-video
+    * quarter-pel vector — the corpus the r8 inter-decode tier exists
+    * for. Two planted structures (both deterministic):
+    *
+    *  - every `dupEvery`-th video is a PIXEL near-duplicate of its
+    *    predecessor: per-MB ±2 jitter + a different qp re-encode the
+    *    SAME content (same pattern, same motion) to different bytes;
+    *  - every id ≡ 3 (mod `kfCloneEvery`) video shares its
+    *    predecessor's IDR content BYTE-FOR-BYTE but pans differently
+    *    (≥8 px/frame vs ≤2.5 px) — keyframe-only dedup WRONGLY
+    *    collapses these; frame-sequence dedup must keep them.
+    */
+  def syntheticAvcMotionStreams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, kfCloneEvery: Int = 7,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      // a clone must share its predecessor's EXACT keyframe encode, so
+      // predecessors that are themselves jittered dups are excluded
+      val isKfClone = !isDup && kfCloneEvery > 0 && id % kfCloneEvery == 3 &&
+        id > 0 && !(dupEvery > 0 && (id - 1) % dupEvery == 0 && id - 1 > 0)
+      val seed: Long = if (isDup || isKfClone) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup) rnd.nextInt(5) - 2 else 0)
+      }
+      val idr = H264Encode.encodeI16x16Dc(mbMeans, qp)._1
+      // motion: dups reuse the ORIGINAL's pan (same content in motion);
+      // keyframe clones get a large distinct pan (≥ 8 px/frame)
+      val panId: Long = if (isDup) id - 1 else id
+      val panRnd = new scala.util.Random(panId * 31 + 7)
+      val (mvx, mvy) =
+        if (isKfClone) (32 + 8 * (id % 3).toInt, if (id % 2 == 0) 40 else -40)
+        else (panRnd.nextInt(21) - 10, panRnd.nextInt(21) - 10)
+      val mvs = Array.fill(4, 4)((mvx, mvy))
+      val content = idr ++ H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(mvs, qp)),
+        (1, 3, H264Encode.encodeP16x16(mvs, qp))))
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
+  /** 8×8 average hash straight from a decoded luma plane (no PNG round
+    * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
+    */
+  def aHash64OfLuma(luma: Array[Byte], stride: Int, w: Int, h: Int): Long = {
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var s = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * stride + x) & 0xff; x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) = s / math.max(1, (x1 - x0) * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L; var i = 0
+    while (i < 64) { if (cells(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  case class FrameSeqSig(media_id: Long, h0: Long, h1: Long, h2: Long)
+
+  /** Near-duplicate video dedup over the FULL decoded frame sequence
+    * (IDR + inter pictures via [[H264Decode.decodeAnnexBPictures]] — the
+    * r8 P-slice tier): two videos are near-dups iff EVERY aligned frame
+    * pair aHashes within `maxDist` bits. Keyframe-only hashing cannot
+    * express this — videos sharing a first frame but diverging in
+    * motion collapse there and must NOT here (the generator plants
+    * exactly that case). Scale shape: per-video signatures are 3 longs
+    * computed in one mapPartitions decode pass; candidates come from
+    * the pigeonhole chunk equi-join on the FIRST frame's hash (any pair
+    * within maxDist shares one of maxDist+1 chunks) against per-bucket
+    * min ids; verification checks all frames. Videos with fewer than
+    * `frames` decodable pictures survive unconditionally (undecodable
+    * content is data, not an error).
+    */
+  def videoDedupByFrameSeqHash(media: Dataset[Media], frames: Int = 3,
+      maxDist: Int = 3): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(frames == 3, "signature schema is fixed at 3 frames")
+    val sigs = media.mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { m =>
+        val fs = H264Decode.decodeAnnexBPictures(m.content, frames)
+        if (fs.size < frames) None
+        else {
+          val hs = fs.take(frames).map(f =>
+            aHash64OfLuma(f.luma, f.lumaStride, f.width, f.height))
+          Some(FrameSeqSig(m.media_id, hs(0), hs(1), hs(2)))
+        }
+      }
+    }.toDF()
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val banded = sigs.select(col("media_id"), col("h0"), col("h1"), col("h2"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftrightunsigned", col("h0"), c * width)
+          .bitwiseAND(lit((1L << width) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "_chunk", "col" -> "_ckey"))
+    def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+    // COMPLETE in-bucket pair generation (not the bucket-min shortcut:
+    // an unrelated smaller id sharing one 16-bit chunk would steal the
+    // candidate slot and a true near-dup pair would go unverified);
+    // in-bucket fan-out is quadratic only within chunk buckets, which a
+    // 100 TB deployment df-caps exactly like ngramJaccardPairs
+    val losers = banded
+      .join(banded.select(col("_chunk"), col("_ckey"),
+        col("media_id").as("_w"), col("h0").as("_w0"),
+        col("h1").as("_w1"), col("h2").as("_w2")), Seq("_chunk", "_ckey"))
+      .filter(col("_w") < col("media_id"))
+      .filter(hamming(col("h0"), col("_w0")) <= maxDist &&
+        hamming(col("h1"), col("_w1")) <= maxDist &&
+        hamming(col("h2"), col("_w2")) <= maxDist)
+      .select(col("media_id").as("_loser"))
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
   }
 
   case class KeyframeSig(media_id: Long, sig: Array[Byte])

@@ -531,6 +531,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q144 — frame-SEQUENCE pixel video dedup over MOTION streams (the
+    * r8 P-slice tier's query face): IDR + two P pictures decode via
+    * [[graft.multimodal.H264Decode.decodeAnnexBPictures]], videos
+    * near-dup iff EVERY aligned frame aHashes within 3 bits. The
+    * planted corpus proves the property keyframe-only dedup cannot
+    * have: re-encoded same-content-in-motion videos collapse, while
+    * videos sharing a BYTE-IDENTICAL keyframe but panning differently
+    * survive (H264PipelineSpec pins both planted structures).
+    */
+  def q144AvcMotionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcmot_200"))(
+      graft.multimodal.Multimodal.syntheticAvcMotionStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 3, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q59 — Bloom-prefiltered join (semi-join reduction with the native
     * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
     * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
@@ -801,6 +819,7 @@ object ExtendedQueries {
     "q141_lateral_topk" -> (sqlOn(q141Sql) _),
     "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),
     "q133_avc_pixel_dedup" -> (q133AvcPixelDedup _),
+    "q144_avc_motion_dedup" -> (q144AvcMotionDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -972,6 +991,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q133_avc_pixel_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q133_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q144_avc_motion_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q144_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

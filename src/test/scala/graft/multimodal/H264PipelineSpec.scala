@@ -93,6 +93,40 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("frame-sequence dedup (q144 corpus): motion matters, keyframes alone lie") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcMotionStreams(spark, 60).persist()
+    // the planted structures the corpus exists for:
+    //  - dups (id%10==0, id>0) are byte-different re-encodes of id-1's
+    //    content INCLUDING its motion → must collapse;
+    //  - keyframe clones (id%7==3, not dup) share id-1's IDR content
+    //    BYTE-FOR-BYTE but pan differently → must survive, even though
+    //    any keyframe-only signature (bytes or pixels) says "duplicate"
+    val ids = media.select("media_id").as[Long].collect().toSet
+    val clones = (0L until 60L).filter(id =>
+      id % 7 == 3 && id > 0 && id % 10 != 0 &&
+        !((id - 1) % 10 == 0 && id - 1 > 0))
+    assert(clones.nonEmpty)
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    clones.foreach { id =>
+      // identical keyframe bytes with the predecessor...
+      assert(H264.idrPayloads(byId(id)).map(_.toSeq) ==
+        H264.idrPayloads(byId(id - 1)).map(_.toSeq), s"clone $id keyframe")
+      // ...but later frames diverge far beyond the near-dup threshold
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      val ha = Multimodal.aHash64OfLuma(a(2).luma, a(2).lumaStride, 64, 64)
+      val hb = Multimodal.aHash64OfLuma(b(2).luma, b(2).lumaStride, 64, 64)
+      assert(java.lang.Long.bitCount(ha ^ hb) > 3, s"clone $id frame-3 hash")
+    }
+    val survivors = Multimodal.videoDedupByFrameSeqHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    val expected = (0L until 60L).filterNot(id => id % 10 == 0 && id > 0)
+    assert(survivors == expected, "dups collapse, keyframe clones survive")
+    assert(ids.size == 60)
+    media.unpersist()
+  }
+
   test("I_16x16 CAVLC frame feeds aHash with the encoded brightness pattern") {
     // checkerboard of bright/dark MBs → aHash bits follow the pattern
     val mbMeans = Array.tabulate(4, 4)((my, mx) => if ((mx + my) % 2 == 0) 60 else 200)

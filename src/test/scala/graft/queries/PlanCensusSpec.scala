@@ -202,6 +202,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // bucketed equi-join + window
     "q137_sliding_counts"      -> (2, 0, 0, true), // explode windows map-side +
                                                    // (window) agg + sort
+    "q144_avc_motion_dedup"    -> (4, 1, 0, true), // r8: fixture scan + fan-out;
+                                                   // 3-long frame-seq sigs, chunk
+                                                   // equi-join pairs + anti-join
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
