@@ -319,12 +319,15 @@ object Analytics {
     * shares with the last one).
     *
     * Scale shape: per-doc distinct grams (array_distinct map-side) →
-    * global distinct (group, gram) — vocabulary-sized, not corpus-sized
-    * — → inverted-index equi-join on the gram between groups (per-gram
-    * fan-out bounded by |groups|², never all-document-pairs) → map-side
-    * combinable overlap counts; sizes join back as a |groups|-row
-    * broadcast. Jaccard = ov/(|A|+|B|−ov) is an integer division, exact
-    * cross-engine.
+    * 64-bit xxhash64 FINGERPRINTS (r8: the distinct/join shuffles carry
+    * 8-byte keys, not ~40-byte gram strings — the B16/ngramJaccardPairs
+    * discipline; a cross-gram collision, p ≈ |grams|²/2⁶⁵, would shift
+    * one overlap count by one) → global distinct (group, fp) —
+    * vocabulary-sized, not corpus-sized — → inverted-index equi-join on
+    * the fp between groups (per-gram fan-out bounded by |groups|²,
+    * never all-document-pairs) → map-side combinable overlap counts;
+    * sizes join back as a |groups|-row broadcast. Jaccard =
+    * ov/(|A|+|B|−ov) is an integer division, exact cross-engine.
     */
   def corpusOverlapMatrix(
       df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
@@ -336,7 +339,8 @@ object Analytics {
           i => array_join(slice(ts, i + 1, lit(n)), " "))))
         .otherwise(array().cast("array<string>")))
     val grams = df.select(col(groupCol).as("_co_grp"),
-        explode(gramArr).as("_co_gram"))
+        explode(gramArr).as("_co_g0"))
+      .select(col("_co_grp"), xxhash64(col("_co_g0")).as("_co_gram"))
       .distinct()
     val sizes = grams.groupBy(col("_co_grp"))
       .agg(count(lit(1)).as("_co_sz"))

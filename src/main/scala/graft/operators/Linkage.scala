@@ -124,12 +124,18 @@ object Linkage {
     require(minContainment > 0 && minContainment <= 1,
       "minContainment must be in (0, 1]")
     val toks = TextAnalysis.tokens(col(textCol))
+    // r8: the self-join shuffles carry 8-byte xxhash64 gram fingerprints
+    // instead of the gram strings (the ngramJaccardPairs discipline;
+    // per-doc distinctness is taken on the STRINGS first, so a
+    // fingerprint collision — p ≈ |grams|²/2⁶⁵ — can only nudge one
+    // overlap count, never per-doc sizes)
     val grams = df.select(col(idCol).cast("long").as("_cn_id"),
         explode(TextAnalysis.bindOnce(toks, ts =>
           when(size(ts) >= n,
             array_distinct(transform(sequence(lit(0), size(ts) - n),
               i => array_join(slice(ts, i + 1, lit(n)), " "))))
-            .otherwise(array().cast("array<string>")))).as("_cn_g"))
+            .otherwise(array().cast("array<string>")))).as("_cn_g0"))
+      .select(col("_cn_id"), xxhash64(col("_cn_g0")).as("_cn_g"))
     val sizes = grams.groupBy(col("_cn_id"))
       .agg(count(lit(1)).as("_cn_sz"))
     val pairs = grams.select(col("_cn_id").as("_cn_a"), col("_cn_g"))

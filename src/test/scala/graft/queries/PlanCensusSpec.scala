@@ -186,8 +186,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // + distinct + anti-join
     "q130b_semdedup_lsh"       -> (7, 3, 0, true), // declared SCALE path: banded-LSH
                                                    // candidates, equi-joins only
-    "q131_source_overlap"      -> (5, 2, 0, true), // (grp,gram) distinct + inverted-index
-                                                   // gram join + sizes broadcast ×2 + sort
+    "q131_source_overlap"      -> (4, 2, 0, true), // r8: 8-byte gram fingerprints —
+                                                   // (grp,fp) distinct + inverted-index
+                                                   // join + sizes broadcast ×2 + sort
     "q132_zipf_fit"            -> (3, 0, 0, true), // token agg + vocab-frame ranking
                                                    // window + regr agg + sort
     "q133_avc_pixel_dedup"     -> (6, 1, 0, true), // fixture parquet scan +
