@@ -931,7 +931,10 @@ object Multimodal {
           else H264Decode.decodeMp4AvcKeyframes(content, maxFrames)
             .map(f => pngBytes(H264Decode.toGrayImage(f)))
         case "h264" =>
-          H264Decode.decodeIdrFrame(content).toSeq
+          // r8: picture SEQUENCES — the IDR plus following P pictures
+          // (first maxFrames in decode order; inter pictures need their
+          // reference, so "even sampling" would still decode them all)
+          H264Decode.decodeAnnexBPictures(content, maxFrames)
             .map(f => pngBytes(H264Decode.toGrayImage(f)))
         case _ => Nil
       }
