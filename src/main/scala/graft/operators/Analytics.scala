@@ -332,15 +332,13 @@ object Analytics {
   def corpusOverlapMatrix(
       df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val gramArr = TextAnalysis.bindOnce(toks, ts =>
-      when(size(ts) >= n,
-        array_distinct(transform(sequence(lit(0), size(ts) - n),
-          i => array_join(slice(ts, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<string>")))
+    // r8: grams are never materialized as strings (ngramFingerprints —
+    // fused single-pass tokenize + per-token hash + chained window
+    // hash); the global distinct below is on (group, fp) either way, so
+    // per-doc string-vs-fingerprint distinctness is semantically
+    // identical here.
     val grams = df.select(col(groupCol).as("_co_grp"),
-        explode(gramArr).as("_co_g0"))
-      .select(col("_co_grp"), xxhash64(col("_co_g0")).as("_co_gram"))
+        explode(TextAnalysis.ngramFingerprints(col(textCol), n)).as("_co_gram"))
       .distinct()
     val sizes = grams.groupBy(col("_co_grp"))
       .agg(count(lit(1)).as("_co_sz"))

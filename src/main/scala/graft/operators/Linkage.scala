@@ -123,19 +123,13 @@ object Linkage {
     require(n >= 1, "n must be >= 1")
     require(minContainment > 0 && minContainment <= 1,
       "minContainment must be in (0, 1]")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // r8: the self-join shuffles carry 8-byte xxhash64 gram fingerprints
-    // instead of the gram strings (the ngramJaccardPairs discipline;
-    // per-doc distinctness is taken on the STRINGS first, so a
-    // fingerprint collision — p ≈ |grams|²/2⁶⁵ — can only nudge one
-    // overlap count, never per-doc sizes)
+    // r8: the self-join shuffles carry 8-byte gram fingerprints instead
+    // of gram strings, and the grams are never materialized as strings
+    // at all (ngramFingerprints: fused single-pass tokenize + per-token
+    // hash + chained window hash). A fingerprint collision — p ≈
+    // |grams|²/2⁶⁵ — can nudge one overlap count or one doc size by one.
     val grams = df.select(col(idCol).cast("long").as("_cn_id"),
-        explode(TextAnalysis.bindOnce(toks, ts =>
-          when(size(ts) >= n,
-            array_distinct(transform(sequence(lit(0), size(ts) - n),
-              i => array_join(slice(ts, i + 1, lit(n)), " "))))
-            .otherwise(array().cast("array<string>")))).as("_cn_g0"))
-      .select(col("_cn_id"), xxhash64(col("_cn_g0")).as("_cn_g"))
+        explode(TextAnalysis.ngramFingerprints(col(textCol), n)).as("_cn_g"))
     val sizes = grams.groupBy(col("_cn_id"))
       .agg(count(lit(1)).as("_cn_sz"))
     val pairs = grams.select(col("_cn_id").as("_cn_a"), col("_cn_g"))

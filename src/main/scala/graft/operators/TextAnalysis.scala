@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer. `split` on \s+ leaves a leading "" for texts with
-    * leading whitespace — `filter(length > 0)` normalizes that and empty
-    * strings to an empty array.
+  /** Whitespace tokenizer: maximal runs between ASCII `\s` separators,
+    * empty-token-free (the `split("\\s+")` + `filter(length > 0)`
+    * contract, pinned against that form in TextAnalysisSpec).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    // r8: native byte-scan expression (WhitespaceTokens) with the exact
+    // `filter(split(text, "\\s+"), length > 0)` semantics — the regex
+    // form re-compiled the pattern and round-tripped through java.lang
+    // .String per ROW (see the expression's scaladoc); tokenization is
+    // the hottest per-row constant in the text operators
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.WhitespaceTokens(
+        org.apache.spark.sql.GraftPlanBridge.expression(text)))
 
   /** Evaluate `c` once and bind it as a lambda variable inside `f`.
     *
@@ -33,6 +40,40 @@ object TextAnalysis {
     */
   def bindOnce(c: Column, f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
+
+  /** Distinct 64-bit fingerprints of the token n-gram windows, built
+    * WITHOUT materializing gram strings: each token is xxhash64'd once,
+    * and each window fingerprint chains those hashes (Spark's own array
+    * hashing) instead of re-concatenating/re-hashing token bytes per
+    * window. Tokens contain no whitespace, so the gram string
+    * `array_join(window, " ")` is injective on windows — distinct-by-
+    * fingerprint equals distinct-by-gram-string up to negligible 64-bit
+    * collisions (p ≈ |grams|²/2⁶⁵). Documents with fewer than n tokens
+    * yield an empty array.
+    *
+    * Fused into a single native expression ([[graft.functions
+    * .NgramFingerprints]]): TokBench showed the composed higher-order
+    * form pays more in per-window `sequence`/lambda/`slice`/boxing
+    * machinery than in hashing; the fused scan is one pass over the
+    * bytes. [[ngramFingerprintsComposed]] keeps the composed form as the
+    * differential parity witness.
+    */
+  def ngramFingerprints(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.NgramFingerprints(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), n))
+
+  /** The composed-builtins form of [[ngramFingerprints]] — value-equal
+    * by construction; retained as the spec's differential oracle.
+    */
+  private[graft] def ngramFingerprintsComposed(toks: Column, n: Int): Column = {
+    require(n >= 1, s"ngram n must be >= 1, got $n")
+    bindOnce(transform(toks, t => xxhash64(t)), th =>
+      when(size(th) >= n,
+        array_distinct(transform(sequence(lit(0), size(th) - n),
+          i => xxhash64(slice(th, i + 1, lit(n))))))
+        .otherwise(array().cast("array<bigint>")))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -16,6 +16,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq == Seq(3, 2, 0, 1))
   }
 
+  test("tokens: native WhitespaceTokens ≡ filter(split(\\s+), length>0), incl. interpreted path") {
+    // every separator, runs, leading/trailing, unicode (non-ASCII spaces
+    // like   are NOT Java-regex \s — must stay inside tokens), null
+    val samples = Seq(
+      "a b  c", "  lead", "trail  ", "\t\n\f\r mix\td one\n",
+      "", "   ", "solo", "a b c", "héllo wörld   em",
+      "x\rty\n\nz", "многа слов 多字 \t end", null)
+    val df = samples.toDF("t").select(
+      TextAnalysis.tokens(col("t")).as("fast"),
+      filter(split(col("t"), "\\s+"), x => length(x) > 0).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // interpreted (non-codegen) eval path agrees too
+    import org.apache.spark.unsafe.types.UTF8String
+    samples.filter(_ != null).foreach { s =>
+      val got = graft.functions.WhitespaceTokens.split(UTF8String.fromString(s))
+      val want = s.split("\\s+").filter(_.nonEmpty).toSeq
+      assert((0 until got.numElements()).map(got.getUTF8String(_).toString) == want)
+    }
+  }
+
+  test("ngramFingerprints: fused expression ≡ composed HOF form, value-exact") {
+    // real-ish prose, duplicates (distinct-order matters), short docs
+    // (< n tokens), whitespace runs, unicode, null
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "a b a b a b a b a b a b", "one two three", "one two",
+      "  padded   doc with   runs\tand\ntabs  ", "",
+      "многа слов 多字 mixed script tokens here", null)
+    val df = samples.toDF("t").select(
+      TextAnalysis.ngramFingerprints(col("t"), 3).as("fused"),
+      TextAnalysis.ngramFingerprintsComposed(TextAnalysis.tokens(col("t")), 3).as("ref"))
+    df.collect().foreach { r =>
+      if (r.isNullAt(0)) assert(r.getSeq[Long](1).isEmpty)
+      // fused: null → null; composed: null → [] through bindOnce's
+      // array-wrap. Equivalent under explode (zero rows either way).
+      else assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // interpreted path too
+    import org.apache.spark.unsafe.types.UTF8String
+    val one = graft.functions.NgramFingerprints.compute(
+      UTF8String.fromString("a b a b a b"), 3)
+    val ref = samples.take(0) // (composed value fetched via Spark below)
+    val viaSpark = Seq("a b a b a b").toDF("t")
+      .select(TextAnalysis.ngramFingerprintsComposed(TextAnalysis.tokens(col("t")), 3))
+      .head.getSeq[Long](0)
+    assert((0 until one.numElements()).map(one.getLong) == viaSpark)
+  }
+
   test("shingles: n-grams over tokens; short docs fall back to whole text") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextAnalysis.shingles(col("t"), 3).as("s")).as[Seq[String]].head
