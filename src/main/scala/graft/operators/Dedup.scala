@@ -242,7 +242,7 @@ object Dedup {
     // carry longs instead of strings
     val shingled = df.select(
       col(idCol).as("_id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
+      TextAnalysis.shingleHashesDistinct(col(textCol), shingleN).as("_sh"))
 
     // one row per (doc, band): band key = hash of (band idx, band's slice);
     // the banded frame carries only (id, band, 8-byte key) — never text or
@@ -316,7 +316,7 @@ object Dedup {
     val input = if (small) graft.core.Tables.fanOut(df) else df
     val shingledBase = input.select(
       col(idCol).as("_id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
+      TextAnalysis.shingleHashesDistinct(col(textCol), shingleN).as("_sh"))
     val shingled =
       if (small) shingledBase else shingledBase.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -439,7 +439,7 @@ object Dedup {
 
     def shingle(df: DataFrame): DataFrame = df.select(
       col(idCol).as("_id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleN)).as("_sh"))
+      TextAnalysis.shingleHashesDistinct(col(textCol), shingleN).as("_sh"))
     def keys(sh: DataFrame): DataFrame = {
       val sorted = array_sort(col("_sh"))
       sh.select(col("_id"),
@@ -775,10 +775,14 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    // r8: fused token-slice fingerprints (ShingleHashes) instead of
+    // hashing materialized gram strings — same window identity (tokens
+    // contain no whitespace, so gram-string equality ⟺ token-tuple
+    // equality), same whole-text fallback for < n-token docs, and the
+    // collision argument below is unchanged
     val sh = df.select(
       col(idCol).as("_id"),
-      array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleN),
-        s => xxhash64(s))).as("_hs"))
+      TextAnalysis.shingleHashesDistinct(col(textCol), shingleN).as("_hs"))
     val inv = sh.select(
       col("_id"), size(col("_hs")).as("_n"), explode(col("_hs")).as("_h"))
     // hot-key set: tiny by construction (only keys in > maxDf docs), so
@@ -865,8 +869,11 @@ object Dedup {
     val grams = df
       .filter(TextAnalysis.tokenCount(col(textCol)) >= gramN)
       .select(col(idCol).as("_id"),
-        posexplode(transform(TextAnalysis.shingles(col(textCol), gramN),
-          g => xxhash64(g))).as(Seq("_p", "_h")))
+        // r8: fused token-slice fingerprints; window order = position,
+        // so posexplode positions are unchanged (≥ gramN tokens is
+        // guaranteed by the filter above — no short-text fallback here)
+        posexplode(TextAnalysis.shingleHashes(col(textCol), gramN))
+          .as(Seq("_p", "_h")))
     val dup = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)

@@ -124,7 +124,25 @@ object TextAnalysis {
     * negligible 64-bit collisions, at a fraction of the cost (no
     * concat_ws allocation per window).
     */
-  def shingleHashes(text: Column, n: Int): Column = {
+  def shingleHashes(text: Column, n: Int): Column =
+    // r8: fused single-pass expression; value parity with
+    // [[shingleHashesComposed]] pinned in TextAnalysisSpec
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), n, distinct = false))
+
+  /** `array_distinct(shingleHashes(text, n))` with the distinct folded
+    * into the same fused pass (first-occurrence order preserved).
+    */
+  def shingleHashesDistinct(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), n, distinct = true))
+
+  /** The composed-builtins form of [[shingleHashes]] — value-equal by
+    * construction; retained as the spec's differential oracle.
+    */
+  private[graft] def shingleHashesComposed(text: Column, n: Int): Column = {
     require(n >= 1, s"shingle n must be >= 1, got $n")
     bindOnce(tokens(text), toks =>
       when(size(toks) < n,

@@ -39,6 +39,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("shingleHashes: fused expression ≡ composed HOF form, value-exact incl. short-text fallback") {
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",      // duplicate windows (distinct-order matters)
+      "one two",              // < n: whole-text fallback, ONE hash
+      "solo",                 // 1 token: fallback
+      "", "   ",              // empty after tokenization → []
+      "  padded \t doc\nwith runs ", "многа слов 多字 mixed here")
+    val df = samples.toDF("t").select(
+      TextAnalysis.shingleHashes(col("t"), 3).as("fused"),
+      TextAnalysis.shingleHashesComposed(col("t"), 3).as("ref"),
+      TextAnalysis.shingleHashesDistinct(col("t"), 3).as("fusedD"),
+      array_distinct(TextAnalysis.shingleHashesComposed(col("t"), 3)).as("refD"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+    // interpreted path
+    import org.apache.spark.unsafe.types.UTF8String
+    val got = graft.functions.ShingleHashes.compute(
+      UTF8String.fromString("a b a b a b"), 3, distinct = false)
+    val ref = Seq("a b a b a b").toDF("t")
+      .select(TextAnalysis.shingleHashesComposed(col("t"), 3)).head.getSeq[Long](0)
+    assert((0 until got.numElements()).map(got.getLong) == ref)
+  }
+
   test("ngramFingerprints: fused expression ≡ composed HOF form, value-exact") {
     // real-ish prose, duplicates (distinct-order matters), short docs
     // (< n tokens), whitespace runs, unicode, null
