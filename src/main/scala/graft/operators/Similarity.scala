@@ -107,6 +107,91 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Leading-component sign bucket: `bits` high-order sign bits of the
+    * vector packed into an int — the simplest deterministic, SQL-
+    * expressible coarse retriever (so a dual-engine oracle can replay
+    * it exactly; the production retrievers are the hyperplane-LSH / IVF
+    * paths below). Pure comparisons, no arithmetic: identical across
+    * engines on float inputs.
+    */
+  def signBucket(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit(1 << (bits - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** nDCG position weights 1/log2(pos+1), snapped to the 6-decimal grid
+    * as plan-time DECIMAL literals (and mirrored verbatim in the SQL
+    * oracle): per-query DCG sums become EXACT decimal sums, so the
+    * engine-order-dependent double-summation trap (PERF/oracle notes)
+    * cannot flip a display round. Ideal@10 = their exact sum.
+    */
+  private[graft] val ndcgWeights6: Seq[String] = Seq(
+    "1.000000", "0.630930", "0.500000", "0.430677", "0.386853",
+    "0.356207", "0.333333", "0.315465", "0.301030", "0.289065")
+  private[graft] val ndcgIdeal10 = 4.54356
+
+  /** Retrieval-quality evaluation: recall@k, MRR@k and nDCG@k of the
+    * [[signBucket]] coarse retriever against the exact cosine top-k
+    * ground truth — the standard eval harness of an embedding-retrieval
+    * stack (is the cheap index good enough?), expressed so BOTH sides
+    * are dual-engine replayable (the q41 ranking discipline: ranks are
+    * integer positions from (cosine DESC, id ASC) orderings that DuckDB
+    * reproduces; every metric is integer arithmetic, an exact decimal
+    * sum, or a single double division rounded once).
+    *
+    * Scale shape: ground truth is the declared exact baseline — a
+    * broadcast of the (small) query set against the corpus scan, k rows
+    * kept per query (the q28/q41 posture). The retriever side is an
+    * equi-join on the bucket key. Metrics aggregate per query —
+    * |queries| rows total. Queries whose bucket holds no other vector
+    * produce no row (mirrored by the oracle's grouping).
+    *
+    * Returns (query_id, n_cand, hits, recall_at_k, mrr, ndcg),
+    * one row per query.
+    */
+  def retrievalMetrics(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10,
+      bucketBits: Int = 4): DataFrame = {
+    require(k == 10, "metric weights are pinned for k = 10")
+    val spark = corpus.sparkSession
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").as("_qid"), col("neighbor_id").as("_cid"),
+        lit(1).as("_hit"))
+    val c = corpus.filter(col(vecCol).isNotNull).select(
+      col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      signBucket(col(vecCol), bucketBits).as("_b"))
+    val q = queries.filter(col(vecCol).isNotNull).select(
+      col(idCol).as("_qid"), col(vecCol).as("_qv"),
+      signBucket(col(vecCol), bucketBits).as("_b"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_cos").desc, col("_cid").asc)
+    val retrieved = q.join(c, Seq("_b"))
+      .filter(col("_qid") =!= col("_cid"))
+      .withColumn("_cos", fastCosine(spark, col("_qv"), col("_cv")))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= k)
+      .select(col("_qid"), col("_cid"), col("_pos"))
+    val wDec = array(ndcgWeights6.map(s => lit(s).cast("decimal(8,6)")): _*)
+    val zeroDec = lit("0.000000").cast("decimal(8,6)")
+    retrieved
+      .join(truth, Seq("_qid", "_cid"), "left")
+      .groupBy(col("_qid"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        coalesce(sum(col("_hit")), lit(0L)).cast("long").as("hits"),
+        sum(when(col("_hit") === 1, element_at(wDec, col("_pos")))
+          .otherwise(zeroDec)).as("_dcg"),
+        min(when(col("_hit") === 1, col("_pos"))).as("_minpos"))
+      .select(
+        col("_qid").as("query_id"), col("n_cand"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall_at_k"),
+        coalesce(round(lit(1.0) / col("_minpos"), 6), lit(0.0)).as("mrr"),
+        round(col("_dcg").cast("double") / lit(ndcgIdeal10), 6).as("ndcg"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = corpus rows sharing ≥1 of
     * the query's band signatures (multi-probe via `bands` independent
     * signatures of `planesPerBand` bits each), re-ranked by exact cosine.

@@ -549,6 +549,23 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
+    * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
+    * against the exact cosine top-10 — the eval harness every
+    * embedding-retrieval stack runs before trusting an index. Both the
+    * retriever (bucket equi-join) and the ground truth (broadcast query
+    * set × corpus scan) are deterministic and SQL-replayable; nDCG
+    * weights are 6-decimal literals summed in exact DECIMAL on both
+    * engines (see the operator's scaladoc for why).
+    */
+  def q145RetrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    Similarity.retrievalMetrics(
+        e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, bucketBits = 4)
+      .orderBy(col("query_id"))
+  }
+
   /** q59 — Bloom-prefiltered join (semi-join reduction with the native
     * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
     * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
@@ -820,6 +837,7 @@ object ExtendedQueries {
     "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),
     "q133_avc_pixel_dedup" -> (q133AvcPixelDedup _),
     "q144_avc_motion_dedup" -> (q144AvcMotionDedup _),
+    "q145_retrieval_metrics" -> (q145RetrievalMetrics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -995,6 +1013,52 @@ object ExtendedQueries {
     "q144_avc_motion_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q144_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
+    "q145_retrieval_metrics" ->
+      """WITH b AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                 + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                 + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                 + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+           FROM embeddings),
+         q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+         truth AS (
+           SELECT qid, cid FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                               c.vec_id ASC) AS rnk
+             FROM q, b c WHERE q.vec_id <> c.vec_id) t
+           WHERE rnk <= 10),
+         ret AS (
+           SELECT qid, cid, pos FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                               c.vec_id ASC) AS pos
+             FROM q JOIN b c ON q.bk = c.bk AND q.vec_id <> c.vec_id) t
+           WHERE pos <= 10),
+         j AS (
+           SELECT r.qid, r.pos,
+                  CASE WHEN t.cid IS NULL THEN 0 ELSE 1 END AS hit
+           FROM ret r LEFT JOIN truth t ON r.qid = t.qid AND r.cid = t.cid),
+         m AS (
+           SELECT qid, count(*) AS n_cand,
+                  CAST(sum(hit) AS BIGINT) AS hits,
+                  sum(CASE WHEN hit = 1 THEN
+                        ([CAST(1.000000 AS DECIMAL(8,6)), CAST(0.630930 AS DECIMAL(8,6)),
+                          CAST(0.500000 AS DECIMAL(8,6)), CAST(0.430677 AS DECIMAL(8,6)),
+                          CAST(0.386853 AS DECIMAL(8,6)), CAST(0.356207 AS DECIMAL(8,6)),
+                          CAST(0.333333 AS DECIMAL(8,6)), CAST(0.315465 AS DECIMAL(8,6)),
+                          CAST(0.301030 AS DECIMAL(8,6)), CAST(0.289065 AS DECIMAL(8,6))])[pos]
+                      ELSE CAST(0.000000 AS DECIMAL(8,6)) END) AS dcg,
+                  min(CASE WHEN hit = 1 THEN pos END) AS minpos
+           FROM j GROUP BY qid)
+         SELECT qid AS query_id, n_cand, hits,
+                round(hits / 10.0, 6) AS recall_at_k,
+                coalesce(round(1.0 / minpos, 6), 0.0) AS mrr,
+                round(CAST(dcg AS DOUBLE) / 4.54356, 6) AS ndcg
+         FROM m ORDER BY query_id""",
     "q37_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
               views  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

@@ -44,10 +44,14 @@ class PlanCensusSpec extends SparkSpec {
   //    (q62's declared scalar shape)
   //  - q102_dsir: DSIR corpus constants (token totals, vocab size) ride
   //    a 1-row broadcast cross (q62's declared scalar shape)
+  //  - q145_retrieval_metrics: the GROUND-TRUTH side is the declared
+  //    exact baseline (q28's contract — broadcast of the small query
+  //    set against the corpus scan); the retriever under eval is an
+  //    equi-join on the bucket key
   private val loopOk = Set("q10_range_join", "q28_knn_brute", "q62_unigram_ppx",
     "q72_cosine_dedup", "q97_jaro_winkler", "q101_seq_packing",
     "q102_dsir", "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
-    "q130_semdedup", "q134_funnel")
+    "q130_semdedup", "q134_funnel", "q145_retrieval_metrics")
   // media queries read generated in-memory bytes, not parquet — there is
   // no scan to push filters into; q83's seed scan is an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
@@ -206,6 +210,11 @@ class PlanCensusSpec extends SparkSpec {
     "q144_avc_motion_dedup"    -> (4, 1, 0, true), // r8: fixture scan + fan-out;
                                                    // 3-long frame-seq sigs, chunk
                                                    // equi-join pairs + anti-join
+    "q145_retrieval_metrics"   -> (6, 2, 1, true), // r8: truth = declared exact
+                                                   // baseline (broadcast query-set
+                                                   // loop, q28's contract); bucket
+                                                   // equi-join + 2 rank windows +
+                                                   // metric agg
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
