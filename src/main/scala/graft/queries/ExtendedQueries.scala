@@ -566,6 +566,18 @@ object ExtendedQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q146 — BPE tokenizer TRAINING ([[graft.operators.Tokenizer
+    * .bpeTrainMerges]]): six merge rounds learned from the documents
+    * corpus, oracled round-by-round — DuckDB replays the identical
+    * pair-count aggregation, (count DESC, lhs, rhs) argmax, and greedy
+    * left-to-right merge fold (`list_reduce` mirroring Spark's
+    * `aggregate`), so the full training trajectory is certified, not
+    * just the final table.
+    */
+  def q146BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Tokenizer.bpeTrainMerges(
+      t(spark, dir, "documents"), "text", numMerges = 6)
+
   /** q59 — Bloom-prefiltered join (semi-join reduction with the native
     * codegen'd probe expression, [[graft.functions.BloomMightContain]]).
     * Dual-engine EXACTNESS check: the oracle is the PLAIN inner join —
@@ -838,7 +850,44 @@ object ExtendedQueries {
     "q133_avc_pixel_dedup" -> (q133AvcPixelDedup _),
     "q144_avc_motion_dedup" -> (q144AvcMotionDedup _),
     "q145_retrieval_metrics" -> (q145RetrievalMetrics _),
+    "q146_bpe_merges" -> (q146BpeMerges _),
   )
+
+  /** The q146 oracle, generated round-by-round: DuckDB replays each
+    * training round — pair-count aggregation with overlap, (count DESC,
+    * lhs, rhs) argmax, greedy left-to-right merge via the identical
+    * TAB-separator string fold (`list_reduce` ≙ Spark `aggregate`;
+    * tokens cannot contain whitespace, so TAB is provably absent from
+    * symbols and `chr(9) || lhs` as a suffix matches exactly the last
+    * symbol).
+    */
+  private val q146Sql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""p$k AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+             CAST(sum(cnt) AS BIGINT) AS c
+           FROM w${k - 1}, unnest(range(1, len(syms))) AS u(i)
+           GROUP BY lhs, rhs),
+         b$k AS (SELECT CAST($k AS BIGINT) AS merge_round, lhs, rhs,
+             c AS pair_count
+           FROM p$k ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+         w$k AS (SELECT string_split(ltrim(list_reduce(
+             list_prepend('', syms), (acc, x) ->
+               CASE WHEN ends_with(acc, chr(9) || b.lhs) AND x = b.rhs
+                    THEN acc || x ELSE acc || chr(9) || x END),
+             chr(9)), chr(9)) AS syms, cnt
+           FROM w${k - 1}, b$k b)"""
+    }.mkString(",\n")
+    val union = (1 to 6).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH wc AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0)) AS t
+           FROM documents) GROUP BY t),
+       w0 AS (SELECT list_append(regexp_extract_all(t, '.'), '</w>') AS syms,
+                cnt FROM wc),
+       $rounds
+       $union ORDER BY merge_round"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q63_snapshot_latest" ->
@@ -1013,6 +1062,7 @@ object ExtendedQueries {
     "q144_avc_motion_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q144_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
+    "q146_bpe_merges" -> q146Sql,
     "q145_retrieval_metrics" ->
       """WITH b AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -57,9 +57,12 @@ class PlanCensusSpec extends SparkSpec {
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
   // lazily at execution), so the initial-plan census structurally sees
   // scans=0 — PlanOne shows the seed already projects only c_custkey
+  // q146's BPE training rounds run as plan-build jobs (q100's
+  // trained-model pattern) — the returned merge table is a local
+  // relation, so the census sees no parquet scan to push into
   private val noScan = Set("q36_media_features", "q56_image_dedup",
     "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup",
-    "q83_recursive_cte")
+    "q83_recursive_cte", "q146_bpe_merges")
 
   // per-query shuffle-budget overrides (default 8), each with its reason:
   //  - q127_mad_outliers: three sequential exact-percentile passes
@@ -215,6 +218,12 @@ class PlanCensusSpec extends SparkSpec {
                                                    // loop, q28's contract); bucket
                                                    // equi-join + 2 rank windows +
                                                    // metric agg
+    "q146_bpe_merges"          -> (1, 0, 0, false), // r8: training rounds run as
+                                                   // plan-build jobs over the
+                                                   // VOCAB frame (q100's trained-
+                                                   // model pattern); the returned
+                                                   // merge table is a 6-row local
+                                                   // relation + its output sort
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
