@@ -285,6 +285,10 @@ object H264 {
       * (§7.3.5 I_PCM). No-op when already aligned.
       */
     def alignZero(): this.type = { while (nBits != 0) u(0, 1); this }
+    /** cabac_alignment_one_bit run: ONE-pad to the next byte boundary
+      * (§7.3.4 slice data, entropy_coding_mode 1). No-op when aligned.
+      */
+    def alignOne(): this.type = { while (nBits != 0) u(1, 1); this }
     /** rbsp_trailing_bits: stop bit + zero-pad to byte boundary. */
     def stop(): Array[Byte] = {
       u(1, 1)
@@ -346,11 +350,11 @@ object H264 {
   }
 
   /** Generate a minimal valid PPS payload (EBSP, no NAL header). */
-  def writePps(): Array[Byte] = {
+  def writePps(cabac: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0)       // pps_id
     w.ue(0)       // sps_id
-    w.flag(false) // entropy_coding_mode (CAVLC)
+    w.flag(cabac) // entropy_coding_mode (false = CAVLC, true = CABAC)
     w.flag(false) // bottom_field_pic_order_in_frame_present
     w.ue(0)       // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1

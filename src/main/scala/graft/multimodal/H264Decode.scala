@@ -499,7 +499,7 @@ object H264Decode {
             // dims bound: a corrupted SPS can declare absurd sizes via
             // ue(v) and the State allocation would OOM before any parse
             // error surfaces — 8192² is beyond every defined H.264 level
-            case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly && s.chromaFormatIdc == 1 &&
+            case (Some(s), Some(p)) if s.frameMbsOnly && s.chromaFormatIdc == 1 &&
                 s.width > 0 && s.height > 0 && s.width <= 8192 && s.height <= 8192 =>
               if (st == null) st = new State(s, p)
               decodeSlice(st, nal.payload)
@@ -602,6 +602,12 @@ object H264Decode {
     if (st.pps.deblockingPresent) {
       val disable = r.ue()
       if (disable != 1) { r.se(); r.se() }
+    }
+
+    if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra tier)
+      require(!isP, "CABAC P slices out of scope (intra CABAC tier)")
+      decodeSliceDataCabac(st, r, firstMb, qp)
+      return
     }
 
     // ---- macroblock loop; P slices interleave mb_skip_run (§7.3.4)
@@ -853,13 +859,250 @@ object H264Decode {
     qp
   }
 
+  /** CABAC slice data (§7.3.4, entropy_coding_mode 1): alignment one
+    * bits, arithmetic-engine init, then per-MB decode with an
+    * end_of_slice_flag terminate after every macroblock. Context
+    * variables and the neighbor bookkeeping reset per slice (other-
+    * slice MBs are unavailable for context derivation, §9.3.1).
+    * I slices only — the r8 intra CABAC tier.
+    */
+  private def decodeSliceDataCabac(st: State, r: H264.BitReader,
+      firstMb: Int, sliceQp: Int): Unit = {
+    while (r.remaining % 8 != 0)
+      require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
+    val d = new H264Cabac.Decoder(r, new H264Cabac.Contexts(sliceQp))
+    val cc = new H264Cabac.IntraCtxTrack(st.mbW, st.mbH)
+    var qp = sliceQp
+    var mbAddr = firstMb
+    var end = false
+    while (!end) {
+      require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
+      st.mbDecoded(mbAddr) = true
+      qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
+      mbAddr += 1
+      end = d.terminate() == 1
+    }
+  }
+
+  /** One CABAC I-slice macroblock: the [[decodeMacroblock]] structure
+    * with every syntax element read through the arithmetic engine
+    * (§9.3.2/§9.3.3 binarizations via [[H264Cabac]]) and
+    * coded_block_flag bookkeeping in `cc`. Reconstruction (prediction,
+    * dequant, transforms) is shared with the CAVLC path.
+    */
+  private def decodeMacroblockCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    var qp = qpIn
+    val availLeftMb = st.mbAvailable(mbX - 1, mbY)
+    val availTopMb = st.mbAvailable(mbX, mbY - 1)
+
+    val mbType = H264Cabac.decodeMbTypeI(d, cc.mbTypeCond(mbX, mbY))
+    require(mbType != 25, "I_PCM under CABAC out of scope")
+
+    def chromaCabac(chromaMode: Int, cbpChroma: Int, qpNow: Int): Unit =
+      decodeChromaWith(st, mbX, mbY, chromaMode, cbpChroma, qpNow,
+        availLeftMb, availTopMb,
+        c => {
+          val (scan, tc) = H264Cabac.decodeResidual(d, 3, 4,
+            cc.chromaDcInc(c, mbX, mbY))
+          (if (c == 0) cc.cbfCbDc else cc.cbfCrDc)(mbAddr) = tc > 0
+          scan
+        },
+        (c, x2, y2) => {
+          val (scan, tc) = H264Cabac.decodeResidual(d, 4, 15,
+            cc.chromaAcInc(c, x2, y2))
+          (if (c == 0) cc.cbfCbAc else cc.cbfCrAc)(y2 * st.mbW * 2 + x2) = tc > 0
+          (scan, tc)
+        })
+
+    if (mbType == 0) { // ---------------------------------------- I_4x4
+      cc.markI4(mbAddr)
+      val modes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val (x4r, y4r) = blockScan(b)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        val leftAvail = if (x4r > 0) true else availLeftMb
+        val topAvail = if (y4r > 0) true else availTopMb
+        val mA =
+          if (!leftAvail) -1
+          else { val m = st.i4Modes(ay4 * st.mbW * 4 + ax4 - 1); if (m < 0) 2 else m }
+        val mB =
+          if (!topAvail) -1
+          else if (st.i4Modes((ay4 - 1) * st.mbW * 4 + ax4) < 0) 2
+          else st.i4Modes((ay4 - 1) * st.mbW * 4 + ax4)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode = H264Cabac.decodeIntra4x4Mode(d, pred)
+        modes(b) = mode
+        st.i4Modes(ay4 * st.mbW * 4 + ax4) = mode
+        b += 1
+      }
+      val chromaMode = H264Cabac.decodeChromaPredMode(d,
+        cc.chromaModeCondA(mbX, mbY), cc.chromaModeCondB(mbX, mbY))
+      cc.chromaNZ(mbAddr) = chromaMode != 0
+      val cbp = H264Cabac.decodeCbp(d, cc.cbpOf(mbX - 1, mbY),
+        cc.cbpOf(mbX, mbY - 1))
+      cc.cbp(mbAddr) = cbp
+      val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+      if (cbpLuma > 0 || cbpChroma > 0) {
+        val delta = H264Cabac.decodeQpDelta(d, cc.prevQpDeltaNZ)
+        qp = ((qp + delta) + 52) % 52
+        cc.prevQpDeltaNZ = delta != 0
+      } else cc.prevQpDeltaNZ = false
+
+      val coeffs = Array.ofDim[Int](16, 16)
+      var blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        if ((cbpLuma & (1 << (blk / 4))) != 0) {
+          val (scan, tc) = H264Cabac.decodeResidual(d, 2, 16,
+            cc.lumaAcInc(ax4, ay4))
+          cc.cbfLAc(ay4 * st.mbW * 4 + ax4) = tc > 0
+          st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+          var si = 0
+          while (si < 16) { coeffs(blk)(zigzag4x4(si)) = scan(si); si += 1 }
+        } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+        blk += 1
+      }
+      blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val bpx = px + x4r * 4; val bpy = py + y4r * 4
+        val leftAvail = if (x4r > 0) true else availLeftMb
+        val topAvail = if (y4r > 0) true else availTopMb
+        val trAvail =
+          if (y4r == 0) (if (x4r < 3) availTopMb else st.mbAvailable(mbX + 1, mbY - 1))
+          else if (x4r == 3) false
+          else blockScan.indexOf((x4r + 1, y4r - 1)) < blk
+        val pred = predict4x4(st, modes(blk), bpx, bpy, leftAvail, topAvail, trAvail)
+        val res = coeffs(blk)
+        if ((cbpLuma & (1 << (blk / 4))) != 0) {
+          dequant4x4(res, qp, skipDc = false)
+          inverseTransform4x4(res)
+        }
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val rv = if ((cbpLuma & (1 << (blk / 4))) != 0) (res(y * 4 + x) + 32) >> 6 else 0
+            st.luma((bpy + y) * st.lumaStride + bpx + x) =
+              clip255(pred(y * 4 + x) + rv).toByte
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      chromaCabac(chromaMode, cbpChroma, qp)
+
+    } else { // ------------------------------------------------ I_16x16
+      cc.markI16(mbAddr)
+      val m = mbType - 1
+      val predMode = m % 4
+      val cbpChroma = (m / 4) % 3
+      val cbpLuma = if (m >= 12) 15 else 0
+      cc.cbp(mbAddr) = (cbpChroma << 4) | cbpLuma
+      var b0 = 0
+      while (b0 < 16) {
+        st.i4Modes((mbY * 4 + b0 / 4) * st.mbW * 4 + mbX * 4 + b0 % 4) = -1
+        b0 += 1
+      }
+      val chromaMode = H264Cabac.decodeChromaPredMode(d,
+        cc.chromaModeCondA(mbX, mbY), cc.chromaModeCondB(mbX, mbY))
+      cc.chromaNZ(mbAddr) = chromaMode != 0
+      val delta = H264Cabac.decodeQpDelta(d, cc.prevQpDeltaNZ)
+      qp = ((qp + delta) + 52) % 52
+      cc.prevQpDeltaNZ = delta != 0
+
+      val (dcScan, tcDc) = H264Cabac.decodeResidual(d, 0, 16,
+        cc.lumaDcInc(mbX, mbY))
+      cc.cbfLDc(mbAddr) = tcDc > 0
+      val dc = new Array[Int](16)
+      var si = 0
+      while (si < 16) { dc(zigzag4x4(si)) = dcScan(si); si += 1 }
+      inverseHadamard4x4(dc)
+      val ls = levelScale(qp % 6)(0)
+      si = 0
+      while (si < 16) {
+        dc(si) =
+          if (qp >= 36) (dc(si) * ls) << (qp / 6 - 6)
+          else (dc(si) * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+        si += 1
+      }
+
+      val coeffs = Array.ofDim[Int](16, 16)
+      var blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        if (cbpLuma != 0) {
+          val (scan, tc) = H264Cabac.decodeResidual(d, 1, 15,
+            cc.lumaAcInc(ax4, ay4))
+          cc.cbfLAc(ay4 * st.mbW * 4 + ax4) = tc > 0
+          st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+          var k = 0
+          while (k < 15) { coeffs(blk)(zigzag4x4(k + 1)) = scan(k); k += 1 }
+        } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+        coeffs(blk)(0) = dc(y4r * 4 + x4r)
+        blk += 1
+      }
+
+      val pred = predictPlaneBlock(st.luma, st.lumaStride, px, py, 16,
+        predMode, availLeftMb, availTopMb)
+      blk = 0
+      while (blk < 16) {
+        val (x4r, y4r) = blockScan(blk)
+        val res = coeffs(blk)
+        dequant4x4(res, qp, skipDc = true)
+        inverseTransform4x4(res)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val gx = x4r * 4 + x; val gy = y4r * 4 + y
+            st.luma((py + gy) * st.lumaStride + px + gx) =
+              clip255(pred(gy * 16 + gx) + ((res(y * 4 + x) + 32) >> 6)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        blk += 1
+      }
+      chromaCabac(chromaMode, cbpChroma, qp)
+    }
+    qp
+  }
+
   /** Chroma residual + reconstruction for one MB (§7.3.5.3.1 residual
     * order: Cb DC, Cr DC, Cb AC×4, Cr AC×4 — DC blocks for both
-    * components precede the AC blocks).
+    * components precede the AC blocks). CAVLC entropy; the parse/recon
+    * split lives in [[decodeChromaWith]] so the CABAC tier reuses the
+    * identical reconstruction.
     */
   private def decodeChroma(st: State, r: H264.BitReader, mbX: Int, mbY: Int,
       chromaMode: Int, cbpChroma: Int, qpLuma: Int,
-      availLeft: Boolean, availTop: Boolean): Unit = {
+      availLeft: Boolean, availTop: Boolean): Unit =
+    decodeChromaWith(st, mbX, mbY, chromaMode, cbpChroma, qpLuma,
+      availLeft, availTop,
+      _ => H264Cavlc.decodeResidualBlock(r, 4, -1)._1,
+      (c, x2, y2) => {
+        val nnzs = if (c == 0) st.nnzCb else st.nnzCr
+        H264Cavlc.decodeResidualBlock(r, 15, st.chromaNc(nnzs, x2, y2))
+      })
+
+  /** Entropy-agnostic chroma decode: `dcBlock(c)` parses the 4-coeff
+    * chroma DC block of component c (0 = Cb, 1 = Cr), `acBlock(c, x2,
+    * y2)` the 15-coeff AC block — both in scan order, the CAVLC/CABAC
+    * residual contract.
+    */
+  private def decodeChromaWith(st: State, mbX: Int, mbY: Int,
+      chromaMode: Int, cbpChroma: Int, qpLuma: Int,
+      availLeft: Boolean, availTop: Boolean,
+      dcBlock: Int => Array[Int],
+      acBlock: (Int, Int, Int) => (Array[Int], Int)): Unit = {
     val qpc = chromaQp(qpLuma + st.pps.chromaQpOffset)
     val cpx = mbX * 8; val cpy = mbY * 8
     val planes = Array(st.cb, st.cr)
@@ -868,7 +1111,7 @@ object H264Decode {
     if (cbpChroma != 0) {
       var c = 0
       while (c < 2) {
-        val (scan, _) = H264Cavlc.decodeResidualBlock(r, 4, -1)
+        val scan = dcBlock(c)
         // 2x2 inverse Hadamard + §8.5.11 scaling
         val f0 = scan(0) + scan(1); val f1 = scan(0) - scan(1)
         val f2 = scan(2) + scan(3); val f3 = scan(2) - scan(3)
@@ -886,8 +1129,7 @@ object H264Decode {
       while (b < 4) {
         val x2 = mbX * 2 + b % 2; val y2 = mbY * 2 + b / 2
         if (cbpChroma == 2) {
-          val nC = st.chromaNc(nnzs(c), x2, y2)
-          val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 15, nC)
+          val (scan, tc) = acBlock(c, x2, y2)
           nnzs(c)(y2 * st.mbW * 2 + x2) = tc
           var k = 0
           while (k < 15) { coeffs(c)(b)(zigzag4x4(k + 1)) = scan(k); k += 1 }
@@ -1115,7 +1357,7 @@ object H264Decode {
           case 8 => pps = parsePps(nal.payload)
           case 5 | 1 =>
             (sps, pps) match {
-              case (Some(s), Some(p)) if p.cavlc && s.frameMbsOnly &&
+              case (Some(s), Some(p)) if s.frameMbsOnly &&
                   s.chromaFormatIdc == 1 && s.width > 0 && s.height > 0 &&
                   s.width <= 8192 && s.height <= 8192 =>
                 val firstMb = new H264.BitReader(H264.rbsp(nal.payload)).ue()

@@ -236,6 +236,134 @@ object H264Encode {
     (stream, recon)
   }
 
+  /** CABAC twin of [[encodeI16x16Dc]] (r8 intra CABAC tier): the same
+    * per-MB DC-level search and reconstruction recursion, entropy-coded
+    * through the §9.3 arithmetic engine — mb_type / chroma mode /
+    * mb_qp_delta / Intra16x16DC residual as context-coded bins, an
+    * end_of_slice_flag terminate after every MB, and the SAME
+    * [[H264Cabac.IntraCtxTrack]] neighbor bookkeeping the decoder runs
+    * (shared class: context drift is structurally impossible). Returns
+    * (Annex-B stream, expected per-MB reconstructed luma).
+    */
+  def encodeCabacI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26): (Array[Byte], Array[Array[Int]]) = {
+    val mbH = mbMeans.length; val mbW = mbMeans.head.length
+    require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
+    require(qp >= 0 && qp <= 51, s"bad qp $qp")
+    val w = new H264.BitWriter
+    sliceHeader(w, qp)
+    w.alignOne() // cabac_alignment_one_bit (§7.3.4)
+    val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val recon = Array.ofDim[Int](mbH, mbW)
+    val scale0 = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def pixelDelta(level: Int): Int = {
+      val dc =
+        if (qp >= 36) (level * scale0) << (qp / 6 - 6)
+        else (level * scale0 + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      (dc + 32) >> 6
+    }
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val availL = mbX > 0; val availT = mbY > 0
+        val pred =
+          if (availL && availT) ((recon(mbY)(mbX - 1) + recon(mbY - 1)(mbX)) * 16 + 16) >> 5
+          else if (availT) recon(mbY - 1)(mbX)
+          else if (availL) recon(mbY)(mbX - 1)
+          else 128
+        val want = mbMeans(mbY)(mbX) - pred
+        var best = 0; var bestErr = math.abs(pixelDelta(0) - want)
+        var l = -4000
+        while (l <= 4000) {
+          val err = math.abs(pixelDelta(l) - want)
+          if (err < bestErr || (err == bestErr && math.abs(l) < math.abs(best))) {
+            best = l; bestErr = err
+          }
+          l += 1
+        }
+        recon(mbY)(mbX) = math.max(0, math.min(255, pred + pixelDelta(best)))
+
+        val mbAddr = mbY * mbW + mbX
+        // mb_type 3: I_16x16, DC pred, cbpChroma 0, cbpLuma 0
+        H264Cabac.encodeMbTypeI(e, cc.mbTypeCond(mbX, mbY), 3)
+        cc.markI16(mbAddr)
+        cc.cbp(mbAddr) = 0
+        H264Cabac.encodeChromaPredMode(e, cc.chromaModeCondA(mbX, mbY),
+          cc.chromaModeCondB(mbX, mbY), 0)
+        cc.chromaNZ(mbAddr) = false
+        H264Cabac.encodeQpDelta(e, cc.prevQpDeltaNZ, 0)
+        cc.prevQpDeltaNZ = false
+        val coeffs = new Array[Int](16)
+        coeffs(0) = best
+        val tc = H264Cabac.encodeResidual(e, 0, coeffs,
+          cc.lumaDcInc(mbX, mbY))
+        cc.cbfLDc(mbAddr) = tc > 0
+        // cbpLuma 0, cbpChroma 0: no AC / chroma residual syntax
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0) // end_of_slice
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val stream = annexB(Seq(
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (8, 3, H264.writePps(cabac = true)),
+      (5, 3, H264.ebsp(w.stop()))))
+    (stream, recon)
+  }
+
+  /** CABAC twin of [[encodeI4x4Modes]]: caller-chosen I_4x4 prediction
+    * modes, zero residual, arithmetic-coded.
+    */
+  def encodeCabacI4x4Modes(modes: Array[Array[Array[Int]]], qp: Int = 26): Array[Byte] = {
+    val mbH = modes.length; val mbW = modes.head.length
+    val w = new H264.BitWriter
+    sliceHeader(w, qp)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val blockModes = Array.fill(mbH * 4, mbW * 4)(-1)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        H264Cabac.encodeMbTypeI(e, cc.mbTypeCond(mbX, mbY), 0) // I_4x4
+        cc.markI4(mbAddr)
+        var b = 0
+        while (b < 16) {
+          val (x4r, y4r) = H264Decode.blockScan(b)
+          val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+          val leftAvail = ax4 > 0
+          val topAvail = ay4 > 0
+          val mA = if (!leftAvail) -1
+            else { val m = blockModes(ay4)(ax4 - 1); if (m < 0) 2 else m }
+          val mB = if (!topAvail) -1
+            else { val m = blockModes(ay4 - 1)(ax4); if (m < 0) 2 else m }
+          val predMode = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+          val mode = modes(mbY)(mbX)(b)
+          H264Cabac.encodeIntra4x4Mode(e, predMode, mode)
+          blockModes(ay4)(ax4) = mode
+          b += 1
+        }
+        H264Cabac.encodeChromaPredMode(e, cc.chromaModeCondA(mbX, mbY),
+          cc.chromaModeCondB(mbX, mbY), 0)
+        cc.chromaNZ(mbAddr) = false
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        // cbp 0: no mb_qp_delta, no residual
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
+        mbX += 1
+      }
+      mbY += 1
+    }
+    annexB(Seq(
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (8, 3, H264.writePps(cabac = true)),
+      (5, 3, H264.ebsp(w.stop()))))
+  }
+
   /** I_4x4 encode with caller-chosen per-block prediction modes and ZERO
     * residual: reconstruction is pure spatial prediction. `modes(mbY)(mbX)`
     * holds 16 mode indices (0–8) in §6.4.3 block scan order. The encoder

@@ -1,0 +1,201 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CABAC intra tier: arithmetic-engine invariants, syntax-element
+  * round-trips through a real bit stream, and full encode→decode
+  * pipeline pins. Shares the H264CodecSpec philosophy: the encoder
+  * replicates the decoder's reconstruction, so expected pixels are
+  * computed, never assumed.
+  */
+class H264CabacSpec extends AnyFunSuite {
+
+  // ---- engine-level: encode a known bin sequence, decode it back
+
+  private def roundTripBins(qp: Int, bins: Seq[(String, Int, Int)]): Unit = {
+    // bins: (kind, ctxIdx-or-ignored, value); kinds: d=decision, b=bypass
+    val w = new H264.BitWriter
+    val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
+    bins.foreach {
+      case ("d", ctx, v) => e.decision(ctx, v)
+      case ("b", _, v) => e.bypass(v)
+      case (k, _, _) => fail(s"bad kind $k")
+    }
+    e.terminate(1)
+    val bytes = w.stop()
+    val d = new H264Cabac.Decoder(new H264.BitReader(bytes),
+      new H264Cabac.Contexts(qp))
+    bins.foreach {
+      case ("d", ctx, v) => assert(d.decision(ctx) == v, s"decision ctx=$ctx")
+      case ("b", _, v) => assert(d.bypass() == v, "bypass")
+      case _ => ()
+    }
+    assert(d.terminate() == 1)
+  }
+
+  test("arithmetic engine: decision/bypass round-trip across contexts and QPs") {
+    val rnd = new scala.util.Random(7)
+    for (qp <- Seq(0, 10, 26, 40, 51)) {
+      val bins = (0 until 600).map { _ =>
+        if (rnd.nextBoolean()) ("d", rnd.nextInt(277), rnd.nextInt(2))
+        else ("b", 0, rnd.nextInt(2))
+      }
+      roundTripBins(qp, bins)
+    }
+  }
+
+  test("engine tables: rangeTabLPS shape and transIdx bounds") {
+    assert(H264Cabac.rangeTabLps.length == 64)
+    assert(H264Cabac.rangeTabLps.forall(_.length == 4))
+    // LPS subranges shrink as the state (MPS confidence) grows, per column
+    for (q <- 0 until 4; s <- 1 until 63)
+      assert(H264Cabac.rangeTabLps(s)(q) <= H264Cabac.rangeTabLps(s - 1)(q),
+        s"rangeTabLPS not monotone at state $s col $q")
+    assert(H264Cabac.transIdxLps.length == 64)
+    assert(H264Cabac.transIdxLps.zipWithIndex.forall { case (t, s) =>
+      t >= 0 && t <= 63 && (s == 63 || t <= s) // LPS never increases confidence
+    })
+    assert(H264Cabac.transIdxMps(62) == 62 && H264Cabac.transIdxMps(63) == 63)
+  }
+
+  // ---- syntax-element round-trips over one shared engine stream
+
+  test("syntax elements: mb_type/modes/cbp/qp_delta/residual round-trip") {
+    val w = new H264.BitWriter
+    val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(26))
+    H264Cabac.encodeMbTypeI(e, 0, 0)
+    H264Cabac.encodeMbTypeI(e, 1, 3)
+    H264Cabac.encodeMbTypeI(e, 2, 24)
+    H264Cabac.encodeIntra4x4Mode(e, 2, 2) // prev flag hit
+    H264Cabac.encodeIntra4x4Mode(e, 2, 7) // rem path
+    H264Cabac.encodeChromaPredMode(e, 0, 1, 0)
+    H264Cabac.encodeChromaPredMode(e, 1, 0, 3)
+    H264Cabac.encodeCbp(e, -1, 47, 0x2f)
+    H264Cabac.encodeQpDelta(e, prevNonZero = false, 0)
+    H264Cabac.encodeQpDelta(e, prevNonZero = false, -3)
+    H264Cabac.encodeQpDelta(e, prevNonZero = true, 5)
+    val coeffs = Array(7, -2, 0, 1, 0, 0, -40, 0, 0, 0, 0, 0, 0, 0, 0, 1)
+    H264Cabac.encodeResidual(e, 2, coeffs, 1)
+    H264Cabac.encodeResidual(e, 2, new Array[Int](16), 2) // cbf = 0
+    H264Cabac.encodeResidual(e, 3, Array(0, -1, 0, 0), 0) // chroma DC
+    H264Cabac.encodeResidual(e, 0, Array.tabulate(16)(i => if (i == 0) 300 else 0), 3) // escape level
+    e.terminate(1)
+    val d = new H264Cabac.Decoder(new H264.BitReader(w.stop()),
+      new H264Cabac.Contexts(26))
+    assert(H264Cabac.decodeMbTypeI(d, 0) == 0)
+    assert(H264Cabac.decodeMbTypeI(d, 1) == 3)
+    assert(H264Cabac.decodeMbTypeI(d, 2) == 24)
+    assert(H264Cabac.decodeIntra4x4Mode(d, 2) == 2)
+    assert(H264Cabac.decodeIntra4x4Mode(d, 2) == 7)
+    assert(H264Cabac.decodeChromaPredMode(d, 0, 1) == 0)
+    assert(H264Cabac.decodeChromaPredMode(d, 1, 0) == 3)
+    assert(H264Cabac.decodeCbp(d, -1, 47) == 0x2f)
+    assert(H264Cabac.decodeQpDelta(d, prevNonZero = false) == 0)
+    assert(H264Cabac.decodeQpDelta(d, prevNonZero = false) == -3)
+    assert(H264Cabac.decodeQpDelta(d, prevNonZero = true) == 5)
+    val (r1, t1) = H264Cabac.decodeResidual(d, 2, 16, 1)
+    assert(r1.toSeq == coeffs.toSeq && t1 == 5)
+    val (r2, t2) = H264Cabac.decodeResidual(d, 2, 16, 2)
+    assert(r2.forall(_ == 0) && t2 == 0)
+    val (r3, t3) = H264Cabac.decodeResidual(d, 3, 4, 0)
+    assert(r3.toSeq == Seq(0, -1, 0, 0) && t3 == 1)
+    val (r4, t4) = H264Cabac.decodeResidual(d, 0, 16, 3)
+    assert(r4(0) == 300 && t4 == 1)
+    assert(d.terminate() == 1)
+  }
+
+  test("residual: randomized level/position round-trips per ctxBlockCat") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 250) {
+      val (cat, n) = Seq((0, 16), (1, 15), (2, 16), (3, 4), (4, 15))(trial % 5)
+      val cbfInc = rnd.nextInt(4)
+      val coeffs = Array.fill(n)(
+        if (rnd.nextInt(3) == 0) rnd.nextInt(4001) - 2000 else 0)
+      val w = new H264.BitWriter
+      val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(26))
+      H264Cabac.encodeResidual(e, cat, coeffs, cbfInc)
+      e.terminate(1)
+      val d = new H264Cabac.Decoder(new H264.BitReader(w.stop()),
+        new H264Cabac.Contexts(26))
+      val (got, tc) = H264Cabac.decodeResidual(d, cat, n, cbfInc)
+      assert(got.toSeq == coeffs.toSeq, s"cat=$cat trial=$trial")
+      assert(tc == coeffs.count(_ != 0))
+      assert(d.terminate() == 1)
+    }
+  }
+
+  // ---- full pipeline: encode → Annex-B → decodeIdrFrame → exact pixels
+
+  test("CABAC I_16x16 DC frame: decode reproduces the encoder's computed reconstruction") {
+    val mbMeans = Array(
+      Array(30, 80, 130, 180), Array(205, 155, 105, 55),
+      Array(16, 235, 64, 190))
+    val (stream, expected) = H264Encode.encodeCabacI16x16Dc(mbMeans, qp = 26)
+    val frame = H264Decode.decodeIdrFrame(stream).getOrElse(fail("CABAC decode failed"))
+    assert(frame.width == 64 && frame.height == 48)
+    val l = frame.croppedLuma
+    for (mbY <- 0 until 3; mbX <- 0 until 4) {
+      val got = l((mbY * 16 + 8) * 64 + mbX * 16 + 8) & 0xff
+      assert(got == expected(mbY)(mbX),
+        s"mb($mbX,$mbY): got $got want ${expected(mbY)(mbX)}")
+      // whole MB is constant
+      for (dy <- 0 until 16; dx <- 0 until 16)
+        assert((l((mbY * 16 + dy) * 64 + mbX * 16 + dx) & 0xff) == expected(mbY)(mbX))
+    }
+  }
+
+  test("CABAC I_16x16 at every QP: pixel-exact across the quantizer range") {
+    for (qp <- Seq(0, 8, 17, 26, 35, 44, 51)) {
+      val mbMeans = Array(Array(40, 200), Array(120, 90))
+      val (stream, expected) = H264Encode.encodeCabacI16x16Dc(mbMeans, qp)
+      val frame = H264Decode.decodeIdrFrame(stream).getOrElse(fail(s"decode failed qp=$qp"))
+      val l = frame.croppedLuma
+      for (mbY <- 0 until 2; mbX <- 0 until 2)
+        assert((l((mbY * 16 + 8) * 32 + mbX * 16 + 8) & 0xff) == expected(mbY)(mbX),
+          s"qp=$qp mb($mbX,$mbY)")
+    }
+  }
+
+  test("CABAC I_4x4 modes frame: decodes and matches the CAVLC twin pixel-for-pixel") {
+    // same mode pattern through both entropy tiers must reconstruct
+    // identically (entropy is lossless; prediction is shared)
+    val modes = Array.tabulate(2, 3) { (mbY, mbX) =>
+      Array.tabulate(16) { b =>
+        // mode 2 (DC) everywhere is always legal; vary with 0/1 where
+        // neighbors exist
+        val (x4r, y4r) = H264Decode.blockScan(b)
+        val ax4 = mbX * 4 + x4r; val ay4 = mbY * 4 + y4r
+        if (ay4 > 0 && ax4 > 0) Seq(0, 1, 2)(b % 3)
+        else if (ay4 > 0) 0
+        else if (ax4 > 0) 1
+        else 2
+      }
+    }
+    val cabac = H264Decode.decodeIdrFrame(H264Encode.encodeCabacI4x4Modes(modes))
+      .getOrElse(fail("CABAC I_4x4 decode failed"))
+    val cavlc = H264Decode.decodeIdrFrame(H264Encode.encodeI4x4Modes(modes))
+      .getOrElse(fail("CAVLC I_4x4 decode failed"))
+    assert(cabac.croppedLuma.toSeq == cavlc.croppedLuma.toSeq)
+  }
+
+  test("CABAC stream corruption: decode returns None or a structurally valid frame, never throws") {
+    val (stream, _) = H264Encode.encodeCabacI16x16Dc(
+      Array(Array(30, 200), Array(100, 60)), qp = 26)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val m = stream.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      H264Decode.decodeIdrFrame(m).foreach { f =>
+        assert(f.width > 0 && f.height > 0)
+        assert(f.croppedLuma.length == f.width * f.height)
+      }
+    }
+    for (len <- 0 until math.min(stream.length, 80)) {
+      H264Decode.decodeIdrFrame(java.util.Arrays.copyOf(stream, len)) match {
+        case Some(f) => assert(f.width > 0)
+        case None => ()
+      }
+    }
+  }
+}
