@@ -643,6 +643,54 @@ object Multimodal {
     }
   }
 
+  /** Synthetic avc1 mp4 corpus where the ENTROPY CODING alternates:
+    * even ids CAVLC, odd ids CABAC (same I_16x16-DC content machinery,
+    * [[H264Encode.encodeI16x16Dc]] vs [[H264Encode.encodeCabacI16x16Dc]]
+    * — the r8 CABAC intra tier's corpus face). Planted structure: every
+    * `dupEvery`-th video (id > 0) is a pixel near-dup of its
+    * predecessor, and because coding parity alternates, every planted
+    * pair is CROSS-ENTROPY — one side CAVLC, one CABAC. Byte- and
+    * keyframe-hash dedup can NEVER collapse such a pair (different
+    * entropy coder ⇒ different bytes), even for the ids ≡ 0 (mod
+    * 2·dupEvery) pairs whose pixels are IDENTICAL (zero jitter); the
+    * pixel-decode path must collapse them all. That asymmetry is the
+    * whole point of decoding past the entropy layer.
+    */
+  def syntheticAvcEntropyMp4s(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      val annexB =
+        if (id % 2 == 1) H264Encode.encodeCabacI16x16Dc(mbMeans)._1
+        else H264Encode.encodeI16x16Dc(mbMeans)._1
+      val nals = H264.nalUnitsAnnexB(annexB)
+      val sps = nals.find(_.nalType == 7).get.payload
+      val pps = nals.find(_.nalType == 8).get.payload
+      val idr = nals.find(_.nalType == 5).get.payload
+      val sample = {
+        val b = new java.io.ByteArrayOutputStream(idr.length + 5)
+        val len = idr.length + 1
+        b.write(len >> 24); b.write((len >> 16) & 0xff)
+        b.write((len >> 8) & 0xff); b.write(len & 0xff)
+        b.write(0x65)
+        b.write(idr, 0, idr.length)
+        b.toByteArray
+      }
+      val content = VideoContainers.buildMp4Avc(
+        Seq(sample, sample, sample), Seq(1, 2, 3), sps, pps, 64, 64)
+      Media(id, "video", content, MediaMeta("mp4", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams with MOTION: an I_16x16 IDR
     * picture plus two P_L0_16x16 pictures panning by a per-video
     * quarter-pel vector — the corpus the r8 inter-decode tier exists

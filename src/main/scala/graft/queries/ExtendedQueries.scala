@@ -549,6 +549,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q147 — cross-entropy pixel video dedup (the r8 CABAC intra tier's
+    * query face): the corpus alternates CAVLC and CABAC encodes of the
+    * same I_16x16 content machinery, and every planted near-dup pair is
+    * cross-entropy — one side CAVLC, one CABAC — so compressed-domain
+    * (byte/keyframe-hash) dedup collapses NONE of them, even the
+    * pixel-IDENTICAL pairs; only decoding through both entropy tiers
+    * to pixels ([[graft.multimodal.Multimodal.videoDedupByFrameHash]])
+    * finds them (H264PipelineSpec pins both halves of that asymmetry).
+    */
+  def q147AvcEntropyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcent_200"))(
+      graft.multimodal.Multimodal.syntheticAvcEntropyMp4s(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameHash(media, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -851,6 +869,7 @@ object ExtendedQueries {
     "q144_avc_motion_dedup" -> (q144AvcMotionDedup _),
     "q145_retrieval_metrics" -> (q145RetrievalMetrics _),
     "q146_bpe_merges" -> (q146BpeMerges _),
+    "q147_avc_entropy_dedup" -> (q147AvcEntropyDedup _),
   )
 
   /** The q146 oracle, generated round-by-round: DuckDB replays each
@@ -1063,6 +1082,9 @@ object ExtendedQueries {
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q144_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q146_bpe_merges" -> q146Sql,
+    "q147_avc_entropy_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
     "q145_retrieval_metrics" ->
       """WITH b AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -31,6 +31,7 @@ object GenMediaFixtures {
     "avc_200" -> Multimodal.syntheticAvcMp4s(spark, 200),
     "avcpix_200" -> Multimodal.syntheticAvcPixelMp4s(spark, 200),
     "avcmot_200" -> Multimodal.syntheticAvcMotionStreams(spark, 200),
+    "avcent_200" -> Multimodal.syntheticAvcEntropyMp4s(spark, 200),
   )
 
   def path(name: String): String = s"/root/repo/fixtures/media_$name.parquet"

@@ -127,6 +127,41 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("cross-entropy dedup (q147 corpus): pixel decode collapses CAVLC↔CABAC pairs byte hashing cannot") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcEntropyMp4s(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    assert(dups.nonEmpty)
+    dups.foreach { id =>
+      // every planted pair is cross-entropy: the mp4s carry different
+      // PPS entropy flags and different slice bytes...
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeMp4AvcKeyframes(byId(id), 1)
+      val b = H264Decode.decodeMp4AvcKeyframes(byId(id - 1), 1)
+      assert(a.nonEmpty && b.nonEmpty, s"pair $id decode")
+      val ha = Multimodal.aHash64OfLuma(a.head.luma, a.head.lumaStride, 64, 64)
+      val hb = Multimodal.aHash64OfLuma(b.head.luma, b.head.lumaStride, 64, 64)
+      // ...while the decoded pixels are near-identical (IDENTICAL for
+      // the ids ≡ 0 mod 20 zero-jitter pairs)
+      assert(java.lang.Long.bitCount(ha ^ hb) <= 3, s"pair $id pixel hash")
+      if (id % 20 == 0)
+        assert(a.head.croppedLuma.toSeq == b.head.croppedLuma.toSeq,
+          s"pair $id must be pixel-identical across entropy coders")
+    }
+    // keyframe-BYTE-hash dedup collapses nothing: every sample payload
+    // differs (different entropy coder on every adjacent pair)
+    val byteSurvivors = Multimodal.videoDedupByKeyframeHash(media)
+      .select("media_id").as[Long].collect().toSet
+    assert(byteSurvivors.size == 60, "byte hashing must not see cross-entropy dups")
+    // pixel dedup collapses exactly the planted pairs
+    val survivors = Multimodal.videoDedupByFrameHash(media, maxDist = 3)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "pixel path collapses every cross-entropy dup")
+    media.unpersist()
+  }
+
   test("I_16x16 CAVLC frame feeds aHash with the encoded brightness pattern") {
     // checkerboard of bright/dark MBs → aHash bits follow the pattern
     val mbMeans = Array.tabulate(4, 4)((my, mx) => if ((mx + my) % 2 == 0) 60 else 200)

@@ -224,6 +224,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // model pattern); the returned
                                                    // merge table is a 6-row local
                                                    // relation + its output sort
+    "q147_avc_entropy_dedup"   -> (6, 1, 0, true), // r8 CABAC tier face: fixture
+                                                   // scan + frame decode fan-out,
+                                                   // aHash sig agg + near-dup
+                                                   // candidate equi-join + anti
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)

@@ -10,7 +10,7 @@ for q in q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
          q56_image:q56_image_dedup q57_audio:q57_audio_dedup \
          q58_video:q58_video_dedup q66_video:q66_mp4avi_dedup \
          q84_video:q84_avc_keydedup q133_video:q133_avc_pixel_dedup \
-         q144_video:q144_avc_motion_dedup; do
+         q144_video:q144_avc_motion_dedup q147_video:q147_avc_entropy_dedup; do
   fix="fixtures/${q%%:*}_sf001.parquet"; src="target/verify_out/${q##*:}"
   rm -rf "$fix" && mkdir -p "$fix"
   cp "$src"/*.parquet "$fix/part-0.parquet"
