@@ -47,15 +47,50 @@ object Tokenizer {
     */
   def bpeTrainMerges(
       df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
+    val (cur, merges) = trainRounds(df, textCol, numMerges)
+    cur.unpersist()
+    merges.toSeq
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+      .select(col("merge_round").cast("long"), col("lhs"), col("rhs"),
+        col("pair_count"))
+      .orderBy(col("merge_round"))
+  }
+
+  /** Train and APPLY in one pass structure: the final merged vocabulary
+    * frame itself — (word, n_bpe = its subword count under the trained
+    * tokenizer). Because training already maintains every word's merged
+    * symbol sequence round by round, application to the vocabulary is
+    * free (`size` of the final symbols) — and costing a CORPUS is then
+    * a vocabulary join away (see q148), never a per-occurrence re-fold.
+    */
+  def bpeVocabCosts(
+      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (cur, _) = trainRounds(df, textCol, numMerges)
+    // `cur` stays persisted: the caller's action consumes it, and its
+    // lineage chains through every merge round — recomputation would
+    // re-run training. Vocabulary-sized (types, not tokens), and
+    // MEMORY_AND_DISK entries are evictable, so the session-lifetime
+    // cache entry is bounded and safe.
+    cur.select(col("_w").as("word"),
+      size(col("_syms")).cast("long").as("n_bpe"))
+  }
+
+  /** Shared training loop: word-count aggregation once, then per-round
+    * pair-count agg → 1-row argmax → greedy merge fold, the word string
+    * riding along. Returns the final (persisted) vocabulary frame and
+    * the merge table.
+    */
+  private def trainRounds(df: DataFrame, textCol: String, numMerges: Int):
+      (DataFrame, scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
 
     val words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w"))
       .agg(count(lit(1)).as("_c"))
-      .select(
+      .select(col("_w"),
         concat(regexp_extract_all(col("_w"), lit("."), lit(0)),
           array(lit("</w>"))).as("_syms"),
         col("_c"))
@@ -85,7 +120,7 @@ object Tokenizer {
           when(endswith(acc, lit(Sep + l)) && x === lit(r), concat(acc, x))
             .otherwise(concat(acc, lit(Sep), x)))
         val next = cur
-          .select(split(ltrim(folded, Sep), Sep).as("_syms"), col("_c"))
+          .select(col("_w"), split(ltrim(folded, Sep), Sep).as("_syms"), col("_c"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
         cur.unpersist()
@@ -93,13 +128,7 @@ object Tokenizer {
         round += 1
       }
     }
-    cur.unpersist()
-
-    merges.toSeq
-      .toDF("merge_round", "lhs", "rhs", "pair_count")
-      .select(col("merge_round").cast("long"), col("lhs"), col("rhs"),
-        col("pair_count"))
-      .orderBy(col("merge_round"))
+    (cur, merges)
   }
 
   /** Apply a learned merge table to a corpus: re-symbolize each word

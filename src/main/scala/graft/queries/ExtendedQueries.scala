@@ -549,6 +549,33 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q148 — corpus token COSTING under the trained BPE tokenizer (the
+    * application face of q146): per source, whitespace-token count,
+    * BPE-subword count under the 6-merge tokenizer trained on this
+    * corpus, and their ratio — the "what will this mixture cost in
+    * tokens" estimator every data-budget pipeline runs. Application is
+    * a VOCABULARY join (training already maintains each word's merged
+    * symbols; costing = `size` of the final symbols joined to
+    * per-source word counts), never a per-occurrence re-fold. The
+    * oracle replays the full training plus the join.
+    */
+  def q148BpeCorpusCost(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val costs = graft.operators.Tokenizer.bpeVocabCosts(d, "text", numMerges = 6)
+    val occ = d.select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("_n"))
+    occ.join(costs, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("_n")).cast(LongType).as("ws_tokens"),
+        sum(col("_n") * col("n_bpe")).cast(LongType).as("bpe_tokens"))
+      .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast(DoubleType) /
+          col("ws_tokens").cast(DoubleType), 6).as("bpe_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** q147 — cross-entropy pixel video dedup (the r8 CABAC intra tier's
     * query face): the corpus alternates CAVLC and CABAC encodes of the
     * same I_16x16 content machinery, and every planted near-dup pair is
@@ -870,6 +897,7 @@ object ExtendedQueries {
     "q145_retrieval_metrics" -> (q145RetrievalMetrics _),
     "q146_bpe_merges" -> (q146BpeMerges _),
     "q147_avc_entropy_dedup" -> (q147AvcEntropyDedup _),
+    "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
   /** The q146 oracle, generated round-by-round: DuckDB replays each
@@ -880,8 +908,12 @@ object ExtendedQueries {
     * symbols and `chr(9) || lhs` as a suffix matches exactly the last
     * symbol).
     */
-  private val q146Sql: String = {
-    val rounds = (1 to 6).map { k =>
+  /** The shared BPE-training CTE prefix (wc, w0, p1/b1/w1 … pK/bK/wK),
+    * each w_k carrying the word string `t` so consumers can join the
+    * final merged vocabulary back to the corpus (q148).
+    */
+  private def bpeRoundsSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
       s"""p$k AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
              CAST(sum(cnt) AS BIGINT) AS c
            FROM w${k - 1}, unnest(range(1, len(syms))) AS u(i)
@@ -889,24 +921,43 @@ object ExtendedQueries {
          b$k AS (SELECT CAST($k AS BIGINT) AS merge_round, lhs, rhs,
              c AS pair_count
            FROM p$k ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
-         w$k AS (SELECT string_split(ltrim(list_reduce(
+         w$k AS (SELECT t, string_split(ltrim(list_reduce(
              list_prepend('', syms), (acc, x) ->
                CASE WHEN ends_with(acc, chr(9) || b.lhs) AND x = b.rhs
                     THEN acc || x ELSE acc || chr(9) || x END),
              chr(9)), chr(9)) AS syms, cnt
            FROM w${k - 1}, b$k b)"""
     }.mkString(",\n")
-    val union = (1 to 6).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"""WITH wc AS (
+    s"""wc AS (
          SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                     x -> len(x) > 0)) AS t
            FROM documents) GROUP BY t),
-       w0 AS (SELECT list_append(regexp_extract_all(t, '.'), '</w>') AS syms,
+       w0 AS (SELECT t, list_append(regexp_extract_all(t, '.'), '</w>') AS syms,
                 cnt FROM wc),
-       $rounds
-       $union ORDER BY merge_round"""
+       $rounds"""
   }
+
+  private val q146Sql: String = {
+    val union = (1 to 6).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"WITH ${bpeRoundsSql(6)} $union ORDER BY merge_round"
+  }
+
+  private val q148Sql: String =
+    s"""WITH ${bpeRoundsSql(6)},
+       occ AS (
+         SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0)) AS tok
+           FROM documents) GROUP BY source, tok),
+       cost AS (SELECT t, CAST(len(syms) AS BIGINT) AS n_bpe FROM w6)
+       SELECT source,
+              CAST(sum(n) AS BIGINT) AS ws_tokens,
+              CAST(sum(n * n_bpe) AS BIGINT) AS bpe_tokens,
+              round(CAST(sum(n * n_bpe) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+                AS bpe_ratio
+       FROM occ JOIN cost ON occ.tok = cost.t
+       GROUP BY source ORDER BY source"""
 
   val oracles: Map[String, String] = Map(
     "q63_snapshot_latest" ->
@@ -1082,6 +1133,7 @@ object ExtendedQueries {
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q144_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q146_bpe_merges" -> q146Sql,
+    "q148_bpe_corpus_cost" -> q148Sql,
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",

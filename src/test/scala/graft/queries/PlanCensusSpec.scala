@@ -228,6 +228,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // scan + frame decode fan-out,
                                                    // aHash sig agg + near-dup
                                                    // candidate equi-join + anti
+    "q148_bpe_corpus_cost"     -> (3, 1, 0, true), // r8: (source,word) agg +
+                                                   // broadcast join to the
+                                                   // trained-vocab frame (merge
+                                                   // rounds are plan-build jobs,
+                                                   // q146's pattern) + source agg
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
