@@ -178,6 +178,25 @@ class H264CabacSpec extends AnyFunSuite {
     assert(cabac.croppedLuma.toSeq == cavlc.croppedLuma.toSeq)
   }
 
+  test("randomized dual-entropy differential: CAVLC and CABAC encodes of the same content decode pixel-equal") {
+    // entropy coding is lossless: for ANY content, the two tiers must
+    // reconstruct identical pixels (they share prediction/transform).
+    // Randomized over patterns, sizes, and QPs.
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 12) {
+      val mbW = 1 + rnd.nextInt(4); val mbH = 1 + rnd.nextInt(3)
+      val qp = Seq(10, 22, 26, 30, 38)(trial % 5)
+      val mbMeans = Array.fill(mbH, mbW)(rnd.nextInt(256))
+      val (cavlcStream, expected) = H264Encode.encodeI16x16Dc(mbMeans, qp)
+      val (cabacStream, expectedC) = H264Encode.encodeCabacI16x16Dc(mbMeans, qp)
+      assert(expected.map(_.toSeq).toSeq == expectedC.map(_.toSeq).toSeq,
+        s"trial $trial: encoder recon models diverged")
+      val a = H264Decode.decodeIdrFrame(cavlcStream).getOrElse(fail(s"trial $trial cavlc"))
+      val b = H264Decode.decodeIdrFrame(cabacStream).getOrElse(fail(s"trial $trial cabac"))
+      assert(a.croppedLuma.toSeq == b.croppedLuma.toSeq, s"trial $trial pixels")
+    }
+  }
+
   test("CABAC stream corruption: decode returns None or a structurally valid frame, never throws") {
     val (stream, _) = H264Encode.encodeCabacI16x16Dc(
       Array(Array(30, 200), Array(100, 60)), qp = 26)
