@@ -37,7 +37,7 @@ object H264Encode {
     out.toByteArray
   }
 
-  private def sliceHeader(w: H264.BitWriter, qp: Int): Unit = {
+  private[multimodal] def sliceHeader(w: H264.BitWriter, qp: Int): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id

@@ -197,6 +197,135 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  test("full-residual dual-entropy differential: I_4x4 + luma/chroma residuals decode pixel-equal") {
+    // Hand-build the SAME one-MB I_4x4 slice (all-DC modes, cbp 47 =
+    // full luma + chroma DC+AC) through both entropy coders and assert
+    // pixel-identical decode — this walks EVERY CABAC residual
+    // category (cat2 luma, cat3 chroma DC, cat4 chroma AC) through the
+    // real slice pipeline with the already-pixel-validated CAVLC tier
+    // as ground truth.
+    val rnd = new scala.util.Random(9)
+    for (trial <- 0 until 6) {
+      def sparse(n: Int, density: Int, mag: Int): Array[Int] =
+        Array.tabulate(n)(_ => if (rnd.nextInt(density) == 0) rnd.nextInt(2 * mag + 1) - mag else 0)
+      val luma = Array.fill(16)(sparse(16, 3, 6))
+      val cbDc = sparse(4, 2, 4); val crDc = sparse(4, 2, 4)
+      val cbAc = Array.fill(4)(sparse(15, 4, 3))
+      val crAc = Array.fill(4)(sparse(15, 4, 3))
+      val cbp = 47 // luma 15 | chroma 2
+
+      // ---- CAVLC emission (with the decoder's nC bookkeeping)
+      val wV = new H264.BitWriter
+      H264Encode.sliceHeader(wV, 26)
+      wV.ue(0) // mb_type I_4x4
+      val modeOf = new Array[Int](16) // absolute per-block, single MB
+      var b = 0
+      while (b < 16) {
+        val (x4, y4) = H264Decode.blockScan(b)
+        val mA = if (x4 > 0) modeOf(y4 * 4 + x4 - 1) else -1
+        val mB = if (y4 > 0) modeOf((y4 - 1) * 4 + x4) else -1
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        if (pred == 2) wV.flag(true)
+        else { wV.flag(false); wV.u(if (2 < pred) 2 else 1, 3) }
+        modeOf(y4 * 4 + x4) = 2
+        b += 1
+      }
+      wV.ue(0) // chroma mode DC
+      wV.ue(H264Decode.cbpIntraToCodeNum(cbp))
+      wV.se(0) // mb_qp_delta
+      val tcL = new Array[Int](16) // per-raster-4x4 totalCoeff, MB(0,0)
+      b = 0
+      while (b < 16) {
+        val (x4, y4) = H264Decode.blockScan(b)
+        val nA = if (x4 > 0) Some(tcL(y4 * 4 + x4 - 1)) else None
+        val nB = if (y4 > 0) Some(tcL((y4 - 1) * 4 + x4)) else None
+        val nC = (nA, nB) match {
+          case (Some(a), Some(t)) => (a + t + 1) >> 1
+          case (Some(a), None) => a
+          case (None, Some(t)) => t
+          case _ => 0
+        }
+        tcL(y4 * 4 + x4) = H264Cavlc.encodeResidualBlock(wV, luma(b), nC)
+        b += 1
+      }
+      H264Cavlc.encodeResidualBlock(wV, cbDc, -1)
+      H264Cavlc.encodeResidualBlock(wV, crDc, -1)
+      val tcC = Array.ofDim[Int](2, 4)
+      for (c <- 0 until 2; blk <- 0 until 4) {
+        val x2 = blk % 2; val y2 = blk / 2
+        val nA = if (x2 > 0) Some(tcC(c)(y2 * 2 + x2 - 1)) else None
+        val nB = if (y2 > 0) Some(tcC(c)((y2 - 1) * 2 + x2)) else None
+        val nC = (nA, nB) match {
+          case (Some(a), Some(t)) => (a + t + 1) >> 1
+          case (Some(a), None) => a
+          case (None, Some(t)) => t
+          case _ => 0
+        }
+        tcC(c)(y2 * 2 + x2) = H264Cavlc.encodeResidualBlock(
+          wV, if (c == 0) cbAc(blk) else crAc(blk), nC)
+      }
+      val cavlcStream = H264Encode.annexB(Seq(
+        (7, 3, H264.writeSps(16, 16)),
+        (8, 3, H264.writePps()),
+        (5, 3, H264.ebsp(wV.stop()))))
+
+      // ---- CABAC emission (same syntax through the arithmetic coder)
+      val wC = new H264.BitWriter
+      H264Encode.sliceHeader(wC, 26)
+      wC.alignOne()
+      val e = new H264Cabac.Encoder(wC, new H264Cabac.Contexts(26))
+      val cc = new H264Cabac.IntraCtxTrack(1, 1)
+      H264Cabac.encodeMbTypeI(e, cc.mbTypeCond(0, 0), 0)
+      cc.markI4(0)
+      b = 0
+      while (b < 16) {
+        val (x4, y4) = H264Decode.blockScan(b)
+        val mA = if (x4 > 0) modeOf(y4 * 4 + x4 - 1) else -1
+        val mB = if (y4 > 0) modeOf((y4 - 1) * 4 + x4) else -1
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        H264Cabac.encodeIntra4x4Mode(e, pred, 2)
+        b += 1
+      }
+      H264Cabac.encodeChromaPredMode(e,
+        cc.chromaModeCondA(0, 0), cc.chromaModeCondB(0, 0), 0)
+      cc.chromaNZ(0) = false
+      H264Cabac.encodeCbp(e, cc.cbpOf(-1, 0), cc.cbpOf(0, -1), cbp)
+      cc.cbp(0) = cbp
+      H264Cabac.encodeQpDelta(e, cc.prevQpDeltaNZ, 0)
+      cc.prevQpDeltaNZ = false
+      b = 0
+      while (b < 16) {
+        val (x4, y4) = H264Decode.blockScan(b)
+        val tc = H264Cabac.encodeResidual(e, 2, luma(b), cc.lumaAcInc(x4, y4))
+        cc.cbfLAc(y4 * 4 + x4) = tc > 0
+        b += 1
+      }
+      val t0 = H264Cabac.encodeResidual(e, 3, cbDc, cc.chromaDcInc(0, 0, 0))
+      cc.cbfCbDc(0) = t0 > 0
+      val t1 = H264Cabac.encodeResidual(e, 3, crDc, cc.chromaDcInc(1, 0, 0))
+      cc.cbfCrDc(0) = t1 > 0
+      for (c <- 0 until 2; blk <- 0 until 4) {
+        val x2 = blk % 2; val y2 = blk / 2
+        val tc = H264Cabac.encodeResidual(e, 4,
+          if (c == 0) cbAc(blk) else crAc(blk), cc.chromaAcInc(c, x2, y2))
+        (if (c == 0) cc.cbfCbAc else cc.cbfCrAc)(y2 * 2 + x2) = tc > 0
+      }
+      e.terminate(1)
+      val cabacStream = H264Encode.annexB(Seq(
+        (7, 3, H264.writeSps(16, 16)),
+        (8, 3, H264.writePps(cabac = true)),
+        (5, 3, H264.ebsp(wC.stop()))))
+
+      val a = H264Decode.decodeIdrFrame(cavlcStream)
+        .getOrElse(fail(s"trial $trial: CAVLC decode failed"))
+      val c2 = H264Decode.decodeIdrFrame(cabacStream)
+        .getOrElse(fail(s"trial $trial: CABAC decode failed"))
+      assert(a.luma.toSeq == c2.luma.toSeq, s"trial $trial luma")
+      assert(a.cb.toSeq == c2.cb.toSeq, s"trial $trial cb")
+      assert(a.cr.toSeq == c2.cr.toSeq, s"trial $trial cr")
+    }
+  }
+
   test("CABAC stream corruption: decode returns None or a structurally valid frame, never throws") {
     val (stream, _) = H264Encode.encodeCabacI16x16Dc(
       Array(Array(30, 200), Array(100, 60)), qp = 26)
