@@ -14,8 +14,9 @@ package graft.multimodal
   * Scope (exactly what corpus keyframe extraction needs, stated
   * honestly):
   *  - IDR pictures only (nal_unit_type 5), frame_mbs_only, 4:2:0,
-  *    8-bit, CAVLC (entropy_coding_mode_flag 0 — baseline has no
-  *    CABAC), num_slice_groups 1. Anything else returns None — an
+  *    8-bit, CAVLC or (r8) CABAC entropy (both values of
+  *    entropy_coding_mode_flag; CABAC intra via [[H264Cabac]]),
+  *    num_slice_groups 1. Anything else returns None — an
   *    undecodable payload is data, not an error, at corpus scale.
   *  - no deblocking filter: output is the pre-filter reconstruction
   *    (bit-exact for streams encoded with
@@ -517,7 +518,7 @@ object H264Decode {
   /** Decode the sync-sample IDR pictures of an avc1 mp4 to frames, by
     * re-framing each keyframe as Annex-B (avcC SPS + PPS + the sample's
     * IDR slice NALs) and running [[decodeIdrFrame]]. Keyframes outside
-    * the decode scope (CABAC, non-4:2:0, …) are skipped, not errors.
+    * the decode scope (non-4:2:0, FMO, …) are skipped, not errors.
     */
   def decodeMp4AvcKeyframes(bytes: Array[Byte], maxFrames: Int = 4): Seq[Frame] = {
     val parsed = for {

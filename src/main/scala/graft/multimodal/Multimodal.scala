@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * pixels/samples/frames with no external codec libraries. Video covers
   * GIF plus mp4 and avi CONTAINERS parsed from the public specs
   * ([[VideoContainers]]) with real frame decode for Motion-JPEG payloads
-  * AND (r7) H.264 baseline-profile INTRA keyframes — CAVLC entropy
-  * decode, inverse transform, full spatial prediction ([[H264Decode]]) —
-  * so avc1 keyframes reconstruct to pixels. The remaining codec tier
-  * (CABAC main/high-profile H.264, P/B motion compensation, H.265)
+  * AND (r7) H.264 INTRA keyframes — CAVLC or (r8) CABAC entropy
+  * decode, inverse transform, full spatial prediction ([[H264Decode]],
+  * [[H264Cabac]]) — so avc1 keyframes reconstruct to pixels, plus (r8)
+  * P-slice motion compensation for CAVLC streams. The remaining codec
+  * tier (CABAC inter, B-slices, H.265)
   * enters through the injectable [[FrameDecoder]] hook, plus the
   * clearly-marked deterministic stubs below for the generic-payload
   * pipeline shape.
@@ -919,10 +920,11 @@ object Multimodal {
   }
 
   /** Injectable video-container decoder — the plug-in point for the
-    * remaining codec tier (CABAC H.264, inter-coded frames, H.265: an
+    * remaining codec tier (CABAC inter, B-slices, H.265: an
     * ffmpeg-class library's implementation drops in here with no change
-    * to the pipeline — GIF, AVI/MJPEG, MP4/MJPEG and H.264 CAVLC intra
-    * keyframes already decode for real via [[ContainerFrameDecoder]]).
+    * to the pipeline — GIF, AVI/MJPEG, MP4/MJPEG, H.264 intra keyframes
+    * in BOTH entropy codings, and CAVLC P-slice sequences already
+    * decode for real via [[ContainerFrameDecoder]]).
     * Contract:
     *
     *  - `sampleFrames(content, maxFrames)` returns up to `maxFrames`
@@ -948,7 +950,7 @@ object Multimodal {
     * sync samples — via the pure-Scala CAVLC baseline decoder
     * ([[H264Decode]], r7). Frames are evenly sampled and re-encoded PNG
     * so every container feeds the same image path. Still-undecodable
-    * codecs (CABAC main/high-profile H.264, H.265, VP9, …) yield Nil —
+    * codecs (CABAC-inter H.264, B-slices, H.265, VP9, …) yield Nil —
     * that tier remains the injectable boundary.
     */
   class ContainerFrameDecoder extends FrameDecoder {
