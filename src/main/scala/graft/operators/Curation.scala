@@ -301,6 +301,59 @@ object Curation {
     * corpus-wide window; the rank window runs AFTER the cut, over
     * exactly k rows.
     */
+  /** Temperature-weighted mixture allocation (the multilingual-corpus
+    * sampling rule of XLM-R / mT5: p_i ∝ n_i^α with α = 0.5 here):
+    * given per-source token totals, allocate a global token `budget`
+    * across sources by √n weights with LARGEST-REMAINDER integer
+    * rounding, so allocations are integers that sum to the budget
+    * EXACTLY. `epochs` = alloc/n (upsampled low-resource sources read
+    * > 1 epoch — the formula's whole point).
+    *
+    * Cross-engine exactness (the reason α is pinned at 0.5): IEEE
+    * `sqrt` is correctly rounded, so the integer score
+    * s_i = round(√n_i · scale) is bit-identical on both engines
+    * (a general `pow` is NOT — last-ulp libm differences could flip
+    * the remainder ranking). Everything after is BIGINT arithmetic:
+    * floor via integral `div`, remainders exact, leftover distributed
+    * by (remainder DESC, source ASC) rank. `scale` bounds precision
+    * vs overflow: budget · max(s) must fit a long (guarded).
+    *
+    * Shape at scale: one token-count aggregation over the corpus; the
+    * allocation runs on the |sources|-row frame (unpartitioned windows
+    * over a dimension-sized table — the q62-class scalar shape).
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, textCol: String,
+                         budget: Long, scale: Long = 1000000L): DataFrame = {
+    require(budget > 0 && scale > 0, "budget and scale must be positive")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_s",
+        round(sqrt(col("n_tokens").cast("double")) * lit(scale)).cast("long"))
+    val all = Window.partitionBy() // |sources| rows — dimension-sized
+    val scored = totals
+      .withColumn("_T", sum(col("_s")).over(all))
+      // overflow guard folded into the product: abort loudly at
+      // execution rather than allocate garbage (lower `scale` to fix)
+      .withColumn("_prod",
+        when(col("_s") > lit(Long.MaxValue / budget),
+          raise_error(lit(
+            "temperatureMixture: budget x score overflows Long; lower scale"))
+            .cast("long"))
+          .otherwise(col("_s") * lit(budget)))
+      .withColumn("_fl", expr("_prod div _T"))
+      .withColumn("_rem", col("_prod") - col("_fl") * col("_T"))
+      .withColumn("_left", lit(budget) - sum(col("_fl")).over(all))
+      .withColumn("_rk", rank().over(
+        Window.orderBy(col("_rem").desc, col(sourceCol).asc)))
+    scored.select(
+      col(sourceCol), col("n_tokens"),
+      round(col("_s").cast("double") / col("_T").cast("double"), 6).as("weight"),
+      (col("_fl") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+        .cast("long").as("alloc_tokens"),
+      round((col("_fl") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+        .cast("double") / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
                      rankCol: String = "rk"): DataFrame = {
     require(k > 0, "k must be positive")

@@ -167,6 +167,21 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("tok_start"))
       .orderBy(col("source"), col("tok_start"), col("doc_id"))
 
+  /** q149 — temperature-weighted mixture allocation
+    * ([[Curation.temperatureMixture]]): the XLM-R/mT5 √n sampling rule
+    * turned into an exact integer largest-remainder allocation of a
+    * 10 M-token budget across sources. Allocations sum to the budget
+    * EXACTLY; weights/epochs are display-rounded. Dual-engine exact:
+    * IEEE sqrt is correctly rounded (bit-identical both engines),
+    * everything after is BIGINT arithmetic (see the operator's
+    * scaladoc for why α is pinned at 0.5).
+    */
+  def q149TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(
+      docs(spark, dir).select(col("source"), col("text")),
+      "source", "text", budget = 10000000L)
+      .orderBy(col("source"))
+
   /** The deterministic candidate-pair graph for q75/q76: pure arithmetic
     * on `doc_id`, so both engines construct it identically (the q67/q72
     * planting technique, applied to graph topology). Chain edges
@@ -454,6 +469,7 @@ object CurationQueries {
       .orderBy(col("o_orderkey"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_temperature_mixture" -> (q149TemperatureMixture _),
     "q67_pii_redact" -> (q67PiiRedact _),
     "q85_contamination" -> (q85Contamination _),
     "q92_percentile_cont" -> (q92PercentileCont _),
@@ -480,6 +496,34 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_temperature_mixture" ->
+      """WITH tot AS (
+           SELECT source,
+                  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         sc AS (
+           SELECT source, n_tokens,
+                  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0)
+                    AS BIGINT) AS s
+           FROM tot),
+         t AS (SELECT *, CAST(sum(s) OVER () AS BIGINT) AS tt FROM sc),
+         f AS (
+           SELECT *, (s * 10000000) // tt AS fl,
+                  s * 10000000 - ((s * 10000000) // tt) * tt AS rem
+           FROM t),
+         l AS (
+           SELECT *,
+                  CAST(10000000 - sum(fl) OVER () AS BIGINT) AS leftover,
+                  rank() OVER (ORDER BY rem DESC, source ASC) AS rk
+           FROM f)
+         SELECT source, n_tokens,
+                round(CAST(s AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight,
+                CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_tokens,
+                round(CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         FROM l ORDER BY source""",
     "q67_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -261,4 +261,28 @@ class CurationSpec extends SparkSpec {
     assert(s.sortBy(_._1).map(t => (t._1, math.round(t._2 * 1e9))).toSeq ==
       s2.sortBy(_._1).map(t => (t._1, math.round(t._2 * 1e9))).toSeq)
   }
+
+  test("temperatureMixture: hand-computed sqrt-weighted largest-remainder allocation") {
+    import spark.implicits._
+    // sources with 100 / 400 / 900 tokens → sqrt scores 10:20:30 (exact
+    // integer sqrt, scale cancels) → weights 1/6, 2/6, 3/6 of budget
+    // 100: floors 16/33/50, leftover 1, remainders 4/6 (a), 2/6 (b),
+    // 0 (c) → the +1 goes to a. Allocations sum to the budget EXACTLY.
+    val docs = Seq(
+      ("a", ("w " * 100).trim), ("b", ("w " * 400).trim),
+      ("c", ("w " * 900).trim)).toDF("source", "text")
+    val got = Curation.temperatureMixture(docs, "source", "text", budget = 100L)
+      .orderBy("source")
+      .select("source", "n_tokens", "alloc_tokens", "epochs")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 17L, 0.17), ("b", 400L, 33L, 0.0825), ("c", 900L, 50L, 0.055556)))
+    assert(got.map(_._3).sum == 100L)
+    // a bigger budget: the low-resource source upsamples past 1 epoch
+    val e = Curation.temperatureMixture(docs, "source", "text", budget = 2000L)
+      .orderBy("source").select("source", "alloc_tokens", "epochs")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(e.map(_._2).sum == 2000L)
+    assert(e.head._1 == "a" && e.head._3 > 1.0, "sqrt rule upsamples low-resource")
+  }
 }

@@ -233,6 +233,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // trained-vocab frame (merge
                                                    // rounds are plan-build jobs,
                                                    // q146's pattern) + source agg
+    "q149_temperature_mixture" -> (2, 0, 0, true), // r8: one corpus token agg;
+                                                   // allocation windows run on
+                                                   // the |sources|-row frame
+                                                   // (q62-class scalar shape)
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
