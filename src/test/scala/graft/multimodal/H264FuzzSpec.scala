@@ -76,6 +76,27 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("CABAC: every single-bit flip and truncation decodes valid-or-None (r8 tier)") {
+    // the same exhaustive discipline over the arithmetic-coded twin —
+    // a desynchronized CABAC engine must surface as require-rejection
+    // or a structurally valid (wrong-pixel) frame, never a crash/hang
+    val base = H264Encode.encodeCabacI16x16Dc(
+      Array.tabulate(3, 4)((r, c) => 40 + 23 * r + 31 * c), qp = 24)._1
+    var decoded = 0; var rejected = 0
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      H264Decode.decodeIdrFrame(m) match {
+        case Some(f) => assert(structurallyValid(f), s"invalid frame at bit $bit"); decoded += 1
+        case None => rejected += 1
+      }
+    }
+    assert(decoded > 0 && rejected > 0, s"decoded=$decoded rejected=$rejected")
+    for (len <- 0 until base.length)
+      H264Decode.decodeIdrFrame(java.util.Arrays.copyOf(base, len))
+        .foreach(f => assert(structurallyValid(f), s"invalid frame at len $len"))
+  }
+
   test("seeded multi-byte corruption: no crash, no unbounded allocation") {
     val base = codedStream()
     val rnd = new scala.util.Random(0x48264)
