@@ -45,6 +45,26 @@ class TokenizerSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "</w>", 3L)))
   }
 
+  test("bpeVocabCosts ≡ bpeTokenCount: vocabulary-join costing equals merge-table replay") {
+    // the two application paths — training's final vocab state vs
+    // re-folding a shipped merge table — must agree on every document
+    val corpus = Seq(
+      (1L, "low lower lowest low"), (2L, "slow slower low"),
+      (3L, "glow low low flow"), (4L, "a lone low")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrainMerges(corpus, "text", 4)
+      .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    val viaReplay = Tokenizer.bpeTokenCount(corpus, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    val costs = Tokenizer.bpeVocabCosts(corpus, "text", 4)
+    val viaVocab = corpus
+      .select(col("doc_id"), explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
+      .join(costs, "word")
+      .groupBy(col("doc_id")).agg(sum(col("n_bpe")).as("n"))
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(viaReplay == viaVocab)
+  }
+
   test("bpeTokenCount: trained merges shrink token counts, untouched words stay char-split") {
     val corpus = Seq((1L, "low low"), (2L, "hi")).toDF("doc_id", "text")
     val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"))
