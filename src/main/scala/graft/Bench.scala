@@ -243,8 +243,12 @@ object Bench {
     // the one channel guaranteed to carry the full JSON
     val out = new java.io.PrintWriter("/root/repo/bench_out.json")
     try out.println(json) finally out.close()
+    // stop Spark BEFORE printing the headline line: shutdown banners /
+    // executor teardown chatter must not land after it, so the JSON is
+    // the very last stdout line and the driver's tail capture parses it
+    // (r8's BENCH json recorded "parsed": null)
+    spark.stop()
     println(json)
     System.out.flush()
-    spark.stop()
   }
 }

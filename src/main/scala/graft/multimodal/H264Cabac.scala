@@ -23,7 +23,12 @@ package graft.multimodal
   * interop, never round-trip correctness (any (m,n) yields a valid
   * clipped state). No external CABAC bitstream can be validated in
   * this container (no reference decoder); until one decodes, treat
-  * external-stream CABAC decode as experimental. H264CabacSpec pins
+  * external-stream CABAC decode as experimental. In particular the
+  * residual sig/last init blocks are best-effort: an r9 review found
+  * (and fixed) a category-span misalignment there, and one cat4 tail
+  * slot per block is neutral-(0,64)-initialized because its value
+  * could not be recovered in-container — both round-trip-invisible,
+  * both first on the list to validate when an external vector lands. H264CabacSpec pins
   * the engine's structural invariants (renormalization bounds,
   * bypass-coding identity, terminate semantics) and full-pipeline
   * round-trips; H264FuzzSpec-style mutation coverage asserts
@@ -113,7 +118,14 @@ object H264Cabac {
       (97, (0, 42)), (98, (0, 48)), (99, (0, 55)), (100, (-6, 59)),
       (101, (-7, 71)), (102, (-12, 83)), (103, (-11, 87)),
       (104, (-30, 119))).foreach(m += _)
-    // significant_coeff_flag, frame coding (105..165)
+    // significant_coeff_flag, frame coding (105..165). Category spans
+    // MATCH the engine's Table 9-40 block-cat offsets (mapCatOff =
+    // 0/15/29/44/47): cat0 15, cat1 14, cat2 15, cat3 3, cat4 14.
+    // (r9: a transcription slip had given cat2 16 entries, shifting
+    // every cat3/cat4 init by one vs the contexts decodeResidual
+    // actually reads — realigned; the one cat4 tail value that could
+    // not be recovered in-container is neutral-initialized and flagged
+    // in the fidelity note above.)
     Seq(
       (-7, 99), (-14, 95), (2, 95), (0, 76), (-5, 74), (0, 70), (-11, 75),
       (1, 68), (0, 65), (-14, 73), (3, 62), (4, 62), (-1, 68), (-13, 75),
@@ -123,11 +135,11 @@ object H264Cabac {
       (-10, 88), (-16, 84), // cat1 (120..133)
       (-2, 85), (-6, 78), (-1, 75), (-7, 77), (2, 54), (5, 50), (-3, 68),
       (1, 50), (6, 42), (-4, 81), (1, 63), (-4, 70), (0, 67), (2, 57),
-      (-2, 76), (11, 35), // cat2 (134..149)
-      (4, 64), (1, 61), (11, 35), // cat3 (150..152)
+      (-2, 76), // cat2 (134..148): 15 entries, matching mapCatOff(3)=44
+      (4, 64), (1, 61), (11, 35), // cat3 (149..151)
       (18, 25), (12, 24), (13, 29), (13, 36), (-10, 93), (-7, 73),
-      (-2, 73), (13, 46), (9, 49), (-7, 100), (9, 53), (2, 53), (5, 53)
-      // cat4 (153..165)
+      (-2, 73), (13, 46), (9, 49), (-7, 100), (9, 53), (2, 53), (5, 53),
+      (0, 64) // cat4 (152..165); 14th slot unrecovered -> neutral init
     ).zipWithIndex.foreach { case (mn, i) => m += ((105 + i, mn)) }
     // last_significant_coeff_flag, frame coding (166..226)
     Seq(
@@ -139,11 +151,11 @@ object H264Cabac {
       (-14, 59), (-9, 52), // cat1 (181..194)
       (-11, 68), (9, -2), (30, -10), (31, -4), (33, -1), (33, 7),
       (31, 12), (37, 23), (31, 38), (20, 64), (9, 86), (2, 95),
-      (0, 76), (-5, 74), (0, 70), (-11, 75), // cat2 (195..210)
-      (2, 95), (0, 76), (-5, 74), // cat3 (211..213)
+      (0, 76), (-5, 74), (0, 70), // cat2 (195..209): 15 entries
+      (2, 95), (0, 76), (-5, 74), // cat3 (210..212)
       (0, 70), (-11, 75), (1, 68), (0, 65), (-14, 73), (3, 62), (4, 62),
-      (-1, 68), (-13, 75), (11, 55), (5, 64), (12, 70), (15, 6)
-      // cat4 (214..226)
+      (-1, 68), (-13, 75), (11, 55), (5, 64), (12, 70), (15, 6),
+      (0, 64) // cat4 (213..226); 14th slot unrecovered -> neutral init
     ).zipWithIndex.foreach { case (mn, i) => m += ((166 + i, mn)) }
     // coeff_abs_level_minus1 (227..275)
     Seq(
@@ -161,20 +173,73 @@ object H264Cabac {
     m.result()
   }
 
+  /** P-slice context initialization — the r9 inter entropy tier. The
+    * structure is normative: P slices initialize from one of THREE
+    * columns selected by the slice header's `cabac_init_idc` (§9.3.1.1,
+    * Tables 9-14..9-23), and the P-specific syntax elements
+    * (mb_skip_flag 11..13, P mb_type 14..20, mvd_l0 40..53, ref_idx_l0
+    * 54..59) have their own context blocks. VALUE provenance, per the
+    * fidelity note above: the P-specific blocks carry three distinct
+    * best-effort columns; every context shared with I slices (cbp,
+    * mb_qp_delta, intra pred modes, the whole residual tier) reuses the
+    * I-column values across all three idcs — a documented approximation
+    * that affects only compression efficiency and external interop,
+    * NEVER round-trip correctness or the CAVLC≡CABAC pixel parity the
+    * specs pin (any (m,n) yields a valid clipped state, and encoder and
+    * decoder share this table). First on the validation list when an
+    * external bitstream vector can enter the container.
+    */
+  val ctxInitP: IndexedSeq[Map[Int, (Int, Int)]] = {
+    val pSpecific: Seq[Seq[(Int, (Int, Int))]] = Seq(
+      Seq( // cabac_init_idc 0
+        11 -> (23, 33), 12 -> (23, 2), 13 -> (21, 0),
+        14 -> (0, 49), 15 -> (-37, 118), 16 -> (5, 57), 17 -> (-13, 78),
+        18 -> (-11, 65), 19 -> (1, 62), 20 -> (12, 49),
+        40 -> (-8, 102), 41 -> (-15, 100), 42 -> (0, 95), 43 -> (-4, 75),
+        44 -> (2, 72), 45 -> (-11, 75), 46 -> (-3, 71),
+        47 -> (15, 46), 48 -> (-13, 69), 49 -> (0, 62), 50 -> (0, 65),
+        51 -> (21, 37), 52 -> (-15, 72), 53 -> (9, 57),
+        54 -> (0, 45), 55 -> (-4, 78), 56 -> (-3, 96), 57 -> (-27, 126),
+        58 -> (-28, 98), 59 -> (-25, 101)),
+      Seq( // cabac_init_idc 1
+        11 -> (22, 25), 12 -> (34, 0), 13 -> (16, 0),
+        14 -> (26, 34), 15 -> (19, 22), 16 -> (40, 0), 17 -> (57, 2),
+        18 -> (41, 36), 19 -> (26, 69), 20 -> (-45, 127),
+        40 -> (-2, 69), 41 -> (-5, 82), 42 -> (-10, 96), 43 -> (2, 59),
+        44 -> (2, 75), 45 -> (-3, 87), 46 -> (-3, 100),
+        47 -> (1, 56), 48 -> (-3, 74), 49 -> (-6, 85), 50 -> (0, 59),
+        51 -> (-3, 81), 52 -> (-7, 86), 53 -> (-5, 95),
+        54 -> (-1, 66), 55 -> (-1, 77), 56 -> (1, 70), 57 -> (-2, 86),
+        58 -> (-5, 72), 59 -> (0, 61)),
+      Seq( // cabac_init_idc 2
+        11 -> (29, 16), 12 -> (25, 0), 13 -> (14, 0),
+        14 -> (20, 40), 15 -> (20, 10), 16 -> (29, 0), 17 -> (54, 0),
+        18 -> (37, 42), 19 -> (12, 97), 20 -> (-32, 127),
+        40 -> (-11, 89), 41 -> (-15, 103), 42 -> (-21, 116), 43 -> (19, 57),
+        44 -> (20, 58), 45 -> (4, 84), 46 -> (6, 96),
+        47 -> (1, 63), 48 -> (-5, 85), 49 -> (-13, 106), 50 -> (5, 63),
+        51 -> (6, 75), 52 -> (-3, 90), 53 -> (-1, 101),
+        54 -> (3, 55), 55 -> (-4, 79), 56 -> (-2, 75), 57 -> (-12, 97),
+        58 -> (-7, 50), 59 -> (1, 60)))
+    pSpecific.map(col => ctxInitI ++ col.toMap).toIndexedSeq
+  }
+
   @inline private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
 
   /** Per-slice context variables (§9.3.1.1): pStateIdx + valMPS per
-    * ctxIdx, initialized from (m, n) and the slice QP.
+    * ctxIdx, initialized from (m, n) and the slice QP. `init` selects
+    * the slice-type column: [[ctxInitI]] (the default) for I slices,
+    * [[ctxInitP]](cabac_init_idc) for P slices.
     */
-  final class Contexts(sliceQp: Int) {
+  final class Contexts(sliceQp: Int, init: Map[Int, (Int, Int)] = ctxInitI) {
     val state = new Array[Int](277)
     val mps = new Array[Boolean](277)
     locally {
       val qp = clip3(0, 51, sliceQp)
       var i = 0
       while (i < 277) {
-        val (m, n) = ctxInitI.getOrElse(i, (0, 64))
+        val (m, n) = init.getOrElse(i, (0, 64))
         val pre = clip3(1, 126, ((m * qp) >> 4) + n)
         if (pre <= 63) { state(i) = 63 - pre; mps(i) = false }
         else { state(i) = pre - 64; mps(i) = true }
@@ -190,7 +255,17 @@ object H264Cabac {
     private var offset = r.u(9)
     require(offset < 510, "invalid CABAC init offset")
 
-    @inline private def readBit(): Int = if (r.remaining > 0) r.u(1) else 0
+    /** Set when the underlying bitstream ran out and readBit fabricated
+      * a zero: every bin decoded after that point is synthetic. Callers
+      * (decodeSliceDataCabac) must REJECT such slices rather than emit
+      * pixels partly decoded from fabricated bits — otherwise truncation
+      * is undetectable downstream and dedup signatures get computed from
+      * invented content.
+      */
+    var exhausted = false
+
+    @inline private def readBit(): Int =
+      if (r.remaining > 0) r.u(1) else { exhausted = true; 0 }
 
     def decision(ctxIdx: Int): Int = {
       val s = ctx.state(ctxIdx)
@@ -434,6 +509,126 @@ object H264Cabac {
       else if (k == 1) 62 else 63, 0)
   }
 
+  // --------------------------------------------- P-slice syntax (r9)
+
+  /** mb_skip_flag (P slices, ctxIdxOffset 11): FL cMax=1; `inc` =
+    * condTermFlagA + condTermFlagB where condTermFlagN = 1 iff that
+    * neighbor MB exists and was NOT itself skipped (§9.3.3.1.1.1).
+    */
+  def decodeMbSkip(d: Decoder, inc: Int): Int = d.decision(11 + inc)
+  def encodeMbSkip(e: Encoder, inc: Int, skip: Int): Unit =
+    e.decision(11 + inc, skip)
+
+  /** mb_type, P slice (ctxIdxOffset 14, Table 9-34 binarization):
+    * bin0 = 1 → intra suffix (the I binarization re-contexted onto
+    * 17..20 — fixed contexts, no neighbor cond, per §9.3.3.1.2's
+    * suffix rows); bin0 = 0 → two more bins select the inter shape:
+    * P_L0_16x16 "000", P_8x8 "001", P_L0_L0_8x16 "010",
+    * P_L0_L0_16x8 "011". bin2's context tracks bin1 (16/17).
+    * Intra types return 5 + iMbType, matching the CAVLC remap.
+    */
+  def decodeMbTypeP(d: Decoder): Int = {
+    if (d.decision(14) == 1) return 5 + decodeMbTypeISuffix(d)
+    if (d.decision(15) == 0) { if (d.decision(16) == 0) 0 else 3 }
+    else { if (d.decision(17) == 1) 1 else 2 }
+  }
+
+  def encodeMbTypeP(e: Encoder, mbType: Int): Unit = {
+    if (mbType >= 5) {
+      e.decision(14, 1); encodeMbTypeISuffix(e, mbType - 5)
+    } else {
+      e.decision(14, 0)
+      mbType match {
+        case 0 => e.decision(15, 0); e.decision(16, 0)
+        case 3 => e.decision(15, 0); e.decision(16, 1)
+        case 2 => e.decision(15, 1); e.decision(17, 0)
+        case 1 => e.decision(15, 1); e.decision(17, 1)
+        case _ => sys.error(s"bad P mb_type $mbType")
+      }
+    }
+  }
+
+  /** The intra mb_type binarization as a P-slice SUFFIX: the
+    * [[decodeMbTypeI]] structure over fixed contexts 17..20 (cbp bins
+    * 18/19, pred-mode bins 20) — neighbor conds apply only to the
+    * standalone I-slice form.
+    */
+  private def decodeMbTypeISuffix(d: Decoder): Int = {
+    if (d.decision(17) == 0) return 0 // I_NxN
+    if (d.terminate() == 1) return 25 // I_PCM
+    val cbpL = d.decision(18)
+    val cbpC =
+      if (d.decision(19) == 0) 0
+      else if (d.decision(19) == 0) 1 else 2
+    val pm = (d.decision(20) << 1) | d.decision(20)
+    1 + pm + cbpC * 4 + cbpL * 12
+  }
+
+  private def encodeMbTypeISuffix(e: Encoder, mbType: Int): Unit = {
+    require(mbType >= 0 && mbType < 25, s"I mb_type $mbType out of emission scope")
+    if (mbType == 0) { e.decision(17, 0); return }
+    e.decision(17, 1)
+    e.terminate(0)
+    val m = mbType - 1
+    val pm = m % 4; val cbpC = (m / 4) % 3; val cbpL = if (m >= 12) 1 else 0
+    e.decision(18, cbpL)
+    if (cbpC == 0) e.decision(19, 0)
+    else { e.decision(19, 1); e.decision(19, if (cbpC == 2) 1 else 0) }
+    e.decision(20, (pm >> 1) & 1)
+    e.decision(20, pm & 1)
+  }
+
+  /** mvd_l0 component (§9.3.2.3 UEG3, signedValFlag 1, uCoff 9):
+    * TU prefix of min(|mvd|, 9) over contexts base+inc0 (bin0, inc0 =
+    * 0/1/2 from the neighbor |mvd| sum — §9.3.3.1.1.7, derived by the
+    * caller via [[IntraCtxTrack.mvdInc]]) and base+3+min(binIdx−1, 3)
+    * (later bins); |mvd| ≥ 9 continues with an EG3 bypass suffix; a
+    * trailing bypass sign iff mvd ≠ 0. `comp` 0 = x (base 40),
+    * 1 = y (base 47).
+    */
+  def decodeMvd(d: Decoder, comp: Int, inc0: Int): Int = {
+    val base = 40 + 7 * comp
+    var prefix = 0
+    var bin = d.decision(base + inc0)
+    while (bin == 1 && prefix < 8) {
+      prefix += 1
+      bin = d.decision(base + 3 + math.min(prefix - 1, 3))
+    }
+    if (bin == 1) prefix += 1 // prefix reached uCoff = 9
+    var abs = prefix
+    if (prefix == 9) { // EG3 suffix, bypass
+      var k = 3
+      while (d.bypass() == 1) {
+        abs += 1 << k; k += 1
+        require(k <= 30, "mvd escape overflow")
+      }
+      while (k > 0) { k -= 1; abs += d.bypass() << k }
+    }
+    if (abs == 0) 0
+    else if (d.bypass() == 1) -abs else abs
+  }
+
+  def encodeMvd(e: Encoder, comp: Int, inc0: Int, mvd: Int): Unit = {
+    val base = 40 + 7 * comp
+    val abs = math.abs(mvd)
+    val prefix = math.min(abs, 9)
+    var b = 0
+    while (b < prefix) {
+      e.decision(if (b == 0) base + inc0 else base + 3 + math.min(b - 1, 3), 1)
+      b += 1
+    }
+    if (prefix < 9)
+      e.decision(if (prefix == 0) base + inc0 else base + 3 + math.min(prefix - 1, 3), 0)
+    else { // EG3 suffix
+      var rem = abs - 9
+      var k = 3
+      while (rem >= (1 << k)) { e.bypass(1); rem -= 1 << k; k += 1 }
+      e.bypass(0)
+      while (k > 0) { k -= 1; e.bypass((rem >> k) & 1) }
+    }
+    if (abs != 0) e.bypass(if (mvd < 0) 1 else 0)
+  }
+
   /** Per-picture neighbor bookkeeping for the ctxIdxInc derivations —
     * SHARED by encoder and decoder (both sides must compute identical
     * contexts or the arithmetic stream desynchronizes; sharing the
@@ -518,6 +713,60 @@ object H264Cabac {
     }
     def markI16(mbAddr: Int): Unit = {
       decoded(mbAddr) = true; notI4(mbAddr) = true; i16(mbAddr) = true
+    }
+
+    // ---- P-slice bookkeeping (r9 inter tier)
+
+    /** mb_skip_flag per MB, and |mvd_l0| per component per 4x4 block
+      * (zero for skip/intra MBs, the §9.3.3.1.1.7 convention — the
+      * arrays' default).
+      */
+    val skipped = new Array[Boolean](mbW * mbH)
+    val absMvdX = new Array[Int](mbW * 4 * mbH * 4)
+    val absMvdY = new Array[Int](mbW * 4 * mbH * 4)
+
+    /** Inter MB (non-skip): counts as decoded, not-I_NxN, not-I16. */
+    def markInter(mbAddr: Int): Unit = {
+      decoded(mbAddr) = true; notI4(mbAddr) = true; i16(mbAddr) = false
+    }
+    def markSkip(mbAddr: Int): Unit = { markInter(mbAddr); skipped(mbAddr) = true }
+
+    /** mb_skip_flag ctxIdxInc (§9.3.3.1.1.1): neighbor exists and was
+      * NOT skipped.
+      */
+    def skipCond(mbX: Int, mbY: Int): Int =
+      (if (avail(mbX - 1, mbY) && !skipped(mbY * mbW + mbX - 1)) 1 else 0) +
+        (if (avail(mbX, mbY - 1) && !skipped((mbY - 1) * mbW + mbX)) 1 else 0)
+
+    /** mvd ctxIdxInc (§9.3.3.1.1.7) for the partition whose top-left
+      * 4x4 block is (bx4, by4): |mvd| sum of the left + top neighbor
+      * blocks (0 when unavailable / intra / skip), thresholded 3 / 32.
+      * In-MB earlier partitions count as available — callers mark the
+      * current MB via [[markInter]] BEFORE decoding its mvds.
+      */
+    def mvdInc(comp: Int, bx4: Int, by4: Int): Int = {
+      val arr = if (comp == 0) absMvdX else absMvdY
+      def a(x4: Int, y4: Int): Int =
+        if (x4 < 0 || y4 < 0 || x4 >= mbW * 4 || y4 >= mbH * 4 ||
+          !decoded((y4 / 4) * mbW + x4 / 4)) 0
+        else arr(y4 * mbW * 4 + x4)
+      val s = a(bx4 - 1, by4) + a(bx4, by4 - 1)
+      if (s < 3) 0 else if (s <= 32) 1 else 2
+    }
+
+    /** Record a decoded partition's |mvd| over its 4x4 blocks. */
+    def setMvd(bx4: Int, by4: Int, pw4: Int, ph4: Int,
+        mvdX: Int, mvdY: Int): Unit = {
+      val ax = math.abs(mvdX); val ay = math.abs(mvdY)
+      var y = by4
+      while (y < by4 + ph4) {
+        var x = bx4
+        while (x < bx4 + pw4) {
+          absMvdX(y * mbW * 4 + x) = ax; absMvdY(y * mbW * 4 + x) = ay
+          x += 1
+        }
+        y += 1
+      }
     }
   }
 

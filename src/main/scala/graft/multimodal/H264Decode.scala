@@ -25,9 +25,9 @@ package graft.multimodal
   *  - P/B slices (motion compensation) are out of scope: dedup samples
   *    keyframes, which are self-contained by definition.
   *
-  * Reference context: the reference system stores media as opaque
-  * varchar paths (reference musicdb.sql:22); decode itself is this
-  * library's multimodal extension tier.
+  * Reference context: the reference schema carries no media columns at
+  * all (music_db.sql defines only relational text/int fields); decode is
+  * this library's multimodal extension tier for LLM-training corpora.
   */
 object H264Decode {
 
@@ -503,7 +503,7 @@ object H264Decode {
             case (Some(s), Some(p)) if s.frameMbsOnly && s.chromaFormatIdc == 1 &&
                 s.width > 0 && s.height > 0 && s.width <= 8192 && s.height <= 8192 =>
               if (st == null) st = new State(s, p)
-              decodeSlice(st, nal.payload)
+              decodeSlice(st, nal.payload, isIdr = true)
               sawIdr = true
             case _ => return None
           }
@@ -559,7 +559,7 @@ object H264Decode {
     img
   }
 
-  private def decodeSlice(st: State, payload: Array[Byte]): Unit = {
+  private def decodeSlice(st: State, payload: Array[Byte], isIdr: Boolean): Unit = {
     val rb = H264.rbsp(payload)
     val r = new H264.BitReader(rb)
     // last 1 bit = rbsp_stop_one_bit; more_rbsp_data while bits remain before it
@@ -584,20 +584,32 @@ object H264Decode {
     require(!isP || st.ref != null, "P slice without a reference picture")
     r.ue() // pps_id (single active PPS assumed)
     r.u(st.sps.log2MaxFrameNum) // frame_num
-    if (!isP) r.ue() // idr_pic_id
+    // idr_pic_id presence is keyed on the NAL type (IdrPicFlag, §7.3.3),
+    // NOT the slice type: a legal I slice carried in a non-IDR NAL
+    // (nal_unit_type 1, common in open-GOP streams) has no idr_pic_id
+    if (isIdr) r.ue() // idr_pic_id
     // pocType 1's delta_pic_order_cnt needs SPS flags we don't retain
     require(st.sps.pocType == 0 || st.sps.pocType == 2,
       s"poc type ${st.sps.pocType} out of scope")
     if (st.sps.pocType == 0) r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
     if (st.pps.redundantPresent) r.ue()
+    var cabacInitIdc = 0
     if (isP) {
       if (r.flag()) // num_ref_idx_active_override_flag
         require(r.ue() == 0, "multiple L0 reference frames out of scope")
       require(!r.flag(), "ref_pic_list_modification out of scope")
       // dec_ref_pic_marking (non-IDR, nal_ref_idc > 0 assumed for P):
       require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
-    } else {
+      if (!st.pps.cavlc) {
+        cabacInitIdc = r.ue() // cabac_init_idc (§7.3.3: CABAC, non-I)
+        require(cabacInitIdc <= 2, s"bad cabac_init_idc $cabacInitIdc")
+      }
+    } else if (isIdr) {
       r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
+    } else {
+      // non-IDR I slice: dec_ref_pic_marking takes the non-IDR form
+      // (nal_ref_idc > 0 assumed, as for P)
+      require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
     }
     var qp = st.pps.picInitQp + r.se()
     if (st.pps.deblockingPresent) {
@@ -605,9 +617,8 @@ object H264Decode {
       if (disable != 1) { r.se(); r.se() }
     }
 
-    if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra tier)
-      require(!isP, "CABAC P slices out of scope (intra CABAC tier)")
-      decodeSliceDataCabac(st, r, firstMb, qp)
+    if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra + r9 inter)
+      decodeSliceDataCabac(st, r, firstMb, qp, isP, cabacInitIdc)
       return
     }
 
@@ -865,21 +876,42 @@ object H264Decode {
     * end_of_slice_flag terminate after every macroblock. Context
     * variables and the neighbor bookkeeping reset per slice (other-
     * slice MBs are unavailable for context derivation, §9.3.1).
-    * I slices only — the r8 intra CABAC tier.
+    * P slices (r9 inter tier) read a per-MB mb_skip_flag — CABAC has
+    * no skip RUNS — then dispatch inter / remapped-intra on the P
+    * mb_type binarization; contexts initialize from the
+    * cabac_init_idc-selected P column.
     */
   private def decodeSliceDataCabac(st: State, r: H264.BitReader,
-      firstMb: Int, sliceQp: Int): Unit = {
+      firstMb: Int, sliceQp: Int, isP: Boolean, initIdc: Int): Unit = {
     while (r.remaining % 8 != 0)
       require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
-    val d = new H264Cabac.Decoder(r, new H264Cabac.Contexts(sliceQp))
+    val init = if (isP) H264Cabac.ctxInitP(initIdc) else H264Cabac.ctxInitI
+    val d = new H264Cabac.Decoder(r, new H264Cabac.Contexts(sliceQp, init))
     val cc = new H264Cabac.IntraCtxTrack(st.mbW, st.mbH)
     var qp = sliceQp
     var mbAddr = firstMb
     var end = false
     while (!end) {
       require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
+      val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+      if (isP && H264Cabac.decodeMbSkip(d, cc.skipCond(mbX, mbY)) == 1) {
+        st.mv.markMb(mbAddr)
+        decodePSkip(st, mbAddr)
+        cc.markSkip(mbAddr)
+      } else if (isP) {
+        st.mv.markMb(mbAddr)
+        val mbType = H264Cabac.decodeMbTypeP(d)
+        qp =
+          if (mbType >= 5) decodeMacroblockCabac(st, d, cc, mbAddr, qp,
+            preType = mbType - 5)
+          else decodeInterMacroblockCabac(st, d, cc, mbAddr, qp, mbType)
+      } else qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
+      // truncated streams must REJECT, not fabricate: if readBit ran
+      // past the end, this MB was (partly) decoded from synthetic zero
+      // bits. Checked BEFORE committing the MB; the final terminate's
+      // own flush reads are after the last committed MB and so exempt.
+      require(!d.exhausted, "CABAC bitstream exhausted mid-slice")
       st.mbDecoded(mbAddr) = true
-      qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
       mbAddr += 1
       end = d.terminate() == 1
     }
@@ -892,14 +924,19 @@ object H264Decode {
     * dequant, transforms) is shared with the CAVLC path.
     */
   private def decodeMacroblockCabac(st: State, d: H264Cabac.Decoder,
-      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int): Int = {
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int,
+      preType: Int = -1): Int = {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     var qp = qpIn
     val availLeftMb = st.mbAvailable(mbX - 1, mbY)
     val availTopMb = st.mbAvailable(mbX, mbY - 1)
 
-    val mbType = H264Cabac.decodeMbTypeI(d, cc.mbTypeCond(mbX, mbY))
+    // preType >= 0: an intra MB inside a P slice — its mb_type arrived
+    // through the P binarization's intra suffix (already read)
+    val mbType =
+      if (preType >= 0) preType
+      else H264Cabac.decodeMbTypeI(d, cc.mbTypeCond(mbX, mbY))
     require(mbType != 25, "I_PCM under CABAC out of scope")
 
     def chromaCabac(chromaMode: Int, cbpChroma: Int, qpNow: Int): Unit =
@@ -1240,28 +1277,166 @@ object H264Decode {
         val nC = st.lumaNc(ax4, ay4)
         val (scan, tc) = H264Cavlc.decodeResidualBlock(r, 16, nC)
         st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
-        val res = new Array[Int](16)
-        var si = 0
-        while (si < 16) { res(zigzag4x4(si)) = scan(si); si += 1 }
-        dequant4x4(res, qp, skipDc = false)
-        inverseTransform4x4(res)
-        val bpx = px + x4r * 4; val bpy = py + y4r * 4
-        var y = 0
-        while (y < 4) {
-          var x = 0
-          while (x < 4) {
-            val idx = (bpy + y) * st.lumaStride + bpx + x
-            st.luma(idx) = clip255(
-              (st.luma(idx) & 0xff) + ((res(y * 4 + x) + 32) >> 6)).toByte
-            x += 1
-          }
-          y += 1
-        }
+        addLumaResidual4x4(st, scan, qp, px + x4r * 4, py + y4r * 4)
       } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
       blk += 1
     }
     decodeChromaInter(st, r, mbX, mbY, cbpChroma, qp)
     qp
+  }
+
+  /** Dequantize + inverse-transform one 4x4 luma residual (scan order)
+    * and ADD it to the motion-compensated prediction already in the
+    * plane at (bpx, bpy) — the inter reconstruction step shared by the
+    * CAVLC and CABAC entropy tiers.
+    */
+  private def addLumaResidual4x4(st: State, scan: Array[Int], qp: Int,
+      bpx: Int, bpy: Int): Unit = {
+    val res = new Array[Int](16)
+    var si = 0
+    while (si < 16) { res(zigzag4x4(si)) = scan(si); si += 1 }
+    dequant4x4(res, qp, skipDc = false)
+    inverseTransform4x4(res)
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) {
+        val idx = (bpy + y) * st.lumaStride + bpx + x
+        st.luma(idx) = clip255(
+          (st.luma(idx) & 0xff) + ((res(y * 4 + x) + 32) >> 6)).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** CABAC twin of [[decodeInterMacroblock]] (P_L0_16x16 / 16x8 / 8x16;
+    * P_8x8 rejects the frame, the inter tier's declared scope): mvd
+    * through the UEG3 contexts, cbp / mb_qp_delta / residual through
+    * the machinery shared with the intra tier, reconstruction shared
+    * with the CAVLC path. The MB is marked in `cc` BEFORE its mvds are
+    * read so in-MB earlier partitions are context-available
+    * (§6.4.11.7 decode-order neighbors).
+    */
+  private def decodeInterMacroblockCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int,
+      mbType: Int): Int = {
+    require(mbType <= 2, s"P_8x8 mb_type $mbType out of scope")
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    var qp = qpIn
+    cc.markInter(mbAddr)
+    val parts: Seq[(Int, Int, Int, Int, Int)] = mbType match {
+      case 0 => Seq((0, 0, 4, 4, 0))
+      case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+      case _ => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+    }
+    parts.foreach { case (ox, oy, pw, ph, kind) =>
+      val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, bx4 + ox, by4 + oy))
+      val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, bx4 + ox, by4 + oy))
+      cc.setMvd(bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
+      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+      val mx = px0 + mvdX; val my = py0 + mvdY
+      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
+      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
+    }
+    val cbp = H264Cabac.decodeCbp(d, cc.cbpOf(mbX - 1, mbY),
+      cc.cbpOf(mbX, mbY - 1))
+    cc.cbp(mbAddr) = cbp
+    val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+    if (cbpLuma > 0 || cbpChroma > 0) {
+      val delta = H264Cabac.decodeQpDelta(d, cc.prevQpDeltaNZ)
+      qp = ((qp + delta) + 52) % 52
+      cc.prevQpDeltaNZ = delta != 0
+    } else cc.prevQpDeltaNZ = false
+    var blk = 0
+    while (blk < 16) {
+      val (x4r, y4r) = blockScan(blk)
+      val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+      if ((cbpLuma & (1 << (blk / 4))) != 0) {
+        val (scan, tc) = H264Cabac.decodeResidual(d, 2, 16,
+          cc.lumaAcInc(ax4, ay4))
+        cc.cbfLAc(ay4 * st.mbW * 4 + ax4) = tc > 0
+        st.nnzLuma(ay4 * st.mbW * 4 + ax4) = tc
+        addLumaResidual4x4(st, scan, qp, px + x4r * 4, py + y4r * 4)
+      } else st.nnzLuma(ay4 * st.mbW * 4 + ax4) = 0
+      blk += 1
+    }
+    decodeChromaInterCabac(st, d, cc, mbX, mbY, cbpChroma, qp)
+    qp
+  }
+
+  /** Chroma residual for an INTER MB under CABAC: the
+    * [[decodeChromaInter]] assembly (DC Hadamard + per-block AC added
+    * to the MC prediction) with the residual blocks read through the
+    * arithmetic engine (cat3 DC / cat4 AC, cbf bookkeeping in `cc`).
+    */
+  private def decodeChromaInterCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbX: Int, mbY: Int, cbpChroma: Int,
+      qpLuma: Int): Unit = {
+    val mbAddr = mbY * st.mbW + mbX
+    val qpc = chromaQp(qpLuma + st.pps.chromaQpOffset)
+    val cpx = mbX * 8; val cpy = mbY * 8
+    val planes = Array(st.cb, st.cr)
+    val nnzs = Array(st.nnzCb, st.nnzCr)
+    val dc = Array.ofDim[Int](2, 4)
+    if (cbpChroma != 0) {
+      var c = 0
+      while (c < 2) {
+        val (scan, tcDc) = H264Cabac.decodeResidual(d, 3, 4,
+          cc.chromaDcInc(c, mbX, mbY))
+        (if (c == 0) cc.cbfCbDc else cc.cbfCrDc)(mbAddr) = tcDc > 0
+        val f0 = scan(0) + scan(1); val f1 = scan(0) - scan(1)
+        val f2 = scan(2) + scan(3); val f3 = scan(2) - scan(3)
+        val g = Array(f0 + f2, f1 + f3, f0 - f2, f1 - f3)
+        val ls = levelScale(qpc % 6)(0)
+        var k = 0
+        while (k < 4) { dc(c)(k) = ((g(k) * ls) << (qpc / 6)) >> 5; k += 1 }
+        c += 1
+      }
+    }
+    var c = 0
+    while (c < 2) {
+      val coeffs = Array.ofDim[Int](4, 16)
+      var b = 0
+      while (b < 4) {
+        val x2 = mbX * 2 + b % 2; val y2 = mbY * 2 + b / 2
+        if (cbpChroma == 2) {
+          val (scan, tc) = H264Cabac.decodeResidual(d, 4, 15,
+            cc.chromaAcInc(c, x2, y2))
+          (if (c == 0) cc.cbfCbAc else cc.cbfCrAc)(y2 * st.mbW * 2 + x2) = tc > 0
+          nnzs(c)(y2 * st.mbW * 2 + x2) = tc
+          var k = 0
+          while (k < 15) { coeffs(b)(zigzag4x4(k + 1)) = scan(k); k += 1 }
+        } else nnzs(c)(y2 * st.mbW * 2 + x2) = 0
+        coeffs(b)(0) = dc(c)(b)
+        b += 1
+      }
+      if (cbpChroma != 0) {
+        val plane = planes(c)
+        b = 0
+        while (b < 4) {
+          val res = coeffs(b)
+          dequant4x4(res, qpc, skipDc = true)
+          inverseTransform4x4(res)
+          val bx = (b % 2) * 4; val by = (b / 2) * 4
+          var y = 0
+          while (y < 4) {
+            var x = 0
+            while (x < 4) {
+              val idx = (cpy + by + y) * st.chromaStride + cpx + bx + x
+              plane(idx) = clip255(
+                (plane(idx) & 0xff) + ((res(y * 4 + x) + 32) >> 6)).toByte
+              x += 1
+            }
+            y += 1
+          }
+          b += 1
+        }
+      }
+      c += 1
+    }
   }
 
   /** Chroma residual for an INTER MB: same §7.3.5.3.1 parse as
@@ -1372,7 +1547,7 @@ object H264Decode {
                     }
                   }
                 }
-                if (st != null) decodeSlice(st, nal.payload)
+                if (st != null) decodeSlice(st, nal.payload, isIdr = nal.nalType == 5)
               case _ => return out.toSeq
             }
           case _ => // SEI / AUD / filler

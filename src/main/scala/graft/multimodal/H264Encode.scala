@@ -49,7 +49,12 @@ object H264Encode {
     w.ue(1) // disable_deblocking_filter_idc = 1 (writePps signals present)
   }
 
-  private def pSliceHeader(w: H264.BitWriter, qp: Int): Unit = {
+  /** P slice header; `cabacInitIdc` >= 0 writes the cabac_init_idc
+    * syntax element (§7.3.3: present iff entropy_coding_mode and a
+    * non-I slice) — pass -1 for CAVLC streams.
+    */
+  private def pSliceHeader(w: H264.BitWriter, qp: Int,
+      cabacInitIdc: Int = -1): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
@@ -58,6 +63,7 @@ object H264Encode {
     w.flag(false) // num_ref_idx_active_override_flag (1 L0 ref)
     w.flag(false) // ref_pic_list_modification_flag_l0
     w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
   }
@@ -101,6 +107,77 @@ object H264Encode {
     val w = new H264.BitWriter
     pSliceHeader(w, qp)
     w.ue(mbW * mbH) // mb_skip_run = whole picture
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC twin of [[encodeP16x16]] (r9 inter entropy tier): every MB
+    * P_L0_16x16 with the given quarter-pel motion and zero residual,
+    * arithmetic-coded — mb_skip_flag 0, the P mb_type binarization,
+    * UEG3 mvds against the decoder's own context derivations
+    * ([[H264Cabac.IntraCtxTrack]] is shared, so drift is structurally
+    * impossible), cbp 0, a terminate after every MB. `initIdc` selects
+    * the cabac_init_idc context column (0..2), exercised across all
+    * three by H264CabacSpec.
+    */
+  def encodeCabacP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
+      initIdc: Int = 0): Array[Byte] = {
+    val mbH = mvs.length; val mbW = mvs.head.length
+    require(mvs.forall(_.length == mbW), "ragged mvs")
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp, cabacInitIdc = initIdc)
+    w.alignOne() // cabac_alignment_one_bit (§7.3.4)
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val grid = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        grid.markMb(mbAddr)
+        H264Cabac.encodeMbSkip(e, cc.skipCond(mbX, mbY), 0)
+        H264Cabac.encodeMbTypeP(e, 0) // P_L0_16x16
+        cc.markInter(mbAddr)
+        val (mx, my) = mvs(mbY)(mbX)
+        val (p0x, p0y) = grid.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+        val mvdX = mx - p0x; val mvdY = my - p0y
+        H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, mbX * 4, mbY * 4), mvdX)
+        H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, mbX * 4, mbY * 4), mvdY)
+        cc.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+        grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        cc.prevQpDeltaNZ = false // mb_qp_delta absent when cbp == 0
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0) // end_of_slice
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC all-skip P frame: mb_skip_flag 1 + end_of_slice terminate
+    * per MB (CABAC has no skip runs).
+    */
+  def encodeCabacPSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
+      initIdc: Int = 0): Array[Byte] = {
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp, cabacInitIdc = initIdc)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    var mbAddr = 0
+    while (mbAddr < mbW * mbH) {
+      H264Cabac.encodeMbSkip(e, cc.skipCond(mbAddr % mbW, mbAddr / mbW), 1)
+      cc.markSkip(mbAddr)
+      e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
+      mbAddr += 1
+    }
     H264.ebsp(w.stop())
   }
 

@@ -740,6 +740,56 @@ object Multimodal {
     }
   }
 
+  /** Motion corpus where the ENTROPY CODING alternates per id (even
+    * CAVLC, odd CABAC with cabac_init_idc cycling (id/2) % 3 — all
+    * three P init columns are live in the corpus): an I_16x16 IDR plus
+    * two P_L0_16x16 pans, the r9 CABAC inter tier's corpus face.
+    * Every `dupEvery`-th video (id > 0) re-encodes its PREDECESSOR's
+    * content and motion (±2 jitter, different qp; ids ≡ 0 mod
+    * 2·dupEvery re-encode exactly — pixel-IDENTICAL), and because the
+    * coding parity alternates, every planted pair is CROSS-ENTROPY
+    * CODED MOTION: one side's pan lives in CAVLC se(v) mvds, the
+    * other's in CABAC UEG3 bins, so compressed-domain (byte /
+    * keyframe-hash) dedup can never collapse a pair — only decoding
+    * BOTH entropy tiers through motion compensation to pixels can
+    * (H264PipelineSpec pins both halves of the asymmetry).
+    */
+  def syntheticAvcMotionEntropyStreams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup && !exact) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      val panRnd = new scala.util.Random(seed * 31 + 7)
+      val mv = (panRnd.nextInt(21) - 10, panRnd.nextInt(21) - 10)
+      val mvs = Array.fill(4, 4)(mv)
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(mvs, qp, idc)),
+              (1, 3, H264Encode.encodeCabacP16x16(mvs, qp, idc))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(mvs, qp)),
+              (1, 3, H264Encode.encodeP16x16(mvs, qp))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   /** 8×8 average hash straight from a decoded luma plane (no PNG round
     * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
     */

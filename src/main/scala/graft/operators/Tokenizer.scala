@@ -90,8 +90,13 @@ object Tokenizer {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w"))
       .agg(count(lit(1)).as("_c"))
+      // (?s): Java '.' excludes all five line terminators while RE2's
+      // (the DuckDB oracle) excludes only \n — U+0085/U+2028/U+2029
+      // survive whitespace tokenization on both sides, so a non-DOTALL
+      // split would silently drop them from the symbol sequence here
+      // and diverge from the oracle. DOTALL makes '.' total both sides.
       .select(col("_w"),
-        concat(regexp_extract_all(col("_w"), lit("."), lit(0)),
+        concat(regexp_extract_all(col("_w"), lit("(?s)."), lit(0)),
           array(lit("</w>"))).as("_syms"),
         col("_c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -142,7 +147,7 @@ object Tokenizer {
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val perWord = TextAnalysis.bindOnce(
-      concat(regexp_extract_all(col("_w"), lit("."), lit(0)),
+      concat(regexp_extract_all(col("_w"), lit("(?s)."), lit(0)),
         array(lit("</w>"))),
       syms0 => {
         val mergedStr = merges.foldLeft(

@@ -264,22 +264,40 @@ object CurationQueries {
       .select(col("doc_id"), col("n_chars"), col("rk"))
       .orderBy(col("rk"))
 
-  /** q82 — frequent terms via the Misra–Gries heavy-hitters sketch
-    * ([[graft.functions.Aggregators.MisraGries]]): corpus token counts
-    * through the mergeable O(k) summary. Capacity 64 exceeds the
-    * corpus vocabulary (31 distinct tokens), so the sketch provably
-    * never evicts and its counts are EXACT — the DuckDB oracle is a
-    * plain exact group-by count, putting the whole sketch path
-    * (partial buffers, mergeable-summary combine) under a hash-equal
-    * driver check rather than a weak bounds assertion.
+  /** q82 — θ-frequent terms via the Misra–Gries heavy-hitters sketch
+    * ([[graft.functions.Aggregators.MisraGries]]) with an EXACT second
+    * pass — the classic two-phase heavy-hitters shape that stays
+    * correct at any vocabulary size (the r8 version pinned capacity to
+    * the sf0.01 vocabulary and broke by construction at 10×):
+    *
+    *  1. one corpus scan through the mergeable O(k) summary with
+    *     capacity k = ⌈1/θ⌉ = 200, which GUARANTEES every term of
+    *     frequency > n/(k+1) — hence every θ-heavy term — survives in
+    *     the sketch (MG deficit bound), alongside an exact token count
+    *     n from the same scan;
+    *  2. collect the ≤ k candidates (a bounded driver step, ≤ 200
+    *     strings — the sketch's whole point is that this is tiny no
+    *     matter the corpus), then one exact candidate-filtered count
+    *     with the integer threshold cnt·200 > n (no float θ·n).
+    *
+    * The sketch's survivor SET may vary with partition order once it
+    * evicts (only the guarantee is order-free); the exact pass-2 filter
+    * makes the final answer deterministic regardless. The DuckDB oracle
+    * recomputes from first principles with the same integer threshold.
     */
   def q82FrequentTerms(spark: SparkSession, dir: String): DataFrame = {
-    val mg = udaf(new graft.functions.Aggregators.MisraGries(64))
-    docs(spark, dir)
+    val theta = 200 // threshold 1/200 of all tokens; capacity = ceil(1/θ)
+    val mg = udaf(new graft.functions.Aggregators.MisraGries(theta))
+    val toks = docs(spark, dir)
       .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
-      .agg(mg(col("t")).as("top"))
-      .select(explode(col("top")).as("kv"))
-      .select(col("kv._1").as("term"), col("kv._2").as("cnt"))
+    val pass1 = toks.agg(mg(col("t")).as("cand"), count(lit(1)).as("n"))
+      .select(col("cand"), col("n")).head()
+    val n = pass1.getLong(1)
+    val cands = pass1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    toks.filter(col("t").isin(cands: _*))
+      .groupBy(col("t").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * theta > n)
       .orderBy(col("term"))
   }
 
@@ -734,11 +752,14 @@ object CurationQueries {
            FROM keyed)
          WHERE rk <= 60 ORDER BY rk""",
     "q82_frequent_terms" ->
-      """SELECT t AS term, count(*) AS cnt FROM (
+      """WITH tok AS (
            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> len(x) > 0)) AS t
-           FROM documents)
-         GROUP BY t ORDER BY term""",
+           FROM documents),
+         tot AS (SELECT count(*) AS n FROM tok)
+         SELECT t AS term, count(*) AS cnt
+         FROM tok, tot GROUP BY t, tot.n
+         HAVING count(*) * 200 > tot.n ORDER BY term""",
     "q85_contamination" ->
       """WITH ev AS (
            SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

@@ -594,6 +594,26 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q150 — cross-entropy MOTION video dedup (the r9 CABAC inter
+    * tier's query face): the corpus alternates CAVLC and CABAC encodes
+    * of IDR + two panning P_L0_16x16 pictures, cabac_init_idc cycling
+    * over all three P context columns, and every planted near-dup pair
+    * is cross-entropy — one side's motion lives in CAVLC se(v) mvds,
+    * the other's in CABAC UEG3 bins. Compressed-domain (byte /
+    * keyframe-hash) dedup collapses NONE of them; only decoding both
+    * entropy tiers through motion compensation to the frame-sequence
+    * pixels ([[graft.multimodal.Multimodal.videoDedupByFrameSeqHash]])
+    * finds them (H264PipelineSpec pins both halves of the asymmetry).
+    */
+  def q150AvcMotionEntropyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcme_200"))(
+      graft.multimodal.Multimodal.syntheticAvcMotionEntropyStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 3, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -897,6 +917,7 @@ object ExtendedQueries {
     "q145_retrieval_metrics" -> (q145RetrievalMetrics _),
     "q146_bpe_merges" -> (q146BpeMerges _),
     "q147_avc_entropy_dedup" -> (q147AvcEntropyDedup _),
+    "q150_avc_motion_entropy_dedup" -> (q150AvcMotionEntropyDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -933,7 +954,7 @@ object ExtendedQueries {
            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                     x -> len(x) > 0)) AS t
            FROM documents) GROUP BY t),
-       w0 AS (SELECT t, list_append(regexp_extract_all(t, '.'), '</w>') AS syms,
+       w0 AS (SELECT t, list_append(regexp_extract_all(t, '(?s).'), '</w>') AS syms,
                 cnt FROM wc),
        $rounds"""
   }
@@ -1134,6 +1155,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q146_bpe_merges" -> q146Sql,
     "q148_bpe_corpus_cost" -> q148Sql,
+    "q150_avc_motion_entropy_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q150_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",

@@ -32,6 +32,7 @@ object GenMediaFixtures {
     "avcpix_200" -> Multimodal.syntheticAvcPixelMp4s(spark, 200),
     "avcmot_200" -> Multimodal.syntheticAvcMotionStreams(spark, 200),
     "avcent_200" -> Multimodal.syntheticAvcEntropyMp4s(spark, 200),
+    "avcme_200" -> Multimodal.syntheticAvcMotionEntropyStreams(spark, 200),
   )
 
   def path(name: String): String = s"/root/repo/fixtures/media_$name.parquet"
@@ -45,7 +46,10 @@ object GenMediaFixtures {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    corpora(spark).foreach { case (name, gen) =>
+    // optional name filter: regenerate only the listed corpora
+    val pick = args.headOption.map(_.split(",").toSet)
+    corpora(spark).filter(c => pick.forall(_.contains(c._1)))
+      .foreach { case (name, gen) =>
       val p = path(name)
       gen.write.mode("overwrite").parquet(p)
       // round-trip audit: every (id, content) pair byte-identical

@@ -6,11 +6,13 @@ import java.nio.file.{Files, Paths}
   * — the input tools/duckdb_baseline.py needs for a same-window bench
   * pairing (running full graft.Verify just to refresh the SQL text costs
   * ~10 min of cluster time the pairing doesn't need).
-  * Usage: runMain graft.tools.OracleDump <outPath>
+  * Usage: runMain graft.tools.OracleDump <outPath> [sfDir]
+  * (sfDir selects scale-keyed fixture oracles — see SparkEntry.oracleSqlFor)
   */
 object OracleDump {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/oracle_sql.json")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -20,7 +22,7 @@ object OracleDump {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql
+    val json = graft.SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(out), json)
     println(s"wrote ${graft.SparkEntry.oracleSql.size} oracle entries to $out")

@@ -326,6 +326,109 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  // ---- P slices (r9 inter entropy tier) ----------------------------
+
+  private def cavlcPChain(mbMeans: Array[Array[Int]],
+      p: Array[Byte]): Array[Byte] = {
+    val (idr, _) = H264Encode.encodeI16x16Dc(mbMeans)
+    idr ++ H264Encode.annexB(Seq((1, 3, p)))
+  }
+  private def cabacPChain(mbMeans: Array[Array[Int]],
+      p: Array[Byte]): Array[Byte] = {
+    val (idr, _) = H264Encode.encodeCabacI16x16Dc(mbMeans)
+    idr ++ H264Encode.annexB(Seq((1, 3, p)))
+  }
+
+  test("mvd UEG3: round-trips across magnitudes, components and init idcs") {
+    val vals = Seq(0, 1, -1, 2, -3, 7, 8, -8, 9, -9, 10, 16, -17, 40,
+      -100, 511, -512, 3000)
+    for (idc <- 0 to 2; comp <- 0 to 1) {
+      val w = new H264.BitWriter
+      val e = new H264Cabac.Encoder(w,
+        new H264Cabac.Contexts(26, H264Cabac.ctxInitP(idc)))
+      vals.zipWithIndex.foreach { case (v, i) =>
+        H264Cabac.encodeMvd(e, comp, i % 3, v)
+      }
+      e.terminate(1)
+      val d = new H264Cabac.Decoder(new H264.BitReader(w.stop()),
+        new H264Cabac.Contexts(26, H264Cabac.ctxInitP(idc)))
+      vals.zipWithIndex.foreach { case (v, i) =>
+        assert(H264Cabac.decodeMvd(d, comp, i % 3) == v,
+          s"idc=$idc comp=$comp v=$v")
+      }
+      assert(d.terminate() == 1)
+    }
+  }
+
+  test("P mb_type binarization: inter shapes and intra remaps round-trip") {
+    for (idc <- 0 to 2) {
+      val types = Seq(0, 1, 2, 3, 5, 6, 17, 29)
+      val w = new H264.BitWriter
+      val e = new H264Cabac.Encoder(w,
+        new H264Cabac.Contexts(30, H264Cabac.ctxInitP(idc)))
+      types.foreach(t => H264Cabac.encodeMbTypeP(e, t))
+      e.terminate(1)
+      val d = new H264Cabac.Decoder(new H264.BitReader(w.stop()),
+        new H264Cabac.Contexts(30, H264Cabac.ctxInitP(idc)))
+      types.foreach(t => assert(H264Cabac.decodeMbTypeP(d) == t, s"idc=$idc t=$t"))
+    }
+  }
+
+  test("CABAC P_Skip frame reproduces the reference exactly, all init idcs") {
+    val means = Array(Array(30, 80, 130), Array(205, 155, 105))
+    for (idc <- 0 to 2) {
+      val chain = cabacPChain(means, H264Encode.encodeCabacPSkipFrame(3, 2,
+        initIdc = idc))
+      val fs = H264Decode.decodeAnnexBPictures(chain, maxFrames = 4)
+      assert(fs.size == 2, s"idc=$idc: got ${fs.size} pictures")
+      assert(fs(0).luma.toSeq == fs(1).luma.toSeq, s"idc=$idc luma")
+      assert(fs(0).cb.toSeq == fs(1).cb.toSeq, s"idc=$idc cb")
+    }
+  }
+
+  test("dual-entropy P differential: CAVLC and CABAC P_L0_16x16 motion decodes pixel-equal") {
+    val means = Array(Array(30, 80, 130), Array(205, 155, 105),
+      Array(16, 235, 64))
+    // mixed integer/half/quarter-pel vectors, including |mvd| > 9 (the
+    // EG3 escape) and a negative large component
+    val mvs = Array(
+      Array((0, 0), (4, -8), (7, 3)),
+      Array((-2, 5), (13, -1), (40, 22)),
+      Array((-45, -30), (1, 1), (6, -54)))
+    val cavlcFs = H264Decode.decodeAnnexBPictures(
+      cavlcPChain(means, H264Encode.encodeP16x16(mvs)), maxFrames = 4)
+    assert(cavlcFs.size == 2)
+    for (idc <- 0 to 2) {
+      val fs = H264Decode.decodeAnnexBPictures(
+        cabacPChain(means, H264Encode.encodeCabacP16x16(mvs, initIdc = idc)),
+        maxFrames = 4)
+      assert(fs.size == 2, s"idc=$idc")
+      assert(fs(1).luma.toSeq == cavlcFs(1).luma.toSeq, s"idc=$idc luma")
+      assert(fs(1).cb.toSeq == cavlcFs(1).cb.toSeq, s"idc=$idc cb")
+      assert(fs(1).cr.toSeq == cavlcFs(1).cr.toSeq, s"idc=$idc cr")
+    }
+  }
+
+  test("CABAC P corruption: bit flips and truncations reject or yield structurally valid pictures") {
+    val means = Array(Array(30, 200), Array(100, 60))
+    val mvs = Array(Array((4, -8), (13, 3)), Array((-2, 5), (0, 0)))
+    val chain = cabacPChain(means, H264Encode.encodeCabacP16x16(mvs, initIdc = 1))
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 200) {
+      val m = chain.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      H264Decode.decodeAnnexBPictures(m, maxFrames = 4).foreach { f =>
+        assert(f.width > 0 && f.height > 0)
+        assert(f.croppedLuma.length == f.width * f.height)
+      }
+    }
+    for (len <- 0 until chain.length by 7)
+      H264Decode.decodeAnnexBPictures(
+        java.util.Arrays.copyOf(chain, len), maxFrames = 4)
+        .foreach(f => assert(f.width > 0))
+  }
+
   test("CABAC stream corruption: decode returns None or a structurally valid frame, never throws") {
     val (stream, _) = H264Encode.encodeCabacI16x16Dc(
       Array(Array(30, 200), Array(100, 60)), qp = 26)

@@ -162,6 +162,46 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("cross-entropy MOTION dedup (q150 corpus): frame-seq pixel decode collapses CAVLC↔CABAC motion pairs byte hashing cannot") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcMotionEntropyStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    assert(dups.nonEmpty)
+    dups.foreach { id =>
+      // every planted pair is cross-entropy: parity alternates, so the
+      // motion is se(v)-coded on one side and UEG3-bin-coded on the other
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"pair $id decode")
+      // ALL THREE aligned frames near-identical (frames 2-3 exist only
+      // through motion compensation of the other entropy tier's mvds)
+      for (f <- 0 until 3) {
+        val ha = Multimodal.aHash64OfLuma(a(f).luma, a(f).lumaStride, 64, 64)
+        val hb = Multimodal.aHash64OfLuma(b(f).luma, b(f).lumaStride, 64, 64)
+        assert(java.lang.Long.bitCount(ha ^ hb) <= 3, s"pair $id frame $f")
+      }
+      if (id % 20 == 0) // zero-jitter same-qp pairs: pixel-IDENTICAL
+        for (f <- 0 until 3)
+          assert(a(f).croppedLuma.toSeq == b(f).croppedLuma.toSeq,
+            s"pair $id frame $f must be pixel-identical across entropy coders")
+    }
+    // the all-three-init-idc claim: odd ids cycle cabac_init_idc, and
+    // each idc column decodes (spot-check one video per idc)
+    for (idc <- 0 to 2) {
+      val id = (1 to 59 by 2).find(i => (i / 2) % 3 == idc).get.toLong
+      assert(H264Decode.decodeAnnexBPictures(byId(id), 3).size == 3,
+        s"cabac_init_idc $idc video $id")
+    }
+    // frame-seq pixel dedup collapses exactly the planted pairs
+    val survivors = Multimodal.videoDedupByFrameSeqHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "frame-seq pixel path collapses every cross-entropy motion dup")
+    media.unpersist()
+  }
+
   test("I_16x16 CAVLC frame feeds aHash with the encoded brightness pattern") {
     // checkerboard of bright/dark MBs → aHash bits follow the pattern
     val mbMeans = Array.tabulate(4, 4)((my, mx) => if ((mx + my) % 2 == 0) 60 else 200)

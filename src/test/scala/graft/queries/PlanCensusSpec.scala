@@ -116,7 +116,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // +2 tiny-frame shuffles (offsets prefix sum)
     "q80_pivot"                -> (3, 0, 0, true),
     "q81_fuzzy_match"          -> (1, 0, 0, true),
-    "q82_frequent_terms"       -> (1, 0, 0, true),
+    "q82_frequent_terms"       -> (2, 0, 0, true), // r9 two-phase heavy
+                                                   // hitters: the O(k) MG
+                                                   // candidate pass runs as a
+                                                   // plan-build job; the exact
+                                                   // pass = filtered agg + sort
     "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
     "q84_avc_keydedup"         -> (4, 1, 0, true), // keyframe sigs: narrow rows only
     "q85_contamination"        -> (3, 3, 0, true), // bloom prefilter + broadcast matches
@@ -228,6 +232,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // scan + frame decode fan-out,
                                                    // aHash sig agg + near-dup
                                                    // candidate equi-join + anti
+    "q150_avc_motion_entropy_dedup" -> (4, 1, 0, true), // r9 CABAC inter
+                                                   // face: q144's shape — fixture
+                                                   // scan + decode fan-out, 3-long
+                                                   // frame-seq sigs, chunk equi-
+                                                   // join pairs + anti-join
     "q148_bpe_corpus_cost"     -> (3, 1, 0, true), // r8: (source,word) agg +
                                                    // broadcast join to the
                                                    // trained-vocab frame (merge

@@ -1,18 +1,40 @@
 #!/bin/bash
-# Regenerate the q29/q30 expected-survivor fixtures from a fresh Verify run
-# at sf0.01. Run AFTER sbt test is green (DedupSpec pins the semantics these
-# fixtures snapshot).
+# Regenerate golden fixtures from a fresh Verify run. Run AFTER sbt test is
+# green (DedupSpec etc. pin the semantics these fixtures snapshot).
+#
+#   ./tools/regen_fixtures.sh                      # sf0.01: every fixture query
+#   ./tools/regen_fixtures.sh /root/repo/bench10x  # scale-keyed: only the
+#       corpus-dependent fixtures (q29-q32), emitted as
+#       fixtures/<q>_bench10x.parquet and selected at verify time by
+#       SparkEntry.oracleSqlFor. The media fixtures (q36, q56-q58, q66,
+#       q84, q133, q144, q147) read fixed committed input corpora, not the
+#       sfDir tables, so their sf001 snapshot is valid at every scale.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 target/verify_out"
-for q in q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
-         q31_lsh:q31_lsh_topk q32_annotate:q32_annotate q36_media:q36_media_features \
-         q56_image:q56_image_dedup q57_audio:q57_audio_dedup \
-         q58_video:q58_video_dedup q66_video:q66_mp4avi_dedup \
-         q84_video:q84_avc_keydedup q133_video:q133_avc_pixel_dedup \
-         q144_video:q144_avc_motion_dedup q147_video:q147_avc_entropy_dedup; do
-  fix="fixtures/${q%%:*}_sf001.parquet"; src="target/verify_out/${q##*:}"
+
+DIR="${1:-/root/testdata/sf0.01}"
+TAG="$(basename "$DIR" | tr -cd '[:alnum:]')"
+
+if [ "$TAG" = "sf001" ]; then
+  QS="q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
+      q31_lsh:q31_lsh_topk q32_annotate:q32_annotate q36_media:q36_media_features \
+      q56_image:q56_image_dedup q57_audio:q57_audio_dedup \
+      q58_video:q58_video_dedup q66_video:q66_mp4avi_dedup \
+      q84_video:q84_avc_keydedup q133_video:q133_avc_pixel_dedup \
+      q144_video:q144_avc_motion_dedup q147_video:q147_avc_entropy_dedup \
+      q150_video:q150_avc_motion_entropy_dedup"
+else
+  QS="q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
+      q31_lsh:q31_lsh_topk q32_annotate:q32_annotate"
+fi
+
+NAMES=$(for q in $QS; do echo -n "${q##*:},"; done | sed 's/,$//')
+OUT="target/fixture_regen_$TAG"
+sbt -batch "runMain graft.tools.VerifyOne $NAMES $DIR $OUT"
+
+for q in $QS; do
+  fix="fixtures/${q%%:*}_$TAG.parquet"; src="$OUT/${q##*:}"
   rm -rf "$fix" && mkdir -p "$fix"
   cp "$src"/*.parquet "$fix/part-0.parquet"
 done
-echo "fixtures regenerated; re-run: python3 tools/check_oracle.py target/verify_out /root/testdata/sf0.01"
+echo "fixtures regenerated for $TAG; re-run: python3 tools/check_oracle.py <verify_out> $DIR"
