@@ -214,7 +214,15 @@ object Analytics {
       df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double): DataFrame = {
     val g = col(groupCol); val x = col(valueCol).cast("double")
+    // r9 scan-sharing: the med -> MAD -> outlier chain re-reads the
+    // input five times (bounds, 2x percentile passes x2 scans, final
+    // census); persisting the 2-column projection pays one columnar
+    // scan + one in-memory materialization instead — the (key, double)
+    // frame is the smallest possible footprint, and at cluster scale
+    // this is the difference between five passes over a 100 TB table
+    // and one (the Dedup.scala persist-and-reuse discipline)
     val base = df.select(g, x.as("_mo_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r8: fixed-width bounds (sketch-free pass 1a) at the 256-bucket
     // default — more buckets shrink the kept-bucket sort slices and the
     // boundary-count cost is one deeper binary-search step (measured
@@ -222,8 +230,12 @@ object Analytics {
     val boundsX = Relational.uniformBounds(base, groupCol, "_mo_x")
     val med = Relational.percentileContExact(
       base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
+    // the med-joined frame feeds the MAD percentile pass (2 reads) and
+    // the final census — cache it too; its lineage already reads the
+    // cached `base`, so the add-on cost is the broadcast-join project
     val withMed = base.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r8 shared-bucketization lever: the MAD pass's boundaries are
     // DERIVED from the x boundaries (sorted |b − med| is a valid split
     // set for |x − med|; splits steer bucket balance, never exactness) —

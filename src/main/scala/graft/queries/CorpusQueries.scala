@@ -161,7 +161,12 @@ object CorpusQueries {
     * make the sums order-sensitive in plain double).
     */
   def q114Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    // r9 scan-sharing (q127's lever): the percentile passes + the final
+    // clipped aggregation read orders three times — persist the
+    // 2-column projection once instead (one parquet scan at any scale)
     val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r7: bucketed exact percentiles (q92 discipline) — the built-in
     // percentile_cont would buffer a third of orders per status group
     val b = graft.operators.Relational.percentileContExact(

@@ -47,6 +47,16 @@ object Q11Profile {
         .agg(count(lit(1)).as("_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_supp"))),
+      "q11_reagg_fused" -> (() => li
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("_s"),
+          min(col("l_extendedprice")).as("_mn"),
+          max(col("l_extendedprice")).as("_mx"),
+          count(lit(1)).as("_n"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_s")).cast(DoubleType).as("sum_qty"),
+          min(col("_mn")).as("min_p"), max(col("_mx")).as("max_p"),
+          sum(col("_n")).as("n"), count(lit(1)).as("n_supp"))),
       "q11_as_shipped" -> (() =>
         graft.queries.InventoryQueries.q11AggSuite(spark, sfDir))
     )

@@ -185,7 +185,11 @@ class PlanCensusSpec extends SparkSpec {
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
                                                    // the |groups|×50 frame + sort
-    "q127_mad_outliers"        -> (11, 7, 0, true), // r8: med + MAD bucketed exact
+    "q127_mad_outliers"        -> (11, 5, 0, true), // r9: persisted 2-col
+                                                   // projection shared across the
+                                                   // med/MAD/census passes (one
+                                                   // source scan); r8: med + MAD
+                                                   // bucketed exact
                                                    // passes SHARING one pass-1a sketch
                                                    // (boundaries derived, exchange
                                                    // reused) + census agg
