@@ -152,11 +152,11 @@ object AnalyticsQueries {
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val jit = e.filter(col("vec_id") % 5 === 0).select(
-      (col("vec_id") + 100000).as("vec_id"),
+      (col("vec_id") + 100000000L).as("vec_id"),
       transform(col("v"),
         (x, i) => x * (lit(1.0) + lit(0.002) * (i % 7 - 3))).as("v"))
     val dec = e.filter(col("vec_id") % 7 === 3).select(
-      (col("vec_id") + 200000).as("vec_id"), reverse(col("v")).as("v"))
+      (col("vec_id") + 200000000L).as("vec_id"), reverse(col("v")).as("v"))
     val corpus = e.unionByName(jit).unionByName(dec)
     // r8: the R7ScaleBench plane-sizing rule ENCODED, not just
     // documented — signature bits must grow with log2(N) or the 2^planes
@@ -407,11 +407,11 @@ object AnalyticsQueries {
       """WITH base AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          jit AS (
-           SELECT vec_id + 100000 AS vec_id,
+           SELECT vec_id + 100000000 AS vec_id,
                   [v[i+1] * (1 + 0.002*((i % 7) - 3)) FOR i IN range(0, len(v))] AS v
            FROM base WHERE vec_id % 5 = 0),
          dec AS (
-           SELECT vec_id + 200000 AS vec_id, list_reverse(v) AS v
+           SELECT vec_id + 200000000 AS vec_id, list_reverse(v) AS v
            FROM base WHERE vec_id % 7 = 3),
          corpus AS (
            SELECT * FROM base UNION ALL SELECT * FROM jit UNION ALL SELECT * FROM dec)

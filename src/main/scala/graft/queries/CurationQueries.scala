@@ -103,16 +103,25 @@ object CurationQueries {
     * Spark side: Dedup.embeddingNearDupPairsExact (the declared exact
     * baseline; DedupSpec pins the banded-LSH scale path ≡ this exact
     * pair set on the same planted corpus).
+    *
+    * Plant-id offsets are 1e8/2e8 (not 1e5/2e5): id identity is
+    * load-bearing in the survivor anti-join, so plant ids must not
+    * collide with base ids at ANY materialized scale — the r9 100×
+    * rung caught exactly that collision (500 k doc / 200 k vec ids vs
+    * a 1e5 offset), where both engines silently computed different
+    * well-defined queries. Assumption, asserted nowhere cheaper: base
+    * id space < 1e8 rows per table, ~40 TB of documents at this row
+    * size — revisit the constant before materializing beyond that.
     */
   def q72CosineDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val jit = e.filter(col("vec_id") % 5 === 0).select(
-      (col("vec_id") + 100000).as("vec_id"),
+      (col("vec_id") + 100000000L).as("vec_id"),
       transform(col("v"),
         (x, i) => x * (lit(1.0) + lit(0.002) * (i % 7 - 3))).as("v"))
     val dec = e.filter(col("vec_id") % 7 === 3).select(
-      (col("vec_id") + 200000).as("vec_id"), reverse(col("v")).as("v"))
+      (col("vec_id") + 200000000L).as("vec_id"), reverse(col("v")).as("v"))
     val corpus = e.unionByName(jit).unionByName(dec)
     val losers = graft.operators.Dedup
       .embeddingNearDupPairsExact(corpus, "vec_id", "v", threshold = 0.95)
@@ -323,7 +332,7 @@ object CurationQueries {
 
   /** q86 — incremental exact dedup against a corpus snapshot
     * ([[graft.operators.Dedup.incrementalExactDedup]]): incoming = every
-    * 3rd doc PLUS re-idded copies (doc_id + 100000) of every 5th-mod-1
+    * 3rd doc PLUS re-idded copies (doc_id + 100000000) of every 5th-mod-1
     * doc, existing = the rest. The corpus has no natural exact text
     * duplicates, so the copies are planted IN BOTH ENGINES to make both
     * rejection modes load-bearing: a copy whose original sits in the
@@ -337,7 +346,7 @@ object CurationQueries {
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     val incoming = d.filter(col("doc_id") % 3 === 0)
       .unionByName(d.filter(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
     graft.operators.Dedup.incrementalExactDedup(
       existing = d.filter(col("doc_id") % 3 =!= 0),
       incoming = incoming,
@@ -621,11 +630,11 @@ object CurationQueries {
       """WITH base AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          jit AS (
-           SELECT vec_id + 100000 AS vec_id,
+           SELECT vec_id + 100000000 AS vec_id,
                   [v[i+1] * (1 + 0.002*((i % 7) - 3)) FOR i IN range(0, len(v))] AS v
            FROM base WHERE vec_id % 5 = 0),
          dec AS (
-           SELECT vec_id + 200000 AS vec_id, list_reverse(v) AS v
+           SELECT vec_id + 200000000 AS vec_id, list_reverse(v) AS v
            FROM base WHERE vec_id % 7 = 3),
          corpus AS (
            SELECT * FROM base UNION ALL SELECT * FROM jit UNION ALL SELECT * FROM dec)
@@ -795,7 +804,7 @@ object CurationQueries {
       """WITH inc AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
            UNION ALL
-           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 1),
+           SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 5 = 1),
          ex AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
          fresh AS (SELECT doc_id, text FROM inc
                    WHERE text NOT IN (SELECT text FROM ex))

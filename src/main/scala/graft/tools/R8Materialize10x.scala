@@ -28,12 +28,17 @@ import org.apache.spark.sql.functions._
   *
   * region/nation are genuine dimensions and are copied verbatim.
   *
-  * Usage: sbt "runMain graft.tools.R8Materialize10x [repl] [outDir]"
+  * Usage: sbt "runMain graft.tools.R8Materialize10x [repl] [outDir] [tables]"
+  * `tables` (comma list) restricts materialization — the r9 100×
+  * documents/embeddings rung (`100 /root/repo/bench100x
+  * documents,embeddings`) doesn't need 60 M lineitem rows on disk.
   */
 object R8Materialize10x {
   def main(args: Array[String]): Unit = {
     val repl = args.headOption.map(_.toInt).getOrElse(10)
     val out = args.lift(1).getOrElse("/root/repo/bench10x")
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val dir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -43,7 +48,7 @@ object R8Materialize10x {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def replicate(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+    def replicate(table: String)(f: (DataFrame, Int) => DataFrame): Unit = if (wanted(table)) {
       val src = spark.read.parquet(s"$dir/$table.parquet")
       val rep = (0 until repl).map(i => f(src, i)).reduce(_.unionByName(_))
       // 16 part files: parallel scans on BOTH engines (DuckDB reads the
@@ -52,7 +57,7 @@ object R8Materialize10x {
       println(s"[10x] $table: ${spark.read.parquet(s"$out/$table.parquet").count()} rows")
     }
 
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[10x] $t: copied verbatim")
@@ -91,7 +96,7 @@ object R8Materialize10x {
     // events needs the nanos-flag loader; written back as µs TIMESTAMP
     // (Tables.withEventTime adapts to either on read). Even strides:
     // user_id % 2 (q143's variant) keeps its per-copy split.
-    locally {
+    if (wanted("events")) {
       val src = graft.core.Tables.loadEvents(spark, dir)
         .withColumn("ts", col("event_time")).drop("event_time")
       val rep = (0 until repl).map(i => src
