@@ -173,12 +173,13 @@ object H264Cabac {
     m.result()
   }
 
-  /** P-slice context initialization — the r9 inter entropy tier. The
-    * structure is normative: P slices initialize from one of THREE
+  /** P/B-slice context initialization — the r9 inter entropy tier. The
+    * structure is normative: P AND B slices initialize from one of THREE
     * columns selected by the slice header's `cabac_init_idc` (§9.3.1.1,
-    * Tables 9-14..9-23), and the P-specific syntax elements
-    * (mb_skip_flag 11..13, P mb_type 14..20, mvd_l0 40..53, ref_idx_l0
-    * 54..59) have their own context blocks. VALUE provenance, per the
+    * Tables 9-14..9-23; the two slice types share the columns), and the
+    * inter-specific syntax elements (P mb_skip_flag 11..13, P mb_type
+    * 14..20, B mb_skip_flag 24..26, B mb_type 27..35, B sub_mb_type
+    * 36..39, mvd 40..53, ref_idx 54..59) have their own context blocks. VALUE provenance, per the
     * fidelity note above: the P-specific blocks carry three distinct
     * best-effort columns; every context shared with I slices (cbp,
     * mb_qp_delta, intra pred modes, the whole residual tier) reuses the
@@ -195,6 +196,14 @@ object H264Cabac {
         11 -> (23, 33), 12 -> (23, 2), 13 -> (21, 0),
         14 -> (0, 49), 15 -> (-37, 118), 16 -> (5, 57), 17 -> (-13, 78),
         18 -> (-11, 65), 19 -> (1, 62), 20 -> (12, 49),
+        // B-slice blocks (r9): mb_skip_flag 24..26, mb_type 27..35,
+        // sub_mb_type 36..39 — same best-effort provenance as the P
+        // blocks above (see the scaladoc fidelity note)
+        24 -> (23, 33), 25 -> (23, 2), 26 -> (21, 0),
+        27 -> (1, 9), 28 -> (0, 49), 29 -> (-37, 118),
+        30 -> (5, 57), 31 -> (-13, 78), 32 -> (-11, 65),
+        33 -> (1, 62), 34 -> (12, 49), 35 -> (-4, 73),
+        36 -> (17, 50), 37 -> (18, 64), 38 -> (9, 43), 39 -> (29, 0),
         40 -> (-8, 102), 41 -> (-15, 100), 42 -> (0, 95), 43 -> (-4, 75),
         44 -> (2, 72), 45 -> (-11, 75), 46 -> (-3, 71),
         47 -> (15, 46), 48 -> (-13, 69), 49 -> (0, 62), 50 -> (0, 65),
@@ -205,6 +214,11 @@ object H264Cabac {
         11 -> (22, 25), 12 -> (34, 0), 13 -> (16, 0),
         14 -> (26, 34), 15 -> (19, 22), 16 -> (40, 0), 17 -> (57, 2),
         18 -> (41, 36), 19 -> (26, 69), 20 -> (-45, 127),
+        24 -> (22, 25), 25 -> (34, 0), 26 -> (16, 0),
+        27 -> (-2, 9), 28 -> (26, 34), 29 -> (19, 22),
+        30 -> (40, 0), 31 -> (57, 2), 32 -> (41, 36),
+        33 -> (26, 69), 34 -> (-45, 127), 35 -> (-15, 101),
+        36 -> (-4, 76), 37 -> (-6, 71), 38 -> (-13, 79), 39 -> (5, 52),
         40 -> (-2, 69), 41 -> (-5, 82), 42 -> (-10, 96), 43 -> (2, 59),
         44 -> (2, 75), 45 -> (-3, 87), 46 -> (-3, 100),
         47 -> (1, 56), 48 -> (-3, 74), 49 -> (-6, 85), 50 -> (0, 59),
@@ -215,6 +229,11 @@ object H264Cabac {
         11 -> (29, 16), 12 -> (25, 0), 13 -> (14, 0),
         14 -> (20, 40), 15 -> (20, 10), 16 -> (29, 0), 17 -> (54, 0),
         18 -> (37, 42), 19 -> (12, 97), 20 -> (-32, 127),
+        24 -> (29, 16), 25 -> (25, 0), 26 -> (14, 0),
+        27 -> (-10, 51), 28 -> (20, 40), 29 -> (20, 10),
+        30 -> (29, 0), 31 -> (54, 0), 32 -> (37, 42),
+        33 -> (12, 97), 34 -> (-32, 127), 35 -> (-22, 117),
+        36 -> (-2, 74), 37 -> (-4, 85), 38 -> (-24, 102), 39 -> (5, 21),
         40 -> (-11, 89), 41 -> (-15, 103), 42 -> (-21, 116), 43 -> (19, 57),
         44 -> (20, 58), 45 -> (4, 84), 46 -> (6, 96),
         47 -> (1, 63), 48 -> (-5, 85), 49 -> (-13, 106), 50 -> (5, 63),
@@ -548,34 +567,95 @@ object H264Cabac {
     }
   }
 
-  /** The intra mb_type binarization as a P-slice SUFFIX: the
-    * [[decodeMbTypeI]] structure over fixed contexts 17..20 (cbp bins
-    * 18/19, pred-mode bins 20) — neighbor conds apply only to the
-    * standalone I-slice form.
+  /** The intra mb_type binarization as an inter-slice SUFFIX: the
+    * [[decodeMbTypeI]] structure over fixed contexts base..base+3
+    * (base 17 for P slices, 32 for B slices — §9.3.3.1.2's suffix
+    * rows; cbp bins base+1/base+2, pred-mode bins base+3) — neighbor
+    * conds apply only to the standalone I-slice form.
     */
-  private def decodeMbTypeISuffix(d: Decoder): Int = {
-    if (d.decision(17) == 0) return 0 // I_NxN
+  private def decodeMbTypeISuffix(d: Decoder, base: Int = 17): Int = {
+    if (d.decision(base) == 0) return 0 // I_NxN
     if (d.terminate() == 1) return 25 // I_PCM
-    val cbpL = d.decision(18)
+    val cbpL = d.decision(base + 1)
     val cbpC =
-      if (d.decision(19) == 0) 0
-      else if (d.decision(19) == 0) 1 else 2
-    val pm = (d.decision(20) << 1) | d.decision(20)
+      if (d.decision(base + 2) == 0) 0
+      else if (d.decision(base + 2) == 0) 1 else 2
+    val pm = (d.decision(base + 3) << 1) | d.decision(base + 3)
     1 + pm + cbpC * 4 + cbpL * 12
   }
 
-  private def encodeMbTypeISuffix(e: Encoder, mbType: Int): Unit = {
+  private def encodeMbTypeISuffix(e: Encoder, mbType: Int, base: Int = 17): Unit = {
     require(mbType >= 0 && mbType < 25, s"I mb_type $mbType out of emission scope")
-    if (mbType == 0) { e.decision(17, 0); return }
-    e.decision(17, 1)
+    if (mbType == 0) { e.decision(base, 0); return }
+    e.decision(base, 1)
     e.terminate(0)
     val m = mbType - 1
     val pm = m % 4; val cbpC = (m / 4) % 3; val cbpL = if (m >= 12) 1 else 0
-    e.decision(18, cbpL)
-    if (cbpC == 0) e.decision(19, 0)
-    else { e.decision(19, 1); e.decision(19, if (cbpC == 2) 1 else 0) }
-    e.decision(20, (pm >> 1) & 1)
-    e.decision(20, pm & 1)
+    e.decision(base + 1, cbpL)
+    if (cbpC == 0) e.decision(base + 2, 0)
+    else { e.decision(base + 2, 1); e.decision(base + 2, if (cbpC == 2) 1 else 0) }
+    e.decision(base + 3, (pm >> 1) & 1)
+    e.decision(base + 3, pm & 1)
+  }
+
+  // --------------------------------------------- B-slice syntax (r9)
+
+  /** mb_skip_flag (B slices, ctxIdxOffset 24): same §9.3.3.1.1.1
+    * neighbor derivation as the P form, on the B context block.
+    */
+  def decodeMbSkipB(d: Decoder, inc: Int): Int = d.decision(24 + inc)
+  def encodeMbSkipB(e: Encoder, inc: Int, skip: Int): Unit =
+    e.decision(24 + inc, skip)
+
+  /** mb_type, B slice (ctxIdxOffset 27, Table 9-37 binarization).
+    * bin0 (ctx 27 + inc, inc = neighbors-not-Direct/Skip per
+    * §9.3.3.1.1.3) 0 → B_Direct_16x16 (0). Else bin1 (ctx 30):
+    * 0 → '10x' selects B_L0_16x16 (1) / B_L1_16x16 (2) via a ctx-32
+    * bin. Else a 4-bit field (first bin ctx 31, rest ctx 32):
+    * value < 8 → mb_type value+3 (3..10); 13 → the intra suffix on
+    * base 32... no — see below: the suffix contexts are the LAST
+    * FOUR of the block (32..35); 14 → 11; 15 → B_8x8 (22); else one
+    * more ctx-32 bin extends to mb_type 2·value+bin−4 (12..21).
+    * Intra types return 23 + iMbType (the CAVLC remap).
+    *
+    * Context mapping within the 27..35 block: bin0 uses 27+inc
+    * (0..2), bin1 uses 30, bin2-of-'10x'/field bins use 32, the
+    * field's FIRST bin uses 31 — and the intra SUFFIX re-uses
+    * 32..35 as its fixed 4-context base (§9.3.3.1.2 suffix rows).
+    */
+  def decodeMbTypeB(d: Decoder, inc: Int): Int = {
+    if (d.decision(27 + inc) == 0) return 0 // B_Direct_16x16
+    if (d.decision(30) == 0) return 1 + d.decision(32)
+    var bits = d.decision(31) << 3
+    bits |= d.decision(32) << 2
+    bits |= d.decision(32) << 1
+    bits |= d.decision(32)
+    if (bits < 8) return bits + 3
+    if (bits == 13) return 23 + decodeMbTypeISuffix(d, base = 32)
+    if (bits == 14) return 11
+    if (bits == 15) return 22 // B_8x8
+    (bits << 1 | d.decision(32)) - 4
+  }
+
+  def encodeMbTypeB(e: Encoder, inc: Int, mbType: Int): Unit = {
+    if (mbType == 0) { e.decision(27 + inc, 0); return }
+    e.decision(27 + inc, 1)
+    if (mbType <= 2) {
+      e.decision(30, 0); e.decision(32, mbType - 1); return
+    }
+    e.decision(30, 1)
+    def field4(v: Int): Unit = {
+      e.decision(31, (v >> 3) & 1); e.decision(32, (v >> 2) & 1)
+      e.decision(32, (v >> 1) & 1); e.decision(32, v & 1)
+    }
+    if (mbType <= 10) field4(mbType - 3)
+    else if (mbType == 11) field4(14)
+    else if (mbType == 22) field4(15)
+    else if (mbType >= 23) { field4(13); encodeMbTypeISuffix(e, mbType - 23, base = 32) }
+    else { // 12..21: 4-bit field 8..12 + one extension bin
+      val v = mbType + 4
+      field4(v >> 1); e.decision(32, v & 1)
+    }
   }
 
   /** mvd_l0 component (§9.3.2.3 UEG3, signedValFlag 1, uCoff 9):
@@ -717,13 +797,14 @@ object H264Cabac {
 
     // ---- P-slice bookkeeping (r9 inter tier)
 
-    /** mb_skip_flag per MB, and |mvd_l0| per component per 4x4 block
-      * (zero for skip/intra MBs, the §9.3.3.1.1.7 convention — the
-      * arrays' default).
+    /** mb_skip_flag per MB, and |mvd_lX| per list per component per
+      * 4x4 block (zero for skip/intra MBs, the §9.3.3.1.1.7
+      * convention — the arrays' default). List 1 exists for B slices;
+      * P slices only ever touch list 0.
       */
     val skipped = new Array[Boolean](mbW * mbH)
-    val absMvdX = new Array[Int](mbW * 4 * mbH * 4)
-    val absMvdY = new Array[Int](mbW * 4 * mbH * 4)
+    private val absMvdX = Array.ofDim[Int](2, mbW * 4 * mbH * 4)
+    private val absMvdY = Array.ofDim[Int](2, mbW * 4 * mbH * 4)
 
     /** Inter MB (non-skip): counts as decoded, not-I_NxN, not-I16. */
     def markInter(mbAddr: Int): Unit = {
@@ -739,13 +820,14 @@ object H264Cabac {
         (if (avail(mbX, mbY - 1) && !skipped((mbY - 1) * mbW + mbX)) 1 else 0)
 
     /** mvd ctxIdxInc (§9.3.3.1.1.7) for the partition whose top-left
-      * 4x4 block is (bx4, by4): |mvd| sum of the left + top neighbor
-      * blocks (0 when unavailable / intra / skip), thresholded 3 / 32.
-      * In-MB earlier partitions count as available — callers mark the
-      * current MB via [[markInter]] BEFORE decoding its mvds.
+      * 4x4 block is (bx4, by4): |mvd| sum (for the SAME reference
+      * list) of the left + top neighbor blocks (0 when unavailable /
+      * intra / skip / other-list), thresholded 3 / 32. In-MB earlier
+      * partitions count as available — callers mark the current MB via
+      * [[markInter]] BEFORE decoding its mvds.
       */
-    def mvdInc(comp: Int, bx4: Int, by4: Int): Int = {
-      val arr = if (comp == 0) absMvdX else absMvdY
+    def mvdInc(list: Int, comp: Int, bx4: Int, by4: Int): Int = {
+      val arr = if (comp == 0) absMvdX(list) else absMvdY(list)
       def a(x4: Int, y4: Int): Int =
         if (x4 < 0 || y4 < 0 || x4 >= mbW * 4 || y4 >= mbH * 4 ||
           !decoded((y4 / 4) * mbW + x4 / 4)) 0
@@ -755,19 +837,29 @@ object H264Cabac {
     }
 
     /** Record a decoded partition's |mvd| over its 4x4 blocks. */
-    def setMvd(bx4: Int, by4: Int, pw4: Int, ph4: Int,
+    def setMvd(list: Int, bx4: Int, by4: Int, pw4: Int, ph4: Int,
         mvdX: Int, mvdY: Int): Unit = {
       val ax = math.abs(mvdX); val ay = math.abs(mvdY)
+      val arrX = absMvdX(list); val arrY = absMvdY(list)
       var y = by4
       while (y < by4 + ph4) {
         var x = bx4
         while (x < bx4 + pw4) {
-          absMvdX(y * mbW * 4 + x) = ax; absMvdY(y * mbW * 4 + x) = ay
+          arrX(y * mbW * 4 + x) = ax; arrY(y * mbW * 4 + x) = ay
           x += 1
         }
         y += 1
       }
     }
+
+    /** B mb_type bin0 ctxIdxInc (§9.3.3.1.1.3): neighbor MB exists and
+      * is not B_Skip / B_Direct_16x16. Direct MBs are out of this
+      * decoder's scope (they reject the frame), so `skipped` alone
+      * carries the condition; intra neighbors count 1, as normative.
+      */
+    def bTypeCond(mbX: Int, mbY: Int): Int =
+      (if (avail(mbX - 1, mbY) && !skipped(mbY * mbW + mbX - 1)) 1 else 0) +
+        (if (avail(mbX, mbY - 1) && !skipped((mbY - 1) * mbW + mbX)) 1 else 0)
   }
 
   // ------------------------------------------------- residual blocks

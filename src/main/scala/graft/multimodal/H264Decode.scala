@@ -183,11 +183,18 @@ object H264Decode {
     // I_16x16/I_PCM blocks predict as DC (2) per §8.3.1.1)
     val i4Modes = Array.fill(mbW * 4 * mbH * 4)(-1)
     val mbDecoded = new Array[Boolean](mbW * mbH)
-    // inter (P-slice) state: the per-4x4-block L0 motion grid (§8.4.1.3
-    // prediction context) and the single reference picture (previous
-    // decoded frame) this decoder supports
+    // inter state: per-4x4-block motion grids (§8.4.1.3 prediction
+    // context, one per reference list) and the reference pictures —
+    // one L0 picture for P slices; B slices (r9) add the L1 picture.
+    // Availability/ref-matching is per list: an MB that predicts only
+    // from L1 leaves refIdx −1 in the L0 grid and vice versa.
     val mv = new H264Inter.MvGrid(mbW, mbH)
+    val mvL1 = new H264Inter.MvGrid(mbW, mbH)
     var ref: Frame = null
+    var ref1: Frame = null
+    // pic_order_cnt_lsb of this picture (pocType 0; 0 otherwise) —
+    // display-order key for the B-capable picture sequencing
+    var pocLsb: Int = 0
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
       mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
@@ -559,7 +566,8 @@ object H264Decode {
     img
   }
 
-  private def decodeSlice(st: State, payload: Array[Byte], isIdr: Boolean): Unit = {
+  private def decodeSlice(st: State, payload: Array[Byte], isIdr: Boolean,
+      refIdc: Int = 1): Unit = {
     val rb = H264.rbsp(payload)
     val r = new H264.BitReader(rb)
     // last 1 bit = rbsp_stop_one_bit; more_rbsp_data while bits remain before it
@@ -575,13 +583,18 @@ object H264Decode {
 
     // ---- slice_header (§7.3.3): IDR I-slice subset, plus the P-slice
     // subset (single L0 reference, no list modification, no MMCO) when
-    // the State carries a reference picture
+    // the State carries a reference picture, plus the B-slice subset
+    // (r9: one reference per list, no direct/skip MBs, no weighted
+    // prediction) when it carries both
     val firstMb = r.ue()
     val sliceType = r.ue()
     val isP = sliceType == 0 || sliceType == 5
-    require(sliceType == 2 || sliceType == 7 || isP,
+    val isB = sliceType == 1 || sliceType == 6
+    require(sliceType == 2 || sliceType == 7 || isP || isB,
       s"slice type $sliceType out of scope")
     require(!isP || st.ref != null, "P slice without a reference picture")
+    require(!isB || (st.ref != null && st.ref1 != null),
+      "B slice without two reference pictures")
     r.ue() // pps_id (single active PPS assumed)
     r.u(st.sps.log2MaxFrameNum) // frame_num
     // idr_pic_id presence is keyed on the NAL type (IdrPicFlag, §7.3.3),
@@ -591,24 +604,30 @@ object H264Decode {
     // pocType 1's delta_pic_order_cnt needs SPS flags we don't retain
     require(st.sps.pocType == 0 || st.sps.pocType == 2,
       s"poc type ${st.sps.pocType} out of scope")
-    if (st.sps.pocType == 0) r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (st.sps.pocType == 0)
+      st.pocLsb = r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
     if (st.pps.redundantPresent) r.ue()
+    if (isB) r.flag() // direct_spatial_mv_pred_flag (direct MBs rejected below)
     var cabacInitIdc = 0
-    if (isP) {
-      if (r.flag()) // num_ref_idx_active_override_flag
+    if (isP || isB) {
+      if (r.flag()) { // num_ref_idx_active_override_flag
         require(r.ue() == 0, "multiple L0 reference frames out of scope")
-      require(!r.flag(), "ref_pic_list_modification out of scope")
-      // dec_ref_pic_marking (non-IDR, nal_ref_idc > 0 assumed for P):
-      require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
+        if (isB) require(r.ue() == 0, "multiple L1 reference frames out of scope")
+      }
+      require(!r.flag(), "ref_pic_list_modification (L0) out of scope")
+      if (isB) require(!r.flag(), "ref_pic_list_modification (L1) out of scope")
+      // dec_ref_pic_marking: present only for reference pictures
+      // (nal_ref_idc > 0) — our B pictures are non-reference
+      if (refIdc > 0)
+        require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
       if (!st.pps.cavlc) {
         cabacInitIdc = r.ue() // cabac_init_idc (§7.3.3: CABAC, non-I)
         require(cabacInitIdc <= 2, s"bad cabac_init_idc $cabacInitIdc")
       }
     } else if (isIdr) {
       r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
-    } else {
+    } else if (refIdc > 0) {
       // non-IDR I slice: dec_ref_pic_marking takes the non-IDR form
-      // (nal_ref_idc > 0 assumed, as for P)
       require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
     }
     var qp = st.pps.picInitQp + r.se()
@@ -618,11 +637,13 @@ object H264Decode {
     }
 
     if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra + r9 inter)
-      decodeSliceDataCabac(st, r, firstMb, qp, isP, cabacInitIdc)
+      decodeSliceDataCabac(st, r, firstMb, qp, isP, isB, cabacInitIdc)
       return
     }
 
-    // ---- macroblock loop; P slices interleave mb_skip_run (§7.3.4)
+    // ---- macroblock loop; P slices interleave mb_skip_run (§7.3.4).
+    // B slices carry the same skip-run syntax, but a B skip means
+    // B_Skip (direct-mode motion) — out of this decoder's scope.
     var mbAddr = firstMb
     var first = true
     var done = false
@@ -639,6 +660,8 @@ object H264Decode {
           skip -= 1
         }
         if (!moreData) done = true
+      } else if (isB) {
+        require(r.ue() == 0, "B_Skip (direct mode) out of scope")
       }
       if (!done) {
         require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
@@ -648,9 +671,14 @@ object H264Decode {
         // the post-hoc marking as a coeff_token table desync)
         st.mbDecoded(mbAddr) = true
         st.mv.markMb(mbAddr)
+        st.mvL1.markMb(mbAddr)
         val mbType = r.ue()
         qp =
-          if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
+          if (isB) {
+            if (mbType >= 23) decodeMacroblock(st, r, mbAddr, qp, mbType - 23)
+            else decodeBMacroblock(st, r, mbAddr, qp, mbType)
+          }
+          else if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
           else if (mbType >= 5) decodeMacroblock(st, r, mbAddr, qp, mbType - 5)
           else decodeInterMacroblock(st, r, mbAddr, qp, mbType)
         mbAddr += 1
@@ -882,10 +910,12 @@ object H264Decode {
     * cabac_init_idc-selected P column.
     */
   private def decodeSliceDataCabac(st: State, r: H264.BitReader,
-      firstMb: Int, sliceQp: Int, isP: Boolean, initIdc: Int): Unit = {
+      firstMb: Int, sliceQp: Int, isP: Boolean, isB: Boolean,
+      initIdc: Int): Unit = {
     while (r.remaining % 8 != 0)
       require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
-    val init = if (isP) H264Cabac.ctxInitP(initIdc) else H264Cabac.ctxInitI
+    val init =
+      if (isP || isB) H264Cabac.ctxInitP(initIdc) else H264Cabac.ctxInitI
     val d = new H264Cabac.Decoder(r, new H264Cabac.Contexts(sliceQp, init))
     val cc = new H264Cabac.IntraCtxTrack(st.mbW, st.mbH)
     var qp = sliceQp
@@ -905,6 +935,17 @@ object H264Decode {
           if (mbType >= 5) decodeMacroblockCabac(st, d, cc, mbAddr, qp,
             preType = mbType - 5)
           else decodeInterMacroblockCabac(st, d, cc, mbAddr, qp, mbType)
+      } else if (isB) {
+        require(H264Cabac.decodeMbSkipB(d, cc.skipCond(mbX, mbY)) == 0,
+          "B_Skip (direct mode) out of scope")
+        st.mv.markMb(mbAddr)
+        st.mvL1.markMb(mbAddr)
+        val mbType = H264Cabac.decodeMbTypeB(d, cc.bTypeCond(mbX, mbY))
+        qp =
+          if (mbType >= 23) decodeMacroblockCabac(st, d, cc, mbAddr, qp,
+            preType = mbType - 23)
+          else { cc.markInter(mbAddr)
+            decodeBMacroblockCabac(st, d, cc, mbAddr, qp, mbType) }
       } else qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
       // truncated streams must REJECT, not fabricate: if readBit ran
       // past the end, this MB was (partly) decoded from synthetic zero
@@ -1223,8 +1264,14 @@ object H264Decode {
     * the current planes; (px, py)/(bw, bh) in LUMA samples.
     */
   private def motionCompensate(st: State, px: Int, py: Int,
+      bw: Int, bh: Int, mx: Int, my: Int): Unit =
+    motionCompensateFrom(st, st.ref, px, py, bw, bh, mx, my)
+
+  /** [[motionCompensate]] from an explicit reference picture — the B
+    * tier predicts from either list's picture.
+    */
+  private def motionCompensateFrom(st: State, f: Frame, px: Int, py: Int,
       bw: Int, bh: Int, mx: Int, my: Int): Unit = {
-    val f = st.ref
     H264Inter.mcLuma(f.luma, f.lumaStride, f.mbH * 16,
       st.luma, st.lumaStride, px, py, bw, bh, mx, my)
     H264Inter.mcChroma(f.cb, f.mbW * 8, f.mbH * 8,
@@ -1260,6 +1307,18 @@ object H264Decode {
       st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
       motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
     }
+    decodeInterResidualCavlc(st, r, mbX, mbY, qp)
+  }
+
+  /** CAVLC inter-MB residual tail (cbp → mb_qp_delta → luma 4x4 adds →
+    * chroma), shared by the P and B macroblock paths; returns the
+    * updated QPy.
+    */
+  private def decodeInterResidualCavlc(st: State, r: H264.BitReader,
+      mbX: Int, mbY: Int, qpIn: Int): Int = {
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    var qp = qpIn
     val cbp = {
       val cn = r.ue()
       require(cn < 48, s"bad inter cbp codeNum $cn")
@@ -1283,6 +1342,122 @@ object H264Decode {
     }
     decodeChromaInter(st, r, mbX, mbY, cbpChroma, qp)
     qp
+  }
+
+  /** B-slice partition layout from Table 7-14 (r9 B tier): mb_type
+    * 1..3 are the single-partition 16x16 types (Pred_L0 / Pred_L1 /
+    * BiPred); 4..21 are the two-partition 16x8 / 8x16 types whose
+    * per-partition directions cycle (L0,L0) (L1,L1) (L0,L1) (L1,L0)
+    * (L0,Bi) (L1,Bi) (Bi,L0) (Bi,L1) (Bi,Bi); 0 (B_Direct_16x16) and
+    * 22 (B_8x8, sub-partitioned) are out of this decoder's scope and
+    * reject the frame. Returns (offX4, offY4, w4, h4, mvp kind, dir)
+    * with dir 0 = L0, 1 = L1, 2 = Bi.
+    */
+  private def bPartitions(mbType: Int): Seq[(Int, Int, Int, Int, Int, Int)] = {
+    require(mbType >= 1 && mbType <= 21,
+      s"B mb_type $mbType (direct / B_8x8) out of scope")
+    if (mbType <= 3) return Seq((0, 0, 4, 4, 0, mbType - 1))
+    val dirPairs = Seq((0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2),
+      (2, 0), (2, 1), (2, 2))
+    val (d0, d1) = dirPairs((mbType - 4) / 2)
+    if ((mbType - 4) % 2 == 0) // 16x8
+      Seq((0, 0, 4, 2, 1, d0), (0, 2, 4, 2, 2, d1))
+    else // 8x16
+      Seq((0, 0, 2, 4, 3, d0), (2, 0, 2, 4, 4, d1))
+  }
+
+  /** Decode one B-slice inter macroblock (CAVLC): mvd_l0 for every
+    * partition predicting from L0 (in partition order), then mvd_l1
+    * likewise (§7.3.5.1's list-major element order); per-list §8.4.1.3
+    * median prediction against that list's motion grid; BiPred
+    * partitions average the two MC blocks (§8.4.2.3.2, no weighted
+    * prediction). Residual tail shared with the P path.
+    */
+  private def decodeBMacroblock(st: State, r: H264.BitReader,
+      mbAddr: Int, qpIn: Int, mbType: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val parts = bPartitions(mbType)
+    val mv0 = new Array[(Int, Int)](parts.length)
+    val mv1 = new Array[(Int, Int)](parts.length)
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
+      if (dir != 1) {
+        val mvdX = r.se(); val mvdY = r.se()
+        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        mv0(i) = (p0x + mvdX, p0y + mvdY)
+        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
+      }
+    }
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
+      if (dir != 0) {
+        val mvdX = r.se(); val mvdY = r.se()
+        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        mv1(i) = (p1x + mvdX, p1y + mvdY)
+        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
+      }
+    }
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
+      compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
+        dir, mv0(i), mv1(i))
+    }
+    decodeInterResidualCavlc(st, r, mbX, mbY, qpIn)
+  }
+
+  /** MC one B partition: single-list prediction straight into the
+    * planes; BiPred predicts each list into a scratch block and writes
+    * the rounded average (§8.4.2.3.2 default, no weighted prediction).
+    */
+  private def compensateB(st: State, px: Int, py: Int, bw: Int, bh: Int,
+      dir: Int, m0: (Int, Int), m1: (Int, Int)): Unit = dir match {
+    case 0 => motionCompensateFrom(st, st.ref, px, py, bw, bh, m0._1, m0._2)
+    case 1 => motionCompensateFrom(st, st.ref1, px, py, bw, bh, m1._1, m1._2)
+    case _ =>
+      // scratch-plane MC at origin: shifting the mv by 4·pos (luma) /
+      // 8·pos (chroma) moves the SOURCE block while the destination
+      // stays at (0,0) — the sub-pel phase (&3 / &7) is unchanged
+      // because the position offsets are whole-pel multiples
+      def lumaBlock(f: Frame, mx: Int, my: Int): Array[Byte] = {
+        val t = new Array[Byte](bw * bh)
+        H264Inter.mcLuma(f.luma, f.lumaStride, f.mbH * 16, t, bw,
+          0, 0, bw, bh, mx + 4 * px, my + 4 * py)
+        t
+      }
+      def chromaBlock(src: Array[Byte], f: Frame, mx: Int, my: Int): Array[Byte] = {
+        val t = new Array[Byte]((bw / 2) * (bh / 2))
+        H264Inter.mcChroma(src, f.mbW * 8, f.mbH * 8, t, bw / 2,
+          0, 0, bw / 2, bh / 2, mx + 8 * (px / 2), my + 8 * (py / 2))
+        t
+      }
+      val l0 = lumaBlock(st.ref, m0._1, m0._2)
+      val l1 = lumaBlock(st.ref1, m1._1, m1._2)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          st.luma((py + y) * st.lumaStride + px + x) =
+            (((l0(y * bw + x) & 0xff) + (l1(y * bw + x) & 0xff) + 1) >> 1).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Seq((st.cb, (f: Frame) => f.cb), (st.cr, (f: Frame) => f.cr)).foreach {
+        case (plane, sel) =>
+          val c0 = chromaBlock(sel(st.ref), st.ref, m0._1, m0._2)
+          val c1 = chromaBlock(sel(st.ref1), st.ref1, m1._1, m1._2)
+          val cw = bw / 2; val ch = bh / 2
+          val cpx = px / 2; val cpy = py / 2
+          var cy = 0
+          while (cy < ch) {
+            var cx = 0
+            while (cx < cw) {
+              plane((cpy + cy) * st.chromaStride + cpx + cx) =
+                (((c0(cy * cw + cx) & 0xff) + (c1(cy * cw + cx) & 0xff) + 1) >> 1).toByte
+              cx += 1
+            }
+            cy += 1
+          }
+      }
   }
 
   /** Dequantize + inverse-transform one 4x4 luma residual (scan order)
@@ -1333,14 +1508,27 @@ object H264Decode {
       case _ => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
     }
     parts.foreach { case (ox, oy, pw, ph, kind) =>
-      val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, bx4 + ox, by4 + oy))
-      val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, bx4 + ox, by4 + oy))
-      cc.setMvd(bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
+      val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, bx4 + ox, by4 + oy))
+      val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, bx4 + ox, by4 + oy))
+      cc.setMvd(0, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
       val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
       val mx = px0 + mvdX; val my = py0 + mvdY
       st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
       motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
     }
+    decodeInterResidualCabac(st, d, cc, mbAddr, qp)
+  }
+
+  /** CABAC inter-MB residual tail (cbp → mb_qp_delta → luma 4x4 adds →
+    * chroma), shared by the P and B macroblock paths; returns the
+    * updated QPy.
+    */
+  private def decodeInterResidualCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    var qp = qpIn
     val cbp = H264Cabac.decodeCbp(d, cc.cbpOf(mbX - 1, mbY),
       cc.cbpOf(mbX, mbY - 1))
     cc.cbp(mbAddr) = cbp
@@ -1365,6 +1553,48 @@ object H264Decode {
     }
     decodeChromaInterCabac(st, d, cc, mbX, mbY, cbpChroma, qp)
     qp
+  }
+
+  /** CABAC twin of [[decodeBMacroblock]]: per-list mvds through the
+    * shared UEG3 contexts with list-keyed §9.3.3.1.1.7 increments,
+    * per-list §8.4.1.3 prediction, BiPred averaging, residual tail
+    * shared with the P path. Caller has already read mb_type (and
+    * dispatched intra remaps elsewhere) and marked the MB in `cc`.
+    */
+  private def decodeBMacroblockCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int,
+      mbType: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val parts = bPartitions(mbType)
+    val mv0 = new Array[(Int, Int)](parts.length)
+    val mv1 = new Array[(Int, Int)](parts.length)
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
+      if (dir != 1) {
+        val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, bx4 + ox, by4 + oy))
+        val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, bx4 + ox, by4 + oy))
+        cc.setMvd(0, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
+        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        mv0(i) = (p0x + mvdX, p0y + mvdY)
+        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
+      }
+    }
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
+      if (dir != 0) {
+        val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(1, 0, bx4 + ox, by4 + oy))
+        val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, 1, bx4 + ox, by4 + oy))
+        cc.setMvd(1, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
+        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        mv1(i) = (p1x + mvdX, p1y + mvdY)
+        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
+      }
+    }
+    parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
+      compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
+        dir, mv0(i), mv1(i))
+    }
+    decodeInterResidualCabac(st, d, cc, mbAddr, qpIn)
   }
 
   /** Chroma residual for an INTER MB under CABAC: the
@@ -1506,23 +1736,33 @@ object H264Decode {
   }
 
   /** Decode an Annex-B stream's picture SEQUENCE — the IDR intra frame
-    * plus following P pictures (single L0 reference = previous decoded
-    * picture), up to `maxFrames`. A slice with first_mb_in_slice 0
-    * starts a new picture; out-of-scope or malformed content ends the
-    * sequence gracefully with the pictures completed so far (corpus
-    * posture: undecodable tail = data, not an error).
+    * plus following P pictures (single L0 reference) and B pictures
+    * (r9: one reference per list, chosen by POC from the two most
+    * recent reference pictures — §8.2.4.2.3's closest-below /
+    * closest-above display-order rule at DPB size 2), up to
+    * `maxFrames`. A slice with first_mb_in_slice 0 starts a new
+    * picture; out-of-scope or malformed content ends the sequence
+    * gracefully with the pictures completed so far (corpus posture:
+    * undecodable tail = data, not an error). Frames return in DISPLAY
+    * order (stable sort on pic_order_cnt_lsb — a no-op for the
+    * all-poc-0 P-only streams of the r9 encoder's predecessors).
     */
   def decodeAnnexBPictures(annexB: Array[Byte], maxFrames: Int = 8): Seq[Frame] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Frame)]
     var sps: Option[H264.SpsInfo] = None
     var pps: Option[PpsInfo] = None
     var st: State = null
-    var prev: Frame = null
+    var stRefIdc = 0
+    // the two most recent reference pictures with their POCs
+    var refA: (Int, Frame) = null // older
+    var refB: (Int, Frame) = null // newer (decode order)
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
         val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
           st.luma, st.cb, st.cr)
-        out += f; prev = f; st = null
+        out += ((st.pocLsb, f))
+        if (stRefIdc > 0) { refA = refB; refB = (st.pocLsb, f) }
+        st = null
       }
     try {
       val nals = H264.nalUnitsAnnexB(annexB).iterator
@@ -1536,28 +1776,46 @@ object H264Decode {
               case (Some(s), Some(p)) if s.frameMbsOnly &&
                   s.chromaFormatIdc == 1 && s.width > 0 && s.height > 0 &&
                   s.width <= 8192 && s.height <= 8192 =>
-                val firstMb = new H264.BitReader(H264.rbsp(nal.payload)).ue()
+                val hr = new H264.BitReader(H264.rbsp(nal.payload))
+                val firstMb = hr.ue()
+                val sliceType = hr.ue()
                 if (firstMb == 0) {
                   finish()
                   if (out.size < maxFrames) {
                     st = new State(s, p)
+                    stRefIdc = nal.refIdc
                     if (nal.nalType == 1) {
-                      if (prev == null) return out.toSeq // P before any IDR
-                      st.ref = prev
+                      if (refB == null) return result(out) // inter before any IDR
+                      if (sliceType == 1 || sliceType == 6) { // B
+                        // peek the B picture's POC to order the lists
+                        hr.ue() // pps_id
+                        hr.u(s.log2MaxFrameNum) // frame_num
+                        if (s.pocType != 0) return result(out)
+                        val poc = hr.u(s.log2MaxPocLsb)
+                        if (refA == null ||
+                            !(refA._1 < poc && poc < refB._1)) return result(out)
+                        st.ref = refA._2; st.ref1 = refB._2
+                      } else st.ref = refB._2
                     }
                   }
                 }
-                if (st != null) decodeSlice(st, nal.payload, isIdr = nal.nalType == 5)
-              case _ => return out.toSeq
+                if (st != null)
+                  decodeSlice(st, nal.payload, isIdr = nal.nalType == 5,
+                    refIdc = nal.refIdc)
+              case _ => return result(out)
             }
           case _ => // SEI / AUD / filler
         }
       }
       finish()
     } catch {
-      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
-          _: java.util.NoSuchElementException => // keep completed pictures
+      case e @ (_: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+          _: java.util.NoSuchElementException) =>
+        if (sys.env.contains("H264_DEBUG")) e.printStackTrace() // keep completed pictures
     }
-    out.toSeq
+    result(out)
   }
+
+  private def result(out: scala.collection.mutable.ArrayBuffer[(Int, Frame)]): Seq[Frame] =
+    out.sortBy(_._1).map(_._2).toSeq
 }

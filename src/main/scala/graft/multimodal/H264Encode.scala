@@ -54,18 +54,145 @@ object H264Encode {
     * non-I slice) — pass -1 for CAVLC streams.
     */
   private def pSliceHeader(w: H264.BitWriter, qp: Int,
-      cabacInitIdc: Int = -1): Unit = {
+      cabacInitIdc: Int = -1, poc: Int = 0): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
     w.u(1, 4) // frame_num = 1 (log2_max_frame_num = 4 per writeSps)
-    w.u(0, 4) // pic_order_cnt_lsb
+    w.u(poc & 15, 4) // pic_order_cnt_lsb
     w.flag(false) // num_ref_idx_active_override_flag (1 L0 ref)
     w.flag(false) // ref_pic_list_modification_flag_l0
     w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
+  }
+
+  /** B slice header (r9 B tier): non-reference picture (callers wrap
+    * the payload with nal_ref_idc 0, so dec_ref_pic_marking is absent),
+    * one reference per list, spatial direct flag set (the decoder
+    * rejects direct MBs either way), display position `poc`
+    * (pic_order_cnt_lsb, pocType 0) strictly between the two reference
+    * pictures'.
+    */
+  private[multimodal] def bSliceHeader(w: H264.BitWriter, qp: Int, poc: Int,
+      cabacInitIdc: Int = -1): Unit = {
+    w.ue(0) // first_mb_in_slice
+    w.ue(6) // slice_type: B (all slices in picture)
+    w.ue(0) // pps_id
+    w.u(2, 4) // frame_num (decoder ignores; gaps allowed are N/A here)
+    w.u(poc & 15, 4) // pic_order_cnt_lsb
+    w.flag(true) // direct_spatial_mv_pred_flag
+    w.flag(false) // num_ref_idx_active_override_flag (1 ref per list)
+    w.flag(false) // ref_pic_list_modification_flag_l0
+    w.flag(false) // ref_pic_list_modification_flag_l1
+    if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
+    w.se(qp - 26) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc = 1
+  }
+
+  /** B-slice payload (non-IDR, NAL type 1, nal_ref_idc = 0), CAVLC:
+    * every macroblock a 16x16 single-partition B type with ZERO
+    * residual — `mbs(mbY)(mbX)` = (dir, mvL0, mvL1) with dir 0 =
+    * B_L0_16x16, 1 = B_L1_16x16, 2 = B_Bi_16x16 (the unused list's mv
+    * is ignored). mvds derive from the decoder's own per-list
+    * [[H264Inter.MvGrid]] §8.4.1.3 predictors, so the two sides cannot
+    * drift; mvd_l0s for the picture's L0 users precede mvd_l1s per MB
+    * (§7.3.5.1 list-major order — trivially satisfied at one
+    * partition).
+    */
+  def encodeB16x16(mbs: Array[Array[(Int, (Int, Int), (Int, Int))]],
+      qp: Int = 26, poc: Int = 2): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val (dir, m0, m1) = mbs(mbY)(mbX)
+        require(dir >= 0 && dir <= 2, s"bad B dir $dir")
+        grid0.markMb(mbY * mbW + mbX); grid1.markMb(mbY * mbW + mbX)
+        w.ue(0) // mb_skip_run
+        w.ue(1 + dir) // mb_type: B_L0/L1/Bi_16x16
+        if (dir != 1) {
+          val (p0x, p0y) = grid0.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+          w.se(m0._1 - p0x); w.se(m0._2 - p0y) // mvd_l0
+          grid0.set(mbX * 4, mbY * 4, 4, 4, m0._1, m0._2, 0)
+        }
+        if (dir != 0) {
+          val (p1x, p1y) = grid1.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+          w.se(m1._1 - p1x); w.se(m1._2 - p1y) // mvd_l1
+          grid1.set(mbX * 4, mbY * 4, 4, 4, m1._1, m1._2, 0)
+        }
+        w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC twin of [[encodeB16x16]]: mb_skip_flag 0 through the B
+    * context block, the Table 9-37 B mb_type binarization, per-list
+    * UEG3 mvds with list-keyed context increments (shared
+    * [[H264Cabac.IntraCtxTrack]] bookkeeping), cbp 0, a terminate per
+    * MB. `initIdc` selects the cabac_init_idc column — B and P share
+    * the three columns (§9.3.1.1).
+    */
+  def encodeCabacB16x16(mbs: Array[Array[(Int, (Int, Int), (Int, Int))]],
+      qp: Int = 26, poc: Int = 2, initIdc: Int = 0): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        val (dir, m0, m1) = mbs(mbY)(mbX)
+        require(dir >= 0 && dir <= 2, s"bad B dir $dir")
+        grid0.markMb(mbAddr); grid1.markMb(mbAddr)
+        H264Cabac.encodeMbSkipB(e, cc.skipCond(mbX, mbY), 0)
+        H264Cabac.encodeMbTypeB(e, cc.bTypeCond(mbX, mbY), 1 + dir)
+        cc.markInter(mbAddr)
+        if (dir != 1) {
+          val (p0x, p0y) = grid0.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+          val mvdX = m0._1 - p0x; val mvdY = m0._2 - p0y
+          H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, mbX * 4, mbY * 4), mvdX)
+          H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, mbX * 4, mbY * 4), mvdY)
+          cc.setMvd(0, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+          grid0.set(mbX * 4, mbY * 4, 4, 4, m0._1, m0._2, 0)
+        }
+        if (dir != 0) {
+          val (p1x, p1y) = grid1.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+          val mvdX = m1._1 - p1x; val mvdY = m1._2 - p1y
+          H264Cabac.encodeMvd(e, 0, cc.mvdInc(1, 0, mbX * 4, mbY * 4), mvdX)
+          H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, 1, mbX * 4, mbY * 4), mvdY)
+          cc.setMvd(1, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+          grid1.set(mbX * 4, mbY * 4, 4, 4, m1._1, m1._2, 0)
+        }
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        cc.prevQpDeltaNZ = false // mb_qp_delta absent when cbp == 0
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0) // end_of_slice
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
   }
 
   /** P-slice payload (non-IDR, NAL type 1, nal_ref_idc > 0): every
@@ -75,11 +202,12 @@ object H264Encode {
     * [[H264Inter.MvGrid]] §8.4.1.3 predictor the decoder runs, so the
     * two sides cannot drift. `mvs(mbY)(mbX)` = (mvx, mvy) quarter-pel.
     */
-  def encodeP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26): Array[Byte] = {
+  def encodeP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
+      poc: Int = 0): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp)
+    pSliceHeader(w, qp, poc = poc)
     val grid = new H264Inter.MvGrid(mbW, mbH)
     var mbY = 0
     while (mbY < mbH) {
@@ -120,12 +248,12 @@ object H264Encode {
     * three by H264CabacSpec.
     */
   def encodeCabacP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
-      initIdc: Int = 0): Array[Byte] = {
+      initIdc: Int = 0, poc: Int = 0): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, cabacInitIdc = initIdc)
+    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc)
     w.alignOne() // cabac_alignment_one_bit (§7.3.4)
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -143,9 +271,9 @@ object H264Encode {
         val (mx, my) = mvs(mbY)(mbX)
         val (p0x, p0y) = grid.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
         val mvdX = mx - p0x; val mvdY = my - p0y
-        H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, mbX * 4, mbY * 4), mvdX)
-        H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, mbX * 4, mbY * 4), mvdY)
-        cc.setMvd(mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+        H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, mbX * 4, mbY * 4), mvdX)
+        H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, mbX * 4, mbY * 4), mvdY)
+        cc.setMvd(0, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
         grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
         H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
           cc.cbpOf(mbX, mbY - 1), 0)

@@ -790,6 +790,65 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams with a BI-PREDICTIVE GOP —
+    * IDR(poc 0, display first) + P(poc 4, reference) + B(poc 2,
+    * NON-reference, between them in display order) — the r9 B tier's
+    * corpus face. Each B macroblock cycles direction L0 / L1 / BiPred
+    * (seed-keyed), so the middle display frame exists only through
+    * list-resolved, possibly-averaged motion compensation against BOTH
+    * neighbors; decode order (I, P, B) differs from display order
+    * (I, B, P), exercising the POC-based reordering. Coding parity
+    * alternates CAVLC / CABAC (cabac_init_idc cycling all three
+    * columns), and every `dupEvery`-th video re-encodes its
+    * predecessor's content/motion (±2 jitter, different qp; ids ≡ 0
+    * mod 2·dupEvery exactly — pixel-IDENTICAL), making every planted
+    * pair CROSS-ENTROPY: byte / keyframe-hash dedup collapses none;
+    * only frame-SEQUENCE pixel decode through the B machinery can.
+    */
+  def syntheticAvcBidirStreams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup && !exact) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      val panRnd = new scala.util.Random(seed * 37 + 11)
+      val mv = (panRnd.nextInt(17) - 8, panRnd.nextInt(17) - 8)
+      val pMvs = Array.fill(4, 4)((mv._1 * 2, mv._2 * 2))
+      // the B picture sits halfway along the pan: L0 (past) partitions
+      // carry +mv, L1 (future) partitions −mv, BiPred averages both
+      val bMbs: Array[Array[(Int, (Int, Int), (Int, Int))]] =
+        Array.tabulate(4, 4) { (my, mx) =>
+          val dir = ((mx + 2 * my + seed) % 3).toInt
+          (dir, mv, (-mv._1, -mv._2))
+        }
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(pMvs, qp, idc, poc = 4)),
+              (1, 0, H264Encode.encodeCabacB16x16(bMbs, qp, poc = 2,
+                initIdc = idc))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(pMvs, qp, poc = 4)),
+              (1, 0, H264Encode.encodeB16x16(bMbs, qp, poc = 2))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   /** 8×8 average hash straight from a decoded luma plane (no PNG round
     * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
     */

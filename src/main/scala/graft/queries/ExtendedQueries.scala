@@ -614,6 +614,26 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q151 — bi-predictive GOP video dedup (the r9 B-slice tier's query
+    * face): each stream's MIDDLE display frame is a non-reference B
+    * picture reconstructed from both temporal neighbors (per-MB L0 /
+    * L1 / BiPred cycling), decode order ≠ display order, entropy
+    * parity alternating — so the frame-sequence signature is wrong
+    * unless list resolution, bi-prediction averaging AND POC
+    * reordering are all right, in BOTH entropy tiers. Every planted
+    * near-dup pair is cross-entropy; byte/keyframe hashing collapses
+    * none of them ([[graft.multimodal.Multimodal
+    * .syntheticAvcBidirStreams]]; H264PipelineSpec pins the asymmetry).
+    */
+  def q151AvcBidirDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcb_200"))(
+      graft.multimodal.Multimodal.syntheticAvcBidirStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 3, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -918,6 +938,7 @@ object ExtendedQueries {
     "q146_bpe_merges" -> (q146BpeMerges _),
     "q147_avc_entropy_dedup" -> (q147AvcEntropyDedup _),
     "q150_avc_motion_entropy_dedup" -> (q150AvcMotionEntropyDedup _),
+    "q151_avc_bidir_dedup" -> (q151AvcBidirDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1157,6 +1178,9 @@ object ExtendedQueries {
     "q148_bpe_corpus_cost" -> q148Sql,
     "q150_avc_motion_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q150_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q151_avc_bidir_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q151_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

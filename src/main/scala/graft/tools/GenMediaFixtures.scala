@@ -33,6 +33,7 @@ object GenMediaFixtures {
     "avcmot_200" -> Multimodal.syntheticAvcMotionStreams(spark, 200),
     "avcent_200" -> Multimodal.syntheticAvcEntropyMp4s(spark, 200),
     "avcme_200" -> Multimodal.syntheticAvcMotionEntropyStreams(spark, 200),
+    "avcb_200" -> Multimodal.syntheticAvcBidirStreams(spark, 200),
   )
 
   def path(name: String): String = s"/root/repo/fixtures/media_$name.parquet"

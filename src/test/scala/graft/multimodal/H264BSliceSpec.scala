@@ -1,0 +1,195 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B-slice (bi-predictive inter) decode pins — the r9 B tier. Strategy
+  * mirrors H264InterSpec's provenance posture (no reference decoder in
+  * this container): the IDR and P pictures are decoded first as ground
+  * truth, then B pictures predicting from them with zero residual and
+  * whole-pel motion must reproduce exact, independently-computed pixel
+  * expectations — L0-only == the past reference, L1-only == the future
+  * reference, BiPred == their rounded average (§8.4.2.3.2) — plus the
+  * CAVLC ≡ CABAC dual-entropy differential across all three
+  * cabac_init_idc columns, display-order output, hand-written
+  * two-partition B types, and graceful rejection of direct/skip.
+  */
+class H264BSliceSpec extends AnyFunSuite {
+
+  private val mbW = 4; private val mbH = 3
+  private val W = mbW * 16; private val H = mbH * 16
+
+  private def gradient(): Array[Array[Int]] =
+    Array.tabulate(mbH, mbW)((r, c) => 30 + 29 * r + 17 * c)
+
+  /** IDR(poc 0) + P(poc 4, uniform whole-pel motion) as Annex-B. The
+    * CABAC variant uses the CABAC IDR — entropy_coding_mode is a PPS
+    * property, so the whole stream is one entropy tier.
+    */
+  private def ipStream(pMv: (Int, Int), cabac: Boolean = false,
+      idc: Int = 0): Array[Byte] = {
+    val (idr, _) =
+      if (cabac) H264Encode.encodeCabacI16x16Dc(gradient())
+      else H264Encode.encodeI16x16Dc(gradient())
+    val mvs = Array.fill(mbH, mbW)(pMv)
+    val p =
+      if (cabac) H264Encode.encodeCabacP16x16(mvs, initIdc = idc, poc = 4)
+      else H264Encode.encodeP16x16(mvs, poc = 4)
+    idr ++ H264Encode.annexB(Seq((1, 3, p)))
+  }
+
+  /** The mixed-direction B picture used throughout: per-MB direction
+    * cycles L0 / L1 / Bi with varied nonzero mvds (hitting the UEG3
+    * prefix range and the per-list §9.3.3.1.1.7 increments).
+    */
+  private def mixedB(): Array[Array[(Int, (Int, Int), (Int, Int))]] =
+    Array.tabulate(mbH, mbW) { (r, c) =>
+      val dir = (r * mbW + c) % 3
+      val m0 = (4 * ((c % 3) - 1), 4 * ((r % 2)))
+      val m1 = (4 * ((r % 3) - 1), 4 * (((r + c) % 2) - 0))
+      (dir, m0, m1)
+    }
+
+  /** Edge-clamped whole-pel fetch. */
+  private def at(p: Array[Byte], stride: Int, h: Int, x: Int, y: Int): Int = {
+    val cx = math.max(0, math.min(stride - 1, x))
+    val cy = math.max(0, math.min(h - 1, y))
+    p(cy * stride + cx) & 0xff
+  }
+
+  test("CAVLC B: L0 == past ref, L1 == future ref, Bi == rounded average (whole-pel motion)") {
+    val b = H264Encode.encodeB16x16(mixedB())
+    val stream = ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b)))
+    val frames = H264Decode.decodeAnnexBPictures(stream)
+    assert(frames.size === 3, "I, B, P expected")
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    // display order: B (poc 2) sits between I (0) and P (4)
+    val mbs = mixedB()
+    for (mbY <- 0 until mbH; mbX <- 0 until mbW) {
+      val (dir, m0, m1) = mbs(mbY)(mbX)
+      for (dy <- 0 until 16; dx <- 0 until 16) {
+        val x = mbX * 16 + dx; val y = mbY * 16 + dy
+        val e0 = at(i.luma, W, H, x + m0._1 / 4, y + m0._2 / 4)
+        val e1 = at(p.luma, W, H, x + m1._1 / 4, y + m1._2 / 4)
+        val expect = dir match {
+          case 0 => e0
+          case 1 => e1
+          case _ => (e0 + e1 + 1) >> 1
+        }
+        assert((bf.luma(y * W + x) & 0xff) === expect,
+          s"mb($mbX,$mbY) dir $dir at ($x,$y)")
+      }
+    }
+  }
+
+  test("dual-entropy differential: CABAC B pixels == CAVLC B pixels, all three init idc") {
+    val cavlcB = H264Encode.encodeB16x16(mixedB())
+    val base = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, cavlcB))))
+    assert(base.size === 3)
+    for (idc <- 0 to 2) {
+      val cabacB = H264Encode.encodeCabacB16x16(mixedB(), initIdc = idc)
+      val fr = H264Decode.decodeAnnexBPictures(
+        ipStream((8, 4), cabac = true, idc = idc) ++
+          H264Encode.annexB(Seq((1, 0, cabacB))))
+      assert(fr.size === 3, s"idc $idc")
+      for (k <- 0 until 3) {
+        assert(java.util.Arrays.equals(fr(k).luma, base(k).luma), s"idc $idc luma $k")
+        assert(java.util.Arrays.equals(fr(k).cb, base(k).cb), s"idc $idc cb $k")
+        assert(java.util.Arrays.equals(fr(k).cr, base(k).cr), s"idc $idc cr $k")
+      }
+    }
+  }
+
+  test("display-order output: decode order I,P,B returns I,B,P; B is not used as a reference") {
+    val b = H264Encode.encodeB16x16(mixedB())
+    val ip = ipStream((8, 4))
+    val ipFrames = H264Decode.decodeAnnexBPictures(ip)
+    val ipb = H264Decode.decodeAnnexBPictures(ip ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(ipFrames.size === 2 && ipb.size === 3)
+    // first and last display frames are exactly the I and P of the
+    // B-free stream: the non-reference B perturbed neither
+    assert(java.util.Arrays.equals(ipb(0).luma, ipFrames(0).luma))
+    assert(java.util.Arrays.equals(ipb(2).luma, ipFrames(1).luma))
+    assert(!java.util.Arrays.equals(ipb(1).luma, ipFrames(0).luma))
+  }
+
+  test("two-partition B types (hand-written 16x8 L0/L1 and 8x16 Bi/L0) reconstruct per-partition") {
+    // B_L0_L1_16x8 (mb_type 8): top half from the past ref, bottom from
+    // the future; B_Bi_L0_8x16 (mb_type 17): left Bi, right L0 — one MB
+    // each, remaining MBs B_L0_16x16 mv 0. All zero-mvd, zero residual.
+    val w = new H264.BitWriter
+    H264Encode.bSliceHeader(w, 26, 2)
+    for (addr <- 0 until mbW * mbH) {
+      w.ue(0) // mb_skip_run
+      if (addr == 0) {
+        w.ue(8) // B_L0_L1_16x8
+        w.se(0); w.se(0) // mvd_l0 (top partition)
+        w.se(0); w.se(0) // mvd_l1 (bottom partition)
+      } else if (addr == 1) {
+        w.ue(17) // B_Bi_L0_8x16
+        w.se(0); w.se(0) // mvd_l0 left (Bi)
+        w.se(0); w.se(0) // mvd_l0 right (L0)
+        w.se(0); w.se(0) // mvd_l1 left (Bi)
+      } else {
+        w.ue(1) // B_L0_16x16
+        w.se(0); w.se(0)
+      }
+      w.ue(H264Inter.cbpInterToCodeNum(0))
+    }
+    val b = H264.ebsp(w.stop())
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((4, 0)) ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    def lum(f: H264Decode.Frame, x: Int, y: Int): Int = f.luma(y * W + x) & 0xff
+    for (y <- 0 until 16; x <- 0 until 16) {
+      // MB 0: top 16x8 L0 == I, bottom 16x8 L1 == P
+      val exp0 = if (y < 8) lum(i, x, y) else lum(p, x, y)
+      assert(lum(bf, x, y) === exp0, s"mb0 ($x,$y)")
+      // MB 1: left 8x16 Bi == avg, right 8x16 L0 == I
+      val exp1 =
+        if (x < 8) (lum(i, 16 + x, y) + lum(p, 16 + x, y) + 1) >> 1
+        else lum(i, 16 + x, y)
+      assert(lum(bf, 16 + x, y) === exp1, s"mb1 ($x,$y)")
+    }
+  }
+
+  test("graceful rejection: B_Direct, B_Skip run, B before two refs, B poc outside ref window") {
+    def bWith(body: H264.BitWriter => Unit, poc: Int = 2): Array[Byte] = {
+      val w = new H264.BitWriter
+      H264Encode.bSliceHeader(w, 26, poc)
+      body(w)
+      H264.ebsp(w.stop())
+    }
+    val ip = ipStream((4, 0))
+    // direct MB (mb_type 0) → B frame rejected, I+P kept
+    val direct = bWith { w => w.ue(0); w.ue(0) }
+    assert(H264Decode.decodeAnnexBPictures(
+      ip ++ H264Encode.annexB(Seq((1, 0, direct)))).size === 2)
+    // B_Skip run → rejected
+    val skip = bWith { w => w.ue(3) }
+    assert(H264Decode.decodeAnnexBPictures(
+      ip ++ H264Encode.annexB(Seq((1, 0, skip)))).size === 2)
+    // B with only one reference picture decoded → rejected
+    val (idrOnly, _) = H264Encode.encodeI16x16Dc(gradient())
+    val bOk = H264Encode.encodeB16x16(mixedB())
+    assert(H264Decode.decodeAnnexBPictures(
+      idrOnly ++ H264Encode.annexB(Seq((1, 0, bOk)))).size === 1)
+    // B whose poc is NOT between the two refs' pocs → rejected
+    val bLate = H264Encode.encodeB16x16(mixedB(), poc = 9)
+    assert(H264Decode.decodeAnnexBPictures(
+      ip ++ H264Encode.annexB(Seq((1, 0, bLate)))).size === 2)
+  }
+
+  test("CABAC B truncation rejects instead of fabricating macroblocks") {
+    val cabacB = H264Encode.encodeCabacB16x16(mixedB(), initIdc = 1)
+    val whole = ipStream((8, 4), cabac = true, idc = 1)
+    val full = H264Decode.decodeAnnexBPictures(
+      whole ++ H264Encode.annexB(Seq((1, 0, cabacB))))
+    assert(full.size === 3)
+    val cut = cabacB.take(cabacB.length / 2)
+    val trunc = H264Decode.decodeAnnexBPictures(
+      whole ++ H264Encode.annexB(Seq((1, 0, cut))))
+    assert(trunc.size === 2, "truncated B must reject, keeping I+P")
+  }
+}

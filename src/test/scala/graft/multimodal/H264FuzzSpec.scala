@@ -153,6 +153,31 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("B-stream mutation fuzz: IPB sequences decode or reject, never crash (r9 tier)") {
+    val mbs: Array[Array[(Int, (Int, Int), (Int, Int))]] =
+      Array.tabulate(2, 3)((r, c) => ((r * 3 + c) % 3, ((c - 1) * 3, r * 4), ((1 - c) * 3, -r * 4)))
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 50 + 30 * r + 20 * c))._1 ++
+      H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(Array.fill(2, 3)((6, 2)), poc = 4)),
+        (1, 0, H264Encode.encodeB16x16(mbs, poc = 2))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 3)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9151)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
   test("multi-IDR stream returns the FIRST complete picture (r7 advice pin)") {
     val s1 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 60 + 40 * (r + c)))._1
     val s2 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 200 - 40 * (r + c)))._1

@@ -241,6 +241,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // scan + decode fan-out, 3-long
                                                    // frame-seq sigs, chunk equi-
                                                    // join pairs + anti-join
+    "q151_avc_bidir_dedup"     -> (4, 1, 0, true), // r9 B tier face: q150's
+                                                   // frame-seq shape; the decode
+                                                   // fan-out now runs the B
+                                                   // machinery + POC reorder
     "q148_bpe_corpus_cost"     -> (3, 1, 0, true), // r8: (source,word) agg +
                                                    // broadcast join to the
                                                    // trained-vocab frame (merge
