@@ -888,6 +888,45 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** APPLY side of [[repeatedSpans]] — the actual Lee et al. 2022
+    * pipeline step: remove every detected repeated span from the
+    * document and emit the cleaned text. Returns one row per document
+    * that HAD at least one span: (id, n_tokens, cut_tokens,
+    * clean_text), where clean_text is the kept tokens re-joined with
+    * single spaces (token-canonical — original inter-token whitespace
+    * is not preserved; the tokenizer already defines the text's
+    * semantic content) and may be EMPTY when spans cover the whole
+    * document.
+    *
+    * Plan shape: [[repeatedSpans]]'s three narrow shuffles plus ONE
+    * per-doc agg of its spans and ONE equi-join back to the corpus;
+    * the cut itself is a codegen'd higher-order filter over the token
+    * array against the (bounded, per-doc) span list — no explode of
+    * corpus tokens, no window over corpus rows. Spans-per-doc is
+    * bounded by document length, so the joined span arrays stay small
+    * regardless of corpus size.
+    */
+  def cutRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, gramN, minCount)
+      .groupBy(col(idCol))
+      .agg(
+        collect_list(struct(col("span_start"), col("span_end"))).as("_spans"),
+        sum(col("span_tokens")).cast("long").as("cut_tokens"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .join(spans, Seq(idCol))
+      .select(
+        col(idCol),
+        size(col("_t")).cast("long").as("n_tokens"),
+        col("cut_tokens"),
+        array_join(
+          filter(col("_t"), (tok, i) =>
+            !exists(col("_spans"), s =>
+              i >= s("span_start") && i <= s("span_end"))),
+          " ").as("clean_text"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine similarity ≥ threshold. Candidate

@@ -160,6 +160,21 @@ object CurationQueries {
       "doc_id", "text", gramN = 5, minCount = 2)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** q152 — repeated-span CUTTING ([[graft.operators.Dedup
+    * .cutRepeatedSpans]]): the apply side of q73 — the Lee et al. 2022
+    * sub-document dedup actually EDITS the corpus, removing every
+    * maximal repeated span and keeping the novel text around it. Same
+    * planted-boilerplate corpus as q73; output is the cleaned
+    * single-space-canonical text per affected document, compared as a
+    * raw string cross-engine (the strongest check available — any
+    * off-by-one in span ends or position filtering breaks the string).
+    */
+  def q152SpanCut(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.cutRepeatedSpans(
+      docs(spark, dir).select(col("doc_id"), plantedBoiler.as("text")),
+      "doc_id", "text", gramN = 5, minCount = 2)
+      .orderBy(col("doc_id"))
+
   /** q74 — token-budget mixture sampling: per-source deterministic
     * (md5-draw-order) document prefix until the source's token budget is
     * met (Curation.tokenBudgetMixture — two-phase hash-prefilter plan;
@@ -514,6 +529,7 @@ object CurationQueries {
     "q71_ngram_jaccard" -> (q71NgramJaccard _),
     "q72_cosine_dedup" -> (q72CosineDedup _),
     "q73_repeated_spans" -> (q73RepeatedSpans _),
+    "q152_span_cut" -> (q152SpanCut _),
     "q74_token_budget" -> (q74TokenBudget _),
     "q75_connected_components" -> (q75ConnectedComponents _),
     "q76_cluster_dedup" -> (q76ClusterDedup _),
@@ -643,6 +659,48 @@ object CurationQueries {
            SELECT 1 FROM corpus o
            WHERE o.vec_id < c.vec_id AND list_cosine_similarity(o.v, c.v) >= 0.95)
          ORDER BY vec_id""",
+    "q152_span_cut" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN concat(text,
+                         ' bpa bpb bpc bpd bpe bpf bpg bph u',
+                         CAST(doc_id AS VARCHAR),
+                         ' bqa bqb bqc bqd bqe bqf bqg bqh')
+                       ELSE text END AS t0
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(t0, '\s+'), x -> len(x) > 0) AS t
+           FROM aug),
+         g AS (
+           SELECT doc_id, unnest(gs) AS gr, generate_subscripts(gs, 1) - 1 AS p
+           FROM (SELECT doc_id,
+                        [array_to_string(t[i+1:i+5], ' ') FOR i IN range(0, len(t)-4)] AS gs
+                 FROM toks WHERE len(t) >= 5)),
+         d AS (SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, p FROM g JOIN d USING (gr)),
+         isl AS (SELECT doc_id, p,
+                        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                 FROM dp),
+         sp AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+                FROM isl GROUP BY doc_id, grp),
+         agg AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
+                 FROM sp GROUP BY doc_id),
+         w AS (SELECT doc_id, unnest(t) AS tok,
+                      generate_subscripts(t, 1) - 1 AS i
+               FROM toks),
+         k AS (SELECT w.doc_id, w.tok, w.i FROM w
+               WHERE NOT EXISTS (SELECT 1 FROM sp
+                                 WHERE sp.doc_id = w.doc_id
+                                   AND w.i BETWEEN sp.s AND sp.e)),
+         ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM k GROUP BY doc_id)
+         SELECT a.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, a.cut_tokens,
+                coalesce(ct.clean_text, '') AS clean_text
+         FROM agg a
+         JOIN toks t USING (doc_id)
+         LEFT JOIN ct USING (doc_id)
+         ORDER BY doc_id""",
     "q73_repeated_spans" ->
       """WITH aug AS (
            SELECT doc_id,

@@ -365,6 +365,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 0, 5, 6), (2L, 0, 5, 6)))
   }
 
+  test("cutRepeatedSpans: removes exactly the spans, keeps novel text, empties full-cover docs") {
+    // docs 1/2: two shared blocks around unique middles → cut both
+    // blocks, keep the middle; docs 3/4: fully shared → clean_text
+    // EMPTY; doc 5: nothing shared → not in the output at all.
+    val df = Seq(
+      (1L, "a b c d e X1 f g h i j"),
+      (2L, "a b c d e X2 f g h i j"),
+      (3L, "one two three four"),
+      (4L, "one two three four"),
+      (5L, "k l m n o q w"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", gramN = 3, minCount = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cut_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 11L, 10L, "X1"),
+      (2L, 11L, 10L, "X2"),
+      (3L, 4L, 4L, ""),
+      (4L, 4L, 4L, "")))
+  }
+
   // ------------------------------------- connected components / clusters
 
   private def ccMap(pairs: Seq[(Long, Long)],

@@ -245,6 +245,12 @@ class PlanCensusSpec extends SparkSpec {
                                                    // frame-seq shape; the decode
                                                    // fan-out now runs the B
                                                    // machinery + POC reorder
+    "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
+                                                   // shuffles + per-doc span agg,
+                                                   // then broadcast joins back to
+                                                   // the corpus (dup-gram set +
+                                                   // span lists both small); cut
+                                                   // is a codegen'd HOF filter
     "q148_bpe_corpus_cost"     -> (3, 1, 0, true), // r8: (source,word) agg +
                                                    // broadcast join to the
                                                    // trained-vocab frame (merge
