@@ -812,6 +812,13 @@ object H264Cabac {
     }
     def markSkip(mbAddr: Int): Unit = { markInter(mbAddr); skipped(mbAddr) = true }
 
+    /** B_Direct_16x16 (non-skip): an inter MB that the B mb_type ctx
+      * (§9.3.3.1.1.3) treats like a skip — tracked separately because
+      * the mb_skip_flag ctx (§9.3.3.1.1.1) does NOT.
+      */
+    val direct = new Array[Boolean](mbW * mbH)
+    def markDirect(mbAddr: Int): Unit = { markInter(mbAddr); direct(mbAddr) = true }
+
     /** mb_skip_flag ctxIdxInc (§9.3.3.1.1.1): neighbor exists and was
       * NOT skipped.
       */
@@ -853,13 +860,15 @@ object H264Cabac {
     }
 
     /** B mb_type bin0 ctxIdxInc (§9.3.3.1.1.3): neighbor MB exists and
-      * is not B_Skip / B_Direct_16x16. Direct MBs are out of this
-      * decoder's scope (they reject the frame), so `skipped` alone
-      * carries the condition; intra neighbors count 1, as normative.
+      * is not B_Skip / B_Direct_16x16; intra neighbors count 1, as
+      * normative.
       */
-    def bTypeCond(mbX: Int, mbY: Int): Int =
-      (if (avail(mbX - 1, mbY) && !skipped(mbY * mbW + mbX - 1)) 1 else 0) +
-        (if (avail(mbX, mbY - 1) && !skipped((mbY - 1) * mbW + mbX)) 1 else 0)
+    def bTypeCond(mbX: Int, mbY: Int): Int = {
+      @inline def c(x: Int, y: Int): Int =
+        if (avail(x, y) && !skipped(y * mbW + x) && !direct(y * mbW + x)) 1
+        else 0
+      c(mbX - 1, mbY) + c(mbX, mbY - 1)
+    }
   }
 
   // ------------------------------------------------- residual blocks

@@ -192,6 +192,15 @@ object H264Decode {
     val mvL1 = new H264Inter.MvGrid(mbW, mbH)
     var ref: Frame = null
     var ref1: Frame = null
+    // the CO-LOCATED picture's motion grid (the first picture of
+    // RefPicList1 = ref1's own decoded motion) — §8.4.1.2.2's
+    // colZeroFlag input for spatial direct, and §8.4.1.2.3's mvCol
+    // for temporal direct
+    var colMv: H264Inter.MvGrid = null
+    // reference pictures' POCs (pocType-0 lsb values) — the temporal
+    // direct DistScaleFactor inputs
+    var ref0Poc: Int = 0
+    var ref1Poc: Int = 0
     // pic_order_cnt_lsb of this picture (pocType 0; 0 otherwise) —
     // display-order key for the B-capable picture sequencing
     var pocLsb: Int = 0
@@ -607,7 +616,10 @@ object H264Decode {
     if (st.sps.pocType == 0)
       st.pocLsb = r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
     if (st.pps.redundantPresent) r.ue()
-    if (isB) r.flag() // direct_spatial_mv_pred_flag (direct MBs rejected below)
+    // direct_spatial_mv_pred_flag: spatial direct (§8.4.1.2.2) is
+    // implemented; temporal direct (POC-distance mv scaling) is out of
+    // scope and rejects at the first direct MB
+    val directSpatial = if (isB) r.flag() else false
     var cabacInitIdc = 0
     if (isP || isB) {
       if (r.flag()) { // num_ref_idx_active_override_flag
@@ -637,31 +649,32 @@ object H264Decode {
     }
 
     if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra + r9 inter)
-      decodeSliceDataCabac(st, r, firstMb, qp, isP, isB, cabacInitIdc)
+      decodeSliceDataCabac(st, r, firstMb, qp, isP, isB, directSpatial,
+        cabacInitIdc)
       return
     }
 
-    // ---- macroblock loop; P slices interleave mb_skip_run (§7.3.4).
-    // B slices carry the same skip-run syntax, but a B skip means
-    // B_Skip (direct-mode motion) — out of this decoder's scope.
+    // ---- macroblock loop; P and B slices interleave mb_skip_run
+    // (§7.3.4). A B skip is B_Skip: spatial-direct motion (§8.4.1.2.2),
+    // zero residual.
     var mbAddr = firstMb
     var first = true
     var done = false
     while (!done && (first || moreData)) {
       first = false
-      if (isP) {
+      if (isP || isB) {
         var skip = r.ue()
         while (skip > 0) {
           require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
           st.mbDecoded(mbAddr) = true
           st.mv.markMb(mbAddr)
-          decodePSkip(st, mbAddr)
+          if (isB) { st.mvL1.markMb(mbAddr)
+            decodeBDirectMotion(st, mbAddr, directSpatial) }
+          else decodePSkip(st, mbAddr)
           mbAddr += 1
           skip -= 1
         }
         if (!moreData) done = true
-      } else if (isB) {
-        require(r.ue() == 0, "B_Skip (direct mode) out of scope")
       }
       if (!done) {
         require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
@@ -676,6 +689,11 @@ object H264Decode {
         qp =
           if (isB) {
             if (mbType >= 23) decodeMacroblock(st, r, mbAddr, qp, mbType - 23)
+            else if (mbType == 0) { // B_Direct_16x16: direct motion + residual
+              decodeBDirectMotion(st, mbAddr, directSpatial)
+              decodeInterResidualCavlc(st, r,
+                mbAddr % st.mbW, mbAddr / st.mbW, qp)
+            }
             else decodeBMacroblock(st, r, mbAddr, qp, mbType)
           }
           else if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
@@ -685,6 +703,84 @@ object H264Decode {
       }
     }
   }
+
+  /** Direct motion for one B_Skip / B_Direct_16x16 macroblock,
+    * followed by its motion compensation; `spatial` selects the mode.
+    *
+    * SPATIAL (§8.4.1.2.2) — per list: refIdxLX = MinPositive over the
+    * A/B/C neighbors (−1 when none); both −1 → directZeroPrediction
+    * (both lists, zero motion); else mvLX = the §8.4.1.3 16x16 median
+    * against that list's grid. Per 4x4 sub-block, colZeroFlag (the
+    * CO-LOCATED block of the first RefPicList1 picture is inter with
+    * |mv| ≤ 1 quarter-pel both components) forces that sub-block's mv
+    * to zero for every list with refIdx 0 — which is every used list
+    * here (one reference per list).
+    *
+    * TEMPORAL (§8.4.1.2.3) — per 4x4 sub-block: mvCol from the
+    * co-located block (zero when intra / unavailable, the normative
+    * fallback), scaled by DistScaleFactor computed from the POC
+    * distances tb = poc(cur) − poc(ref0), td = poc(ref1) − poc(ref0):
+    * mvL0 = (DSF·mvCol + 128) >> 8, mvL1 = mvL0 − mvCol, both lists
+    * always predicted (BiPred).
+    *
+    * Derived motion is STORED into the grids, so later MBs'
+    * predictions see this MB as a normal inter neighbor.
+    */
+  private def decodeBDirectMotion(st: State, mbAddr: Int,
+      spatial: Boolean = true): Unit = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    if (!spatial) { // ---- temporal direct
+      val tb = clip3m(-128, 127, st.pocLsb - st.ref0Poc)
+      val td = clip3m(-128, 127, st.ref1Poc - st.ref0Poc)
+      require(td != 0, "temporal direct with zero POC distance")
+      val tx = (16384 + math.abs(td / 2)) / td
+      val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
+      var b = 0
+      while (b < 16) {
+        val x4r = b % 4; val y4r = b / 4
+        val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+        val (mcx, mcy) =
+          if (st.colMv != null && st.colMv.blockAvail(ax4, ay4) &&
+              st.colMv.refIdx(ay4 * st.colMv.w4 + ax4) >= 0)
+            (st.colMv.mvX(ay4 * st.colMv.w4 + ax4),
+              st.colMv.mvY(ay4 * st.colMv.w4 + ax4))
+          else (0, 0)
+        val m0x = (dsf * mcx + 128) >> 8; val m0y = (dsf * mcy + 128) >> 8
+        val m1x = m0x - mcx; val m1y = m0y - mcy
+        st.mv.set(ax4, ay4, 1, 1, m0x, m0y, 0)
+        st.mvL1.set(ax4, ay4, 1, 1, m1x, m1y, 0)
+        compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, 2,
+          (m0x, m0y), (m1x, m1y))
+        b += 1
+      }
+      return
+    }
+    val r0 = st.mv.directRef(bx4, by4)
+    val r1 = st.mvL1.directRef(bx4, by4)
+    val zeroAll = r0 < 0 && r1 < 0
+    val use0 = zeroAll || r0 >= 0
+    val use1 = zeroAll || r1 >= 0
+    val m0 = if (!zeroAll && r0 >= 0) st.mv.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
+    val m1 = if (!zeroAll && r1 >= 0) st.mvL1.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
+    val dir = if (use0 && use1) 2 else if (use0) 0 else 1
+    var b = 0
+    while (b < 16) {
+      val x4r = b % 4; val y4r = b / 4
+      val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+      val cz = st.colMv != null && st.colMv.colZero(ax4, ay4)
+      val mv0 = if (cz) (0, 0) else m0
+      val mv1 = if (cz) (0, 0) else m1
+      if (use0) st.mv.set(ax4, ay4, 1, 1, mv0._1, mv0._2, 0)
+      if (use1) st.mvL1.set(ax4, ay4, 1, 1, mv1._1, mv1._2, 0)
+      compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, dir, mv0, mv1)
+      b += 1
+    }
+  }
+
+  @inline private def clip3m(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
 
   /** Decode one I-slice macroblock (`mbType` already read — P slices
     * remap their intra range before dispatching here); returns the
@@ -911,7 +1007,7 @@ object H264Decode {
     */
   private def decodeSliceDataCabac(st: State, r: H264.BitReader,
       firstMb: Int, sliceQp: Int, isP: Boolean, isB: Boolean,
-      initIdc: Int): Unit = {
+      directSpatial: Boolean, initIdc: Int): Unit = {
     while (r.remaining % 8 != 0)
       require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
     val init =
@@ -935,15 +1031,24 @@ object H264Decode {
           if (mbType >= 5) decodeMacroblockCabac(st, d, cc, mbAddr, qp,
             preType = mbType - 5)
           else decodeInterMacroblockCabac(st, d, cc, mbAddr, qp, mbType)
+      } else if (isB &&
+          H264Cabac.decodeMbSkipB(d, cc.skipCond(mbX, mbY)) == 1) {
+        st.mv.markMb(mbAddr)
+        st.mvL1.markMb(mbAddr)
+        decodeBDirectMotion(st, mbAddr, directSpatial)
+        cc.markSkip(mbAddr)
       } else if (isB) {
-        require(H264Cabac.decodeMbSkipB(d, cc.skipCond(mbX, mbY)) == 0,
-          "B_Skip (direct mode) out of scope")
         st.mv.markMb(mbAddr)
         st.mvL1.markMb(mbAddr)
         val mbType = H264Cabac.decodeMbTypeB(d, cc.bTypeCond(mbX, mbY))
         qp =
           if (mbType >= 23) decodeMacroblockCabac(st, d, cc, mbAddr, qp,
             preType = mbType - 23)
+          else if (mbType == 0) { // B_Direct_16x16: direct motion + residual
+            cc.markDirect(mbAddr)
+            decodeBDirectMotion(st, mbAddr, directSpatial)
+            decodeInterResidualCabac(st, d, cc, mbAddr, qp)
+          }
           else { cc.markInter(mbAddr)
             decodeBMacroblockCabac(st, d, cc, mbAddr, qp, mbType) }
       } else qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
@@ -1753,15 +1858,17 @@ object H264Decode {
     var pps: Option[PpsInfo] = None
     var st: State = null
     var stRefIdc = 0
-    // the two most recent reference pictures with their POCs
-    var refA: (Int, Frame) = null // older
-    var refB: (Int, Frame) = null // newer (decode order)
+    // the two most recent reference pictures with their POCs and
+    // decoded motion grids (the newer one is the B tier's co-located
+    // picture — §8.4.1.2.2 colZeroFlag input)
+    var refA: (Int, Frame, H264Inter.MvGrid) = null // older
+    var refB: (Int, Frame, H264Inter.MvGrid) = null // newer (decode order)
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
         val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
           st.luma, st.cb, st.cr)
         out += ((st.pocLsb, f))
-        if (stRefIdc > 0) { refA = refB; refB = (st.pocLsb, f) }
+        if (stRefIdc > 0) { refA = refB; refB = (st.pocLsb, f, st.mv) }
         st = null
       }
     try {
@@ -1795,6 +1902,8 @@ object H264Decode {
                         if (refA == null ||
                             !(refA._1 < poc && poc < refB._1)) return result(out)
                         st.ref = refA._2; st.ref1 = refB._2
+                        st.colMv = refB._3
+                        st.ref0Poc = refA._1; st.ref1Poc = refB._1
                       } else st.ref = refB._2
                     }
                   }

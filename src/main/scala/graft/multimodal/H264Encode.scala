@@ -70,19 +70,19 @@ object H264Encode {
 
   /** B slice header (r9 B tier): non-reference picture (callers wrap
     * the payload with nal_ref_idc 0, so dec_ref_pic_marking is absent),
-    * one reference per list, spatial direct flag set (the decoder
-    * rejects direct MBs either way), display position `poc`
-    * (pic_order_cnt_lsb, pocType 0) strictly between the two reference
-    * pictures'.
+    * one reference per list, `spatial` selecting the direct-mode flag
+    * (both §8.4.1.2.2 spatial and §8.4.1.2.3 temporal decode), display
+    * position `poc` (pic_order_cnt_lsb, pocType 0) strictly between
+    * the two reference pictures'.
     */
   private[multimodal] def bSliceHeader(w: H264.BitWriter, qp: Int, poc: Int,
-      cabacInitIdc: Int = -1): Unit = {
+      cabacInitIdc: Int = -1, spatial: Boolean = true): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(6) // slice_type: B (all slices in picture)
     w.ue(0) // pps_id
     w.u(2, 4) // frame_num (decoder ignores; gaps allowed are N/A here)
     w.u(poc & 15, 4) // pic_order_cnt_lsb
-    w.flag(true) // direct_spatial_mv_pred_flag
+    w.flag(spatial) // direct_spatial_mv_pred_flag
     w.flag(false) // num_ref_idx_active_override_flag (1 ref per list)
     w.flag(false) // ref_pic_list_modification_flag_l0
     w.flag(false) // ref_pic_list_modification_flag_l1
@@ -132,6 +132,42 @@ object H264Encode {
         mbX += 1
       }
       mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** All-B_Skip slice payload (CAVLC): one mb_skip_run covering the
+    * picture — every macroblock reconstructs via §8.4.1.2.2 spatial
+    * direct motion against both reference lists, no residual. The
+    * decoder's derivation needs no per-MB syntax at all, so this is
+    * the B analogue of [[encodePSkipFrame]].
+    */
+  def encodeBSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
+      poc: Int = 2, spatial: Boolean = true): Array[Byte] = {
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, spatial = spatial)
+    w.ue(mbW * mbH) // mb_skip_run = whole picture
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC all-B_Skip frame: mb_skip_flag 1 (B context block) + an
+    * end_of_slice terminate per MB.
+    */
+  def encodeCabacBSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
+      poc: Int = 2, initIdc: Int = 0, spatial: Boolean = true): Array[Byte] = {
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc, spatial = spatial)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    var mbAddr = 0
+    while (mbAddr < mbW * mbH) {
+      H264Cabac.encodeMbSkipB(e, cc.skipCond(mbAddr % mbW, mbAddr / mbW), 1)
+      cc.markSkip(mbAddr)
+      e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
+      mbAddr += 1
     }
     H264.ebsp(w.stop())
   }

@@ -94,6 +94,35 @@ private[multimodal] object H264Inter {
       (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
     }
 
+    /** §8.4.1.2.2 spatial-direct reference index for the MB whose
+      * top-left 4x4 block is (bx4, by4): MinPositive over the A/B/C
+      * neighbors' refIdx in THIS list (D substitutes an unavailable C,
+      * as in [[mvPred]]); −1 when no neighbor references the list.
+      * With one active reference per list this is 0 or −1.
+      */
+    def directRef(bx4: Int, by4: Int): Int = {
+      @inline def refOf(x4: Int, y4: Int): Int =
+        if (!blockAvail(x4, y4)) -1 else refIdx(y4 * w4 + x4)
+      val a = refOf(bx4 - 1, by4)
+      val b = refOf(bx4, by4 - 1)
+      val c =
+        if (blockAvail(bx4 + 4, by4 - 1)) refIdx((by4 - 1) * w4 + bx4 + 4)
+        else refOf(bx4 - 1, by4 - 1)
+      val cands = Seq(a, b, c).filter(_ >= 0)
+      if (cands.isEmpty) -1 else cands.min
+    }
+
+    /** §8.4.1.2.2 colZeroFlag against THIS grid as the co-located
+      * picture's motion: the co-located 4x4 block is inter (refIdx 0)
+      * with both mv components in [−1, 1] quarter-pel. Intra /
+      * never-decoded blocks (refIdx −1) and unavailable MBs are false.
+      */
+    def colZero(x4: Int, y4: Int): Boolean =
+      blockAvail(x4, y4) && refIdx(y4 * w4 + x4) == 0 && {
+        val mx = mvX(y4 * w4 + x4); val my = mvY(y4 * w4 + x4)
+        mx >= -1 && mx <= 1 && my >= -1 && my <= 1
+      }
+
     /** §8.4.1.1 P_Skip motion vector for the MB whose top-left luma 4x4
       * block is (bx4, by4).
       */

@@ -830,19 +830,31 @@ object Multimodal {
           (dir, mv, (-mv._1, -mv._2))
         }
       val cabac = id % 2 == 1
+      // every 4th SEED's B picture is all-B_Skip — keyed on the seed,
+      // not the id, so a planted cross-entropy pair keeps identical B
+      // content; the skip group alternates SPATIAL direct (colZeroFlag
+      // live) and TEMPORAL direct (DistScaleFactor mv scaling)
+      val bSkip = seed % 4 == 3
+      val bSpatial = seed % 8 == 3
       val content =
         if (cabac) {
           val idc = ((id / 2) % 3).toInt
           H264Encode.encodeCabacI16x16Dc(mbMeans, qp)._1 ++
             H264Encode.annexB(Seq(
               (1, 3, H264Encode.encodeCabacP16x16(pMvs, qp, idc, poc = 4)),
-              (1, 0, H264Encode.encodeCabacB16x16(bMbs, qp, poc = 2,
-                initIdc = idc))))
+              (1, 0,
+                if (bSkip) H264Encode.encodeCabacBSkipFrame(4, 4, qp,
+                  poc = 2, initIdc = idc, spatial = bSpatial)
+                else H264Encode.encodeCabacB16x16(bMbs, qp, poc = 2,
+                  initIdc = idc))))
         } else {
           H264Encode.encodeI16x16Dc(mbMeans, qp)._1 ++
             H264Encode.annexB(Seq(
               (1, 3, H264Encode.encodeP16x16(pMvs, qp, poc = 4)),
-              (1, 0, H264Encode.encodeB16x16(bMbs, qp, poc = 2))))
+              (1, 0,
+                if (bSkip) H264Encode.encodeBSkipFrame(4, 4, qp, poc = 2,
+                  spatial = bSpatial)
+                else H264Encode.encodeB16x16(bMbs, qp, poc = 2))))
         }
       Media(id, "video", content,
         MediaMeta("h264", Some(64), Some(64), None, Some(300L)))

@@ -154,22 +154,41 @@ class H264BSliceSpec extends AnyFunSuite {
     }
   }
 
-  test("graceful rejection: B_Direct, B_Skip run, B before two refs, B poc outside ref window") {
-    def bWith(body: H264.BitWriter => Unit, poc: Int = 2): Array[Byte] = {
-      val w = new H264.BitWriter
-      H264Encode.bSliceHeader(w, 26, poc)
-      body(w)
-      H264.ebsp(w.stop())
-    }
+  /** Hand-written all-B_Skip slice with direct_spatial_mv_pred_flag = 0
+    * (TEMPORAL direct; bSliceHeader always writes spatial).
+    */
+  private def temporalSkipB(poc: Int): Array[Byte] = {
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps_id
+    w.u(2, 4); w.u(poc & 15, 4) // frame_num, poc
+    w.flag(false) // direct_spatial_mv_pred_flag = 0 (TEMPORAL)
+    w.flag(false); w.flag(false); w.flag(false) // override, mod l0, mod l1
+    w.se(0); w.ue(1) // qp delta, deblock off
+    w.ue(mbW * mbH) // mb_skip_run = whole picture
+    H264.ebsp(w.stop())
+  }
+
+  test("temporal direct: DistScaleFactor halves the co-located pan into symmetric L0/L1 halves") {
+    // col P carries uniform mv (8,4); tb = 2−0 = 2, td = 4−0 = 4 →
+    // tx = (16384+2)/4 = 4096, DSF = (2·4096+32)>>6 = 128 →
+    // mvL0 = ((128·mv + 128)>>8) = (4,2), mvL1 = mvL0 − mvCol = (−4,−2).
+    // Expected B = rounded average of MC(I,(4,2)) and MC(P,(−4,−2)) —
+    // the MC primitives are pinned independently (H264InterSpec), so
+    // this asserts the §8.4.1.2.3 derivation itself.
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, temporalSkipB(2)))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    val e0 = new Array[Byte](W * H); val e1 = new Array[Byte](W * H)
+    H264Inter.mcLuma(i.luma, W, H, e0, W, 0, 0, W, H, 4, 2)
+    H264Inter.mcLuma(p.luma, W, H, e1, W, 0, 0, W, H, -4, -2)
+    for (k <- 0 until W * H)
+      assert((bf.luma(k) & 0xff) ===
+        (((e0(k) & 0xff) + (e1(k) & 0xff) + 1) >> 1), s"luma $k")
+  }
+
+  test("graceful rejection: B before two refs, B poc outside ref window") {
     val ip = ipStream((4, 0))
-    // direct MB (mb_type 0) → B frame rejected, I+P kept
-    val direct = bWith { w => w.ue(0); w.ue(0) }
-    assert(H264Decode.decodeAnnexBPictures(
-      ip ++ H264Encode.annexB(Seq((1, 0, direct)))).size === 2)
-    // B_Skip run → rejected
-    val skip = bWith { w => w.ue(3) }
-    assert(H264Decode.decodeAnnexBPictures(
-      ip ++ H264Encode.annexB(Seq((1, 0, skip)))).size === 2)
     // B with only one reference picture decoded → rejected
     val (idrOnly, _) = H264Encode.encodeI16x16Dc(gradient())
     val bOk = H264Encode.encodeB16x16(mixedB())
@@ -179,6 +198,145 @@ class H264BSliceSpec extends AnyFunSuite {
     val bLate = H264Encode.encodeB16x16(mixedB(), poc = 9)
     assert(H264Decode.decodeAnnexBPictures(
       ip ++ H264Encode.annexB(Seq((1, 0, bLate)))).size === 2)
+  }
+
+  test("all-B_Skip frame: spatial direct with no motion neighbors == rounded average of both refs") {
+    // no MB in the skip frame has explicit motion, so MB 0 takes
+    // directZeroPrediction (both lists, zero mv) and every later MB's
+    // A/B/C neighbors are zero-motion refIdx-0 blocks → zero medians:
+    // the whole picture must equal the (I + P + 1) >> 1 average,
+    // regardless of the large P pan (|mv| > 1 keeps colZeroFlag false,
+    // which changes nothing — the spatial mvs are already zero)
+    val b = H264Encode.encodeBSkipFrame(mbW, mbH)
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    for (k <- 0 until W * H)
+      assert((bf.luma(k) & 0xff) ===
+        (((i.luma(k) & 0xff) + (p.luma(k) & 0xff) + 1) >> 1), s"luma $k")
+    for (k <- 0 until (W / 2) * (H / 2)) {
+      assert((bf.cb(k) & 0xff) ===
+        (((i.cb(k) & 0xff) + (p.cb(k) & 0xff) + 1) >> 1), s"cb $k")
+      assert((bf.cr(k) & 0xff) ===
+        (((i.cr(k) & 0xff) + (p.cr(k) & 0xff) + 1) >> 1), s"cr $k")
+    }
+    // CABAC all-B_Skip decodes to the identical picture, all three idc
+    for (idc <- 0 to 2) {
+      val cb = H264Encode.encodeCabacBSkipFrame(mbW, mbH, initIdc = idc)
+      val cf = H264Decode.decodeAnnexBPictures(
+        ipStream((8, 4), cabac = true, idc = idc) ++
+          H264Encode.annexB(Seq((1, 0, cb))))
+      assert(cf.size === 3, s"idc $idc")
+      assert(java.util.Arrays.equals(cf(1).luma, bf.luma), s"idc $idc")
+    }
+  }
+
+  test("B_Direct colZeroFlag: co-located small motion zeroes the spatial-median mv, large motion keeps it") {
+    // hand-written B: row 0 = explicit B_L0_16x16 with mv (8,0) (mvd
+    // (8,0) on the first MB, 0 after — left-neighbor prediction);
+    // rows 1+ = B_Direct_16x16, zero residual. The direct MBs' spatial
+    // derivation gives refIdxL0 = 0 (row-0 neighbors), refIdxL1 = -1,
+    // median mv (8,0). colZeroFlag then decides per sub-block:
+    //  - col P motion (8,0): |mv| > 1 → flag false → direct mv stays
+    //    (8,0) → direct rows equal I shifted left by 2 integer pels;
+    //  - col P motion (1,1): |mv| <= 1 both comps → flag true → direct
+    //    mv forced (0,0) → direct rows equal I exactly.
+    def bMixed(): Array[Byte] = {
+      val w = new H264.BitWriter
+      H264Encode.bSliceHeader(w, 26, 2)
+      for (addr <- 0 until mbW * mbH) {
+        w.ue(0) // mb_skip_run
+        if (addr < mbW) {
+          w.ue(1) // B_L0_16x16
+          if (addr == 0) { w.se(8); w.se(0) } else { w.se(0); w.se(0) }
+          w.ue(H264Inter.cbpInterToCodeNum(0))
+        } else {
+          w.ue(0) // B_Direct_16x16
+          w.ue(H264Inter.cbpInterToCodeNum(0))
+        }
+      }
+      H264.ebsp(w.stop())
+    }
+    def at(f: H264Decode.Frame, x: Int, y: Int): Int = {
+      val cx = math.max(0, math.min(W - 1, x))
+      f.luma(y * W + cx) & 0xff
+    }
+    for ((pMv, zeroed) <- Seq(((8, 0), false), ((1, 1), true))) {
+      val frames = H264Decode.decodeAnnexBPictures(
+        ipStream(pMv) ++ H264Encode.annexB(Seq((1, 0, bMixed()))))
+      assert(frames.size === 3, s"pMv $pMv")
+      val i = frames(0); val bf = frames(1)
+      for (y <- 16 until H; x <- 0 until W) {
+        val expect = if (zeroed) at(i, x, y) else at(i, x + 2, y)
+        assert((bf.luma(y * W + x) & 0xff) === expect,
+          s"pMv $pMv direct pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("CABAC B_Direct matches CAVLC B_Direct pixels (shared derivation, distinct entropy paths)") {
+    // same mixed layout as the colZero test, emitted through the CABAC
+    // syntax (skip 0, mb_type 0 escape, cbp 0) by hand
+    def bMixedCabac(idc: Int): Array[Byte] = {
+      val w = new H264.BitWriter
+      H264Encode.bSliceHeader(w, 26, 2, cabacInitIdc = idc)
+      w.alignOne()
+      val e = new H264Cabac.Encoder(w,
+        new H264Cabac.Contexts(26, H264Cabac.ctxInitP(idc)))
+      val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+      val grid0 = new H264Inter.MvGrid(mbW, mbH)
+      for (addr <- 0 until mbW * mbH) {
+        val mbX = addr % mbW; val mbY = addr / mbW
+        H264Cabac.encodeMbSkipB(e, cc.skipCond(mbX, mbY), 0)
+        grid0.markMb(addr)
+        if (addr < mbW) {
+          H264Cabac.encodeMbTypeB(e, cc.bTypeCond(mbX, mbY), 1)
+          cc.markInter(addr)
+          val (px, py) = grid0.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
+          val mvdX = 8 - px; val mvdY = 0 - py
+          H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, mbX * 4, mbY * 4), mvdX)
+          H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, mbX * 4, mbY * 4), mvdY)
+          cc.setMvd(0, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+          grid0.set(mbX * 4, mbY * 4, 4, 4, 8, 0, 0)
+        } else {
+          H264Cabac.encodeMbTypeB(e, cc.bTypeCond(mbX, mbY), 0)
+          cc.markDirect(addr)
+          // the decoder's direct derivation stores (8,0) refIdx-0 into
+          // its grid; replay that so later explicit MBs (none here)
+          // and ctx conditions stay aligned
+          grid0.set(mbX * 4, mbY * 4, 4, 4, 8, 0, 0)
+        }
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY), cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(addr) = 0
+        cc.prevQpDeltaNZ = false
+        e.terminate(if (addr == mbW * mbH - 1) 1 else 0)
+      }
+      H264.ebsp(w.stop())
+    }
+    val cavlcFrames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 0)) ++ H264Encode.annexB(Seq((1, 0, {
+        val w = new H264.BitWriter
+        H264Encode.bSliceHeader(w, 26, 2)
+        for (addr <- 0 until mbW * mbH) {
+          w.ue(0)
+          if (addr < mbW) {
+            w.ue(1)
+            if (addr == 0) { w.se(8); w.se(0) } else { w.se(0); w.se(0) }
+            w.ue(H264Inter.cbpInterToCodeNum(0))
+          } else { w.ue(0); w.ue(H264Inter.cbpInterToCodeNum(0)) }
+        }
+        H264.ebsp(w.stop())
+      }))))
+    assert(cavlcFrames.size === 3)
+    for (idc <- 0 to 2) {
+      val fr = H264Decode.decodeAnnexBPictures(
+        ipStream((8, 0), cabac = true, idc = idc) ++
+          H264Encode.annexB(Seq((1, 0, bMixedCabac(idc)))))
+      assert(fr.size === 3, s"idc $idc")
+      assert(java.util.Arrays.equals(fr(1).luma, cavlcFrames(1).luma),
+        s"idc $idc B luma")
+    }
   }
 
   test("CABAC B truncation rejects instead of fabricating macroblocks") {
