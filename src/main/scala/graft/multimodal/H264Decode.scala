@@ -201,9 +201,17 @@ object H264Decode {
     // direct DistScaleFactor inputs
     var ref0Poc: Int = 0
     var ref1Poc: Int = 0
-    // pic_order_cnt_lsb of this picture (pocType 0; 0 otherwise) —
-    // display-order key for the B-capable picture sequencing
+    // pic_order_cnt_lsb of this picture (pocType 0; 0 otherwise) plus
+    // the §8.2.1.1 MSB derivation state: prevPocMsb/prevPocLsb are the
+    // previous reference picture's values (seeded by the sequencer, 0
+    // after an IDR), pocMsb/poc are derived when the slice header's
+    // pic_order_cnt_lsb is parsed. `poc` is the display-order key —
+    // wraparound-safe, unlike the raw lsb.
     var pocLsb: Int = 0
+    var prevPocMsb: Int = 0
+    var prevPocLsb: Int = 0
+    var pocMsb: Int = 0
+    var poc: Int = 0
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
       mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
@@ -613,8 +621,12 @@ object H264Decode {
     // pocType 1's delta_pic_order_cnt needs SPS flags we don't retain
     require(st.sps.pocType == 0 || st.sps.pocType == 2,
       s"poc type ${st.sps.pocType} out of scope")
-    if (st.sps.pocType == 0)
+    if (st.sps.pocType == 0) {
       st.pocLsb = r.u(st.sps.log2MaxPocLsb) // pic_order_cnt_lsb
+      st.pocMsb = derivePocMsb(st.prevPocMsb, st.prevPocLsb, st.pocLsb,
+        st.sps.log2MaxPocLsb)
+      st.poc = st.pocMsb + st.pocLsb
+    }
     if (st.pps.redundantPresent) r.ue()
     // direct_spatial_mv_pred_flag: spatial direct (§8.4.1.2.2) is
     // implemented; temporal direct (POC-distance mv scaling) is out of
@@ -732,7 +744,7 @@ object H264Decode {
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
     if (!spatial) { // ---- temporal direct
-      val tb = clip3m(-128, 127, st.pocLsb - st.ref0Poc)
+      val tb = clip3m(-128, 127, st.poc - st.ref0Poc)
       val td = clip3m(-128, 127, st.ref1Poc - st.ref0Poc)
       require(td != 0, "temporal direct with zero POC distance")
       val tx = (16384 + math.abs(td / 2)) / td
@@ -1849,26 +1861,39 @@ object H264Decode {
     * picture; out-of-scope or malformed content ends the sequence
     * gracefully with the pictures completed so far (corpus posture:
     * undecodable tail = data, not an error). Frames return in DISPLAY
-    * order (stable sort on pic_order_cnt_lsb — a no-op for the
-    * all-poc-0 P-only streams of the r9 encoder's predecessors).
+    * order WITHIN each coded video sequence: an IDR starts a new CVS
+    * (§7.4.1.2.4 — its access unit precedes every later picture in
+    * both decode and display order), so ordering is a stable sort on
+    * (cvs index, PicOrderCnt) with the full §8.2.1.1 MSB derivation —
+    * poc-lsb wraparound inside a long GOP and multi-GOP streams both
+    * order correctly; a no-op for the all-poc-0 P-only streams of the
+    * r9 encoder's predecessors. An IDR also flushes the 2-picture DPB
+    * and resets the POC derivation state, per §8.2.1.
     */
   def decodeAnnexBPictures(annexB: Array[Byte], maxFrames: Int = 8): Seq[Frame] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Frame)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[((Int, Int), Frame)]
     var sps: Option[H264.SpsInfo] = None
     var pps: Option[PpsInfo] = None
     var st: State = null
     var stRefIdc = 0
-    // the two most recent reference pictures with their POCs and
-    // decoded motion grids (the newer one is the B tier's co-located
-    // picture — §8.4.1.2.2 colZeroFlag input)
+    var cvs = -1 // coded-video-sequence index; first IDR → 0
+    // §8.2.1.1 state: the previous REFERENCE picture's pocMsb/pocLsb
+    var prevPocMsb = 0
+    var prevPocLsb = 0
+    // the two most recent reference pictures with their POCs (full
+    // PicOrderCnt) and decoded motion grids (the newer one is the B
+    // tier's co-located picture — §8.4.1.2.2 colZeroFlag input)
     var refA: (Int, Frame, H264Inter.MvGrid) = null // older
     var refB: (Int, Frame, H264Inter.MvGrid) = null // newer (decode order)
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
         val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
           st.luma, st.cb, st.cr)
-        out += ((st.pocLsb, f))
-        if (stRefIdc > 0) { refA = refB; refB = (st.pocLsb, f, st.mv) }
+        out += (((cvs, st.poc), f))
+        if (stRefIdc > 0) {
+          refA = refB; refB = (st.poc, f, st.mv)
+          prevPocMsb = st.pocMsb; prevPocLsb = st.pocLsb
+        }
         st = null
       }
     try {
@@ -1889,7 +1914,18 @@ object H264Decode {
                 if (firstMb == 0) {
                   finish()
                   if (out.size < maxFrames) {
+                    if (nal.nalType == 5) {
+                      // IDR: new CVS — flush the DPB and reset the POC
+                      // derivation (an IDR's prevPocMsb/prevPocLsb are
+                      // 0 by §8.2.1); pictures after it never reference
+                      // or display-order against the previous GOP
+                      cvs += 1
+                      refA = null; refB = null
+                      prevPocMsb = 0; prevPocLsb = 0
+                    }
                     st = new State(s, p)
+                    st.prevPocMsb = prevPocMsb
+                    st.prevPocLsb = prevPocLsb
                     stRefIdc = nal.refIdc
                     if (nal.nalType == 1) {
                       if (refB == null) return result(out) // inter before any IDR
@@ -1898,7 +1934,9 @@ object H264Decode {
                         hr.ue() // pps_id
                         hr.u(s.log2MaxFrameNum) // frame_num
                         if (s.pocType != 0) return result(out)
-                        val poc = hr.u(s.log2MaxPocLsb)
+                        val lsb = hr.u(s.log2MaxPocLsb)
+                        val poc = derivePocMsb(prevPocMsb, prevPocLsb,
+                          lsb, s.log2MaxPocLsb) + lsb
                         if (refA == null ||
                             !(refA._1 < poc && poc < refB._1)) return result(out)
                         st.ref = refA._2; st.ref1 = refB._2
@@ -1925,6 +1963,20 @@ object H264Decode {
     result(out)
   }
 
-  private def result(out: scala.collection.mutable.ArrayBuffer[(Int, Frame)]): Seq[Frame] =
+  /** PicOrderCntMsb for poc type 0 (§8.2.1.1): the lsb is a modular
+    * counter; a backward jump of ≥ half the modulus means the msb
+    * wrapped UP, a forward jump of > half means the reference's msb was
+    * one modulus AHEAD of this picture.
+    */
+  private def derivePocMsb(prevMsb: Int, prevLsb: Int, lsb: Int,
+      log2MaxLsb: Int): Int = {
+    val max = 1 << log2MaxLsb
+    if (lsb < prevLsb && prevLsb - lsb >= max / 2) prevMsb + max
+    else if (lsb > prevLsb && lsb - prevLsb > max / 2) prevMsb - max
+    else prevMsb
+  }
+
+  private def result(
+      out: scala.collection.mutable.ArrayBuffer[((Int, Int), Frame)]): Seq[Frame] =
     out.sortBy(_._1).map(_._2).toSeq
 }

@@ -220,7 +220,12 @@ object Analytics {
     // scan + one in-memory materialization instead — the (key, double)
     // frame is the smallest possible footprint, and at cluster scale
     // this is the difference between five passes over a 100 TB table
-    // and one (the Dedup.scala persist-and-reuse discipline)
+    // and one (the Dedup.scala persist-and-reuse discipline).
+    // Deliberately NOT unpersisted: the returned frame is lazy, so the
+    // cache must survive until the CALLER's action; CacheManager dedupes
+    // identical plans (repeat calls don't stack) and MEMORY_AND_DISK
+    // evicts under pressure. A long-lived service should wrap this call
+    // and unpersist both frames after its terminal action.
     val base = df.select(g, x.as("_mo_x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r8: fixed-width bounds (sketch-free pass 1a) at the 256-bucket

@@ -892,7 +892,9 @@ object Dedup {
     * pipeline step: remove every detected repeated span from the
     * document and emit the cleaned text. Returns one row per document
     * that HAD at least one span: (id, n_tokens, cut_tokens,
-    * clean_text), where clean_text is the kept tokens re-joined with
+    * clean_text), where cut_tokens counts DISTINCT removed tokens
+    * (overlapping spans never double-count; n_tokens − cut_tokens is
+    * the kept count) and clean_text is the kept tokens re-joined with
     * single spaces (token-canonical — original inter-token whitespace
     * is not preserved; the tokenizer already defines the text's
     * semantic content) and may be EMPTY when spans cover the whole
@@ -912,19 +914,24 @@ object Dedup {
     val spans = repeatedSpans(df, idCol, textCol, gramN, minCount)
       .groupBy(col(idCol))
       .agg(
-        collect_list(struct(col("span_start"), col("span_end"))).as("_spans"),
-        sum(col("span_tokens")).cast("long").as("cut_tokens"))
+        collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    // cut_tokens = n_tokens − kept: counted from the filtered array
+    // itself, so spans that OVERLAP (adjacent islands < gramN apart
+    // produce spans sharing up to gramN−2 tokens) never double-count —
+    // the column is exactly "distinct tokens removed", and
+    // n_tokens − cut_tokens is the kept-token count by construction
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
       .join(spans, Seq(idCol))
       .select(
+        col(idCol), col("_t"),
+        filter(col("_t"), (tok, i) =>
+          !exists(col("_spans"), s =>
+            i >= s("span_start") && i <= s("span_end"))).as("_kept"))
+      .select(
         col(idCol),
         size(col("_t")).cast("long").as("n_tokens"),
-        col("cut_tokens"),
-        array_join(
-          filter(col("_t"), (tok, i) =>
-            !exists(col("_spans"), s =>
-              i >= s("span_start") && i <= s("span_end"))),
-          " ").as("clean_text"))
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("cut_tokens"),
+        array_join(col("_kept"), " ").as("clean_text"))
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -163,7 +163,9 @@ object CorpusQueries {
   def q114Winsorize(spark: SparkSession, dir: String): DataFrame = {
     // r9 scan-sharing (q127's lever): the percentile passes + the final
     // clipped aggregation read orders three times — persist the
-    // 2-column projection once instead (one parquet scan at any scale)
+    // 2-column projection once instead (one parquet scan at any scale).
+    // Session-lifetime cache by design (lazy result ⇒ can't unpersist
+    // before the caller's action); CacheManager dedupes repeat calls.
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderstatus"), col("o_totalprice"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

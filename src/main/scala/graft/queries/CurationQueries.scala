@@ -684,8 +684,7 @@ object CurationQueries {
                  FROM dp),
          sp AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
                 FROM isl GROUP BY doc_id, grp),
-         agg AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
-                 FROM sp GROUP BY doc_id),
+         sd AS (SELECT DISTINCT doc_id FROM sp),
          w AS (SELECT doc_id, unnest(t) AS tok,
                       generate_subscripts(t, 1) - 1 AS i
                FROM toks),
@@ -693,12 +692,15 @@ object CurationQueries {
                WHERE NOT EXISTS (SELECT 1 FROM sp
                                  WHERE sp.doc_id = w.doc_id
                                    AND w.i BETWEEN sp.s AND sp.e)),
+         kc AS (SELECT doc_id, count(*) AS kept FROM k GROUP BY doc_id),
          ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
                 FROM k GROUP BY doc_id)
-         SELECT a.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, a.cut_tokens,
+         SELECT sd.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                CAST(len(t.t) - coalesce(kc.kept, 0) AS BIGINT) AS cut_tokens,
                 coalesce(ct.clean_text, '') AS clean_text
-         FROM agg a
+         FROM sd
          JOIN toks t USING (doc_id)
+         LEFT JOIN kc USING (doc_id)
          LEFT JOIN ct USING (doc_id)
          ORDER BY doc_id""",
     "q73_repeated_spans" ->

@@ -187,6 +187,49 @@ class H264BSliceSpec extends AnyFunSuite {
         (((e0(k) & 0xff) + (e1(k) & 0xff) + 1) >> 1), s"luma $k")
   }
 
+  test("multi-GOP stream: each IDR starts a new CVS — per-GOP display order, DPB flushed") {
+    // two complete I-B-P GOPs back to back. A raw-lsb global sort would
+    // interleave them (I1,I2,B1,B2,P1,P2) and the un-flushed DPB would
+    // reject GOP 2's B (refs straddling the IDR); per-CVS ordering must
+    // reproduce each GOP's solo decode, in stream order.
+    val b1 = H264Encode.encodeB16x16(mixedB())
+    val gop1 = ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b1)))
+    val g2 = Array.tabulate(mbH, mbW)((r, c) => 200 - 23 * r - 11 * c)
+    val (idr2, _) = H264Encode.encodeI16x16Dc(g2)
+    val p2 = H264Encode.encodeP16x16(Array.fill(mbH, mbW)((4, 8)), poc = 4)
+    val gop2 = idr2 ++ H264Encode.annexB(Seq((1, 3, p2))) ++
+      H264Encode.annexB(Seq((1, 0, H264Encode.encodeB16x16(mixedB()))))
+    val solo1 = H264Decode.decodeAnnexBPictures(gop1)
+    val solo2 = H264Decode.decodeAnnexBPictures(gop2)
+    val both = H264Decode.decodeAnnexBPictures(gop1 ++ gop2, maxFrames = 8)
+    assert(solo1.size === 3 && solo2.size === 3 && both.size === 6)
+    for (k <- 0 until 3) {
+      assert(java.util.Arrays.equals(both(k).luma, solo1(k).luma), s"gop1 frame $k")
+      assert(java.util.Arrays.equals(both(k + 3).luma, solo2(k).luma), s"gop2 frame $k")
+    }
+  }
+
+  test("poc-lsb wraparound inside a GOP: ordered by derived PicOrderCnt, not raw lsb") {
+    // 4-bit poc lsb (modulus 16): P pocs 4,8,12,16(→lsb 0),20(→lsb 4).
+    // A raw-lsb sort would move the wrapped pictures to the FRONT; the
+    // §8.2.1.1 msb derivation keeps them last. The full decode's first
+    // four display frames must equal the pre-wrap prefix decode.
+    val mv = Array.fill(mbH, mbW)((8, 4))
+    val ps = Seq(4, 8, 12, 16, 20).map(p => H264Encode.encodeP16x16(mv, poc = p))
+    val (idr, _) = H264Encode.encodeI16x16Dc(gradient())
+    val full = idr ++ H264Encode.annexB(ps.map(p => (1, 3, p)))
+    val prefix = idr ++ H264Encode.annexB(ps.take(3).map(p => (1, 3, p)))
+    val fFull = H264Decode.decodeAnnexBPictures(full, maxFrames = 8)
+    val fPre = H264Decode.decodeAnnexBPictures(prefix, maxFrames = 8)
+    assert(fFull.size === 6 && fPre.size === 4)
+    for (k <- 0 until 4)
+      assert(java.util.Arrays.equals(fFull(k).luma, fPre(k).luma), s"frame $k")
+    // each P pans the gradient again — successive display frames differ
+    for (k <- 1 until 6)
+      assert(!java.util.Arrays.equals(fFull(k).luma, fFull(k - 1).luma),
+        s"frame $k vs ${k - 1}")
+  }
+
   test("graceful rejection: B before two refs, B poc outside ref window") {
     val ip = ipStream((4, 0))
     // B with only one reference picture decoded → rejected

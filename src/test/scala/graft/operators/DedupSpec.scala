@@ -387,6 +387,24 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, 4L, "")))
   }
 
+  test("cutRepeatedSpans: overlapping spans count distinct removed tokens, not span-length sums") {
+    // doc 1's dup grams sit at positions 0 and 2 (position 1 is NOT
+    // duplicated) → two islands whose gramN=3 spans [0,2] and [2,4]
+    // OVERLAP at token 2. A span-length sum would claim 6 cut tokens
+    // on a 5-token doc; the distinct-removed definition says 5.
+    val df = Seq(
+      (1L, "a b c d e"),          // grams: "a b c", "b c d", "c d e"
+      (2L, "a b c z c d e"),      // shares "a b c" and "c d e", not "b c d"
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", gramN = 3, minCount = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cut_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 5L, ""),
+      (2L, 7L, 6L, "z")))
+  }
+
   // ------------------------------------- connected components / clusters
 
   private def ccMap(pairs: Seq[(Long, Long)],
