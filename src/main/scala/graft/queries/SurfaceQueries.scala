@@ -176,22 +176,20 @@ object SurfaceQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** q102 — DSIR-style importance scoring
-    * ([[Curation.importanceWeights]] / [[Curation.importanceScores]]):
+  /** q102 — DSIR-style importance scoring ([[Curation.dsirScores]], the
+    * fused single-tokenize form; CurationSpec pins it ≡ the composable
+    * [[Curation.importanceWeights]]/[[Curation.importanceScores]] pair):
     * add-one-smoothed unigram log-likelihood ratio of the English target
     * slice against the whole corpus, summed per document — the data-
     * selection score used to up-sample target-like documents. Scores
     * round at 6 decimals (ln + sum-order drift is ~1e-13).
     */
-  def q102Dsir(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val w = graft.operators.Curation.importanceWeights(
-      d, d.filter(col("lang") === "en"), "text")
-    graft.operators.Curation.importanceScores(
-        d.select(col("doc_id"), col("text")), "doc_id", "text", w)
+  def q102Dsir(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.dsirScores(
+        docs(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", isTarget = col("lang") === "en")
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("doc_id"))
-  }
 
   /** q103 — deterministic corpus SHUFFLE + pack: the training-data step
     * before batching is a reproducible pseudorandom permutation, here an

@@ -245,6 +245,23 @@ class CurationSpec extends SparkSpec {
     assert(s2(9L) == 0.0)
   }
 
+  test("dsirScores (fused) ≡ importanceWeights→importanceScores (composed), incl. empty docs") {
+    val raw = docs.limit(150).select(col("doc_id").as("id"),
+        (col("doc_id") % 3 === 0).as("tgt"), col("text"))
+      .union(Seq((100000L, false, "   ")).toDF("id", "tgt", "text"))
+    val weights = Curation.importanceWeights(
+      raw, raw.filter(col("tgt")), "text")
+    val composed = Curation.importanceScores(raw, "id", "text", weights)
+      .select("id", "score").as[(Long, Double)].collect()
+      .map(t => (t._1, math.round(t._2 * 1e9))).sortBy(_._1).toSeq
+    val fused = Curation.dsirScores(raw, "id", "text", col("tgt"))
+      .select("id", "score").as[(Long, Double)].collect()
+      .map(t => (t._1, math.round(t._2 * 1e9))).sortBy(_._1).toSeq
+    assert(fused == composed)
+    assert(fused.exists(_._1 == 100000L) &&
+      fused.find(_._1 == 100000L).get._2 == 0L, "empty doc scores 0")
+  }
+
   test("hashed-feature DSIR: bucket collapse is consistent between train and score") {
     val raw = docs.limit(120).select(col("doc_id").as("id"), col("text"))
     val target = raw.filter(col("id") % 5 === 0)

@@ -145,11 +145,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // candidate cut + vector join-back
     "q101_seq_packing"         -> (5, 2, 2, true), // prefix scan: tiny offsets frame +
                                                    // per-bucket windows; 1-row bounds ×2
-    "q102_dsir"                -> (7, 4, 2, true), // r8: corpus constants ride a
-                                                   // 1-row broadcast (q62 shape, the
-                                                   // 2 loops) instead of plan-build
-                                                   // driver collects; extra tiny
-                                                   // exchanges are the scalar aggs
+    "q102_dsir"                -> (6, 1, 1, true), // r10 fused dsirScores: one
+                                                   // dual-count token agg (ReusedExchange
+                                                   // serves it to the 1-row stats
+                                                   // broadcast, the loop), shuffle-hash
+                                                   // weight join, per-doc sum, join-back
     "q103_shuffle_pack"        -> (5, 2, 2, true), // q101's scan over the md5 shuffle key
     "q104_regr_power_sums"     -> (2, 0, 0, true), // one-pass decimal power-sum agg
     "q105_try_surface"         -> (1, 0, 0, true), // per-row try_* exprs, sort only
