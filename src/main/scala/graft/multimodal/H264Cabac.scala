@@ -658,6 +658,39 @@ object H264Cabac {
     }
   }
 
+  /** sub_mb_type, B slice (ctxIdxOffset 36, Table 9-10 binarization —
+    * the r10 B_8x8 tier): bin0 → ctx 36, bin1 → 37, bin2 → 38, every
+    * later bin → 39 (Table 9-38's fixed increments; no neighbor
+    * derivation). Tree: '0' = B_Direct_8x8 (0); '10x' = B_L0/L1_8x8
+    * (1/2); '110xx' = 3..6; '1110xx' = 7..10; '1111x' = 11/12.
+    */
+  def decodeBSubMbType(d: Decoder): Int = {
+    if (d.decision(36) == 0) return 0 // B_Direct_8x8
+    if (d.decision(37) == 0) return 1 + d.decision(39)
+    if (d.decision(38) == 1) {
+      if (d.decision(39) == 1) return 11 + d.decision(39)
+      return 7 + (d.decision(39) << 1) + d.decision(39)
+    }
+    3 + (d.decision(39) << 1) + d.decision(39)
+  }
+
+  def encodeBSubMbType(e: Encoder, t: Int): Unit = {
+    require(t >= 0 && t <= 12, s"bad B sub_mb_type $t")
+    if (t == 0) { e.decision(36, 0); return }
+    e.decision(36, 1)
+    if (t <= 2) { e.decision(37, 0); e.decision(39, t - 1); return }
+    e.decision(37, 1)
+    if (t <= 6) {
+      e.decision(38, 0)
+      e.decision(39, (t - 3) >> 1); e.decision(39, (t - 3) & 1)
+    } else if (t <= 10) {
+      e.decision(38, 1); e.decision(39, 0)
+      e.decision(39, (t - 7) >> 1); e.decision(39, (t - 7) & 1)
+    } else {
+      e.decision(38, 1); e.decision(39, 1); e.decision(39, t - 11)
+    }
+  }
+
   /** mvd_l0 component (§9.3.2.3 UEG3, signedValFlag 1, uCoff 9):
     * TU prefix of min(|mvd|, 9) over contexts base+inc0 (bin0, inc0 =
     * 0/1/2 from the neighbor |mvd| sum — §9.3.3.1.1.7, derived by the

@@ -706,6 +706,8 @@ object H264Decode {
               decodeInterResidualCavlc(st, r,
                 mbAddr % st.mbW, mbAddr / st.mbW, qp)
             }
+            else if (mbType == 22)
+              decodeB8x8Macroblock(st, r, mbAddr, qp, directSpatial)
             else decodeBMacroblock(st, r, mbAddr, qp, mbType)
           }
           else if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
@@ -737,9 +739,19 @@ object H264Decode {
     *
     * Derived motion is STORED into the grids, so later MBs'
     * predictions see this MB as a normal inter neighbor.
+    *
+    * r10: region-parameterized for the B_8x8 tier — a B_Direct_8x8
+    * sub-block invokes the SAME process over its 2x2-block region
+    * (ox4/oy4/rw4/rh4 in 4x4 units, MB-relative). The spatial
+    * refIdx/mv derivation stays at MB granularity (§8.4.1.2.2 derives
+    * them "for the whole macroblock", its neighbors being the MB's own
+    * A/B/C — all outside the MB, so in-MB decode progress cannot
+    * change them); only the per-4x4 colZero test and the stores/MC are
+    * region-scoped.
     */
   private def decodeBDirectMotion(st: State, mbAddr: Int,
-      spatial: Boolean = true): Unit = {
+      spatial: Boolean = true, ox4: Int = 0, oy4: Int = 0,
+      rw4: Int = 4, rh4: Int = 4): Unit = {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
@@ -749,23 +761,26 @@ object H264Decode {
       require(td != 0, "temporal direct with zero POC distance")
       val tx = (16384 + math.abs(td / 2)) / td
       val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
-      var b = 0
-      while (b < 16) {
-        val x4r = b % 4; val y4r = b / 4
-        val ax4 = bx4 + x4r; val ay4 = by4 + y4r
-        val (mcx, mcy) =
-          if (st.colMv != null && st.colMv.blockAvail(ax4, ay4) &&
-              st.colMv.refIdx(ay4 * st.colMv.w4 + ax4) >= 0)
-            (st.colMv.mvX(ay4 * st.colMv.w4 + ax4),
-              st.colMv.mvY(ay4 * st.colMv.w4 + ax4))
-          else (0, 0)
-        val m0x = (dsf * mcx + 128) >> 8; val m0y = (dsf * mcy + 128) >> 8
-        val m1x = m0x - mcx; val m1y = m0y - mcy
-        st.mv.set(ax4, ay4, 1, 1, m0x, m0y, 0)
-        st.mvL1.set(ax4, ay4, 1, 1, m1x, m1y, 0)
-        compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, 2,
-          (m0x, m0y), (m1x, m1y))
-        b += 1
+      var y4r = oy4
+      while (y4r < oy4 + rh4) {
+        var x4r = ox4
+        while (x4r < ox4 + rw4) {
+          val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+          val (mcx, mcy) =
+            if (st.colMv != null && st.colMv.blockAvail(ax4, ay4) &&
+                st.colMv.refIdx(ay4 * st.colMv.w4 + ax4) >= 0)
+              (st.colMv.mvX(ay4 * st.colMv.w4 + ax4),
+                st.colMv.mvY(ay4 * st.colMv.w4 + ax4))
+            else (0, 0)
+          val m0x = (dsf * mcx + 128) >> 8; val m0y = (dsf * mcy + 128) >> 8
+          val m1x = m0x - mcx; val m1y = m0y - mcy
+          st.mv.set(ax4, ay4, 1, 1, m0x, m0y, 0)
+          st.mvL1.set(ax4, ay4, 1, 1, m1x, m1y, 0)
+          compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, 2,
+            (m0x, m0y), (m1x, m1y))
+          x4r += 1
+        }
+        y4r += 1
       }
       return
     }
@@ -777,17 +792,23 @@ object H264Decode {
     val m0 = if (!zeroAll && r0 >= 0) st.mv.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
     val m1 = if (!zeroAll && r1 >= 0) st.mvL1.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
     val dir = if (use0 && use1) 2 else if (use0) 0 else 1
-    var b = 0
-    while (b < 16) {
-      val x4r = b % 4; val y4r = b / 4
-      val ax4 = bx4 + x4r; val ay4 = by4 + y4r
-      val cz = st.colMv != null && st.colMv.colZero(ax4, ay4)
-      val mv0 = if (cz) (0, 0) else m0
-      val mv1 = if (cz) (0, 0) else m1
-      if (use0) st.mv.set(ax4, ay4, 1, 1, mv0._1, mv0._2, 0)
-      if (use1) st.mvL1.set(ax4, ay4, 1, 1, mv1._1, mv1._2, 0)
-      compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, dir, mv0, mv1)
-      b += 1
+    // an unused list's region is still DECODED (refIdx −1 neighbors)
+    if (!use0) st.mv.markDone(bx4 + ox4, by4 + oy4, rw4, rh4)
+    if (!use1) st.mvL1.markDone(bx4 + ox4, by4 + oy4, rw4, rh4)
+    var y4r = oy4
+    while (y4r < oy4 + rh4) {
+      var x4r = ox4
+      while (x4r < ox4 + rw4) {
+        val ax4 = bx4 + x4r; val ay4 = by4 + y4r
+        val cz = st.colMv != null && st.colMv.colZero(ax4, ay4)
+        val mv0 = if (cz) (0, 0) else m0
+        val mv1 = if (cz) (0, 0) else m1
+        if (use0) st.mv.set(ax4, ay4, 1, 1, mv0._1, mv0._2, 0)
+        if (use1) st.mvL1.set(ax4, ay4, 1, 1, mv1._1, mv1._2, 0)
+        compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, dir, mv0, mv1)
+        x4r += 1
+      }
+      y4r += 1
     }
   }
 
@@ -803,6 +824,10 @@ object H264Decode {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     var qp = qpIn
+    // intra MB: decoded-but-no-list-motion in both grids (available
+    // neighbors with refIdx −1 per §8.4.1.3.2 — see MvGrid.markDone)
+    st.mv.markDone(mbX * 4, mbY * 4, 4, 4)
+    st.mvL1.markDone(mbX * 4, mbY * 4, 4, 4)
 
     if (mbType == 25) { // ---- I_PCM (§7.3.5 + §8.3.5)
       while ((r.remaining % 8) != 0) require(r.u(1) == 0, "pcm alignment bit not 0")
@@ -1061,6 +1086,8 @@ object H264Decode {
             decodeBDirectMotion(st, mbAddr, directSpatial)
             decodeInterResidualCabac(st, d, cc, mbAddr, qp)
           }
+          else if (mbType == 22) { cc.markInter(mbAddr)
+            decodeB8x8MacroblockCabac(st, d, cc, mbAddr, qp, directSpatial) }
           else { cc.markInter(mbAddr)
             decodeBMacroblockCabac(st, d, cc, mbAddr, qp, mbType) }
       } else qp = decodeMacroblockCabac(st, d, cc, mbAddr, qp)
@@ -1087,6 +1114,9 @@ object H264Decode {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     var qp = qpIn
+    // intra MB: decoded-but-no-list-motion (see decodeMacroblock)
+    st.mv.markDone(mbX * 4, mbY * 4, 4, 4)
+    st.mvL1.markDone(mbX * 4, mbY * 4, 4, 4)
     val availLeftMb = st.mbAvailable(mbX - 1, mbY)
     val availTopMb = st.mbAvailable(mbX, mbY - 1)
 
@@ -1466,13 +1496,13 @@ object H264Decode {
     * BiPred); 4..21 are the two-partition 16x8 / 8x16 types whose
     * per-partition directions cycle (L0,L0) (L1,L1) (L0,L1) (L1,L0)
     * (L0,Bi) (L1,Bi) (Bi,L0) (Bi,L1) (Bi,Bi); 0 (B_Direct_16x16) and
-    * 22 (B_8x8, sub-partitioned) are out of this decoder's scope and
-    * reject the frame. Returns (offX4, offY4, w4, h4, mvp kind, dir)
-    * with dir 0 = L0, 1 = L1, 2 = Bi.
+    * 22 (B_8x8) dispatch to their own decoders before reaching here.
+    * Returns (offX4, offY4, w4, h4, mvp kind, dir) with dir 0 = L0,
+    * 1 = L1, 2 = Bi.
     */
   private def bPartitions(mbType: Int): Seq[(Int, Int, Int, Int, Int, Int)] = {
     require(mbType >= 1 && mbType <= 21,
-      s"B mb_type $mbType (direct / B_8x8) out of scope")
+      s"B mb_type $mbType dispatched to the wrong decoder")
     if (mbType <= 3) return Seq((0, 0, 4, 4, 0, mbType - 1))
     val dirPairs = Seq((0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2),
       (2, 0), (2, 1), (2, 2))
@@ -1481,6 +1511,174 @@ object H264Decode {
       Seq((0, 0, 4, 2, 1, d0), (0, 2, 4, 2, 2, d1))
     else // 8x16
       Seq((0, 0, 2, 4, 3, d0), (2, 0, 2, 4, 4, d1))
+  }
+
+  /** Table 7-18 B sub_mb_type properties: (numSubMbPart, dir, sw4, sh4)
+    * with dir −1 = Direct, 0 = Pred_L0, 1 = Pred_L1, 2 = BiPred;
+    * sub-partition width/height in 4x4-block units.
+    */
+  private[multimodal] def bSubMbInfo(t: Int): (Int, Int, Int, Int) = t match {
+    case 0  => (4, -1, 1, 1) // B_Direct_8x8 (region direct, 4x4 colZero)
+    case 1  => (1, 0, 2, 2)  // B_L0_8x8
+    case 2  => (1, 1, 2, 2)  // B_L1_8x8
+    case 3  => (1, 2, 2, 2)  // B_Bi_8x8
+    case 4  => (2, 0, 2, 1)  // B_L0_8x4
+    case 5  => (2, 0, 1, 2)  // B_L0_4x8
+    case 6  => (2, 1, 2, 1)  // B_L1_8x4
+    case 7  => (2, 1, 1, 2)  // B_L1_4x8
+    case 8  => (2, 2, 2, 1)  // B_Bi_8x4
+    case 9  => (2, 2, 1, 2)  // B_Bi_4x8
+    case 10 => (4, 0, 1, 1)  // B_L0_4x4
+    case 11 => (4, 1, 1, 1)  // B_L1_4x4
+    case 12 => (4, 2, 1, 1)  // B_Bi_4x4
+    case _ => throw new IllegalArgumentException(s"bad B sub_mb_type $t")
+  }
+
+  /** Sub-partition origins within an 8x8 (4x4-block units, §6.4.2.2
+    * decode order): 8x4 top→bottom, 4x8 left→right, 4x4 raster.
+    */
+  private[multimodal] def bSubPartOffsets(n: Int, sw4: Int, sh4: Int): Seq[(Int, Int)] =
+    (n, sw4, sh4) match {
+      case (1, _, _) => Seq((0, 0))
+      case (2, 2, 1) => Seq((0, 0), (0, 1))
+      case (2, 1, 2) => Seq((0, 0), (1, 0))
+      case _         => Seq((0, 0), (1, 0), (0, 1), (1, 1))
+    }
+
+  /** Decode one B_8x8 macroblock (CAVLC; mb_type 22): four sub_mb_type
+    * elements (Table 7-18), then list-major mvds — mvd_l0 for every
+    * L0/Bi sub-partition of every sub-block in order, then mvd_l1
+    * (§7.3.5.2). Sub-partition MVs use the PLAIN §8.4.1.3 median (the
+    * 16x8/8x16 directional shortcuts apply only to macroblock
+    * partitions); B_Direct_8x8 sub-blocks run the shared
+    * [[decodeBDirectMotion]] over their 2x2-block region. Per-block
+    * decodedness (MvGrid r10) makes a sub-partition whose above-right
+    * C lands on a not-yet-decoded later block of the SAME MB fall back
+    * to D, as §6.4.11.7 requires. Residual tail shared with P.
+    */
+  private def decodeB8x8Macroblock(st: State, r: H264.BitReader,
+      mbAddr: Int, qpIn: Int, directSpatial: Boolean): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val subTypes = Array.fill(4) {
+      val t = r.ue(); require(t <= 12, s"bad B sub_mb_type $t"); t
+    }
+    val mv0 = Array.fill(4)(new Array[(Int, Int)](4))
+    val mv1 = Array.fill(4)(new Array[(Int, Int)](4))
+    // L0 pass (direct sub-blocks derive + compensate inline, in order,
+    // so later sub-partitions' medians see their final motion)
+    var i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir == -1)
+        decodeBDirectMotion(st, mbAddr, directSpatial, ox, oy, 2, 2)
+      else if (dir != 1) {
+        bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
+          val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+          val mvdX = r.se(); val mvdY = r.se()
+          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0)
+          mv0(i)(j) = (p0x + mvdX, p0y + mvdY)
+          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, 0)
+        }
+      } else st.mv.markDone(bx4 + ox, by4 + oy, 2, 2)
+      i += 1
+    }
+    // L1 pass
+    i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir == 1 || dir == 2) {
+        bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
+          val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+          val mvdX = r.se(); val mvdY = r.se()
+          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0)
+          mv1(i)(j) = (p1x + mvdX, p1y + mvdY)
+          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, 0)
+        }
+      } else if (dir == 0) st.mvL1.markDone(bx4 + ox, by4 + oy, 2, 2)
+      i += 1
+    }
+    // MC pass (direct regions already compensated)
+    i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir >= 0) bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+        case ((sx, sy), j) =>
+          compensateB(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
+            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j))
+      }
+      i += 1
+    }
+    decodeInterResidualCavlc(st, r, mbX, mbY, qpIn)
+  }
+
+  /** CABAC twin of [[decodeB8x8Macroblock]]: sub_mb_type through the
+    * ctx-36..39 tree ([[H264Cabac.decodeBSubMbType]]), mvds through the
+    * shared UEG3 contexts with list-keyed increments at sub-partition
+    * granularity, residual tail shared with P. Caller has read mb_type
+    * (22) and marked the MB in `cc`.
+    */
+  private def decodeB8x8MacroblockCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int,
+      directSpatial: Boolean): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val subTypes = Array.fill(4)(H264Cabac.decodeBSubMbType(d))
+    val mv0 = Array.fill(4)(new Array[(Int, Int)](4))
+    val mv1 = Array.fill(4)(new Array[(Int, Int)](4))
+    var i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir == -1)
+        decodeBDirectMotion(st, mbAddr, directSpatial, ox, oy, 2, 2)
+      else if (dir != 1) {
+        bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
+          val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+          val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, x4, y4))
+          val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, x4, y4))
+          cc.setMvd(0, x4, y4, sw, sh, mvdX, mvdY)
+          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0)
+          mv0(i)(j) = (p0x + mvdX, p0y + mvdY)
+          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, 0)
+        }
+      } else st.mv.markDone(bx4 + ox, by4 + oy, 2, 2)
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir == 1 || dir == 2) {
+        bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
+          val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+          val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(1, 0, x4, y4))
+          val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, 1, x4, y4))
+          cc.setMvd(1, x4, y4, sw, sh, mvdX, mvdY)
+          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0)
+          mv1(i)(j) = (p1x + mvdX, p1y + mvdY)
+          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, 0)
+        }
+      } else if (dir == 0) st.mvL1.markDone(bx4 + ox, by4 + oy, 2, 2)
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, dir, sw, sh) = bSubMbInfo(subTypes(i))
+      if (dir >= 0) bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+        case ((sx, sy), j) =>
+          compensateB(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
+            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j))
+      }
+      i += 1
+    }
+    decodeInterResidualCabac(st, d, cc, mbAddr, qpIn)
   }
 
   /** Decode one B-slice inter macroblock (CAVLC): mvd_l0 for every
@@ -1504,7 +1702,7 @@ object H264Decode {
         val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
         mv0(i) = (p0x + mvdX, p0y + mvdY)
         st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
-      }
+      } else st.mv.markDone(bx4 + ox, by4 + oy, pw, ph) // L1-only: decoded, no L0 ref
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
       if (dir != 0) {
@@ -1512,7 +1710,7 @@ object H264Decode {
         val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
         mv1(i) = (p1x + mvdX, p1y + mvdY)
         st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
-      }
+      } else st.mvL1.markDone(bx4 + ox, by4 + oy, pw, ph) // L0-only: decoded, no L1 ref
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
       compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
@@ -1695,7 +1893,7 @@ object H264Decode {
         val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
         mv0(i) = (p0x + mvdX, p0y + mvdY)
         st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
-      }
+      } else st.mv.markDone(bx4 + ox, by4 + oy, pw, ph)
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
       if (dir != 0) {
@@ -1705,7 +1903,7 @@ object H264Decode {
         val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
         mv1(i) = (p1x + mvdX, p1y + mvdY)
         st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
-      }
+      } else st.mvL1.markDone(bx4 + ox, by4 + oy, pw, ph)
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
       compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,

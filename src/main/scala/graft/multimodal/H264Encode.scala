@@ -122,13 +122,172 @@ object H264Encode {
           val (p0x, p0y) = grid0.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
           w.se(m0._1 - p0x); w.se(m0._2 - p0y) // mvd_l0
           grid0.set(mbX * 4, mbY * 4, 4, 4, m0._1, m0._2, 0)
-        }
+        } else grid0.markDone(mbX * 4, mbY * 4, 4, 4) // decoder's r10 discipline
         if (dir != 0) {
           val (p1x, p1y) = grid1.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
           w.se(m1._1 - p1x); w.se(m1._2 - p1y) // mvd_l1
           grid1.set(mbX * 4, mbY * 4, 4, 4, m1._1, m1._2, 0)
+        } else grid1.markDone(mbX * 4, mbY * 4, 4, 4)
+        w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** B_8x8 slice payload (CAVLC, the r10 sub-partition tier): every
+    * macroblock mb_type 22 with four NON-DIRECT sub_mb_types —
+    * `mbs(mbY)(mbX)` = four (subType 1..12 per Table 7-18, per-sub-
+    * partition (mvL0, mvL1) pairs in §6.4.2.2 order; the unused list's
+    * mv is ignored). mvds derive from the decoder's own grids (per-list
+    * plain-median at sub-partition granularity, r10 per-block
+    * decodedness discipline), list-major element order, zero residual.
+    * Direct sub-blocks (subType 0) are NOT encodable here — their
+    * motion derivation needs the co-located picture; hand-written
+    * slices cover them (H264BSliceSpec).
+    */
+  def encodeB8x8(
+      mbs: Array[Array[Seq[(Int, Seq[((Int, Int), (Int, Int))])]]],
+      qp: Int = 26, poc: Int = 2): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val subs = mbs(mbY)(mbX)
+        require(subs.length == 4, "a B_8x8 MB needs exactly 4 sub-blocks")
+        grid0.markMb(mbY * mbW + mbX); grid1.markMb(mbY * mbW + mbX)
+        val bx4 = mbX * 4; val by4 = mbY * 4
+        w.ue(0) // mb_skip_run
+        w.ue(22) // mb_type B_8x8
+        subs.foreach { case (t, mvs) =>
+          require(t >= 1 && t <= 12, s"sub_mb_type $t not encodable")
+          val (n, _, _, _) = H264Decode.bSubMbInfo(t)
+          require(mvs.length == n, s"sub_mb_type $t needs $n mv pairs")
+          w.ue(t)
+        }
+        // L0 pass then L1 pass, mirroring the decoder exactly
+        for (i <- 0 until 4) {
+          val ox = (i % 2) * 2; val oy = (i / 2) * 2
+          val (t, mvs) = subs(i)
+          val (n, dir, sw, sh) = H264Decode.bSubMbInfo(t)
+          if (dir != 1) {
+            H264Decode.bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+              case ((sx, sy), j) =>
+                val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+                val (p0x, p0y) = grid0.mvPred(x4, y4, sw, sh, 0)
+                val m0 = mvs(j)._1
+                w.se(m0._1 - p0x); w.se(m0._2 - p0y)
+                grid0.set(x4, y4, sw, sh, m0._1, m0._2, 0)
+            }
+          } else grid0.markDone(bx4 + ox, by4 + oy, 2, 2)
+        }
+        for (i <- 0 until 4) {
+          val ox = (i % 2) * 2; val oy = (i / 2) * 2
+          val (t, mvs) = subs(i)
+          val (n, dir, sw, sh) = H264Decode.bSubMbInfo(t)
+          if (dir != 0) {
+            H264Decode.bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+              case ((sx, sy), j) =>
+                val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+                val (p1x, p1y) = grid1.mvPred(x4, y4, sw, sh, 0)
+                val m1 = mvs(j)._2
+                w.se(m1._1 - p1x); w.se(m1._2 - p1y)
+                grid1.set(x4, y4, sw, sh, m1._1, m1._2, 0)
+            }
+          } else grid1.markDone(bx4 + ox, by4 + oy, 2, 2)
         }
         w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC twin of [[encodeB8x8]]: mb_type 22 through the B tree,
+    * sub_mb_types through ctx 36..39, mvds through the shared UEG3
+    * contexts at sub-partition granularity, cbp 0, terminate per MB.
+    */
+  def encodeCabacB8x8(
+      mbs: Array[Array[Seq[(Int, Seq[((Int, Int), (Int, Int))])]]],
+      qp: Int = 26, poc: Int = 2, initIdc: Int = 0): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        val subs = mbs(mbY)(mbX)
+        require(subs.length == 4, "a B_8x8 MB needs exactly 4 sub-blocks")
+        grid0.markMb(mbAddr); grid1.markMb(mbAddr)
+        val bx4 = mbX * 4; val by4 = mbY * 4
+        H264Cabac.encodeMbSkipB(e, cc.skipCond(mbX, mbY), 0)
+        H264Cabac.encodeMbTypeB(e, cc.bTypeCond(mbX, mbY), 22)
+        cc.markInter(mbAddr)
+        subs.foreach { case (t, mvs) =>
+          require(t >= 1 && t <= 12, s"sub_mb_type $t not encodable")
+          val (n, _, _, _) = H264Decode.bSubMbInfo(t)
+          require(mvs.length == n, s"sub_mb_type $t needs $n mv pairs")
+          H264Cabac.encodeBSubMbType(e, t)
+        }
+        for (i <- 0 until 4) {
+          val ox = (i % 2) * 2; val oy = (i / 2) * 2
+          val (t, mvs) = subs(i)
+          val (n, dir, sw, sh) = H264Decode.bSubMbInfo(t)
+          if (dir != 1) {
+            H264Decode.bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+              case ((sx, sy), j) =>
+                val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+                val (p0x, p0y) = grid0.mvPred(x4, y4, sw, sh, 0)
+                val m0 = mvs(j)._1
+                val mvdX = m0._1 - p0x; val mvdY = m0._2 - p0y
+                H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, x4, y4), mvdX)
+                H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, x4, y4), mvdY)
+                cc.setMvd(0, x4, y4, sw, sh, mvdX, mvdY)
+                grid0.set(x4, y4, sw, sh, m0._1, m0._2, 0)
+            }
+          } else grid0.markDone(bx4 + ox, by4 + oy, 2, 2)
+        }
+        for (i <- 0 until 4) {
+          val ox = (i % 2) * 2; val oy = (i / 2) * 2
+          val (t, mvs) = subs(i)
+          val (n, dir, sw, sh) = H264Decode.bSubMbInfo(t)
+          if (dir != 0) {
+            H264Decode.bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+              case ((sx, sy), j) =>
+                val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+                val (p1x, p1y) = grid1.mvPred(x4, y4, sw, sh, 0)
+                val m1 = mvs(j)._2
+                val mvdX = m1._1 - p1x; val mvdY = m1._2 - p1y
+                H264Cabac.encodeMvd(e, 0, cc.mvdInc(1, 0, x4, y4), mvdX)
+                H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, 1, x4, y4), mvdY)
+                cc.setMvd(1, x4, y4, sw, sh, mvdX, mvdY)
+                grid1.set(x4, y4, sw, sh, m1._1, m1._2, 0)
+            }
+          } else grid1.markDone(bx4 + ox, by4 + oy, 2, 2)
+        }
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        cc.prevQpDeltaNZ = false // mb_qp_delta absent when cbp == 0
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
         mbX += 1
       }
       mbY += 1
@@ -210,7 +369,7 @@ object H264Encode {
           H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, mbX * 4, mbY * 4), mvdY)
           cc.setMvd(0, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
           grid0.set(mbX * 4, mbY * 4, 4, 4, m0._1, m0._2, 0)
-        }
+        } else grid0.markDone(mbX * 4, mbY * 4, 4, 4) // decoder's r10 discipline
         if (dir != 0) {
           val (p1x, p1y) = grid1.mvPred(mbX * 4, mbY * 4, 4, 4, 0)
           val mvdX = m1._1 - p1x; val mvdY = m1._2 - p1y
@@ -218,7 +377,7 @@ object H264Encode {
           H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, 1, mbX * 4, mbY * 4), mvdY)
           cc.setMvd(1, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
           grid1.set(mbX * 4, mbY * 4, 4, 4, m1._1, m1._2, 0)
-        }
+        } else grid1.markDone(mbX * 4, mbY * 4, 4, 4)
         H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
           cc.cbpOf(mbX, mbY - 1), 0)
         cc.cbp(mbAddr) = 0

@@ -39,12 +39,37 @@ private[multimodal] object H264Inter {
     val mvY = new Array[Int](w4 * h4)
     val refIdx: Array[Int] = Array.fill(w4 * h4)(-1)
     private val mbAvail = new Array[Boolean](mbW * mbH)
+    // r10 (the B_8x8 tier): DECODED state per 4x4 block, not per MB.
+    // §8.4.1.3.2/§6.4.11.7 mark a neighbor "not available" when its
+    // block is not yet decoded — which inside a sub-partitioned MB can
+    // be a LATER block of the same MB (e.g. the above-right C of a
+    // bottom 8x4 sub-partition), triggering the C→D substitution. A
+    // block that IS decoded but never references the list (intra MB,
+    // other-list-only partition, unused direct list) must instead read
+    // available-with-refIdx−1 — decoders mark those via [[markDone]];
+    // [[set]] marks the blocks it writes. For every pre-r10 partition
+    // geometry the two models coincide (no decode path could read a
+    // marked-MB undecoded block), so committed streams are unaffected.
+    private val blockDone = new Array[Boolean](w4 * h4)
 
     def markMb(mbAddr: Int): Unit = mbAvail(mbAddr) = true
 
+    /** Mark blocks DECODED without giving them list motion (refIdx
+      * stays −1): intra MBs, partitions that only use the other list,
+      * unused spatial-direct lists.
+      */
+    def markDone(bx4: Int, by4: Int, pw4: Int, ph4: Int): Unit = {
+      var y = by4
+      while (y < by4 + ph4) {
+        var x = bx4
+        while (x < bx4 + pw4) { blockDone(y * w4 + x) = true; x += 1 }
+        y += 1
+      }
+    }
+
     def blockAvail(x4: Int, y4: Int): Boolean =
       x4 >= 0 && y4 >= 0 && x4 < w4 && y4 < h4 &&
-        mbAvail((y4 / 4) * mbW + x4 / 4)
+        mbAvail((y4 / 4) * mbW + x4 / 4) && blockDone(y4 * w4 + x4)
 
     def set(bx4: Int, by4: Int, pw4: Int, ph4: Int,
         mx: Int, my: Int, ref: Int): Unit = {
@@ -53,6 +78,7 @@ private[multimodal] object H264Inter {
         var x = bx4
         while (x < bx4 + pw4) {
           mvX(y * w4 + x) = mx; mvY(y * w4 + x) = my; refIdx(y * w4 + x) = ref
+          blockDone(y * w4 + x) = true
           x += 1
         }
         y += 1

@@ -861,6 +861,71 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams whose B picture is built
+    * ENTIRELY of B_8x8 macroblocks (the r10 sub-partition tier): every
+    * MB carries four sub_mb_types cycling all 12 non-direct Table 7-18
+    * entries (8x8 / 8x4 / 4x8 / 4x4 × L0 / L1 / Bi), with whole-pel
+    * per-sub-partition motion offsets on top of the seed-keyed pan —
+    * the middle display frame is wrong unless sub-partition mv
+    * prediction (plain medians, mid-MB C→D availability), per-list
+    * resolution AND bi-prediction are right at 4x4 granularity. GOP
+    * and dup-planting structure mirror [[syntheticAvcBidirStreams]]:
+    * IDR(poc 0) + P(poc 4, ref) + B(poc 2, non-ref), parity
+    * alternating CAVLC / CABAC (sub_mb_type rides ctx 36..39 on the
+    * CABAC side), every planted near-dup pair cross-entropy.
+    */
+  def syntheticAvcB8x8Streams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup && !exact) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      val panRnd = new scala.util.Random(seed * 41 + 7)
+      val mv = (panRnd.nextInt(17) - 8, panRnd.nextInt(17) - 8)
+      val pMvs = Array.fill(4, 4)((mv._1 * 2, mv._2 * 2))
+      // B sits halfway along the pan; each sub-partition adds a small
+      // whole-pel offset so adjacent sub-partitions carry DISTINCT
+      // motion (a sub-partition-collapse bug changes pixels)
+      val bMbs: Array[Array[Seq[(Int, Seq[((Int, Int), (Int, Int))])]]] =
+        Array.tabulate(4, 4) { (my, mx) =>
+          (0 until 4).map { si =>
+            val t = 1 + (((mx + 4 * my) * 4 + si + seed) % 12).toInt
+            val (nParts, _, _, _) = H264Decode.bSubMbInfo(t)
+            val mvs = (0 until nParts).map { j =>
+              val dx = 4 * ((j + si) % 2)
+              ((mv._1 + dx, mv._2), (-mv._1 + dx, -mv._2))
+            }
+            (t, mvs)
+          }
+        }
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(pMvs, qp, idc, poc = 4)),
+              (1, 0, H264Encode.encodeCabacB8x8(bMbs, qp, poc = 2,
+                initIdc = idc))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(pMvs, qp, poc = 4)),
+              (1, 0, H264Encode.encodeB8x8(bMbs, qp, poc = 2))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   /** 8×8 average hash straight from a decoded luma plane (no PNG round
     * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
     */

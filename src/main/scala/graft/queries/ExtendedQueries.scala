@@ -634,6 +634,27 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q153 — sub-partitioned B-slice video dedup (the r10 B_8x8 tier's
+    * query face): every B macroblock is mb_type 22 with all twelve
+    * non-direct sub_mb_types cycling and DISTINCT per-sub-partition
+    * motion, so the middle display frame's pixels are wrong unless
+    * 8x4/4x8/4x4 sub-partition parsing, plain-median mv prediction
+    * with mid-MB C→D availability, per-list resolution and
+    * bi-prediction all hold — in BOTH entropy tiers (sub_mb_type rides
+    * CAVLC ue(v) on one side, the ctx-36..39 CABAC tree on the other).
+    * Every planted near-dup pair is cross-entropy; byte/keyframe
+    * hashing collapses none ([[graft.multimodal.Multimodal
+    * .syntheticAvcB8x8Streams]]; H264PipelineSpec pins the asymmetry).
+    */
+  def q153AvcB8x8Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcb8_200"))(
+      graft.multimodal.Multimodal.syntheticAvcB8x8Streams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 3, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -939,6 +960,7 @@ object ExtendedQueries {
     "q147_avc_entropy_dedup" -> (q147AvcEntropyDedup _),
     "q150_avc_motion_entropy_dedup" -> (q150AvcMotionEntropyDedup _),
     "q151_avc_bidir_dedup" -> (q151AvcBidirDedup _),
+    "q153_avc_b8x8_dedup" -> (q153AvcB8x8Dedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1181,6 +1203,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q151_avc_bidir_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q151_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q153_avc_b8x8_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q153_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

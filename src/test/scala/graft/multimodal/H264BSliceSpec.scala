@@ -187,6 +187,179 @@ class H264BSliceSpec extends AnyFunSuite {
         (((e0(k) & 0xff) + (e1(k) & 0xff) + 1) >> 1), s"luma $k")
   }
 
+  /** The mixed B_8x8 layout used by the r10 sub-partition tests: sub
+    * types cycle over all 12 non-direct Table 7-18 entries across the
+    * picture, whole-pel mvs varied per (sub-block, sub-partition).
+    */
+  private def mixed8x8(): Array[Array[Seq[(Int, Seq[((Int, Int), (Int, Int))])]]] =
+    Array.tabulate(mbH, mbW) { (r, c) =>
+      val m = r * mbW + c
+      (0 until 4).map { i =>
+        val t = 1 + ((m * 4 + i) % 12)
+        val (n, _, _, _) = H264Decode.bSubMbInfo(t)
+        val mvs = (0 until n).map { j =>
+          ((4 * ((j % 3) - 1), 4 * (i % 2)),
+            (4 * (((i + j) % 3) - 1), 4 * ((r + j) % 2)))
+        }
+        (t, mvs)
+      }
+    }
+
+  test("CAVLC B_8x8: every sub-partition reconstructs from its own list/mv (all 12 sub types)") {
+    val stream = ipStream((8, 4)) ++
+      H264Encode.annexB(Seq((1, 0, H264Encode.encodeB8x8(mixed8x8()))))
+    val frames = H264Decode.decodeAnnexBPictures(stream)
+    assert(frames.size === 3, "I, B, P expected")
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    val mbs = mixed8x8()
+    for (mbY <- 0 until mbH; mbX <- 0 until mbW; si <- 0 until 4) {
+      val (t, mvs) = mbs(mbY)(mbX)(si)
+      val (n, dir, sw, sh) = H264Decode.bSubMbInfo(t)
+      H264Decode.bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
+        case ((sx, sy), j) =>
+          val px = mbX * 16 + ((si % 2) * 2 + sx) * 4
+          val py = mbY * 16 + ((si / 2) * 2 + sy) * 4
+          val (m0, m1) = mvs(j)
+          for (dy <- 0 until sh * 4; dx <- 0 until sw * 4) {
+            val x = px + dx; val y = py + dy
+            val e0 = at(i.luma, W, H, x + m0._1 / 4, y + m0._2 / 4)
+            val e1 = at(p.luma, W, H, x + m1._1 / 4, y + m1._2 / 4)
+            val expect = dir match {
+              case 0 => e0
+              case 1 => e1
+              case _ => (e0 + e1 + 1) >> 1
+            }
+            assert((bf.luma(y * W + x) & 0xff) === expect,
+              s"mb($mbX,$mbY) sub $si type $t part $j at ($x,$y)")
+          }
+      }
+    }
+  }
+
+  test("dual-entropy differential: CABAC B_8x8 pixels == CAVLC B_8x8 pixels, all three init idc") {
+    val base = H264Decode.decodeAnnexBPictures(ipStream((8, 4)) ++
+      H264Encode.annexB(Seq((1, 0, H264Encode.encodeB8x8(mixed8x8())))))
+    assert(base.size === 3)
+    for (idc <- 0 to 2) {
+      val fr = H264Decode.decodeAnnexBPictures(
+        ipStream((8, 4), cabac = true, idc = idc) ++
+          H264Encode.annexB(Seq((1, 0,
+            H264Encode.encodeCabacB8x8(mixed8x8(), initIdc = idc)))))
+      assert(fr.size === 3, s"idc $idc")
+      for (k <- 0 until 3) {
+        assert(java.util.Arrays.equals(fr(k).luma, base(k).luma), s"idc $idc luma $k")
+        assert(java.util.Arrays.equals(fr(k).cb, base(k).cb), s"idc $idc cb $k")
+        assert(java.util.Arrays.equals(fr(k).cr, base(k).cr), s"idc $idc cr $k")
+      }
+    }
+  }
+
+  test("B_8x8 sub-partition median: mid-MB undecoded above-right C falls back to D (hand-computed)") {
+    // MB 0, sub-block 0 = B_L0_4x4 with mvs (24,0) (16,0) (8,0) and a
+    // ZERO mvd on block (1,1), whose above-right C is block (2,0) —
+    // sub-block 1, NOT yet decoded. §6.4.11.7: C unavailable → D
+    // (block (0,0), mv 24) substitutes → median(8, 16, 24) = 16. A
+    // per-MB availability model would read C as an in-MB (0,0,−1)
+    // phantom and predict median(8, 16, 0) = 8 — two pixels apart.
+    val w = new H264.BitWriter
+    H264Encode.bSliceHeader(w, 26, 2)
+    w.ue(0); w.ue(22) // mb_skip_run, mb_type B_8x8
+    w.ue(10); w.ue(1); w.ue(1); w.ue(1) // sub types: L0_4x4, then L0_8x8 ×3
+    // L0 mvds, decode order — hand-derived predictions in comments
+    w.se(24); w.se(0) // (0,0): pred (0,0)   -> mv (24,0)
+    w.se(-8); w.se(0) // (1,0): pred (24,0) (rule 1: only A) -> (16,0)
+    w.se(-8); w.se(0) // (0,1): pred (16,0) (median 0,24,16) -> (8,0)
+    w.se(0); w.se(0)  // (1,1): pred (16,0) (median 8,16,D=24) -> (16,0)
+    w.se(-8); w.se(0) // sub 1 8x8: pred (16,0) (rule 1: only A) -> (8,0)
+    w.se(0); w.se(0)  // sub 2 8x8: pred (8,0) (median 0,8,8)   -> (8,0)
+    w.se(0); w.se(0)  // sub 3 8x8: pred (8,0) (median 8,8,16)  -> (8,0)
+    w.ue(H264Inter.cbpInterToCodeNum(0))
+    w.ue(mbW * mbH - 1) // remaining MBs: B_Skip
+    val b = H264.ebsp(w.stop())
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1)
+    val mvOf = Map((0, 0) -> 24, (1, 0) -> 16, (0, 1) -> 8, (1, 1) -> 16,
+      (2, 0) -> 8, (3, 0) -> 8, (2, 1) -> 8, (3, 1) -> 8,
+      (0, 2) -> 8, (1, 2) -> 8, (0, 3) -> 8, (1, 3) -> 8,
+      (2, 2) -> 8, (3, 2) -> 8, (2, 3) -> 8, (3, 3) -> 8)
+    for (((x4, y4), mv) <- mvOf; dy <- 0 until 4; dx <- 0 until 4) {
+      val x = x4 * 4 + dx; val y = y4 * 4 + dy
+      assert((bf.luma(y * W + x) & 0xff) === at(i.luma, W, H, x + mv / 4, y),
+        s"block ($x4,$y4) mv $mv at ($x,$y)")
+    }
+  }
+
+  test("B_Direct_8x8 inside B_8x8: spatial zero-prediction corner == Bi average of both refs") {
+    // MB 0: sub 0 DIRECT (corner MB: no neighbors reference either
+    // list → directZeroPrediction, Bi, mv 0 — col P pan (8,4) keeps
+    // colZeroFlag false, changing nothing), subs 1..3 B_L0_8x8 with
+    // zero mvd cascading the direct region's zero motion.
+    val w = new H264.BitWriter
+    H264Encode.bSliceHeader(w, 26, 2)
+    w.ue(0); w.ue(22)
+    w.ue(0); w.ue(1); w.ue(1); w.ue(1) // sub types: Direct, L0_8x8 ×3
+    w.se(0); w.se(0) // sub 1: pred (0,0) via rule 1 (A = direct region)
+    w.se(0); w.se(0) // sub 2: pred (0,0)
+    w.se(0); w.se(0) // sub 3: pred (0,0)
+    w.ue(H264Inter.cbpInterToCodeNum(0))
+    w.ue(mbW * mbH - 1)
+    val b = H264.ebsp(w.stop())
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val e =
+        if (x < 8 && y < 8) // the direct 8x8: rounded Bi average
+          ((i.luma(y * W + x) & 0xff) + (p.luma(y * W + x) & 0xff) + 1) >> 1
+        else i.luma(y * W + x) & 0xff // L0, mv 0
+      assert((bf.luma(y * W + x) & 0xff) === e, s"($x,$y)")
+    }
+  }
+
+  test("B_Direct_8x8 inside B_8x8: temporal direct scales the co-located pan per 4x4") {
+    // same layout, direct_spatial_mv_pred_flag = 0: the direct 8x8
+    // derives mvL0 (4,2) / mvL1 (−4,−2) from the col P's (8,4) pan
+    // (tb 2, td 4 → DSF 128 — the q151-era derivation, now at
+    // sub-block granularity). Subs 1..3 cascade (4,2) via L0 medians.
+    val w = new H264.BitWriter
+    H264Encode.bSliceHeader(w, 26, 2, spatial = false)
+    w.ue(0); w.ue(22)
+    w.ue(0); w.ue(1); w.ue(1); w.ue(1)
+    w.se(0); w.se(0); w.se(0); w.se(0); w.se(0); w.se(0)
+    w.ue(H264Inter.cbpInterToCodeNum(0))
+    w.ue(mbW * mbH - 1)
+    val b = H264.ebsp(w.stop())
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, b))))
+    assert(frames.size === 3)
+    val i = frames(0); val bf = frames(1); val p = frames(2)
+    val e0 = new Array[Byte](W * H); val e1 = new Array[Byte](W * H)
+    H264Inter.mcLuma(i.luma, W, H, e0, W, 0, 0, W, H, 4, 2)
+    H264Inter.mcLuma(p.luma, W, H, e1, W, 0, 0, W, H, -4, -2)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((bf.luma(y * W + x) & 0xff) ===
+        (((e0(y * W + x) & 0xff) + (e1(y * W + x) & 0xff) + 1) >> 1),
+        s"direct ($x,$y)")
+    // subs 1..3: L0 with mv (4,2) (rule-1/median cascade off the
+    // temporal-direct region) — quarter-pel MC from the I frame
+    for (y <- 0 until 16; x <- 0 until 16 if x >= 8 || y >= 8)
+      assert((bf.luma(y * W + x) & 0xff) === (e0(y * W + x) & 0xff),
+        s"L0 ($x,$y)")
+  }
+
+  test("graceful rejection: malformed B sub_mb_type ends the picture sequence") {
+    val w = new H264.BitWriter
+    H264Encode.bSliceHeader(w, 26, 2)
+    w.ue(0); w.ue(22)
+    w.ue(13); w.ue(1); w.ue(1); w.ue(1) // sub_mb_type 13: invalid
+    val frames = H264Decode.decodeAnnexBPictures(
+      ipStream((8, 4)) ++ H264Encode.annexB(Seq((1, 0, H264.ebsp(w.stop())))))
+    assert(frames.size === 2, "I and P survive; the malformed B drops")
+  }
+
   test("multi-GOP stream: each IDR starts a new CVS — per-GOP display order, DPB flushed") {
     // two complete I-B-P GOPs back to back. A raw-lsb global sort would
     // interleave them (I1,I2,B1,B2,P1,P2) and the un-flushed DPB would

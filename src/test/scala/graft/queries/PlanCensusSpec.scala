@@ -245,6 +245,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // frame-seq shape; the decode
                                                    // fan-out now runs the B
                                                    // machinery + POC reorder
+    "q153_avc_b8x8_dedup"      -> (4, 1, 0, true), // r10 B_8x8 face: q151's
+                                                   // frame-seq shape; the decode
+                                                   // fan-out runs sub-partition
+                                                   // motion at 4x4 granularity
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to
