@@ -349,8 +349,15 @@ object H264 {
     ebsp(w.stop())
   }
 
-  /** Generate a minimal valid PPS payload (EBSP, no NAL header). */
-  def writePps(cabac: Boolean = false): Array[Byte] = {
+  /** Generate a minimal valid PPS payload (EBSP, no NAL header).
+    * `weightedPred` / `weightedBipredIdc` gate the r10 weighted-
+    * prediction tier (§8.4.2.3): explicit P tables, explicit (1) or
+    * implicit POC-derived (2) B weights.
+    */
+  def writePps(cabac: Boolean = false, weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): Array[Byte] = {
+    require(weightedBipredIdc >= 0 && weightedBipredIdc <= 2,
+      s"bad weighted_bipred_idc $weightedBipredIdc")
     val w = new BitWriter
     w.ue(0)       // pps_id
     w.ue(0)       // sps_id
@@ -358,8 +365,8 @@ object H264 {
     w.flag(false) // bottom_field_pic_order_in_frame_present
     w.ue(0)       // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
-    w.flag(false) // weighted_pred
-    w.u(0, 2)     // weighted_bipred_idc
+    w.flag(weightedPred) // weighted_pred
+    w.u(weightedBipredIdc, 2) // weighted_bipred_idc
     w.se(0); w.se(0); w.se(0) // pic_init_qp/qs_minus26, chroma_qp_offset
     w.flag(true)  // deblocking_filter_control_present
     w.flag(false) // constrained_intra_pred

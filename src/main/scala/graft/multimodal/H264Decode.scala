@@ -31,12 +31,17 @@ package graft.multimodal
   */
 object H264Decode {
 
-  /** Parsed PPS — the fields an I-slice decode needs (§7.3.2.2). */
+  /** Parsed PPS — the fields an I-slice decode needs (§7.3.2.2), plus
+    * the r10 weighted-prediction gates (`weightedPred` keys the P
+    * slice-header `pred_weight_table`; `weightedBipredIdc` 1 = explicit
+    * B table, 2 = implicit POC-derived B weights).
+    */
   final case class PpsInfo(
       ppsId: Int, spsId: Int, cavlc: Boolean, bottomFieldPoc: Boolean,
       numSliceGroups: Int, picInitQp: Int, chromaQpOffset: Int,
       deblockingPresent: Boolean, constrainedIntra: Boolean,
-      redundantPresent: Boolean)
+      redundantPresent: Boolean,
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
 
   /** Parse a PPS NAL payload (EBSP, header stripped) per §7.3.2.2. */
   def parsePps(payload: Array[Byte]): Option[PpsInfo] =
@@ -49,15 +54,16 @@ object H264Decode {
       val groups = r.ue() + 1
       if (groups != 1) return None // FMO out of scope
       r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
-      r.flag() // weighted_pred_flag
-      r.u(2) // weighted_bipred_idc
+      val wp = r.flag() // weighted_pred_flag
+      val wbi = r.u(2) // weighted_bipred_idc
       val qp = 26 + r.se()
       r.se() // pic_init_qs_minus26
       val cqo = r.se()
       val deb = r.flag()
       val cip = r.flag()
       val red = r.flag()
-      Some(PpsInfo(ppsId, spsId, cavlc, bottomPoc, groups, qp, cqo, deb, cip, red))
+      Some(PpsInfo(ppsId, spsId, cavlc, bottomPoc, groups, qp, cqo, deb, cip,
+        red, wp, wbi))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
 
   /** Decoded picture: full (uncropped) planes; `width`/`height` are the
@@ -212,6 +218,19 @@ object H264Decode {
     var prevPocLsb: Int = 0
     var pocMsb: Int = 0
     var poc: Int = 0
+    // weighted prediction (r10, §8.4.2.3): explicit slice-header table
+    // (P with weighted_pred_flag / B with weighted_bipred_idc 1) or
+    // implicit POC-derived B weights (idc 2). Defaults are identity.
+    var wpExplicit: Boolean = false
+    var wpImplicit: Boolean = false
+    var wpLumaLog2: Int = 0
+    var wpChromaLog2: Int = 0
+    val wpLw: Array[Int] = Array(1, 1) // per-list luma weight
+    val wpLo: Array[Int] = Array(0, 0) // per-list luma offset
+    val wpCw: Array[Array[Int]] = Array.fill(2, 2)(1) // (list)(cb/cr) weight
+    val wpCo: Array[Array[Int]] = Array.fill(2, 2)(0) // (list)(cb/cr) offset
+    var wImpl0: Int = 32 // implicit Bi weights (luma AND chroma, logWD 5)
+    var wImpl1: Int = 32
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
       mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
@@ -640,6 +659,60 @@ object H264Decode {
       }
       require(!r.flag(), "ref_pic_list_modification (L0) out of scope")
       if (isB) require(!r.flag(), "ref_pic_list_modification (L1) out of scope")
+      // pred_weight_table (§7.3.3.2, r10): explicit weights for P when
+      // weighted_pred_flag, for B when weighted_bipred_idc == 1 — one
+      // entry per list (single active reference). A weight flag of 0
+      // leaves that component at the identity (1 << logWD, offset 0).
+      if ((st.pps.weightedPred && isP) ||
+          (st.pps.weightedBipredIdc == 1 && isB)) {
+        st.wpExplicit = true
+        st.wpLumaLog2 = r.ue()
+        require(st.wpLumaLog2 <= 7, s"bad luma_log2_weight_denom ${st.wpLumaLog2}")
+        st.wpChromaLog2 = r.ue()
+        require(st.wpChromaLog2 <= 7,
+          s"bad chroma_log2_weight_denom ${st.wpChromaLog2}")
+        var l = 0
+        val lists = if (isB) 2 else 1
+        while (l < lists) {
+          st.wpLw(l) = 1 << st.wpLumaLog2; st.wpLo(l) = 0
+          if (r.flag()) {
+            st.wpLw(l) = r.se(); st.wpLo(l) = r.se()
+            require(st.wpLw(l) >= -128 && st.wpLw(l) <= 127 &&
+              st.wpLo(l) >= -128 && st.wpLo(l) <= 127, "luma weight out of range")
+          }
+          var c = 0
+          while (c < 2) {
+            st.wpCw(l)(c) = 1 << st.wpChromaLog2; st.wpCo(l)(c) = 0; c += 1
+          }
+          if (r.flag()) {
+            c = 0
+            while (c < 2) {
+              st.wpCw(l)(c) = r.se(); st.wpCo(l)(c) = r.se()
+              require(st.wpCw(l)(c) >= -128 && st.wpCw(l)(c) <= 127 &&
+                st.wpCo(l)(c) >= -128 && st.wpCo(l)(c) <= 127,
+                "chroma weight out of range")
+              c += 1
+            }
+          }
+          l += 1
+        }
+      }
+      // implicit B weights (§8.4.2.3.1, idc 2): no syntax — w1 =
+      // DistScaleFactor >> 2 from the (cur, ref0, ref1) POC distances,
+      // 32/32 when the refs share a POC or w1 leaves [−64, 128]
+      if (st.pps.weightedBipredIdc == 2 && isB) {
+        st.wpImplicit = true
+        val tb = clip3m(-128, 127, st.poc - st.ref0Poc)
+        val td = clip3m(-128, 127, st.ref1Poc - st.ref0Poc)
+        if (td == 0) { st.wImpl0 = 32; st.wImpl1 = 32 }
+        else {
+          val tx = (16384 + math.abs(td / 2)) / td
+          val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
+          val w1 = dsf >> 2
+          if (w1 < -64 || w1 > 128) { st.wImpl0 = 32; st.wImpl1 = 32 }
+          else { st.wImpl1 = w1; st.wImpl0 = 64 - w1 }
+        }
+      }
       // dec_ref_pic_marking: present only for reference pictures
       // (nal_ref_idc > 0) — our B pictures are non-reference
       if (refIdc > 0)
@@ -1408,11 +1481,60 @@ object H264Decode {
   }
 
   /** MC one luma block (+ the matching chroma blocks) from st.ref into
-    * the current planes; (px, py)/(bw, bh) in LUMA samples.
+    * the current planes; (px, py)/(bw, bh) in LUMA samples. P-slice
+    * face: applies the explicit L0 weights when the slice carried a
+    * pred_weight_table (§8.4.2.3.3 — P_Skip included, same process).
     */
   private def motionCompensate(st: State, px: Int, py: Int,
-      bw: Int, bh: Int, mx: Int, my: Int): Unit =
+      bw: Int, bh: Int, mx: Int, my: Int): Unit = {
     motionCompensateFrom(st, st.ref, px, py, bw, bh, mx, my)
+    if (st.wpExplicit) applyExplicitWeight(st, 0, px, py, bw, bh)
+  }
+
+  /** §8.4.2.3.3 explicit single-list weighting, applied IN PLACE over a
+    * just-motion-compensated region (luma + both chroma): logWD ≥ 1 →
+    * Clip1(((p·w + 2^(logWD−1)) >> logWD) + o); logWD 0 → Clip1(p·w+o).
+    */
+  private def applyExplicitWeight(st: State, list: Int, px: Int, py: Int,
+      bw: Int, bh: Int): Unit = {
+    val lwd = st.wpLumaLog2; val w = st.wpLw(list); val o = st.wpLo(list)
+    var y = 0
+    while (y < bh) {
+      var x = 0
+      while (x < bw) {
+        val idx = (py + y) * st.lumaStride + px + x
+        val p = st.luma(idx) & 0xff
+        val v =
+          if (lwd >= 1) ((p * w + (1 << (lwd - 1))) >> lwd) + o
+          else p * w + o
+        st.luma(idx) = clip255(v).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val cwd = st.wpChromaLog2
+    val planes = Array(st.cb, st.cr)
+    var c = 0
+    while (c < 2) {
+      val cw = st.wpCw(list)(c); val co = st.wpCo(list)(c)
+      val plane = planes(c)
+      var cy = 0
+      while (cy < bh / 2) {
+        var cx = 0
+        while (cx < bw / 2) {
+          val idx = (py / 2 + cy) * st.chromaStride + px / 2 + cx
+          val p = plane(idx) & 0xff
+          val v =
+            if (cwd >= 1) ((p * cw + (1 << (cwd - 1))) >> cwd) + co
+            else p * cw + co
+          plane(idx) = clip255(v).toByte
+          cx += 1
+        }
+        cy += 1
+      }
+      c += 1
+    }
+  }
 
   /** [[motionCompensate]] from an explicit reference picture — the B
     * tier predicts from either list's picture.
@@ -1721,12 +1843,20 @@ object H264Decode {
 
   /** MC one B partition: single-list prediction straight into the
     * planes; BiPred predicts each list into a scratch block and writes
-    * the rounded average (§8.4.2.3.2 default, no weighted prediction).
+    * the rounded average (§8.4.2.3.2). r10: explicit (idc 1) weights
+    * apply per list to single-list partitions and via the weighted-bi
+    * formula to BiPred; implicit (idc 2) POC-derived weights apply to
+    * BiPred ONLY — single-list implicit prediction is the unweighted
+    * default, per §8.4.2.3.
     */
   private def compensateB(st: State, px: Int, py: Int, bw: Int, bh: Int,
       dir: Int, m0: (Int, Int), m1: (Int, Int)): Unit = dir match {
-    case 0 => motionCompensateFrom(st, st.ref, px, py, bw, bh, m0._1, m0._2)
-    case 1 => motionCompensateFrom(st, st.ref1, px, py, bw, bh, m1._1, m1._2)
+    case 0 =>
+      motionCompensateFrom(st, st.ref, px, py, bw, bh, m0._1, m0._2)
+      if (st.wpExplicit) applyExplicitWeight(st, 0, px, py, bw, bh)
+    case 1 =>
+      motionCompensateFrom(st, st.ref1, px, py, bw, bh, m1._1, m1._2)
+      if (st.wpExplicit) applyExplicitWeight(st, 1, px, py, bw, bh)
     case _ =>
       // scratch-plane MC at origin: shifting the mv by 4·pos (luma) /
       // 8·pos (chroma) moves the SOURCE block while the destination
@@ -1746,28 +1876,48 @@ object H264Decode {
       }
       val l0 = lumaBlock(st.ref, m0._1, m0._2)
       val l1 = lumaBlock(st.ref1, m1._1, m1._2)
+      // weighted-bi combine (§8.4.2.3.2): explicit uses the per-list
+      // table; implicit uses the POC-derived 64-sum pair at logWD 5
+      val weighted = st.wpExplicit || st.wpImplicit
+      val (lw0, lw1, lwd, lo0, lo1) =
+        if (st.wpImplicit) (st.wImpl0, st.wImpl1, 5, 0, 0)
+        else (st.wpLw(0), st.wpLw(1), st.wpLumaLog2, st.wpLo(0), st.wpLo(1))
       var y = 0
       while (y < bh) {
         var x = 0
         while (x < bw) {
-          st.luma((py + y) * st.lumaStride + px + x) =
-            (((l0(y * bw + x) & 0xff) + (l1(y * bw + x) & 0xff) + 1) >> 1).toByte
+          val p0 = l0(y * bw + x) & 0xff; val p1 = l1(y * bw + x) & 0xff
+          val v =
+            if (weighted)
+              clip255(((p0 * lw0 + p1 * lw1 + (1 << lwd)) >> (lwd + 1)) +
+                ((lo0 + lo1 + 1) >> 1))
+            else (p0 + p1 + 1) >> 1
+          st.luma((py + y) * st.lumaStride + px + x) = v.toByte
           x += 1
         }
         y += 1
       }
-      Seq((st.cb, (f: Frame) => f.cb), (st.cr, (f: Frame) => f.cr)).foreach {
-        case (plane, sel) =>
+      Seq((st.cb, (f: Frame) => f.cb, 0), (st.cr, (f: Frame) => f.cr, 1)).foreach {
+        case (plane, sel, c) =>
           val c0 = chromaBlock(sel(st.ref), st.ref, m0._1, m0._2)
           val c1 = chromaBlock(sel(st.ref1), st.ref1, m1._1, m1._2)
+          val (cw0, cw1, cwd, co0, co1) =
+            if (st.wpImplicit) (st.wImpl0, st.wImpl1, 5, 0, 0)
+            else (st.wpCw(0)(c), st.wpCw(1)(c), st.wpChromaLog2,
+              st.wpCo(0)(c), st.wpCo(1)(c))
           val cw = bw / 2; val ch = bh / 2
           val cpx = px / 2; val cpy = py / 2
           var cy = 0
           while (cy < ch) {
             var cx = 0
             while (cx < cw) {
-              plane((cpy + cy) * st.chromaStride + cpx + cx) =
-                (((c0(cy * cw + cx) & 0xff) + (c1(cy * cw + cx) & 0xff) + 1) >> 1).toByte
+              val p0 = c0(cy * cw + cx) & 0xff; val p1 = c1(cy * cw + cx) & 0xff
+              val v =
+                if (weighted)
+                  clip255(((p0 * cw0 + p1 * cw1 + (1 << cwd)) >> (cwd + 1)) +
+                    ((co0 + co1 + 1) >> 1))
+                else (p0 + p1 + 1) >> 1
+              plane((cpy + cy) * st.chromaStride + cpx + cx) = v.toByte
               cx += 1
             }
             cy += 1

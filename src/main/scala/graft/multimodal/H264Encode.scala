@@ -49,12 +49,36 @@ object H264Encode {
     w.ue(1) // disable_deblocking_filter_idc = 1 (writePps signals present)
   }
 
+  /** Explicit pred_weight_table content (r10 weighted-prediction tier):
+    * one [[ListWeights]] per active reference list. Mirrors §7.3.3.2
+    * with both weight flags set.
+    */
+  final case class ListWeights(lw: Int, lo: Int, cwCb: Int, coCb: Int,
+      cwCr: Int, coCr: Int)
+  final case class PredWeights(lumaLog2: Int, chromaLog2: Int,
+      lists: Seq[ListWeights]) {
+    require(lumaLog2 >= 0 && lumaLog2 <= 7 && chromaLog2 >= 0 && chromaLog2 <= 7,
+      "weight denominators out of range")
+  }
+
+  private def writePredWeightTable(w: H264.BitWriter, pw: PredWeights): Unit = {
+    w.ue(pw.lumaLog2); w.ue(pw.chromaLog2)
+    pw.lists.foreach { l =>
+      w.flag(true); w.se(l.lw); w.se(l.lo) // luma_weight_lX_flag + w/o
+      w.flag(true) // chroma_weight_lX_flag
+      w.se(l.cwCb); w.se(l.coCb); w.se(l.cwCr); w.se(l.coCr)
+    }
+  }
+
   /** P slice header; `cabacInitIdc` >= 0 writes the cabac_init_idc
     * syntax element (§7.3.3: present iff entropy_coding_mode and a
-    * non-I slice) — pass -1 for CAVLC streams.
+    * non-I slice) — pass -1 for CAVLC streams. `weights` writes the
+    * explicit pred_weight_table (the stream's PPS must set
+    * weighted_pred_flag — `H264.writePps(weightedPred = true)`).
     */
   private def pSliceHeader(w: H264.BitWriter, qp: Int,
-      cabacInitIdc: Int = -1, poc: Int = 0): Unit = {
+      cabacInitIdc: Int = -1, poc: Int = 0,
+      weights: Option[PredWeights] = None): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
@@ -62,6 +86,10 @@ object H264Encode {
     w.u(poc & 15, 4) // pic_order_cnt_lsb
     w.flag(false) // num_ref_idx_active_override_flag (1 L0 ref)
     w.flag(false) // ref_pic_list_modification_flag_l0
+    weights.foreach { pw =>
+      require(pw.lists.size == 1, "P pred_weight_table carries one list")
+      writePredWeightTable(w, pw)
+    }
     w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
@@ -76,7 +104,8 @@ object H264Encode {
     * the two reference pictures'.
     */
   private[multimodal] def bSliceHeader(w: H264.BitWriter, qp: Int, poc: Int,
-      cabacInitIdc: Int = -1, spatial: Boolean = true): Unit = {
+      cabacInitIdc: Int = -1, spatial: Boolean = true,
+      weights: Option[PredWeights] = None): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(6) // slice_type: B (all slices in picture)
     w.ue(0) // pps_id
@@ -86,6 +115,11 @@ object H264Encode {
     w.flag(false) // num_ref_idx_active_override_flag (1 ref per list)
     w.flag(false) // ref_pic_list_modification_flag_l0
     w.flag(false) // ref_pic_list_modification_flag_l1
+    // explicit B pred_weight_table (weighted_bipred_idc == 1 streams)
+    weights.foreach { pw =>
+      require(pw.lists.size == 2, "B pred_weight_table carries two lists")
+      writePredWeightTable(w, pw)
+    }
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     w.ue(1) // disable_deblocking_filter_idc = 1
@@ -102,11 +136,12 @@ object H264Encode {
     * partition).
     */
   def encodeB16x16(mbs: Array[Array[(Int, (Int, Int), (Int, Int))]],
-      qp: Int = 26, poc: Int = 2): Array[Byte] = {
+      qp: Int = 26, poc: Int = 2,
+      weights: Option[PredWeights] = None): Array[Byte] = {
     val mbH = mbs.length; val mbW = mbs.head.length
     require(mbs.forall(_.length == mbW), "ragged mbs")
     val w = new H264.BitWriter
-    bSliceHeader(w, qp, poc)
+    bSliceHeader(w, qp, poc, weights = weights)
     val grid0 = new H264Inter.MvGrid(mbW, mbH)
     val grid1 = new H264Inter.MvGrid(mbW, mbH)
     var mbY = 0
@@ -339,12 +374,13 @@ object H264Encode {
     * the three columns (§9.3.1.1).
     */
   def encodeCabacB16x16(mbs: Array[Array[(Int, (Int, Int), (Int, Int))]],
-      qp: Int = 26, poc: Int = 2, initIdc: Int = 0): Array[Byte] = {
+      qp: Int = 26, poc: Int = 2, initIdc: Int = 0,
+      weights: Option[PredWeights] = None): Array[Byte] = {
     val mbH = mbs.length; val mbW = mbs.head.length
     require(mbs.forall(_.length == mbW), "ragged mbs")
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
-    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc)
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc, weights = weights)
     w.alignOne()
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -398,11 +434,11 @@ object H264Encode {
     * two sides cannot drift. `mvs(mbY)(mbX)` = (mvx, mvy) quarter-pel.
     */
   def encodeP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
-      poc: Int = 0): Array[Byte] = {
+      poc: Int = 0, weights: Option[PredWeights] = None): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, poc = poc)
+    pSliceHeader(w, qp, poc = poc, weights = weights)
     val grid = new H264Inter.MvGrid(mbW, mbH)
     var mbY = 0
     while (mbY < mbH) {
@@ -426,9 +462,10 @@ object H264Encode {
   /** All-P_Skip slice payload: one mb_skip_run covering the picture —
     * the §8.4.1.1 predicted-motion copy of the reference.
     */
-  def encodePSkipFrame(mbW: Int, mbH: Int, qp: Int = 26): Array[Byte] = {
+  def encodePSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
+      weights: Option[PredWeights] = None): Array[Byte] = {
     val w = new H264.BitWriter
-    pSliceHeader(w, qp)
+    pSliceHeader(w, qp, weights = weights)
     w.ue(mbW * mbH) // mb_skip_run = whole picture
     H264.ebsp(w.stop())
   }
@@ -443,12 +480,13 @@ object H264Encode {
     * three by H264CabacSpec.
     */
   def encodeCabacP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
-      initIdc: Int = 0, poc: Int = 0): Array[Byte] = {
+      initIdc: Int = 0, poc: Int = 0,
+      weights: Option[PredWeights] = None): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc)
+    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc, weights = weights)
     w.alignOne() // cabac_alignment_one_bit (§7.3.4)
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -569,7 +607,9 @@ object H264Encode {
     * is the exact per-MB reconstructed luma constant the decoder must
     * produce.
     */
-  def encodeI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26): (Array[Byte], Array[Array[Int]]) = {
+  def encodeI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26,
+      weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
@@ -631,7 +671,8 @@ object H264Encode {
     }
     val stream = annexB(Seq(
       (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
-      (8, 3, H264.writePps()),
+      (8, 3, H264.writePps(weightedPred = weightedPred,
+        weightedBipredIdc = weightedBipredIdc)),
       (5, 3, H264.ebsp(w.stop()))))
     (stream, recon)
   }
@@ -645,7 +686,9 @@ object H264Encode {
     * (shared class: context drift is structurally impossible). Returns
     * (Annex-B stream, expected per-MB reconstructed luma).
     */
-  def encodeCabacI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26): (Array[Byte], Array[Array[Int]]) = {
+  def encodeCabacI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26,
+      weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
@@ -707,7 +750,8 @@ object H264Encode {
     }
     val stream = annexB(Seq(
       (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
-      (8, 3, H264.writePps(cabac = true)),
+      (8, 3, H264.writePps(cabac = true, weightedPred = weightedPred,
+        weightedBipredIdc = weightedBipredIdc)),
       (5, 3, H264.ebsp(w.stop()))))
     (stream, recon)
   }

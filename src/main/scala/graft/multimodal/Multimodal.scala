@@ -926,6 +926,63 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams encoding a FADE — IDR + two
+    * explicit-weighted P pictures (zero motion, §8.4.2.3.3 luma
+    * scale/offset per step, `weighted_pred_flag` PPS) — the r10
+    * weighted-prediction tier's corpus face. A fade is pure weighting:
+    * frames 2-3 carry NO residual and NO motion, so their pixels exist
+    * only through the pred_weight_table transform; a decoder that
+    * ignores the table reproduces frame 1 three times and near-dups
+    * every fade to every other fade of the same base content. Parity
+    * alternates CAVLC / CABAC (the table itself is slice-header
+    * Exp-Golomb — shared — so the differential certifies the weighted
+    * MC composition, while the planted pairs stay CROSS-ENTROPY at the
+    * byte level: hashing collapses none).
+    */
+  def syntheticAvcFadeStreams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup && !exact) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      // seed-keyed fade step: luma scale 40..48 of 64 plus a small
+      // offset — two steps compound (frame3 ≈ scale² of the IDR)
+      val fw = 40 + (seed % 3).toInt * 4
+      val fo = (seed % 5).toInt - 2
+      val weights = H264Encode.PredWeights(6, 5, Seq(
+        H264Encode.ListWeights(fw, fo, 32, 0, 32, 0)))
+      val zeroMv = Array.fill(4, 4)((0, 0))
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp, weightedPred = true)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(zeroMv, qp, idc, poc = 2,
+                weights = Some(weights))),
+              (1, 3, H264Encode.encodeCabacP16x16(zeroMv, qp, idc, poc = 4,
+                weights = Some(weights)))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp, weightedPred = true)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(zeroMv, qp, poc = 2,
+                weights = Some(weights))),
+              (1, 3, H264Encode.encodeP16x16(zeroMv, qp, poc = 4,
+                weights = Some(weights)))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(300L)))
+    }
+  }
+
   /** 8×8 average hash straight from a decoded luma plane (no PNG round
     * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
     */

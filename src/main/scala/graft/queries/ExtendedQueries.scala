@@ -655,6 +655,25 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q154 — weighted-prediction FADE video dedup (the r10 weighted-
+    * prediction tier's query face): each stream is IDR + two
+    * explicit-weighted P pictures with zero motion and zero residual —
+    * a fade whose frames 2-3 exist ONLY through the §8.4.2.3.3
+    * pred_weight_table transform. Fades and cross-dissolves are
+    * exactly the content video near-dup dedup sees; a decoder that
+    * drops the weights reproduces frame 1 thrice and near-dups every
+    * fade of the same base content to every other. Planted pairs are
+    * cross-entropy; byte hashing collapses none.
+    */
+  def q154AvcFadeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcw_200"))(
+      graft.multimodal.Multimodal.syntheticAvcFadeStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 3, maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -961,6 +980,7 @@ object ExtendedQueries {
     "q150_avc_motion_entropy_dedup" -> (q150AvcMotionEntropyDedup _),
     "q151_avc_bidir_dedup" -> (q151AvcBidirDedup _),
     "q153_avc_b8x8_dedup" -> (q153AvcB8x8Dedup _),
+    "q154_avc_fade_dedup" -> (q154AvcFadeDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1206,6 +1226,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q153_avc_b8x8_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q153_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q154_avc_fade_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q154_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -279,6 +279,45 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("fade dedup (q154 corpus): weighted-prediction decode collapses cross-entropy fades byte hashing cannot") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcFadeStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    assert(dups.nonEmpty)
+    dups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"pair $id decode")
+      for (f <- 0 until 3) {
+        val ha = Multimodal.aHash64OfLuma(a(f).luma, a(f).lumaStride, 64, 64)
+        val hb = Multimodal.aHash64OfLuma(b(f).luma, b(f).lumaStride, 64, 64)
+        assert(java.lang.Long.bitCount(ha ^ hb) <= 3, s"pair $id frame $f")
+      }
+      if (id % 20 == 0) // zero-jitter same-qp pairs: pixel-IDENTICAL
+        for (f <- 0 until 3)
+          assert(a(f).croppedLuma.toSeq == b(f).croppedLuma.toSeq,
+            s"pair $id frame $f must be pixel-identical across entropy coders")
+    }
+    // the fade is REAL: frames darken monotonically (weights < 64/64),
+    // so frame 3 differs from frame 1 — a weights-dropping decoder
+    // would reproduce frame 1 three times
+    val f = H264Decode.decodeAnnexBPictures(byId(1L), 3)
+    assert(f.size == 3)
+    assert(f(2).croppedLuma.toSeq != f(0).croppedLuma.toSeq,
+      "the fade must change pixels across the GOP")
+    val byteSurvivors = media.map(m =>
+        (m.media_id, java.util.Arrays.hashCode(m.content))).collect()
+      .groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(byteSurvivors.size == 60, "byte hashing must not see cross-entropy dups")
+    val survivors = Multimodal.videoDedupByFrameSeqHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "frame-seq pixel path collapses every cross-entropy fade dup")
+    media.unpersist()
+  }
+
   test("I_16x16 CAVLC frame feeds aHash with the encoded brightness pattern") {
     // checkerboard of bright/dark MBs → aHash bits follow the pattern
     val mbMeans = Array.tabulate(4, 4)((my, mx) => if ((mx + my) % 2 == 0) 60 else 200)

@@ -249,6 +249,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // frame-seq shape; the decode
                                                    // fan-out runs sub-partition
                                                    // motion at 4x4 granularity
+    "q154_avc_fade_dedup"      -> (4, 1, 0, true), // r10 weighted-pred face:
+                                                   // same frame-seq shape; the
+                                                   // fade frames exist only
+                                                   // through the weight tables
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to
