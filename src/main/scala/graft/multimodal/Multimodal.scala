@@ -983,6 +983,48 @@ object Multimodal {
     }
   }
 
+  /** Synthetic hvc1 (H.265/HEVC) mp4s for the r10 HEVC PROBE tier:
+    * real VPS/SPS/PPS from [[H265]]'s writers (seed-keyed coded
+    * dimensions, conformance-window cropping exercised), one IRAP sync
+    * sample plus two TRAIL samples per stream (length-prefixed
+    * framing). Slice payloads are deterministic opaque bytes — HEVC
+    * pixel decode is out of scope (FrameDecoder boundary), and the
+    * KEYFRAME-hash dedup face never needs it: every `dupEvery`-th
+    * video shares its predecessor's IRAP payload byte-for-byte while
+    * its TRAIL samples differ, so whole-file byte hashing collapses
+    * none of the planted pairs and keyframe extraction collapses all.
+    */
+  def syntheticHevcMp4s(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val seed: Long = if (isDup) id - 1 else id
+      // seed-keyed dims with a non-multiple-of-8 height: the SPS writes
+      // a conformance window, so the probe path exercises the crop
+      val width = 64 + 8 * (seed % 5).toInt
+      val height = 44 + 2 * (seed % 7).toInt
+      def payload(tag: Long, len: Int): Array[Byte] = {
+        val rnd = new scala.util.Random(tag)
+        Array.fill(len)(rnd.nextInt(256).toByte)
+      }
+      def sample(nalType: Int, body: Array[Byte]): Array[Byte] = {
+        val nal = H265.nalHeader(nalType) ++ body
+        Array[Byte]((nal.length >> 24).toByte, (nal.length >> 16).toByte,
+          (nal.length >> 8).toByte, nal.length.toByte) ++ nal
+      }
+      val idr = sample(H265.NalIdrWRadl, payload(seed * 131 + 7, 96))
+      val t1 = sample(H265.NalTrailR, payload(id * 977 + 13, 64))
+      val t2 = sample(H265.NalTrailR, payload(id * 977 + 14, 64))
+      val content = VideoContainers.buildMp4Hevc(
+        Seq(idr, t1, t2), syncSamples = Seq(1),
+        H265.writeVps(), H265.writeSps(width, height), H265.writePps(),
+        width, height)
+      Media(id, "video", content,
+        MediaMeta("hevc", Some(width), Some(height), None, Some(300L)))
+    }
+  }
+
   /** 8×8 average hash straight from a decoded luma plane (no PNG round
     * trip): cell means over an 8×8 grid, bit = cell ≥ global mean.
     */
@@ -1070,10 +1112,11 @@ object Multimodal {
 
   case class KeyframeSig(media_id: Long, sig: Array[Byte])
 
-  /** EXACT compressed-domain video dedup for H.264 mp4s: hash the
-    * concatenated IDR keyframe payloads ([[VideoContainers
-    * .mp4AvcKeyframes]] — container + NAL parsing, NO entropy decode)
-    * and collapse byte-identical keyframe streams, keep-smallest-id.
+  /** EXACT compressed-domain video dedup for H.264 AND H.265 mp4s:
+    * hash the concatenated keyframe payloads ([[VideoContainers
+    * .mp4AvcKeyframes]] for avc1, [[VideoContainers.mp4HevcKeyframes]]
+    * for hvc1/hev1 — container + NAL parsing, NO entropy decode) and
+    * collapse byte-identical keyframe streams, keep-smallest-id.
     * This is the 100 TB-shape for video exact-dedup: the signature is
     * SHA-256 over ~keyframe bytes, computed in one mapPartitions pass
     * (one digest instance per partition), and only (id, 32-byte sig)
@@ -1087,7 +1130,10 @@ object Multimodal {
       it.flatMap { m =>
         if (m.kind != "video") None
         else {
-          val keys = VideoContainers.mp4AvcKeyframes(m.content)
+          val avc = VideoContainers.mp4AvcKeyframes(m.content)
+          val keys =
+            if (avc.nonEmpty) avc
+            else VideoContainers.mp4HevcKeyframes(m.content)
           if (keys.isEmpty) None
           else {
             digest.reset()

@@ -685,4 +685,173 @@ object VideoContainers {
     out.write(moov, 0, moov.length)
     out.toByteArray
   }
+  // ====================================================== mp4 hvc1 (H.265)
+
+  /** The `hvcC` (HEVCDecoderConfigurationRecord) payload of the first
+    * video track's `hvc1`/`hev1` sample entry (ISO 14496-15 §8.4.1) —
+    * the r10 HEVC probe tier.
+    */
+  def mp4HvcC(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      for {
+        moov <- boxes(bytes, 0, bytes.length).find(_.typ == "moov")
+        trak <- videoTrak(bytes, moov)
+        stbl <- sampleTableBox(bytes, trak)
+        stsd <- child(bytes, stbl, "stsd")
+        if stsd.len >= 16 && {
+          val cc = fourcc(bytes, stsd.off + 12)
+          cc == "hvc1" || cc == "hev1"
+        }
+        entryOff = stsd.off + 8
+        entryLen = be32(bytes, entryOff).toInt
+        hvcC <- boxes(bytes, entryOff + 86, entryLen - 86).find(_.typ == "hvcC")
+      } yield java.util.Arrays.copyOfRange(bytes, hvcC.off, hvcC.off + hvcC.len)
+    } catch { case _: Exception => None }
+
+  /** Probe an hvc1/hev1 mp4 down to the BITSTREAM level: the hvcC's SPS
+    * array parsed for the real coded dimensions / chroma / bit depths —
+    * stronger than the container-declared dims, exactly the
+    * [[probeAvcMp4]] posture.
+    */
+  def probeHevcMp4(bytes: Array[Byte]): Option[H265.SpsInfo] =
+    for {
+      hvcc <- mp4HvcC(bytes)
+      (_, arrays) <- H265.parseHvcC(hvcc)
+      sps <- arrays.collectFirst { case (H265.NalSps, nal) => nal }
+      // strip the 2-byte HEVC NAL header
+      info <- H265.parseSps(java.util.Arrays.copyOfRange(sps, 2, sps.length))
+    } yield info
+
+  /** Compressed-domain keyframes of an hvc1/hev1 mp4: for each sync
+    * sample, the concatenated IRAP slice payloads (length-prefixed
+    * framing resolved via the hvcC lengthSize). No entropy decode —
+    * byte-identical sources yield byte-identical payloads
+    * ([[mp4AvcKeyframes]]'s contract for HEVC).
+    */
+  def mp4HevcKeyframes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val parsed = for {
+      hvcc <- mp4HvcC(bytes)
+      (lengthSize, _) <- H265.parseHvcC(hvcc)
+    } yield {
+      val ranges = mp4SampleRanges(bytes)
+      val sync = mp4SyncSamples(bytes) match {
+        case Nil => ranges.indices.map(_ + 1) // no stss: all samples sync
+        case s => s
+      }
+      sync.flatMap { s1 =>
+        ranges.lift(s1 - 1).flatMap { case (off, len) =>
+          if (off < 0 || len <= 0 || off + len > bytes.length) None
+          else {
+            val sample = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, off.toInt + len)
+            val irap = H265.nalUnitsHvcc(sample, lengthSize)
+              .filter(n => H265.isIrap(n.nalType))
+            if (irap.isEmpty) None
+            else {
+              val outB = new ByteArrayOutputStream()
+              irap.foreach(n => outB.write(n.payload, 0, n.payload.length))
+              Some(outB.toByteArray)
+            }
+          }
+        }
+      }
+    }
+    parsed.getOrElse(Nil)
+  }
+
+  /** Minimal valid hvc1 mp4 wrapping length-prefixed HEVC samples —
+    * [[buildMp4Avc]]'s twin with the hvcC sample-entry child (parameter
+    * sets WITHOUT NAL headers; [[H265.writeHvcC]] frames them).
+    */
+  def buildMp4Hevc(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
+      vps: Array[Byte], sps: Array[Byte], pps: Array[Byte],
+      width: Int, height: Int, fps: Int = 10): Array[Byte] = {
+    require(samples.nonEmpty, "at least one sample")
+    require(syncSamples.nonEmpty, "at least one sync sample")
+    val ftyp = box("ftyp", {
+      val w = new BoxWriter
+      w.ascii("isom").u32(0x200).ascii("isom").ascii("iso2").ascii("hvc1").ascii("mp41")
+      w.bytes
+    })
+    val mdatHeaderOff = ftyp.length
+    val sampleOffsets = samples.scanLeft(mdatHeaderOff + 8L)(_ + _.length).init
+    val timescale = 1000L
+    val delta = timescale / fps
+    val duration = delta * samples.length
+    def fullBox(typ: String, versionFlags: Long)(body: BoxWriter => Unit): Array[Byte] = {
+      val w = new BoxWriter
+      w.u32(versionFlags)
+      body(w)
+      box(typ, w.bytes)
+    }
+    val mvhd = fullBox("mvhd", 0) { w =>
+      w.u32(0).u32(0).u32(timescale).u32(duration)
+      w.u32(0x00010000).u16(0x0100).u16(0)
+      w.zeros(8)
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L).foreach(w.u32)
+      w.zeros(24)
+      w.u32(2)
+    }
+    val tkhd = fullBox("tkhd", 7) { w =>
+      w.u32(0).u32(0).u32(1).u32(0).u32(duration)
+      w.zeros(8).u16(0).u16(0).u16(0).u16(0)
+      Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L).foreach(w.u32)
+      w.u32(width.toLong << 16).u32(height.toLong << 16)
+    }
+    val mdhd = fullBox("mdhd", 0) { w =>
+      w.u32(0).u32(0).u32(timescale).u32(duration)
+      w.u16(0x55c4).u16(0)
+    }
+    val hdlr = fullBox("hdlr", 0) { w =>
+      w.u32(0).ascii("vide").zeros(12)
+      w.ascii("graft hevc  ")
+    }
+    val vmhd = fullBox("vmhd", 1) { w => w.u16(0).u16(0).u16(0).u16(0) }
+    val dref = fullBox("dref", 0) { w =>
+      w.u32(1)
+      w.raw(fullBox("url ", 1)(_ => ()))
+    }
+    val dinf = box("dinf", dref)
+    val hvcC = box("hvcC", H265.writeHvcC(vps, sps, pps))
+    val sampleEntry = {
+      val w = new BoxWriter
+      w.zeros(6).u16(1)
+      w.u16(0).u16(0).zeros(12)
+      w.u16(width).u16(height)
+      w.u32(0x00480000).u32(0x00480000).u32(0)
+      w.u16(1)
+      w.zeros(32)
+      w.u16(0x0018).u16(0xffff)
+      w.raw(hvcC)
+      box("hvc1", w.bytes)
+    }
+    val stsd = fullBox("stsd", 0) { w => w.u32(1).raw(sampleEntry) }
+    val stts = fullBox("stts", 0) { w => w.u32(1).u32(samples.length).u32(delta) }
+    val stsc = fullBox("stsc", 0) { w => w.u32(1).u32(1).u32(1).u32(1) }
+    val stsz = fullBox("stsz", 0) { w =>
+      w.u32(0).u32(samples.length)
+      samples.foreach(f => w.u32(f.length))
+    }
+    val stco = fullBox("stco", 0) { w =>
+      w.u32(samples.length)
+      sampleOffsets.foreach(w.u32)
+    }
+    val stss = fullBox("stss", 0) { w =>
+      w.u32(syncSamples.length)
+      syncSamples.foreach(s => w.u32(s))
+    }
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stss ++ stco)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    val mdatHdr = new BoxWriter
+    mdatHdr.u32(8L + samples.map(_.length.toLong).sum).ascii("mdat")
+    out.write(mdatHdr.bytes, 0, 8)
+    samples.foreach(f => out.write(f, 0, f.length))
+    out.write(moov, 0, moov.length)
+    out.toByteArray
+  }
 }

@@ -674,6 +674,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q155 — H.265/HEVC keyframe dedup (the r10 HEVC PROBE tier's query
+    * face, [[graft.multimodal.Multimodal.syntheticHevcMp4s]]): hvc1
+    * mp4s probed to the hvcC → IRAP sync samples extracted through the
+    * length-prefixed NAL framing → SHA-256 keyframe-payload dedup
+    * (q84's shape for the second codec family). Planted pairs share
+    * keyframe bytes while their TRAIL samples differ — whole-file
+    * hashing collapses none; the container/NAL path collapses all.
+    * HEVC pixel decode stays behind the FrameDecoder boundary.
+    */
+  def q155HevcKeyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevc_200"))(
+      graft.multimodal.Multimodal.syntheticHevcMp4s(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByKeyframeHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -981,6 +999,7 @@ object ExtendedQueries {
     "q151_avc_bidir_dedup" -> (q151AvcBidirDedup _),
     "q153_avc_b8x8_dedup" -> (q153AvcB8x8Dedup _),
     "q154_avc_fade_dedup" -> (q154AvcFadeDedup _),
+    "q155_hevc_keydedup" -> (q155HevcKeyDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1229,6 +1248,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q154_avc_fade_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q154_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q155_hevc_keydedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q155_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -253,6 +253,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // same frame-seq shape; the
                                                    // fade frames exist only
                                                    // through the weight tables
+    "q155_hevc_keydedup"       -> (4, 1, 0, true), // r10 HEVC probe face:
+                                                   // q84's keyframe-hash shape
+                                                   // over hvc1 containers —
+                                                   // sig agg + explode +
+                                                   // broadcast anti-join + sort
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to
