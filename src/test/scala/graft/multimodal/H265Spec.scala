@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * Pixel decode is out of scope (FrameDecoder boundary) — these pins
   * cover exactly the probe/keyframe surface the q155 face uses.
   */
-class H265Spec extends AnyFunSuite {
+class H265Spec extends AnyFunSuite with graft.SparkSpec {
 
   test("SPS round-trip: aligned dims, no conformance window") {
     val info = H265.parseSps(H265.writeSps(64, 48)).get
@@ -93,31 +93,26 @@ class H265Spec extends AnyFunSuite {
   }
 
   test("q155 corpus: keyframe-hash dedup collapses planted IRAP-sharing pairs; byte hash cannot") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    try {
-      import spark.implicits._
-      val media = Multimodal.syntheticHevcMp4s(spark, 40).persist()
-      val byId = media.collect().map(m => m.media_id -> m.content).toMap
-      val dups = (0L until 40L).filter(id => id % 10 == 0 && id > 0)
-      dups.foreach { id =>
-        assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id whole-file bytes")
-        assert(VideoContainers.mp4HevcKeyframes(byId(id)).map(_.toSeq) ===
-          VideoContainers.mp4HevcKeyframes(byId(id - 1)).map(_.toSeq),
-          s"pair $id keyframes")
-      }
-      // every stream probes to its declared bitstream dims
-      byId.foreach { case (id, bytes) =>
-        val seed = if (id % 10 == 0 && id > 0) id - 1 else id
-        val info = VideoContainers.probeHevcMp4(bytes).get
-        assert(info.width === 64 + 8 * (seed % 5).toInt &&
-          info.height === 44 + 2 * (seed % 7).toInt, s"video $id")
-      }
-      val survivors = Multimodal.videoDedupByKeyframeHash(media)
-        .select("media_id").as[Long].collect().sorted.toSeq
-      assert(survivors == (0L until 40L).filterNot(id => id % 10 == 0 && id > 0))
-      media.unpersist()
-    } finally () // shared session left for other suites
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcMp4s(spark, 40).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 40L).filter(id => id % 10 == 0 && id > 0)
+    dups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id whole-file bytes")
+      assert(VideoContainers.mp4HevcKeyframes(byId(id)).map(_.toSeq) ===
+        VideoContainers.mp4HevcKeyframes(byId(id - 1)).map(_.toSeq),
+        s"pair $id keyframes")
+    }
+    // every stream probes to its declared bitstream dims
+    byId.foreach { case (id, bytes) =>
+      val seed = if (id % 10 == 0 && id > 0) id - 1 else id
+      val info = VideoContainers.probeHevcMp4(bytes).get
+      assert(info.width === 64 + 8 * (seed % 5).toInt &&
+        info.height === 44 + 2 * (seed % 7).toInt, s"video $id")
+    }
+    val survivors = Multimodal.videoDedupByKeyframeHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 40L).filterNot(id => id % 10 == 0 && id > 0))
+    media.unpersist()
   }
 }
