@@ -178,6 +178,92 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("B_8x8 mutation fuzz: sub-partitioned IPB sequences decode or reject, never crash (r10 tier)") {
+    val subs: Array[Array[Seq[(Int, Seq[((Int, Int), (Int, Int))])]]] =
+      Array.tabulate(2, 3) { (r, c) =>
+        (0 until 4).map { si =>
+          val t = 1 + (((r * 3 + c) * 4 + si) % 12)
+          val (n, _, _, _) = H264Decode.bSubMbInfo(t)
+          (t, (0 until n).map(j => ((4 * (j % 2), 4 * (si % 2)), (-4, 0))))
+        }
+      }
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 50 + 30 * r + 20 * c))._1 ++
+      H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(Array.fill(2, 3)((6, 2)), poc = 4)),
+        (1, 0, H264Encode.encodeB8x8(subs, poc = 2))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 3)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9153)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
+  test("weighted-prediction mutation fuzz: fade streams decode or reject, never crash (r10 tier)") {
+    val weights = H264Encode.PredWeights(6, 5, Seq(
+      H264Encode.ListWeights(44, 3, 28, -4, 36, 2)))
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 50 + 30 * r + 20 * c),
+      weightedPred = true)._1 ++
+      H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(Array.fill(2, 3)((0, 0)), poc = 2,
+          weights = Some(weights))),
+        (1, 3, H264Encode.encodeP16x16(Array.fill(2, 3)((0, 0)), poc = 4,
+          weights = Some(weights)))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 3)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9154)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
+  test("HEVC probe fuzz: SPS bit flips parse or reject, container mutations never crash (r10 tier)") {
+    val sps = H265.writeSps(100, 58)
+    for (bit <- 0 until sps.length * 8) {
+      val m = sps.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      H265.parseSps(m) match { // must not throw
+        case Some(i) => assert(i.width > 0 && i.height > 0, s"bit $bit")
+        case None => // clean rejection
+      }
+    }
+    def sample(t: Int, body: Array[Byte]): Array[Byte] = {
+      val nal = H265.nalHeader(t) ++ body
+      Array[Byte](0, 0, 0, nal.length.toByte) ++ nal
+    }
+    val mp4 = VideoContainers.buildMp4Hevc(
+      Seq(sample(19, Array[Byte](1, 2, 3, 4)), sample(1, Array[Byte](7))),
+      Seq(1), H265.writeVps(), sps, H265.writePps(), 100, 58)
+    val rnd = new scala.util.Random(0x9155)
+    for (_ <- 0 until 500) {
+      val m = mp4.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      VideoContainers.probeHevcMp4(m) // must not throw
+      VideoContainers.mp4HevcKeyframes(m).foreach(k => assert(k.length >= 0))
+    }
+  }
+
   test("multi-IDR stream returns the FIRST complete picture (r7 advice pin)") {
     val s1 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 60 + 40 * (r + c)))._1
     val s2 = H264Encode.encodeI16x16Dc(Array.tabulate(2, 2)((r, c) => 200 - 40 * (r + c)))._1
