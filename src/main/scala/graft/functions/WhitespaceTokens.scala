@@ -82,4 +82,55 @@ object WhitespaceTokens {
     if (start >= 0) out.add(UTF8String.fromBytes(bytes, start, n - start))
     new GenericArrayData(out.toArray)
   }
+
+  /** Count-only form of [[split]]: identical token boundaries, zero
+    * allocation — for `size(tokens(text))` call sites (token budgets,
+    * length filters) where the tokens themselves are never consumed.
+    */
+  def count(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var c = 0
+    var i = 0
+    var in = false
+    while (i < n) {
+      val b = bytes(i)
+      val ws = b == ' ' || (b >= '\t' && b <= '\r')
+      if (ws) in = false
+      else if (!in) { c += 1; in = true }
+      i += 1
+    }
+    c
+  }
+}
+
+/** Native whitespace token COUNT: `size(ws_tokens(text))` without
+  * materializing the token array (no per-token UTF8String slices, no
+  * ArrayList, no GenericArrayData). Token-count columns sit on every
+  * corpus row in the budget/packing operators
+  * ([[graft.operators.Curation.tokenBudgetMixture]], sequence packing,
+  * min-length filters), where the array form's allocations are pure
+  * waste. Semantics pinned ≡ `size(tokens(text))` in
+  * TextAnalysisSpec; boundary classification is byte-exact per the
+  * [[WhitespaceTokens]] argument.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_count expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WhitespaceTokens.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = graft.functions.WhitespaceTokens.count($text);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
 }

@@ -658,10 +658,10 @@ object H264Cabac {
     }
   }
 
-  /** sub_mb_type, B slice (ctxIdxOffset 36, Table 9-10 binarization —
+  /** sub_mb_type, B slice (ctxIdxOffset 36, Table 9-37 binarization —
     * the r10 B_8x8 tier): bin0 → ctx 36, bin1 → 37, bin2 → 38, every
-    * later bin → 39 (Table 9-38's fixed increments; no neighbor
-    * derivation). Tree: '0' = B_Direct_8x8 (0); '10x' = B_L0/L1_8x8
+    * later bin → 39 (Table 9-39's fixed ctxIdxInc assignment; no
+    * neighbor derivation). Tree: '0' = B_Direct_8x8 (0); '10x' = B_L0/L1_8x8
     * (1/2); '110xx' = 3..6; '1110xx' = 7..10; '1111x' = 11/12.
     */
   def decodeBSubMbType(d: Decoder): Int = {

@@ -269,6 +269,9 @@ object H265 {
   def parseHvcC(b: Array[Byte]): Option[(Int, Seq[(Int, Array[Byte])])] =
     try {
       if (b.length < 23 || (b(0) & 0xff) != 1) return None
+      // 14496-15 allows lengthSizeMinusOne in {0,1,3} (1/2/4-byte
+      // lengths); 2 (3-byte) is reserved — reject rather than tolerate.
+      if ((b(21) & 3) == 2) return None
       val lengthSize = (b(21) & 3) + 1
       val numArrays = b(22) & 0xff
       val out = Seq.newBuilder[(Int, Array[Byte])]

@@ -207,79 +207,102 @@ object Curation {
     *
     *   1. per-(source, hash16-bucket) token totals (partial+final agg,
     *      ≤ 65536 rows per source);
-    *   2. a running sum over that TINY table finds each source's
-    *      boundary bucket b* (first bucket whose cumulative total
-    *      reaches the budget) and the token offset before it;
-    *   3. broadcast (source, b*, offset): rows in buckets < b* are kept
-    *      outright (their whole-bucket prefix total is < budget — no
-    *      window needed), rows in buckets > b* are dropped AT THE SCAN,
-    *      and only the boundary bucket — bounded at ~1/65536 of the
-    *      source — pays the exact cumulative-sum window, started at the
-    *      broadcast offset.
+    *   2. an exclusive running sum over that TINY table gives every
+    *      bucket's start offset; buckets whose offset is < budget are
+    *      exactly the buckets that can contain kept rows (the last of
+    *      them is the boundary bucket b*);
+    *   3. ONE corpus pass: an inner broadcast join on (source, bucket)
+    *      drops buckets past b* AT THE SCAN and attaches each kept
+    *      bucket's start offset; a per-(source, bucket) cumulative-sum
+    *      window (every partition bounded at ~1/65536 of the source)
+    *      finishes the exact offset, and `tok_start < budget` selects
+    *      the kept prefix. No kept/boundary split: every row of a
+    *      bucket before b* passes that filter by construction (its
+    *      tok_start < the bucket-chain prefix < budget), so the one
+    *      filter is a no-op there and exact on the boundary — the r10
+    *      form's separate boundary scan and survivor re-aggregation
+    *      (two more corpus passes + a second broadcast, profiled as a
+    *      4-dependent-job launch floor at 100×) collapse away.
     *
     * Returns the kept rows plus `n_tok` (the doc's token count) and
     * `tok_start` (exclusive cumulative offset of the doc in its source's
     * draw: the kept set is exactly `tok_start < budget`).
     */
   def tokenBudgetMixture(df: DataFrame, sourceCol: String, keyCol: String,
-                         textCol: String, budget: Column): DataFrame = {
-    Seq("_h16", "_ntok", "_bstar", "_off", "_budget", "n_tok", "tok_start")
+                         textCol: String, budget: Column,
+                         smallThreshold: Long = 2000000L): DataFrame = {
+    Seq("_h16", "_ntok", "_boff", "_btok", "_budget", "n_tok", "tok_start")
       .foreach { c =>
         require(!df.columns.contains(c), s"input already has a $c column")
       }
+    // Small-corpus fast path (the q75 driver-union-find precedent: an
+    // explicit threshold picks the plan the data size makes optimal).
+    // Below `smallThreshold` rows a per-source window partition cannot
+    // overwhelm a reducer, and the definitional single-window plan — one
+    // tokenize scan, one exchange, one sort — strictly beats the
+    // prefilter's two corpus passes + coarse-table window (r11 100×
+    // profile: the two-phase form's coarse agg alone costs more than the
+    // whole naive plan when buckets average ~1 doc). The two-phase form
+    // below is the 100 TB path: sources at billions of rows would
+    // serialize through single window partitions, which the hash16
+    // prefilter caps at 1/65536 of the source. Both branches are pinned
+    // equal in CurationSpec (the naive form IS the spec's oracle;
+    // smallThreshold = 0 forces the two-phase branch there).
+    if (smallThreshold > 0 && df.count() <= smallThreshold) {
+      val w = Window.partitionBy(col(sourceCol))
+        .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val outCols = (df.columns.map(col) :+
+        col("_ntok").cast("long").as("n_tok") :+ col("tok_start")).toSeq
+      return df
+        .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
+        .withColumn("_budget", budget)
+        .withColumn("tok_start", coalesce(sum(col("_ntok")).over(w), lit(0L)))
+        .filter(col("tok_start") < col("_budget"))
+        .select(outCols: _*)
+    }
     val base = df
-      .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
       .withColumn("_h16", hash16(col(keyCol)))
       .withColumn("_budget", budget)
     // phase 1: coarse per-bucket totals — at most 65536 rows per source
-    val coarse = base.groupBy(col(sourceCol), col("_h16"), col("_budget"))
+    val coarse = base
+      .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
+      .groupBy(col(sourceCol), col("_h16"), col("_budget"))
       .agg(sum(col("_ntok")).as("_btok"))
-    // phase 2: boundary bucket per source over the tiny coarse table.
-    // The window partitions by source over ≤65536 rows — driver-free and
-    // bounded regardless of corpus size.
+    // phase 2: exclusive per-bucket start offsets over the tiny coarse
+    // table (window partitions by source over ≤65536 rows — driver-free
+    // and bounded regardless of corpus size); a bucket can contain kept
+    // rows iff its start offset is still below the budget.
     val wc = Window.partitionBy(col(sourceCol)).orderBy(col("_h16"))
-    val bounds = coarse
-      .withColumn("_cum", sum(col("_btok")).over(wc))
-      .filter(col("_cum") - col("_btok") < col("_budget"))
-      .groupBy(col(sourceCol))
-      .agg(max(col("_h16")).as("_bstar"),
-        (max_by(col("_cum"), col("_h16")) -
-          max_by(col("_btok"), col("_h16"))).as("_off"))
-    // phase 3: keep buckets < b* outright; drop > b*; window only inside
-    // the boundary bucket, seeded with the broadcast offset
-    val tagged = base.join(broadcast(bounds), Seq(sourceCol))
-    val kept = tagged.filter(col("_h16") < col("_bstar"))
-      .withColumn("tok_start", lit(null).cast("long"))
-    val wb = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    val boundary = tagged.filter(col("_h16") === col("_bstar"))
-      .withColumn("tok_start",
-        col("_off") + coalesce(
-          sum(col("_ntok")).over(wb.rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("tok_start") < col("_budget"))
-    // back-fill tok_start for the outright-kept buckets with the same
-    // bounded trick, now that the survivor set is budget-sized: a second
-    // tiny coarse cumsum gives each bucket's start offset, and an
-    // in-bucket window (bounded at ~1/65536 of the source) finishes.
-    val keptCoarse = kept.groupBy(col(sourceCol), col("_h16"))
-      .agg(sum(col("_ntok")).as("_btok"))
-      .withColumn("_cum", sum(col("_btok")).over(wc))
-      .select(col(sourceCol), col("_h16"),
-        (col("_cum") - col("_btok")).as("_boff"))
+    val keepBuckets = coarse
+      .withColumn("_boff", coalesce(sum(col("_btok")).over(
+        wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("_boff") < col("_budget"))
+      .select(col(sourceCol), col("_h16"), col("_boff"))
+    // phase 3 — the single corpus pass: the inner broadcast join drops
+    // past-boundary buckets at the scan and attaches each surviving
+    // bucket's start offset; the per-(source, bucket) window (each
+    // partition ~1/65536 of the source) finishes the exact cumulative
+    // offset. `tok_start < budget` is a no-op for buckets before the
+    // boundary (their every tok_start is below the bucket-chain prefix,
+    // which is below the budget) and exact on the boundary bucket.
+    // Tokenization in this pass runs AFTER the bucket join: only
+    // surviving-bucket rows (a budget-sized sliver of the corpus) pay
+    // the second tokenCount — the full-corpus tokenize happens exactly
+    // once, in the phase-1 agg, matching the one pass the definitional
+    // single-window form cannot go below.
     val wkb = Window.partitionBy(col(sourceCol), col("_h16"))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    val keptFilled = kept.drop("tok_start")
-      .join(broadcast(keptCoarse), Seq(sourceCol, "_h16"))
+    val outCols = (df.columns.map(col) :+
+      col("_ntok").cast("long").as("n_tok") :+ col("tok_start")).toSeq
+    base.join(broadcast(keepBuckets), Seq(sourceCol, "_h16"))
+      .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
       .withColumn("tok_start",
         col("_boff") + coalesce(
           sum(col("_ntok")).over(wkb.rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_boff")
-    val outCols = (df.columns.map(col) :+
-      col("_ntok").cast("long").as("n_tok") :+ col("tok_start")).toSeq
-    keptFilled.select(outCols: _*)
-      .unionByName(boundary.select(outCols: _*))
+      .filter(col("tok_start") < col("_budget"))
+      .select(outCols: _*)
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (the
@@ -506,15 +529,17 @@ object Curation {
   /** Fused DSIR scoring when the target slice is a PREDICATE over the
     * scored corpus itself (the common in-pipeline case — "more like the
     * English slice"): tokenize ONCE, derive everything from one
-    * per-(doc, token) count frame. The composed
+    * stream of hashed token occurrences. The composed
     * [[importanceWeights]] → [[importanceScores]] pair tokenizes the
-    * corpus three times (raw count, target count, scoring) and ships
-    * every token OCCURRENCE through the weight join; this form ships
-    * each document's DISTINCT tokens once with a count, and both corpus
-    * count aggregates collapse into one dual-counter pass over that
-    * frame (r10 q102 profile: 3 tokenize scans → 1, the weight join
-    * input ~2× smaller; identical scores — CurationSpec pins the
-    * differential, and round-6 output absorbs the double-sum order).
+    * corpus three times (raw count, target count, scoring) and runs two
+    * separate count aggs plus a join between them; this form's win is
+    * (a) ONE dual-counter agg producing raw and target counts together
+    * and (b) tokens hashed to 64-bit keys at the scan, so the weight
+    * join ships longs, never strings. The weight join's probe side is
+    * still every token OCCURRENCE — a per-(doc, token) pre-collapse was
+    * A/B-measured SLOWER, see below (r10 q102 profile: identical
+    * scores — CurationSpec pins the differential, and round-6 output
+    * absorbs the double-sum order).
     *
     * Plan: tokens hash to 64-bit keys AT THE SCAN (xxhash64 — token
     * strings never reach an exchange; exact modulo an xxhash64 vocab

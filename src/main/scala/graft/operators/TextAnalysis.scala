@@ -75,8 +75,14 @@ object TextAnalysis {
         .otherwise(array().cast("array<bigint>")))
   }
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — the count-only native byte scan
+    * ([[graft.functions.TokenCount]]): `size(tokens(text))` semantics
+    * (null → null included) with zero per-token allocation.
+    */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.TokenCount(
+        org.apache.spark.sql.GraftPlanBridge.expression(text)))
 
   /** BPE-ish sub-word token count: word pieces, numbers, and punctuation
     * runs counted separately (a cheap proxy for an LLM tokenizer's token

@@ -117,7 +117,14 @@ class CurationSpec extends SparkSpec {
         .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
         .as[(String, Long, Long, Long)].collect().toSet
     }
+    // smallThreshold = 0 forces the two-phase hash-prefilter branch —
+    // the scale path this test exists to pin against the definition
     def twoPhase(budget: org.apache.spark.sql.Column) =
+      Curation.tokenBudgetMixture(d, "source", "doc_id", "text", budget,
+          smallThreshold = 0L)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    def defaultPath(budget: org.apache.spark.sql.Column) =
       Curation.tokenBudgetMixture(d, "source", "doc_id", "text", budget)
         .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
         .as[(String, Long, Long, Long)].collect().toSet
@@ -125,6 +132,9 @@ class CurationSpec extends SparkSpec {
     for (b <- Seq(lit(1L), lit(120L), lit(700L), lit(1000000L),
         when(length(col("source")) === 4, 150L).otherwise(400L))) {
       assert(twoPhase(b) == naive(b), s"two-phase != naive for budget $b")
+      // the size-branched default (single-window small path here) must
+      // be indistinguishable from the forced scale path
+      assert(defaultPath(b) == naive(b), s"default branch != naive for budget $b")
     }
 
     // budget-hit property: kept tokens reach the budget (source permitting)

@@ -107,7 +107,12 @@ class PlanCensusSpec extends SparkSpec {
     "q71_ngram_jaccard"        -> (4, 1, 0, true),
     "q72_cosine_dedup"         -> (5, 1, 1, true), // declared exact O(N²) baseline
     "q73_repeated_spans"       -> (3, 1, 0, true),
-    "q74_token_budget"         -> (7, 3, 0, true),
+    "q74_token_budget"         -> (2, 0, 0, true), // r11 size-branched: the
+                                                   // single-window small path
+                                                   // at sf0.001 (count job +
+                                                   // window exchange); the
+                                                   // forced two-phase scale
+                                                   // path is CurationSpec-pinned
     "q75_connected_components" -> (1, 1, 0, true), // driver union-find path at this size
     "q76_cluster_dedup"        -> (4, 2, 0, true),
     "q77_bm25"                 -> (1, 0, 0, true), // fused: only the 1-row stats agg
