@@ -34,7 +34,8 @@ object H264 {
     */
   final case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
       width: Int, height: Int, frameMbsOnly: Boolean, chromaFormatIdc: Int,
-      log2MaxFrameNum: Int = 4, pocType: Int = 0, log2MaxPocLsb: Int = 4)
+      log2MaxFrameNum: Int = 4, pocType: Int = 0, log2MaxPocLsb: Int = 4,
+      maxNumRefFrames: Int = 1)
 
   // ------------------------------------------------------------ framing
 
@@ -138,6 +139,12 @@ object H264 {
       val k = ue()
       if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** Truncated Exp-Golomb (§9.1, te(v)): with range [0, max] — max 0
+      * reads nothing (value 0), max 1 reads one INVERTED bit, max > 1
+      * falls back to ue(v). The ref_idx_lX syntax element's descriptor.
+      */
+    def te(max: Int): Int =
+      if (max <= 0) 0 else if (max == 1) 1 - u(1) else ue()
   }
 
   // ---------------------------------------------------------- SPS parse
@@ -181,7 +188,7 @@ object H264 {
         var i = 0
         while (i < cycles) { r.se(); i += 1 }
       }
-      r.ue() // max_num_ref_frames
+      val maxNumRefFrames = r.ue() // sliding-window DPB capacity (§8.2.5.3)
       r.flag() // gaps_in_frame_num_value_allowed_flag
       val widthMbs = r.ue() + 1
       val heightMapUnits = r.ue() + 1
@@ -204,7 +211,8 @@ object H264 {
         height -= (t + b) * cropUnitY
       }
       Some(SpsInfo(profileIdc, levelIdc, spsId, width, height,
-        frameMbsOnly, chromaFormatIdc, log2MaxFrameNum, pocType, log2MaxPocLsb))
+        frameMbsOnly, chromaFormatIdc, log2MaxFrameNum, pocType,
+        log2MaxPocLsb, maxNumRefFrames))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -281,6 +289,11 @@ object H264 {
       u(0, len - 1); u(cp, len)
     }
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** Truncated Exp-Golomb writer — inverse of [[BitReader.te]]. */
+    def te(v: Int, max: Int): this.type = {
+      require(v >= 0 && v <= max, s"te($v) out of [0, $max]")
+      if (max <= 0) this else if (max == 1) u(1 - v, 1) else ue(v)
+    }
     /** pcm_alignment_zero_bit run: zero-pad to the next byte boundary
       * (§7.3.5 I_PCM). No-op when already aligned.
       */
@@ -320,9 +333,12 @@ object H264 {
     * cropping exactly as an encoder would. Round-trips through
     * [[parseSps]] by construction (pinned in MultimodalSpec).
     */
-  def writeSps(width: Int, height: Int, levelIdc: Int = 31): Array[Byte] = {
+  def writeSps(width: Int, height: Int, levelIdc: Int = 31,
+      numRefFrames: Int = 1): Array[Byte] = {
     require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
       s"4:2:0 dims must be positive and even, got ${width}x$height")
+    require(numRefFrames >= 1 && numRefFrames <= 16,
+      s"max_num_ref_frames $numRefFrames out of range")
     val mbsW = (width + 15) / 16
     val mapH = (height + 15) / 16
     val w = new BitWriter
@@ -333,7 +349,7 @@ object H264 {
     w.ue(0)    // log2_max_frame_num_minus4
     w.ue(0)    // pic_order_cnt_type 0
     w.ue(0)    //   log2_max_pic_order_cnt_lsb_minus4
-    w.ue(1)    // max_num_ref_frames
+    w.ue(numRefFrames) // max_num_ref_frames (sliding-window DPB size)
     w.flag(false) // gaps_in_frame_num_value_allowed
     w.ue(mbsW - 1)
     w.ue(mapH - 1)

@@ -721,6 +721,33 @@ object H264Cabac {
     else if (d.bypass() == 1) -abs else abs
   }
 
+  /** ref_idx_lX (r11 multi-ref tier): unary binarization over
+    * ctxIdxOffset 54 (Table 9-34); bin0's ctxIdxInc is 9.3.3.1.1.6's
+    * condTermFlagA + 2·condTermFlagB (condTermFlagN = 1 iff the
+    * neighbor partition explicitly references this list with
+    * refIdx > 0 — skip / intra / direct / other-list neighbors give
+    * 0, tracked by [[IntraCtxTrack.refIdxInc]]); bin1 → ctxIdxInc 4,
+    * every later bin → 5 (Table 9-36).
+    */
+  def decodeRefIdx(d: Decoder, inc0: Int): Int = {
+    if (d.decision(54 + inc0) == 0) return 0
+    if (d.decision(58) == 0) return 1
+    var v = 2
+    while (d.decision(59) == 1) { v += 1; require(v <= 32, "ref_idx runaway") }
+    v
+  }
+
+  def encodeRefIdx(e: Encoder, inc0: Int, ref: Int): Unit = {
+    require(ref >= 0 && ref <= 32, s"ref_idx $ref out of range")
+    if (ref == 0) { e.decision(54 + inc0, 0); return }
+    e.decision(54 + inc0, 1)
+    if (ref == 1) { e.decision(58, 0); return }
+    e.decision(58, 1)
+    var k = 2
+    while (k < ref) { e.decision(59, 1); k += 1 }
+    e.decision(59, 0)
+  }
+
   def encodeMvd(e: Encoder, comp: Int, inc0: Int, mvd: Int): Unit = {
     val base = 40 + 7 * comp
     val abs = math.abs(mvd)
@@ -877,6 +904,39 @@ object H264Cabac {
     }
 
     /** Record a decoded partition's |mvd| over its 4x4 blocks. */
+    /** ref_idx ctx tracking (r11 multi-ref, §9.3.3.1.1.6): whether each
+      * 4x4 block's partition EXPLICITLY references list X with
+      * refIdx > 0. Only signalled inter partitions set it — skip /
+      * intra / direct / other-list blocks keep the default false, so
+      * their condTermFlag contribution is 0, as normative.
+      */
+    private val refGtz = Array.ofDim[Boolean](2, mbW * 4 * mbH * 4)
+
+    def setRefCtx(list: Int, bx4: Int, by4: Int, pw4: Int, ph4: Int,
+        ref: Int): Unit = {
+      val arr = refGtz(list)
+      var y = by4
+      while (y < by4 + ph4) {
+        var x = bx4
+        while (x < bx4 + pw4) { arr(y * mbW * 4 + x) = ref > 0; x += 1 }
+        y += 1
+      }
+    }
+
+    /** ref_idx_lX bin0 ctxIdxInc for the partition whose top-left 4x4
+      * block is (bx4, by4). In-MB earlier partitions count (their
+      * ref_idx is parsed before this one; callers [[setRefCtx]] each
+      * partition as its element is read/written).
+      */
+    def refIdxInc(list: Int, bx4: Int, by4: Int): Int = {
+      val arr = refGtz(list)
+      def c(x4: Int, y4: Int): Int =
+        if (x4 < 0 || y4 < 0 || x4 >= mbW * 4 || y4 >= mbH * 4 ||
+          !decoded((y4 / 4) * mbW + x4 / 4)) 0
+        else if (arr(y4 * mbW * 4 + x4)) 1 else 0
+      c(bx4 - 1, by4) + 2 * c(bx4, by4 - 1)
+    }
+
     def setMvd(list: Int, bx4: Int, by4: Int, pw4: Int, ph4: Int,
         mvdX: Int, mvdY: Int): Unit = {
       val ax = math.abs(mvdX); val ay = math.abs(mvdY)

@@ -41,7 +41,8 @@ object H264Decode {
       numSliceGroups: Int, picInitQp: Int, chromaQpOffset: Int,
       deblockingPresent: Boolean, constrainedIntra: Boolean,
       redundantPresent: Boolean,
-      weightedPred: Boolean = false, weightedBipredIdc: Int = 0)
+      weightedPred: Boolean = false, weightedBipredIdc: Int = 0,
+      numRefIdxL0Default: Int = 1, numRefIdxL1Default: Int = 1)
 
   /** Parse a PPS NAL payload (EBSP, header stripped) per §7.3.2.2. */
   def parsePps(payload: Array[Byte]): Option[PpsInfo] =
@@ -53,7 +54,8 @@ object H264Decode {
       val bottomPoc = r.flag()
       val groups = r.ue() + 1
       if (groups != 1) return None // FMO out of scope
-      r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
+      val nr0 = r.ue() + 1 // num_ref_idx_l0_default_active
+      val nr1 = r.ue() + 1 // num_ref_idx_l1_default_active
       val wp = r.flag() // weighted_pred_flag
       val wbi = r.u(2) // weighted_bipred_idc
       val qp = 26 + r.se()
@@ -63,7 +65,7 @@ object H264Decode {
       val cip = r.flag()
       val red = r.flag()
       Some(PpsInfo(ppsId, spsId, cavlc, bottomPoc, groups, qp, cqo, deb, cip,
-        red, wp, wbi))
+        red, wp, wbi, nr0, nr1))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
 
   /** Decoded picture: full (uncropped) planes; `width`/`height` are the
@@ -189,24 +191,42 @@ object H264Decode {
     // I_16x16/I_PCM blocks predict as DC (2) per §8.3.1.1)
     val i4Modes = Array.fill(mbW * 4 * mbH * 4)(-1)
     val mbDecoded = new Array[Boolean](mbW * mbH)
+    // deblocking inputs (r11, §8.7): per-MB intra/I_PCM flags and the
+    // QPy each MB decoded with, plus the slice header's filter switch
+    // and alpha/beta offsets (already doubled, §7.3.3's *_div2 * 2)
+    val mbIntra = new Array[Boolean](mbW * mbH)
+    val mbIPcm = new Array[Boolean](mbW * mbH)
+    val mbQp = new Array[Int](mbW * mbH)
+    var deblock = false
+    var deblockOffA = 0
+    var deblockOffB = 0
     // inter state: per-4x4-block motion grids (§8.4.1.3 prediction
-    // context, one per reference list) and the reference pictures —
-    // one L0 picture for P slices; B slices (r9) add the L1 picture.
-    // Availability/ref-matching is per list: an MB that predicts only
-    // from L1 leaves refIdx −1 in the L0 grid and vice versa.
+    // context, one per reference list; refIdx entries carry the REAL
+    // per-partition reference index since r11) and the reference
+    // picture lists — RefPicList0/RefPicList1 (§8.2.4.2) as (POC,
+    // picture) sequences in list order, built by the sequencer from
+    // its sliding-window DPB and truncated to the slice header's
+    // num_ref_idx_active counts. Availability/ref-matching is per
+    // list: an MB that predicts only from L1 leaves refIdx −1 in the
+    // L0 grid and vice versa.
     val mv = new H264Inter.MvGrid(mbW, mbH)
     val mvL1 = new H264Inter.MvGrid(mbW, mbH)
-    var ref: Frame = null
-    var ref1: Frame = null
+    var list0: IndexedSeq[(Int, Frame)] = IndexedSeq.empty
+    var list1: IndexedSeq[(Int, Frame)] = IndexedSeq.empty
+    var numRef0: Int = 1 // num_ref_idx_l0_active for the current slice
+    var numRef1: Int = 1
+    @inline def ref0(i: Int): Frame = list0(i)._2
+    @inline def ref1(i: Int): Frame = list1(i)._2
+    @inline def poc0(i: Int): Int = list0(i)._1
+    @inline def poc1(i: Int): Int = list1(i)._1
     // the CO-LOCATED picture's motion grid (the first picture of
-    // RefPicList1 = ref1's own decoded motion) — §8.4.1.2.2's
+    // RefPicList1 = its own decoded motion) — §8.4.1.2.2's
     // colZeroFlag input for spatial direct, and §8.4.1.2.3's mvCol
-    // for temporal direct
+    // for temporal direct — plus that picture's own L0 POC table
+    // (colRefPocs), which maps a co-located block's refIdx to the
+    // PICTURE it referenced for the §8.4.1.2.3 refIdxL0 derivation
     var colMv: H264Inter.MvGrid = null
-    // reference pictures' POCs (pocType-0 lsb values) — the temporal
-    // direct DistScaleFactor inputs
-    var ref0Poc: Int = 0
-    var ref1Poc: Int = 0
+    var colRefPocs: Array[Int] = Array.empty
     // pic_order_cnt_lsb of this picture (pocType 0; 0 otherwise) plus
     // the §8.2.1.1 MSB derivation state: prevPocMsb/prevPocLsb are the
     // previous reference picture's values (seeded by the sequencer, 0
@@ -225,12 +245,29 @@ object H264Decode {
     var wpImplicit: Boolean = false
     var wpLumaLog2: Int = 0
     var wpChromaLog2: Int = 0
-    val wpLw: Array[Int] = Array(1, 1) // per-list luma weight
-    val wpLo: Array[Int] = Array(0, 0) // per-list luma offset
-    val wpCw: Array[Array[Int]] = Array.fill(2, 2)(1) // (list)(cb/cr) weight
-    val wpCo: Array[Array[Int]] = Array.fill(2, 2)(0) // (list)(cb/cr) offset
-    var wImpl0: Int = 32 // implicit Bi weights (luma AND chroma, logWD 5)
-    var wImpl1: Int = 32
+    // explicit tables per (list, refIdx) — §7.3.3.2 carries one entry
+    // per active reference since the r11 multi-ref tier (16 = the
+    // §7.4.2.1.1 max_num_ref_frames ceiling)
+    val wpLw: Array[Array[Int]] = Array.fill(2, 16)(1) // (list)(ref) luma w
+    val wpLo: Array[Array[Int]] = Array.fill(2, 16)(0) // (list)(ref) luma o
+    val wpCw: Array[Array[Array[Int]]] = Array.fill(2, 16, 2)(1) // (list)(ref)(cb/cr)
+    val wpCo: Array[Array[Array[Int]]] = Array.fill(2, 16, 2)(0)
+
+    /** Implicit B weights (§8.4.2.3.1, weighted_bipred_idc 2) for a
+      * BiPred partition referencing (L0[r0], L1[r1]) — POC-derived per
+      * reference PAIR since r11: w1 = DistScaleFactor >> 2 from
+      * tb = poc(cur) − poc(L0[r0]), td = poc(L1[r1]) − poc(L0[r0]);
+      * 32/32 when the refs share a POC or w1 leaves [−64, 128].
+      */
+    def implicitW(r0: Int, r1: Int): (Int, Int) = {
+      val tb = clip3m(-128, 127, poc - poc0(r0))
+      val td = clip3m(-128, 127, poc1(r1) - poc0(r0))
+      if (td == 0) return (32, 32)
+      val tx = (16384 + math.abs(td / 2)) / td
+      val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
+      val w1 = dsf >> 2
+      if (w1 < -64 || w1 > 128) (32, 32) else (64 - w1, w1)
+    }
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
       mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
@@ -618,19 +655,19 @@ object H264Decode {
     def moreData: Boolean = (totalBits - r.remaining) < lastOne
 
     // ---- slice_header (§7.3.3): IDR I-slice subset, plus the P-slice
-    // subset (single L0 reference, no list modification, no MMCO) when
-    // the State carries a reference picture, plus the B-slice subset
-    // (r9: one reference per list, no direct/skip MBs, no weighted
-    // prediction) when it carries both
+    // subset (r11: up to 16 active L0 references via the
+    // num_ref_idx_active override, no list modification, no MMCO) when
+    // the State carries reference pictures, plus the B-slice subset
+    // (r9 lists, r11 multi-ref per list) when it carries both lists
     val firstMb = r.ue()
     val sliceType = r.ue()
     val isP = sliceType == 0 || sliceType == 5
     val isB = sliceType == 1 || sliceType == 6
     require(sliceType == 2 || sliceType == 7 || isP || isB,
       s"slice type $sliceType out of scope")
-    require(!isP || st.ref != null, "P slice without a reference picture")
-    require(!isB || (st.ref != null && st.ref1 != null),
-      "B slice without two reference pictures")
+    require(!isP || st.list0.nonEmpty, "P slice without a reference picture")
+    require(!isB || (st.list0.nonEmpty && st.list1.nonEmpty),
+      "B slice without both reference lists")
     r.ue() // pps_id (single active PPS assumed)
     r.u(st.sps.log2MaxFrameNum) // frame_num
     // idr_pic_id presence is keyed on the NAL type (IdrPicFlag, §7.3.3),
@@ -653,16 +690,30 @@ object H264Decode {
     val directSpatial = if (isB) r.flag() else false
     var cabacInitIdc = 0
     if (isP || isB) {
+      // num_ref_idx_active (r11 multi-ref tier): PPS defaults, slice
+      // override. The sequencer built full candidate lists from its
+      // DPB; a slice demanding more ACTIVE references than the DPB can
+      // supply is undecodable here (frame_num-gap repetition is out of
+      // scope) and rejects.
+      st.numRef0 = st.pps.numRefIdxL0Default
+      st.numRef1 = st.pps.numRefIdxL1Default
       if (r.flag()) { // num_ref_idx_active_override_flag
-        require(r.ue() == 0, "multiple L0 reference frames out of scope")
-        if (isB) require(r.ue() == 0, "multiple L1 reference frames out of scope")
+        st.numRef0 = r.ue() + 1
+        if (isB) st.numRef1 = r.ue() + 1
       }
+      require(st.numRef0 >= 1 && st.numRef0 <= 16 &&
+        st.numRef1 >= 1 && st.numRef1 <= 16, "num_ref_idx_active out of range")
+      require(st.numRef0 <= st.list0.size,
+        s"L0 wants ${st.numRef0} refs, DPB supplies ${st.list0.size}")
+      require(!isB || st.numRef1 <= st.list1.size,
+        s"L1 wants ${st.numRef1} refs, DPB supplies ${st.list1.size}")
       require(!r.flag(), "ref_pic_list_modification (L0) out of scope")
       if (isB) require(!r.flag(), "ref_pic_list_modification (L1) out of scope")
-      // pred_weight_table (§7.3.3.2, r10): explicit weights for P when
-      // weighted_pred_flag, for B when weighted_bipred_idc == 1 — one
-      // entry per list (single active reference). A weight flag of 0
-      // leaves that component at the identity (1 << logWD, offset 0).
+      // pred_weight_table (§7.3.3.2, r10; r11 multi-ref): explicit
+      // weights for P when weighted_pred_flag, for B when
+      // weighted_bipred_idc == 1 — one entry per ACTIVE reference per
+      // list. A weight flag of 0 leaves that entry at the identity
+      // (1 << logWD, offset 0).
       if ((st.pps.weightedPred && isP) ||
           (st.pps.weightedBipredIdc == 1 && isB)) {
         st.wpExplicit = true
@@ -674,45 +725,39 @@ object H264Decode {
         var l = 0
         val lists = if (isB) 2 else 1
         while (l < lists) {
-          st.wpLw(l) = 1 << st.wpLumaLog2; st.wpLo(l) = 0
-          if (r.flag()) {
-            st.wpLw(l) = r.se(); st.wpLo(l) = r.se()
-            require(st.wpLw(l) >= -128 && st.wpLw(l) <= 127 &&
-              st.wpLo(l) >= -128 && st.wpLo(l) <= 127, "luma weight out of range")
-          }
-          var c = 0
-          while (c < 2) {
-            st.wpCw(l)(c) = 1 << st.wpChromaLog2; st.wpCo(l)(c) = 0; c += 1
-          }
-          if (r.flag()) {
-            c = 0
-            while (c < 2) {
-              st.wpCw(l)(c) = r.se(); st.wpCo(l)(c) = r.se()
-              require(st.wpCw(l)(c) >= -128 && st.wpCw(l)(c) <= 127 &&
-                st.wpCo(l)(c) >= -128 && st.wpCo(l)(c) <= 127,
-                "chroma weight out of range")
-              c += 1
+          val nRefs = if (l == 0) st.numRef0 else st.numRef1
+          var ri = 0
+          while (ri < nRefs) {
+            st.wpLw(l)(ri) = 1 << st.wpLumaLog2; st.wpLo(l)(ri) = 0
+            if (r.flag()) {
+              st.wpLw(l)(ri) = r.se(); st.wpLo(l)(ri) = r.se()
+              require(st.wpLw(l)(ri) >= -128 && st.wpLw(l)(ri) <= 127 &&
+                st.wpLo(l)(ri) >= -128 && st.wpLo(l)(ri) <= 127,
+                "luma weight out of range")
             }
+            var c = 0
+            while (c < 2) {
+              st.wpCw(l)(ri)(c) = 1 << st.wpChromaLog2
+              st.wpCo(l)(ri)(c) = 0; c += 1
+            }
+            if (r.flag()) {
+              c = 0
+              while (c < 2) {
+                st.wpCw(l)(ri)(c) = r.se(); st.wpCo(l)(ri)(c) = r.se()
+                require(st.wpCw(l)(ri)(c) >= -128 && st.wpCw(l)(ri)(c) <= 127 &&
+                  st.wpCo(l)(ri)(c) >= -128 && st.wpCo(l)(ri)(c) <= 127,
+                  "chroma weight out of range")
+                c += 1
+              }
+            }
+            ri += 1
           }
           l += 1
         }
       }
-      // implicit B weights (§8.4.2.3.1, idc 2): no syntax — w1 =
-      // DistScaleFactor >> 2 from the (cur, ref0, ref1) POC distances,
-      // 32/32 when the refs share a POC or w1 leaves [−64, 128]
-      if (st.pps.weightedBipredIdc == 2 && isB) {
-        st.wpImplicit = true
-        val tb = clip3m(-128, 127, st.poc - st.ref0Poc)
-        val td = clip3m(-128, 127, st.ref1Poc - st.ref0Poc)
-        if (td == 0) { st.wImpl0 = 32; st.wImpl1 = 32 }
-        else {
-          val tx = (16384 + math.abs(td / 2)) / td
-          val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
-          val w1 = dsf >> 2
-          if (w1 < -64 || w1 > 128) { st.wImpl0 = 32; st.wImpl1 = 32 }
-          else { st.wImpl1 = w1; st.wImpl0 = 64 - w1 }
-        }
-      }
+      // implicit B weights (§8.4.2.3.1, idc 2): no syntax — derived
+      // per BiPred partition's reference pair (State.implicitW)
+      if (st.pps.weightedBipredIdc == 2 && isB) st.wpImplicit = true
       // dec_ref_pic_marking: present only for reference pictures
       // (nal_ref_idc > 0) — our B pictures are non-reference
       if (refIdc > 0)
@@ -730,7 +775,21 @@ object H264Decode {
     var qp = st.pps.picInitQp + r.se()
     if (st.pps.deblockingPresent) {
       val disable = r.ue()
-      if (disable != 1) { r.se(); r.se() }
+      require(disable <= 2, s"bad disable_deblocking_filter_idc $disable")
+      // idc 0 enables the filter; idc 2 differs from 0 only across
+      // slice boundaries — one slice per picture here, so identical
+      st.deblock = disable != 1
+      if (disable != 1) {
+        st.deblockOffA = r.se() * 2 // slice_alpha_c0_offset_div2
+        st.deblockOffB = r.se() * 2 // slice_beta_offset_div2
+        require(st.deblockOffA >= -12 && st.deblockOffA <= 12 &&
+          st.deblockOffB >= -12 && st.deblockOffB <= 12,
+          "deblocking offsets out of range")
+        // r11 scope: the bS derivation compares single-L0 motion — B
+        // pictures (two lists, bidirectional §8.7.2.1 clauses) reject
+        // rather than filter wrong
+        require(!isB, "deblocking over B slices out of scope")
+      }
     }
 
     if (!st.pps.cavlc) { // ---- CABAC slice data (r8 intra + r9 inter)
@@ -752,6 +811,7 @@ object H264Decode {
         while (skip > 0) {
           require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
           st.mbDecoded(mbAddr) = true
+          st.mbQp(mbAddr) = qp // skip MBs carry the running QPy (§8.7)
           st.mv.markMb(mbAddr)
           if (isB) { st.mvL1.markMb(mbAddr)
             decodeBDirectMotion(st, mbAddr, directSpatial) }
@@ -786,9 +846,26 @@ object H264Decode {
           else if (!isP) decodeMacroblock(st, r, mbAddr, qp, mbType)
           else if (mbType >= 5) decodeMacroblock(st, r, mbAddr, qp, mbType - 5)
           else decodeInterMacroblock(st, r, mbAddr, qp, mbType)
+        // record the MB's decoded QPy for deblocking (I_PCM pins 0 at
+        // filter time via mbIPcm, §8.7.2's qP assignment)
+        st.mbQp(mbAddr) = qp
         mbAddr += 1
       }
     }
+    if (st.deblock && mbAddr >= st.mbW * st.mbH) applyDeblock(st)
+  }
+
+  /** Run the §8.7 in-loop filter over the completed picture (r11):
+    * in place, so the sequencer retains FILTERED planes as references
+    * — deblocking is inside the prediction loop, not a display pass.
+    */
+  private def applyDeblock(st: State): Unit = {
+    val qps = Array.tabulate(st.mbW * st.mbH)(i =>
+      if (st.mbIPcm(i)) 0 else st.mbQp(i))
+    H264Deblock.filterPicture(new H264Deblock.PicState(st.mbW, st.mbH,
+      st.mbIntra, qps, st.nnzLuma, st.mv,
+      q => chromaQp(q + st.pps.chromaQpOffset),
+      st.deblockOffA, st.deblockOffB), st.luma, st.cb, st.cr)
   }
 
   /** Direct motion for one B_Skip / B_Direct_16x16 macroblock,
@@ -829,28 +906,41 @@ object H264Decode {
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
     if (!spatial) { // ---- temporal direct
-      val tb = clip3m(-128, 127, st.poc - st.ref0Poc)
-      val td = clip3m(-128, 127, st.ref1Poc - st.ref0Poc)
-      require(td != 0, "temporal direct with zero POC distance")
-      val tx = (16384 + math.abs(td / 2)) / td
-      val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
       var y4r = oy4
       while (y4r < oy4 + rh4) {
         var x4r = ox4
         while (x4r < ox4 + rw4) {
           val ax4 = bx4 + x4r; val ay4 = by4 + y4r
-          val (mcx, mcy) =
-            if (st.colMv != null && st.colMv.blockAvail(ax4, ay4) &&
-                st.colMv.refIdx(ay4 * st.colMv.w4 + ax4) >= 0)
+          // §8.4.1.2.3 (r11 multi-ref): the co-located block's refIdx
+          // maps through the col picture's own L0 POC table to the
+          // PICTURE it referenced; refIdxL0 is that picture's index in
+          // the CURRENT L0 (must be active). Intra / unavailable
+          // co-located blocks take mvCol = 0 with refIdxL0 = 0.
+          val colOk = st.colMv != null && st.colMv.blockAvail(ax4, ay4) &&
+            st.colMv.refIdx(ay4 * st.colMv.w4 + ax4) >= 0
+          val (mcx, mcy, r0) =
+            if (colOk) {
+              val cr = st.colMv.refIdx(ay4 * st.colMv.w4 + ax4)
+              require(cr < st.colRefPocs.length,
+                "co-located refIdx outside the col picture's L0")
+              val colPoc = st.colRefPocs(cr)
+              val idx = st.list0.indexWhere(_._1 == colPoc)
+              require(idx >= 0 && idx < st.numRef0,
+                "temporal direct: co-located reference not in active L0")
               (st.colMv.mvX(ay4 * st.colMv.w4 + ax4),
-                st.colMv.mvY(ay4 * st.colMv.w4 + ax4))
-            else (0, 0)
+                st.colMv.mvY(ay4 * st.colMv.w4 + ax4), idx)
+            } else (0, 0, 0)
+          val tb = clip3m(-128, 127, st.poc - st.poc0(r0))
+          val td = clip3m(-128, 127, st.poc1(0) - st.poc0(r0))
+          require(td != 0, "temporal direct with zero POC distance")
+          val tx = (16384 + math.abs(td / 2)) / td
+          val dsf = clip3m(-1024, 1023, (tb * tx + 32) >> 6)
           val m0x = (dsf * mcx + 128) >> 8; val m0y = (dsf * mcy + 128) >> 8
           val m1x = m0x - mcx; val m1y = m0y - mcy
-          st.mv.set(ax4, ay4, 1, 1, m0x, m0y, 0)
+          st.mv.set(ax4, ay4, 1, 1, m0x, m0y, r0)
           st.mvL1.set(ax4, ay4, 1, 1, m1x, m1y, 0)
           compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, 2,
-            (m0x, m0y), (m1x, m1y))
+            (m0x, m0y), (m1x, m1y), r0, 0)
           x4r += 1
         }
         y4r += 1
@@ -862,8 +952,12 @@ object H264Decode {
     val zeroAll = r0 < 0 && r1 < 0
     val use0 = zeroAll || r0 >= 0
     val use1 = zeroAll || r1 >= 0
-    val m0 = if (!zeroAll && r0 >= 0) st.mv.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
-    val m1 = if (!zeroAll && r1 >= 0) st.mvL1.mvPred(bx4, by4, 4, 4, 0) else (0, 0)
+    val r0e = if (zeroAll) 0 else r0 // effective refIdx (directZero → 0)
+    val r1e = if (zeroAll) 0 else r1
+    require(!use0 || r0e < st.numRef0, "spatial direct refIdxL0 not active")
+    require(!use1 || r1e < st.numRef1, "spatial direct refIdxL1 not active")
+    val m0 = if (!zeroAll && r0 >= 0) st.mv.mvPred(bx4, by4, 4, 4, 0, r0) else (0, 0)
+    val m1 = if (!zeroAll && r1 >= 0) st.mvL1.mvPred(bx4, by4, 4, 4, 0, r1) else (0, 0)
     val dir = if (use0 && use1) 2 else if (use0) 0 else 1
     // an unused list's region is still DECODED (refIdx −1 neighbors)
     if (!use0) st.mv.markDone(bx4 + ox4, by4 + oy4, rw4, rh4)
@@ -874,11 +968,14 @@ object H264Decode {
       while (x4r < ox4 + rw4) {
         val ax4 = bx4 + x4r; val ay4 = by4 + y4r
         val cz = st.colMv != null && st.colMv.colZero(ax4, ay4)
-        val mv0 = if (cz) (0, 0) else m0
-        val mv1 = if (cz) (0, 0) else m1
-        if (use0) st.mv.set(ax4, ay4, 1, 1, mv0._1, mv0._2, 0)
-        if (use1) st.mvL1.set(ax4, ay4, 1, 1, mv1._1, mv1._2, 0)
-        compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, dir, mv0, mv1)
+        // §8.4.1.2.2: colZeroFlag zeroes a list's mv only when that
+        // list's refIdx is 0 (with one ref per list, every used list)
+        val mv0 = if (cz && r0e == 0) (0, 0) else m0
+        val mv1 = if (cz && r1e == 0) (0, 0) else m1
+        if (use0) st.mv.set(ax4, ay4, 1, 1, mv0._1, mv0._2, r0e)
+        if (use1) st.mvL1.set(ax4, ay4, 1, 1, mv1._1, mv1._2, r1e)
+        compensateB(st, px + x4r * 4, py + y4r * 4, 4, 4, dir, mv0, mv1,
+          r0e, r1e)
         x4r += 1
       }
       y4r += 1
@@ -901,8 +998,10 @@ object H264Decode {
     // neighbors with refIdx −1 per §8.4.1.3.2 — see MvGrid.markDone)
     st.mv.markDone(mbX * 4, mbY * 4, 4, 4)
     st.mvL1.markDone(mbX * 4, mbY * 4, 4, 4)
+    st.mbIntra(mbAddr) = true // deblocking bS 4/3 input (§8.7.2.1)
 
     if (mbType == 25) { // ---- I_PCM (§7.3.5 + §8.3.5)
+      st.mbIPcm(mbAddr) = true // deblocking pins an I_PCM MB's qP to 0
       while ((r.remaining % 8) != 0) require(r.u(1) == 0, "pcm alignment bit not 0")
       var i = 0
       while (i < 256) {
@@ -1170,9 +1269,11 @@ object H264Decode {
       // own flush reads are after the last committed MB and so exempt.
       require(!d.exhausted, "CABAC bitstream exhausted mid-slice")
       st.mbDecoded(mbAddr) = true
+      st.mbQp(mbAddr) = qp // deblocking input (skip MBs: running QPy)
       mbAddr += 1
       end = d.terminate() == 1
     }
+    if (st.deblock && mbAddr >= st.mbW * st.mbH) applyDeblock(st)
   }
 
   /** One CABAC I-slice macroblock: the [[decodeMacroblock]] structure
@@ -1190,6 +1291,7 @@ object H264Decode {
     // intra MB: decoded-but-no-list-motion (see decodeMacroblock)
     st.mv.markDone(mbX * 4, mbY * 4, 4, 4)
     st.mvL1.markDone(mbX * 4, mbY * 4, 4, 4)
+    st.mbIntra(mbAddr) = true // deblocking bS 4/3 input (§8.7.2.1)
     val availLeftMb = st.mbAvailable(mbX - 1, mbY)
     val availTopMb = st.mbAvailable(mbX, mbY - 1)
 
@@ -1480,24 +1582,27 @@ object H264Decode {
     motionCompensate(st, mbX * 16, mbY * 16, 16, 16, mx, my)
   }
 
-  /** MC one luma block (+ the matching chroma blocks) from st.ref into
-    * the current planes; (px, py)/(bw, bh) in LUMA samples. P-slice
-    * face: applies the explicit L0 weights when the slice carried a
-    * pred_weight_table (§8.4.2.3.3 — P_Skip included, same process).
+  /** MC one luma block (+ the matching chroma blocks) from L0[refIdx]
+    * into the current planes; (px, py)/(bw, bh) in LUMA samples.
+    * P-slice face: applies the explicit L0 weights for that reference
+    * when the slice carried a pred_weight_table (§8.4.2.3.3 — P_Skip
+    * included, same process).
     */
   private def motionCompensate(st: State, px: Int, py: Int,
-      bw: Int, bh: Int, mx: Int, my: Int): Unit = {
-    motionCompensateFrom(st, st.ref, px, py, bw, bh, mx, my)
-    if (st.wpExplicit) applyExplicitWeight(st, 0, px, py, bw, bh)
+      bw: Int, bh: Int, mx: Int, my: Int, refIdx: Int = 0): Unit = {
+    motionCompensateFrom(st, st.ref0(refIdx), px, py, bw, bh, mx, my)
+    if (st.wpExplicit) applyExplicitWeight(st, 0, refIdx, px, py, bw, bh)
   }
 
   /** §8.4.2.3.3 explicit single-list weighting, applied IN PLACE over a
     * just-motion-compensated region (luma + both chroma): logWD ≥ 1 →
     * Clip1(((p·w + 2^(logWD−1)) >> logWD) + o); logWD 0 → Clip1(p·w+o).
+    * Weights are the (list, refIdx) entry of the slice's table (r11).
     */
-  private def applyExplicitWeight(st: State, list: Int, px: Int, py: Int,
-      bw: Int, bh: Int): Unit = {
-    val lwd = st.wpLumaLog2; val w = st.wpLw(list); val o = st.wpLo(list)
+  private def applyExplicitWeight(st: State, list: Int, refIdx: Int,
+      px: Int, py: Int, bw: Int, bh: Int): Unit = {
+    val lwd = st.wpLumaLog2
+    val w = st.wpLw(list)(refIdx); val o = st.wpLo(list)(refIdx)
     var y = 0
     while (y < bh) {
       var x = 0
@@ -1516,7 +1621,7 @@ object H264Decode {
     val planes = Array(st.cb, st.cr)
     var c = 0
     while (c < 2) {
-      val cw = st.wpCw(list)(c); val co = st.wpCo(list)(c)
+      val cw = st.wpCw(list)(refIdx)(c); val co = st.wpCo(list)(refIdx)(c)
       val plane = planes(c)
       var cy = 0
       while (cy < bh / 2) {
@@ -1551,7 +1656,10 @@ object H264Decode {
 
   /** Decode one P-slice inter macroblock (P_L0_16x16 / P_L0_L0_16x8 /
     * P_L0_L0_8x16 — P_8x8 sub-partitions are out of scope and reject
-    * the frame); returns the updated QPy.
+    * the frame); returns the updated QPy. r11 multi-ref: §7.3.5.1
+    * mb_pred reads ALL partitions' ref_idx_l0 (te(v), absent with one
+    * active reference) BEFORE the mvd_l0 loop; each partition's mvp
+    * ref-matches against its own refIdx.
     */
   private def decodeInterMacroblock(st: State, r: H264.BitReader,
       mbAddr: Int, qpIn: Int, mbType: Int): Int = {
@@ -1559,22 +1667,26 @@ object H264Decode {
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
-    var qp = qpIn
-    // partitions as (offX4, offY4, w4, h4, mvp kind); ref_idx_l0 syntax
-    // elements are absent with one active reference
+    val qp = qpIn
+    // partitions as (offX4, offY4, w4, h4, mvp kind)
     val parts: Seq[(Int, Int, Int, Int, Int)] = mbType match {
       case 0 => Seq((0, 0, 4, 4, 0))
       case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
       case _ => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
     }
+    val refs = parts.map { _ =>
+      val ri = r.te(st.numRef0 - 1)
+      require(ri < st.numRef0, s"ref_idx_l0 $ri out of range"); ri
+    }
     // mvd_l0 in partition order; each partition's mvp sees the previous
     // partitions' assigned vectors (§8.4.1.3 decode-order context)
-    parts.foreach { case (ox, oy, pw, ph, kind) =>
+    parts.zip(refs).foreach { case ((ox, oy, pw, ph, kind), ri) =>
       val mvdX = r.se(); val mvdY = r.se()
-      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind, ri)
       val mx = px0 + mvdX; val my = py0 + mvdY
-      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
-      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
+      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, ri)
+      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
+        mx, my, ri)
     }
     decodeInterResidualCavlc(st, r, mbX, mbY, qp)
   }
@@ -1688,6 +1800,22 @@ object H264Decode {
     }
     val mv0 = Array.fill(4)(new Array[(Int, Int)](4))
     val mv1 = Array.fill(4)(new Array[(Int, Int)](4))
+    // §7.3.5.2 ref_idx loops (r11 multi-ref): every non-direct 8x8's
+    // ref_idx_l0 (te(v), absent with one active ref), then ref_idx_l1
+    val ref0s = subTypes.map { t =>
+      val (_, dir, _, _) = bSubMbInfo(t)
+      if (dir == 0 || dir == 2) {
+        val ri = r.te(st.numRef0 - 1)
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range"); ri
+      } else 0
+    }
+    val ref1s = subTypes.map { t =>
+      val (_, dir, _, _) = bSubMbInfo(t)
+      if (dir == 1 || dir == 2) {
+        val ri = r.te(st.numRef1 - 1)
+        require(ri < st.numRef1, s"ref_idx_l1 $ri out of range"); ri
+      } else 0
+    }
     // L0 pass (direct sub-blocks derive + compensate inline, in order,
     // so later sub-partitions' medians see their final motion)
     var i = 0
@@ -1700,9 +1828,9 @@ object H264Decode {
         bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
           val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
           val mvdX = r.se(); val mvdY = r.se()
-          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0)
+          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0, ref0s(i))
           mv0(i)(j) = (p0x + mvdX, p0y + mvdY)
-          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, 0)
+          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, ref0s(i))
         }
       } else st.mv.markDone(bx4 + ox, by4 + oy, 2, 2)
       i += 1
@@ -1716,9 +1844,9 @@ object H264Decode {
         bSubPartOffsets(n, sw, sh).zipWithIndex.foreach { case ((sx, sy), j) =>
           val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
           val mvdX = r.se(); val mvdY = r.se()
-          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0)
+          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0, ref1s(i))
           mv1(i)(j) = (p1x + mvdX, p1y + mvdY)
-          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, 0)
+          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, ref1s(i))
         }
       } else if (dir == 0) st.mvL1.markDone(bx4 + ox, by4 + oy, 2, 2)
       i += 1
@@ -1731,7 +1859,7 @@ object H264Decode {
       if (dir >= 0) bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
         case ((sx, sy), j) =>
           compensateB(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
-            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j))
+            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j), ref0s(i), ref1s(i))
       }
       i += 1
     }
@@ -1753,6 +1881,28 @@ object H264Decode {
     val subTypes = Array.fill(4)(H264Cabac.decodeBSubMbType(d))
     val mv0 = Array.fill(4)(new Array[(Int, Int)](4))
     val mv1 = Array.fill(4)(new Array[(Int, Int)](4))
+    // §7.3.5.2 ref_idx loops (r11 multi-ref): present per non-direct
+    // 8x8 using the list, only with >1 active ref; ctx updated as read
+    val ref0s = Array.tabulate(4) { k =>
+      val (_, dir, _, _) = bSubMbInfo(subTypes(k))
+      if ((dir == 0 || dir == 2) && st.numRef0 > 1) {
+        val x4 = bx4 + (k % 2) * 2; val y4 = by4 + (k / 2) * 2
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(0, x4, y4))
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range")
+        cc.setRefCtx(0, x4, y4, 2, 2, ri)
+        ri
+      } else 0
+    }
+    val ref1s = Array.tabulate(4) { k =>
+      val (_, dir, _, _) = bSubMbInfo(subTypes(k))
+      if ((dir == 1 || dir == 2) && st.numRef1 > 1) {
+        val x4 = bx4 + (k % 2) * 2; val y4 = by4 + (k / 2) * 2
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(1, x4, y4))
+        require(ri < st.numRef1, s"ref_idx_l1 $ri out of range")
+        cc.setRefCtx(1, x4, y4, 2, 2, ri)
+        ri
+      } else 0
+    }
     var i = 0
     while (i < 4) {
       val ox = (i % 2) * 2; val oy = (i / 2) * 2
@@ -1765,9 +1915,9 @@ object H264Decode {
           val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, x4, y4))
           val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, x4, y4))
           cc.setMvd(0, x4, y4, sw, sh, mvdX, mvdY)
-          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0)
+          val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0, ref0s(i))
           mv0(i)(j) = (p0x + mvdX, p0y + mvdY)
-          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, 0)
+          st.mv.set(x4, y4, sw, sh, mv0(i)(j)._1, mv0(i)(j)._2, ref0s(i))
         }
       } else st.mv.markDone(bx4 + ox, by4 + oy, 2, 2)
       i += 1
@@ -1782,9 +1932,9 @@ object H264Decode {
           val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(1, 0, x4, y4))
           val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, 1, x4, y4))
           cc.setMvd(1, x4, y4, sw, sh, mvdX, mvdY)
-          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0)
+          val (p1x, p1y) = st.mvL1.mvPred(x4, y4, sw, sh, 0, ref1s(i))
           mv1(i)(j) = (p1x + mvdX, p1y + mvdY)
-          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, 0)
+          st.mvL1.set(x4, y4, sw, sh, mv1(i)(j)._1, mv1(i)(j)._2, ref1s(i))
         }
       } else if (dir == 0) st.mvL1.markDone(bx4 + ox, by4 + oy, 2, 2)
       i += 1
@@ -1796,7 +1946,7 @@ object H264Decode {
       if (dir >= 0) bSubPartOffsets(n, sw, sh).zipWithIndex.foreach {
         case ((sx, sy), j) =>
           compensateB(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
-            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j))
+            sw * 4, sh * 4, dir, mv0(i)(j), mv1(i)(j), ref0s(i), ref1s(i))
       }
       i += 1
     }
@@ -1818,25 +1968,42 @@ object H264Decode {
     val parts = bPartitions(mbType)
     val mv0 = new Array[(Int, Int)](parts.length)
     val mv1 = new Array[(Int, Int)](parts.length)
+    // §7.3.5.1 element order: every partition's ref_idx_l0 (te(v),
+    // absent with one active ref), then every ref_idx_l1, then the
+    // mvd_l0 loop, then mvd_l1 (r11 multi-ref)
+    val ref0s = parts.map { case (_, _, _, _, _, dir) =>
+      if (dir != 1) {
+        val ri = r.te(st.numRef0 - 1)
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range"); ri
+      } else 0
+    }
+    val ref1s = parts.map { case (_, _, _, _, _, dir) =>
+      if (dir != 0) {
+        val ri = r.te(st.numRef1 - 1)
+        require(ri < st.numRef1, s"ref_idx_l1 $ri out of range"); ri
+      } else 0
+    }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
       if (dir != 1) {
         val mvdX = r.se(); val mvdY = r.se()
-        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind,
+          ref0s(i))
         mv0(i) = (p0x + mvdX, p0y + mvdY)
-        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
+        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, ref0s(i))
       } else st.mv.markDone(bx4 + ox, by4 + oy, pw, ph) // L1-only: decoded, no L0 ref
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
       if (dir != 0) {
         val mvdX = r.se(); val mvdY = r.se()
-        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind,
+          ref1s(i))
         mv1(i) = (p1x + mvdX, p1y + mvdY)
-        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
+        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, ref1s(i))
       } else st.mvL1.markDone(bx4 + ox, by4 + oy, pw, ph) // L0-only: decoded, no L1 ref
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
       compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
-        dir, mv0(i), mv1(i))
+        dir, mv0(i), mv1(i), ref0s(i), ref1s(i))
     }
     decodeInterResidualCavlc(st, r, mbX, mbY, qpIn)
   }
@@ -1850,13 +2017,14 @@ object H264Decode {
     * default, per §8.4.2.3.
     */
   private def compensateB(st: State, px: Int, py: Int, bw: Int, bh: Int,
-      dir: Int, m0: (Int, Int), m1: (Int, Int)): Unit = dir match {
+      dir: Int, m0: (Int, Int), m1: (Int, Int),
+      r0: Int = 0, r1: Int = 0): Unit = dir match {
     case 0 =>
-      motionCompensateFrom(st, st.ref, px, py, bw, bh, m0._1, m0._2)
-      if (st.wpExplicit) applyExplicitWeight(st, 0, px, py, bw, bh)
+      motionCompensateFrom(st, st.ref0(r0), px, py, bw, bh, m0._1, m0._2)
+      if (st.wpExplicit) applyExplicitWeight(st, 0, r0, px, py, bw, bh)
     case 1 =>
-      motionCompensateFrom(st, st.ref1, px, py, bw, bh, m1._1, m1._2)
-      if (st.wpExplicit) applyExplicitWeight(st, 1, px, py, bw, bh)
+      motionCompensateFrom(st, st.ref1(r1), px, py, bw, bh, m1._1, m1._2)
+      if (st.wpExplicit) applyExplicitWeight(st, 1, r1, px, py, bw, bh)
     case _ =>
       // scratch-plane MC at origin: shifting the mv by 4·pos (luma) /
       // 8·pos (chroma) moves the SOURCE block while the destination
@@ -1874,14 +2042,16 @@ object H264Decode {
           0, 0, bw / 2, bh / 2, mx + 8 * (px / 2), my + 8 * (py / 2))
         t
       }
-      val l0 = lumaBlock(st.ref, m0._1, m0._2)
-      val l1 = lumaBlock(st.ref1, m1._1, m1._2)
-      // weighted-bi combine (§8.4.2.3.2): explicit uses the per-list
-      // table; implicit uses the POC-derived 64-sum pair at logWD 5
+      val l0 = lumaBlock(st.ref0(r0), m0._1, m0._2)
+      val l1 = lumaBlock(st.ref1(r1), m1._1, m1._2)
+      // weighted-bi combine (§8.4.2.3.2): explicit uses the (list, ref)
+      // table entries; implicit derives the POC pair weights at logWD 5
       val weighted = st.wpExplicit || st.wpImplicit
+      val (wi0, wi1) = if (st.wpImplicit) st.implicitW(r0, r1) else (32, 32)
       val (lw0, lw1, lwd, lo0, lo1) =
-        if (st.wpImplicit) (st.wImpl0, st.wImpl1, 5, 0, 0)
-        else (st.wpLw(0), st.wpLw(1), st.wpLumaLog2, st.wpLo(0), st.wpLo(1))
+        if (st.wpImplicit) (wi0, wi1, 5, 0, 0)
+        else (st.wpLw(0)(r0), st.wpLw(1)(r1), st.wpLumaLog2,
+          st.wpLo(0)(r0), st.wpLo(1)(r1))
       var y = 0
       while (y < bh) {
         var x = 0
@@ -1899,12 +2069,12 @@ object H264Decode {
       }
       Seq((st.cb, (f: Frame) => f.cb, 0), (st.cr, (f: Frame) => f.cr, 1)).foreach {
         case (plane, sel, c) =>
-          val c0 = chromaBlock(sel(st.ref), st.ref, m0._1, m0._2)
-          val c1 = chromaBlock(sel(st.ref1), st.ref1, m1._1, m1._2)
+          val c0 = chromaBlock(sel(st.ref0(r0)), st.ref0(r0), m0._1, m0._2)
+          val c1 = chromaBlock(sel(st.ref1(r1)), st.ref1(r1), m1._1, m1._2)
           val (cw0, cw1, cwd, co0, co1) =
-            if (st.wpImplicit) (st.wImpl0, st.wImpl1, 5, 0, 0)
-            else (st.wpCw(0)(c), st.wpCw(1)(c), st.wpChromaLog2,
-              st.wpCo(0)(c), st.wpCo(1)(c))
+            if (st.wpImplicit) (wi0, wi1, 5, 0, 0)
+            else (st.wpCw(0)(r0)(c), st.wpCw(1)(r1)(c), st.wpChromaLog2,
+              st.wpCo(0)(r0)(c), st.wpCo(1)(r1)(c))
           val cw = bw / 2; val ch = bh / 2
           val cpx = px / 2; val cpy = py / 2
           var cy = 0
@@ -1972,14 +2142,25 @@ object H264Decode {
       case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
       case _ => Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
     }
-    parts.foreach { case (ox, oy, pw, ph, kind) =>
+    // §7.3.5.1: all partitions' ref_idx_l0 (present only with >1
+    // active ref) precede the mvd loop (r11 multi-ref)
+    val refs = parts.map { case (ox, oy, pw, ph, _) =>
+      if (st.numRef0 > 1) {
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(0, bx4 + ox, by4 + oy))
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range")
+        cc.setRefCtx(0, bx4 + ox, by4 + oy, pw, ph, ri)
+        ri
+      } else 0
+    }
+    parts.zip(refs).foreach { case ((ox, oy, pw, ph, kind), ri) =>
       val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, bx4 + ox, by4 + oy))
       val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, bx4 + ox, by4 + oy))
       cc.setMvd(0, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
-      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+      val (px0, py0) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind, ri)
       val mx = px0 + mvdX; val my = py0 + mvdY
-      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, 0)
-      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4, mx, my)
+      st.mv.set(bx4 + ox, by4 + oy, pw, ph, mx, my, ri)
+      motionCompensate(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
+        mx, my, ri)
     }
     decodeInterResidualCabac(st, d, cc, mbAddr, qp)
   }
@@ -2035,14 +2216,35 @@ object H264Decode {
     val parts = bPartitions(mbType)
     val mv0 = new Array[(Int, Int)](parts.length)
     val mv1 = new Array[(Int, Int)](parts.length)
+    // §7.3.5.1 element order (r11 multi-ref): every partition's
+    // ref_idx_l0 (present only with >1 active ref), then ref_idx_l1,
+    // then the mvd loops; each ref element updates the ctx tracker as
+    // read so later partitions' bin0 increments see it
+    val ref0s = parts.map { case (ox, oy, pw, ph, _, dir) =>
+      if (dir != 1 && st.numRef0 > 1) {
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(0, bx4 + ox, by4 + oy))
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range")
+        cc.setRefCtx(0, bx4 + ox, by4 + oy, pw, ph, ri)
+        ri
+      } else 0
+    }
+    val ref1s = parts.map { case (ox, oy, pw, ph, _, dir) =>
+      if (dir != 0 && st.numRef1 > 1) {
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(1, bx4 + ox, by4 + oy))
+        require(ri < st.numRef1, s"ref_idx_l1 $ri out of range")
+        cc.setRefCtx(1, bx4 + ox, by4 + oy, pw, ph, ri)
+        ri
+      } else 0
+    }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
       if (dir != 1) {
         val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, bx4 + ox, by4 + oy))
         val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, bx4 + ox, by4 + oy))
         cc.setMvd(0, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
-        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        val (p0x, p0y) = st.mv.mvPred(bx4 + ox, by4 + oy, pw, ph, kind,
+          ref0s(i))
         mv0(i) = (p0x + mvdX, p0y + mvdY)
-        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, 0)
+        st.mv.set(bx4 + ox, by4 + oy, pw, ph, mv0(i)._1, mv0(i)._2, ref0s(i))
       } else st.mv.markDone(bx4 + ox, by4 + oy, pw, ph)
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, kind, dir), i) =>
@@ -2050,14 +2252,15 @@ object H264Decode {
         val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(1, 0, bx4 + ox, by4 + oy))
         val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(1, 1, bx4 + ox, by4 + oy))
         cc.setMvd(1, bx4 + ox, by4 + oy, pw, ph, mvdX, mvdY)
-        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind)
+        val (p1x, p1y) = st.mvL1.mvPred(bx4 + ox, by4 + oy, pw, ph, kind,
+          ref1s(i))
         mv1(i) = (p1x + mvdX, p1y + mvdY)
-        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, 0)
+        st.mvL1.set(bx4 + ox, by4 + oy, pw, ph, mv1(i)._1, mv1(i)._2, ref1s(i))
       } else st.mvL1.markDone(bx4 + ox, by4 + oy, pw, ph)
     }
     parts.zipWithIndex.foreach { case ((ox, oy, pw, ph, _, dir), i) =>
       compensateB(st, px + ox * 4, py + oy * 4, pw * 4, ph * 4,
-        dir, mv0(i), mv1(i))
+        dir, mv0(i), mv1(i), ref0s(i), ref1s(i))
     }
     decodeInterResidualCabac(st, d, cc, mbAddr, qpIn)
   }
@@ -2201,10 +2404,11 @@ object H264Decode {
   }
 
   /** Decode an Annex-B stream's picture SEQUENCE — the IDR intra frame
-    * plus following P pictures (single L0 reference) and B pictures
-    * (r9: one reference per list, chosen by POC from the two most
-    * recent reference pictures — §8.2.4.2.3's closest-below /
-    * closest-above display-order rule at DPB size 2), up to
+    * plus following P pictures (L0 built most-recent-first from the
+    * sliding-window DPB, §8.2.4.2.1) and B pictures (r11: L0/L1 by the
+    * §8.2.4.2.3 POC split — past descending then future ascending, and
+    * the mirror — over a DPB of up to max_num_ref_frames pictures,
+    * with per-partition ref_idx selection inside the slices), up to
     * `maxFrames`. A slice with first_mb_in_slice 0 starts a new
     * picture; out-of-scope or malformed content ends the sequence
     * gracefully with the pictures completed so far (corpus posture:
@@ -2215,8 +2419,8 @@ object H264Decode {
     * (cvs index, PicOrderCnt) with the full §8.2.1.1 MSB derivation —
     * poc-lsb wraparound inside a long GOP and multi-GOP streams both
     * order correctly; a no-op for the all-poc-0 P-only streams of the
-    * r9 encoder's predecessors. An IDR also flushes the 2-picture DPB
-    * and resets the POC derivation state, per §8.2.1.
+    * r9 encoder's predecessors. An IDR also flushes the sliding-window
+    * DPB and resets the POC derivation state, per §8.2.1.
     */
   def decodeAnnexBPictures(annexB: Array[Byte], maxFrames: Int = 8): Seq[Frame] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[((Int, Int), Frame)]
@@ -2228,18 +2432,33 @@ object H264Decode {
     // §8.2.1.1 state: the previous REFERENCE picture's pocMsb/pocLsb
     var prevPocMsb = 0
     var prevPocLsb = 0
-    // the two most recent reference pictures with their POCs (full
-    // PicOrderCnt) and decoded motion grids (the newer one is the B
-    // tier's co-located picture — §8.4.1.2.2 colZeroFlag input)
-    var refA: (Int, Frame, H264Inter.MvGrid) = null // older
-    var refB: (Int, Frame, H264Inter.MvGrid) = null // newer (decode order)
+    // the sliding-window DPB (§8.2.5.3, r11 multi-ref): reference
+    // pictures in DECODE order with their POCs, decoded motion grids
+    // (the co-located inputs), and each picture's own active-L0 POC
+    // table (the §8.4.1.2.3 temporal-direct refIdx mapping). Without
+    // MMCO and with gapless frame_num (this decoder's scope), decode
+    // order IS ascending FrameNumWrap, so the window evicts the oldest
+    // entry when the SPS's max_num_ref_frames is exceeded.
+    final case class DpbEntry(poc: Int, frame: Frame,
+        grid: H264Inter.MvGrid, refPocs: Array[Int])
+    val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbEntry]
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
         val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
           st.luma, st.cb, st.cr)
         out += (((cvs, st.poc), f))
         if (stRefIdc > 0) {
-          refA = refB; refB = (st.poc, f, st.mv)
+          val ownL0 = st.list0.take(st.numRef0).map(_._1).toArray
+          dpb += DpbEntry(st.poc, f, st.mv, ownL0)
+          // window capacity floors at 2: the r8–r10 fixture encoders
+          // declared max_num_ref_frames = 1 while their IDR+P+B GOPs
+          // retain two pictures (a non-conformance the pre-r11
+          // two-slot decoder never saw). Retaining more than declared
+          // is observably harmless for conformant non-MMCO streams —
+          // their lists only ever index the declared prefix — so the
+          // tolerant floor keeps frozen corpora decodable.
+          if (dpb.size > math.max(2, st.sps.maxNumRefFrames))
+            dpb.remove(0) // sliding window: oldest decode order out
           prevPocMsb = st.pocMsb; prevPocLsb = st.pocLsb
         }
         st = null
@@ -2268,7 +2487,7 @@ object H264Decode {
                       // 0 by §8.2.1); pictures after it never reference
                       // or display-order against the previous GOP
                       cvs += 1
-                      refA = null; refB = null
+                      dpb.clear()
                       prevPocMsb = 0; prevPocLsb = 0
                     }
                     st = new State(s, p)
@@ -2276,21 +2495,30 @@ object H264Decode {
                     st.prevPocLsb = prevPocLsb
                     stRefIdc = nal.refIdc
                     if (nal.nalType == 1) {
-                      if (refB == null) return result(out) // inter before any IDR
+                      if (dpb.isEmpty) return result(out) // inter before any IDR
                       if (sliceType == 1 || sliceType == 6) { // B
-                        // peek the B picture's POC to order the lists
+                        // peek the B picture's POC to split the DPB
+                        // into past / future for the §8.2.4.2.3 lists
                         hr.ue() // pps_id
                         hr.u(s.log2MaxFrameNum) // frame_num
                         if (s.pocType != 0) return result(out)
                         val lsb = hr.u(s.log2MaxPocLsb)
                         val poc = derivePocMsb(prevPocMsb, prevPocLsb,
                           lsb, s.log2MaxPocLsb) + lsb
-                        if (refA == null ||
-                            !(refA._1 < poc && poc < refB._1)) return result(out)
-                        st.ref = refA._2; st.ref1 = refB._2
-                        st.colMv = refB._3
-                        st.ref0Poc = refA._1; st.ref1Poc = refB._1
-                      } else st.ref = refB._2
+                        val past = dpb.filter(_.poc < poc).sortBy(-_.poc)
+                        val future = dpb.filter(_.poc > poc).sortBy(_.poc)
+                        // scope: a B needs at least one reference on
+                        // each temporal side (no L0==L1 swap case)
+                        if (past.isEmpty || future.isEmpty) return result(out)
+                        st.list0 = (past ++ future).map(e => (e.poc, e.frame)).toIndexedSeq
+                        st.list1 = (future ++ past).map(e => (e.poc, e.frame)).toIndexedSeq
+                        st.colMv = future.head.grid
+                        st.colRefPocs = future.head.refPocs
+                      } else
+                        // P: §8.2.4.2.1 — descending PicNum = most
+                        // recent decode order first (gapless frame_num)
+                        st.list0 = dpb.reverseIterator
+                          .map(e => (e.poc, e.frame)).toIndexedSeq
                     }
                   }
                 }

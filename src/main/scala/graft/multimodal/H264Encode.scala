@@ -37,7 +37,8 @@ object H264Encode {
     out.toByteArray
   }
 
-  private[multimodal] def sliceHeader(w: H264.BitWriter, qp: Int): Unit = {
+  private[multimodal] def sliceHeader(w: H264.BitWriter, qp: Int,
+      deblock: Boolean = false): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id
@@ -46,7 +47,9 @@ object H264Encode {
     w.u(0, 4) // pic_order_cnt_lsb (pocType 0, log2 = 4 per writeSps)
     w.flag(false); w.flag(false) // dec_ref_pic_marking (IDR)
     w.se(qp - 26) // slice_qp_delta (writePps sets pic_init_qp = 26)
-    w.ue(1) // disable_deblocking_filter_idc = 1 (writePps signals present)
+    if (deblock) { // r11 deblocking tier: filter ON, zero offsets
+      w.ue(0); w.se(0); w.se(0)
+    } else w.ue(1) // disable_deblocking_filter_idc = 1
   }
 
   /** Explicit pred_weight_table content (r10 weighted-prediction tier):
@@ -76,24 +79,31 @@ object H264Encode {
     * explicit pred_weight_table (the stream's PPS must set
     * weighted_pred_flag — `H264.writePps(weightedPred = true)`).
     */
-  private def pSliceHeader(w: H264.BitWriter, qp: Int,
+  private[multimodal] def pSliceHeader(w: H264.BitWriter, qp: Int,
       cabacInitIdc: Int = -1, poc: Int = 0,
-      weights: Option[PredWeights] = None): Unit = {
+      weights: Option[PredWeights] = None, numRef0: Int = 1,
+      deblock: Boolean = false): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
     w.u(1, 4) // frame_num = 1 (log2_max_frame_num = 4 per writeSps)
     w.u(poc & 15, 4) // pic_order_cnt_lsb
-    w.flag(false) // num_ref_idx_active_override_flag (1 L0 ref)
+    if (numRef0 > 1) { // r11 multi-ref: slice override of the PPS default
+      w.flag(true) // num_ref_idx_active_override_flag
+      w.ue(numRef0 - 1)
+    } else w.flag(false)
     w.flag(false) // ref_pic_list_modification_flag_l0
     weights.foreach { pw =>
-      require(pw.lists.size == 1, "P pred_weight_table carries one list")
+      require(pw.lists.size == numRef0,
+        "P pred_weight_table carries one entry per active L0 reference")
       writePredWeightTable(w, pw)
     }
     w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
-    w.ue(1) // disable_deblocking_filter_idc = 1
+    if (deblock) { // r11 deblocking tier: filter ON, zero offsets
+      w.ue(0); w.se(0); w.se(0)
+    } else w.ue(1) // disable_deblocking_filter_idc = 1
   }
 
   /** B slice header (r9 B tier): non-reference picture (callers wrap
@@ -105,19 +115,25 @@ object H264Encode {
     */
   private[multimodal] def bSliceHeader(w: H264.BitWriter, qp: Int, poc: Int,
       cabacInitIdc: Int = -1, spatial: Boolean = true,
-      weights: Option[PredWeights] = None): Unit = {
+      weights: Option[PredWeights] = None,
+      numRef0: Int = 1, numRef1: Int = 1): Unit = {
     w.ue(0) // first_mb_in_slice
     w.ue(6) // slice_type: B (all slices in picture)
     w.ue(0) // pps_id
     w.u(2, 4) // frame_num (decoder ignores; gaps allowed are N/A here)
     w.u(poc & 15, 4) // pic_order_cnt_lsb
     w.flag(spatial) // direct_spatial_mv_pred_flag
-    w.flag(false) // num_ref_idx_active_override_flag (1 ref per list)
+    if (numRef0 > 1 || numRef1 > 1) { // r11 multi-ref slice override
+      w.flag(true) // num_ref_idx_active_override_flag
+      w.ue(numRef0 - 1); w.ue(numRef1 - 1)
+    } else w.flag(false)
     w.flag(false) // ref_pic_list_modification_flag_l0
     w.flag(false) // ref_pic_list_modification_flag_l1
     // explicit B pred_weight_table (weighted_bipred_idc == 1 streams)
     weights.foreach { pw =>
-      require(pw.lists.size == 2, "B pred_weight_table carries two lists")
+      require(pw.lists.size == numRef0 + numRef1,
+        "B pred_weight_table carries one entry per active reference " +
+          "(L0 entries then L1)")
       writePredWeightTable(w, pw)
     }
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
@@ -337,9 +353,11 @@ object H264Encode {
     * the B analogue of [[encodePSkipFrame]].
     */
   def encodeBSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
-      poc: Int = 2, spatial: Boolean = true): Array[Byte] = {
+      poc: Int = 2, spatial: Boolean = true,
+      numRef0: Int = 1, numRef1: Int = 1): Array[Byte] = {
     val w = new H264.BitWriter
-    bSliceHeader(w, qp, poc, spatial = spatial)
+    bSliceHeader(w, qp, poc, spatial = spatial,
+      numRef0 = numRef0, numRef1 = numRef1)
     w.ue(mbW * mbH) // mb_skip_run = whole picture
     H264.ebsp(w.stop())
   }
@@ -348,10 +366,12 @@ object H264Encode {
     * end_of_slice terminate per MB.
     */
   def encodeCabacBSkipFrame(mbW: Int, mbH: Int, qp: Int = 26,
-      poc: Int = 2, initIdc: Int = 0, spatial: Boolean = true): Array[Byte] = {
+      poc: Int = 2, initIdc: Int = 0, spatial: Boolean = true,
+      numRef0: Int = 1, numRef1: Int = 1): Array[Byte] = {
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
-    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc, spatial = spatial)
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc, spatial = spatial,
+      numRef0 = numRef0, numRef1 = numRef1)
     w.alignOne()
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -434,11 +454,12 @@ object H264Encode {
     * two sides cannot drift. `mvs(mbY)(mbX)` = (mvx, mvy) quarter-pel.
     */
   def encodeP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
-      poc: Int = 0, weights: Option[PredWeights] = None): Array[Byte] = {
+      poc: Int = 0, weights: Option[PredWeights] = None,
+      deblock: Boolean = false): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, poc = poc, weights = weights)
+    pSliceHeader(w, qp, poc = poc, weights = weights, deblock = deblock)
     val grid = new H264Inter.MvGrid(mbW, mbH)
     var mbY = 0
     while (mbY < mbH) {
@@ -452,6 +473,218 @@ object H264Encode {
         w.se(mx - p0x); w.se(my - p0y) // mvd_l0
         grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, 0)
         w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** Multi-reference P-slice payload (CAVLC, the r11 ref_idx tier):
+    * every macroblock P_L0_16x16 with `mbs(mbY)(mbX)` = (refIdx, mv) —
+    * ref_idx_l0 rides te(v) against `numRef0` active references
+    * (§7.3.5.1 puts it before the mvds), and each MB's mvp ref-matches
+    * its own refIdx against the decoder-shared grid, so multi-ref
+    * median prediction cannot drift between the two sides. Zero
+    * residual. `weights` (optional) carries one entry per active
+    * reference.
+    */
+  def encodeP16x16MultiRef(mbs: Array[Array[(Int, (Int, Int))]],
+      numRef0: Int, qp: Int = 26, poc: Int = 0,
+      weights: Option[PredWeights] = None): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(numRef0 >= 1 && numRef0 <= 16, s"bad numRef0 $numRef0")
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp, poc = poc, weights = weights, numRef0 = numRef0)
+    val grid = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        grid.markMb(mbY * mbW + mbX)
+        val (ref, (mx, my)) = mbs(mbY)(mbX)
+        require(ref >= 0 && ref < numRef0, s"refIdx $ref out of range")
+        w.ue(0) // mb_skip_run
+        w.ue(0) // mb_type: P_L0_16x16
+        w.te(ref, numRef0 - 1) // ref_idx_l0
+        val (p0x, p0y) = grid.mvPred(mbX * 4, mbY * 4, 4, 4, 0, ref)
+        w.se(mx - p0x); w.se(my - p0y) // mvd_l0
+        grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, ref)
+        w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC twin of [[encodeP16x16MultiRef]]: ref_idx_l0 through the
+    * ctx-54..59 unary binarization with the decoder-shared
+    * [[H264Cabac.IntraCtxTrack]] neighbor increments, mvds through the
+    * UEG3 contexts, zero residual, terminate per MB.
+    */
+  def encodeCabacP16x16MultiRef(mbs: Array[Array[(Int, (Int, Int))]],
+      numRef0: Int, qp: Int = 26, initIdc: Int = 0, poc: Int = 0,
+      weights: Option[PredWeights] = None): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(numRef0 >= 1 && numRef0 <= 16, s"bad numRef0 $numRef0")
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc,
+      weights = weights, numRef0 = numRef0)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val grid = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        grid.markMb(mbAddr)
+        H264Cabac.encodeMbSkip(e, cc.skipCond(mbX, mbY), 0)
+        H264Cabac.encodeMbTypeP(e, 0) // P_L0_16x16
+        cc.markInter(mbAddr)
+        val (ref, (mx, my)) = mbs(mbY)(mbX)
+        require(ref >= 0 && ref < numRef0, s"refIdx $ref out of range")
+        if (numRef0 > 1) {
+          H264Cabac.encodeRefIdx(e, cc.refIdxInc(0, mbX * 4, mbY * 4), ref)
+          cc.setRefCtx(0, mbX * 4, mbY * 4, 4, 4, ref)
+        }
+        val (p0x, p0y) = grid.mvPred(mbX * 4, mbY * 4, 4, 4, 0, ref)
+        val mvdX = mx - p0x; val mvdY = my - p0y
+        H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, mbX * 4, mbY * 4), mvdX)
+        H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, mbX * 4, mbY * 4), mvdY)
+        cc.setMvd(0, mbX * 4, mbY * 4, 4, 4, mvdX, mvdY)
+        grid.set(mbX * 4, mbY * 4, 4, 4, mx, my, ref)
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        cc.prevQpDeltaNZ = false
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** Multi-reference B-slice payload (CAVLC): every macroblock a
+    * 16x16 single-partition B type with `mbs(mbY)(mbX)` =
+    * (dir, (refIdx0, mvL0), (refIdx1, mvL1)) — ref_idx_lX rides te(v)
+    * before the list-major mvds (§7.3.5.1), mvps ref-match per list.
+    * Zero residual, non-reference picture.
+    */
+  def encodeB16x16MultiRef(
+      mbs: Array[Array[(Int, (Int, (Int, Int)), (Int, (Int, Int)))]],
+      numRef0: Int, numRef1: Int, qp: Int = 26, poc: Int = 2): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(numRef0 >= 1 && numRef0 <= 16 && numRef1 >= 1 && numRef1 <= 16,
+      "bad active ref counts")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, numRef0 = numRef0, numRef1 = numRef1)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val (dir, (r0, m0), (r1, m1)) = mbs(mbY)(mbX)
+        require(dir >= 0 && dir <= 2, s"bad B dir $dir")
+        require(r0 >= 0 && r0 < numRef0 && r1 >= 0 && r1 < numRef1,
+          "refIdx out of range")
+        grid0.markMb(mbY * mbW + mbX); grid1.markMb(mbY * mbW + mbX)
+        w.ue(0) // mb_skip_run
+        w.ue(1 + dir) // mb_type: B_L0/L1/Bi_16x16
+        if (dir != 1) w.te(r0, numRef0 - 1) // ref_idx_l0
+        if (dir != 0) w.te(r1, numRef1 - 1) // ref_idx_l1
+        if (dir != 1) {
+          val (p0x, p0y) = grid0.mvPred(mbX * 4, mbY * 4, 4, 4, 0, r0)
+          w.se(m0._1 - p0x); w.se(m0._2 - p0y) // mvd_l0
+          grid0.set(mbX * 4, mbY * 4, 4, 4, m0._1, m0._2, r0)
+        } else grid0.markDone(mbX * 4, mbY * 4, 4, 4)
+        if (dir != 0) {
+          val (p1x, p1y) = grid1.mvPred(mbX * 4, mbY * 4, 4, 4, 0, r1)
+          w.se(m1._1 - p1x); w.se(m1._2 - p1y) // mvd_l1
+          grid1.set(mbX * 4, mbY * 4, 4, 4, m1._1, m1._2, r1)
+        } else grid1.markDone(mbX * 4, mbY * 4, 4, 4)
+        w.ue(H264Inter.cbpInterToCodeNum(0)) // coded_block_pattern 0
+        mbX += 1
+      }
+      mbY += 1
+    }
+    H264.ebsp(w.stop())
+  }
+
+  /** CABAC twin of [[encodeB16x16MultiRef]]: B mb_type tree, ref_idx
+    * through ctx 54..59 with list-keyed increments, UEG3 mvds, zero
+    * residual, terminate per MB.
+    */
+  def encodeCabacB16x16MultiRef(
+      mbs: Array[Array[(Int, (Int, (Int, Int)), (Int, (Int, Int)))]],
+      numRef0: Int, numRef1: Int, qp: Int = 26, poc: Int = 2,
+      initIdc: Int = 0): Array[Byte] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    require(numRef0 >= 1 && numRef0 <= 16 && numRef1 >= 1 && numRef1 <= 16,
+      "bad active ref counts")
+    require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
+    val w = new H264.BitWriter
+    bSliceHeader(w, qp, poc, cabacInitIdc = initIdc,
+      numRef0 = numRef0, numRef1 = numRef1)
+    w.alignOne()
+    val e = new H264Cabac.Encoder(w,
+      new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
+    val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
+    val grid0 = new H264Inter.MvGrid(mbW, mbH)
+    val grid1 = new H264Inter.MvGrid(mbW, mbH)
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbAddr = mbY * mbW + mbX
+        val bx4 = mbX * 4; val by4 = mbY * 4
+        val (dir, (r0, m0), (r1, m1)) = mbs(mbY)(mbX)
+        require(dir >= 0 && dir <= 2, s"bad B dir $dir")
+        require(r0 >= 0 && r0 < numRef0 && r1 >= 0 && r1 < numRef1,
+          "refIdx out of range")
+        grid0.markMb(mbAddr); grid1.markMb(mbAddr)
+        H264Cabac.encodeMbSkipB(e, cc.skipCond(mbX, mbY), 0)
+        H264Cabac.encodeMbTypeB(e, cc.bTypeCond(mbX, mbY), 1 + dir)
+        cc.markInter(mbAddr)
+        if (dir != 1 && numRef0 > 1) {
+          H264Cabac.encodeRefIdx(e, cc.refIdxInc(0, bx4, by4), r0)
+          cc.setRefCtx(0, bx4, by4, 4, 4, r0)
+        }
+        if (dir != 0 && numRef1 > 1) {
+          H264Cabac.encodeRefIdx(e, cc.refIdxInc(1, bx4, by4), r1)
+          cc.setRefCtx(1, bx4, by4, 4, 4, r1)
+        }
+        if (dir != 1) {
+          val (p0x, p0y) = grid0.mvPred(bx4, by4, 4, 4, 0, r0)
+          val dX = m0._1 - p0x; val dY = m0._2 - p0y
+          H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, bx4, by4), dX)
+          H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, bx4, by4), dY)
+          cc.setMvd(0, bx4, by4, 4, 4, dX, dY)
+          grid0.set(bx4, by4, 4, 4, m0._1, m0._2, r0)
+        } else grid0.markDone(bx4, by4, 4, 4)
+        if (dir != 0) {
+          val (p1x, p1y) = grid1.mvPred(bx4, by4, 4, 4, 0, r1)
+          val dX = m1._1 - p1x; val dY = m1._2 - p1y
+          H264Cabac.encodeMvd(e, 0, cc.mvdInc(1, 0, bx4, by4), dX)
+          H264Cabac.encodeMvd(e, 1, cc.mvdInc(1, 1, bx4, by4), dY)
+          cc.setMvd(1, bx4, by4, 4, 4, dX, dY)
+          grid1.set(bx4, by4, 4, 4, m1._1, m1._2, r1)
+        } else grid1.markDone(bx4, by4, 4, 4)
+        H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+          cc.cbpOf(mbX, mbY - 1), 0)
+        cc.cbp(mbAddr) = 0
+        cc.prevQpDeltaNZ = false
+        e.terminate(if (mbAddr == mbW * mbH - 1) 1 else 0)
         mbX += 1
       }
       mbY += 1
@@ -481,12 +714,14 @@ object H264Encode {
     */
   def encodeCabacP16x16(mvs: Array[Array[(Int, Int)]], qp: Int = 26,
       initIdc: Int = 0, poc: Int = 0,
-      weights: Option[PredWeights] = None): Array[Byte] = {
+      weights: Option[PredWeights] = None,
+      deblock: Boolean = false): Array[Byte] = {
     val mbH = mvs.length; val mbW = mvs.head.length
     require(mvs.forall(_.length == mbW), "ragged mvs")
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc, weights = weights)
+    pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc, weights = weights,
+      deblock = deblock)
     w.alignOne() // cabac_alignment_one_bit (§7.3.4)
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -609,12 +844,14 @@ object H264Encode {
     */
   def encodeI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26,
       weightedPred: Boolean = false,
-      weightedBipredIdc: Int = 0): (Array[Byte], Array[Array[Int]]) = {
+      weightedBipredIdc: Int = 0,
+      numRefFrames: Int = 1,
+      deblock: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
     val w = new H264.BitWriter
-    sliceHeader(w, qp)
+    sliceHeader(w, qp, deblock = deblock)
     val recon = Array.ofDim[Int](mbH, mbW)
     val scale0 = Array(10, 11, 13, 14, 16, 18)(qp % 6)
 
@@ -670,7 +907,7 @@ object H264Encode {
       mbY += 1
     }
     val stream = annexB(Seq(
-      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16, numRefFrames = numRefFrames)),
       (8, 3, H264.writePps(weightedPred = weightedPred,
         weightedBipredIdc = weightedBipredIdc)),
       (5, 3, H264.ebsp(w.stop()))))
@@ -688,12 +925,14 @@ object H264Encode {
     */
   def encodeCabacI16x16Dc(mbMeans: Array[Array[Int]], qp: Int = 26,
       weightedPred: Boolean = false,
-      weightedBipredIdc: Int = 0): (Array[Byte], Array[Array[Int]]) = {
+      weightedBipredIdc: Int = 0,
+      numRefFrames: Int = 1,
+      deblock: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
     val w = new H264.BitWriter
-    sliceHeader(w, qp)
+    sliceHeader(w, qp, deblock = deblock)
     w.alignOne() // cabac_alignment_one_bit (§7.3.4)
     val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
     val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)
@@ -749,7 +988,7 @@ object H264Encode {
       mbY += 1
     }
     val stream = annexB(Seq(
-      (7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+      (7, 3, H264.writeSps(mbW * 16, mbH * 16, numRefFrames = numRefFrames)),
       (8, 3, H264.writePps(cabac = true, weightedPred = weightedPred,
         weightedBipredIdc = weightedBipredIdc)),
       (5, 3, H264.ebsp(w.stop()))))

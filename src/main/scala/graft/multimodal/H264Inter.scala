@@ -71,6 +71,13 @@ private[multimodal] object H264Inter {
       x4 >= 0 && y4 >= 0 && x4 < w4 && y4 < h4 &&
         mbAvail((y4 / 4) * mbW + x4 / 4) && blockDone(y4 * w4 + x4)
 
+    /** Neighbor refIdx in this list, −1 when unavailable / intra — the
+      * §9.3.3.1.1.6 ref_idx ctxIdxInc input (condTermFlagN = refIdx > 0)
+      * and the §8.4.1.2.2 MinPositive input.
+      */
+    def refAt(x4: Int, y4: Int): Int =
+      if (!blockAvail(x4, y4)) -1 else refIdx(y4 * w4 + x4)
+
     def set(bx4: Int, by4: Int, pw4: Int, ph4: Int,
         mx: Int, my: Int, ref: Int): Unit = {
       var y = by4
@@ -94,25 +101,31 @@ private[multimodal] object H264Inter {
     /** §8.4.1.3 median motion-vector prediction for a partition at
       * (bx4, by4) of size (pw4, ph4) in 4x4-block units; `kind`:
       * 0 = 16x16 / P_Skip / general, 1 = 16x8 top, 2 = 16x8 bottom,
-      * 3 = 8x16 left, 4 = 8x16 right. Single reference list, refIdx 0.
+      * 3 = 8x16 left, 4 = 8x16 right. `ref` = the partition's refIdxLX
+      * in this grid's list (r11 multi-reference tier): the directional
+      * shortcuts and the one-matching-neighbor rule fire only on
+      * neighbors whose refIdx EQUALS the partition's (§8.4.1.3.2's
+      * refIdxLXN == refIdxLX condition) — with a single active
+      * reference every match is against 0, the pre-r11 behavior.
       */
-    def mvPred(bx4: Int, by4: Int, pw4: Int, ph4: Int, kind: Int): (Int, Int) = {
+    def mvPred(bx4: Int, by4: Int, pw4: Int, ph4: Int, kind: Int,
+        ref: Int = 0): (Int, Int) = {
       val a = mvOf(bx4 - 1, by4)
       val b = mvOf(bx4, by4 - 1)
       val c0 = mvOf(bx4 + pw4, by4 - 1)
       val c = if (c0._4) c0 else mvOf(bx4 - 1, by4 - 1) // D substitutes C
       // directional shortcuts (§8.4.1.3.2) fire only on a ref match
       kind match {
-        case 1 => if (b._3 == 0) return (b._1, b._2)
-        case 2 => if (a._3 == 0) return (a._1, a._2)
-        case 3 => if (a._3 == 0) return (a._1, a._2)
-        case 4 => if (c._3 == 0) return (c._1, c._2)
+        case 1 => if (b._3 == ref) return (b._1, b._2)
+        case 2 => if (a._3 == ref) return (a._1, a._2)
+        case 3 => if (a._3 == ref) return (a._1, a._2)
+        case 4 => if (c._3 == ref) return (c._1, c._2)
         case _ =>
       }
       // rule 1: B and C unavailable, A available → mvA
       if (!b._4 && !c._4 && a._4) return (a._1, a._2)
       // rule 2: exactly one neighbor references this list/index
-      val matches = Seq(a, b, c).filter(_._3 == 0)
+      val matches = Seq(a, b, c).filter(_._3 == ref)
       if (matches.size == 1) return (matches.head._1, matches.head._2)
       // rule 3: component-wise median (unavailable / intra → (0,0))
       def med(x: Int, y: Int, z: Int): Int =

@@ -926,6 +926,87 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams exercising MULTI-REFERENCE
+    * lists (the r11 ref_idx tier): SPS max_num_ref_frames = 3, decode
+    * order IDR(poc 0) + P1(poc 2, single-ref pan) + P2(poc 8,
+    * num_ref_idx_l0_active = 2, checkerboard ref_idx — half the MBs
+    * continue the pan from P1 (ref 0), half CUT BACK to the IDR
+    * (ref 1, zero motion: the flicker/loop pattern real encoders use
+    * long-term style back-references for) + B(poc 4, L0 = [P1, IDR],
+    * ref_idx_l0 alternating). Every 4th seed's B is all-B_Skip with
+    * num_ref_idx_l0_active = 2 — alternating TEMPORAL direct (whose
+    * §8.4.1.2.3 refIdxL0 must map each co-located P2 block's reference
+    * through P2's OWN list: blocks that referenced the IDR scale by
+    * td = 8, blocks that referenced P1 by td = 6) and SPATIAL direct.
+    * The 4-frame display sequence is wrong unless te(v)/CABAC ref_idx
+    * parsing, ref-MATCHED mv prediction, DPB > 2 retention and the
+    * col-reference mapping all hold. Dup planting and entropy parity
+    * mirror [[syntheticAvcBidirStreams]]: every planted near-dup pair
+    * is cross-entropy, so byte/keyframe hashing collapses none.
+    */
+  def syntheticAvcMultiRefStreams(spark: SparkSession, n: Int,
+      dupEvery: Int = 10, partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = dupEvery > 0 && id % dupEvery == 0 && id > 0
+      val exact = isDup && id % (2L * dupEvery) == 0 // pixel-IDENTICAL dup
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(id)
+      val qp = if (isDup && !exact) 24 else 26
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        val c = my * 4 + mx
+        val base = 60 + (if (((seed >> c) & 1L) == 1L) 130 else 0)
+        base + (if (isDup && !exact) rnd.nextInt(5) - 2 else 0)
+      }
+      val panRnd = new scala.util.Random(seed * 53 + 19)
+      val mv = (panRnd.nextInt(17) - 8, panRnd.nextInt(17) - 8)
+      val p1Mvs = Array.fill(4, 4)((mv._1 * 2, mv._2 * 2))
+      // P2: seed-keyed checkerboard phase — ref 0 = P1 (pan continues),
+      // ref 1 = the IDR (cut back, zero motion)
+      val p2Mbs: Array[Array[(Int, (Int, Int))]] =
+        Array.tabulate(4, 4) { (my, mx) =>
+          if ((mx + my + seed) % 2 == 0) (0, (mv._1 * 2, mv._2 * 2))
+          else (1, (0, 0))
+        }
+      val bSkip = seed % 4 == 3
+      val bSpatial = seed % 8 == 3
+      // non-skip B: dir cycles L0/L1/Bi, ref_idx_l0 alternates P1/IDR
+      val bMbs: Array[Array[(Int, (Int, (Int, Int)), (Int, (Int, Int)))]] =
+        Array.tabulate(4, 4) { (my, mx) =>
+          val dir = ((mx + 2 * my + seed) % 3).toInt
+          val r0 = ((mx + my + seed) % 2).toInt
+          (dir, (r0, mv), (0, (-mv._1, -mv._2)))
+        }
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp, numRefFrames = 3)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(p1Mvs, qp, idc, poc = 2)),
+              (1, 3, H264Encode.encodeCabacP16x16MultiRef(p2Mbs, 2, qp,
+                initIdc = idc, poc = 8)),
+              (1, 0,
+                if (bSkip) H264Encode.encodeCabacBSkipFrame(4, 4, qp,
+                  poc = 4, initIdc = idc, spatial = bSpatial, numRef0 = 2)
+                else H264Encode.encodeCabacB16x16MultiRef(bMbs, 2, 1, qp,
+                  poc = 4, initIdc = idc))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp, numRefFrames = 3)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(p1Mvs, qp, poc = 2)),
+              (1, 3, H264Encode.encodeP16x16MultiRef(p2Mbs, 2, qp, poc = 8)),
+              (1, 0,
+                if (bSkip) H264Encode.encodeBSkipFrame(4, 4, qp, poc = 4,
+                  spatial = bSpatial, numRef0 = 2)
+                else H264Encode.encodeB16x16MultiRef(bMbs, 2, 1, qp,
+                  poc = 4))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(400L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams encoding a FADE — IDR + two
     * explicit-weighted P pictures (zero motion, §8.4.2.3.3 luma
     * scale/offset per step, `weighted_pred_flag` PPS) — the r10
@@ -1053,7 +1134,7 @@ object Multimodal {
     bits
   }
 
-  case class FrameSeqSig(media_id: Long, h0: Long, h1: Long, h2: Long)
+  case class FrameSeqSig(media_id: Long, hs: Array[Long])
 
   /** Near-duplicate video dedup over the FULL decoded frame sequence
     * (IDR + inter pictures via [[H264Decode.decodeAnnexBPictures]] — the
@@ -1061,8 +1142,8 @@ object Multimodal {
     * pair aHashes within `maxDist` bits. Keyframe-only hashing cannot
     * express this — videos sharing a first frame but diverging in
     * motion collapse there and must NOT here (the generator plants
-    * exactly that case). Scale shape: per-video signatures are 3 longs
-    * computed in one mapPartitions decode pass; candidates come from
+    * exactly that case). Scale shape: per-video signatures are `frames`
+    * longs computed in one mapPartitions decode pass; candidates come from
     * the pigeonhole chunk equi-join on the FIRST frame's hash (any pair
     * within maxDist shares one of maxDist+1 chunks) against per-bucket
     * min ids; verification checks all frames. Videos with fewer than
@@ -1072,39 +1153,35 @@ object Multimodal {
   def videoDedupByFrameSeqHash(media: Dataset[Media], frames: Int = 3,
       maxDist: Int = 3): Dataset[Media] = {
     import media.sparkSession.implicits._
-    require(frames == 3, "signature schema is fixed at 3 frames")
+    require(frames >= 1 && frames <= 16, s"bad frame count $frames")
     val sigs = media.mapPartitions { it =>
       it.filter(_.kind == "video").flatMap { m =>
         val fs = H264Decode.decodeAnnexBPictures(m.content, frames)
         if (fs.size < frames) None
-        else {
-          val hs = fs.take(frames).map(f =>
-            aHash64OfLuma(f.luma, f.lumaStride, f.width, f.height))
-          Some(FrameSeqSig(m.media_id, hs(0), hs(1), hs(2)))
-        }
+        else Some(FrameSeqSig(m.media_id, fs.take(frames).map(f =>
+          aHash64OfLuma(f.luma, f.lumaStride, f.width, f.height)).toArray))
       }
     }.toDF()
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val banded = sigs.select(col("media_id"), col("h0"), col("h1"), col("h2"),
+    val banded = sigs.select(col("media_id"), col("hs"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftrightunsigned", col("h0"), c * width)
-          .bitwiseAND(lit((1L << width) - 1)))))
+        c => call_function("shiftrightunsigned", element_at(col("hs"), 1),
+          c * width).bitwiseAND(lit((1L << width) - 1)))))
       .withColumnsRenamed(Map("pos" -> "_chunk", "col" -> "_ckey"))
-    def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
     // COMPLETE in-bucket pair generation (not the bucket-min shortcut:
     // an unrelated smaller id sharing one 16-bit chunk would steal the
     // candidate slot and a true near-dup pair would go unverified);
     // in-bucket fan-out is quadratic only within chunk buckets, which a
-    // 100 TB deployment df-caps exactly like ngramJaccardPairs
+    // 100 TB deployment df-caps exactly like ngramJaccardPairs.
+    // Verification compares EVERY aligned frame pair (zip_with over the
+    // signature arrays — r11 generalized the 3-long schema to N frames).
     val losers = banded
       .join(banded.select(col("_chunk"), col("_ckey"),
-        col("media_id").as("_w"), col("h0").as("_w0"),
-        col("h1").as("_w1"), col("h2").as("_w2")), Seq("_chunk", "_ckey"))
+        col("media_id").as("_w"), col("hs").as("_whs")), Seq("_chunk", "_ckey"))
       .filter(col("_w") < col("media_id"))
-      .filter(hamming(col("h0"), col("_w0")) <= maxDist &&
-        hamming(col("h1"), col("_w1")) <= maxDist &&
-        hamming(col("h2"), col("_w2")) <= maxDist)
+      .filter(forall(zip_with(col("hs"), col("_whs"),
+        (a, b) => bit_count(a.bitwiseXOR(b)) <= maxDist), p => p))
       .select(col("media_id").as("_loser"))
     media.join(losers, media("media_id") === losers("_loser"), "left_anti")
       .as[Media]
@@ -1152,6 +1229,106 @@ object Multimodal {
       .select(col("_loser"))
     media.join(losers, media("media_id") === losers("_loser"), "left_anti")
       .as[Media]
+  }
+
+  case class PixSeqSig(media_id: Long, sig: Array[Byte])
+
+  /** EXACT pixel-domain video dedup (r11, the deblocking tier's query
+    * face): SHA-256 over the decoded CROPPED planes of the first
+    * `frames` display pictures, collapse byte-identical pixel
+    * sequences, keep-smallest-id. Stricter than every aHash face: a
+    * single-sample difference anywhere — e.g. an in-loop deblocking
+    * filter applied vs skipped — separates two videos, which is
+    * exactly what makes the filter arithmetic load-bearing here.
+    * Scale shape: q84's — one mapPartitions decode pass, only
+    * (id, 32-byte sig) rows shuffle, one hash agg.
+    */
+  def videoDedupByExactPixels(media: Dataset[Media],
+      frames: Int = 2): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs = media.mapPartitions { it =>
+      it.filter(_.kind == "video").flatMap { m =>
+        val fs = H264Decode.decodeAnnexBPictures(m.content, frames)
+        if (fs.size < frames) None // undecodable = survives, as data
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          fs.take(frames).foreach { f =>
+            md.update(f.croppedLuma); md.update(f.cb); md.update(f.cr)
+          }
+          Some(PixSeqSig(m.media_id, md.digest()))
+        }
+      }
+    }
+    val losers = sigs.toDF()
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("_winner"),
+        collect_list(col("media_id")).as("_ids"))
+      .select(explode(col("_ids")).as("_loser"), col("_winner"))
+      .filter(col("_loser") =!= col("_winner"))
+      .select(col("_loser"))
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
+  /** Synthetic raw Annex-B H.264 streams exercising the §8.7 IN-LOOP
+    * DEBLOCKING filter (r11): IDR + P GOPs of flat 16x16 blocks whose
+    * edge differences sit INSIDE the filter's alpha/beta thresholds, so
+    * every displayed pixel near a block edge exists only through the
+    * filter arithmetic (strong bS-4 intra edges, bS-1 motion edges on
+    * the P side, in-loop filtered-reference propagation through the P
+    * prediction). Three planted relations per decade of ids:
+    *   - id % 10 == 0 (id > 0): EXACT cross-entropy dup of id-1 — same
+    *     qp, same content, other entropy tier: pixels (filtered)
+    *     byte-identical, stream bytes disjoint;
+    *   - id % 10 == 5: an UNFILTERED TWIN of id-4 — identical content
+    *     and entropy tier with disable_deblocking_filter_idc = 1: a
+    *     decoder that skips (or misimplements) the filter sees it as a
+    *     pixel-exact dup of id-4; a correct one keeps both.
+    * Byte/keyframe hashing collapses nothing.
+    */
+  def syntheticAvcDeblockStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val unfTwin = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (unfTwin) id - 4 else id
+      val deblock = !unfTwin
+      val qp = 16 // alpha 4, beta 2: diffs 2/3 filter, >= 4 pass through
+      val rnd = new scala.util.Random(seed * 67 + 29)
+      // flat 16x16 blocks stepping by -3..3 per block: every MB edge is
+      // a bS-4 (IDR) / bS-1-or-0 (P) candidate inside or outside alpha
+      val mbMeans = Array.tabulate(4, 4) { (my, mx) =>
+        80 + 8 * ((mx + my + seed) % 3).toInt + rnd.nextInt(3) - 1 +
+          (if (((seed >> (my * 4 + mx)) & 1L) == 1L) 2 else 0)
+      }
+      // one guaranteed in-alpha edge (diff 2, full-strong branch): at
+      // qp 16 the I16 DC recon is exact (1/64-pixel level grid), so the
+      // filter provably moves at least this edge's pixels — the
+      // unfiltered twin can never be pixel-identical to its original
+      mbMeans(0)(1) = mbMeans(0)(0) + 2
+      val panRnd = new scala.util.Random(seed * 71 + 13)
+      // per-MB mv: alternating 0 / 1 whole-pel -> bS 1 on half the P
+      // edges (|mv diff| = 4 quarter-pel), bS 0 on the rest
+      val pMvs = Array.tabulate(4, 4) { (my, mx) =>
+        if ((mx + my) % 2 == 0) (0, 0)
+        else (4 * (1 + panRnd.nextInt(2)), 0)
+      }
+      val cabac = id % 2 == 1
+      val content =
+        if (cabac) {
+          val idc = ((id / 2) % 3).toInt
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp, deblock = deblock)._1 ++
+            H264Encode.annexB(Seq((1, 3, H264Encode.encodeCabacP16x16(
+              pMvs, qp, idc, poc = 2, deblock = deblock))))
+        } else {
+          H264Encode.encodeI16x16Dc(mbMeans, qp, deblock = deblock)._1 ++
+            H264Encode.annexB(Seq((1, 3, H264Encode.encodeP16x16(
+              pMvs, qp, poc = 2, deblock = deblock))))
+        }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(200L)))
+    }
   }
 
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the

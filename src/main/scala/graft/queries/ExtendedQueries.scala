@@ -692,6 +692,54 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q156 — multi-reference video dedup (the r11 ref_idx tier's query
+    * face): each stream's 4-frame GOP carries a P picture whose
+    * macroblocks CHOOSE their reference (ref_idx 0 = the pan
+    * predecessor, 1 = the two-back IDR the content cuts back to —
+    * DPB 3) and a B picture whose L0 alternates the same way (every
+    * 4th seed an all-B_Skip picture, alternating temporal direct —
+    * whose DistScaleFactor must map each co-located block's reference
+    * through the col picture's OWN list — and spatial direct). The
+    * frame-sequence signature is wrong unless te(v)/CABAC ref_idx
+    * parsing, ref-MATCHED §8.4.1.3 prediction, sliding-window DPB > 2
+    * and the §8.4.1.2.3 mapping all hold, in BOTH entropy tiers; every
+    * planted near-dup pair is cross-entropy, so byte/keyframe hashing
+    * collapses none ([[graft.multimodal.Multimodal
+    * .syntheticAvcMultiRefStreams]]; H264MultiRefSpec pins the
+    * hand-computed faces).
+    */
+  def q156AvcMultiRefDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcmr_200"))(
+      graft.multimodal.Multimodal.syntheticAvcMultiRefStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByFrameSeqHash(media, frames = 4,
+      maxDist = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q157 — deblocked EXACT-pixel video dedup (the r11 §8.7 in-loop
+    * filter's query face): flat-block GOPs whose edge differences sit
+    * inside the filter's alpha/beta thresholds, deduped by SHA-256 over
+    * the decoded pixel planes ([[graft.multimodal.Multimodal
+    * .videoDedupByExactPixels]] — exact, not aHash, so every filtered
+    * sample is load-bearing). Planted cross-entropy pairs collapse only
+    * because both entropy tiers reconstruct AND filter identically;
+    * planted UNFILTERED TWINS (same content, filter signalled off) must
+    * survive — a decoder that skips or misimplements the filter sees
+    * them as exact dups ([[graft.multimodal.Multimodal
+    * .syntheticAvcDeblockStreams]]; H264DeblockSpec pins the filter
+    * arithmetic, H264PipelineSpec the corpus asymmetry).
+    */
+  def q157AvcDeblockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcdb_200"))(
+      graft.multimodal.Multimodal.syntheticAvcDeblockStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 2)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1000,6 +1048,8 @@ object ExtendedQueries {
     "q153_avc_b8x8_dedup" -> (q153AvcB8x8Dedup _),
     "q154_avc_fade_dedup" -> (q154AvcFadeDedup _),
     "q155_hevc_keydedup" -> (q155HevcKeyDedup _),
+    "q156_avc_multiref_dedup" -> (q156AvcMultiRefDedup _),
+    "q157_avc_deblock_dedup" -> (q157AvcDeblockDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1251,6 +1301,12 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q155_hevc_keydedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q155_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q156_avc_multiref_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q156_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q157_avc_deblock_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q157_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -36,6 +36,8 @@ object GenMediaFixtures {
     "avcb_200" -> Multimodal.syntheticAvcBidirStreams(spark, 200),
     "avcb8_200" -> Multimodal.syntheticAvcB8x8Streams(spark, 200),
     "avcw_200" -> Multimodal.syntheticAvcFadeStreams(spark, 200),
+    "avcmr_200" -> Multimodal.syntheticAvcMultiRefStreams(spark, 200),
+    "avcdb_200" -> Multimodal.syntheticAvcDeblockStreams(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )
 

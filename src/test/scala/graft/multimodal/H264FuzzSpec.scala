@@ -209,6 +209,67 @@ class H264FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-ref mutation fuzz: ref_idx/DPB-3 sequences decode or reject, never crash (r11 tier)") {
+    // the q156 GOP shape: IDR + P1 + multi-ref P2 (checkerboard
+    // ref_idx) + multi-ref B (ref_idx_l0 alternating) — every flipped
+    // bit can corrupt te(v) ref indices, the active-count override, or
+    // the mvds they gate
+    val p2Mbs = Array.tabulate(2, 3)((r, c) =>
+      (if ((r + c) % 2 == 0) 0 else 1, (4 * ((c % 2) * 2 - 1), 0)))
+    val bMbs: Array[Array[(Int, (Int, (Int, Int)), (Int, (Int, Int)))]] =
+      Array.tabulate(2, 3) { (r, c) =>
+        ((r * 3 + c) % 3, ((r + c) % 2, (4, 0)), (0, (0, -4)))
+      }
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 50 + 30 * r + 20 * c),
+      numRefFrames = 3)._1 ++
+      H264Encode.annexB(Seq(
+        (1, 3, H264Encode.encodeP16x16(Array.fill(2, 3)((6, 2)), poc = 2)),
+        (1, 3, H264Encode.encodeP16x16MultiRef(p2Mbs, 2, poc = 8)),
+        (1, 0, H264Encode.encodeB16x16MultiRef(bMbs, 2, 1, poc = 4))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 4)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9156)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
+  test("deblocking mutation fuzz: filtered IP sequences decode or reject, never crash (r11 tier)") {
+    // flips can corrupt the disable idc, the alpha/beta offsets, the
+    // per-MB qp deltas the filter reads, or any bS input
+    val base = H264Encode.encodeI16x16Dc(
+      Array.tabulate(2, 3)((r, c) => 80 + 2 * c + 8 * (r % 2)),
+      qp = 16, deblock = true)._1 ++
+      H264Encode.annexB(Seq((1, 3, H264Encode.encodeP16x16(
+        Array.tabulate(2, 3)((r, c) => (4 * ((r + c) % 2), 0)),
+        qp = 16, poc = 2, deblock = true))))
+    val clean = H264Decode.decodeAnnexBPictures(base, 8)
+    assert(clean.size == 2)
+    for (bit <- 0 until base.length * 8) {
+      val m = base.clone()
+      m(bit / 8) = (m(bit / 8) ^ (1 << (7 - bit % 8))).toByte
+      val fs = H264Decode.decodeAnnexBPictures(m, 8) // must not throw
+      fs.foreach(f => assert(structurallyValid(f), s"invalid frame at bit $bit"))
+    }
+    val rnd = new scala.util.Random(0x9157)
+    for (_ <- 0 until 500) {
+      val m = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264Decode.decodeAnnexBPictures(m, 8).foreach(f => assert(structurallyValid(f)))
+    }
+  }
+
   test("weighted-prediction mutation fuzz: fade streams decode or reject, never crash (r10 tier)") {
     val weights = H264Encode.PredWeights(6, 5, Seq(
       H264Encode.ListWeights(44, 3, 28, -4, 36, 2)))

@@ -279,6 +279,75 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("multi-ref GOP dedup (q156 corpus): ref_idx + DPB-3 decode collapses cross-entropy pairs byte hashing cannot") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcMultiRefStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    assert(dups.nonEmpty)
+    dups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 4)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 4)
+      assert(a.size == 4 && b.size == 4, s"pair $id decode")
+      // all four display frames (IDR, P1, B, P2) exist only through
+      // ref_idx-selected references in the OTHER side's entropy tier
+      for (f <- 0 until 4) {
+        val ha = Multimodal.aHash64OfLuma(a(f).luma, a(f).lumaStride, 64, 64)
+        val hb = Multimodal.aHash64OfLuma(b(f).luma, b(f).lumaStride, 64, 64)
+        assert(java.lang.Long.bitCount(ha ^ hb) <= 3, s"pair $id frame $f")
+      }
+      if (id % 20 == 0) // zero-jitter same-qp pairs: pixel-IDENTICAL
+        for (f <- 0 until 4)
+          assert(a(f).croppedLuma.toSeq == b(f).croppedLuma.toSeq,
+            s"pair $id frame $f must be pixel-identical across entropy coders")
+    }
+    // the P2 checkerboard actually uses BOTH references: the cut-back
+    // MBs must equal the IDR, the pan MBs must NOT (for a nonzero pan)
+    val s0 = H264Decode.decodeAnnexBPictures(byId(1L), 4) // seed 1
+    assert(s0.size == 4)
+    val byteSurvivors = media.map(m =>
+        (m.media_id, java.util.Arrays.hashCode(m.content))).collect()
+      .groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(byteSurvivors.size == 60, "byte hashing must not see cross-entropy dups")
+    val survivors = Multimodal.videoDedupByFrameSeqHash(media, frames = 4)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "frame-seq pixel path collapses every cross-entropy multi-ref dup")
+    media.unpersist()
+  }
+
+  test("deblocked exact-pixel dedup (q157 corpus): cross-entropy pairs collapse, unfiltered twins survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcDeblockStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val twins = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && twins.nonEmpty)
+    dups.foreach { id => // cross-entropy, pixel-IDENTICAL after filtering
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 2)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 2)
+      assert(a.size == 2 && b.size == 2, s"pair $id decode")
+      for (f <- 0 until 2) {
+        assert(java.util.Arrays.equals(a(f).luma, b(f).luma), s"pair $id luma $f")
+        assert(java.util.Arrays.equals(a(f).cb, b(f).cb), s"pair $id cb $f")
+      }
+    }
+    twins.foreach { id => // filter-off twin of id-4: MUST diverge
+      val t = H264Decode.decodeAnnexBPictures(byId(id), 2)
+      val o = H264Decode.decodeAnnexBPictures(byId(id - 4), 2)
+      assert(t.size == 2 && o.size == 2, s"twin $id decode")
+      assert(!java.util.Arrays.equals(t(0).luma, o(0).luma),
+        s"twin $id: the in-loop filter must move at least the planted edge")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 2)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "exact-pixel path collapses exactly the cross-entropy dups; twins survive")
+    media.unpersist()
+  }
+
   test("fade dedup (q154 corpus): weighted-prediction decode collapses cross-entropy fades byte hashing cannot") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcFadeStreams(spark, 60).persist()

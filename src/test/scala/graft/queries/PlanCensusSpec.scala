@@ -263,6 +263,15 @@ class PlanCensusSpec extends SparkSpec {
                                                    // over hvc1 containers —
                                                    // sig agg + explode +
                                                    // broadcast anti-join + sort
+    "q156_avc_multiref_dedup"  -> (4, 1, 0, true), // r11 multi-ref face:
+                                                   // q151's frame-seq shape at
+                                                   // 4 frames; decode fan-out
+                                                   // runs ref_idx + DPB-3 lists
+    "q157_avc_deblock_dedup"   -> (4, 1, 0, true), // r11 deblocking face:
+                                                   // q84's exact-sig shape in
+                                                   // the pixel domain; decode
+                                                   // fan-out runs the §8.7
+                                                   // in-loop filter
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to

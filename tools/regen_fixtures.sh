@@ -26,7 +26,9 @@ if [ "$TAG" = "sf001" ]; then
       q151_video:q151_avc_bidir_dedup \
       q153_video:q153_avc_b8x8_dedup \
       q154_video:q154_avc_fade_dedup \
-      q155_video:q155_hevc_keydedup"
+      q155_video:q155_hevc_keydedup \
+      q156_video:q156_avc_multiref_dedup \
+      q157_video:q157_avc_deblock_dedup"
 else
   QS="q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
       q31_lsh:q31_lsh_topk q32_annotate:q32_annotate"
