@@ -319,6 +319,21 @@ object H264Cabac {
         0
       }
     }
+
+    /** Resynchronization point after a terminate bin decoded 1 whose
+      * payload CONTINUES in the bitstream (HEVC pcm_flag — H.264
+      * end_of_slice never needs it). The SPEC's DecodeFlush reads 7
+      * renormalization bits, but its abstract decoder model has no
+      * lookahead; THIS implementation front-loads a 9-bit offset at
+      * init while the encoder suppresses its first PutBit, and the two
+      * conventions exactly absorb the 10-bit EncodeFlush tail — the
+      * underlying BitReader already sits at the encoder's post-flush
+      * position when terminate() returns 1 (pinned empirically across
+      * varied bin prefixes in H265PixelSpec's PCM round-trips; reading
+      * 7 more here desynchronized content-dependently). The caller
+      * byte-aligns and reads raw data directly from the BitReader.
+      */
+    def flushAfterTerminate(): Unit = ()
   }
 
   // ------------------------------------------- arithmetic encoder §9.3.4

@@ -91,7 +91,19 @@ object H265 {
     */
   final case class SpsInfo(profileIdc: Int, tierFlag: Boolean, levelIdc: Int,
       spsId: Int, chromaFormatIdc: Int, width: Int, height: Int,
-      bitDepthLuma: Int, bitDepthChroma: Int, log2MaxPocLsb: Int)
+      bitDepthLuma: Int, bitDepthChroma: Int, log2MaxPocLsb: Int,
+      // r11 pixel-tier fields (defaults = the probe writer's values);
+      // `deep` is false when the probe bailed before reading them
+      deep: Boolean = false,
+      minCbLog2: Int = 3, ctbLog2: Int = 5,
+      minTbLog2: Int = 2, maxTbLog2: Int = 5,
+      maxTrafoDepthIntra: Int = 0,
+      scalingList: Boolean = false, ampEnabled: Boolean = false,
+      saoEnabled: Boolean = false,
+      pcmEnabled: Boolean = false, pcmBitDepth: Int = 8,
+      pcmMinLog2: Int = 3, pcmMaxLog2: Int = 3,
+      pcmLoopFilterDisabled: Boolean = false,
+      strongIntraSmoothing: Boolean = false)
 
   /** profile_tier_level (§7.3.3): fixed 96-bit general block + optional
     * per-sub-layer blocks. Returns (profileIdc, tier, levelIdc).
@@ -151,8 +163,56 @@ object H265 {
       val width = w - swc * (cl + cr)
       val height = h - shc * (ct + cb)
       if (width <= 0 || height <= 0) return None
-      Some(SpsInfo(profile, tier, level, spsId, chroma, width, height,
-        bdl, bdc, pocBits))
+      val base = SpsInfo(profile, tier, level, spsId, chroma, width, height,
+        bdl, bdc, pocBits)
+      // r11 pixel tier: continue into the coding-structure fields. A
+      // malformed tail keeps the probe-level info (deep = false) — the
+      // pixel decoder requires deep = true.
+      try {
+        if (r.flag()) { // sps_sub_layer_ordering_info_present
+          var i = 0
+          while (i <= maxSub) { r.ue(); r.ue(); r.ue(); i += 1 }
+        } else { r.ue(); r.ue(); r.ue() }
+        val minCb = 3 + r.ue()
+        val ctb = minCb + r.ue()
+        val minTb = 2 + r.ue()
+        val maxTb = minTb + r.ue()
+        if (ctb > 6 || maxTb > 5 || minTb >= ctb) return Some(base)
+        r.ue() // max_transform_hierarchy_depth_inter
+        val depthIntra = r.ue()
+        val scaling = r.flag()
+        if (scaling) return Some(base.copy(deep = false)) // skip-parse out of scope
+        val amp = r.flag()
+        val sao = r.flag()
+        val pcm = r.flag()
+        var (pcmBd, pcmMin, pcmMax, pcmNoFilter) = (8, 3, 3, false)
+        if (pcm) {
+          pcmBd = 1 + r.u(4)
+          r.u(4) // pcm chroma bit depth (tier 1: = luma, unchecked)
+          pcmMin = 3 + r.ue()
+          pcmMax = pcmMin + r.ue()
+          pcmNoFilter = r.flag()
+        }
+        val numStRps = r.ue()
+        if (numStRps != 0) return Some(base) // RPS parse beyond the tier
+        if (r.flag()) { // long_term_ref_pics_present
+          val n = r.ue()
+          var i = 0
+          while (i < n) { r.u(pocBits); r.flag(); i += 1 }
+        }
+        r.flag() // sps_temporal_mvp_enabled
+        val strong = r.flag()
+        Some(base.copy(deep = true, minCbLog2 = minCb, ctbLog2 = ctb,
+          minTbLog2 = minTb, maxTbLog2 = maxTb,
+          maxTrafoDepthIntra = depthIntra, scalingList = scaling,
+          ampEnabled = amp, saoEnabled = sao, pcmEnabled = pcm,
+          pcmBitDepth = pcmBd, pcmMinLog2 = pcmMin, pcmMaxLog2 = pcmMax,
+          pcmLoopFilterDisabled = pcmNoFilter,
+          strongIntraSmoothing = strong))
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+          Some(base)
+      }
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None
@@ -213,6 +273,130 @@ object H265 {
     w.flag(false) // sps_extension_present
     H264.ebsp(w.stop())
   }
+
+  /** SPS for the r11 PIXEL tier: 16x16 CTBs with min CB 16 (every CTU
+    * one CU, no coding-quadtree split), TBs 4..16 with intra hierarchy
+    * depth 0 (TU == CU), PCM enabled at 16x16 / 8-bit with the loop
+    * filter disabled over PCM, SAO/AMP/scaling lists off. Dimensions
+    * must be CTB-aligned (the tier keeps the conformance window empty
+    * — partial CTBs are the next rung).
+    */
+  def writeSpsPixel(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
+      s"pixel-tier dims must be 16-aligned, got ${width}x$height")
+    val w = new H264.BitWriter
+    w.u(0, 4)  // sps_video_parameter_set_id
+    w.u(0, 3)  // sps_max_sub_layers_minus1
+    w.flag(true) // sps_temporal_id_nesting_flag
+    writeProfileTierLevel(w)
+    w.ue(0)    // sps_seq_parameter_set_id
+    w.ue(1)    // chroma_format_idc: 4:2:0
+    w.ue(width); w.ue(height)
+    w.flag(false) // conformance_window_flag
+    w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
+    w.ue(0)    // log2_max_pic_order_cnt_lsb_minus4
+    w.flag(false) // sps_sub_layer_ordering_info_present (one set follows)
+    w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering, reorder, latency
+    w.ue(1)    // log2_min_luma_coding_block_size_minus3 (min CB 16)
+    w.ue(0)    // log2_diff_max_min_luma_coding_block_size (CTB 16)
+    w.ue(0)    // log2_min_luma_transform_block_size_minus2 (4)
+    w.ue(2)    // log2_diff_max_min_luma_transform_block_size (16)
+    w.ue(0); w.ue(0) // max_transform_hierarchy_depth_inter/intra
+    w.flag(false) // scaling_list_enabled
+    w.flag(false) // amp_enabled
+    w.flag(false) // sample_adaptive_offset_enabled
+    w.flag(true)  // pcm_enabled
+    w.u(7, 4); w.u(7, 4) // pcm_sample_bit_depth_luma/chroma_minus1: 8-bit
+    w.ue(1)    // log2_min_pcm_luma_coding_block_size_minus3 (16)
+    w.ue(0)    // log2_diff_max_min_pcm_luma_coding_block_size
+    w.flag(true) // pcm_loop_filter_disabled
+    w.ue(0)    // num_short_term_ref_pic_sets
+    w.flag(false) // long_term_ref_pics_present
+    w.flag(false) // sps_temporal_mvp_enabled
+    w.flag(false) // strong_intra_smoothing_enabled
+    w.flag(false) // vui_parameters_present
+    w.flag(false) // sps_extension_present
+    H264.ebsp(w.stop())
+  }
+
+  /** PPS for the r11 pixel tier: the probe PPS with the in-loop
+    * deblocking filter explicitly DISABLED (control present, override
+    * off, pps_deblocking_filter_disabled) — HEVC deblocking is on by
+    * default and stays a later rung, exactly as H.264's was until r11.
+    */
+  def writePpsPixel(): Array[Byte] = {
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.flag(false) // dependent_slice_segments_enabled
+    w.flag(false) // output_flag_present
+    w.u(0, 3) // num_extra_slice_header_bits
+    w.flag(false) // sign_data_hiding_enabled
+    w.flag(false) // cabac_init_present
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.se(0)   // init_qp_minus26
+    w.flag(false) // constrained_intra_pred
+    w.flag(false) // transform_skip_enabled
+    w.flag(false) // cu_qp_delta_enabled
+    w.se(0); w.se(0) // pps_cb/cr_qp_offset
+    w.flag(false) // pps_slice_chroma_qp_offsets_present
+    w.flag(false); w.flag(false) // weighted_pred, weighted_bipred
+    w.flag(false) // transquant_bypass_enabled
+    w.flag(false); w.flag(false) // tiles_enabled, entropy_coding_sync
+    w.flag(true)  // pps_loop_filter_across_slices_enabled
+    w.flag(true)  // deblocking_filter_control_present
+    w.flag(false) //   deblocking_filter_override_enabled
+    w.flag(true)  //   pps_deblocking_filter_disabled
+    w.flag(false) // pps_scaling_list_data_present
+    w.flag(false) // lists_modification_present
+    w.ue(0)   // log2_parallel_merge_level_minus2
+    w.flag(false) // slice_segment_header_extension_present
+    w.flag(false) // pps_extension_present
+    H264.ebsp(w.stop())
+  }
+
+  /** Parsed PPS fields the pixel tier needs (§7.3.2.3). */
+  final case class PpsInfo(ppsId: Int, spsId: Int, initQp: Int,
+      cbQpOffset: Int, crQpOffset: Int, deblockingDisabled: Boolean,
+      supported: Boolean)
+
+  /** Parse a PPS down to the pixel tier's needs; `supported` = false
+    * when it enables machinery outside the tier (dependent slices,
+    * sign hiding, cabac init, transform skip, cu qp delta, weighted
+    * prediction, transquant bypass, tiles, wavefronts, scaling lists).
+    */
+  def parsePps(payload: Array[Byte]): Option[PpsInfo] =
+    try {
+      val r = new H264.BitReader(H264.rbsp(payload))
+      val ppsId = r.ue(); val spsId = r.ue()
+      var ok = true
+      if (r.flag()) ok = false // dependent_slice_segments_enabled
+      r.flag() // output_flag_present
+      if (r.u(3) != 0) ok = false // num_extra_slice_header_bits
+      if (r.flag()) ok = false // sign_data_hiding
+      if (r.flag()) ok = false // cabac_init_present
+      r.ue(); r.ue() // num_ref_idx defaults
+      val initQp = 26 + r.se()
+      r.flag() // constrained_intra_pred (no inter in the tier: harmless)
+      if (r.flag()) ok = false // transform_skip
+      if (r.flag()) ok = false // cu_qp_delta
+      val cbOff = r.se(); val crOff = r.se()
+      r.flag() // slice chroma qp offsets present
+      if (r.flag() | r.flag()) ok = false // weighted pred/bipred
+      if (r.flag()) ok = false // transquant_bypass
+      if (r.flag() | r.flag()) ok = false // tiles / entropy sync
+      r.flag() // loop_filter_across_slices
+      var deblockDisabled = false
+      if (r.flag()) { // deblocking_filter_control_present
+        if (r.flag()) ok = false // override enabled (slice-level knobs)
+        deblockDisabled = r.flag()
+        if (!deblockDisabled) { r.se(); r.se() }
+      }
+      if (r.flag()) ok = false // pps_scaling_list_data_present
+      Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok))
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+        None
+    }
 
   /** Minimal valid VPS (EBSP, no NAL header). */
   def writeVps(): Array[Byte] = {

@@ -1248,7 +1248,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     val sigs = media.mapPartitions { it =>
       it.filter(_.kind == "video").flatMap { m =>
-        val fs = H264Decode.decodeAnnexBPictures(m.content, frames)
+        // codec dispatch, the videoDedupByKeyframeHash pattern: AVC
+        // first, HEVC intra pictures when the stream isn't AVC (r11)
+        val avc = H264Decode.decodeAnnexBPictures(m.content, frames)
+        val fs =
+          if (avc.nonEmpty) avc
+          else H265Decode.decodeAnnexBIntraPictures(m.content, frames)
         if (fs.size < frames) None // undecodable = survives, as data
         else {
           val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -1328,6 +1333,47 @@ object Multimodal {
         }
       Media(id, "video", content,
         MediaMeta("h264", Some(64), Some(64), None, Some(200L)))
+    }
+  }
+
+  /** Synthetic raw Annex-B HEVC streams for the r11 PIXEL tier-1: one
+    * IDR picture of vertical-stripe content (per-column constant luma,
+    * flat chroma) carried in one of two REPRESENTATIONS per id parity:
+    *   even — every CTU PCM (raw samples);
+    *   odd  — PCM only on the top CTU row; every lower CTU is an
+    *     Intra(26) (pure vertical) prediction, which reproduces the
+    *     stripes EXACTLY (mode 26 copies the top references down
+    *     unsmoothed, and its column-0 edge filter is a no-op on
+    *     per-column-constant content: the left reference equals the
+    *     corner). The bytes of the two representations are wildly
+    *     different; the PIXELS are identical — only a decoder that
+    *     walks CTUs, restarts CABAC around PCM, derives MPMs and runs
+    *     the §8.4.4.2 angular machinery sees it. Planted pairs
+    *     (id % 10 == 0 with id−1) share the stripe seed ACROSS
+    *     representations; all other ids are unique.
+    */
+  def syntheticHevcPixelStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val seed: Long = if (isDup) id - 1 else id
+      val rnd = new scala.util.Random(seed * 83 + 31)
+      val cols = Array.fill(64)(40 + rnd.nextInt(176)) // per-column luma
+      val ctbW = 4; val ctbH = 4
+      def pcmCtu(cx: Int): H265Encode.Pcm = {
+        val l = Array.tabulate(256)(i => cols(cx * 16 + i % 16).toByte)
+        H265Encode.Pcm(l, Array.fill(64)(128.toByte), Array.fill(64)(128.toByte))
+      }
+      val pcmAll = id % 2 == 0
+      val ctus: Array[Array[H265Encode.Ctu]] =
+        Array.tabulate(ctbH, ctbW) { (cy, cx) =>
+          if (pcmAll || cy == 0) pcmCtu(cx)
+          else H265Encode.Intra(26)
+        }
+      val content = H265Encode.encodeIntraPicture(ctus)
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(100L)))
     }
   }
 

@@ -740,6 +740,28 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q158 — HEVC pixel-dedup (the r11 H.265 intra tier's query face):
+    * the same vertical-stripe picture carried either as all-PCM raw
+    * samples or as a PCM top row + pure-vertical (mode 26) intra
+    * prediction — byte-disjoint representations, identical pixels.
+    * Collapsing the planted pairs requires the HEVC CTU walk, CABAC
+    * with PCM engine restarts, MPM derivation and the §8.4.4.2 angular
+    * prediction to all reproduce content exactly
+    * ([[graft.multimodal.Multimodal.syntheticHevcPixelStreams]];
+    * H265PixelSpec pins the per-mode arithmetic, H264PipelineSpec the
+    * corpus asymmetry). This is the q133 moment for the second codec
+    * family: dedup graduates from keyframe-byte identity (q155) to
+    * content identity.
+    */
+  def q158HevcPixelDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcpix_200"))(
+      graft.multimodal.Multimodal.syntheticHevcPixelStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1050,6 +1072,7 @@ object ExtendedQueries {
     "q155_hevc_keydedup" -> (q155HevcKeyDedup _),
     "q156_avc_multiref_dedup" -> (q156AvcMultiRefDedup _),
     "q157_avc_deblock_dedup" -> (q157AvcDeblockDedup _),
+    "q158_hevc_pixel_dedup" -> (q158HevcPixelDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1307,6 +1330,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q157_avc_deblock_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q157_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q158_hevc_pixel_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q158_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -38,6 +38,7 @@ object GenMediaFixtures {
     "avcw_200" -> Multimodal.syntheticAvcFadeStreams(spark, 200),
     "avcmr_200" -> Multimodal.syntheticAvcMultiRefStreams(spark, 200),
     "avcdb_200" -> Multimodal.syntheticAvcDeblockStreams(spark, 200),
+    "hevcpix_200" -> Multimodal.syntheticHevcPixelStreams(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )
 

@@ -317,6 +317,33 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC pixel dedup (q158 corpus): PCM and predicted representations collapse, bytes never") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcPixelStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    assert(dups.nonEmpty)
+    dups.foreach { id => // id even = all-PCM, id-1 odd = PCM row + mode 26
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      assert(byId(id).length != byId(id - 1).length ||
+        byId(id).toSeq != byId(id - 1).toSeq)
+      val a = H265Decode.decodeAnnexBIntraPictures(byId(id), 1)
+      val b = H265Decode.decodeAnnexBIntraPictures(byId(id - 1), 1)
+      assert(a.size == 1 && b.size == 1, s"pair $id decode")
+      assert(java.util.Arrays.equals(a.head.luma, b.head.luma), s"pair $id luma")
+      assert(java.util.Arrays.equals(a.head.cb, b.head.cb), s"pair $id cb")
+    }
+    // non-pair neighbors have distinct stripes
+    val f1 = H265Decode.decodeAnnexBIntraPictures(byId(1L), 1).head
+    val f2 = H265Decode.decodeAnnexBIntraPictures(byId(2L), 1).head
+    assert(!java.util.Arrays.equals(f1.luma, f2.luma))
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "HEVC pixel path collapses exactly the cross-representation dups")
+    media.unpersist()
+  }
+
   test("deblocked exact-pixel dedup (q157 corpus): cross-entropy pairs collapse, unfiltered twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcDeblockStreams(spark, 60).persist()

@@ -272,6 +272,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // the pixel domain; decode
                                                    // fan-out runs the §8.7
                                                    // in-loop filter
+    "q158_hevc_pixel_dedup"    -> (4, 1, 0, true), // r11 HEVC intra tier:
+                                                   // same exact-pixel shape;
+                                                   // decode fan-out runs the
+                                                   // CTU walk + 8.4.4.2
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to
