@@ -332,6 +332,14 @@ object H264Cabac {
       * varied bin prefixes in H265PixelSpec's PCM round-trips; reading
       * 7 more here desynchronized content-dependently). The caller
       * byte-aligns and reads raw data directly from the BitReader.
+      *
+      * INTEROP CAVEAT (r11 advice): this no-op round-trips with the
+      * in-repo encoder's EncodeFlush but deviates from the spec's 7-bit
+      * DecodeFlush — a conformant EXTERNALLY-produced HEVC stream that
+      * contains PCM may desync at pcm_flag. No external HEVC material
+      * exists in this container to pin either way (the standing
+      * conformance-vector hunt); once one decodes, revisit this slot
+      * first. Self-generated streams (every fixture face) are exact.
       */
     def flushAfterTerminate(): Unit = ()
   }

@@ -1248,12 +1248,21 @@ object Multimodal {
     import media.sparkSession.implicits._
     val sigs = media.mapPartitions { it =>
       it.filter(_.kind == "video").flatMap { m =>
-        // codec dispatch, the videoDedupByKeyframeHash pattern: AVC
-        // first, HEVC intra pictures when the stream isn't AVC (r11)
-        val avc = H264Decode.decodeAnnexBPictures(m.content, frames)
-        val fs =
-          if (avc.nonEmpty) avc
-          else H265Decode.decodeAnnexBIntraPictures(m.content, frames)
+        // Dispatch on the declared codec when metadata carries one — an
+        // HEVC stream that HAPPENS to parse as >=frames AVC pictures
+        // must not hash the wrong decoder's pixels. Try-both (AVC
+        // first) only when the metadata names neither codec (r12,
+        // was unconditional try-AVC-first).
+        val fs = m.meta.format match {
+          case "h264" | "avc" | "avc1" =>
+            H264Decode.decodeAnnexBPictures(m.content, frames)
+          case "hevc" | "h265" | "hvc1" | "hev1" =>
+            H265Decode.decodeAnnexBIntraPictures(m.content, frames)
+          case _ =>
+            val avc = H264Decode.decodeAnnexBPictures(m.content, frames)
+            if (avc.nonEmpty) avc
+            else H265Decode.decodeAnnexBIntraPictures(m.content, frames)
+        }
         if (fs.size < frames) None // undecodable = survives, as data
         else {
           val md = java.security.MessageDigest.getInstance("SHA-256")

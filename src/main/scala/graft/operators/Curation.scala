@@ -227,10 +227,23 @@ object Curation {
     * Returns the kept rows plus `n_tok` (the doc's token count) and
     * `tok_start` (exclusive cumulative offset of the doc in its source's
     * draw: the kept set is exactly `tok_start < budget`).
+    *
+    * Rows with a NULL `keyCol` are dropped (both branches): a null key
+    * has no position in the md5 draw order — `hash16(null)` is null, so
+    * the scale path's bucket join could never carry it, and keeping it
+    * only in the small path would make the branch choice observable.
+    *
+    * EAGER when `smallThreshold > 0` and `rowCountHint < 0`: picking the
+    * branch runs a bounded count job (`limit(smallThreshold+1).count`,
+    * so the scan stops once the threshold is exceeded) and re-evaluates
+    * the upstream lineage once. Callers that know the corpus size — or
+    * whose input is non-deterministic / expensive to recompute — should
+    * pass `rowCountHint` (any value ≥ 0 suppresses the count job).
     */
   def tokenBudgetMixture(df: DataFrame, sourceCol: String, keyCol: String,
                          textCol: String, budget: Column,
-                         smallThreshold: Long = 2000000L): DataFrame = {
+                         smallThreshold: Long = 2000000L,
+                         rowCountHint: Long = -1L): DataFrame = {
     Seq("_h16", "_ntok", "_boff", "_btok", "_budget", "n_tok", "tok_start")
       .foreach { c =>
         require(!df.columns.contains(c), s"input already has a $c column")
@@ -248,20 +261,27 @@ object Curation {
     // prefilter caps at 1/65536 of the source. Both branches are pinned
     // equal in CurationSpec (the naive form IS the spec's oracle;
     // smallThreshold = 0 forces the two-phase branch there).
-    if (smallThreshold > 0 && df.count() <= smallThreshold) {
+    // Null keys have no draw position; drop them identically in both
+    // branches so the branch choice can never change the result.
+    val dfNn = df.filter(col(keyCol).isNotNull)
+    val nRows =
+      if (smallThreshold <= 0) Long.MaxValue
+      else if (rowCountHint >= 0) rowCountHint
+      else dfNn.limit(math.min(smallThreshold + 1, Int.MaxValue.toLong).toInt).count()
+    if (smallThreshold > 0 && nRows <= smallThreshold) {
       val w = Window.partitionBy(col(sourceCol))
         .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
         .rowsBetween(Window.unboundedPreceding, -1)
       val outCols = (df.columns.map(col) :+
         col("_ntok").cast("long").as("n_tok") :+ col("tok_start")).toSeq
-      return df
+      return dfNn
         .withColumn("_ntok", graft.operators.TextAnalysis.tokenCount(col(textCol)))
         .withColumn("_budget", budget)
         .withColumn("tok_start", coalesce(sum(col("_ntok")).over(w), lit(0L)))
         .filter(col("tok_start") < col("_budget"))
         .select(outCols: _*)
     }
-    val base = df
+    val base = dfNn
       .withColumn("_h16", hash16(col(keyCol)))
       .withColumn("_budget", budget)
     // phase 1: coarse per-bucket totals — at most 65536 rows per source

@@ -156,6 +156,26 @@ class CurationSpec extends SparkSpec {
 
     // budget larger than every source: identity selection
     assert(twoPhase(lit(1000000L)).size == d.count())
+
+    // null keys are dropped IDENTICALLY in both branches (r11 advice:
+    // the scale path's _h16 join could never carry them; the small
+    // path must not keep them either), and rowCountHint picks the
+    // same branch result as the bounded count
+    val dNull = d.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "web", "one two three"))
+        .toDF("doc_id", "source", "text")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("source"), col("text")))
+    def run(st: Long, hint: Long) =
+      Curation.tokenBudgetMixture(dNull, "source", "doc_id", "text",
+          lit(120L), smallThreshold = st, rowCountHint = hint)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val expect = naive(lit(120L)) // nulls absent from the definition too
+    assert(run(0L, -1L) == expect)              // scale branch
+    assert(run(2000000L, -1L) == expect)        // small branch (counted)
+    assert(run(2000000L, 10L) == expect)        // small branch (hinted)
+    assert(run(2000000L, 5000000L) == expect)   // hint forces scale branch
   }
 
   test("weightedSample: matches the driver-computed exponential race; invariances hold") {
