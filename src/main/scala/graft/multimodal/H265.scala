@@ -319,6 +319,50 @@ object H265 {
     H264.ebsp(w.stop())
   }
 
+  /** SPS for the r12 pixel TIER 2: a real coding quadtree (CTB
+    * 1<<ctbLog2 down to 8x8 CUs), TBs 4..(1<<maxTbLog2) with intra
+    * transform-hierarchy depth `depthIntra`, residual coding live; no
+    * PCM (tier-1 streams keep covering it), SAO/AMP/scaling/strong
+    * smoothing off. Dimensions must be CTB-aligned.
+    */
+  def writeSpsPixel2(width: Int, height: Int, ctbLog2: Int = 5,
+      minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1): Array[Byte] = {
+    val ctb = 1 << ctbLog2
+    require(width > 0 && height > 0 && width % ctb == 0 && height % ctb == 0,
+      s"tier-2 dims must be CTB-aligned, got ${width}x$height at CTB $ctb")
+    require(minCbLog2 >= 3 && minCbLog2 <= ctbLog2 && ctbLog2 <= 6 &&
+      maxTbLog2 >= 2 && maxTbLog2 <= 5, "bad coding-structure params")
+    val w = new H264.BitWriter
+    w.u(0, 4)  // sps_video_parameter_set_id
+    w.u(0, 3)  // sps_max_sub_layers_minus1
+    w.flag(true) // sps_temporal_id_nesting_flag
+    writeProfileTierLevel(w)
+    w.ue(0)    // sps_seq_parameter_set_id
+    w.ue(1)    // chroma_format_idc: 4:2:0
+    w.ue(width); w.ue(height)
+    w.flag(false) // conformance_window_flag
+    w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
+    w.ue(0)    // log2_max_pic_order_cnt_lsb_minus4
+    w.flag(false) // sps_sub_layer_ordering_info_present (one set follows)
+    w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering, reorder, latency
+    w.ue(minCbLog2 - 3) // log2_min_luma_coding_block_size_minus3
+    w.ue(ctbLog2 - minCbLog2) // log2_diff_max_min_luma_coding_block_size
+    w.ue(0)    // log2_min_luma_transform_block_size_minus2 (4)
+    w.ue(maxTbLog2 - 2) // log2_diff_max_min_luma_transform_block_size
+    w.ue(0); w.ue(depthIntra) // max_transform_hierarchy_depth_inter/intra
+    w.flag(false) // scaling_list_enabled
+    w.flag(false) // amp_enabled
+    w.flag(false) // sample_adaptive_offset_enabled
+    w.flag(false) // pcm_enabled
+    w.ue(0)    // num_short_term_ref_pic_sets
+    w.flag(false) // long_term_ref_pics_present
+    w.flag(false) // sps_temporal_mvp_enabled
+    w.flag(false) // strong_intra_smoothing_enabled
+    w.flag(false) // vui_parameters_present
+    w.flag(false) // sps_extension_present
+    H264.ebsp(w.stop())
+  }
+
   /** PPS for the r11 pixel tier: the probe PPS with the in-loop
     * deblocking filter explicitly DISABLED (control present, override
     * off, pps_deblocking_filter_disabled) — HEVC deblocking is on by

@@ -1,21 +1,27 @@
 package graft.multimodal
 
-/** H.265/HEVC PIXEL decode, tier 1 (r11): I-slice pictures built of
-  * 16x16 CTUs where every CU is either PCM (raw 8-bit samples — the
-  * ground-truth path, §7.3.8.7) or an intra-predicted CU with ZERO
-  * residual (cbf 0 everywhere) — the full §8.4.4.2 luma prediction
-  * surface (reference-sample substitution, [1 2 1] smoothing, planar,
-  * DC with boundary smoothing, all 33 angular modes with the inverse-
-  * angle reference extension and the mode-10/26 edge filters) plus
-  * derived-mode chroma, under real HEVC CABAC (the H.264 arithmetic
-  * engine with §9.3.2.2 initValue contexts — [[H265Cabac]]).
+/** H.265/HEVC PIXEL decode, tiers 1+2 (r11/r12): I-slice pictures of
+  * CTBs (16/32/64) carrying a full coding quadtree down to 8x8 CUs,
+  * where every CU is PCM (raw 8-bit samples — the ground-truth path,
+  * §7.3.8.7), or an intra-predicted CU — 2Nx2N or NxN at min size —
+  * with RESIDUAL CODING (r12): the §7.3.8.11 sig-map/last-pos/
+  * coeff-level CABAC syntax, §8.6.3 dequantization (flat scaling) and
+  * the §8.6.4 inverse DCT-II 4..32 / DST-VII 4x4 transforms, over the
+  * full §8.4.4.2 luma prediction surface (reference-sample
+  * substitution, [1 2 1] smoothing, planar, DC with boundary
+  * smoothing, all 33 angular modes with the inverse-angle reference
+  * extension and the mode-10/26 edge filters) plus derived-mode
+  * chroma, under real HEVC CABAC (the H.264 arithmetic engine with
+  * §9.3.2.2 initValue contexts — [[H265Cabac]]).
   *
-  * Deliberately NOT in tier 1 (each rejects loudly, §the-H.264-ladder
-  * precedent): residual coding (any nonzero cbf), coding-quadtree
-  * splits (SPS pins min CB = CTB), SAO, deblocking (PPS must disable),
-  * partial CTBs, inter anything. Provenance: spec transcription
-  * validated by own-encoder round-trips and independent per-mode
-  * expectations (H265PixelSpec); no reference decoder in the container.
+  * Deliberately NOT in tier 2 (each rejects loudly, §the-H.264-ladder
+  * precedent): SAO, deblocking (PPS must disable — the next rung),
+  * partial CTBs, transform skip / transquant bypass / sign hiding /
+  * cu_qp_delta (PPS gates), scaling lists, AMP, strong intra
+  * smoothing (SPS gates), multi-slice pictures, inter anything.
+  * Provenance: spec transcription validated by own-encoder
+  * round-trips and independent per-mode/per-category expectations
+  * (H265PixelSpec); no reference decoder in the container.
   */
 object H265Decode {
 
@@ -33,30 +39,90 @@ object H265Decode {
   @inline private def clip255(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** One picture's decode state: CTU-granular (tier 1: CU == CTU). */
-  private final class Pic(val sps: H265.SpsInfo) {
-    val ctbW: Int = sps.width >> 4
-    val ctbH: Int = sps.height >> 4
-    val lumaStride: Int = ctbW * 16
-    val chromaStride: Int = ctbW * 8
-    val luma = new Array[Byte](lumaStride * ctbH * 16)
-    val cb = new Array[Byte](chromaStride * ctbH * 8)
-    val cr = new Array[Byte](chromaStride * ctbH * 8)
-    val done = new Array[Boolean](ctbW * ctbH)
-    // per-CTU decoded luma intra mode (PCM CTUs: DC, §8.4.2's
-    // "pcm_flag == 1 → INTRA_DC" convention for neighbor derivation)
-    val lumaMode: Array[Int] = Array.fill(ctbW * ctbH)(1)
-
-    /** Sample availability (§6.4.1 at tier-1 granularity): inside the
-      * picture and inside an already-decoded CTU (raster scan).
+  /** One picture's decode state (r12: 4x4-granular, the minimal-block
+    * grid every availability/neighbor rule reduces to). Shared by the
+    * decoder and the encoder's decoder-twin — a single derivation of
+    * availability, depth and mode state, so encode/decode cannot drift
+    * (the r10 lesson).
+    */
+  private[multimodal] final class Pic(val width: Int, val height: Int) {
+    val lumaStride: Int = width
+    val chromaStride: Int = width >> 1
+    val luma = new Array[Byte](width * height)
+    val cb = new Array[Byte]((width >> 1) * (height >> 1))
+    val cr = new Array[Byte]((width >> 1) * (height >> 1))
+    val w4: Int = width >> 2
+    val h4: Int = height >> 2
+    private val cw4 = width >> 3
+    private val ch4 = height >> 3
+    /** luma recon progress, 4x4 granularity == z-scan precedence at
+      * prediction time (recon order is z-order).
       */
-    def availLuma(x: Int, y: Int, curCtu: Int): Boolean =
-      x >= 0 && y >= 0 && x < lumaStride && y < ctbH * 16 && {
-        val idx = (y >> 4) * ctbW + (x >> 4)
-        idx < curCtu && done(idx)
+    val done4 = new Array[Boolean](w4 * h4)
+    /** chroma recon progress, 4x4-chroma granularity. */
+    val doneC4 = new Array[Boolean](cw4 * ch4)
+    /** per-4x4 luma intra mode; −1 = not yet parsed (PCM parses as DC,
+      * §8.4.2's pcm_flag → INTRA_DC convention).
+      */
+    val mode4: Array[Int] = Array.fill(w4 * h4)(-1)
+    /** per-4x4 coding-quadtree depth; −1 = not yet parsed. */
+    val depth4: Array[Int] = Array.fill(w4 * h4)(-1)
+
+    def availLuma(x: Int, y: Int): Boolean =
+      x >= 0 && y >= 0 && x < width && y < height &&
+        done4((y >> 2) * w4 + (x >> 2))
+    def availChroma(cx: Int, cy: Int): Boolean =
+      cx >= 0 && cy >= 0 && cx < (width >> 1) && cy < (height >> 1) &&
+        doneC4((cy >> 2) * cw4 + (cx >> 2))
+
+    def markLuma(x0: Int, y0: Int, n: Int): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) { done4(y * w4 + x) = true; x += 1 }
+        y += 1
       }
-    def availChroma(cx: Int, cy: Int, curCtu: Int): Boolean =
-      availLuma(cx * 2, cy * 2, curCtu)
+    }
+    def markChroma(cx0: Int, cy0: Int, n: Int): Unit = {
+      var y = cy0 >> 2
+      while (y < ((cy0 + n) >> 2)) {
+        var x = cx0 >> 2
+        while (x < ((cx0 + n) >> 2)) { doneC4(y * cw4 + x) = true; x += 1 }
+        y += 1
+      }
+    }
+    def setMode(x0: Int, y0: Int, n: Int, mode: Int): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) { mode4(y * w4 + x) = mode; x += 1 }
+        y += 1
+      }
+    }
+    def setDepth(x0: Int, y0: Int, n: Int, d: Int): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) { depth4(y * w4 + x) = d; x += 1 }
+        y += 1
+      }
+    }
+    /** Neighbor luma mode for MPM derivation (§8.4.2): DC when outside
+      * the picture, not yet parsed (z-scan availability), or — for the
+      * above neighbor — outside the current CTB row.
+      */
+    def candMode(x: Int, y: Int, aboveOutsideCtb: Boolean): Int =
+      if (aboveOutsideCtb || x < 0 || y < 0 || x >= width || y >= height) 1
+      else {
+        val m = mode4((y >> 2) * w4 + (x >> 2))
+        if (m < 0) 1 else m
+      }
+    /** split_cu_flag ctxInc contribution of a neighbor minimal block:
+      * 1 iff available (parsed) and deeper than `depth` (§9.3.4.2.2).
+      */
+    def depthGt(x: Int, y: Int, depth: Int): Int =
+      if (x < 0 || y < 0 || x >= width || y >= height) 0
+      else if (depth4((y >> 2) * w4 + (x >> 2)) > depth) 1 else 0
   }
 
   /** §8.4.4.2.2 reference-sample gathering + substitution for an nT×nT
@@ -286,20 +352,385 @@ object H265Decode {
     out.toSeq
   }
 
+  /** §7.4.9.11 transform-skip-less 4x4 sig_coeff_flag ctx map. */
+  private[multimodal] val ctxIndMap4x4: Array[Int] =
+    Array(0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
+
+  /** §9.3.4.2.5 sig_coeff_flag context increment. `csbfR`/`csbfB` are
+    * the coded_sub_block flags of the right/below coefficient groups.
+    */
+  private[multimodal] def sigCtxInc(luma: Boolean, xC: Int, yC: Int,
+      log2Size: Int, scanIdx: Int, csbfR: Boolean, csbfB: Boolean): Int = {
+    val base = if (luma) 0 else 27
+    if (xC + yC == 0) return base
+    if (log2Size == 2) return base + ctxIndMap4x4(yC * 4 + xC)
+    val offset =
+      if (log2Size == 3) { if (scanIdx == H265Transform.ScanDiag) 9 else 15 }
+      else if (luma) 21 else 12
+    val prevCsbf = (if (csbfR) 1 else 0) + (if (csbfB) 2 else 0)
+    val xP = xC & 3; val yP = yC & 3
+    val cnt = prevCsbf match {
+      case 0 => if (xP + yP == 0) 2 else if (xP + yP < 3) 1 else 0
+      case 1 => if (yP == 0) 2 else if (yP == 1) 1 else 0
+      case 2 => if (xP == 0) 2 else if (xP == 1) 1 else 0
+      case _ => 2
+    }
+    base + offset + cnt +
+      (if (luma && ((xC >> 2) + (yC >> 2)) > 0) 3 else 0)
+  }
+
+  /** Decode one residual_coding() block (§7.3.8.11) into an n×n level
+    * array (row-major, [yC][xC]). `c1` is the cross-CG greater1 state
+    * (in/out via the returned value): ctxSet increments when the
+    * previously processed CG of this TB ended with c1 == 0.
+    */
+  private[multimodal] def decodeResidual(d: H264Cabac.Decoder, log2Size: Int,
+      luma: Boolean, scanIdx: Int): Array[Int] = {
+    import H265Cabac._
+    val n = 1 << log2Size
+    val out = new Array[Int](n * n)
+    val px = decodeLastPrefix(d, CtxLastX, log2Size, luma)
+    val py = decodeLastPrefix(d, CtxLastY, log2Size, luma)
+    var lastX = decodeLastSuffix(d, px)
+    var lastY = decodeLastSuffix(d, py)
+    if (scanIdx == H265Transform.ScanVer) { val t = lastX; lastX = lastY; lastY = t }
+    require(lastX < n && lastY < n, "last_sig_coeff out of block")
+    val sub = H265Transform.scan(4, scanIdx) // within-CG scan: idx → y*4+x
+    val cgSize = math.max(n >> 2, 1)
+    val cg = H265Transform.scan(cgSize, scanIdx) // CG scan: idx → yS*cgSize+xS
+    // scan index of the last coefficient
+    val lastCgPos = (lastY >> 2) * cgSize + (lastX >> 2)
+    val lastSubBlock = cg.indexOf(lastCgPos)
+    val lastPosInCg = sub.indexOf((lastY & 3) * 4 + (lastX & 3))
+    val csbf = new Array[Boolean](cgSize * cgSize) // indexed yS*cgSize+xS
+    csbf(lastCgPos) = true
+    var c1 = 1 // persists across CGs of this TB (§9.3.4.2.6)
+    var i = lastSubBlock
+    while (i >= 0) {
+      val cgPos = cg(i)
+      val xS = cgPos % cgSize; val yS = cgPos / cgSize
+      var infer = false
+      val coded =
+        if (i == lastSubBlock || i == 0) { csbf(cgPos) = true; true }
+        else {
+          val right = xS + 1 < cgSize && csbf(yS * cgSize + xS + 1)
+          val below = yS + 1 < cgSize && csbf((yS + 1) * cgSize + xS)
+          val ctxInc = (if (luma) 0 else 2) +
+            (if (right || below) 1 else 0)
+          infer = true
+          val c = d.decision(CtxCsbf + ctxInc) == 1
+          csbf(cgPos) = c
+          c
+        }
+      if (coded) {
+        // significance pass, reverse scan within the CG
+        val sigPos = new Array[Int](16)
+        var nSig = 0
+        var n0 = if (i == lastSubBlock) lastPosInCg else 15
+        if (i == lastSubBlock) { sigPos(nSig) = lastPosInCg; nSig += 1; n0 -= 1 }
+        while (n0 >= 0) {
+          if (n0 > 0 || !infer) {
+            val p = sub(n0)
+            val xC = (xS << 2) + (p & 3); val yC = (yS << 2) + (p >> 2)
+            val right = xS + 1 < cgSize && csbf(yS * cgSize + xS + 1)
+            val below = yS + 1 < cgSize && csbf((yS + 1) * cgSize + xS)
+            if (d.decision(CtxSig +
+                sigCtxInc(luma, xC, yC, log2Size, scanIdx, right, below)) == 1) {
+              sigPos(nSig) = n0; nSig += 1
+              infer = false
+            }
+          } else { // DC of a decoded-csbf CG with no other sig: inferred 1
+            sigPos(nSig) = 0; nSig += 1
+          }
+          n0 -= 1
+        }
+        if (nSig > 0) {
+          // greater1 (first 8), greater2 (first g1 == 1), signs, remaining
+          var ctxSet = (if (i > 0 && luma) 2 else 0) + (if (c1 == 0) 1 else 0)
+          c1 = 1
+          val g1 = new Array[Boolean](nSig)
+          var firstG1 = -1
+          var k = 0
+          while (k < math.min(nSig, 8)) {
+            val b = d.decision(CtxG1 + (if (luma) 0 else 16) +
+              4 * ctxSet + c1) == 1
+            g1(k) = b
+            if (b) { if (firstG1 < 0) firstG1 = k; c1 = 0 }
+            else if (c1 > 0 && c1 < 3) c1 += 1
+            k += 1
+          }
+          var g2 = false
+          if (firstG1 >= 0)
+            g2 = d.decision(CtxG2 + (if (luma) 0 else 4) + ctxSet) == 1
+          val neg = new Array[Boolean](nSig)
+          k = 0
+          while (k < nSig) { neg(k) = d.bypass() == 1; k += 1 }
+          var rice = 0
+          var firstCoeff2 = 1
+          k = 0
+          while (k < nSig) {
+            var abs = 1 + (if (k < 8 && g1(k)) 1 else 0) +
+              (if (k == firstG1) (if (g2) 1 else 0) else 0)
+            val baseLevel = if (k < 8) 2 + firstCoeff2 else 1
+            if (abs == baseLevel) {
+              abs += decodeRemaining(d, rice)
+            }
+            if (abs > (3 << rice) && rice < 4) rice += 1
+            if (abs >= 2) firstCoeff2 = 0
+            val p = sub(sigPos(k))
+            val xC = (xS << 2) + (p & 3); val yC = (yS << 2) + (p >> 2)
+            out(yC * n + xC) = if (neg(k)) -abs else abs
+            k += 1
+          }
+        }
+      }
+      i -= 1
+    }
+    out
+  }
+
+  /** Slice-level decode parameters + state shared down the quadtree. */
+  private final class SliceCtx(val sps: H265.SpsInfo, val pps: H265.PpsInfo,
+      val pic: Pic, val qpY: Int) {
+    val qpCb: Int =
+      H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
+    val qpCr: Int =
+      H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.crQpOffset)))
+    var d: H264Cabac.Decoder = _
+    var r: H264.BitReader = _
+    var ctx: H264Cabac.Contexts = _
+  }
+
+  /** Decode + reconstruct one TB's plane: predict, then (if cbf) add
+    * the dequantized inverse-transformed residual, then mark recon
+    * progress.
+    */
+  private def reconTb(s: SliceCtx, plane: Array[Byte], stride: Int,
+      px: Int, py: Int, log2Size: Int, mode: Int, luma: Boolean,
+      cbf: Boolean, qp: Int): Unit = {
+    val n = 1 << log2Size
+    val pic = s.pic
+    val avail: (Int, Int) => Boolean =
+      if (luma) (x, y) => pic.availLuma(x, y) else (x, y) => pic.availChroma(x, y)
+    predictIntra(plane, stride, px, py, n, mode, luma, avail)
+    if (cbf) {
+      val scanIdx = H265Transform.scanIdxFor(log2Size, luma, mode)
+      val levels = decodeResidual(s.d, log2Size, luma, scanIdx)
+      val deq = H265Transform.dequant(levels, log2Size, qp)
+      val res = H265Transform.inverseTransform(deq, log2Size,
+        dst = luma && n == 4)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          val idx = (py + y) * stride + px + x
+          plane(idx) = clip255((plane(idx) & 0xff) + res(y * n + x)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    if (luma) pic.markLuma(px, py, n) else pic.markChroma(px, py, n)
+  }
+
+  /** Per-CU context threaded through the transform tree. */
+  private final class CuCtx(val cuX: Int, val cuY: Int, val log2CbSize: Int,
+      val nxn: Boolean, val modes: Array[Int]) {
+    def lumaMode(x0: Int, y0: Int): Int =
+      if (!nxn) modes(0)
+      else {
+        val half = 1 << (log2CbSize - 1)
+        modes((if (y0 - cuY >= half) 2 else 0) + (if (x0 - cuX >= half) 1 else 0))
+      }
+    /** 4:2:0 DM chroma: derived from the TOP-LEFT PU (§8.4.3). */
+    def chromaMode: Int = modes(0)
+  }
+
+  /** transform_tree (§7.3.8.8) + transform_unit (§7.3.8.10) + recon. */
+  private def transformTree(s: SliceCtx, cu: CuCtx, x0: Int, y0: Int,
+      xBase: Int, yBase: Int, log2Size: Int, depth: Int, blkIdx: Int,
+      parentCbfCb: Boolean, parentCbfCr: Boolean): Unit = {
+    import H265Cabac._
+    val sps = s.sps
+    val intraSplit = cu.nxn && depth == 0
+    val maxDepth = sps.maxTrafoDepthIntra + (if (cu.nxn) 1 else 0)
+    val split =
+      if (log2Size > sps.maxTbLog2) true
+      else if (intraSplit) true
+      else if (log2Size > sps.minTbLog2 && depth < maxDepth)
+        s.d.decision(CtxTransSubdiv + 5 - log2Size) == 1
+      else false
+    var cbfCb = parentCbfCb
+    var cbfCr = parentCbfCr
+    if (log2Size > 2) {
+      if (depth == 0 || parentCbfCb)
+        cbfCb = s.d.decision(CtxCbfChroma + depth) == 1
+      else cbfCb = false
+      if (depth == 0 || parentCbfCr)
+        cbfCr = s.d.decision(CtxCbfChroma + depth) == 1
+      else cbfCr = false
+    }
+    if (split) {
+      val h = 1 << (log2Size - 1)
+      transformTree(s, cu, x0, y0, x0, y0, log2Size - 1, depth + 1, 0, cbfCb, cbfCr)
+      transformTree(s, cu, x0 + h, y0, x0, y0, log2Size - 1, depth + 1, 1, cbfCb, cbfCr)
+      transformTree(s, cu, x0, y0 + h, x0, y0, log2Size - 1, depth + 1, 2, cbfCb, cbfCr)
+      transformTree(s, cu, x0 + h, y0 + h, x0, y0, log2Size - 1, depth + 1, 3, cbfCb, cbfCr)
+    } else {
+      // intra: cbf_luma always decoded (§7.3.8.8), ctx by depth
+      val cbfLuma =
+        s.d.decision(CtxCbfLuma + (if (depth == 0) 1 else 0)) == 1
+      // ---- transform_unit: luma TB, then chroma at this or parent level
+      val mode = cu.lumaMode(x0, y0)
+      reconTb(s, s.pic.luma, s.pic.lumaStride, x0, y0, log2Size, mode,
+        luma = true, cbfLuma, s.qpY)
+      if (log2Size > 2) {
+        val cLog2 = log2Size - 1
+        reconTb(s, s.pic.cb, s.pic.chromaStride, x0 >> 1, y0 >> 1, cLog2,
+          cu.chromaMode, luma = false, cbfCb, s.qpCb)
+        reconTb(s, s.pic.cr, s.pic.chromaStride, x0 >> 1, y0 >> 1, cLog2,
+          cu.chromaMode, luma = false, cbfCr, s.qpCr)
+      } else if (blkIdx == 3) {
+        // 4x4 luma TBs: the single 4x4 chroma TB rides the LAST child,
+        // at the parent's coordinates, with the parent-level cbfs
+        reconTb(s, s.pic.cb, s.pic.chromaStride, xBase >> 1, yBase >> 1, 2,
+          cu.chromaMode, luma = false, parentCbfCb, s.qpCb)
+        reconTb(s, s.pic.cr, s.pic.chromaStride, xBase >> 1, yBase >> 1, 2,
+          cu.chromaMode, luma = false, parentCbfCr, s.qpCr)
+      }
+    }
+  }
+
+  /** coding_unit (§7.3.8.5): part_mode / pcm / intra modes / transform
+    * tree, with recon inline (recon order == z-scan order).
+    */
+  private def codingUnit(s: SliceCtx, x0: Int, y0: Int, log2CbSize: Int,
+      cqtDepth: Int): Unit = {
+    import H265Cabac._
+    val sps = s.sps
+    val pic = s.pic
+    val nCb = 1 << log2CbSize
+    pic.setDepth(x0, y0, nCb, cqtDepth)
+    // part_mode: decoded only at min CB (intra: bin 1 = 2Nx2N, 0 = NxN;
+    // NxN only legal when the CU can split its transform once)
+    val nxn =
+      if (log2CbSize == sps.minCbLog2 && log2CbSize > sps.minTbLog2)
+        s.d.decision(CtxPartMode) == 0
+      else if (log2CbSize == sps.minCbLog2) { // 8x8 floor with minTb 8: 2Nx2N only
+        require(s.d.decision(CtxPartMode) == 1, "PART_NxN without TU split room")
+        false
+      } else false
+    val pcmOk = sps.pcmEnabled && !nxn &&
+      log2CbSize >= sps.pcmMinLog2 && log2CbSize <= sps.pcmMaxLog2
+    val pcm = pcmOk && s.d.terminate() == 1
+    if (pcm) {
+      require(sps.pcmBitDepth == 8, "non-8-bit PCM out of scope")
+      // §9.3.1: flush after the terminate bin, byte-align, raw samples,
+      // fresh engine init over the same (persisting) context variables
+      s.d.flushAfterTerminate()
+      val r = s.r
+      while (r.remaining % 8 != 0) r.u(1) // pcm_alignment_zero_bit
+      var i = 0
+      while (i < nCb * nCb) {
+        pic.luma((y0 + i / nCb) * pic.lumaStride + x0 + i % nCb) = r.u(8).toByte
+        i += 1
+      }
+      val half = nCb >> 1
+      val cpx = x0 >> 1; val cpy = y0 >> 1
+      i = 0
+      while (i < half * half) {
+        pic.cb((cpy + i / half) * pic.chromaStride + cpx + i % half) = r.u(8).toByte
+        i += 1
+      }
+      i = 0
+      while (i < half * half) {
+        pic.cr((cpy + i / half) * pic.chromaStride + cpx + i % half) = r.u(8).toByte
+        i += 1
+      }
+      s.d = new H264Cabac.Decoder(r, s.ctx)
+      pic.setMode(x0, y0, nCb, 1) // PCM counts as DC for MPMs (§8.4.2)
+      pic.markLuma(x0, y0, nCb)
+      pic.markChroma(cpx, cpy, half)
+      return
+    }
+    // prev_intra_luma_pred_flag for every PU FIRST, then per-PU
+    // mpm_idx / rem (§7.3.8.5 syntax order)
+    val nPu = if (nxn) 4 else 1
+    val puSize = if (nxn) nCb >> 1 else nCb
+    val prev = new Array[Boolean](nPu)
+    var p = 0
+    while (p < nPu) { prev(p) = s.d.decision(CtxPrevIntraLuma) == 1; p += 1 }
+    val modes = new Array[Int](nPu)
+    val ctbMask = ~((1 << sps.ctbLog2) - 1)
+    p = 0
+    while (p < nPu) {
+      val xPb = x0 + (if ((p & 1) == 1) puSize else 0)
+      val yPb = y0 + (if (p >= 2) puSize else 0)
+      val candA = pic.candMode(xPb - 1, yPb, aboveOutsideCtb = false)
+      val candB = pic.candMode(xPb, yPb - 1,
+        aboveOutsideCtb = (yPb - 1) < (yPb & ctbMask))
+      val mpm = mpmList(candA, candB)
+      val mode =
+        if (prev(p)) mpm(decodeMpmIdx(s.d))
+        else {
+          val rem = decodeRemIntra(s.d)
+          val sorted = mpm.sorted
+          var m = rem
+          var i = 0
+          while (i < 3) { if (m >= sorted(i)) m += 1; i += 1 }
+          m
+        }
+      require(mode >= 0 && mode <= 34, s"bad intra mode $mode")
+      modes(p) = mode
+      pic.setMode(xPb, yPb, puSize, mode) // parse-time: PU p+1's candA
+      p += 1
+    }
+    val chromaMode = decodeChromaMode(s.d)
+    require(chromaMode == 4, "explicit chroma modes out of the tier")
+    val cu = new CuCtx(x0, y0, log2CbSize, nxn, modes)
+    transformTree(s, cu, x0, y0, x0, y0, log2CbSize, 0, 0,
+      parentCbfCb = false, parentCbfCr = false)
+  }
+
+  /** coding_quadtree (§7.3.8.4). Dimensions are CTB-aligned (checked at
+    * slice level), so the in-picture split inferences never trigger.
+    */
+  private def codingQuadtree(s: SliceCtx, x0: Int, y0: Int,
+      log2CbSize: Int, cqtDepth: Int): Unit = {
+    val split =
+      if (log2CbSize > s.sps.minCbLog2) {
+        val ctxInc = s.pic.depthGt(x0 - 1, y0, cqtDepth) +
+          s.pic.depthGt(x0, y0 - 1, cqtDepth)
+        s.d.decision(H265Cabac.CtxSplitCu + ctxInc) == 1
+      } else false
+    if (split) {
+      val h = 1 << (log2CbSize - 1)
+      codingQuadtree(s, x0, y0, log2CbSize - 1, cqtDepth + 1)
+      codingQuadtree(s, x0 + h, y0, log2CbSize - 1, cqtDepth + 1)
+      codingQuadtree(s, x0, y0 + h, log2CbSize - 1, cqtDepth + 1)
+      codingQuadtree(s, x0 + h, y0 + h, log2CbSize - 1, cqtDepth + 1)
+    } else codingUnit(s, x0, y0, log2CbSize, cqtDepth)
+  }
+
   private def decodeSlice(sps: H265.SpsInfo, pps: H265.PpsInfo,
       payload: Array[Byte], irap: Boolean): Option[Frame] = {
-    // tier-1 structural requirements — each a loud reject, not a wrong
+    // tier-2 structural requirements — each a loud reject, not a wrong
     // decode
-    require(sps.minCbLog2 == 4 && sps.ctbLog2 == 4,
-      "tier 1 wants CTB 16 with min CB 16 (no coding-quadtree split)")
-    require(sps.maxTbLog2 == 4 && sps.maxTrafoDepthIntra == 0,
-      "tier 1 wants TU == CU")
-    require(!sps.saoEnabled && !sps.scalingList, "SAO/scaling lists out of scope")
-    require(pps.deblockingDisabled, "HEVC deblocking out of scope — PPS must disable")
-    require(sps.width % 16 == 0 && sps.height % 16 == 0,
+    require(sps.ctbLog2 >= 4 && sps.ctbLog2 <= 6, "CTB must be 16/32/64")
+    require(sps.minCbLog2 >= 3 && sps.minCbLog2 <= sps.ctbLog2, "bad min CB")
+    require(sps.minTbLog2 == 2 && sps.maxTbLog2 >= 2 && sps.maxTbLog2 <= 5,
+      "TB sizes out of range")
+    require(sps.maxTrafoDepthIntra <= 3, "transform hierarchy too deep")
+    require(!sps.saoEnabled && !sps.scalingList && !sps.ampEnabled &&
+      !sps.strongIntraSmoothing,
+      "SAO/scaling lists/AMP/strong smoothing out of scope")
+    require(pps.deblockingDisabled,
+      "HEVC deblocking out of scope — PPS must disable")
+    val ctbSize = 1 << sps.ctbLog2
+    require(sps.width % ctbSize == 0 && sps.height % ctbSize == 0,
       "partial CTBs out of scope")
     val r = new H264.BitReader(H264.rbsp(payload))
-    require(r.flag(), "tier 1 wants single-slice pictures") // first_slice_..._flag
+    require(r.flag(), "multi-slice pictures out of scope") // first_slice_..._flag
     if (irap) r.flag() // no_output_of_prior_pics
     r.ue() // slice_pic_parameter_set_id
     val sliceType = r.ue()
@@ -314,92 +745,26 @@ object H265Decode {
     require(r.u(1) == 1, "alignment_bit_equal_to_one")
     while (r.remaining % 8 != 0) require(r.u(1) == 0, "alignment zero bit")
 
-    val pic = new Pic(sps)
-    val ctx = H265Cabac.contexts(qp)
-    var d = new H264Cabac.Decoder(r, ctx)
+    val pic = new Pic(sps.width, sps.height)
+    val s = new SliceCtx(sps, pps, pic, qp)
+    s.r = r
+    s.ctx = H265Cabac.contexts(qp)
+    s.d = new H264Cabac.Decoder(r, s.ctx)
+    val ctbW = sps.width >> sps.ctbLog2
+    val ctbH = sps.height >> sps.ctbLog2
     var ctu = 0
-    val nCtu = pic.ctbW * pic.ctbH
+    val nCtu = ctbW * ctbH
     var end = false
     while (!end) {
       require(ctu < nCtu, "CTU address past picture end")
-      val ctbX = ctu % pic.ctbW; val ctbY = ctu / pic.ctbW
-      val px = ctbX * 16; val py = ctbY * 16
-      // coding_unit at 16x16 == min CB: part_mode (require 2Nx2N),
-      // then pcm_flag (terminate-coded)
-      require(d.decision(H265Cabac.CtxPartMode) == 1,
-        "PART_NxN out of the tier's scope")
-      val pcm = d.terminate() == 1
-      if (pcm) {
-        // §9.3.1: DecodeFlush after the terminate bin, then byte-
-        // aligned raw samples, then a fresh engine init over the same
-        // (persisting) context variables
-        d.flushAfterTerminate()
-        while (r.remaining % 8 != 0) r.u(1) // pcm_alignment_zero_bit
-        var i = 0
-        while (i < 256) {
-          pic.luma((py + i / 16) * pic.lumaStride + px + i % 16) = r.u(8).toByte
-          i += 1
-        }
-        val cpx = px / 2; val cpy = py / 2
-        i = 0
-        while (i < 64) {
-          pic.cb((cpy + i / 8) * pic.chromaStride + cpx + i % 8) = r.u(8).toByte
-          i += 1
-        }
-        i = 0
-        while (i < 64) {
-          pic.cr((cpy + i / 8) * pic.chromaStride + cpx + i % 8) = r.u(8).toByte
-          i += 1
-        }
-        d = new H264Cabac.Decoder(r, ctx)
-        pic.lumaMode(ctu) = 1 // PCM counts as DC for later MPMs (§8.4.2)
-      } else {
-        // luma mode: prev_intra_luma_pred_flag + mpm_idx / rem
-        val prev = d.decision(H265Cabac.CtxPrevIntraLuma) == 1
-        def neighborMode(nCtbX: Int, nCtbY: Int, aboveOutsideCtb: Boolean): Int =
-          if (aboveOutsideCtb || nCtbX < 0 || nCtbY < 0 ||
-            nCtbY * pic.ctbW + nCtbX >= ctu) 1
-          else pic.lumaMode(nCtbY * pic.ctbW + nCtbX)
-        // tier 1: the above neighbor is ALWAYS outside the current CTB
-        // (CU == CTB), so candB is INTRA_DC by the normative rule
-        val candA = neighborMode(ctbX - 1, ctbY, aboveOutsideCtb = false)
-        val candB = 1
-        val mpm = mpmList(candA, candB)
-        val mode =
-          if (prev) mpm(H265Cabac.decodeMpmIdx(d))
-          else {
-            val rem = H265Cabac.decodeRemIntra(d)
-            val sorted = mpm.sorted
-            var m = rem
-            var i = 0
-            while (i < 3) { if (m >= sorted(i)) m += 1; i += 1 }
-            m
-          }
-        require(mode >= 0 && mode <= 34, s"bad intra mode $mode")
-        val chromaMode = H265Cabac.decodeChromaMode(d)
-        require(chromaMode == 4, "explicit chroma modes out of the tier")
-        // transform tree at depth 0 / TU == CU: cbf_cb, cbf_cr, cbf_luma
-        val cbfCb = d.decision(H265Cabac.CtxCbfChroma) == 1
-        val cbfCr = d.decision(H265Cabac.CtxCbfChroma) == 1
-        val cbfL = d.decision(H265Cabac.CtxCbfLuma + 1) == 1
-        require(!cbfCb && !cbfCr && !cbfL,
-          "residual coding out of the tier's scope")
-        pic.lumaMode(ctu) = mode
-        val cur = ctu
-        predictIntra(pic.luma, pic.lumaStride, px, py, 16, mode,
-          luma = true, (x, y) => pic.availLuma(x, y, cur))
-        predictIntra(pic.cb, pic.chromaStride, px / 2, py / 2, 8, mode,
-          luma = false, (x, y) => pic.availChroma(x, y, cur))
-        predictIntra(pic.cr, pic.chromaStride, px / 2, py / 2, 8, mode,
-          luma = false, (x, y) => pic.availChroma(x, y, cur))
-      }
-      pic.done(ctu) = true
+      codingQuadtree(s, (ctu % ctbW) << sps.ctbLog2,
+        (ctu / ctbW) << sps.ctbLog2, sps.ctbLog2, 0)
       ctu += 1
-      end = d.terminate() == 1 // end_of_slice_segment_flag
-      require(!d.exhausted, "HEVC CABAC bitstream exhausted mid-slice")
+      end = s.d.terminate() == 1 // end_of_slice_segment_flag
+      require(!s.d.exhausted, "HEVC CABAC bitstream exhausted mid-slice")
     }
     require(ctu == nCtu, "slice ended before the picture completed")
-    Some(Frame(sps.width, sps.height, pic.ctbW, pic.ctbH,
+    Some(Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,
       pic.luma, pic.cb, pic.cr))
   }
 }

@@ -106,4 +106,451 @@ object H265Encode {
       (H265.NalPps, H265.writePpsPixel()),
       (H265.NalIdrWRadl, slice)))
   }
+
+  // ------------------------------------------------------------ tier 2 (r12)
+
+  /** Coding-quadtree layout for [[encodeIntraPicture2]]: a tree per
+    * CTB. A leaf carries 1 (2Nx2N) or 4 (NxN — min-CB only) intra luma
+    * modes; `splitTu` splits the CU's transform once (2Nx2N CUs with
+    * room in the hierarchy). Chroma rides DM.
+    */
+  sealed trait CuTree
+  final case class CuSplit(c0: CuTree, c1: CuTree, c2: CuTree,
+      c3: CuTree) extends CuTree
+  final case class CuLeaf(modes: Seq[Int], splitTu: Boolean = false)
+      extends CuTree {
+    require(modes.size == 1 || modes.size == 4, "1 (2Nx2N) or 4 (NxN) modes")
+    require(modes.forall(m => m >= 0 && m <= 34), s"bad intra modes $modes")
+  }
+
+  final case class Recon(luma: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+
+  /** Encode one IDR picture of `layout` quadtrees over the given
+    * SOURCE planes with RESIDUAL CODING at `qp`: per TB, predict from
+    * the decoder-twin recon, forward-transform + quantize src − pred,
+    * emit the §7.3.8.11 syntax, and reconstruct through the NORMATIVE
+    * dequant + inverse transform — so the returned [[Recon]] is
+    * bit-exact what a conformant decoder must output. Returns
+    * (Annex-B stream, recon).
+    *
+    * Parent-level chroma cbfs of SPLIT transform trees are emitted as
+    * 1 unconditionally (children carry the truthful flags) — legal and
+    * simplest; the NxN case, where the parent cbf IS the 4x4 chroma
+    * TB's flag, is computed truthfully.
+    */
+  def encodeIntraPicture2(srcY: Array[Byte], srcCb: Array[Byte],
+      srcCr: Array[Byte], width: Int, height: Int, layout: Seq[CuTree],
+      qp: Int, ctbLog2: Int = 5, minCbLog2: Int = 3, maxTbLog2: Int = 5,
+      depthIntra: Int = 1): (Array[Byte], Recon) = {
+    val ctb = 1 << ctbLog2
+    require(width % ctb == 0 && height % ctb == 0, "CTB-aligned dims only")
+    require(srcY.length == width * height &&
+      srcCb.length == (width >> 1) * (height >> 1) &&
+      srcCr.length == srcCb.length, "bad source plane sizes")
+    require(qp >= 0 && qp <= 51, s"bad qp $qp")
+    val ctbW = width >> ctbLog2
+    require(layout.size == ctbW * (height >> ctbLog2), "one tree per CTB")
+    val w = new H264.BitWriter
+    w.flag(true) // first_slice_segment_in_pic_flag
+    w.flag(false) // no_output_of_prior_pics_flag
+    w.ue(0) // slice_pic_parameter_set_id
+    w.ue(2) // slice_type: I
+    w.se(qp - 26) // slice_qp_delta (PPS init_qp 26)
+    w.u(1, 1); w.alignZero() // byte_alignment
+
+    val ctx = H265Cabac.contexts(qp)
+    val e = new H264Cabac.Encoder(w, ctx)
+    val pic = new H265Decode.Pic(width, height)
+    val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
+    val qpCr = qpCb
+
+    // ---- per-TB helpers against the decoder-twin recon state
+    def predQuant(plane: Array[Byte], src: Array[Byte], stride: Int,
+        px: Int, py: Int, log2Size: Int, mode: Int,
+        luma: Boolean): Array[Int] = {
+      val n = 1 << log2Size
+      val avail: (Int, Int) => Boolean =
+        if (luma) pic.availLuma else pic.availChroma
+      H265Decode.predictIntra(plane, stride, px, py, n, mode, luma, avail)
+      val res = new Array[Int](n * n)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          res(y * n + x) = (src((py + y) * stride + px + x) & 0xff) -
+            (plane((py + y) * stride + px + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val dst = luma && n == 4
+      H265Transform.quantize(
+        H265Transform.forwardTransform(res, log2Size, dst), log2Size,
+        if (luma) qp else qpCb)
+    }
+    def reconTb(plane: Array[Byte], stride: Int, px: Int, py: Int,
+        log2Size: Int, levels: Array[Int], luma: Boolean): Unit = {
+      val n = 1 << log2Size
+      if (levels != null && levels.exists(_ != 0)) {
+        val deq = H265Transform.dequant(levels, log2Size,
+          if (luma) qp else qpCb)
+        val res = H265Transform.inverseTransform(deq, log2Size,
+          dst = luma && n == 4)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            val idx = (py + y) * stride + px + x
+            val v = (plane(idx) & 0xff) + res(y * n + x)
+            plane(idx) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      if (luma) pic.markLuma(px, py, n) else pic.markChroma(px, py, n)
+    }
+    def emitResidual(levels: Array[Int], log2Size: Int, luma: Boolean,
+        mode: Int): Unit =
+      encodeResidual(e, levels, log2Size, luma,
+        H265Transform.scanIdxFor(log2Size, luma, mode))
+
+    // ---- transform tree encoder (mirrors H265Decode.transformTree)
+    def transformTree(cuX: Int, cuY: Int, log2CbSize: Int, nxn: Boolean,
+        modes: IndexedSeq[Int], splitTu: Boolean, x0: Int, y0: Int,
+        xBase: Int, yBase: Int, log2Size: Int, depth: Int, blkIdx: Int,
+        parentChroma: Option[(Array[Int], Array[Int])]): Unit = {
+      val intraSplit = nxn && depth == 0
+      val maxDepth = depthIntra + (if (nxn) 1 else 0)
+      val decodable = log2Size <= maxTbLog2 && log2Size > 2 &&
+        depth < maxDepth && !intraSplit
+      val split =
+        if (log2Size > maxTbLog2) true
+        else if (intraSplit) true
+        else if (decodable) {
+          val v = splitTu && depth == 0
+          e.decision(H265Cabac.CtxTransSubdiv + 5 - log2Size, if (v) 1 else 0)
+          v
+        } else false
+      def lumaModeAt(x: Int, y: Int): Int =
+        if (!nxn) modes(0)
+        else {
+          val half = 1 << (log2CbSize - 1)
+          modes((if (y - cuY >= half) 2 else 0) + (if (x - cuX >= half) 1 else 0))
+        }
+      val chromaMode = modes(0)
+      if (split) {
+        // children at 4x4 luma → the 4x4 chroma TB is coded at THIS
+        // level's cbfs: compute it truthfully now (its prediction only
+        // needs neighbors outside this CU's chroma area)
+        val childChroma: Option[(Array[Int], Array[Int])] =
+          if (log2Size == 3) {
+            val cx = x0 >> 1; val cy = y0 >> 1
+            val lvCb = predQuant(pic.cb, srcCb, pic.chromaStride, cx, cy, 2,
+              chromaMode, luma = false)
+            val lvCr = predQuant(pic.cr, srcCr, pic.chromaStride, cx, cy, 2,
+              chromaMode, luma = false)
+            e.decision(H265Cabac.CtxCbfChroma + depth,
+              if (lvCb.exists(_ != 0)) 1 else 0)
+            e.decision(H265Cabac.CtxCbfChroma + depth,
+              if (lvCr.exists(_ != 0)) 1 else 0)
+            Some((lvCb, lvCr))
+          } else {
+            // parent chroma cbfs: emitted 1, children carry the truth
+            e.decision(H265Cabac.CtxCbfChroma + depth, 1)
+            e.decision(H265Cabac.CtxCbfChroma + depth, 1)
+            None
+          }
+        val h = 1 << (log2Size - 1)
+        transformTree(cuX, cuY, log2CbSize, nxn, modes, splitTu,
+          x0, y0, x0, y0, log2Size - 1, depth + 1, 0, childChroma)
+        transformTree(cuX, cuY, log2CbSize, nxn, modes, splitTu,
+          x0 + h, y0, x0, y0, log2Size - 1, depth + 1, 1, childChroma)
+        transformTree(cuX, cuY, log2CbSize, nxn, modes, splitTu,
+          x0, y0 + h, x0, y0, log2Size - 1, depth + 1, 2, childChroma)
+        transformTree(cuX, cuY, log2CbSize, nxn, modes, splitTu,
+          x0 + h, y0 + h, x0, y0, log2Size - 1, depth + 1, 3, childChroma)
+      } else {
+        // leaf: chroma first (pred independent of this leaf's luma),
+        // so the tree-level cbfs can be truthful
+        var lvCb: Array[Int] = null
+        var lvCr: Array[Int] = null
+        if (log2Size > 2) {
+          val cx = x0 >> 1; val cy = y0 >> 1
+          lvCb = predQuant(pic.cb, srcCb, pic.chromaStride, cx, cy,
+            log2Size - 1, chromaMode, luma = false)
+          lvCr = predQuant(pic.cr, srcCr, pic.chromaStride, cx, cy,
+            log2Size - 1, chromaMode, luma = false)
+          if (depth == 0 || parentChroma.isEmpty) {
+            // depth 0: decoded; depth > 0 under the emitted-1 parent:
+            // also decoded
+            e.decision(H265Cabac.CtxCbfChroma + depth,
+              if (lvCb.exists(_ != 0)) 1 else 0)
+            e.decision(H265Cabac.CtxCbfChroma + depth,
+              if (lvCr.exists(_ != 0)) 1 else 0)
+          }
+        }
+        val mode = lumaModeAt(x0, y0)
+        val lvY = predQuant(pic.luma, srcY, pic.lumaStride, x0, y0,
+          log2Size, mode, luma = true)
+        val cbfL = lvY.exists(_ != 0)
+        e.decision(H265Cabac.CtxCbfLuma + (if (depth == 0) 1 else 0),
+          if (cbfL) 1 else 0)
+        if (cbfL) emitResidual(lvY, log2Size, luma = true, mode)
+        reconTb(pic.luma, pic.lumaStride, x0, y0, log2Size, lvY, luma = true)
+        if (log2Size > 2) {
+          val cx = x0 >> 1; val cy = y0 >> 1
+          if (lvCb.exists(_ != 0))
+            emitResidual(lvCb, log2Size - 1, luma = false, chromaMode)
+          reconTb(pic.cb, pic.chromaStride, cx, cy, log2Size - 1, lvCb,
+            luma = false)
+          if (lvCr.exists(_ != 0))
+            emitResidual(lvCr, log2Size - 1, luma = false, chromaMode)
+          reconTb(pic.cr, pic.chromaStride, cx, cy, log2Size - 1, lvCr,
+            luma = false)
+        } else if (blkIdx == 3) {
+          val (pCb, pCr) = parentChroma.get
+          val cx = xBase >> 1; val cy = yBase >> 1
+          if (pCb.exists(_ != 0)) emitResidual(pCb, 2, luma = false, chromaMode)
+          reconTb(pic.cb, pic.chromaStride, cx, cy, 2, pCb, luma = false)
+          if (pCr.exists(_ != 0)) emitResidual(pCr, 2, luma = false, chromaMode)
+          reconTb(pic.cr, pic.chromaStride, cx, cy, 2, pCr, luma = false)
+        }
+      }
+    }
+
+    // ---- coding unit / quadtree encoders (mirror the decoder)
+    def codingUnit(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
+        leaf: CuLeaf): Unit = {
+      val nCb = 1 << log2CbSize
+      pic.setDepth(x0, y0, nCb, cqtDepth)
+      val nxn = leaf.modes.size == 4
+      if (log2CbSize == minCbLog2 && log2CbSize > 2)
+        e.decision(H265Cabac.CtxPartMode, if (nxn) 0 else 1)
+      else require(!nxn, "NxN only at min CB with TU split room")
+      // (tier-2 SPS: no PCM, so pcm_flag is never present)
+      val nPu = if (nxn) 4 else 1
+      val puSize = if (nxn) nCb >> 1 else nCb
+      val ctbMask = ~((1 << ctbLog2) - 1)
+      // pass A: derive MPM per PU in decode order (grid updated between)
+      val inMpm = new Array[Int](nPu)
+      val rems = new Array[Int](nPu)
+      val mpms = new Array[Array[Int]](nPu)
+      var p = 0
+      while (p < nPu) {
+        val xPb = x0 + (if ((p & 1) == 1) puSize else 0)
+        val yPb = y0 + (if (p >= 2) puSize else 0)
+        val mode = leaf.modes(p)
+        val candA = pic.candMode(xPb - 1, yPb, aboveOutsideCtb = false)
+        val candB = pic.candMode(xPb, yPb - 1,
+          aboveOutsideCtb = (yPb - 1) < (yPb & ctbMask))
+        val mpm = H265Decode.mpmList(candA, candB)
+        mpms(p) = mpm
+        inMpm(p) = mpm.indexOf(mode)
+        if (inMpm(p) < 0) {
+          val sorted = mpm.sorted
+          var rem = mode
+          var i = 2
+          while (i >= 0) { if (mode > sorted(i)) rem -= 1; i -= 1 }
+          rems(p) = rem
+        }
+        pic.setMode(xPb, yPb, puSize, mode)
+        p += 1
+      }
+      // emit: all prev flags first, then per-PU mpm_idx / rem (§7.3.8.5)
+      p = 0
+      while (p < nPu) {
+        e.decision(H265Cabac.CtxPrevIntraLuma, if (inMpm(p) >= 0) 1 else 0)
+        p += 1
+      }
+      p = 0
+      while (p < nPu) {
+        if (inMpm(p) >= 0) H265Cabac.encodeMpmIdx(e, inMpm(p))
+        else H265Cabac.encodeRemIntra(e, rems(p))
+        p += 1
+      }
+      H265Cabac.encodeChromaModeDm(e)
+      transformTree(x0, y0, log2CbSize, nxn, leaf.modes.toIndexedSeq,
+        leaf.splitTu, x0, y0, x0, y0, log2CbSize, 0, 0, None)
+    }
+    def quadtree(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
+        tree: CuTree): Unit = tree match {
+      case CuSplit(c0, c1, c2, c3) =>
+        require(log2CbSize > minCbLog2, "split below min CB")
+        val ctxInc = pic.depthGt(x0 - 1, y0, cqtDepth) +
+          pic.depthGt(x0, y0 - 1, cqtDepth)
+        e.decision(H265Cabac.CtxSplitCu + ctxInc, 1)
+        val h = 1 << (log2CbSize - 1)
+        quadtree(x0, y0, log2CbSize - 1, cqtDepth + 1, c0)
+        quadtree(x0 + h, y0, log2CbSize - 1, cqtDepth + 1, c1)
+        quadtree(x0, y0 + h, log2CbSize - 1, cqtDepth + 1, c2)
+        quadtree(x0 + h, y0 + h, log2CbSize - 1, cqtDepth + 1, c3)
+      case leaf: CuLeaf =>
+        if (log2CbSize > minCbLog2) {
+          val ctxInc = pic.depthGt(x0 - 1, y0, cqtDepth) +
+            pic.depthGt(x0, y0 - 1, cqtDepth)
+          e.decision(H265Cabac.CtxSplitCu + ctxInc, 0)
+        }
+        codingUnit(x0, y0, log2CbSize, cqtDepth, leaf)
+    }
+
+    var ctu = 0
+    val nCtu = layout.size
+    while (ctu < nCtu) {
+      quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2, ctbLog2, 0,
+        layout(ctu))
+      ctu += 1
+      e.terminate(if (ctu == nCtu) 1 else 0) // end_of_slice_segment_flag
+    }
+    val slice = H264.ebsp(w.stop())
+    val stream = annexB(Seq(
+      (H265.NalVps, H265.writeVps()),
+      (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra)),
+      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalIdrWRadl, slice)))
+    (stream, Recon(pic.luma, pic.cb, pic.cr))
+  }
+
+  /** residual_coding() emitter — the bit-exact mirror of
+    * [[H265Decode]]'s decode flow (same context derivations in the
+    * same order). `levels` must contain at least one nonzero.
+    */
+  private[multimodal] def encodeResidual(e: H264Cabac.Encoder,
+      levels: Array[Int], log2Size: Int, luma: Boolean,
+      scanIdx: Int): Unit = {
+    import H265Cabac._
+    val n = 1 << log2Size
+    val sub = H265Transform.scan(4, scanIdx)
+    val cgSize = math.max(n >> 2, 1)
+    val cg = H265Transform.scan(cgSize, scanIdx)
+    @inline def level(cgPos: Int, posInCg: Int): Int = {
+      val p = sub(posInCg)
+      val xC = ((cgPos % cgSize) << 2) + (p & 3)
+      val yC = ((cgPos / cgSize) << 2) + (p >> 2)
+      levels(yC * n + xC)
+    }
+    // last significant coefficient in scan order
+    var lastSubBlock = -1
+    var lastPosInCg = -1
+    var i = cg.length - 1
+    while (i >= 0 && lastSubBlock < 0) {
+      var n0 = 15
+      while (n0 >= 0 && lastSubBlock < 0) {
+        if (level(cg(i), n0) != 0) { lastSubBlock = i; lastPosInCg = n0 }
+        n0 -= 1
+      }
+      i -= 1
+    }
+    require(lastSubBlock >= 0, "encodeResidual on all-zero levels")
+    val lastP = sub(lastPosInCg)
+    var lastX = ((cg(lastSubBlock) % cgSize) << 2) + (lastP & 3)
+    var lastY = ((cg(lastSubBlock) / cgSize) << 2) + (lastP >> 2)
+    if (scanIdx == H265Transform.ScanVer) {
+      val t = lastX; lastX = lastY; lastY = t
+    }
+    val pX = lastPrefixOf(lastX, log2Size)
+    val pY = lastPrefixOf(lastY, log2Size)
+    encodeLastPrefix(e, CtxLastX, log2Size, luma, pX)
+    encodeLastPrefix(e, CtxLastY, log2Size, luma, pY)
+    encodeLastSuffix(e, pX, lastX)
+    encodeLastSuffix(e, pY, lastY)
+    val csbf = new Array[Boolean](cgSize * cgSize)
+    var j = 0
+    while (j < cg.length) {
+      var any = false
+      var n0 = 0
+      while (n0 < 16 && !any) { any = level(cg(j), n0) != 0; n0 += 1 }
+      csbf(cg(j)) = any
+      j += 1
+    }
+    csbf(cg(lastSubBlock)) = true
+    var c1 = 1
+    i = lastSubBlock
+    while (i >= 0) {
+      val cgPos = cg(i)
+      val xS = cgPos % cgSize; val yS = cgPos / cgSize
+      var infer = false
+      val coded =
+        if (i == lastSubBlock || i == 0) { csbf(cgPos) = true; true }
+        else {
+          val right = xS + 1 < cgSize && csbf(yS * cgSize + xS + 1)
+          val below = yS + 1 < cgSize && csbf((yS + 1) * cgSize + xS)
+          val ctxInc = (if (luma) 0 else 2) + (if (right || below) 1 else 0)
+          infer = true
+          e.decision(CtxCsbf + ctxInc, if (csbf(cgPos)) 1 else 0)
+          csbf(cgPos)
+        }
+      if (coded) {
+        val sigPos = new Array[Int](16)
+        var nSig = 0
+        var n0 = if (i == lastSubBlock) lastPosInCg else 15
+        if (i == lastSubBlock) { sigPos(nSig) = lastPosInCg; nSig += 1; n0 -= 1 }
+        while (n0 >= 0) {
+          val sig = level(cgPos, n0) != 0
+          if (n0 > 0 || !infer) {
+            val p = sub(n0)
+            val xC = (xS << 2) + (p & 3); val yC = (yS << 2) + (p >> 2)
+            val right = xS + 1 < cgSize && csbf(yS * cgSize + xS + 1)
+            val below = yS + 1 < cgSize && csbf((yS + 1) * cgSize + xS)
+            e.decision(CtxSig +
+              H265Decode.sigCtxInc(luma, xC, yC, log2Size, scanIdx, right, below),
+              if (sig) 1 else 0)
+            if (sig) { sigPos(nSig) = n0; nSig += 1; infer = false }
+          } else {
+            // DC of a decoded-csbf CG with no other sig: inferred 1 —
+            // csbf(cgPos) == true guarantees it IS significant
+            require(sig, "inferred-DC CG with zero DC")
+            sigPos(nSig) = 0; nSig += 1
+          }
+          n0 -= 1
+        }
+        if (nSig > 0) {
+          var ctxSet = (if (i > 0 && luma) 2 else 0) + (if (c1 == 0) 1 else 0)
+          c1 = 1
+          val g1 = new Array[Boolean](nSig)
+          var firstG1 = -1
+          var k = 0
+          while (k < math.min(nSig, 8)) {
+            val abs = math.abs(level(cgPos, sigPos(k)))
+            val b = abs > 1
+            e.decision(CtxG1 + (if (luma) 0 else 16) + 4 * ctxSet + c1,
+              if (b) 1 else 0)
+            g1(k) = b
+            if (b) { if (firstG1 < 0) firstG1 = k; c1 = 0 }
+            else if (c1 > 0 && c1 < 3) c1 += 1
+            k += 1
+          }
+          var g2 = false
+          if (firstG1 >= 0) {
+            g2 = math.abs(level(cgPos, sigPos(firstG1))) > 2
+            e.decision(CtxG2 + (if (luma) 0 else 4) + ctxSet,
+              if (g2) 1 else 0)
+          }
+          k = 0
+          while (k < nSig) {
+            e.bypass(if (level(cgPos, sigPos(k)) < 0) 1 else 0)
+            k += 1
+          }
+          var rice = 0
+          var firstCoeff2 = 1
+          k = 0
+          while (k < nSig) {
+            val abs = math.abs(level(cgPos, sigPos(k)))
+            val coded1 = 1 + (if (k < 8 && g1(k)) 1 else 0) +
+              (if (k == firstG1 && g2) 1 else 0)
+            val baseLevel = if (k < 8) 2 + firstCoeff2 else 1
+            if (coded1 == baseLevel && abs >= coded1)
+              encodeRemaining(e, rice, abs - coded1)
+            else require(abs == coded1,
+              s"level $abs not representable (base $baseLevel coded $coded1)")
+            if (abs > (3 << rice) && rice < 4) rice += 1
+            if (abs >= 2) firstCoeff2 = 0
+            k += 1
+          }
+        }
+      }
+      i -= 1
+    }
+  }
 }
