@@ -1386,6 +1386,70 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B HEVC streams for the r12 PIXEL tier-2
+    * (residual coding + coding-quadtree splits): 64x64 TEXTURED
+    * pictures (gradient + seeded noise) encoded at qp 28 with a
+    * per-seed random coding quadtree over 32x32 CTBs — NxN 8x8 CUs,
+    * TU splits, whole-CTB 32x32 CUs — so nearly every TB carries
+    * nonzero coefficients through the §7.3.8.11 syntax and the
+    * §8.6 dequant + inverse DCT/DST. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): a tier-1 ALL-PCM stream (CTB 16)
+    *     carrying id−1's tier-2 RECON pixels raw — byte-disjoint
+    *     representations, identical pixels; collapsing the pair
+    *     requires the residual decode to be sample-exact;
+    *   - id % 10 == 5: id−4's source re-encoded at qp 29 — a
+    *     near-duplicate whose recon differs in quantization error
+    *     only; EXACT-pixel dedup must keep both.
+    */
+  def syntheticHevcResidualStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val qpDecoy = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (qpDecoy) id - 4 else id
+      val qp = if (qpDecoy) 29 else 28
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 97 + 41)
+      val sy = Array.tabulate(w * h)(i =>
+        (28 + (((i % w) * 3 + (i / w) * 2 + rnd.nextInt(49)) % 200)).toByte)
+      val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+        (96 + (i % (w / 2)) / 2 + rnd.nextInt(9)).toByte)
+      val scr = Array.tabulate((w / 2) * (h / 2))(_ =>
+        (110 + rnd.nextInt(33)).toByte)
+      import H265Encode.{CuLeaf, CuSplit, CuTree}
+      def leaf8(): CuTree =
+        if (rnd.nextInt(3) == 0) CuLeaf(Seq.fill(4)(rnd.nextInt(35)))
+        else CuLeaf(Seq(rnd.nextInt(35)), splitTu = rnd.nextInt(2) == 0)
+      def node16(): CuTree =
+        if (rnd.nextInt(2) == 0) CuSplit(leaf8(), leaf8(), leaf8(), leaf8())
+        else CuLeaf(Seq(rnd.nextInt(35)), splitTu = rnd.nextInt(2) == 0)
+      def ctb32(): CuTree =
+        if (rnd.nextInt(4) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+        else CuSplit(node16(), node16(), node16(), node16())
+      val layout = Seq(ctb32(), ctb32(), ctb32(), ctb32())
+      val (stream, recon) =
+        H265Encode.encodeIntraPicture2(sy, scb, scr, w, h, layout, qp)
+      val content =
+        if (isDup) {
+          // tier-1 twin: PCM CTUs carrying the tier-2 recon verbatim
+          val ctus: Array[Array[H265Encode.Ctu]] =
+            Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                recon.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                recon.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                recon.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              H265Encode.Pcm(l, cbP, crP)
+            }
+          H265Encode.encodeIntraPicture(ctus, qp = 30)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(100L)))
+    }
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

@@ -762,6 +762,30 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q159 — HEVC RESIDUAL-tier dedup (the r12 tier-2 query face):
+    * textured 64x64 pictures coded with real coding quadtrees (NxN,
+    * TU splits, 8..32 CUs) and nonzero residuals at qp 28, deduped by
+    * SHA-256 over the decoded pixel planes. Each planted dup pair is
+    * a tier-2 residual stream vs an all-PCM tier-1 stream carrying its
+    * RECON raw — byte-disjoint, pixel-identical iff every sig-map /
+    * coeff-level / dequant / inverse-DCT-DST step is sample-exact.
+    * Planted qp-29 re-encodes of the same source are near-dups that
+    * MUST survive (exact dedup, quantization error differs)
+    * ([[graft.multimodal.Multimodal.syntheticHevcResidualStreams]];
+    * H265Tier2Spec pins the transform/syntax arithmetic and the
+    * corpus asymmetry). The q133→q147 ladder's destination for the
+    * second codec family: dedup by full content identity under
+    * residual coding.
+    */
+  def q159HevcResidualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcres_200"))(
+      graft.multimodal.Multimodal.syntheticHevcResidualStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1073,6 +1097,7 @@ object ExtendedQueries {
     "q156_avc_multiref_dedup" -> (q156AvcMultiRefDedup _),
     "q157_avc_deblock_dedup" -> (q157AvcDeblockDedup _),
     "q158_hevc_pixel_dedup" -> (q158HevcPixelDedup _),
+    "q159_hevc_residual_dedup" -> (q159HevcResidualDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1333,6 +1358,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q158_hevc_pixel_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q158_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q159_hevc_residual_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q159_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

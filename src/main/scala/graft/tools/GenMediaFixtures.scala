@@ -39,6 +39,7 @@ object GenMediaFixtures {
     "avcmr_200" -> Multimodal.syntheticAvcMultiRefStreams(spark, 200),
     "avcdb_200" -> Multimodal.syntheticAvcDeblockStreams(spark, 200),
     "hevcpix_200" -> Multimodal.syntheticHevcPixelStreams(spark, 200),
+    "hevcres_200" -> Multimodal.syntheticHevcResidualStreams(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )
 

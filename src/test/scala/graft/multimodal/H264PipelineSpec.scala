@@ -344,6 +344,38 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC residual dedup (q159 corpus): tier-2 streams collapse with their PCM recon twins; qp decoys survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcResidualStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // tier-2 residual stream vs all-PCM tier-1 twin
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBIntraPictures(byId(id), 1)
+      val b = H265Decode.decodeAnnexBIntraPictures(byId(id - 1), 1)
+      assert(a.size == 1 && b.size == 1, s"pair $id decode")
+      assert(java.util.Arrays.equals(a.head.luma, b.head.luma), s"pair $id luma")
+      assert(java.util.Arrays.equals(a.head.cb, b.head.cb), s"pair $id cb")
+      assert(java.util.Arrays.equals(a.head.cr, b.head.cr), s"pair $id cr")
+    }
+    decoys.foreach { id => // same source at qp 29 vs 28: near-dup, not exact
+      val t = H265Decode.decodeAnnexBIntraPictures(byId(id), 1)
+      val o = H265Decode.decodeAnnexBIntraPictures(byId(id - 4), 1)
+      assert(t.size == 1 && o.size == 1, s"decoy $id decode")
+      assert(!java.util.Arrays.equals(t.head.luma, o.head.luma),
+        s"decoy $id: quantization error must differ between qp 28 and 29")
+    }
+    // residuals are LIVE in this corpus: a tier-2 stream's recon is not
+    // its prediction (some TB carries coefficients on textured content)
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "tier-2 residual path collapses exactly the cross-tier dups; decoys survive")
+    media.unpersist()
+  }
+
   test("deblocked exact-pixel dedup (q157 corpus): cross-entropy pairs collapse, unfiltered twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcDeblockStreams(spark, 60).persist()

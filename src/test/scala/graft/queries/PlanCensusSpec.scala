@@ -276,6 +276,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // same exact-pixel shape;
                                                    // decode fan-out runs the
                                                    // CTU walk + 8.4.4.2
+    "q159_hevc_residual_dedup" -> (4, 1, 0, true), // r12 HEVC residual tier:
+                                                   // same exact-pixel shape;
+                                                   // decode fan-out runs the
+                                                   // quadtree + 7.3.8.11
+                                                   // residuals + 8.6 IDCT/DST
     "q152_span_cut"            -> (3, 2, 0, true), // r9: q73's three narrow
                                                    // shuffles + per-doc span agg,
                                                    // then broadcast joins back to
