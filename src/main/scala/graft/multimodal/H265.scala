@@ -363,12 +363,13 @@ object H265 {
     H264.ebsp(w.stop())
   }
 
-  /** PPS for the r11 pixel tier: the probe PPS with the in-loop
-    * deblocking filter explicitly DISABLED (control present, override
-    * off, pps_deblocking_filter_disabled) — HEVC deblocking is on by
-    * default and stays a later rung, exactly as H.264's was until r11.
+  /** PPS for the pixel tiers: the probe PPS with explicit deblocking
+    * control (override off). r11 tier-1/2 streams DISABLE the in-loop
+    * filter (`deblockDisabled = true`); the r12 deblocking rung writes
+    * `false` (filter live, zero β/tC offsets) — HEVC deblocking is on
+    * by default in every real encoder.
     */
-  def writePpsPixel(): Array[Byte] = {
+  def writePpsPixel(deblockDisabled: Boolean = true): Array[Byte] = {
     val w = new H264.BitWriter
     w.ue(0); w.ue(0) // pps id, sps id
     w.flag(false) // dependent_slice_segments_enabled
@@ -389,7 +390,8 @@ object H265 {
     w.flag(true)  // pps_loop_filter_across_slices_enabled
     w.flag(true)  // deblocking_filter_control_present
     w.flag(false) //   deblocking_filter_override_enabled
-    w.flag(true)  //   pps_deblocking_filter_disabled
+    w.flag(deblockDisabled) // pps_deblocking_filter_disabled
+    if (!deblockDisabled) { w.se(0); w.se(0) } // beta/tc offsets div2
     w.flag(false) // pps_scaling_list_data_present
     w.flag(false) // lists_modification_present
     w.ue(0)   // log2_parallel_merge_level_minus2
@@ -401,7 +403,9 @@ object H265 {
   /** Parsed PPS fields the pixel tier needs (§7.3.2.3). */
   final case class PpsInfo(ppsId: Int, spsId: Int, initQp: Int,
       cbQpOffset: Int, crQpOffset: Int, deblockingDisabled: Boolean,
-      supported: Boolean)
+      supported: Boolean,
+      betaOffsetDiv2: Int = 0, tcOffsetDiv2: Int = 0,
+      loopFilterAcrossSlices: Boolean = true)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
@@ -428,15 +432,18 @@ object H265 {
       if (r.flag() | r.flag()) ok = false // weighted pred/bipred
       if (r.flag()) ok = false // transquant_bypass
       if (r.flag() | r.flag()) ok = false // tiles / entropy sync
-      r.flag() // loop_filter_across_slices
+      val lfAcross = r.flag() // loop_filter_across_slices
       var deblockDisabled = false
+      var betaOff = 0
+      var tcOff = 0
       if (r.flag()) { // deblocking_filter_control_present
         if (r.flag()) ok = false // override enabled (slice-level knobs)
         deblockDisabled = r.flag()
-        if (!deblockDisabled) { r.se(); r.se() }
+        if (!deblockDisabled) { betaOff = r.se(); tcOff = r.se() }
       }
       if (r.flag()) ok = false // pps_scaling_list_data_present
-      Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok))
+      Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
+        betaOff, tcOff, lfAcross))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

@@ -67,6 +67,28 @@ object H265Decode {
     val mode4: Array[Int] = Array.fill(w4 * h4)(-1)
     /** per-4x4 coding-quadtree depth; −1 = not yet parsed. */
     val depth4: Array[Int] = Array.fill(w4 * h4)(-1)
+    /** TU-edge grids for the deblocking filter (r12): cell (x4, y4)
+      * in tuEdgeV4 ⇔ a vertical TU/CU boundary at column x4·4 across
+      * rows y4·4..+3; tuEdgeH4 the transpose. Collected by
+      * [[markLuma]] (every call IS a completed luma TB or PCM CU).
+      */
+    val tuEdgeV4 = new Array[Boolean](w4 * h4)
+    val tuEdgeH4 = new Array[Boolean](w4 * h4)
+    /** 4x4 cells whose samples the loop filter must not MODIFY
+      * (pcm_loop_filter_disabled); they still feed neighbor decisions.
+      */
+    val noFilter4 = new Array[Boolean](w4 * h4)
+    def tuEdgeV(x: Int, y: Int): Boolean = tuEdgeV4((y >> 2) * w4 + (x >> 2))
+    def tuEdgeH(x: Int, y: Int): Boolean = tuEdgeH4((y >> 2) * w4 + (x >> 2))
+    def noFilter(x: Int, y: Int): Boolean = noFilter4((y >> 2) * w4 + (x >> 2))
+    def markNoFilter(x0: Int, y0: Int, n: Int): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) { noFilter4(y * w4 + x) = true; x += 1 }
+        y += 1
+      }
+    }
 
     def availLuma(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < width && y < height &&
@@ -80,7 +102,13 @@ object H265Decode {
       while (y < ((y0 + n) >> 2)) {
         var x = x0 >> 2
         while (x < ((x0 + n) >> 2)) { done4(y * w4 + x) = true; x += 1 }
+        tuEdgeV4(y * w4 + (x0 >> 2)) = true // the TB's left edge
         y += 1
+      }
+      var x = x0 >> 2
+      while (x < ((x0 + n) >> 2)) {
+        tuEdgeH4((y0 >> 2) * w4 + x) = true // the TB's top edge
+        x += 1
       }
     }
     def markChroma(cx0: Int, cy0: Int, n: Int): Unit = {
@@ -651,6 +679,7 @@ object H265Decode {
       pic.setMode(x0, y0, nCb, 1) // PCM counts as DC for MPMs (§8.4.2)
       pic.markLuma(x0, y0, nCb)
       pic.markChroma(cpx, cpy, half)
+      if (sps.pcmLoopFilterDisabled) pic.markNoFilter(x0, y0, nCb)
       return
     }
     // prev_intra_luma_pred_flag for every PU FIRST, then per-PU
@@ -724,8 +753,8 @@ object H265Decode {
     require(!sps.saoEnabled && !sps.scalingList && !sps.ampEnabled &&
       !sps.strongIntraSmoothing,
       "SAO/scaling lists/AMP/strong smoothing out of scope")
-    require(pps.deblockingDisabled,
-      "HEVC deblocking out of scope — PPS must disable")
+    // deblocking: live since r12 (PPS-controlled; tier-1/2 fixture
+    // streams keep it disabled, the q160 rung enables it)
     val ctbSize = 1 << sps.ctbLog2
     require(sps.width % ctbSize == 0 && sps.height % ctbSize == 0,
       "partial CTBs out of scope")
@@ -741,6 +770,11 @@ object H265Decode {
     }
     val qp = pps.initQp + r.se()
     require(qp >= 0 && qp <= 51, s"bad slice qp $qp")
+    // slice_loop_filter_across_slices_enabled_flag (§7.3.6.1: present
+    // when the PPS enables cross-slice filtering and any in-loop
+    // filter is live — SAO is tier-rejected, so deblocking decides)
+    if (pps.loopFilterAcrossSlices && !pps.deblockingDisabled)
+      r.flag()
     // byte_alignment (§7.3.2.10): one, then zeros
     require(r.u(1) == 1, "alignment_bit_equal_to_one")
     while (r.remaining % 8 != 0) require(r.u(1) == 0, "alignment zero bit")
@@ -764,6 +798,11 @@ object H265Decode {
       require(!s.d.exhausted, "HEVC CABAC bitstream exhausted mid-slice")
     }
     require(ctu == nCtu, "slice ended before the picture completed")
+    // in-loop deblocking (r12): runs before the picture is output —
+    // and before it could serve as a reference, once inter lands
+    if (!pps.deblockingDisabled)
+      H265Deblock.filterPicture(pic, qp, pps.cbQpOffset, pps.crQpOffset,
+        pps.betaOffsetDiv2, pps.tcOffsetDiv2)
     Some(Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,
       pic.luma, pic.cb, pic.cr))
   }

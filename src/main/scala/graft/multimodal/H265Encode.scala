@@ -141,7 +141,7 @@ object H265Encode {
   def encodeIntraPicture2(srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], width: Int, height: Int, layout: Seq[CuTree],
       qp: Int, ctbLog2: Int = 5, minCbLog2: Int = 3, maxTbLog2: Int = 5,
-      depthIntra: Int = 1): (Array[Byte], Recon) = {
+      depthIntra: Int = 1, deblock: Boolean = false): (Array[Byte], Recon) = {
     val ctb = 1 << ctbLog2
     require(width % ctb == 0 && height % ctb == 0, "CTB-aligned dims only")
     require(srcY.length == width * height &&
@@ -156,6 +156,7 @@ object H265Encode {
     w.ue(0) // slice_pic_parameter_set_id
     w.ue(2) // slice_type: I
     w.se(qp - 26) // slice_qp_delta (PPS init_qp 26)
+    if (deblock) w.flag(true) // slice_loop_filter_across_slices_enabled
     w.u(1, 1); w.alignZero() // byte_alignment
 
     val ctx = H265Cabac.contexts(qp)
@@ -407,8 +408,12 @@ object H265Encode {
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra)),
-      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock)),
       (H265.NalIdrWRadl, slice)))
+    // decoder-twin IN-LOOP filter: the returned recon is what a
+    // conformant decoder outputs (and would use as a reference)
+    if (deblock)
+      H265Deblock.filterPicture(pic, qp, 0, 0, 0, 0)
     (stream, Recon(pic.luma, pic.cb, pic.cr))
   }
 

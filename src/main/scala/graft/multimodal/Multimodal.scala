@@ -1450,6 +1450,64 @@ object Multimodal {
     }
   }
 
+  /** Synthetic HEVC streams for the r12 DEBLOCKING rung: the
+    * tier-2 residual corpus shape with the §8.7.2 in-loop filter LIVE
+    * (PPS enables it; mild texture at qp 32 keeps luma edge segments
+    * inside the d < β gate, and the bS-2 chroma Δ filter applies at
+    * every 16-grid edge). Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an all-PCM tier-1 stream carrying
+    *     id−1's FILTERED recon raw — collapses iff decode AND the
+    *     deblocking arithmetic are both sample-exact;
+    *   - id % 10 == 5: an UNFILTERED TWIN of id−4 — the identical
+    *     coded payload with the PPS filter off: a decoder that skips
+    *     (or misimplements) the filter sees an exact dup; a correct
+    *     one keeps both.
+    */
+  def syntheticHevcDeblockStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val unfTwin = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (unfTwin) id - 4 else id
+      val qp = 32
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 101 + 47)
+      val sy = Array.tabulate(w * h)(i =>
+        (70 + (i % w) + (i / w) / 2 + rnd.nextInt(9)).min(235).toByte)
+      val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+        (100 + (i % (w / 2)) / 4 + rnd.nextInt(13)).toByte)
+      val scr = Array.tabulate((w / 2) * (h / 2))(_ =>
+        (118 + rnd.nextInt(17)).toByte)
+      import H265Encode.{CuLeaf, CuSplit, CuTree}
+      def leaf16(): CuTree =
+        if (rnd.nextInt(3) == 0) CuLeaf(Seq(rnd.nextInt(35)), splitTu = true)
+        else CuLeaf(Seq(rnd.nextInt(35)))
+      def ctb32(): CuTree =
+        if (rnd.nextInt(3) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+        else CuSplit(leaf16(), leaf16(), leaf16(), leaf16())
+      val layout = Seq(ctb32(), ctb32(), ctb32(), ctb32())
+      val (stream, recon) = H265Encode.encodeIntraPicture2(
+        sy, scb, scr, w, h, layout, qp, deblock = !unfTwin)
+      val content =
+        if (isDup) {
+          val ctus: Array[Array[H265Encode.Ctu]] =
+            Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                recon.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                recon.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                recon.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              H265Encode.Pcm(l, cbP, crP)
+            }
+          H265Encode.encodeIntraPicture(ctus, qp = 30)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(100L)))
+    }
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

@@ -786,6 +786,29 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q160 — HEVC DEBLOCKED exact-pixel dedup (the r12 §8.7.2 in-loop
+    * filter's query face, the q157 pattern for the second codec
+    * family): tier-2 residual streams with the filter LIVE, deduped by
+    * SHA-256 over decoded planes. Planted dup pairs carry each
+    * stream's FILTERED recon as an all-PCM tier-1 twin — collapsing
+    * them requires residual decode AND the β/tC/strong/weak/chroma-Δ
+    * arithmetic to be sample-exact, in loop (the twin holds
+    * post-filter pixels). Planted UNFILTERED TWINS (identical coded
+    * payload, PPS filter off) must survive: a decoder that skips or
+    * misimplements the filter collapses them
+    * ([[graft.multimodal.Multimodal.syntheticHevcDeblockStreams]];
+    * H265DeblockSpec pins the filter arithmetic, H264PipelineSpec the
+    * corpus asymmetry).
+    */
+  def q160HevcDeblockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcdb_200"))(
+      graft.multimodal.Multimodal.syntheticHevcDeblockStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1098,6 +1121,7 @@ object ExtendedQueries {
     "q157_avc_deblock_dedup" -> (q157AvcDeblockDedup _),
     "q158_hevc_pixel_dedup" -> (q158HevcPixelDedup _),
     "q159_hevc_residual_dedup" -> (q159HevcResidualDedup _),
+    "q160_hevc_deblock_dedup" -> (q160HevcDeblockDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1361,6 +1385,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q159_hevc_residual_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q159_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q160_hevc_deblock_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q160_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -40,6 +40,7 @@ object GenMediaFixtures {
     "avcdb_200" -> Multimodal.syntheticAvcDeblockStreams(spark, 200),
     "hevcpix_200" -> Multimodal.syntheticHevcPixelStreams(spark, 200),
     "hevcres_200" -> Multimodal.syntheticHevcResidualStreams(spark, 200),
+    "hevcdb_200" -> Multimodal.syntheticHevcDeblockStreams(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )
 

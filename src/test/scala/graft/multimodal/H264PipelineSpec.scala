@@ -376,6 +376,38 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC deblock dedup (q160 corpus): filtered-recon PCM twins collapse; unfiltered twins survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcDeblockStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val twins = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && twins.nonEmpty)
+    dups.foreach { id => // tier-2 deblocked stream vs PCM twin of its recon
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBIntraPictures(byId(id), 1)
+      val b = H265Decode.decodeAnnexBIntraPictures(byId(id - 1), 1)
+      assert(a.size == 1 && b.size == 1, s"pair $id decode")
+      assert(java.util.Arrays.equals(a.head.luma, b.head.luma), s"pair $id luma")
+      assert(java.util.Arrays.equals(a.head.cb, b.head.cb), s"pair $id cb")
+      assert(java.util.Arrays.equals(a.head.cr, b.head.cr), s"pair $id cr")
+    }
+    twins.foreach { id => // filter-off twin of id-4: MUST diverge
+      val t = H265Decode.decodeAnnexBIntraPictures(byId(id), 1)
+      val o = H265Decode.decodeAnnexBIntraPictures(byId(id - 4), 1)
+      assert(t.size == 1 && o.size == 1, s"twin $id decode")
+      assert(!java.util.Arrays.equals(t.head.luma, o.head.luma) ||
+        !java.util.Arrays.equals(t.head.cb, o.head.cb) ||
+        !java.util.Arrays.equals(t.head.cr, o.head.cr),
+        s"twin $id: the in-loop filter must move at least one sample")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "HEVC deblock path collapses exactly the filtered-recon dups; twins survive")
+    media.unpersist()
+  }
+
   test("deblocked exact-pixel dedup (q157 corpus): cross-entropy pairs collapse, unfiltered twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcDeblockStreams(spark, 60).persist()
