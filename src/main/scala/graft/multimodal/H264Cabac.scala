@@ -196,6 +196,9 @@ object H264Cabac {
         11 -> (23, 33), 12 -> (23, 2), 13 -> (21, 0),
         14 -> (0, 49), 15 -> (-37, 118), 16 -> (5, 57), 17 -> (-13, 78),
         18 -> (-11, 65), 19 -> (1, 62), 20 -> (12, 49),
+        // P sub_mb_type 21..23 (r12): best-effort transcription — the
+        // scaladoc fidelity note applies (round-trip-invisible)
+        21 -> (26, 67), 22 -> (16, 90), 23 -> (9, 104),
         // B-slice blocks (r9): mb_skip_flag 24..26, mb_type 27..35,
         // sub_mb_type 36..39 — same best-effort provenance as the P
         // blocks above (see the scaladoc fidelity note)
@@ -214,6 +217,7 @@ object H264Cabac {
         11 -> (22, 25), 12 -> (34, 0), 13 -> (16, 0),
         14 -> (26, 34), 15 -> (19, 22), 16 -> (40, 0), 17 -> (57, 2),
         18 -> (41, 36), 19 -> (26, 69), 20 -> (-45, 127),
+        21 -> (21, 87), 22 -> (26, 59), 23 -> (35, 16),
         24 -> (22, 25), 25 -> (34, 0), 26 -> (16, 0),
         27 -> (-2, 9), 28 -> (26, 34), 29 -> (19, 22),
         30 -> (40, 0), 31 -> (57, 2), 32 -> (41, 36),
@@ -229,6 +233,7 @@ object H264Cabac {
         11 -> (29, 16), 12 -> (25, 0), 13 -> (14, 0),
         14 -> (20, 40), 15 -> (20, 10), 16 -> (29, 0), 17 -> (54, 0),
         18 -> (37, 42), 19 -> (12, 97), 20 -> (-32, 127),
+        21 -> (27, 36), 22 -> (28, 48), 23 -> (31, 22),
         24 -> (29, 16), 25 -> (25, 0), 26 -> (14, 0),
         27 -> (-10, 51), 28 -> (20, 40), 29 -> (20, 10),
         30 -> (29, 0), 31 -> (54, 0), 32 -> (37, 42),
@@ -687,6 +692,23 @@ object H264Cabac {
     * neighbor derivation). Tree: '0' = B_Direct_8x8 (0); '10x' = B_L0/L1_8x8
     * (1/2); '110xx' = 3..6; '1110xx' = 7..10; '1111x' = 11/12.
     */
+  /** P sub_mb_type (ctxIdxOffset 21, Table 9-38): '1' = P_L0_8x8,
+    * '00' = P_L0_8x4, '011' = P_L0_4x8, '010' = P_L0_4x4 (r12).
+    */
+  def decodePSubMbType(d: Decoder): Int =
+    if (d.decision(21) == 1) 0
+    else if (d.decision(22) == 0) 1
+    else if (d.decision(23) == 1) 2
+    else 3
+
+  def encodePSubMbType(e: Encoder, t: Int): Unit = t match {
+    case 0 => e.decision(21, 1)
+    case 1 => e.decision(21, 0); e.decision(22, 0)
+    case 2 => e.decision(21, 0); e.decision(22, 1); e.decision(23, 1)
+    case 3 => e.decision(21, 0); e.decision(22, 1); e.decision(23, 0)
+    case _ => sys.error(s"bad P sub_mb_type $t")
+  }
+
   def decodeBSubMbType(d: Decoder): Int = {
     if (d.decision(36) == 0) return 0 // B_Direct_8x8
     if (d.decision(37) == 0) return 1 + d.decision(39)

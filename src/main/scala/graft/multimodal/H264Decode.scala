@@ -191,6 +191,15 @@ object H264Decode {
     // I_16x16/I_PCM blocks predict as DC (2) per §8.3.1.1)
     val i4Modes = Array.fill(mbW * 4 * mbH * 4)(-1)
     val mbDecoded = new Array[Boolean](mbW * mbH)
+    // multi-slice pictures (r12): §6.4 availability requires the
+    // neighbor MB to belong to the CURRENT slice — MBs of earlier
+    // slices are decoded but unavailable for intra prediction, nC,
+    // and mv prediction. curSlice increments per slice header.
+    val mbSlice: Array[Int] = Array.fill(mbW * mbH)(-1)
+    var curSlice: Int = -1
+    // deblock-parameter consistency across a picture's slices (the
+    // filter applies picture-level switches): −3 = none seen yet
+    var deblockIdcSeen: Int = -3
     // deblocking inputs (r11, §8.7): per-MB intra/I_PCM flags and the
     // QPy each MB decoded with, plus the slice header's filter switch
     // and alpha/beta offsets (already doubled, §7.3.3's *_div2 * 2)
@@ -270,7 +279,8 @@ object H264Decode {
     }
 
     def mbAvailable(mbX: Int, mbY: Int): Boolean =
-      mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH && mbDecoded(mbY * mbW + mbX)
+      mbX >= 0 && mbY >= 0 && mbX < mbW && mbY < mbH &&
+        mbDecoded(mbY * mbW + mbX) && mbSlice(mbY * mbW + mbX) == curSlice
 
     /** nC for a luma 4x4 block at absolute block coords (§9.2.1). */
     def lumaNc(x4: Int, y4: Int): Int = {
@@ -665,6 +675,15 @@ object H264Decode {
     val isB = sliceType == 1 || sliceType == 6
     require(sliceType == 2 || sliceType == 7 || isP || isB,
       s"slice type $sliceType out of scope")
+    // multi-slice pictures (r12): each slice bumps the availability
+    // epoch — MBs of earlier slices turn unavailable for §6.4
+    // neighbor derivations while staying decoded picture state
+    st.curSlice += 1
+    st.mv.curSlice = st.curSlice
+    st.mvL1.curSlice = st.curSlice
+    require(firstMb == 0 || st.curSlice > 0,
+      "continuation slice without a picture start")
+    require(firstMb < st.mbW * st.mbH, "first_mb_in_slice past picture end")
     require(!isP || st.list0.nonEmpty, "P slice without a reference picture")
     require(!isB || (st.list0.nonEmpty && st.list1.nonEmpty),
       "B slice without both reference lists")
@@ -777,7 +796,18 @@ object H264Decode {
       val disable = r.ue()
       require(disable <= 2, s"bad disable_deblocking_filter_idc $disable")
       // idc 0 enables the filter; idc 2 differs from 0 only across
-      // slice boundaries — one slice per picture here, so identical
+      // slice boundaries — identical for single-slice pictures, but a
+      // MULTI-slice picture with idc 2 would need per-edge slice
+      // masking the filter doesn't carry: reject loudly (r12 scope)
+      require(disable != 2 || st.curSlice == 0,
+        "disable_deblocking_filter_idc 2 on a multi-slice picture out of scope")
+      // the filter applies picture-level switches/offsets: every slice
+      // of a picture must agree (a conformant per-slice variation is
+      // out of this tier's scope — fail loud, never filter wrong)
+      require(st.deblockIdcSeen == -3 || st.deblockIdcSeen == disable,
+        "per-slice deblocking variation out of scope")
+      st.deblockIdcSeen = disable
+      val prevOffA = st.deblockOffA; val prevOffB = st.deblockOffB
       st.deblock = disable != 1
       if (disable != 1) {
         st.deblockOffA = r.se() * 2 // slice_alpha_c0_offset_div2
@@ -789,6 +819,9 @@ object H264Decode {
         // pictures (two lists, bidirectional §8.7.2.1 clauses) reject
         // rather than filter wrong
         require(!isB, "deblocking over B slices out of scope")
+        require(st.curSlice == 0 ||
+          (st.deblockOffA == prevOffA && st.deblockOffB == prevOffB),
+          "per-slice deblocking-offset variation out of scope")
       }
     }
 
@@ -811,6 +844,7 @@ object H264Decode {
         while (skip > 0) {
           require(mbAddr < st.mbW * st.mbH, "mb address past picture end")
           st.mbDecoded(mbAddr) = true
+        st.mbSlice(mbAddr) = st.curSlice
           st.mbQp(mbAddr) = qp // skip MBs carry the running QPy (§8.7)
           st.mv.markMb(mbAddr)
           if (isB) { st.mvL1.markMb(mbAddr)
@@ -828,6 +862,7 @@ object H264Decode {
         // context of in-MB blocks depends on it (H264ResidualSpec caught
         // the post-hoc marking as a coeff_token table desync)
         st.mbDecoded(mbAddr) = true
+        st.mbSlice(mbAddr) = st.curSlice
         st.mv.markMb(mbAddr)
         st.mvL1.markMb(mbAddr)
         val mbType = r.ue()
@@ -860,6 +895,9 @@ object H264Decode {
     * — deblocking is inside the prediction loop, not a display pass.
     */
   private def applyDeblock(st: State): Unit = {
+    // the filter's bS motion comparisons read the completed picture's
+    // grids across slice boundaries (idc 0): lift the slice gate
+    st.mv.seal(); st.mvL1.seal()
     val qps = Array.tabulate(st.mbW * st.mbH)(i =>
       if (st.mbIPcm(i)) 0 else st.mbQp(i))
     H264Deblock.filterPicture(new H264Deblock.PicState(st.mbW, st.mbH,
@@ -1269,6 +1307,7 @@ object H264Decode {
       // own flush reads are after the last committed MB and so exempt.
       require(!d.exhausted, "CABAC bitstream exhausted mid-slice")
       st.mbDecoded(mbAddr) = true
+        st.mbSlice(mbAddr) = st.curSlice
       st.mbQp(mbAddr) = qp // deblocking input (skip MBs: running QPy)
       mbAddr += 1
       end = d.terminate() == 1
@@ -1655,15 +1694,18 @@ object H264Decode {
   }
 
   /** Decode one P-slice inter macroblock (P_L0_16x16 / P_L0_L0_16x8 /
-    * P_L0_L0_8x16 — P_8x8 sub-partitions are out of scope and reject
-    * the frame); returns the updated QPy. r11 multi-ref: §7.3.5.1
+    * P_L0_L0_8x16; P_8x8 / P_8x8ref0 dispatch to
+    * [[decodeP8x8Macroblock]] since r12); returns the updated QPy. r11 multi-ref: §7.3.5.1
     * mb_pred reads ALL partitions' ref_idx_l0 (te(v), absent with one
     * active reference) BEFORE the mvd_l0 loop; each partition's mvp
     * ref-matches against its own refIdx.
     */
   private def decodeInterMacroblock(st: State, r: H264.BitReader,
       mbAddr: Int, qpIn: Int, mbType: Int): Int = {
-    require(mbType <= 2, s"P_8x8 mb_type $mbType out of scope")
+    if (mbType == 3 || mbType == 4) // P_8x8 / P_8x8ref0 (r12)
+      return decodeP8x8Macroblock(st, r, mbAddr, qpIn,
+        ref0Inferred = mbType == 4)
+    require(mbType <= 2, s"bad P mb_type $mbType")
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
@@ -1778,6 +1820,99 @@ object H264Decode {
       case (2, 1, 2) => Seq((0, 0), (1, 0))
       case _         => Seq((0, 0), (1, 0), (0, 1), (1, 1))
     }
+
+  /** Table 7-17 P sub_mb_type properties: (numSubMbPart, sw4, sh4) —
+    * all sub-partitions predict from L0.
+    */
+  private[multimodal] def pSubMbInfo(t: Int): (Int, Int, Int) = t match {
+    case 0 => (1, 2, 2) // P_L0_8x8
+    case 1 => (2, 2, 1) // P_L0_8x4
+    case 2 => (2, 1, 2) // P_L0_4x8
+    case 3 => (4, 1, 1) // P_L0_4x4
+    case _ => throw new IllegalArgumentException(s"bad P sub_mb_type $t")
+  }
+
+  /** Decode one P_8x8 / P_8x8ref0 macroblock (CAVLC; mb_type 3 / 4,
+    * r12): four sub_mb_type elements (Table 7-17), then every 8x8's
+    * ref_idx_l0 (te(v) — absent for P_8x8ref0 or one active
+    * reference), then mvd_l0 per sub-partition in sub-block order
+    * (§7.3.5.2). Sub-partition MVs use the PLAIN §8.4.1.3 median, the
+    * B_8x8 precedent: the 16x8/8x16 directional shortcuts apply only
+    * to macroblock partitions, and MvGrid's per-block decodedness
+    * gives a later-block C the §6.4.11.7 D substitution. Residual
+    * tail shared with the P/B macroblock paths.
+    */
+  private def decodeP8x8Macroblock(st: State, r: H264.BitReader,
+      mbAddr: Int, qpIn: Int, ref0Inferred: Boolean): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val subTypes = Array.fill(4) {
+      val t = r.ue(); require(t <= 3, s"bad P sub_mb_type $t"); t
+    }
+    val refs = Array.tabulate(4) { _ =>
+      if (!ref0Inferred && st.numRef0 > 1) {
+        val ri = r.te(st.numRef0 - 1)
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range"); ri
+      } else 0
+    }
+    var i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, sw, sh) = pSubMbInfo(subTypes(i))
+      bSubPartOffsets(n, sw, sh).foreach { case (sx, sy) =>
+        val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+        val mvdX = r.se(); val mvdY = r.se()
+        val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0, refs(i))
+        val mx = p0x + mvdX; val my = p0y + mvdY
+        st.mv.set(x4, y4, sw, sh, mx, my, refs(i))
+        motionCompensate(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
+          sw * 4, sh * 4, mx, my, refs(i))
+      }
+      i += 1
+    }
+    decodeInterResidualCavlc(st, r, mbX, mbY, qpIn)
+  }
+
+  /** CABAC twin of [[decodeP8x8Macroblock]] (mb_type 3; P_8x8ref0 has
+    * no CABAC binarization): sub_mb_type through the ctx-21..23 tree,
+    * ref_idx/mvds through the shared contexts at sub-partition
+    * granularity.
+    */
+  private def decodeP8x8MacroblockCabac(st: State, d: H264Cabac.Decoder,
+      cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int): Int = {
+    val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
+    val px = mbX * 16; val py = mbY * 16
+    val bx4 = mbX * 4; val by4 = mbY * 4
+    val subTypes = Array.fill(4)(H264Cabac.decodePSubMbType(d))
+    val refs = Array.tabulate(4) { k =>
+      if (st.numRef0 > 1) {
+        val x4 = bx4 + (k % 2) * 2; val y4 = by4 + (k / 2) * 2
+        val ri = H264Cabac.decodeRefIdx(d, cc.refIdxInc(0, x4, y4))
+        require(ri < st.numRef0, s"ref_idx_l0 $ri out of range")
+        cc.setRefCtx(0, x4, y4, 2, 2, ri)
+        ri
+      } else 0
+    }
+    var i = 0
+    while (i < 4) {
+      val ox = (i % 2) * 2; val oy = (i / 2) * 2
+      val (n, sw, sh) = pSubMbInfo(subTypes(i))
+      bSubPartOffsets(n, sw, sh).foreach { case (sx, sy) =>
+        val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+        val mvdX = H264Cabac.decodeMvd(d, 0, cc.mvdInc(0, 0, x4, y4))
+        val mvdY = H264Cabac.decodeMvd(d, 1, cc.mvdInc(0, 1, x4, y4))
+        cc.setMvd(0, x4, y4, sw, sh, mvdX, mvdY)
+        val (p0x, p0y) = st.mv.mvPred(x4, y4, sw, sh, 0, refs(i))
+        val mx = p0x + mvdX; val my = p0y + mvdY
+        st.mv.set(x4, y4, sw, sh, mx, my, refs(i))
+        motionCompensate(st, px + (ox + sx) * 4, py + (oy + sy) * 4,
+          sw * 4, sh * 4, mx, my, refs(i))
+      }
+      i += 1
+    }
+    decodeInterResidualCabac(st, d, cc, mbAddr, qpIn)
+  }
 
   /** Decode one B_8x8 macroblock (CAVLC; mb_type 22): four sub_mb_type
     * elements (Table 7-18), then list-major mvds — mvd_l0 for every
@@ -2131,12 +2266,14 @@ object H264Decode {
   private def decodeInterMacroblockCabac(st: State, d: H264Cabac.Decoder,
       cc: H264Cabac.IntraCtxTrack, mbAddr: Int, qpIn: Int,
       mbType: Int): Int = {
-    require(mbType <= 2, s"P_8x8 mb_type $mbType out of scope")
+    cc.markInter(mbAddr)
+    if (mbType == 3) // P_8x8 (r12; P_8x8ref0 has no CABAC binarization)
+      return decodeP8x8MacroblockCabac(st, d, cc, mbAddr, qpIn)
+    require(mbType <= 2, s"bad P mb_type $mbType")
     val mbX = mbAddr % st.mbW; val mbY = mbAddr / st.mbW
     val px = mbX * 16; val py = mbY * 16
     val bx4 = mbX * 4; val by4 = mbY * 4
     var qp = qpIn
-    cc.markInter(mbAddr)
     val parts: Seq[(Int, Int, Int, Int, Int)] = mbType match {
       case 0 => Seq((0, 0, 4, 4, 0))
       case 1 => Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
@@ -2444,6 +2581,7 @@ object H264Decode {
     val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbEntry]
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
+        st.mv.seal(); st.mvL1.seal() // retained grids are whole-picture
         val f = Frame(st.sps.width, st.sps.height, st.mbW, st.mbH,
           st.luma, st.cb, st.cr)
         out += (((cvs, st.poc), f))

@@ -38,8 +38,8 @@ object H264Encode {
   }
 
   private[multimodal] def sliceHeader(w: H264.BitWriter, qp: Int,
-      deblock: Boolean = false): Unit = {
-    w.ue(0) // first_mb_in_slice
+      deblock: Boolean = false, firstMb: Int = 0): Unit = {
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id
     w.u(0, 4) // frame_num (log2_max_frame_num = 4 per writeSps)
@@ -82,8 +82,8 @@ object H264Encode {
   private[multimodal] def pSliceHeader(w: H264.BitWriter, qp: Int,
       cabacInitIdc: Int = -1, poc: Int = 0,
       weights: Option[PredWeights] = None, numRef0: Int = 1,
-      deblock: Boolean = false): Unit = {
-    w.ue(0) // first_mb_in_slice
+      deblock: Boolean = false, firstMb: Int = 0): Unit = {
+    w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
     w.u(1, 4) // frame_num = 1 (log2_max_frame_num = 4 per writeSps)
@@ -998,6 +998,188 @@ object H264Encode {
   /** CABAC twin of [[encodeI4x4Modes]]: caller-chosen I_4x4 prediction
     * modes, zero residual, arithmetic-coded.
     */
+  // ---------------------------------------- r12: multi-slice + P_8x8
+
+  /** Multi-slice I_16x16-DC IDR picture (r12): the [[encodeI16x16Dc]]
+    * DC-level search, with the picture carved into `sliceStarts`
+    * slices (MB addresses, first must be 0) — each slice its own NAL
+    * with its own header, entropy state (fresh CABAC engine/contexts
+    * per slice when `cabac`) and §6.4 availability epoch: the
+    * DC prediction of a slice's first MBs must NOT see earlier
+    * slices' reconstructions, exactly as the decoder derives it.
+    * Returns (stream, expected per-MB recon).
+    */
+  def encodeI16x16DcSlices(mbMeans: Array[Array[Int]], qp: Int = 26,
+      sliceStarts: Seq[Int] = Seq(0),
+      cabac: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
+    val mbH = mbMeans.length; val mbW = mbMeans.head.length
+    require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
+    require(qp >= 0 && qp <= 51, s"bad qp $qp")
+    val nMb = mbW * mbH
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts == sliceStarts.sorted && sliceStarts.distinct == sliceStarts &&
+      sliceStarts.forall(a => a >= 0 && a < nMb), "bad sliceStarts")
+    val bounds = sliceStarts :+ nMb
+    def sliceOf(addr: Int): Int = bounds.lastIndexWhere(_ <= addr, bounds.size - 2)
+    val recon = Array.ofDim[Int](mbH, mbW)
+    val scale0 = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    def pixelDelta(level: Int): Int = {
+      val dc =
+        if (qp >= 36) (level * scale0) << (qp / 6 - 6)
+        else (level * scale0 + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      (dc + 32) >> 6
+    }
+    val sliceNals = (0 until sliceStarts.size).map { si =>
+      val begin = bounds(si); val endEx = bounds(si + 1)
+      val w = new H264.BitWriter
+      sliceHeader(w, qp, firstMb = begin)
+      if (cabac) w.alignOne()
+      val e = if (cabac) new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
+        else null
+      val cc = if (cabac) new H264Cabac.IntraCtxTrack(mbW, mbH) else null
+      var addr = begin
+      while (addr < endEx) {
+        val mbX = addr % mbW; val mbY = addr / mbW
+        // availability = decoded AND same slice (§6.4, the r12 rule)
+        val availL = mbX > 0 && sliceOf(addr - 1) == si
+        val availT = mbY > 0 && sliceOf(addr - mbW) == si
+        val pred =
+          if (availL && availT)
+            ((recon(mbY)(mbX - 1) + recon(mbY - 1)(mbX)) * 16 + 16) >> 5
+          else if (availT) recon(mbY - 1)(mbX)
+          else if (availL) recon(mbY)(mbX - 1)
+          else 128
+        val want = mbMeans(mbY)(mbX) - pred
+        var best = 0; var bestErr = math.abs(pixelDelta(0) - want)
+        var l = -4000
+        while (l <= 4000) {
+          val err = math.abs(pixelDelta(l) - want)
+          if (err < bestErr || (err == bestErr && math.abs(l) < math.abs(best))) {
+            best = l; bestErr = err
+          }
+          l += 1
+        }
+        recon(mbY)(mbX) = math.max(0, math.min(255, pred + pixelDelta(best)))
+        val coeffs = new Array[Int](16)
+        coeffs(0) = best
+        if (!cabac) {
+          w.ue(3) // I_16x16, DC, cbp 0
+          w.ue(0) // intra_chroma_pred_mode: DC
+          w.se(0) // mb_qp_delta
+          H264Cavlc.encodeResidualBlock(w, coeffs, nC = 0)
+        } else {
+          H264Cabac.encodeMbTypeI(e, cc.mbTypeCond(mbX, mbY), 3)
+          cc.markI16(addr)
+          cc.cbp(addr) = 0
+          H264Cabac.encodeChromaPredMode(e, cc.chromaModeCondA(mbX, mbY),
+            cc.chromaModeCondB(mbX, mbY), 0)
+          cc.chromaNZ(addr) = false
+          H264Cabac.encodeQpDelta(e, cc.prevQpDeltaNZ, 0)
+          cc.prevQpDeltaNZ = false
+          val tc = H264Cabac.encodeResidual(e, 0, coeffs,
+            cc.lumaDcInc(mbX, mbY))
+          cc.cbfLDc(addr) = tc > 0
+          e.terminate(if (addr == endEx - 1) 1 else 0) // end_of_slice
+        }
+        addr += 1
+      }
+      H264.ebsp(w.stop())
+    }
+    val stream = annexB(
+      Seq((7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+        (8, 3, H264.writePps(cabac = cabac))) ++
+        sliceNals.map(p => (5, 3, p)))
+    (stream, recon)
+  }
+
+  /** One P_8x8 macroblock's content: four Table 7-17 sub_mb_types and
+    * the quarter-pel mv per sub-partition, flat in sub-block order.
+    */
+  final case class P8x8Mb(subTypes: Seq[Int], mvs: Seq[(Int, Int)]) {
+    require(subTypes.size == 4 && subTypes.forall(t => t >= 0 && t <= 3),
+      s"bad subTypes $subTypes")
+    require(mvs.size == subTypes.map(Seq(1, 2, 2, 4)).sum,
+      "one mv per sub-partition")
+  }
+
+  /** P-slice payload(s) of all-P_8x8 macroblocks with zero residual
+    * (r12) — sub_mb_type per 8x8, per-sub-partition mvds derived from
+    * the SAME slice-aware [[H264Inter.MvGrid]] the decoder runs, in
+    * both entropy codings, optionally carved into `sliceStarts`
+    * slices. Emits the slice NALs only (callers assemble GOPs, the
+    * encodeP16x16 convention lifted to pictures-as-NAL-lists).
+    */
+  def encodeP8x8Slices(mbs: Array[Array[P8x8Mb]], qp: Int = 26,
+      poc: Int = 0, sliceStarts: Seq[Int] = Seq(0),
+      cabac: Boolean = false, initIdc: Int = 0): Seq[Array[Byte]] = {
+    val mbH = mbs.length; val mbW = mbs.head.length
+    require(mbs.forall(_.length == mbW), "ragged mbs")
+    val nMb = mbW * mbH
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts == sliceStarts.sorted && sliceStarts.distinct == sliceStarts &&
+      sliceStarts.forall(a => a >= 0 && a < nMb), "bad sliceStarts")
+    val bounds = sliceStarts :+ nMb
+    val grid = new H264Inter.MvGrid(mbW, mbH)
+    (0 until sliceStarts.size).map { si =>
+      val begin = bounds(si); val endEx = bounds(si + 1)
+      grid.curSlice = si // decoder-twin slice epoch (availability gate)
+      val w = new H264.BitWriter
+      pSliceHeader(w, qp, cabacInitIdc = if (cabac) initIdc else -1,
+        poc = poc, firstMb = begin)
+      if (cabac) w.alignOne()
+      val e = if (cabac) new H264Cabac.Encoder(w,
+        new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc))) else null
+      val cc = if (cabac) new H264Cabac.IntraCtxTrack(mbW, mbH) else null
+      var addr = begin
+      while (addr < endEx) {
+        val mbX = addr % mbW; val mbY = addr / mbW
+        val bx4 = mbX * 4; val by4 = mbY * 4
+        grid.markMb(addr)
+        val mb = mbs(mbY)(mbX)
+        if (!cabac) {
+          w.ue(0) // mb_skip_run
+          w.ue(3) // mb_type: P_8x8
+          mb.subTypes.foreach(w.ue)
+        } else {
+          H264Cabac.encodeMbSkip(e, cc.skipCond(mbX, mbY), 0)
+          cc.markInter(addr)
+          H264Cabac.encodeMbTypeP(e, 3)
+          mb.subTypes.foreach(t => H264Cabac.encodePSubMbType(e, t))
+        }
+        // (numRef0 == 1: no ref_idx syntax — te(v) absent / no bins)
+        var mvIdx = 0
+        var i = 0
+        while (i < 4) {
+          val ox = (i % 2) * 2; val oy = (i / 2) * 2
+          val (n, sw, sh) = H264Decode.pSubMbInfo(mb.subTypes(i))
+          H264Decode.bSubPartOffsets(n, sw, sh).foreach { case (sx, sy) =>
+            val x4 = bx4 + ox + sx; val y4 = by4 + oy + sy
+            val (mx, my) = mb.mvs(mvIdx); mvIdx += 1
+            val (p0x, p0y) = grid.mvPred(x4, y4, sw, sh, 0, 0)
+            if (!cabac) { w.se(mx - p0x); w.se(my - p0y) }
+            else {
+              H264Cabac.encodeMvd(e, 0, cc.mvdInc(0, 0, x4, y4), mx - p0x)
+              H264Cabac.encodeMvd(e, 1, cc.mvdInc(0, 1, x4, y4), my - p0y)
+              cc.setMvd(0, x4, y4, sw, sh, mx - p0x, my - p0y)
+            }
+            grid.set(x4, y4, sw, sh, mx, my, 0)
+          }
+          i += 1
+        }
+        if (!cabac) w.ue(H264Inter.cbpInterToCodeNum(0)) // cbp 0
+        else {
+          H264Cabac.encodeCbp(e, cc.cbpOf(mbX - 1, mbY),
+            cc.cbpOf(mbX, mbY - 1), 0)
+          cc.cbp(addr) = 0
+          cc.prevQpDeltaNZ = false
+          e.terminate(if (addr == endEx - 1) 1 else 0)
+        }
+        addr += 1
+      }
+      H264.ebsp(w.stop())
+    }
+  }
+
   def encodeCabacI4x4Modes(modes: Array[Array[Array[Int]]], qp: Int = 26): Array[Byte] = {
     val mbH = modes.length; val mbW = modes.head.length
     val w = new H264.BitWriter

@@ -39,6 +39,15 @@ private[multimodal] object H264Inter {
     val mvY = new Array[Int](w4 * h4)
     val refIdx: Array[Int] = Array.fill(w4 * h4)(-1)
     private val mbAvail = new Array[Boolean](mbW * mbH)
+    // multi-slice pictures (r12): during decode, §6.4 availability
+    // additionally requires the neighbor's MB to be in the CURRENT
+    // slice. Once the picture completes, [[seal]] lifts the slice gate
+    // — the retained grid (the co-located inputs, the deblocking bS
+    // comparisons) is whole-picture state.
+    private val mbSliceId = new Array[Int](mbW * mbH)
+    var curSlice: Int = 0
+    private var pictureSealed = false
+    def seal(): Unit = pictureSealed = true
     // r10 (the B_8x8 tier): DECODED state per 4x4 block, not per MB.
     // §8.4.1.3.2/§6.4.11.7 mark a neighbor "not available" when its
     // block is not yet decoded — which inside a sub-partitioned MB can
@@ -52,7 +61,10 @@ private[multimodal] object H264Inter {
     // marked-MB undecoded block), so committed streams are unaffected.
     private val blockDone = new Array[Boolean](w4 * h4)
 
-    def markMb(mbAddr: Int): Unit = mbAvail(mbAddr) = true
+    def markMb(mbAddr: Int): Unit = {
+      mbAvail(mbAddr) = true
+      mbSliceId(mbAddr) = curSlice
+    }
 
     /** Mark blocks DECODED without giving them list motion (refIdx
       * stays −1): intra MBs, partitions that only use the other list,
@@ -69,7 +81,8 @@ private[multimodal] object H264Inter {
 
     def blockAvail(x4: Int, y4: Int): Boolean =
       x4 >= 0 && y4 >= 0 && x4 < w4 && y4 < h4 &&
-        mbAvail((y4 / 4) * mbW + x4 / 4) && blockDone(y4 * w4 + x4)
+        mbAvail((y4 / 4) * mbW + x4 / 4) && blockDone(y4 * w4 + x4) &&
+        (pictureSealed || mbSliceId((y4 / 4) * mbW + x4 / 4) == curSlice)
 
     /** Neighbor refIdx in this list, −1 when unavailable / intra — the
       * §9.3.3.1.1.6 ref_idx ctxIdxInc input (condTermFlagN = refIdx > 0)

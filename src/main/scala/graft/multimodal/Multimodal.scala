@@ -1508,6 +1508,57 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams for the r12 MULTI-SLICE +
+    * P_8x8 rung: each stream a GOP of one IDR and one P picture, BOTH
+    * carved into two slices (the most common real-stream structure the
+    * decoder previously dropped), the P picture all P_8x8 macroblocks
+    * with per-seed Table 7-17 sub-partitions and quarter-pel motion.
+    * Decoding demands slice-aware §6.4 availability (each slice's
+    * first MBs predict from 128 / unavailable medians), per-slice
+    * entropy restarts, and sub-partition MC at 4x4 granularity.
+    * Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an EXACT cross-entropy dup of id−1
+    *     (same content, other entropy tier): pixels byte-identical,
+    *     stream bytes disjoint;
+    *   - id % 10 == 5: id−4's content with every P mv nudged one
+    *     quarter-pel — a near-dup exact dedup must keep.
+    */
+  def syntheticAvcMultiSliceStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val cabac = id % 2 == 1
+      val mbW = 4; val mbH = 4
+      val rnd = new scala.util.Random(seed * 89 + 37)
+      val means = Array.tabulate(mbH, mbW)((y, x) =>
+        40 + 11 * x + 15 * y + rnd.nextInt(17))
+      val mbs = Array.tabulate(mbH, mbW) { (_, _) =>
+        val sub = Seq.fill(4)(rnd.nextInt(4))
+        val nMv = sub.map(Seq(1, 2, 2, 4)).sum
+        H264Encode.P8x8Mb(sub, Seq.fill(nMv)((
+          rnd.nextInt(17) - 8 + (if (nudge) 1 else 0),
+          rnd.nextInt(13) - 6)))
+      }
+      val iStarts = Seq(0, 4 + rnd.nextInt(8))
+      val pStarts = Seq(0, 4 + rnd.nextInt(8))
+      val (iStream, _) = H264Encode.encodeI16x16DcSlices(means, qp = 24,
+        iStarts, cabac)
+      val iNals = H264.nalUnitsAnnexB(iStream)
+        .filter(_.nalType == 5).map(_.payload)
+      val pNals = H264Encode.encodeP8x8Slices(mbs, qp = 26, poc = 2,
+        sliceStarts = pStarts, cabac = cabac)
+      val content = H264Encode.annexB(
+        Seq((7, 3, H264.writeSps(mbW * 16, mbH * 16)),
+          (8, 3, H264.writePps(cabac = cabac))) ++
+          iNals.map(p => (5, 3, p)) ++ pNals.map(p => (1, 3, p)))
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(200L)))
+    }
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

@@ -809,6 +809,28 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q161 — multi-slice + P_8x8 video dedup (the r12 AVC rung): GOPs
+    * whose IDR and P pictures are both carved into two slices and
+    * whose P macroblocks are all P_8x8 sub-partitions, deduped by
+    * SHA-256 over decoded pixel planes. Planted cross-entropy pairs
+    * (same content, CAVLC vs CABAC) collapse only when slice-aware
+    * availability, per-slice entropy restarts and 4x4-granular
+    * sub-partition MC all reproduce content exactly; planted
+    * one-quarter-pel mv nudges must survive
+    * ([[graft.multimodal.Multimodal.syntheticAvcMultiSliceStreams]];
+    * H264MultiSliceSpec pins the boundary availability and the
+    * independent sub-partition MC, H264PipelineSpec the corpus
+    * asymmetry).
+    */
+  def q161AvcMultiSliceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcms_200"))(
+      graft.multimodal.Multimodal.syntheticAvcMultiSliceStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 2)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1122,6 +1144,7 @@ object ExtendedQueries {
     "q158_hevc_pixel_dedup" -> (q158HevcPixelDedup _),
     "q159_hevc_residual_dedup" -> (q159HevcResidualDedup _),
     "q160_hevc_deblock_dedup" -> (q160HevcDeblockDedup _),
+    "q161_avc_multislice_dedup" -> (q161AvcMultiSliceDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1388,6 +1411,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q160_hevc_deblock_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q160_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q161_avc_multislice_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q161_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

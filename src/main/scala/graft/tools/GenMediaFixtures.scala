@@ -41,6 +41,7 @@ object GenMediaFixtures {
     "hevcpix_200" -> Multimodal.syntheticHevcPixelStreams(spark, 200),
     "hevcres_200" -> Multimodal.syntheticHevcResidualStreams(spark, 200),
     "hevcdb_200" -> Multimodal.syntheticHevcDeblockStreams(spark, 200),
+    "avcms_200" -> Multimodal.syntheticAvcMultiSliceStreams(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )
 

@@ -376,6 +376,35 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("multi-slice + P_8x8 dedup (q161 corpus): cross-entropy pairs collapse; mv nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcMultiSliceStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val nudges = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && nudges.nonEmpty)
+    dups.foreach { id => // same multi-slice GOP, other entropy tier
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 2)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 2)
+      assert(a.size == 2 && b.size == 2, s"pair $id decode")
+      for (f <- 0 until 2)
+        assert(java.util.Arrays.equals(a(f).luma, b(f).luma), s"pair $id luma $f")
+    }
+    nudges.foreach { id => // quarter-pel nudge of id-4's motion
+      val t = H264Decode.decodeAnnexBPictures(byId(id), 2)
+      val o = H264Decode.decodeAnnexBPictures(byId(id - 4), 2)
+      assert(t.size == 2 && o.size == 2, s"nudge $id decode")
+      assert(!java.util.Arrays.equals(t(1).luma, o(1).luma),
+        s"nudge $id: the quarter-pel shift must move the P picture")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 2)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "multi-slice path collapses exactly the cross-entropy dups; nudges survive")
+    media.unpersist()
+  }
+
   test("HEVC deblock dedup (q160 corpus): filtered-recon PCM twins collapse; unfiltered twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticHevcDeblockStreams(spark, 60).persist()

@@ -276,6 +276,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // same exact-pixel shape;
                                                    // decode fan-out runs the
                                                    // CTU walk + 8.4.4.2
+    "q161_avc_multislice_dedup" -> (4, 1, 0, true), // r12 multi-slice+P_8x8:
+                                                   // exact-pixel shape; decode
+                                                   // fan-out runs slice-aware
+                                                   // availability + sub-MC
     "q160_hevc_deblock_dedup"  -> (4, 1, 0, true), // r12 HEVC deblocking:
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
