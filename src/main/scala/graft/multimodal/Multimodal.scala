@@ -1559,6 +1559,95 @@ object Multimodal {
     }
   }
 
+  /** Synthetic MP3 streams for the r12 compressed-audio PROBE rung:
+    * conformant MPEG-1 Layer-III frame sequences (seeded opaque
+    * payloads — framing real, Huffman/MDCT opaque, the probe-tier
+    * posture) under varying bitrates, ID3v2 headers and ID3v1 tails.
+    * Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): the SAME audio frames as id−1 wrapped
+    *     in different metadata (a distinct ID3v2 tag + an ID3v1 tail)
+    *     — the classic same-song-different-tags duplicate: byte hashes
+    *     differ, frame-payload identity collapses them;
+    *   - id % 10 == 5: id−4's frames with ONE payload byte changed —
+    *     a near-dup payload hashing must keep.
+    */
+  def syntheticMp3s(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val oneOff = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (oneOff) id - 4 else id
+      val rnd = new scala.util.Random(seed * 131 + 17)
+      val brIdx = 8 + rnd.nextInt(4) // 112..192 kbps
+      val srIdx = rnd.nextInt(3)
+      val frameLen = 144 * (Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, 0)(brIdx) * 1000) /
+        Array(44100, 48000, 32000)(srIdx)
+      val nFrames = 20 + rnd.nextInt(20)
+      val payloads = Seq.fill(nFrames) {
+        val p = new Array[Byte](frameLen - 4)
+        rnd.nextBytes(p)
+        p
+      }
+      val withChange =
+        if (oneOff) {
+          val c = payloads.map(_.clone())
+          c(nFrames / 2)(3) = (c(nFrames / 2)(3) ^ 0x5a).toByte
+          c
+        } else payloads
+      val tag =
+        if (isDup) {
+          val t = new Array[Byte](64 + rnd.nextInt(64))
+          new scala.util.Random(id).nextBytes(t) // the DUP's own tag
+          Some(t)
+        } else if (rnd.nextBoolean()) {
+          val t = new Array[Byte](32 + rnd.nextInt(32))
+          rnd.nextBytes(t)
+          Some(t)
+        } else None
+      val content = Mp3.build(withChange, brIdx, srIdx, tag, id3v1 = isDup)
+      Media(id, "audio", content,
+        MediaMeta("mp3", None, None,
+          Some(Array(44100, 48000, 32000)(srIdx)), None))
+    }
+  }
+
+  /** EXACT tag-invariant compressed-domain MP3 dedup (r12, the q155
+    * keyframe-hash posture for audio): SHA-256 over the concatenated
+    * FRAME PAYLOADS ([[Mp3.framePayloads]] — headers, CRCs, padding
+    * and ID3 tags excluded), collapse identical payload sequences,
+    * keep-smallest-id. One mapPartitions pass; only (id, 32-byte sig)
+    * rows shuffle; unparsable audio survives as data.
+    */
+  def audioDedupByFramePayloadHash(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs: Dataset[KeyframeSig] = media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { m =>
+        if (m.kind != "audio") None
+        else {
+          val ps = Mp3.framePayloads(m.content)
+          if (ps.isEmpty) None
+          else {
+            digest.reset()
+            ps.foreach(digest.update)
+            Some(KeyframeSig(m.media_id, digest.digest()))
+          }
+        }
+      }
+    }
+    val losers = sigs.toDF()
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("_winner"),
+        collect_list(col("media_id")).as("_ids"))
+      .select(explode(col("_ids")).as("_loser"), col("_winner"))
+      .filter(col("_loser") =!= col("_winner"))
+      .select(col("_loser"))
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

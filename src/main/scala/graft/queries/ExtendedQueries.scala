@@ -831,6 +831,25 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q162 — MP3 tag-invariant audio dedup (the r12 compressed-audio
+    * probe rung, the q155 posture for the audio ladder): MPEG-1
+    * Layer-III frame walking (header validation, frame-length
+    * arithmetic, ID3v2/ID3v1 skipping) with SHA-256 over the frame
+    * PAYLOADS. Planted same-song-different-tags pairs collapse —
+    * byte hashing cannot see through the metadata — while planted
+    * single-payload-byte changes survive
+    * ([[graft.multimodal.Multimodal.syntheticMp3s]]; Mp3Spec pins the
+    * header/duration arithmetic and tag handling).
+    */
+  def q162Mp3TagDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("mp3_200"))(
+      graft.multimodal.Multimodal.syntheticMp3s(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByFramePayloadHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1145,6 +1164,7 @@ object ExtendedQueries {
     "q159_hevc_residual_dedup" -> (q159HevcResidualDedup _),
     "q160_hevc_deblock_dedup" -> (q160HevcDeblockDedup _),
     "q161_avc_multislice_dedup" -> (q161AvcMultiSliceDedup _),
+    "q162_mp3_tag_dedup" -> (q162Mp3TagDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1414,6 +1434,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q161_avc_multislice_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q161_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q162_mp3_tag_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q162_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

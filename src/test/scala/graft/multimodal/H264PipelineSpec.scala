@@ -405,6 +405,29 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("MP3 tag dedup (q162 corpus): same-frames-different-tags collapse; one-byte payload changes survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMp3s(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val oneOffs = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && oneOffs.nonEmpty)
+    dups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      assert(Mp3.framePayloads(byId(id)).map(_.toSeq) ==
+        Mp3.framePayloads(byId(id - 1)).map(_.toSeq), s"pair $id payloads")
+    }
+    oneOffs.foreach { id =>
+      assert(Mp3.framePayloads(byId(id)).map(_.toSeq) !=
+        Mp3.framePayloads(byId(id - 4)).map(_.toSeq), s"one-off $id")
+    }
+    val survivors = Multimodal.audioDedupByFramePayloadHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "payload-hash path collapses exactly the retag dups; one-offs survive")
+    media.unpersist()
+  }
+
   test("HEVC deblock dedup (q160 corpus): filtered-recon PCM twins collapse; unfiltered twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticHevcDeblockStreams(spark, 60).persist()

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r12 compressed-audio probe rung: MP3 framing. Header fields,
+  * frame-length arithmetic and duration math are pinned against
+  * INDEPENDENT in-test computations and HAND-built header bytes;
+  * ID3v2 (syncsafe size, footer flag), ID3v1, CRC and padding
+  * handling each get explicit cases; the payload identity used by
+  * q162 is pinned tag-invariant and content-sensitive.
+  */
+class Mp3Spec extends AnyFunSuite {
+
+  test("hand-built header bytes parse to the spec fields") {
+    // 0xFF 0xFB 0x90 0x44: MPEG-1 Layer III, no CRC, 128 kbps, 44100,
+    // no padding, joint stereo → frameLen 144·128000/44100 = 417
+    val h = Mp3.parseFrameHeader(Array(0xff, 0xfb, 0x90, 0x44).map(_.toByte), 0)
+    assert(h.nonEmpty)
+    assert(h.get.bitrateKbps == 128 && h.get.sampleRate == 44100 &&
+      !h.get.crc && !h.get.padding && h.get.channels == 2 &&
+      h.get.frameLen == 417 && h.get.samples == 1152)
+    // padding bit set → +1
+    val hp = Mp3.parseFrameHeader(Array(0xff, 0xfb, 0x92, 0x44).map(_.toByte), 0)
+    assert(hp.get.padding && hp.get.frameLen == 418)
+    // protection bit 0 → CRC present
+    val hc = Mp3.parseFrameHeader(Array(0xff, 0xfa, 0x90, 0x44).map(_.toByte), 0)
+    assert(hc.get.crc)
+    // mono: mode 3
+    val hm = Mp3.parseFrameHeader(Array(0xff, 0xfb, 0x90, 0xc4).map(_.toByte), 0)
+    assert(hm.get.channels == 1)
+    // MPEG-2 Layer III at index 2 (16 kbps), 22050 Hz: 72·16000/22050 = 52
+    val h2 = Mp3.parseFrameHeader(Array(0xff, 0xf3, 0x20, 0x44).map(_.toByte), 0)
+    assert(h2.nonEmpty && h2.get.sampleRate == 22050 &&
+      h2.get.samples == 576 && h2.get.frameLen == 52)
+    // garbage, wrong sync, reserved bitrate/samplerate all reject
+    assert(Mp3.parseFrameHeader(Array(0xfe, 0xfb, 0x90, 0x44).map(_.toByte), 0).isEmpty)
+    assert(Mp3.parseFrameHeader(Array(0xff, 0xfb, 0xf0, 0x44).map(_.toByte), 0).isEmpty)
+    assert(Mp3.parseFrameHeader(Array(0xff, 0xfb, 0x9c, 0x44).map(_.toByte), 0).isEmpty)
+  }
+
+  test("build → frames/probe round-trip with independent duration math") {
+    val rnd = new scala.util.Random(3)
+    for (brIdx <- Seq(5, 9, 14); srIdx <- 0 to 2) {
+      val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320, 0)(brIdx)
+      val sr = Array(44100, 48000, 32000)(srIdx)
+      val fl = 144 * (br * 1000) / sr
+      val n = 25
+      val payloads = Seq.fill(n)(Array.fill(fl - 4)(rnd.nextInt(256).toByte))
+      val bytes = Mp3.build(payloads, brIdx, srIdx)
+      val fs = Mp3.frames(bytes)
+      assert(fs.size == n, s"br $br sr $sr")
+      assert(fs.forall(_._2.bitrateKbps == br))
+      val info = Mp3.probe(bytes).get
+      assert(info.sampleRate == sr && info.nFrames == n && !info.vbr)
+      assert(info.durationMs == n.toLong * 1152 * 1000 / sr) // independent
+      val back = Mp3.framePayloads(bytes)
+      assert(back.size == n && back.zip(payloads).forall {
+        case (a, b) => a.toSeq == b.toSeq
+      })
+    }
+  }
+
+  test("ID3v2 skipping: syncsafe size, footer flag; ID3v1 tail stops the walk") {
+    val payloads = Seq.fill(6)(Array.fill(413)(7.toByte))
+    val plain = Mp3.build(payloads)
+    // syncsafe: a tag of 200 bytes encodes as (0,0,1,72)
+    val tagged = Mp3.build(payloads, id3v2 = Some(new Array[Byte](200)),
+      id3v1 = true)
+    assert(Mp3.id3v2Size(tagged) == 210)
+    assert(Mp3.frames(tagged).size == 6)
+    assert(Mp3.framePayloads(tagged).map(_.toSeq) ==
+      Mp3.framePayloads(plain).map(_.toSeq), "payload identity is tag-invariant")
+    // footer flag adds 10
+    val f = tagged.clone(); f(5) = 0x10.toByte
+    assert(Mp3.id3v2Size(f) == 220)
+    // truncated final frame: dropped, earlier frames kept
+    val cut = java.util.Arrays.copyOfRange(plain, 0, plain.length - 200)
+    assert(Mp3.frames(cut).size == 5)
+    // pure garbage probes None
+    assert(Mp3.probe(Array.fill(500)(0x33.toByte)).isEmpty)
+  }
+
+  test("payload identity: sensitive to one byte, invariant to metadata") {
+    val rnd = new scala.util.Random(9)
+    val payloads = Seq.fill(8)(Array.fill(413)(rnd.nextInt(256).toByte))
+    val a = Mp3.build(payloads)
+    val changed = payloads.map(_.clone())
+    changed(4)(100) = (changed(4)(100) ^ 1).toByte
+    val b = Mp3.build(changed)
+    def sig(x: Array[Byte]): Seq[Seq[Byte]] = Mp3.framePayloads(x).map(_.toSeq)
+    assert(sig(a) != sig(b))
+    val c = Mp3.build(payloads, id3v2 = Some(Array.fill(77)(1.toByte)))
+    assert(sig(a) == sig(c))
+    assert(a.toSeq != c.toSeq)
+  }
+}

@@ -276,6 +276,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // same exact-pixel shape;
                                                    // decode fan-out runs the
                                                    // CTU walk + 8.4.4.2
+    "q162_mp3_tag_dedup"       -> (4, 1, 0, true), // r12 MP3 probe rung:
+                                                   // q155's payload-hash
+                                                   // shape over frame walks
     "q161_avc_multislice_dedup" -> (4, 1, 0, true), // r12 multi-slice+P_8x8:
                                                    // exact-pixel shape; decode
                                                    // fan-out runs slice-aware
