@@ -81,6 +81,30 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.probe(Array.fill(500)(0x33.toByte)).isEmpty)
   }
 
+  test("EXTERNAL conformance vector: gsutil's test.mp3 probes exactly") {
+    // The first externally-produced codec material found in this
+    // container across 12 rounds of sweeps (r12): an MPEG-2 Layer III
+    // stream with an ID3v2.4 tag and per-frame PADDING variation —
+    // produced by a real encoder, not this repo. Expectations below
+    // were derived by an INDEPENDENT Python frame walk of the file.
+    val path = java.nio.file.Paths.get(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(path), "external vector absent in this image")
+    val b = java.nio.file.Files.readAllBytes(path)
+    assert(Mp3.id3v2Size(b) == 32)
+    val fs = Mp3.frames(b)
+    assert(fs.size == 45)
+    val h0 = fs.head._2
+    assert(h0.version == 2 && h0.sampleRate == 22050 &&
+      h0.bitrateKbps == 64 && h0.samples == 576 && !h0.crc)
+    // real-encoder padding variation: both 208- and 209-byte frames
+    assert(fs.map(_._2.frameLen).distinct.sorted == Seq(208, 209))
+    val info = Mp3.probe(b).get
+    assert(info.durationMs == 45L * 576 * 1000 / 22050 && !info.vbr)
+    // payloads exclude headers and padding bytes: every frame 204 bytes
+    assert(Mp3.framePayloads(b).forall(_.length == 204))
+  }
+
   test("payload identity: sensitive to one byte, invariant to metadata") {
     val rnd = new scala.util.Random(9)
     val payloads = Seq.fill(8)(Array.fill(413)(rnd.nextInt(256).toByte))
