@@ -66,6 +66,27 @@ class PlanAuditSpec extends SparkSpec {
   test("q11: aggregation is partial+final (map-side combine)") {
     val p = plan("q11_agg_suite")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // r12 two-phase distinct: the Expand the built-in COUNT(DISTINCT)
+    // plan doubles every shuffled row through must be gone
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q11 two-phase distinct ≡ the definitional COUNT(DISTINCT) form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val got = InventoryQueries.all("q11_agg_suite")(spark, dir).collect()
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)
+    val want = graft.core.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_p"),
+        max(col("l_extendedprice")).as("max_p"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
 
   test("ivfTopK / lshTopK: candidate generation is an equi-join, never a cross join") {

@@ -22,9 +22,14 @@ for t in ["documents", "embeddings", "region", "nation", "customer",
     elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 sql = json.load(open(oracle_path))[name]
-con.execute(sql).fetchall()
+# Arrow materialization (r12): the Spark side consumes results via a
+# noop datasource write (full compute, no driver transfer); fetchall()
+# would charge DuckDB per-row Python tuple conversion — at the 100x
+# relational heavies' multi-million-row results that's seconds of pure
+# harness overhead. Columnar Arrow fetch is the fair equivalent.
+con.execute(sql).arrow()
 t0 = time.time()
-con.execute(sql).fetchall()
+con.execute(sql).arrow()
 print(json.dumps({"t": round(time.time() - t0, 4)}))
 """
 
