@@ -103,7 +103,9 @@ object H265 {
       pcmEnabled: Boolean = false, pcmBitDepth: Int = 8,
       pcmMinLog2: Int = 3, pcmMaxLog2: Int = 3,
       pcmLoopFilterDisabled: Boolean = false,
-      strongIntraSmoothing: Boolean = false)
+      strongIntraSmoothing: Boolean = false,
+      // r12 tier-3 (inter) fields
+      maxTrafoDepthInter: Int = 0, temporalMvp: Boolean = false)
 
   /** profile_tier_level (§7.3.3): fixed 96-bit general block + optional
     * per-sub-layer blocks. Returns (profileIdc, tier, levelIdc).
@@ -178,7 +180,7 @@ object H265 {
         val minTb = 2 + r.ue()
         val maxTb = minTb + r.ue()
         if (ctb > 6 || maxTb > 5 || minTb >= ctb) return Some(base)
-        r.ue() // max_transform_hierarchy_depth_inter
+        val depthInter = r.ue() // max_transform_hierarchy_depth_inter
         val depthIntra = r.ue()
         val scaling = r.flag()
         if (scaling) return Some(base.copy(deep = false)) // skip-parse out of scope
@@ -200,7 +202,7 @@ object H265 {
           var i = 0
           while (i < n) { r.u(pocBits); r.flag(); i += 1 }
         }
-        r.flag() // sps_temporal_mvp_enabled
+        val tmvp = r.flag() // sps_temporal_mvp_enabled
         val strong = r.flag()
         Some(base.copy(deep = true, minCbLog2 = minCb, ctbLog2 = ctb,
           minTbLog2 = minTb, maxTbLog2 = maxTb,
@@ -208,7 +210,8 @@ object H265 {
           ampEnabled = amp, saoEnabled = sao, pcmEnabled = pcm,
           pcmBitDepth = pcmBd, pcmMinLog2 = pcmMin, pcmMaxLog2 = pcmMax,
           pcmLoopFilterDisabled = pcmNoFilter,
-          strongIntraSmoothing = strong))
+          strongIntraSmoothing = strong,
+          maxTrafoDepthInter = depthInter, temporalMvp = tmvp))
       } catch {
         case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
           Some(base)
@@ -405,7 +408,8 @@ object H265 {
       cbQpOffset: Int, crQpOffset: Int, deblockingDisabled: Boolean,
       supported: Boolean,
       betaOffsetDiv2: Int = 0, tcOffsetDiv2: Int = 0,
-      loopFilterAcrossSlices: Boolean = true)
+      loopFilterAcrossSlices: Boolean = true,
+      numRefL0Default: Int = 0)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
@@ -422,7 +426,7 @@ object H265 {
       if (r.u(3) != 0) ok = false // num_extra_slice_header_bits
       if (r.flag()) ok = false // sign_data_hiding
       if (r.flag()) ok = false // cabac_init_present
-      r.ue(); r.ue() // num_ref_idx defaults
+      val numRefL0 = r.ue(); r.ue() // num_ref_idx_l0/l1 defaults
       val initQp = 26 + r.se()
       r.flag() // constrained_intra_pred (no inter in the tier: harmless)
       if (r.flag()) ok = false // transform_skip
@@ -443,7 +447,7 @@ object H265 {
       }
       if (r.flag()) ok = false // pps_scaling_list_data_present
       Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
-        betaOff, tcOff, lfAcross))
+        betaOff, tcOff, lfAcross, numRefL0))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

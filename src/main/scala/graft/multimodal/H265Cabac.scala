@@ -39,6 +39,16 @@ private[multimodal] object H265Cabac {
   val CtxSig = 60 // +sigCtxInc (luma 0..26, chroma 27..41)
   val CtxG1 = 102 // + (cIdx>0 ? 16 : 0) + 4·ctxSet + min(greater1Ctx, 3)
   val CtxG2 = 126 // + (cIdx>0 ? 4 : 0) + ctxSet
+  // tier 3 (r12, inter P): the §7.3.8.5/.6/.9 inter syntax families
+  val CtxCuSkip = 132 // + (left skip) + (above skip), 0..2
+  val CtxPredMode = 135
+  val CtxMergeFlag = 136
+  val CtxMergeIdx = 137
+  val CtxMvdGr0 = 138
+  val CtxMvdGr1 = 139
+  val CtxMvpFlag = 140
+  val CtxRqtRootCbf = 141
+  val CtxRefIdx = 142 // + binIdx 0..1 (unused at 1 active ref)
 
   @inline private def mn(initValue: Int): (Int, Int) =
     ((initValue >> 4) * 5 - 45, ((initValue & 15) << 3) - 16)
@@ -80,8 +90,58 @@ private[multimodal] object H265Cabac {
       149, 92, 139, 107, 122, 152, 140, 179, 166, 182, 140, 227, 122, 197)) ++
     family(CtxG2, Array(138, 153, 136, 167, 152, 152))).toMap
 
+  /** P-slice (initType 1, cabac_init_flag absent) context map — the
+    * initType-1 rows of the same spec tables (Tables 9-5..9-32 /
+    * public HM INIT_* tables), covering both the intra-CU syntax that
+    * P slices still carry and the r12 inter families (cu_skip_flag,
+    * pred_mode_flag, merge, mvd, mvp, rqt_root_cbf). Transcription
+    * caveat as ever: encoder and decoder share this table, so
+    * own-encoder round-trips cannot catch a mis-transcribed value —
+    * externally-produced P streams are the open validation.
+    */
+  val ctxInitP: Map[Int, (Int, Int)] = (Seq(
+    CtxPartMode -> mn(154),
+    CtxPrevIntraLuma -> mn(154),
+    CtxChromaPredMode -> mn(152),
+    (CtxCbfLuma + 0) -> mn(153),
+    (CtxCbfLuma + 1) -> mn(111),
+    (CtxCbfChroma + 0) -> mn(149),
+    (CtxCbfChroma + 1) -> mn(107),
+    (CtxCbfChroma + 2) -> mn(167),
+    (CtxCbfChroma + 3) -> mn(154),
+    (CtxCbfChroma + 4) -> mn(154),
+    (CtxSplitCu + 0) -> mn(107),
+    (CtxSplitCu + 1) -> mn(139),
+    (CtxSplitCu + 2) -> mn(126),
+    CtxPredMode -> mn(149),
+    CtxMergeFlag -> mn(110),
+    CtxMergeIdx -> mn(122),
+    CtxMvdGr0 -> mn(140),
+    CtxMvdGr1 -> mn(198),
+    CtxMvpFlag -> mn(168),
+    CtxRqtRootCbf -> mn(79),
+    (CtxRefIdx + 0) -> mn(153),
+    (CtxRefIdx + 1) -> mn(153)) ++
+    family(CtxCuSkip, Array(197, 185, 201)) ++
+    family(CtxTransSubdiv, Array(124, 138, 94)) ++
+    family(CtxLastX, Array(125, 110, 94, 110, 95, 79, 125, 111, 110,
+      78, 110, 111, 111, 95, 94, 108, 123, 108)) ++
+    family(CtxLastY, Array(125, 110, 94, 110, 95, 79, 125, 111, 110,
+      78, 110, 111, 111, 95, 94, 108, 123, 108)) ++
+    family(CtxCsbf, Array(121, 140, 61, 154)) ++
+    family(CtxSig, Array(155, 154, 139, 153, 139, 123, 123, 63, 153,
+      166, 183, 140, 136, 153, 154, 166, 183, 140, 136, 153, 154,
+      166, 183, 140, 136, 153, 154, 170, 153, 123, 123, 107, 121,
+      107, 121, 167, 151, 183, 140, 151, 183, 140)) ++
+    family(CtxG1, Array(154, 196, 196, 167, 154, 152, 167, 182, 182, 134,
+      149, 136, 153, 121, 136, 137, 169, 194, 166, 167, 154, 167, 137, 182)) ++
+    family(CtxG2, Array(107, 167, 91, 122, 107, 167))).toMap
+
   def contexts(sliceQp: Int): H264Cabac.Contexts =
     new H264Cabac.Contexts(sliceQp, ctxInitI)
+
+  def contextsP(sliceQp: Int): H264Cabac.Contexts =
+    new H264Cabac.Contexts(sliceQp, ctxInitP)
 
   /** mpm_idx: TR(cMax 2), bypass bins — '0' → 0, '10' → 1, '11' → 2. */
   def decodeMpmIdx(d: H264Cabac.Decoder): Int =
@@ -205,6 +265,95 @@ private[multimodal] object H265Cabac {
       var i = 0
       while (i < nBits) { suffix = (suffix << 1) | d.bypass(); i += 1 }
       (((1 << (p - 3)) + 2) << rice) + suffix
+    }
+  }
+
+  // ----------------------------- r12 inter binarizations (§9.3.3)
+
+  /** merge_idx (§9.3.3.9): TR with cMax = MaxNumMergeCand − 1; bin 0
+    * context-coded, bins 1.. bypass.
+    */
+  def decodeMergeIdx(d: H264Cabac.Decoder, maxNumMergeCand: Int): Int = {
+    val cMax = maxNumMergeCand - 1
+    if (cMax == 0 || d.decision(CtxMergeIdx) == 0) 0
+    else {
+      var v = 1
+      while (v < cMax && d.bypass() == 1) v += 1
+      v
+    }
+  }
+
+  def encodeMergeIdx(e: H264Cabac.Encoder, idx: Int,
+      maxNumMergeCand: Int): Unit = {
+    val cMax = maxNumMergeCand - 1
+    require(idx >= 0 && idx <= cMax, s"bad merge_idx $idx")
+    if (cMax > 0) {
+      e.decision(CtxMergeIdx, if (idx > 0) 1 else 0)
+      var i = 1
+      while (i < idx) { e.bypass(1); i += 1 }
+      if (idx > 0 && idx < cMax) e.bypass(0)
+    }
+  }
+
+  /** k-th order Exp-Golomb, bypass bins (§9.3.3.3): unary prefix of
+    * leading ones, then (prefixLen + k) suffix bits.
+    */
+  def decodeEgk(d: H264Cabac.Decoder, k: Int): Int = {
+    var p = 0
+    while (p < 28 && d.bypass() == 1) p += 1
+    require(p < 28, "malformed EGk prefix")
+    var v = 0
+    var i = 0
+    val nBits = p + k
+    while (i < nBits) { v = (v << 1) | d.bypass(); i += 1 }
+    (((1 << p) - 1) << k) + v
+  }
+
+  def encodeEgk(e: H264Cabac.Encoder, k: Int, value: Int): Unit = {
+    require(value >= 0, s"bad EGk value $value")
+    var p = 0
+    while ((((1 << (p + 1)) - 1) << k) <= value) p += 1
+    var i = 0
+    while (i < p) { e.bypass(1); i += 1 }
+    e.bypass(0)
+    val suffix = value - (((1 << p) - 1) << k)
+    var b = p + k - 1
+    while (b >= 0) { e.bypass((suffix >> b) & 1); b -= 1 }
+  }
+
+  /** mvd_coding (§7.3.8.9): greater0/greater1 flags for BOTH
+    * components first, then per-component abs_mvd_minus2 (EG1) +
+    * sign. Returns (mvdX, mvdY).
+    */
+  def decodeMvd(d: H264Cabac.Decoder): (Int, Int) = {
+    val gr0x = d.decision(CtxMvdGr0) == 1
+    val gr0y = d.decision(CtxMvdGr0) == 1
+    val gr1x = gr0x && d.decision(CtxMvdGr1) == 1
+    val gr1y = gr0y && d.decision(CtxMvdGr1) == 1
+    def component(gr0: Boolean, gr1: Boolean): Int =
+      if (!gr0) 0
+      else {
+        val abs = if (gr1) 2 + decodeEgk(d, 1) else 1
+        if (d.bypass() == 1) -abs else abs
+      }
+    val x = component(gr0x, gr1x)
+    val y = component(gr0y, gr1y)
+    (x, y)
+  }
+
+  def encodeMvd(e: H264Cabac.Encoder, mvdX: Int, mvdY: Int): Unit = {
+    val ax = math.abs(mvdX); val ay = math.abs(mvdY)
+    e.decision(CtxMvdGr0, if (ax > 0) 1 else 0)
+    e.decision(CtxMvdGr0, if (ay > 0) 1 else 0)
+    if (ax > 0) e.decision(CtxMvdGr1, if (ax > 1) 1 else 0)
+    if (ay > 0) e.decision(CtxMvdGr1, if (ay > 1) 1 else 0)
+    if (ax > 0) {
+      if (ax > 1) encodeEgk(e, 1, ax - 2)
+      e.bypass(if (mvdX < 0) 1 else 0)
+    }
+    if (ay > 0) {
+      if (ay > 1) encodeEgk(e, 1, ay - 2)
+      e.bypass(if (mvdY < 0) 1 else 0)
     }
   }
 

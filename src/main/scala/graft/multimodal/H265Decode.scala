@@ -78,6 +78,40 @@ object H265Decode {
       * (pcm_loop_filter_disabled); they still feed neighbor decisions.
       */
     val noFilter4 = new Array[Boolean](w4 * h4)
+    /** Per-4x4 inter state (r12 tier 3): quarter-pel list-0 MVs of
+      * motion-compensated cells (the tier's single-reference P form,
+      * refIdx 0); `skip4` feeds the cu_skip_flag ctxInc (§9.3.4.2.2).
+      * Parse-time validity = done4 (recon order is z-scan, and inter
+      * CUs mark recon only after their residual completes).
+      */
+    val inter4 = new Array[Boolean](w4 * h4)
+    val skip4 = new Array[Boolean](w4 * h4)
+    val mvx4 = new Array[Short](w4 * h4)
+    val mvy4 = new Array[Short](w4 * h4)
+    def setMotion(x0: Int, y0: Int, n: Int, mvx: Int, mvy: Int,
+        skip: Boolean): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) {
+          val i = y * w4 + x
+          inter4(i) = true; skip4(i) = skip
+          mvx4(i) = mvx.toShort; mvy4(i) = mvy.toShort
+          x += 1
+        }
+        y += 1
+      }
+    }
+    /** Neighbor is a decoded inter cell (merge/AMVP availability). */
+    def interAt(x: Int, y: Int): Boolean =
+      availLuma(x, y) && inter4((y >> 2) * w4 + (x >> 2))
+    def mvAt(x: Int, y: Int): (Int, Int) = {
+      val i = (y >> 2) * w4 + (x >> 2)
+      (mvx4(i).toInt, mvy4(i).toInt)
+    }
+    def skipAt(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= width || y >= height) 0
+      else if (skip4((y >> 2) * w4 + (x >> 2))) 1 else 0
     def tuEdgeV(x: Int, y: Int): Boolean = tuEdgeV4((y >> 2) * w4 + (x >> 2))
     def tuEdgeH(x: Int, y: Int): Boolean = tuEdgeH4((y >> 2) * w4 + (x >> 2))
     def noFilter(x: Int, y: Int): Boolean = noFilter4((y >> 2) * w4 + (x >> 2))
@@ -343,16 +377,27 @@ object H265Decode {
       Array(candA, candB, c)
     }
 
-  /** Decode the first picture of an Annex-B HEVC stream (or up to
-    * `maxFrames` IRAP/I pictures — tier 1 is intra-only, so decode
-    * order IS display order). Undecodable content yields the pictures
-    * completed so far, the corpus posture shared with H.264.
+  /** Decode up to `maxFrames` IRAP/I pictures of an Annex-B HEVC
+    * stream — the intra-only view (stops at the first inter picture).
+    * Undecodable content yields the pictures completed so far, the
+    * corpus posture shared with H.264.
     */
   def decodeAnnexBIntraPictures(bytes: Array[Byte],
-      maxFrames: Int = 8): Seq[Frame] = {
+      maxFrames: Int = 8): Seq[Frame] =
+    decodeAnnexBPictures(bytes, maxFrames, allowInter = false)
+
+  /** Decode up to `maxFrames` pictures of an Annex-B HEVC stream,
+    * including tier-3 P pictures (single-reference GOPs: each non-IRAP
+    * picture references the previously decoded picture; decode order
+    * is display order — no B reordering in the tier). Undecodable
+    * content yields the pictures completed so far.
+    */
+  def decodeAnnexBPictures(bytes: Array[Byte], maxFrames: Int = 8,
+      allowInter: Boolean = true): Seq[Frame] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
     var sps: Option[H265.SpsInfo] = None
     var pps: Option[H265.PpsInfo] = None
+    var last: Option[(Pic, Int)] = None // DPB of one: (picture, POC)
     try {
       val nals = H265.nalUnitsAnnexB(bytes).iterator
       while (nals.hasNext && out.size < maxFrames) {
@@ -361,12 +406,18 @@ object H265Decode {
           case H265.NalSps => sps = H265.parseSps(nal.payload)
           case H265.NalPps => pps = H265.parsePps(nal.payload)
           case t if H265.isIrap(t) || t <= 9 =>
+            if (!H265.isIrap(t) && !allowInter) return out.toSeq
             (sps, pps) match {
               case (Some(s), Some(p)) if p.supported && s.deep &&
                   s.chromaFormatIdc == 1 && s.bitDepthLuma == 8 &&
                   s.width > 0 && s.width <= 8192 && s.height <= 8192 =>
-                decodeSlice(s, p, nal.payload, H265.isIrap(nal.nalType))
-                  .foreach(out += _)
+                decodeSlice(s, p, nal.payload, nal.nalType,
+                    if (H265.isIrap(t)) None else last) match {
+                  case Some((frame, pic, poc)) =>
+                    out += frame
+                    last = Some((pic, poc))
+                  case None => return out.toSeq
+                }
               case _ => return out.toSeq
             }
           case _ => // VPS / SEI / AUD
@@ -517,9 +568,13 @@ object H265Decode {
     out
   }
 
-  /** Slice-level decode parameters + state shared down the quadtree. */
+  /** Slice-level decode parameters + state shared down the quadtree.
+    * `sliceType` 2 = I, 1 = P (tier 3); `ref` is the single list-0
+    * reference picture (null for I).
+    */
   private final class SliceCtx(val sps: H265.SpsInfo, val pps: H265.PpsInfo,
-      val pic: Pic, val qpY: Int) {
+      val pic: Pic, val qpY: Int, val sliceType: Int = 2,
+      val ref: Pic = null, val maxMerge: Int = 5) {
     val qpCb: Int =
       H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
     val qpCr: Int =
@@ -529,8 +584,10 @@ object H265Decode {
     var ctx: H264Cabac.Contexts = _
   }
 
-  /** Decode + reconstruct one TB's plane: predict, then (if cbf) add
-    * the dequantized inverse-transformed residual, then mark recon
+  /** Decode + reconstruct one TB's plane: predict (intra; `mode` −1
+    * marks an INTER TB whose samples were already motion-compensated
+    * — no prediction here, diagonal scan), then (if cbf) add the
+    * dequantized inverse-transformed residual, then mark recon
     * progress.
     */
   private def reconTb(s: SliceCtx, plane: Array[Byte], stride: Int,
@@ -538,11 +595,15 @@ object H265Decode {
       cbf: Boolean, qp: Int): Unit = {
     val n = 1 << log2Size
     val pic = s.pic
-    val avail: (Int, Int) => Boolean =
-      if (luma) (x, y) => pic.availLuma(x, y) else (x, y) => pic.availChroma(x, y)
-    predictIntra(plane, stride, px, py, n, mode, luma, avail)
+    if (mode >= 0) {
+      val avail: (Int, Int) => Boolean =
+        if (luma) (x, y) => pic.availLuma(x, y) else (x, y) => pic.availChroma(x, y)
+      predictIntra(plane, stride, px, py, n, mode, luma, avail)
+    }
     if (cbf) {
-      val scanIdx = H265Transform.scanIdxFor(log2Size, luma, mode)
+      val scanIdx =
+        if (mode >= 0) H265Transform.scanIdxFor(log2Size, luma, mode)
+        else H265Transform.ScanDiag
       val levels = decodeResidual(s.d, log2Size, luma, scanIdx)
       val deq = H265Transform.dequant(levels, log2Size, qp)
       val res = H265Transform.inverseTransform(deq, log2Size,
@@ -561,17 +622,21 @@ object H265Decode {
     if (luma) pic.markLuma(px, py, n) else pic.markChroma(px, py, n)
   }
 
-  /** Per-CU context threaded through the transform tree. */
+  /** Per-CU context threaded through the transform tree. `inter` CUs
+    * carry mode −1 (no intra prediction, diagonal scans).
+    */
   private final class CuCtx(val cuX: Int, val cuY: Int, val log2CbSize: Int,
-      val nxn: Boolean, val modes: Array[Int]) {
+      val nxn: Boolean, val modes: Array[Int],
+      val inter: Boolean = false) {
     def lumaMode(x0: Int, y0: Int): Int =
-      if (!nxn) modes(0)
+      if (inter) -1
+      else if (!nxn) modes(0)
       else {
         val half = 1 << (log2CbSize - 1)
         modes((if (y0 - cuY >= half) 2 else 0) + (if (x0 - cuX >= half) 1 else 0))
       }
     /** 4:2:0 DM chroma: derived from the TOP-LEFT PU (§8.4.3). */
-    def chromaMode: Int = modes(0)
+    def chromaMode: Int = if (inter) -1 else modes(0)
   }
 
   /** transform_tree (§7.3.8.8) + transform_unit (§7.3.8.10) + recon. */
@@ -581,7 +646,8 @@ object H265Decode {
     import H265Cabac._
     val sps = s.sps
     val intraSplit = cu.nxn && depth == 0
-    val maxDepth = sps.maxTrafoDepthIntra + (if (cu.nxn) 1 else 0)
+    val maxDepth = (if (cu.inter) sps.maxTrafoDepthInter
+      else sps.maxTrafoDepthIntra) + (if (cu.nxn) 1 else 0)
     val split =
       if (log2Size > sps.maxTbLog2) true
       else if (intraSplit) true
@@ -605,9 +671,12 @@ object H265Decode {
       transformTree(s, cu, x0, y0 + h, x0, y0, log2Size - 1, depth + 1, 2, cbfCb, cbfCr)
       transformTree(s, cu, x0 + h, y0 + h, x0, y0, log2Size - 1, depth + 1, 3, cbfCb, cbfCr)
     } else {
-      // intra: cbf_luma always decoded (§7.3.8.8), ctx by depth
+      // cbf_luma: decoded for intra always; for inter inferred 1 at
+      // depth 0 with both chroma cbfs 0 (§7.3.8.8 — rqt_root_cbf
+      // already promised residual)
       val cbfLuma =
-        s.d.decision(CtxCbfLuma + (if (depth == 0) 1 else 0)) == 1
+        if (cu.inter && depth == 0 && !cbfCb && !cbfCr) true
+        else s.d.decision(CtxCbfLuma + (if (depth == 0) 1 else 0)) == 1
       // ---- transform_unit: luma TB, then chroma at this or parent level
       val mode = cu.lumaMode(x0, y0)
       reconTb(s, s.pic.luma, s.pic.lumaStride, x0, y0, log2Size, mode,
@@ -629,8 +698,31 @@ object H265Decode {
     }
   }
 
-  /** coding_unit (§7.3.8.5): part_mode / pcm / intra modes / transform
-    * tree, with recon inline (recon order == z-scan order).
+  /** Shared tail of an inter CU: motion/mode grids, MC already done by
+    * the caller; decode the transform tree when `rootCbf`, else mark
+    * the CU reconstructed as-is.
+    */
+  private def finishInterCu(s: SliceCtx, x0: Int, y0: Int, log2CbSize: Int,
+      mvx: Int, mvy: Int, skip: Boolean, rootCbf: Boolean): Unit = {
+    val pic = s.pic
+    val nCb = 1 << log2CbSize
+    pic.setMotion(x0, y0, nCb, mvx, mvy, skip)
+    pic.setMode(x0, y0, nCb, 1) // inter counts as DC for intra MPMs (§8.4.2)
+    if (rootCbf) {
+      val cu = new CuCtx(x0, y0, log2CbSize, nxn = false, Array(-1),
+        inter = true)
+      transformTree(s, cu, x0, y0, x0, y0, log2CbSize, 0, 0,
+        parentCbfCb = false, parentCbfCr = false)
+    } else {
+      pic.markLuma(x0, y0, nCb)
+      pic.markChroma(x0 >> 1, y0 >> 1, nCb >> 1)
+    }
+  }
+
+  /** coding_unit (§7.3.8.5): cu_skip / pred_mode / part_mode / pcm /
+    * intra modes / inter PU / transform tree, with recon inline (recon
+    * order == z-scan order). Inter scope (tier 3): P slices, 2Nx2N
+    * PUs, merge or AMVP against the single list-0 reference.
     */
   private def codingUnit(s: SliceCtx, x0: Int, y0: Int, log2CbSize: Int,
       cqtDepth: Int): Unit = {
@@ -639,6 +731,45 @@ object H265Decode {
     val pic = s.pic
     val nCb = 1 << log2CbSize
     pic.setDepth(x0, y0, nCb, cqtDepth)
+    if (s.sliceType != 2) {
+      // cu_skip_flag, ctxInc from decoded neighbor skips (§9.3.4.2.2)
+      val ctxInc = pic.skipAt(x0 - 1, y0) + pic.skipAt(x0, y0 - 1)
+      if (s.d.decision(CtxCuSkip + ctxInc) == 1) {
+        val idx = decodeMergeIdx(s.d, s.maxMerge)
+        val cands = H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb,
+          s.maxMerge)
+        val (mvx, mvy) = cands(idx)
+        H265Inter.mcCu(s.ref, pic, x0, y0, nCb, mvx, mvy)
+        finishInterCu(s, x0, y0, log2CbSize, mvx, mvy, skip = true,
+          rootCbf = false)
+        return
+      }
+      if (s.d.decision(CtxPredMode) == 0) { // MODE_INTER
+        // part_mode (always present for inter CUs): tier = 2Nx2N only
+        require(s.d.decision(CtxPartMode) == 1,
+          "non-2Nx2N inter partitions out of the tier")
+        // prediction_unit(x0, y0, nCb, nCb): single ref on list 0 —
+        // no inter_pred_idc (P), no ref_idx (one active reference)
+        val merge = s.d.decision(CtxMergeFlag) == 1
+        val (mvx, mvy) =
+          if (merge) {
+            val idx = decodeMergeIdx(s.d, s.maxMerge)
+            H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb, s.maxMerge)(idx)
+          } else {
+            val (mvdX, mvdY) = decodeMvd(s.d)
+            val mvpIdx = s.d.decision(CtxMvpFlag)
+            val mvp = H265Inter.amvpCandidates(pic, x0, y0, nCb, nCb)(mvpIdx)
+            (mvp._1 + mvdX, mvp._2 + mvdY)
+          }
+        H265Inter.mcCu(s.ref, pic, x0, y0, nCb, mvx, mvy)
+        // rqt_root_cbf: parsed unless merge-2Nx2N (then inferred 1)
+        val rootCbf = merge || s.d.decision(CtxRqtRootCbf) == 1
+        finishInterCu(s, x0, y0, log2CbSize, mvx, mvy, skip = false,
+          rootCbf = rootCbf)
+        return
+      }
+      // MODE_INTRA falls through to the intra path below
+    }
     // part_mode: decoded only at min CB (intra: bin 1 = 2Nx2N, 0 = NxN;
     // NxN only legal when the CU can split its transform once)
     val nxn =
@@ -742,8 +873,11 @@ object H265Decode {
   }
 
   private def decodeSlice(sps: H265.SpsInfo, pps: H265.PpsInfo,
-      payload: Array[Byte], irap: Boolean): Option[Frame] = {
-    // tier-2 structural requirements — each a loud reject, not a wrong
+      payload: Array[Byte], nalType: Int,
+      ref: Option[(Pic, Int)]): Option[(Frame, Pic, Int)] = {
+    val irap = H265.isIrap(nalType)
+    val idr = nalType == 19 || nalType == 20 // IDR_W_RADL / IDR_N_LP
+    // tier structural requirements — each a loud reject, not a wrong
     // decode
     require(sps.ctbLog2 >= 4 && sps.ctbLog2 <= 6, "CTB must be 16/32/64")
     require(sps.minCbLog2 >= 3 && sps.minCbLog2 <= sps.ctbLog2, "bad min CB")
@@ -763,10 +897,60 @@ object H265Decode {
     if (irap) r.flag() // no_output_of_prior_pics
     r.ue() // slice_pic_parameter_set_id
     val sliceType = r.ue()
-    require(sliceType == 2, s"non-I slice type $sliceType out of scope")
-    if (!irap) {
-      // non-IRAP I slices would carry POC/RPS syntax — out of scope
-      throw new IllegalArgumentException("non-IRAP slice out of scope")
+    require(sliceType == 1 || sliceType == 2,
+      s"slice type $sliceType out of the tier") // B out of scope
+    if (irap) require(sliceType == 2, "inter slice in an IRAP picture")
+    var poc = 0
+    if (!idr) {
+      // slice_pic_order_cnt_lsb + §8.3.1 POC derivation vs the
+      // previous decoded picture
+      val lsb = r.u(sps.log2MaxPocLsb)
+      val maxLsb = 1 << sps.log2MaxPocLsb
+      val prevPoc = ref.map(_._2).getOrElse(0)
+      val prevLsb = prevPoc & (maxLsb - 1)
+      val prevMsb = prevPoc - prevLsb
+      poc =
+        if (lsb < prevLsb && prevLsb - lsb >= maxLsb / 2)
+          prevMsb + maxLsb + lsb
+        else if (lsb > prevLsb && lsb - prevLsb > maxLsb / 2)
+          prevMsb - maxLsb + lsb
+        else prevMsb + lsb
+      require(!r.flag(), "SPS-indexed RPS with an empty SPS RPS list")
+      // st_ref_pic_set(stRpsIdx = 0 = num_st_rps): no inter-RPS
+      // prediction flag at index 0
+      val numNeg = r.ue(); val numPos = r.ue()
+      val negDeltas = new Array[Int](numNeg)
+      val negUsed = new Array[Boolean](numNeg)
+      var i = 0
+      while (i < numNeg) {
+        negDeltas(i) = r.ue() + 1; negUsed(i) = r.flag(); i += 1
+      }
+      i = 0
+      while (i < numPos) { r.ue(); r.flag(); i += 1 }
+      if (sliceType == 1) {
+        require(numNeg == 1 && numPos == 0 && negUsed(0),
+          "tier-3 P pictures carry exactly one used negative reference")
+        val (_, refPoc) = ref.getOrElse(throw new IllegalArgumentException(
+          "P picture without a decoded reference"))
+        require(poc - negDeltas(0) == refPoc,
+          s"RPS reference POC ${poc - negDeltas(0)} != DPB POC $refPoc")
+        require(!sps.temporalMvp, "temporal MVP out of the tier")
+      }
+      // long-term refs: SPS-disabled in all tier streams (flag absent)
+    }
+    var maxMerge = 5
+    if (sliceType == 1) {
+      // SAO off → no slice SAO flags; one active list-0 reference
+      if (r.flag()) // num_ref_idx_active_override_flag
+        require(r.ue() == 0, "one active reference only")
+      else require(pps.numRefL0Default == 0,
+        "PPS default active references beyond the tier")
+      // NumPicTotalCurr == 1 → no ref_pic_lists_modification;
+      // cabac_init / collocated / weighted-pred absent (PPS/SPS gates)
+      maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
+      require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
+      require(pps.deblockingDisabled,
+        "deblocking with inter pictures out of the tier (bS derivation)")
     }
     val qp = pps.initQp + r.se()
     require(qp >= 0 && qp <= 51, s"bad slice qp $qp")
@@ -780,9 +964,11 @@ object H265Decode {
     while (r.remaining % 8 != 0) require(r.u(1) == 0, "alignment zero bit")
 
     val pic = new Pic(sps.width, sps.height)
-    val s = new SliceCtx(sps, pps, pic, qp)
+    val s = new SliceCtx(sps, pps, pic, qp, sliceType,
+      ref.map(_._1).orNull, maxMerge)
     s.r = r
-    s.ctx = H265Cabac.contexts(qp)
+    s.ctx =
+      if (sliceType == 1) H265Cabac.contextsP(qp) else H265Cabac.contexts(qp)
     s.d = new H264Cabac.Decoder(r, s.ctx)
     val ctbW = sps.width >> sps.ctbLog2
     val ctbH = sps.height >> sps.ctbLog2
@@ -799,11 +985,12 @@ object H265Decode {
     }
     require(ctu == nCtu, "slice ended before the picture completed")
     // in-loop deblocking (r12): runs before the picture is output —
-    // and before it could serve as a reference, once inter lands
+    // and before it serves as a reference (P pictures require the
+    // filter off until the inter bS derivation lands)
     if (!pps.deblockingDisabled)
       H265Deblock.filterPicture(pic, qp, pps.cbQpOffset, pps.crQpOffset,
         pps.betaOffsetDiv2, pps.tcOffsetDiv2)
-    Some(Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,
-      pic.luma, pic.cb, pic.cr))
+    Some((Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,
+      pic.luma, pic.cb, pic.cr), pic, poc))
   }
 }

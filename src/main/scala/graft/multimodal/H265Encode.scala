@@ -122,6 +122,15 @@ object H265Encode {
     require(modes.size == 1 || modes.size == 4, "1 (2Nx2N) or 4 (NxN) modes")
     require(modes.forall(m => m >= 0 && m <= 34), s"bad intra modes $modes")
   }
+  /** Inter leaf for P pictures (r12 tier 3): a 2Nx2N PU at quarter-pel
+    * `(mvx, mvy)` against the single list-0 reference. The encoder
+    * picks the cheapest legal signalling — cu_skip when the MV merges
+    * and the residual is zero (or dropped), merge_flag otherwise when
+    * it merges, AMVP (best-mvp mvd) when it doesn't. `dropResidual`
+    * encodes prediction-only (skip / rqt_root_cbf 0).
+    */
+  final case class InterLeaf(mvx: Int, mvy: Int,
+      dropResidual: Boolean = false) extends CuTree
 
   final case class Recon(luma: Array[Byte], cb: Array[Byte], cr: Array[Byte])
 
@@ -162,11 +171,119 @@ object H265Encode {
     val ctx = H265Cabac.contexts(qp)
     val e = new H264Cabac.Encoder(w, ctx)
     val pic = new H265Decode.Pic(width, height)
-    val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
-    val qpCr = qpCb
+    val enc = new SliceEnc(e, pic, srcY, srcCb, srcCr, qp, ctbLog2,
+      minCbLog2, maxTbLog2, depthIntra, sliceType = 2)
+    var ctu = 0
+    val nCtu = layout.size
+    while (ctu < nCtu) {
+      enc.quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2,
+        ctbLog2, 0, layout(ctu))
+      ctu += 1
+      e.terminate(if (ctu == nCtu) 1 else 0) // end_of_slice_segment_flag
+    }
+    val slice = H264.ebsp(w.stop())
+    val stream = annexB(Seq(
+      (H265.NalVps, H265.writeVps()),
+      (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra)),
+      (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock)),
+      (H265.NalIdrWRadl, slice)))
+    // decoder-twin IN-LOOP filter: the returned recon is what a
+    // conformant decoder outputs (and would use as a reference)
+    if (deblock)
+      H265Deblock.filterPicture(pic, qp, 0, 0, 0, 0)
+    (stream, Recon(pic.luma, pic.cb, pic.cr))
+  }
+
+  /** Encode a GOP (r12 tier 3): one IDR picture carrying `iLayout`
+    * (the tier-2 intra machinery) followed by one TRAIL_R P picture
+    * per entry of `pLayouts`, each referencing the previously decoded
+    * picture (single negative RPS at delta 1, one active list-0
+    * reference, MaxNumMergeCand 5, deblocking off). `frames` holds the
+    * source planes (luma, cb, cr) per picture. Returns the Annex-B
+    * stream and the decoder-twin recon of every picture — bit-exact
+    * what a conformant decoder must output.
+    */
+  def encodeGop(frames: Seq[(Array[Byte], Array[Byte], Array[Byte])],
+      width: Int, height: Int, iLayout: Seq[CuTree],
+      pLayouts: Seq[Seq[CuTree]], qp: Int, ctbLog2: Int = 5,
+      minCbLog2: Int = 3, maxTbLog2: Int = 5,
+      depthIntra: Int = 1): (Array[Byte], Seq[Recon]) = {
+    require(frames.nonEmpty && frames.size == pLayouts.size + 1,
+      "one source frame for the IDR plus one per P layout")
+    val ctbW = width >> ctbLog2
+    val (f0y, f0cb, f0cr) = frames.head
+    val (iStream, iRecon) = encodeIntraPicture2(f0y, f0cb, f0cr, width,
+      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra)
+    val idrSlice = H265.nalUnitsAnnexB(iStream)
+      .find(_.nalType == H265.NalIdrWRadl).get.payload
+    val recons = scala.collection.mutable.ArrayBuffer(iRecon)
+    val nals = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])](
+      (H265.NalVps, H265.writeVps()),
+      (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra)),
+      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalIdrWRadl, idrSlice))
+    var prev = new H265Decode.Pic(width, height)
+    System.arraycopy(iRecon.luma, 0, prev.luma, 0, iRecon.luma.length)
+    System.arraycopy(iRecon.cb, 0, prev.cb, 0, iRecon.cb.length)
+    System.arraycopy(iRecon.cr, 0, prev.cr, 0, iRecon.cr.length)
+    var i = 0
+    while (i < pLayouts.size) {
+      val poc = i + 1
+      val (sy, scb, scr) = frames(i + 1)
+      require(pLayouts(i).size == ctbW * (height >> ctbLog2),
+        "one tree per CTB")
+      val w = new H264.BitWriter
+      w.flag(true)  // first_slice_segment_in_pic_flag
+      w.ue(0)       // slice_pic_parameter_set_id
+      w.ue(1)       // slice_type: P
+      w.u(poc & 15, 4) // slice_pic_order_cnt_lsb (log2MaxPocLsb 4)
+      w.flag(false) // short_term_ref_pic_set_sps_flag
+      w.ue(1); w.ue(0) // st_ref_pic_set: one negative, no positives
+      w.ue(0)       // delta_poc_s0_minus1: reference = POC − 1
+      w.flag(true)  // used_by_curr_pic_s0_flag
+      w.flag(false) // num_ref_idx_active_override (PPS default: 1 active)
+      w.ue(0)       // five_minus_max_num_merge_cand → MaxNumMergeCand 5
+      w.se(qp - 26) // slice_qp_delta
+      // (deblocking disabled in the PPS → no cross-slice filter flag)
+      w.u(1, 1); w.alignZero() // byte_alignment
+      val ctx = H265Cabac.contextsP(qp)
+      val e = new H264Cabac.Encoder(w, ctx)
+      val pic = new H265Decode.Pic(width, height)
+      val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra, sliceType = 1, refPic = prev)
+      var ctu = 0
+      val nCtu = pLayouts(i).size
+      while (ctu < nCtu) {
+        enc.quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2,
+          ctbLog2, 0, pLayouts(i)(ctu))
+        ctu += 1
+        e.terminate(if (ctu == nCtu) 1 else 0)
+      }
+      nals += ((H265.NalTrailR, H264.ebsp(w.stop())))
+      recons += Recon(pic.luma.clone(), pic.cb.clone(), pic.cr.clone())
+      prev = pic
+      i += 1
+    }
+    (annexB(nals.toSeq), recons.toSeq)
+  }
+
+  /** Decoder-twin slice encoder shared by the tier-2 intra writer and
+    * the tier-3 P-picture writer: one copy of the prediction /
+    * quantization / transform-tree / CU emission logic over the SAME
+    * [[H265Decode.Pic]] state machine the decoder runs, so signalling
+    * and recon cannot drift between slice types (the r10 lesson).
+    */
+  private final class SliceEnc(e: H264Cabac.Encoder, pic: H265Decode.Pic,
+      srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
+      qp: Int, ctbLog2: Int, minCbLog2: Int, maxTbLog2: Int,
+      depthIntra: Int, sliceType: Int,
+      refPic: H265Decode.Pic = null, maxMerge: Int = 5) {
+    private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
     // ---- per-TB helpers against the decoder-twin recon state
-    def predQuant(plane: Array[Byte], src: Array[Byte], stride: Int,
+    private def predQuant(plane: Array[Byte], src: Array[Byte], stride: Int,
         px: Int, py: Int, log2Size: Int, mode: Int,
         luma: Boolean): Array[Int] = {
       val n = 1 << log2Size
@@ -325,6 +442,12 @@ object H265Encode {
         leaf: CuLeaf): Unit = {
       val nCb = 1 << log2CbSize
       pic.setDepth(x0, y0, nCb, cqtDepth)
+      if (sliceType != 2) {
+        // intra CU inside a P slice: cu_skip 0, pred_mode MODE_INTRA
+        val skipCtx = pic.skipAt(x0 - 1, y0) + pic.skipAt(x0, y0 - 1)
+        e.decision(H265Cabac.CtxCuSkip + skipCtx, 0)
+        e.decision(H265Cabac.CtxPredMode, 1)
+      }
       val nxn = leaf.modes.size == 4
       if (log2CbSize == minCbLog2 && log2CbSize > 2)
         e.decision(H265Cabac.CtxPartMode, if (nxn) 0 else 1)
@@ -374,6 +497,111 @@ object H265Encode {
       transformTree(x0, y0, log2CbSize, nxn, leaf.modes.toIndexedSeq,
         leaf.splitTu, x0, y0, x0, y0, log2CbSize, 0, 0, None)
     }
+    /** One inter CU (tier 3): 2Nx2N PU at the leaf's MV, signalled as
+      * cu_skip / merge / AMVP by what the decoder-twin's candidate
+      * lists offer, residual (TU = CU) through the normative quantize
+      * → emit → dequant recon path.
+      */
+    def interCu(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
+        leaf: InterLeaf): Unit = {
+      require(refPic != null, "inter leaf outside a P slice")
+      require(log2CbSize <= maxTbLog2,
+        "fixture encoder: inter CU must fit one TU")
+      val nCb = 1 << log2CbSize
+      pic.setDepth(x0, y0, nCb, cqtDepth)
+      val cands = H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb, maxMerge)
+      val mergeIdx = cands.indexOf((leaf.mvx, leaf.mvy))
+      // prediction first (into the twin planes), then residual decisions
+      H265Inter.mcCu(refPic, pic, x0, y0, nCb, leaf.mvx, leaf.mvy)
+      def resid(plane: Array[Byte], src: Array[Byte], stride: Int,
+          px: Int, py: Int, l2: Int, luma: Boolean): Array[Int] = {
+        val n = 1 << l2
+        val res = new Array[Int](n * n)
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            res(y * n + x) = (src((py + y) * stride + px + x) & 0xff) -
+              (plane((py + y) * stride + px + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        H265Transform.quantize(
+          H265Transform.forwardTransform(res, l2, dst = false), l2,
+          if (luma) qp else qpCb)
+      }
+      val lvY = if (leaf.dropResidual) null
+        else resid(pic.luma, srcY, pic.lumaStride, x0, y0, log2CbSize,
+          luma = true)
+      val lvCb = if (leaf.dropResidual) null
+        else resid(pic.cb, srcCb, pic.chromaStride, x0 >> 1, y0 >> 1,
+          log2CbSize - 1, luma = false)
+      val lvCr = if (leaf.dropResidual) null
+        else resid(pic.cr, srcCr, pic.chromaStride, x0 >> 1, y0 >> 1,
+          log2CbSize - 1, luma = false)
+      val cbfY = lvY != null && lvY.exists(_ != 0)
+      val cbfCb = lvCb != null && lvCb.exists(_ != 0)
+      val cbfCr = lvCr != null && lvCr.exists(_ != 0)
+      val anyCbf = cbfY || cbfCb || cbfCr
+      val skip = mergeIdx >= 0 && !anyCbf
+      val skipCtx = pic.skipAt(x0 - 1, y0) + pic.skipAt(x0, y0 - 1)
+      e.decision(H265Cabac.CtxCuSkip + skipCtx, if (skip) 1 else 0)
+      if (skip) H265Cabac.encodeMergeIdx(e, mergeIdx, maxMerge)
+      else {
+        e.decision(H265Cabac.CtxPredMode, 0) // MODE_INTER
+        e.decision(H265Cabac.CtxPartMode, 1) // PART_2Nx2N
+        if (mergeIdx >= 0) {
+          // merge non-skip: rqt_root_cbf is inferred 1, so the
+          // residual must be live (the zero-residual case IS skip)
+          e.decision(H265Cabac.CtxMergeFlag, 1)
+          H265Cabac.encodeMergeIdx(e, mergeIdx, maxMerge)
+        } else {
+          e.decision(H265Cabac.CtxMergeFlag, 0)
+          val mvps = H265Inter.amvpCandidates(pic, x0, y0, nCb, nCb)
+          val c0 = math.abs(leaf.mvx - mvps(0)._1) +
+            math.abs(leaf.mvy - mvps(0)._2)
+          val c1 = math.abs(leaf.mvx - mvps(1)._1) +
+            math.abs(leaf.mvy - mvps(1)._2)
+          val mvpIdx = if (c1 < c0) 1 else 0
+          H265Cabac.encodeMvd(e, leaf.mvx - mvps(mvpIdx)._1,
+            leaf.mvy - mvps(mvpIdx)._2)
+          e.decision(H265Cabac.CtxMvpFlag, mvpIdx)
+          e.decision(H265Cabac.CtxRqtRootCbf, if (anyCbf) 1 else 0)
+        }
+        if (anyCbf || mergeIdx >= 0) {
+          // transform_tree depth 0, TU = CU (hierarchy depth 0 for
+          // inter in the tier SPS → no split flag): chroma cbfs, then
+          // cbf_luma (parsed only when a chroma cbf is set, §7.3.8.8)
+          e.decision(H265Cabac.CtxCbfChroma + 0, if (cbfCb) 1 else 0)
+          e.decision(H265Cabac.CtxCbfChroma + 0, if (cbfCr) 1 else 0)
+          if (cbfCb || cbfCr)
+            e.decision(H265Cabac.CtxCbfLuma + 1, if (cbfY) 1 else 0)
+          else require(cbfY,
+            "inter TU with inferred cbf_luma must carry luma residual")
+          if (cbfY)
+            encodeResidual(e, lvY, log2CbSize, luma = true,
+              H265Transform.ScanDiag)
+        }
+      }
+      // recon + grids (reconTb adds the residual and marks progress;
+      // inter TBs scan diagonally and skip intra prediction)
+      reconTb(pic.luma, pic.lumaStride, x0, y0, log2CbSize,
+        if (skip) null else lvY, luma = true)
+      if (!skip && cbfCb)
+        encodeResidual(e, lvCb, log2CbSize - 1, luma = false,
+          H265Transform.ScanDiag)
+      reconTb(pic.cb, pic.chromaStride, x0 >> 1, y0 >> 1, log2CbSize - 1,
+        if (skip) null else lvCb, luma = false)
+      if (!skip && cbfCr)
+        encodeResidual(e, lvCr, log2CbSize - 1, luma = false,
+          H265Transform.ScanDiag)
+      reconTb(pic.cr, pic.chromaStride, x0 >> 1, y0 >> 1, log2CbSize - 1,
+        if (skip) null else lvCr, luma = false)
+      pic.setMotion(x0, y0, nCb, leaf.mvx, leaf.mvy, skip)
+      pic.setMode(x0, y0, nCb, 1) // inter is DC for intra MPMs
+    }
+
     def quadtree(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
         tree: CuTree): Unit = tree match {
       case CuSplit(c0, c1, c2, c3) =>
@@ -386,35 +614,18 @@ object H265Encode {
         quadtree(x0 + h, y0, log2CbSize - 1, cqtDepth + 1, c1)
         quadtree(x0, y0 + h, log2CbSize - 1, cqtDepth + 1, c2)
         quadtree(x0 + h, y0 + h, log2CbSize - 1, cqtDepth + 1, c3)
-      case leaf: CuLeaf =>
+      case leaf =>
         if (log2CbSize > minCbLog2) {
           val ctxInc = pic.depthGt(x0 - 1, y0, cqtDepth) +
             pic.depthGt(x0, y0 - 1, cqtDepth)
           e.decision(H265Cabac.CtxSplitCu + ctxInc, 0)
         }
-        codingUnit(x0, y0, log2CbSize, cqtDepth, leaf)
+        leaf match {
+          case l: CuLeaf => codingUnit(x0, y0, log2CbSize, cqtDepth, l)
+          case l: InterLeaf => interCu(x0, y0, log2CbSize, cqtDepth, l)
+          case _: CuSplit => throw new IllegalStateException("unreachable")
+        }
     }
-
-    var ctu = 0
-    val nCtu = layout.size
-    while (ctu < nCtu) {
-      quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2, ctbLog2, 0,
-        layout(ctu))
-      ctu += 1
-      e.terminate(if (ctu == nCtu) 1 else 0) // end_of_slice_segment_flag
-    }
-    val slice = H264.ebsp(w.stop())
-    val stream = annexB(Seq(
-      (H265.NalVps, H265.writeVps()),
-      (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra)),
-      (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock)),
-      (H265.NalIdrWRadl, slice)))
-    // decoder-twin IN-LOOP filter: the returned recon is what a
-    // conformant decoder outputs (and would use as a reference)
-    if (deblock)
-      H265Deblock.filterPicture(pic, qp, 0, 0, 0, 0)
-    (stream, Recon(pic.luma, pic.cb, pic.cr))
   }
 
   /** residual_coding() emitter — the bit-exact mirror of
