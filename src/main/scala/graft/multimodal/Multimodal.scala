@@ -1257,11 +1257,11 @@ object Multimodal {
           case "h264" | "avc" | "avc1" =>
             H264Decode.decodeAnnexBPictures(m.content, frames)
           case "hevc" | "h265" | "hvc1" | "hev1" =>
-            H265Decode.decodeAnnexBIntraPictures(m.content, frames)
+            H265Decode.decodeAnnexBPictures(m.content, frames)
           case _ =>
             val avc = H264Decode.decodeAnnexBPictures(m.content, frames)
             if (avc.nonEmpty) avc
-            else H265Decode.decodeAnnexBIntraPictures(m.content, frames)
+            else H265Decode.decodeAnnexBPictures(m.content, frames)
         }
         if (fs.size < frames) None // undecodable = survives, as data
         else {
@@ -1505,6 +1505,89 @@ object Multimodal {
         } else stream
       Media(id, "video", content,
         MediaMeta("h265", Some(64), Some(64), None, Some(100L)))
+    }
+  }
+
+  /** Synthetic raw Annex-B HEVC streams for the r12 INTER tier 3
+    * (P slices, single-reference GOPs): 64x64 textured content
+    * translating by a per-seed integer delta across an IDR + 2 P
+    * pictures, the P CTBs a per-seed mix of whole-CTB inter CUs at the
+    * true motion, split CTBs with intra islands, and dropped-residual
+    * (skip-signalled) regions — so decoded content flows through
+    * merge, AMVP, quarter-pel DCT-IF interpolation AND inter residual
+    * coding. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an ALL-INTRA PCM twin (three tier-1
+    *     IDR pictures carrying id−1's decoded GOP pixels raw) —
+    *     byte-disjoint representations, identical pixels iff the whole
+    *     inter decode chain is sample-exact;
+    *   - id % 10 == 5: id−4's GOP with every P MV nudged one
+    *     quarter-pel — a near-duplicate whose prediction (and hence
+    *     recon) differs; exact-pixel dedup must keep both.
+    */
+  def syntheticHevcInterStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 131 + 29)
+      val qp = 27
+      val dx = 1 + rnd.nextInt(3); val dy = rnd.nextInt(2)
+      val base = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (32 + ((x * 7 + y * 5) % 180) + rnd.nextInt(25)).toByte
+      }
+      def shifted(k: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+        val sy = Array.tabulate(w * h) { i =>
+          val x = (i % w - k * dx + 4 * w) % w
+          val y = (i / w - k * dy + 4 * h) % h
+          base(y * w + x)
+        }
+        val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+          (96 + ((i % (w / 2)) + k) / 2).toByte)
+        val scr = Array.tabulate((w / 2) * (h / 2))(i =>
+          (118 + (i / (w / 2) + k) % 9).toByte)
+        (sy, scb, scr)
+      }
+      val frames = (0 to 2).map(shifted)
+      import H265Encode.{CuLeaf, CuSplit, CuTree, InterLeaf, Pcm, Ctu}
+      val iLayout: Seq[CuTree] = Seq.fill(4)(CuLeaf(Seq(rnd.nextInt(35))))
+      val bump = if (nudge) 1 else 0
+      def pLayout(): Seq[CuTree] = {
+        val mvx = 4 * dx + bump; val mvy = 4 * dy
+        Seq.fill(4) {
+          rnd.nextInt(4) match {
+            case 0 => InterLeaf(mvx, mvy)
+            case 1 => CuSplit(InterLeaf(mvx, mvy), InterLeaf(mvx, mvy),
+              CuLeaf(Seq(rnd.nextInt(35))),
+              InterLeaf(mvx, mvy, dropResidual = rnd.nextInt(2) == 0))
+            case 2 => CuLeaf(Seq(rnd.nextInt(35)))
+            case _ => InterLeaf(mvx, mvy)
+          }
+        }
+      }
+      val (stream, recons) = H265Encode.encodeGop(frames, w, h, iLayout,
+        Seq(pLayout(), pLayout()), qp)
+      val content =
+        if (isDup) {
+          // all-intra PCM twin: one tier-1 IDR per decoded picture
+          recons.map { r =>
+            val ctus: Array[Array[Ctu]] = Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                r.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                r.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                r.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              Pcm(l, cbP, crP)
+            }
+            H265Encode.encodeIntraPicture(ctus, qp = 30)
+          }.reduce(_ ++ _)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(120L)))
     }
   }
 

@@ -850,6 +850,29 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q163 — HEVC INTER-coded GOP dedup (the r12 tier-3 query face):
+    * IDR + 2-P GOPs whose content exists only through motion-
+    * compensated prediction — merge/AMVP candidate lists, quarter-pel
+    * DCT-IF interpolation, inter residual decode — deduped by SHA-256
+    * over all three decoded pictures' planes. Each planted dup pair
+    * is an inter GOP vs an ALL-INTRA PCM twin carrying its decoded
+    * pixels raw: byte-disjoint representations that collapse iff the
+    * whole P-slice chain is sample-exact. Planted one-quarter-pel MV
+    * nudges of the same source are near-dups that MUST survive
+    * ([[graft.multimodal.Multimodal.syntheticHevcInterStreams]];
+    * H265InterSpec pins the filters, candidate derivations and
+    * round-trips). The q144→q150 motion ladder's destination for the
+    * second codec family.
+    */
+  def q163HevcInterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcp_200"))(
+      graft.multimodal.Multimodal.syntheticHevcInterStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1165,6 +1188,7 @@ object ExtendedQueries {
     "q160_hevc_deblock_dedup" -> (q160HevcDeblockDedup _),
     "q161_avc_multislice_dedup" -> (q161AvcMultiSliceDedup _),
     "q162_mp3_tag_dedup" -> (q162Mp3TagDedup _),
+    "q163_hevc_inter_dedup" -> (q163HevcInterDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1437,6 +1461,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q162_mp3_tag_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q162_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q163_hevc_inter_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q163_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -42,6 +42,7 @@ object GenMediaFixtures {
     "hevcres_200" -> Multimodal.syntheticHevcResidualStreams(spark, 200),
     "hevcdb_200" -> Multimodal.syntheticHevcDeblockStreams(spark, 200),
     "avcms_200" -> Multimodal.syntheticAvcMultiSliceStreams(spark, 200),
+    "hevcp_200" -> Multimodal.syntheticHevcInterStreams(spark, 200),
     "mp3_200" -> Multimodal.syntheticMp3s(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )

@@ -376,6 +376,41 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC inter dedup (q163 corpus): P GOPs collapse with their all-intra PCM twins; mv nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcInterStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // inter GOP vs three all-PCM tier-1 IDRs
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H265Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"pair $id decode")
+      a.zip(b).zipWithIndex.foreach { case ((fa, fb), k) =>
+        assert(java.util.Arrays.equals(fa.luma, fb.luma), s"pair $id luma $k")
+        assert(java.util.Arrays.equals(fa.cb, fb.cb), s"pair $id cb $k")
+        assert(java.util.Arrays.equals(fa.cr, fb.cr), s"pair $id cr $k")
+      }
+    }
+    decoys.foreach { id => // one-quarter-pel MV nudge: near-dup, not exact
+      val t = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val o = H265Decode.decodeAnnexBPictures(byId(id - 4), 3)
+      assert(t.size == 3 && o.size == 3, s"decoy $id decode")
+      assert(!java.util.Arrays.equals(t(1).luma, o(1).luma),
+        s"decoy $id: nudged prediction must change the P recon")
+    }
+    // the P pictures are INTER-coded for real: stopping at the IRAP
+    // yields one picture, the GOP walk yields three
+    assert(H265Decode.decodeAnnexBIntraPictures(byId(1L), 3).size == 1)
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "inter decode collapses exactly the cross-representation dups")
+    media.unpersist()
+  }
+
   test("multi-slice + P_8x8 dedup (q161 corpus): cross-entropy pairs collapse; mv nudges survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcMultiSliceStreams(spark, 60).persist()

@@ -287,6 +287,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q163_hevc_inter_dedup"    -> (4, 1, 0, true), // r12 HEVC inter tier:
+                                                   // exact-pixel shape over 3
+                                                   // frames; decode fan-out
+                                                   // runs merge/AMVP + DCT-IF
+                                                   // MC + inter residuals
     "q159_hevc_residual_dedup" -> (4, 1, 0, true), // r12 HEVC residual tier:
                                                    // same exact-pixel shape;
                                                    // decode fan-out runs the
