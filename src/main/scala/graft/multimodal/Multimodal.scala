@@ -1731,6 +1731,103 @@ object Multimodal {
       .as[Media]
   }
 
+  /** DECODED-sample audio dedup (the r12 G.711 decode rung, the
+    * exact-pixel posture for audio): decode AU / AIFF / AIFC / WAV —
+    * PCM or G.711 µ-law/A-law — to linear 16-bit samples
+    * ([[G711Audio.decodeAny]]) and SHA-256 over (rate, channels,
+    * samples), collapse identical audio CONTENT across containers and
+    * companding laws, keep-smallest-id. One mapPartitions pass; only
+    * (id, 32-byte sig) rows shuffle; undecodable audio survives as
+    * data.
+    */
+  def audioDedupByDecodedPcm(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val sigs: Dataset[KeyframeSig] = media.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "audio") None
+        else G711Audio.decodeAny(m.content).map { dec =>
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+          val head = java.nio.ByteBuffer.allocate(8)
+            .putInt(dec.info.sampleRate).putInt(dec.info.channels).array()
+          digest.update(head)
+          val body = java.nio.ByteBuffer.allocate(2 * dec.samples.length)
+          dec.samples.foreach(body.putShort)
+          digest.update(body.array())
+          KeyframeSig(m.media_id, digest.digest())
+        }
+      }
+    }
+    val losers = sigs.toDF()
+      .groupBy(col("sig"))
+      .agg(min(col("media_id")).as("_winner"),
+        collect_list(col("media_id")).as("_ids"))
+      .select(explode(col("_ids")).as("_loser"), col("_winner"))
+      .filter(col("_loser") =!= col("_winner"))
+      .select(col("_loser"))
+    media.join(losers, media("media_id") === losers("_loser"), "left_anti")
+      .as[Media]
+  }
+
+  /** Synthetic G.711 corpus for the r12 audio DECODE rung: per-seed
+    * waveforms companded to µ-law (even seeds) or A-law (odd seeds)
+    * and carried in a rotating container — AU, AIFF-C, or WAV with
+    * the matching G.711 format tag. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): a WAV PCM16 twin holding id−1's
+    *     companded bytes EXPANDED to linear — a byte-disjoint
+    *     cross-container, cross-coding representation of identical
+    *     content; collapsing the pair requires the G.711 expansion
+    *     table and all container parses to be sample-exact;
+    *   - id % 10 == 5: id−4's companded bytes with ONE code changed —
+    *     a near-duplicate that must survive decoded-sample dedup.
+    */
+  def syntheticG711Audios(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val rnd = new scala.util.Random(seed * 163 + 31)
+      val rate = 8000
+      val nSamp = 1600 + rnd.nextInt(800)
+      val law = if (seed % 2 == 0) "ulaw" else "alaw"
+      // smooth two-tone waveform, companded through our own encoder
+      val f1 = 110.0 + rnd.nextInt(500)
+      val f2 = 700.0 + rnd.nextInt(1500)
+      val companded = Array.tabulate(nSamp) { i =>
+        val t = i.toDouble / rate
+        val v = (9000 * math.sin(2 * math.Pi * f1 * t) +
+          5000 * math.sin(2 * math.Pi * f2 * t + 1.3)).toInt
+        (if (law == "ulaw") G711Audio.linearToUlaw(v)
+         else G711Audio.linearToAlaw(v)).toByte
+      }
+      if (nudge) { // one companded code changed
+        val pos = rnd.nextInt(nSamp)
+        companded(pos) = (companded(pos) ^ 0x04).toByte
+      }
+      val (content, fmt) =
+        if (isDup) {
+          // WAV PCM16 twin of the EXPANDED samples
+          val le = new Array[Byte](2 * nSamp)
+          var i = 0
+          while (i < nSamp) {
+            val v = if (law == "ulaw") G711Audio.ulawToLinear(companded(i) & 0xff)
+              else G711Audio.alawToLinear(companded(i) & 0xff)
+            le(2 * i) = (v & 0xff).toByte
+            le(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (G711Audio.writeWav("pcm16", rate, 1, le), "wav")
+        } else (seed % 3) match {
+          case 0 => (G711Audio.writeAu(law, rate, 1, companded), "au")
+          case 1 => (G711Audio.writeAiff(law, rate, 1, nSamp, companded), "aifc")
+          case _ => (G711Audio.writeWav(law, rate, 1, companded), "wav")
+        }
+      Media(id, "audio", content,
+        MediaMeta(fmt, None, None, Some(rate), Some(nSamp * 1000L / rate)))
+    }
+  }
+
   /** Seeded 4×4-block-pattern JPEG frames — same pattern family as the
     * GIF generator (block structure survives lossy encode far better
     * than per-pixel noise, keeping frame hashes stable).

@@ -873,6 +873,28 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q164 — G.711 decoded-sample audio dedup (the r12 audio DECODE
+    * rung — the exact-pixel posture for audio, one rung past q162's
+    * payload hashing): AU / AIFF-C / WAV corpora carrying µ-law and
+    * A-law companded audio, deduped by SHA-256 over the DECODED linear
+    * samples. Planted dup pairs carry the same content as companded
+    * G.711 vs expanded WAV PCM16 — byte-disjoint containers AND
+    * codings that collapse iff the expansion tables and all three
+    * container parses are sample-exact; planted one-code nudges must
+    * survive. Uniquely on the codec ladder this rung is validated
+    * against EXTERNAL vectors (CPython's pluck corpus + the JDK's
+    * independent ULAW converter — see G711AudioSpec)
+    * ([[graft.multimodal.Multimodal.syntheticG711Audios]]).
+    */
+  def q164G711Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("g711_200"))(
+      graft.multimodal.Multimodal.syntheticG711Audios(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByDecodedPcm(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1189,6 +1211,7 @@ object ExtendedQueries {
     "q161_avc_multislice_dedup" -> (q161AvcMultiSliceDedup _),
     "q162_mp3_tag_dedup" -> (q162Mp3TagDedup _),
     "q163_hevc_inter_dedup" -> (q163HevcInterDedup _),
+    "q164_g711_dedup" -> (q164G711Dedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1464,6 +1487,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q163_hevc_inter_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q163_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q164_g711_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q164_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -411,6 +411,36 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("G.711 dedup (q164 corpus): companded/expanded twins collapse across containers; one-code nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticG711Audios(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    // container coverage: the corpus exercises all three containers
+    assert(Set("au", "aifc", "wav").subsetOf(
+      byId.values.map(_.meta.format).toSet))
+    dups.foreach { id => // G.711 companded vs WAV PCM16 expansion
+      assert(byId(id).content.toSeq != byId(id - 1).content.toSeq)
+      val a = G711Audio.decodeAny(byId(id).content).get
+      val b = G711Audio.decodeAny(byId(id - 1).content).get
+      assert(a.samples.toSeq == b.samples.toSeq, s"pair $id samples")
+      assert(a.info.sampleRate == b.info.sampleRate)
+    }
+    decoys.foreach { id =>
+      val t = G711Audio.decodeAny(byId(id).content).get
+      val o = G711Audio.decodeAny(byId(id - 4).content).get
+      assert(t.samples.toSeq != o.samples.toSeq,
+        s"decoy $id: one changed code must change the decode")
+    }
+    val survivors = Multimodal.audioDedupByDecodedPcm(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "decoded-sample dedup collapses exactly the cross-coding dups")
+    media.unpersist()
+  }
+
   test("multi-slice + P_8x8 dedup (q161 corpus): cross-entropy pairs collapse; mv nudges survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAvcMultiSliceStreams(spark, 60).persist()

@@ -287,6 +287,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q164_g711_dedup"          -> (4, 1, 0, true), // r12 G.711 decode rung:
+                                                   // decoded-sample hash
+                                                   // shape over AU/AIFC/WAV
+                                                   // expansion
     "q163_hevc_inter_dedup"    -> (4, 1, 0, true), // r12 HEVC inter tier:
                                                    // exact-pixel shape over 3
                                                    // frames; decode fan-out
