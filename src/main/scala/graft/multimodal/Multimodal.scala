@@ -1696,6 +1696,57 @@ object Multimodal {
     }
   }
 
+  /** Synthetic ADTS AAC corpus (r12, the second compressed-audio
+    * rung): per-seed LC frame sequences under varying sample-rate
+    * indices, channel configurations and buffer-fullness values,
+    * optionally ID3v2-wrapped. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): id−1's frames RE-MUXED — different
+    *     adts_buffer_fullness on every header plus a fresh ID3v2
+    *     tag (the real-world same-audio-different-mux duplicate);
+    *     byte hashes differ, payload hashes collapse;
+    *   - id % 10 == 5: one payload byte changed in id−4's stream —
+    *     a near-duplicate that must survive.
+    */
+  def syntheticAacAdts(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val oneOff = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (oneOff) id - 4 else id
+      val rnd = new scala.util.Random(seed * 151 + 23)
+      val srIdx = 3 + rnd.nextInt(6) // 48000 .. 16000
+      val channels = 1 + rnd.nextInt(2)
+      val nFrames = 20 + rnd.nextInt(20)
+      val payloads = Seq.fill(nFrames) {
+        val p = new Array[Byte](200 + rnd.nextInt(400))
+        rnd.nextBytes(p)
+        p
+      }
+      val withChange =
+        if (oneOff) {
+          val c = payloads.map(_.clone())
+          c(nFrames / 2)(5) = (c(nFrames / 2)(5) ^ 0x5a).toByte
+          c
+        } else payloads
+      val muxRnd = if (isDup) new scala.util.Random(id) else rnd
+      val fullness = muxRnd.nextInt(0x800)
+      val tag =
+        if (isDup) {
+          val t = new Array[Byte](64 + muxRnd.nextInt(64))
+          muxRnd.nextBytes(t)
+          Some(t)
+        } else if (rnd.nextBoolean()) {
+          val t = new Array[Byte](32 + rnd.nextInt(32))
+          rnd.nextBytes(t)
+          Some(t)
+        } else None
+      val content = Aac.build(withChange, srIdx, channels, fullness, tag)
+      Media(id, "audio", content,
+        MediaMeta("aac", None, None, Some(Aac.sampleRates(srIdx)), None))
+    }
+  }
+
   /** EXACT tag-invariant compressed-domain MP3 dedup (r12, the q155
     * keyframe-hash posture for audio): SHA-256 over the concatenated
     * FRAME PAYLOADS ([[Mp3.framePayloads]] — headers, CRCs, padding
@@ -1710,7 +1761,17 @@ object Multimodal {
       it.flatMap { m =>
         if (m.kind != "audio") None
         else {
-          val ps = Mp3.framePayloads(m.content)
+          // Dispatch by the header AT the tag boundary: MP3 and ADTS
+          // are mutually exclusive there (MP3 Layer III carries
+          // nonzero layer bits exactly where ADTS requires 00), and
+          // sniffing at the start — rather than try-walking MP3 first
+          // — keeps MP3's lenient sync-scan from finding a bogus
+          // header inside ADTS payload bytes.
+          val off = Mp3.id3v2Size(m.content)
+          val adts = off >= 0 && off + 7 <= m.content.length &&
+            Aac.parseHeader(m.content, off).isDefined
+          val ps = if (adts) Aac.framePayloads(m.content)
+            else Mp3.framePayloads(m.content)
           if (ps.isEmpty) None
           else {
             digest.reset()

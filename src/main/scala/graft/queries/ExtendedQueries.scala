@@ -895,6 +895,26 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q165 — AAC ADTS mux-invariant audio dedup (the r12 second
+    * compressed-audio probe rung — the q162 posture on the format
+    * real corpora actually carry): ADTS frame walking (fixed +
+    * variable header fields, CRC forms, ID3v2 skipping) with SHA-256
+    * over the raw_data_block PAYLOADS. Planted same-frames-
+    * different-mux pairs (fresh adts_buffer_fullness on every header
+    * plus a new ID3v2 tag) collapse — byte hashing cannot see through
+    * the mux — while planted single-payload-byte changes survive
+    * ([[graft.multimodal.Multimodal.syntheticAacAdts]]; AacSpec pins
+    * the header/duration arithmetic and mux invariance).
+    */
+  def q165AacPayloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("aac_200"))(
+      graft.multimodal.Multimodal.syntheticAacAdts(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByFramePayloadHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1212,6 +1232,7 @@ object ExtendedQueries {
     "q162_mp3_tag_dedup" -> (q162Mp3TagDedup _),
     "q163_hevc_inter_dedup" -> (q163HevcInterDedup _),
     "q164_g711_dedup" -> (q164G711Dedup _),
+    "q165_aac_payload_dedup" -> (q165AacPayloadDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1490,6 +1511,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q164_g711_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q164_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q165_aac_payload_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q165_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -411,6 +411,32 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("AAC dedup (q165 corpus): re-muxed frame twins collapse; one-byte payload changes survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAacAdts(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // same frames, different fullness + ID3 wrap
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      assert(Aac.framePayloads(byId(id)).map(_.toSeq) ==
+        Aac.framePayloads(byId(id - 1)).map(_.toSeq), s"pair $id payloads")
+      // the mux really differs: fullness fields disagree somewhere
+      assert(Aac.frames(byId(id)).map(_._2.bufferFullness) !=
+        Aac.frames(byId(id - 1)).map(_._2.bufferFullness), s"pair $id mux")
+    }
+    decoys.foreach { id =>
+      assert(Aac.framePayloads(byId(id)).map(_.toSeq) !=
+        Aac.framePayloads(byId(id - 4)).map(_.toSeq), s"decoy $id")
+    }
+    val survivors = Multimodal.audioDedupByFramePayloadHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "payload hashing collapses exactly the re-muxed twins")
+    media.unpersist()
+  }
+
   test("G.711 dedup (q164 corpus): companded/expanded twins collapse across containers; one-code nudges survive") {
     import spark.implicits._
     val media = Multimodal.syntheticG711Audios(spark, 60).persist()

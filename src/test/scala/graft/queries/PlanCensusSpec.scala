@@ -287,6 +287,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q165_aac_payload_dedup"   -> (4, 1, 0, true), // r12 AAC probe rung:
+                                                   // q162's payload-hash
+                                                   // shape over ADTS walks
     "q164_g711_dedup"          -> (4, 1, 0, true), // r12 G.711 decode rung:
                                                    // decoded-sample hash
                                                    // shape over AU/AIFC/WAV
