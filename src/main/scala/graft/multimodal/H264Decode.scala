@@ -224,6 +224,18 @@ object H264Decode {
     var list1: IndexedSeq[(Int, Frame)] = IndexedSeq.empty
     var numRef0: Int = 1 // num_ref_idx_l0_active for the current slice
     var numRef1: Int = 1
+    // r12 long-term reference state: the slice's frame_num (picNum
+    // arithmetic for MMCO), the IDR long_term_reference_flag, the
+    // parsed adaptive marking ops (applied by the sequencer at picture
+    // end), and whether the DPB holds long-term entries (gates
+    // temporal direct, whose POC-distance scaling is short-term-only
+    // in this tier)
+    var frameNum: Int = 0
+    var isIdrPic: Boolean = false
+    var idrLongTerm: Boolean = false
+    val mmcoOps = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var mmcoParsed: Boolean = false
+    var hasLongTerm: Boolean = false
     @inline def ref0(i: Int): Frame = list0(i)._2
     @inline def ref1(i: Int): Frame = list1(i)._2
     @inline def poc0(i: Int): Int = list0(i)._1
@@ -669,6 +681,36 @@ object H264Decode {
     // num_ref_idx_active override, no list modification, no MMCO) when
     // the State carries reference pictures, plus the B-slice subset
     // (r9 lists, r11 multi-ref per list) when it carries both lists
+    // dec_ref_pic_marking, non-IDR form (§7.3.3.3, r12): the adaptive
+    // MMCO op list — 1 (unmark short-term by picNum difference), 2
+    // (unmark long-term by idx), 3 (convert short-term to long-term),
+    // 4 (cap the long-term idx space), 6 (mark CURRENT long-term);
+    // 0 ends, 5 (full reset) stays out of scope. Ops are recorded once
+    // per picture (every slice repeats them identically — §7.4.3.3);
+    // the sequencer applies them at picture end.
+    def parseRefPicMarking(st: State, r: H264.BitReader): Unit = {
+      if (!r.flag()) return // sliding window
+      val local = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var done = false
+      while (!done) {
+        val op = r.ue()
+        op match {
+          case 0 => done = true
+          case 1 | 2 | 4 | 6 => local += ((op, r.ue(), 0))
+          case 3 => local += ((op, r.ue(), r.ue()))
+          case 5 => throw new IllegalArgumentException(
+            "MMCO 5 (reset all) out of scope")
+          case other => throw new IllegalArgumentException(s"bad MMCO $other")
+        }
+        require(local.size <= 32, "runaway MMCO op list")
+      }
+      require(local.nonEmpty, "adaptive marking with no ops")
+      if (!st.mmcoParsed) st.mmcoOps ++= local
+      else require(st.mmcoOps == local,
+        "MMCO ops differ between slices of one picture")
+      st.mmcoParsed = true
+    }
+
     val firstMb = r.ue()
     val sliceType = r.ue()
     val isP = sliceType == 0 || sliceType == 5
@@ -688,7 +730,8 @@ object H264Decode {
     require(!isB || (st.list0.nonEmpty && st.list1.nonEmpty),
       "B slice without both reference lists")
     r.ue() // pps_id (single active PPS assumed)
-    r.u(st.sps.log2MaxFrameNum) // frame_num
+    st.frameNum = r.u(st.sps.log2MaxFrameNum) // frame_num
+    st.isIdrPic = isIdr
     // idr_pic_id presence is keyed on the NAL type (IdrPicFlag, §7.3.3),
     // NOT the slice type: a legal I slice carried in a non-IDR NAL
     // (nal_unit_type 1, common in open-GOP streams) has no idr_pic_id
@@ -707,6 +750,11 @@ object H264Decode {
     // implemented; temporal direct (POC-distance mv scaling) is out of
     // scope and rejects at the first direct MB
     val directSpatial = if (isB) r.flag() else false
+    // temporal direct's §8.4.1.2.3 POC-distance scaling assumes
+    // short-term references on both sides — long-term col refs take a
+    // fixed scale this tier doesn't implement
+    require(!isB || directSpatial || !st.hasLongTerm,
+      "temporal direct with long-term references out of scope")
     var cabacInitIdc = 0
     if (isP || isB) {
       // num_ref_idx_active (r11 multi-ref tier): PPS defaults, slice
@@ -779,17 +827,19 @@ object H264Decode {
       if (st.pps.weightedBipredIdc == 2 && isB) st.wpImplicit = true
       // dec_ref_pic_marking: present only for reference pictures
       // (nal_ref_idc > 0) — our B pictures are non-reference
-      if (refIdc > 0)
-        require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
+      if (refIdc > 0) parseRefPicMarking(st, r)
       if (!st.pps.cavlc) {
         cabacInitIdc = r.ue() // cabac_init_idc (§7.3.3: CABAC, non-I)
         require(cabacInitIdc <= 2, s"bad cabac_init_idc $cabacInitIdc")
       }
     } else if (isIdr) {
-      r.flag(); r.flag() // dec_ref_pic_marking (IDR): no_output / long_term
+      // dec_ref_pic_marking (IDR): no_output_of_prior_pics +
+      // long_term_reference_flag (r12: marks the IDR long-term idx 0)
+      r.flag()
+      st.idrLongTerm = r.flag()
     } else if (refIdc > 0) {
       // non-IDR I slice: dec_ref_pic_marking takes the non-IDR form
-      require(!r.flag(), "adaptive ref pic marking (MMCO) out of scope")
+      parseRefPicMarking(st, r)
     }
     var qp = st.pps.picInitQp + r.se()
     if (st.pps.deblockingPresent) {
@@ -2577,7 +2627,8 @@ object H264Decode {
     // order IS ascending FrameNumWrap, so the window evicts the oldest
     // entry when the SPS's max_num_ref_frames is exceeded.
     final case class DpbEntry(poc: Int, frame: Frame,
-        grid: H264Inter.MvGrid, refPocs: Array[Int])
+        grid: H264Inter.MvGrid, refPocs: Array[Int],
+        frameNum: Int = 0, longTerm: Boolean = false, ltIdx: Int = 0)
     val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbEntry]
     def finish(): Unit =
       if (st != null && st.mbDecoded.forall(identity)) {
@@ -2587,16 +2638,62 @@ object H264Decode {
         out += (((cvs, st.poc), f))
         if (stRefIdc > 0) {
           val ownL0 = st.list0.take(st.numRef0).map(_._1).toArray
-          dpb += DpbEntry(st.poc, f, st.mv, ownL0)
-          // window capacity floors at 2: the r8–r10 fixture encoders
-          // declared max_num_ref_frames = 1 while their IDR+P+B GOPs
-          // retain two pictures (a non-conformance the pre-r11
-          // two-slot decoder never saw). Retaining more than declared
-          // is observably harmless for conformant non-MMCO streams —
-          // their lists only ever index the declared prefix — so the
-          // tolerant floor keeps frozen corpora decodable.
-          if (dpb.size > math.max(2, st.sps.maxNumRefFrames))
-            dpb.remove(0) // sliding window: oldest decode order out
+          if (st.isIdrPic) {
+            // DPB was flushed at dispatch; long_term_reference_flag
+            // marks the IDR long-term at idx 0 (§8.2.5.1)
+            dpb += DpbEntry(st.poc, f, st.mv, ownL0, st.frameNum,
+              longTerm = st.idrLongTerm, ltIdx = 0)
+          } else {
+            // adaptive marking (§8.2.5.4) BEFORE inserting the current
+            // picture; op 6 marks the current picture itself
+            var currLtIdx = -1
+            st.mmcoOps.foreach {
+              case (1, diff, _) =>
+                // gapless frame_num in this tier's scope: picNum ==
+                // frameNum, no wrap (loud reject keeps it honest)
+                val picNumX = st.frameNum - (diff + 1)
+                require(picNumX >= 0, "MMCO 1 picNum wrap out of scope")
+                val i = dpb.indexWhere(e => !e.longTerm && e.frameNum == picNumX)
+                require(i >= 0, s"MMCO 1 target picNum $picNumX absent")
+                dpb.remove(i)
+              case (2, ltPicNum, _) =>
+                val i = dpb.indexWhere(e => e.longTerm && e.ltIdx == ltPicNum)
+                require(i >= 0, s"MMCO 2 target long-term $ltPicNum absent")
+                dpb.remove(i)
+              case (3, diff, idx) =>
+                val picNumX = st.frameNum - (diff + 1)
+                require(picNumX >= 0, "MMCO 3 picNum wrap out of scope")
+                val j = dpb.indexWhere(e => e.longTerm && e.ltIdx == idx)
+                if (j >= 0) dpb.remove(j)
+                val i = dpb.indexWhere(e => !e.longTerm && e.frameNum == picNumX)
+                require(i >= 0, s"MMCO 3 target picNum $picNumX absent")
+                dpb(i) = dpb(i).copy(longTerm = true, ltIdx = idx)
+              case (4, maxPlus1, _) =>
+                dpb.filterInPlace(e => !e.longTerm || e.ltIdx < maxPlus1)
+              case (6, idx, _) =>
+                val j = dpb.indexWhere(e => e.longTerm && e.ltIdx == idx)
+                if (j >= 0) dpb.remove(j)
+                currLtIdx = idx
+              case (op, _, _) => throw new IllegalArgumentException(
+                s"MMCO $op unsupported")
+            }
+            dpb += DpbEntry(st.poc, f, st.mv, ownL0, st.frameNum,
+              longTerm = currLtIdx >= 0, ltIdx = math.max(currLtIdx, 0))
+            // window capacity floors at 2: the r8–r10 fixture encoders
+            // declared max_num_ref_frames = 1 while their IDR+P+B GOPs
+            // retain two pictures (a non-conformance the pre-r11
+            // two-slot decoder never saw). Retaining more than declared
+            // is observably harmless for conformant non-MMCO streams —
+            // their lists only ever index the declared prefix — so the
+            // tolerant floor keeps frozen corpora decodable. The
+            // sliding window only ever evicts SHORT-term entries
+            // (§8.2.5.3); long-term pictures leave via MMCO 2/4 only.
+            if (dpb.size > math.max(2, st.sps.maxNumRefFrames)) {
+              val i = dpb.indexWhere(!_.longTerm)
+              require(i >= 0, "DPB holds only long-term references")
+              dpb.remove(i) // oldest short-term in decode order out
+            }
+          }
           prevPocMsb = st.pocMsb; prevPocLsb = st.pocLsb
         }
         st = null
@@ -2634,28 +2731,40 @@ object H264Decode {
                     stRefIdc = nal.refIdc
                     if (nal.nalType == 1) {
                       if (dpb.isEmpty) return result(out) // inter before any IDR
+                      val longs = dpb.filter(_.longTerm).sortBy(_.ltIdx)
+                      st.hasLongTerm = longs.nonEmpty
                       if (sliceType == 1 || sliceType == 6) { // B
-                        // peek the B picture's POC to split the DPB
-                        // into past / future for the §8.2.4.2.3 lists
+                        // peek the B picture's POC to split the
+                        // SHORT-term DPB into past / future for the
+                        // §8.2.4.2.3 lists; long-term entries append
+                        // to both lists in ascending LongTermPicNum
                         hr.ue() // pps_id
                         hr.u(s.log2MaxFrameNum) // frame_num
                         if (s.pocType != 0) return result(out)
                         val lsb = hr.u(s.log2MaxPocLsb)
                         val poc = derivePocMsb(prevPocMsb, prevPocLsb,
                           lsb, s.log2MaxPocLsb) + lsb
-                        val past = dpb.filter(_.poc < poc).sortBy(-_.poc)
-                        val future = dpb.filter(_.poc > poc).sortBy(_.poc)
-                        // scope: a B needs at least one reference on
-                        // each temporal side (no L0==L1 swap case)
+                        val shorts = dpb.filter(!_.longTerm)
+                        val past = shorts.filter(_.poc < poc).sortBy(-_.poc)
+                        val future = shorts.filter(_.poc > poc).sortBy(_.poc)
+                        // scope: a B needs at least one short-term
+                        // reference on each temporal side (no
+                        // L0==L1 swap case; the co-located picture —
+                        // RefPicList1[0] — is short-term)
                         if (past.isEmpty || future.isEmpty) return result(out)
-                        st.list0 = (past ++ future).map(e => (e.poc, e.frame)).toIndexedSeq
-                        st.list1 = (future ++ past).map(e => (e.poc, e.frame)).toIndexedSeq
+                        st.list0 = (past ++ future ++ longs)
+                          .map(e => (e.poc, e.frame)).toIndexedSeq
+                        st.list1 = (future ++ past ++ longs)
+                          .map(e => (e.poc, e.frame)).toIndexedSeq
                         st.colMv = future.head.grid
                         st.colRefPocs = future.head.refPocs
                       } else
-                        // P: §8.2.4.2.1 — descending PicNum = most
-                        // recent decode order first (gapless frame_num)
-                        st.list0 = dpb.reverseIterator
+                        // P: §8.2.4.2.1 — short-term by descending
+                        // PicNum (most recent decode order first;
+                        // gapless frame_num), then long-term by
+                        // ascending LongTermPicNum
+                        st.list0 = (dpb.filter(!_.longTerm).reverseIterator ++
+                          longs.iterator)
                           .map(e => (e.poc, e.frame)).toIndexedSeq
                     }
                   }

@@ -38,14 +38,17 @@ object H264Encode {
   }
 
   private[multimodal] def sliceHeader(w: H264.BitWriter, qp: Int,
-      deblock: Boolean = false, firstMb: Int = 0): Unit = {
+      deblock: Boolean = false, firstMb: Int = 0,
+      longTermRef: Boolean = false): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices in picture)
     w.ue(0) // pps_id
     w.u(0, 4) // frame_num (log2_max_frame_num = 4 per writeSps)
     w.ue(0) // idr_pic_id
     w.u(0, 4) // pic_order_cnt_lsb (pocType 0, log2 = 4 per writeSps)
-    w.flag(false); w.flag(false) // dec_ref_pic_marking (IDR)
+    // dec_ref_pic_marking (IDR): no_output_of_prior_pics +
+    // long_term_reference_flag (r12: anchors the IDR at LT idx 0)
+    w.flag(false); w.flag(longTermRef)
     w.se(qp - 26) // slice_qp_delta (writePps sets pic_init_qp = 26)
     if (deblock) { // r11 deblocking tier: filter ON, zero offsets
       w.ue(0); w.se(0); w.se(0)
@@ -82,11 +85,12 @@ object H264Encode {
   private[multimodal] def pSliceHeader(w: H264.BitWriter, qp: Int,
       cabacInitIdc: Int = -1, poc: Int = 0,
       weights: Option[PredWeights] = None, numRef0: Int = 1,
-      deblock: Boolean = false, firstMb: Int = 0): Unit = {
+      deblock: Boolean = false, firstMb: Int = 0, frameNum: Int = 1,
+      mmco: Seq[(Int, Int, Int)] = Nil): Unit = {
     w.ue(firstMb) // first_mb_in_slice
     w.ue(5) // slice_type: P (all slices in picture)
     w.ue(0) // pps_id
-    w.u(1, 4) // frame_num = 1 (log2_max_frame_num = 4 per writeSps)
+    w.u(frameNum & 15, 4) // frame_num (log2_max_frame_num = 4 per writeSps)
     w.u(poc & 15, 4) // pic_order_cnt_lsb
     if (numRef0 > 1) { // r11 multi-ref: slice override of the PPS default
       w.flag(true) // num_ref_idx_active_override_flag
@@ -98,7 +102,19 @@ object H264Encode {
         "P pred_weight_table carries one entry per active L0 reference")
       writePredWeightTable(w, pw)
     }
-    w.flag(false) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    // dec_ref_pic_marking: sliding window, or the r12 adaptive MMCO
+    // op list ((op, p1, p2) triples; op 3 carries two parameters)
+    if (mmco.isEmpty) w.flag(false)
+    else {
+      w.flag(true) // adaptive_ref_pic_marking_mode_flag
+      mmco.foreach { case (op, p1, p2) =>
+        require(op == 1 || op == 2 || op == 3 || op == 4 || op == 6,
+          s"unsupported MMCO $op")
+        w.ue(op); w.ue(p1)
+        if (op == 3) w.ue(p2)
+      }
+      w.ue(0) // end of ops
+    }
     if (cabacInitIdc >= 0) w.ue(cabacInitIdc) // cabac_init_idc
     w.se(qp - 26) // slice_qp_delta
     if (deblock) { // r11 deblocking tier: filter ON, zero offsets
@@ -491,12 +507,14 @@ object H264Encode {
     */
   def encodeP16x16MultiRef(mbs: Array[Array[(Int, (Int, Int))]],
       numRef0: Int, qp: Int = 26, poc: Int = 0,
-      weights: Option[PredWeights] = None): Array[Byte] = {
+      weights: Option[PredWeights] = None, frameNum: Int = 1,
+      mmco: Seq[(Int, Int, Int)] = Nil): Array[Byte] = {
     val mbH = mbs.length; val mbW = mbs.head.length
     require(mbs.forall(_.length == mbW), "ragged mbs")
     require(numRef0 >= 1 && numRef0 <= 16, s"bad numRef0 $numRef0")
     val w = new H264.BitWriter
-    pSliceHeader(w, qp, poc = poc, weights = weights, numRef0 = numRef0)
+    pSliceHeader(w, qp, poc = poc, weights = weights, numRef0 = numRef0,
+      frameNum = frameNum, mmco = mmco)
     val grid = new H264Inter.MvGrid(mbW, mbH)
     var mbY = 0
     while (mbY < mbH) {
@@ -526,14 +544,16 @@ object H264Encode {
     */
   def encodeCabacP16x16MultiRef(mbs: Array[Array[(Int, (Int, Int))]],
       numRef0: Int, qp: Int = 26, initIdc: Int = 0, poc: Int = 0,
-      weights: Option[PredWeights] = None): Array[Byte] = {
+      weights: Option[PredWeights] = None, frameNum: Int = 1,
+      mmco: Seq[(Int, Int, Int)] = Nil): Array[Byte] = {
     val mbH = mbs.length; val mbW = mbs.head.length
     require(mbs.forall(_.length == mbW), "ragged mbs")
     require(numRef0 >= 1 && numRef0 <= 16, s"bad numRef0 $numRef0")
     require(initIdc >= 0 && initIdc <= 2, s"bad cabac_init_idc $initIdc")
     val w = new H264.BitWriter
     pSliceHeader(w, qp, cabacInitIdc = initIdc, poc = poc,
-      weights = weights, numRef0 = numRef0)
+      weights = weights, numRef0 = numRef0, frameNum = frameNum,
+      mmco = mmco)
     w.alignOne()
     val e = new H264Cabac.Encoder(w,
       new H264Cabac.Contexts(qp, H264Cabac.ctxInitP(initIdc)))
@@ -846,12 +866,13 @@ object H264Encode {
       weightedPred: Boolean = false,
       weightedBipredIdc: Int = 0,
       numRefFrames: Int = 1,
-      deblock: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
+      deblock: Boolean = false,
+      longTermRef: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
     val w = new H264.BitWriter
-    sliceHeader(w, qp, deblock = deblock)
+    sliceHeader(w, qp, deblock = deblock, longTermRef = longTermRef)
     val recon = Array.ofDim[Int](mbH, mbW)
     val scale0 = Array(10, 11, 13, 14, 16, 18)(qp % 6)
 
@@ -927,12 +948,13 @@ object H264Encode {
       weightedPred: Boolean = false,
       weightedBipredIdc: Int = 0,
       numRefFrames: Int = 1,
-      deblock: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
+      deblock: Boolean = false,
+      longTermRef: Boolean = false): (Array[Byte], Array[Array[Int]]) = {
     val mbH = mbMeans.length; val mbW = mbMeans.head.length
     require(mbMeans.forall(_.length == mbW), "ragged mbMeans")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
     val w = new H264.BitWriter
-    sliceHeader(w, qp, deblock = deblock)
+    sliceHeader(w, qp, deblock = deblock, longTermRef = longTermRef)
     w.alignOne() // cabac_alignment_one_bit (§7.3.4)
     val e = new H264Cabac.Encoder(w, new H264Cabac.Contexts(qp))
     val cc = new H264Cabac.IntraCtxTrack(mbW, mbH)

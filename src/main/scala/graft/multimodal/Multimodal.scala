@@ -1696,6 +1696,76 @@ object Multimodal {
     }
   }
 
+  /** Synthetic raw Annex-B H.264 streams for the r12 LONG-TERM /
+    * MMCO rung: each a 5-picture GOP whose IDR is marked a LONG-TERM
+    * anchor (long_term_reference_flag), followed by panning P
+    * pictures that exceed the declared max_num_ref_frames (the
+    * sliding window alone would evict the anchor), a mid-GOP MMCO 1
+    * (drop a short-term by picNum), and a final P whose upper half
+    * re-anchors to the long-term picture at zero MV. Planted
+    * relations per decade:
+    *   - id % 10 == 0 (id > 0): an EXACT cross-entropy dup of id−1
+    *     (same GOP, CAVLC ↔ CABAC) — collapses iff both entropy
+    *     tiers AND the marking semantics decode identically;
+    *   - id % 10 == 5: id−4's GOP with the long-term flag CLEARED —
+    *     the final P then resolves ref 1 to a recent short-term
+    *     instead of the anchor, so a decoder that implements marking
+    *     keeps both, while one that ignores long-term state decodes
+    *     the two variants identically and wrongly collapses them.
+    */
+  def syntheticAvcLongTermStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val noLt = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (noLt) id - 4 else id
+      val rnd = new scala.util.Random(seed * 173 + 37)
+      val qp = 26
+      val mbMeans = Array.tabulate(4, 4)((my, mx) =>
+        30 + rnd.nextInt(180) + ((mx + my) % 2) * 8)
+      val mv = (4 * (1 + rnd.nextInt(3)), 4 * rnd.nextInt(2))
+      val pan: Array[Array[(Int, Int)]] = Array.fill(4, 4)(mv)
+      val checker: Array[Array[(Int, (Int, Int))]] =
+        Array.tabulate(4, 4)((my, mx) =>
+          if ((mx + my + seed) % 2 == 0) (0, mv) else (1, (0, 0)))
+      val anchorMbs: Array[Array[(Int, (Int, Int))]] =
+        Array.tabulate(4, 4)((my, _) =>
+          if (my < 2) (1, (0, 0)) else (0, (0, 0)))
+      val longTerm = !noLt
+      // cross-entropy planting: the dup re-encodes id−1's GOP in the
+      // OTHER entropy tier (base items alternate by their own parity)
+      val cabac = if (isDup) (id - 1) % 2 == 0 else id % 2 == 1
+      val content =
+        if (cabac)
+          H264Encode.encodeCabacI16x16Dc(mbMeans, qp, numRefFrames = 2,
+            longTermRef = longTerm)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeCabacP16x16(pan, qp, poc = 2)),
+              (1, 3, H264Encode.encodeCabacP16x16MultiRef(checker, 2, qp,
+                poc = 4, frameNum = 2)),
+              (1, 3, H264Encode.encodeCabacP16x16MultiRef(
+                Array.fill(4, 4)((0, (0, 0))), 2, qp, poc = 6,
+                frameNum = 3, mmco = Seq((1, 0, 0)))),
+              (1, 3, H264Encode.encodeCabacP16x16MultiRef(anchorMbs, 2, qp,
+                poc = 8, frameNum = 4))))
+        else
+          H264Encode.encodeI16x16Dc(mbMeans, qp, numRefFrames = 2,
+            longTermRef = longTerm)._1 ++
+            H264Encode.annexB(Seq(
+              (1, 3, H264Encode.encodeP16x16(pan, qp, poc = 2)),
+              (1, 3, H264Encode.encodeP16x16MultiRef(checker, 2, qp,
+                poc = 4, frameNum = 2)),
+              (1, 3, H264Encode.encodeP16x16MultiRef(
+                Array.fill(4, 4)((0, (0, 0))), 2, qp, poc = 6,
+                frameNum = 3, mmco = Seq((1, 0, 0)))),
+              (1, 3, H264Encode.encodeP16x16MultiRef(anchorMbs, 2, qp,
+                poc = 8, frameNum = 4))))
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(500L)))
+    }
+  }
+
   /** Synthetic ADTS AAC corpus (r12, the second compressed-audio
     * rung): per-seed LC frame sequences under varying sample-rate
     * indices, channel configurations and buffer-fullness values,

@@ -915,6 +915,28 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q166 — long-term-reference / MMCO video dedup (the r12 AVC
+    * memory-management rung): GOPs whose final picture re-anchors to
+    * a LONG-TERM IDR that the sliding window alone would have evicted
+    * (max_num_ref_frames exceeded; a mid-GOP MMCO 1 also drops a
+    * short-term by picNum), deduped by SHA-256 over all five decoded
+    * pictures. Planted cross-entropy pairs collapse only when both
+    * entropy tiers AND the §8.2.5 marking semantics agree; planted
+    * NO-LONG-TERM twins (same GOP, flag cleared — ref 1 then resolves
+    * to a recent short-term) must survive: a decoder that ignores
+    * marking decodes both variants identically and wrongly collapses
+    * them ([[graft.multimodal.Multimodal.syntheticAvcLongTermStreams]];
+    * H264LongTermSpec pins the hand-traced DPB evolutions).
+    */
+  def q166AvcLongTermDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avclt_200"))(
+      graft.multimodal.Multimodal.syntheticAvcLongTermStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 5)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1233,6 +1255,7 @@ object ExtendedQueries {
     "q163_hevc_inter_dedup" -> (q163HevcInterDedup _),
     "q164_g711_dedup" -> (q164G711Dedup _),
     "q165_aac_payload_dedup" -> (q165AacPayloadDedup _),
+    "q166_avc_longterm_dedup" -> (q166AvcLongTermDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1514,6 +1537,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q165_aac_payload_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q165_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q166_avc_longterm_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q166_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -411,6 +411,38 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("long-term/MMCO dedup (q166 corpus): cross-entropy pairs collapse; no-long-term twins survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticAvcLongTermStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // same GOP, the other entropy tier
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H264Decode.decodeAnnexBPictures(byId(id), 5)
+      val b = H264Decode.decodeAnnexBPictures(byId(id - 1), 5)
+      assert(a.size == 5 && b.size == 5, s"pair $id decode")
+      a.zip(b).zipWithIndex.foreach { case ((fa, fb), k) =>
+        assert(java.util.Arrays.equals(fa.luma, fb.luma), s"pair $id luma $k")
+      }
+    }
+    decoys.foreach { id => // the long-term flag must CHANGE content
+      val t = H264Decode.decodeAnnexBPictures(byId(id), 5)
+      val o = H264Decode.decodeAnnexBPictures(byId(id - 4), 5)
+      assert(t.size == 5 && o.size == 5, s"decoy $id decode")
+      assert(java.util.Arrays.equals(t(1).luma, o(1).luma),
+        s"decoy $id: early pictures agree (window not yet exceeded)")
+      assert(!java.util.Arrays.equals(t(4).luma, o(4).luma),
+        s"decoy $id: the final P must anchor differently without the flag")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 5)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "marking semantics collapse exactly the cross-entropy dups")
+    media.unpersist()
+  }
+
   test("AAC dedup (q165 corpus): re-muxed frame twins collapse; one-byte payload changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAacAdts(spark, 60).persist()

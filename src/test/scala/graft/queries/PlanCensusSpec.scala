@@ -287,6 +287,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q166_avc_longterm_dedup"  -> (4, 1, 0, true), // r12 MMCO rung:
+                                                   // exact-pixel shape over 5
+                                                   // frames; decode fan-out
+                                                   // runs §8.2.5 marking
     "q165_aac_payload_dedup"   -> (4, 1, 0, true), // r12 AAC probe rung:
                                                    // q162's payload-hash
                                                    // shape over ADTS walks
