@@ -1766,6 +1766,53 @@ object Multimodal {
     }
   }
 
+  /** Synthetic FLAC corpus (r12, the third compressed-audio rung):
+    * per-seed opaque compressed-audio sections behind real FLAC
+    * metadata — STREAMINFO with exact stream facts, optional
+    * VORBIS_COMMENT and PADDING blocks, a CRC-8-valid first frame
+    * header. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): id−1's audio section RE-TAGGED — a
+    *     different VORBIS_COMMENT plus fresh padding (the canonical
+    *     lossless-audio duplicate: same FLAC frames, new tags/art);
+    *     byte hashes differ, audio-section hashes collapse;
+    *   - id % 10 == 5: one audio byte changed in id−4's section — a
+    *     near-duplicate that must survive.
+    */
+  def syntheticFlacs(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val oneOff = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (oneOff) id - 4 else id
+      val rnd = new scala.util.Random(seed * 179 + 41)
+      val rate = Seq(44100, 48000, 96000, 22050)(rnd.nextInt(4))
+      val channels = 1 + rnd.nextInt(2)
+      val bps = Seq(16, 24)(rnd.nextInt(2))
+      val totalSamples = 4096L * (4 + rnd.nextInt(60))
+      val payload = new Array[Byte](2000 + rnd.nextInt(6000))
+      rnd.nextBytes(payload)
+      if (oneOff) {
+        val pos = rnd.nextInt(payload.length)
+        payload(pos) = (payload(pos) ^ 0x2d).toByte
+      }
+      val tagRnd = if (isDup) new scala.util.Random(id) else rnd
+      val vc =
+        if (isDup || rnd.nextBoolean()) {
+          val t = new Array[Byte](40 + tagRnd.nextInt(80))
+          tagRnd.nextBytes(t)
+          Some(t)
+        } else None
+      val pad = if (isDup) 16 + tagRnd.nextInt(64)
+        else if (rnd.nextBoolean()) rnd.nextInt(48) else 0
+      val content = Flac.build(rate, channels, bps, totalSamples, payload,
+        vc, pad)
+      Media(id, "audio", content,
+        MediaMeta("flac", None, None, Some(rate),
+          Some(totalSamples * 1000 / rate)))
+    }
+  }
+
   /** Synthetic ADTS AAC corpus (r12, the second compressed-audio
     * rung): per-seed LC frame sequences under varying sample-rate
     * indices, channel configurations and buffer-fullness values,
@@ -1831,16 +1878,20 @@ object Multimodal {
       it.flatMap { m =>
         if (m.kind != "audio") None
         else {
-          // Dispatch by the header AT the tag boundary: MP3 and ADTS
-          // are mutually exclusive there (MP3 Layer III carries
-          // nonzero layer bits exactly where ADTS requires 00), and
-          // sniffing at the start — rather than try-walking MP3 first
-          // — keeps MP3's lenient sync-scan from finding a bogus
-          // header inside ADTS payload bytes.
-          val off = Mp3.id3v2Size(m.content)
-          val adts = off >= 0 && off + 7 <= m.content.length &&
+          // Dispatch by the header AT the tag boundary: FLAC by magic;
+          // MP3 and ADTS are mutually exclusive there (MP3 Layer III
+          // carries nonzero layer bits exactly where ADTS requires
+          // 00), and sniffing at the start — rather than try-walking
+          // MP3 first — keeps MP3's lenient sync-scan from finding a
+          // bogus header inside ADTS payload bytes.
+          val flac = m.content.length > 4 && m.content(0) == 'f' &&
+            m.content(1) == 'L' && m.content(2) == 'a' && m.content(3) == 'C'
+          val off = if (flac) 0 else Mp3.id3v2Size(m.content)
+          val adts = !flac && off >= 0 && off + 7 <= m.content.length &&
             Aac.parseHeader(m.content, off).isDefined
-          val ps = if (adts) Aac.framePayloads(m.content)
+          val ps =
+            if (flac) Flac.audioSection(m.content).toSeq
+            else if (adts) Aac.framePayloads(m.content)
             else Mp3.framePayloads(m.content)
           if (ps.isEmpty) None
           else {

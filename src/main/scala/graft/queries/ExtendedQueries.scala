@@ -937,6 +937,26 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q167 — FLAC retag-invariant audio dedup (the r12 third
+    * compressed-audio rung): metadata-block walking, STREAMINFO
+    * probing and CRC-8-verified first-frame validation with SHA-256
+    * over the AUDIO SECTION (every byte after the metadata blocks).
+    * Planted same-audio-retagged pairs — new VORBIS_COMMENT + fresh
+    * PADDING around identical FLAC frames, the canonical lossless
+    * duplicate — collapse while single-audio-byte changes survive
+    * ([[graft.multimodal.Multimodal.syntheticFlacs]]; FlacSpec pins
+    * the STREAMINFO bit layout, CRC-8, UTF-8 frame numbers and the
+    * blocksize/rate code tables).
+    */
+  def q167FlacTagDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("flac_200"))(
+      graft.multimodal.Multimodal.syntheticFlacs(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByFramePayloadHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1256,6 +1276,7 @@ object ExtendedQueries {
     "q164_g711_dedup" -> (q164G711Dedup _),
     "q165_aac_payload_dedup" -> (q165AacPayloadDedup _),
     "q166_avc_longterm_dedup" -> (q166AvcLongTermDedup _),
+    "q167_flac_tag_dedup" -> (q167FlacTagDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1540,6 +1561,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q166_avc_longterm_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q166_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q167_flac_tag_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q167_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

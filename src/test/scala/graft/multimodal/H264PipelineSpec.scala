@@ -443,6 +443,33 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("FLAC dedup (q167 corpus): retagged twins collapse; one-byte audio changes survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticFlacs(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // same frames, different tags/padding
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      assert(Flac.audioSection(byId(id)).get.toSeq ==
+        Flac.audioSection(byId(id - 1)).get.toSeq, s"pair $id audio")
+      // the metadata really differs: extents disagree
+      assert(Flac.probe(byId(id)).get.metadataBytes !=
+        Flac.probe(byId(id - 1)).get.metadataBytes ||
+        byId(id).length != byId(id - 1).length, s"pair $id tags")
+    }
+    decoys.foreach { id =>
+      assert(Flac.audioSection(byId(id)).get.toSeq !=
+        Flac.audioSection(byId(id - 4)).get.toSeq, s"decoy $id")
+    }
+    val survivors = Multimodal.audioDedupByFramePayloadHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "audio-section hashing collapses exactly the retagged twins")
+    media.unpersist()
+  }
+
   test("AAC dedup (q165 corpus): re-muxed frame twins collapse; one-byte payload changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticAacAdts(spark, 60).persist()

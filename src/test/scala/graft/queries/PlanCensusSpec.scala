@@ -287,6 +287,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
+                                                   // audio-section hash
+                                                   // shape over metadata
+                                                   // walks
     "q166_avc_longterm_dedup"  -> (4, 1, 0, true), // r12 MMCO rung:
                                                    // exact-pixel shape over 5
                                                    // frames; decode fan-out
