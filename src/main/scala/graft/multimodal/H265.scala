@@ -329,7 +329,8 @@ object H265 {
     * smoothing off. Dimensions must be CTB-aligned.
     */
   def writeSpsPixel2(width: Int, height: Int, ctbLog2: Int = 5,
-      minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1): Array[Byte] = {
+      minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1,
+      sao: Boolean = false): Array[Byte] = {
     val ctb = 1 << ctbLog2
     require(width > 0 && height > 0 && width % ctb == 0 && height % ctb == 0,
       s"tier-2 dims must be CTB-aligned, got ${width}x$height at CTB $ctb")
@@ -355,7 +356,7 @@ object H265 {
     w.ue(0); w.ue(depthIntra) // max_transform_hierarchy_depth_inter/intra
     w.flag(false) // scaling_list_enabled
     w.flag(false) // amp_enabled
-    w.flag(false) // sample_adaptive_offset_enabled
+    w.flag(sao)   // sample_adaptive_offset_enabled (r12 SAO rung)
     w.flag(false) // pcm_enabled
     w.ue(0)    // num_short_term_ref_pic_sets
     w.flag(false) // long_term_ref_pics_present

@@ -49,6 +49,9 @@ private[multimodal] object H265Cabac {
   val CtxMvpFlag = 140
   val CtxRqtRootCbf = 141
   val CtxRefIdx = 142 // + binIdx 0..1 (unused at 1 active ref)
+  // r12 SAO (§7.3.8.3): one shared merge ctx, one type-idx ctx
+  val CtxSaoMerge = 144
+  val CtxSaoType = 145
 
   @inline private def mn(initValue: Int): (Int, Int) =
     ((initValue >> 4) * 5 - 45, ((initValue & 15) << 3) - 16)
@@ -62,6 +65,8 @@ private[multimodal] object H265Cabac {
     * reference software's INIT_* tables); transcription caveat as ever.
     */
   val ctxInitI: Map[Int, (Int, Int)] = (Seq(
+    CtxSaoMerge -> mn(153),
+    CtxSaoType -> mn(160),
     CtxPartMode -> mn(184),
     CtxPrevIntraLuma -> mn(184),
     CtxChromaPredMode -> mn(63),
@@ -100,6 +105,8 @@ private[multimodal] object H265Cabac {
     * externally-produced P streams are the open validation.
     */
   val ctxInitP: Map[Int, (Int, Int)] = (Seq(
+    CtxSaoMerge -> mn(153),
+    CtxSaoType -> mn(185),
     CtxPartMode -> mn(154),
     CtxPrevIntraLuma -> mn(154),
     CtxChromaPredMode -> mn(152),

@@ -884,9 +884,10 @@ object H265Decode {
     require(sps.minTbLog2 == 2 && sps.maxTbLog2 >= 2 && sps.maxTbLog2 <= 5,
       "TB sizes out of range")
     require(sps.maxTrafoDepthIntra <= 3, "transform hierarchy too deep")
-    require(!sps.saoEnabled && !sps.scalingList && !sps.ampEnabled &&
+    require(!sps.scalingList && !sps.ampEnabled &&
       !sps.strongIntraSmoothing,
-      "SAO/scaling lists/AMP/strong smoothing out of scope")
+      "scaling lists/AMP/strong smoothing out of scope")
+    // SAO: live since r12 (slice-flag-controlled, §8.7.3)
     // deblocking: live since r12 (PPS-controlled; tier-1/2 fixture
     // streams keep it disabled, the q160 rung enables it)
     val ctbSize = 1 << sps.ctbLog2
@@ -938,6 +939,12 @@ object H265Decode {
       }
       // long-term refs: SPS-disabled in all tier streams (flag absent)
     }
+    var saoLuma = false
+    var saoChroma = false
+    if (sps.saoEnabled) {
+      saoLuma = r.flag() // slice_sao_luma_flag
+      saoChroma = r.flag() // slice_sao_chroma_flag
+    }
     var maxMerge = 5
     if (sliceType == 1) {
       // SAO off → no slice SAO flags; one active list-0 reference
@@ -956,8 +963,9 @@ object H265Decode {
     require(qp >= 0 && qp <= 51, s"bad slice qp $qp")
     // slice_loop_filter_across_slices_enabled_flag (§7.3.6.1: present
     // when the PPS enables cross-slice filtering and any in-loop
-    // filter is live — SAO is tier-rejected, so deblocking decides)
-    if (pps.loopFilterAcrossSlices && !pps.deblockingDisabled)
+    // filter — SAO or deblocking — is live)
+    if (pps.loopFilterAcrossSlices &&
+        (saoLuma || saoChroma || !pps.deblockingDisabled))
       r.flag()
     // byte_alignment (§7.3.2.10): one, then zeros
     require(r.u(1) == 1, "alignment_bit_equal_to_one")
@@ -972,11 +980,16 @@ object H265Decode {
     s.d = new H264Cabac.Decoder(r, s.ctx)
     val ctbW = sps.width >> sps.ctbLog2
     val ctbH = sps.height >> sps.ctbLog2
+    val saoParams =
+      if (saoLuma || saoChroma) new Array[H265Sao.Params](ctbW * ctbH)
+      else null
     var ctu = 0
     val nCtu = ctbW * ctbH
     var end = false
     while (!end) {
       require(ctu < nCtu, "CTU address past picture end")
+      if (saoParams != null) // sao() leads coding_tree_unit (§7.3.8.2)
+        H265Sao.decode(s.d, saoParams, ctu, ctbW, saoLuma, saoChroma)
       codingQuadtree(s, (ctu % ctbW) << sps.ctbLog2,
         (ctu / ctbW) << sps.ctbLog2, sps.ctbLog2, 0)
       ctu += 1
@@ -984,12 +997,15 @@ object H265Decode {
       require(!s.d.exhausted, "HEVC CABAC bitstream exhausted mid-slice")
     }
     require(ctu == nCtu, "slice ended before the picture completed")
-    // in-loop deblocking (r12): runs before the picture is output —
-    // and before it serves as a reference (P pictures require the
-    // filter off until the inter bS derivation lands)
+    // in-loop filters (r12): deblocking, then SAO over the deblocked
+    // picture — before output and before the picture serves as a
+    // reference (P pictures require deblocking off until the inter bS
+    // derivation lands; SAO is slice-flag gated and works either way)
     if (!pps.deblockingDisabled)
       H265Deblock.filterPicture(pic, qp, pps.cbQpOffset, pps.crQpOffset,
         pps.betaOffsetDiv2, pps.tcOffsetDiv2)
+    if (saoParams != null)
+      H265Sao.applyPicture(pic, saoParams, ctbW, ctbH, sps.ctbLog2)
     Some((Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,
       pic.luma, pic.cb, pic.cr), pic, poc))
   }

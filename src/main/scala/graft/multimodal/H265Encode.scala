@@ -150,7 +150,8 @@ object H265Encode {
   def encodeIntraPicture2(srcY: Array[Byte], srcCb: Array[Byte],
       srcCr: Array[Byte], width: Int, height: Int, layout: Seq[CuTree],
       qp: Int, ctbLog2: Int = 5, minCbLog2: Int = 3, maxTbLog2: Int = 5,
-      depthIntra: Int = 1, deblock: Boolean = false): (Array[Byte], Recon) = {
+      depthIntra: Int = 1, deblock: Boolean = false,
+      sao: Seq[H265Sao.Params] = Nil): (Array[Byte], Recon) = {
     val ctb = 1 << ctbLog2
     require(width % ctb == 0 && height % ctb == 0, "CTB-aligned dims only")
     require(srcY.length == width * height &&
@@ -158,14 +159,19 @@ object H265Encode {
       srcCr.length == srcCb.length, "bad source plane sizes")
     require(qp >= 0 && qp <= 51, s"bad qp $qp")
     val ctbW = width >> ctbLog2
-    require(layout.size == ctbW * (height >> ctbLog2), "one tree per CTB")
+    val ctbH = height >> ctbLog2
+    require(layout.size == ctbW * ctbH, "one tree per CTB")
+    val useSao = sao.nonEmpty
+    require(!useSao || sao.size == layout.size, "one SAO param set per CTB")
     val w = new H264.BitWriter
     w.flag(true) // first_slice_segment_in_pic_flag
     w.flag(false) // no_output_of_prior_pics_flag
     w.ue(0) // slice_pic_parameter_set_id
     w.ue(2) // slice_type: I
+    if (useSao) { w.flag(true); w.flag(true) } // slice_sao_luma/chroma
     w.se(qp - 26) // slice_qp_delta (PPS init_qp 26)
-    if (deblock) w.flag(true) // slice_loop_filter_across_slices_enabled
+    if (deblock || useSao)
+      w.flag(true) // slice_loop_filter_across_slices_enabled
     w.u(1, 1); w.alignZero() // byte_alignment
 
     val ctx = H265Cabac.contexts(qp)
@@ -173,9 +179,19 @@ object H265Encode {
     val pic = new H265Decode.Pic(width, height)
     val enc = new SliceEnc(e, pic, srcY, srcCb, srcCr, qp, ctbLog2,
       minCbLog2, maxTbLog2, depthIntra, sliceType = 2)
+    val saoParams =
+      if (useSao) new Array[H265Sao.Params](layout.size) else null
     var ctu = 0
     val nCtu = layout.size
     while (ctu < nCtu) {
+      if (useSao) {
+        // reference-equal params signal a MERGE with that neighbor
+        val p = sao(ctu)
+        val mergeL = (ctu % ctbW) > 0 && (p eq sao(ctu - 1))
+        val mergeU = !mergeL && ctu >= ctbW && (p eq sao(ctu - ctbW))
+        H265Sao.encode(e, saoParams, ctu, ctbW, saoLuma = true,
+          saoChroma = true, p, mergeLeft = mergeL, mergeUp = mergeU)
+      }
       enc.quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2,
         ctbLog2, 0, layout(ctu))
       ctu += 1
@@ -185,13 +201,16 @@ object H265Encode {
     val stream = annexB(Seq(
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra)),
+        maxTbLog2, depthIntra, sao = useSao)),
       (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock)),
       (H265.NalIdrWRadl, slice)))
-    // decoder-twin IN-LOOP filter: the returned recon is what a
-    // conformant decoder outputs (and would use as a reference)
+    // decoder-twin IN-LOOP filters: deblocking, then SAO over the
+    // deblocked picture — the returned recon is what a conformant
+    // decoder outputs (and would use as a reference)
     if (deblock)
       H265Deblock.filterPicture(pic, qp, 0, 0, 0, 0)
+    if (useSao)
+      H265Sao.applyPicture(pic, saoParams, ctbW, ctbH, ctbLog2)
     (stream, Recon(pic.luma, pic.cb, pic.cr))
   }
 

@@ -1696,6 +1696,90 @@ object Multimodal {
     }
   }
 
+  /** Synthetic HEVC streams for the r12 SAO rung: tier-2 residual
+    * pictures with Sample Adaptive Offset LIVE — per-seed per-CTB
+    * band/edge parameters (some CTBs merged, some off) over textured
+    * content at qp 30. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an all-PCM tier-1 twin carrying id−1's
+    *     SAO-FILTERED recon raw — collapses iff residual decode AND
+    *     the §8.7.3 band/edge arithmetic are both sample-exact;
+    *   - id % 10 == 5: a NO-SAO TWIN of id−4 — the same layout/source
+    *     coded without SAO: a decoder that skips (or misimplements)
+    *     the offsets sees an exact dup; a correct one keeps both.
+    */
+  def syntheticHevcSaoStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val noSao = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (noSao) id - 4 else id
+      val qp = 30
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 191 + 53)
+      val sy = Array.tabulate(w * h)(i =>
+        (36 + (((i % w) * 5 + (i / w) * 3 + rnd.nextInt(41)) % 190)).toByte)
+      val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+        (92 + (i % (w / 2)) / 2 + rnd.nextInt(13)).toByte)
+      val scr = Array.tabulate((w / 2) * (h / 2))(_ =>
+        (116 + rnd.nextInt(21)).toByte)
+      import H265Encode.{CuLeaf, CuSplit, CuTree}
+      def node(): CuTree =
+        if (rnd.nextInt(3) == 0) CuSplit(CuLeaf(Seq(rnd.nextInt(35))),
+          CuLeaf(Seq(rnd.nextInt(35))), CuLeaf(Seq(1)),
+          CuLeaf(Seq(rnd.nextInt(35)), splitTu = true))
+        else CuLeaf(Seq(rnd.nextInt(35)))
+      val layout = Seq(node(), node(), node(), node())
+      def saoParam(): graft.multimodal.H265Sao.Params = {
+        val p = new graft.multimodal.H265Sao.Params
+        var c = 0
+        while (c < 3) {
+          val t = if (c == 2) p.typeIdx(1) else rnd.nextInt(3)
+          p.typeIdx(c) = t
+          if (t == 1) {
+            var k = 0
+            while (k < 4) { p.offsets(c)(k) = rnd.nextInt(15) - 7; k += 1 }
+            p.bandPos(c) = rnd.nextInt(32)
+          } else if (t == 2) {
+            p.offsets(c)(0) = 1 + rnd.nextInt(7)
+            p.offsets(c)(1) = rnd.nextInt(8)
+            p.offsets(c)(2) = -rnd.nextInt(8)
+            p.offsets(c)(3) = -(1 + rnd.nextInt(7))
+            p.eoClass(c) = if (c == 2) p.eoClass(1) else rnd.nextInt(4)
+          }
+          c += 1
+        }
+        p
+      }
+      val shared = saoParam()
+      // the shared param (CTBs 1 and 3) is pinned to a live luma edge
+      // config so NO seed can degenerate into an all-no-op SAO picture
+      // (which would make the no-SAO twin an exact dup)
+      shared.typeIdx(0) = 2
+      shared.offsets(0) = Array(3, 1, -1, -3)
+      shared.eoClass(0) = 0
+      val sao = Seq(saoParam(), shared, saoParam(), shared)
+      val (stream, recon) = H265Encode.encodeIntraPicture2(sy, scb, scr,
+        w, h, layout, qp, sao = if (noSao) Nil else sao)
+      val content =
+        if (isDup) {
+          val ctus: Array[Array[H265Encode.Ctu]] =
+            Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                recon.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                recon.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                recon.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              H265Encode.Pcm(l, cbP, crP)
+            }
+          H265Encode.encodeIntraPicture(ctus, qp = 30)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(100L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams for the r12 LONG-TERM /
     * MMCO rung: each a 5-picture GOP whose IDR is marked a LONG-TERM
     * anchor (long_term_reference_flag), followed by panning P

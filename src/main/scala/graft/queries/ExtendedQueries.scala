@@ -957,6 +957,28 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q168 — HEVC SAO exact-pixel dedup (the r12 §8.7.3 rung — with
+    * deblocking (q160) this completes the on-by-default HEVC in-loop
+    * filter pair): tier-2 residual streams with per-CTB band/edge
+    * SAO parameters live (merges included), deduped by SHA-256 over
+    * decoded planes. Planted dup pairs carry each stream's
+    * SAO-FILTERED recon as an all-PCM tier-1 twin — collapsing them
+    * requires residual decode AND the band-index/edge-category/
+    * edgeIdx-remap arithmetic to be sample-exact, in loop. Planted
+    * NO-SAO TWINS (same layout and source, offsets absent) must
+    * survive: a decoder that skips or misimplements SAO collapses
+    * them ([[graft.multimodal.Multimodal.syntheticHevcSaoStreams]];
+    * H265SaoSpec pins the filter arithmetic and syntax).
+    */
+  def q168HevcSaoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcsao_200"))(
+      graft.multimodal.Multimodal.syntheticHevcSaoStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1277,6 +1299,7 @@ object ExtendedQueries {
     "q165_aac_payload_dedup" -> (q165AacPayloadDedup _),
     "q166_avc_longterm_dedup" -> (q166AvcLongTermDedup _),
     "q167_flac_tag_dedup" -> (q167FlacTagDedup _),
+    "q168_hevc_sao_dedup" -> (q168HevcSaoDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1564,6 +1587,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q167_flac_tag_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q167_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q168_hevc_sao_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q168_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -47,6 +47,7 @@ object GenMediaFixtures {
     "aac_200" -> Multimodal.syntheticAacAdts(spark, 200),
     "avclt_200" -> Multimodal.syntheticAvcLongTermStreams(spark, 200),
     "flac_200" -> Multimodal.syntheticFlacs(spark, 200),
+    "hevcsao_200" -> Multimodal.syntheticHevcSaoStreams(spark, 200),
     "mp3_200" -> Multimodal.syntheticMp3s(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),
   )

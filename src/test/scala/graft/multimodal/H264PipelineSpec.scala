@@ -443,6 +443,36 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC SAO dedup (q168 corpus): filtered-recon PCM twins collapse; no-SAO twins survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcSaoStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // SAO stream vs all-PCM twin of its recon
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBPictures(byId(id), 1)
+      val b = H265Decode.decodeAnnexBPictures(byId(id - 1), 1)
+      assert(a.size == 1 && b.size == 1, s"pair $id decode")
+      assert(java.util.Arrays.equals(a.head.luma, b.head.luma), s"pair $id luma")
+      assert(java.util.Arrays.equals(a.head.cb, b.head.cb), s"pair $id cb")
+      assert(java.util.Arrays.equals(a.head.cr, b.head.cr), s"pair $id cr")
+    }
+    decoys.foreach { id => // same layout/source without SAO: near-dup
+      val t = H265Decode.decodeAnnexBPictures(byId(id), 1)
+      val o = H265Decode.decodeAnnexBPictures(byId(id - 4), 1)
+      assert(t.size == 1 && o.size == 1, s"decoy $id decode")
+      assert(!java.util.Arrays.equals(t.head.luma, o.head.luma),
+        s"decoy $id: the offsets must move real samples")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 1)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "SAO decode collapses exactly the cross-representation dups")
+    media.unpersist()
+  }
+
   test("FLAC dedup (q167 corpus): retagged twins collapse; one-byte audio changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacs(spark, 60).persist()

@@ -287,6 +287,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q168_hevc_sao_dedup"      -> (4, 1, 0, true), // r12 SAO rung:
+                                                   // exact-pixel shape;
+                                                   // decode fan-out runs
+                                                   // the 8.7.3 offsets
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
