@@ -1850,6 +1850,54 @@ object Multimodal {
     }
   }
 
+  /** Synthetic Ogg-Opus corpus (r12, the fourth compressed-audio
+    * rung): per-seed opaque Opus packet sequences behind real Ogg
+    * framing — CRC-valid pages, BOS/EOS flags, running granules,
+    * OpusHead/OpusTags packets. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): id−1's audio packets RE-MUXED — a new
+    *     serial (which changes EVERY page's CRC), fresh OpusTags and a
+    *     different vendor string (the canonical re-tagged/re-muxed
+    *     Opus duplicate); byte hashes differ on every page, audio-
+    *     packet hashes collapse;
+    *   - id % 10 == 5: one audio byte changed in id−4's stream — a
+    *     near-duplicate that must survive.
+    */
+  def syntheticOggOpus(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val oneOff = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (oneOff) id - 4 else id
+      val rnd = new scala.util.Random(seed * 199 + 61)
+      val channels = 1 + rnd.nextInt(2)
+      val nPackets = 15 + rnd.nextInt(25)
+      val audio = Seq.fill(nPackets) {
+        val p = new Array[Byte](60 + rnd.nextInt(400))
+        rnd.nextBytes(p)
+        p
+      }
+      val withChange =
+        if (oneOff) {
+          val c = audio.map(_.clone())
+          c(nPackets / 2)(7) = (c(nPackets / 2)(7) ^ 0x31).toByte
+          c
+        } else audio
+      val muxRnd = if (isDup) new scala.util.Random(id) else rnd
+      val serial = muxRnd.nextInt()
+      val tags =
+        Seq.fill(1 + muxRnd.nextInt(3))(
+          s"TITLE=t${muxRnd.nextInt(100000)}")
+      val vendor = s"enc${muxRnd.nextInt(1000)}"
+      val content = Ogg.buildOpus(withChange, channels,
+        preSkip = 312, inputRate = 48000, serial = serial,
+        vendor = vendor, tags = tags)
+      Media(id, "audio", content,
+        MediaMeta("opus", None, None, Some(48000),
+          Some(nPackets * 20L)))
+    }
+  }
+
   /** Synthetic FLAC corpus (r12, the third compressed-audio rung):
     * per-seed opaque compressed-audio sections behind real FLAC
     * metadata — STREAMINFO with exact stream facts, optional
@@ -1970,11 +2018,15 @@ object Multimodal {
           // bogus header inside ADTS payload bytes.
           val flac = m.content.length > 4 && m.content(0) == 'f' &&
             m.content(1) == 'L' && m.content(2) == 'a' && m.content(3) == 'C'
-          val off = if (flac) 0 else Mp3.id3v2Size(m.content)
-          val adts = !flac && off >= 0 && off + 7 <= m.content.length &&
+          val ogg = m.content.length > 4 && m.content(0) == 'O' &&
+            m.content(1) == 'g' && m.content(2) == 'g' && m.content(3) == 'S'
+          val off = if (flac || ogg) 0 else Mp3.id3v2Size(m.content)
+          val adts = !flac && !ogg && off >= 0 &&
+            off + 7 <= m.content.length &&
             Aac.parseHeader(m.content, off).isDefined
           val ps =
             if (flac) Flac.audioSection(m.content).toSeq
+            else if (ogg) Ogg.audioPackets(m.content).getOrElse(Nil)
             else if (adts) Aac.framePayloads(m.content)
             else Mp3.framePayloads(m.content)
           if (ps.isEmpty) None

@@ -979,6 +979,24 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q169 — Ogg-Opus re-mux-invariant audio dedup (the r12 fourth
+    * compressed-audio rung): CRC-verified Ogg page walking, lacing
+    * packet reassembly, OpusHead/OpusTags probing, SHA-256 over the
+    * AUDIO packets. Planted re-mux pairs — a new stream serial
+    * (changing every page's CRC) plus fresh OpusTags — collapse while
+    * single-audio-byte changes survive
+    * ([[graft.multimodal.Multimodal.syntheticOggOpus]]; OggSpec pins
+    * the page CRC, lacing chains and granule/duration arithmetic).
+    */
+  def q169OggOpusDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("opus_200"))(
+      graft.multimodal.Multimodal.syntheticOggOpus(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByFramePayloadHash(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1300,6 +1318,7 @@ object ExtendedQueries {
     "q166_avc_longterm_dedup" -> (q166AvcLongTermDedup _),
     "q167_flac_tag_dedup" -> (q167FlacTagDedup _),
     "q168_hevc_sao_dedup" -> (q168HevcSaoDedup _),
+    "q169_ogg_opus_dedup" -> (q169OggOpusDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1590,6 +1609,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q168_hevc_sao_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q168_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q169_ogg_opus_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q169_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

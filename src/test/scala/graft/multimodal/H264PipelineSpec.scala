@@ -443,6 +443,31 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("Ogg-Opus dedup (q169 corpus): re-muxed twins collapse; one-byte audio changes survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticOggOpus(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // new serial + tags: every page's bytes differ
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      assert(Ogg.pages(byId(id)).head.serial !=
+        Ogg.pages(byId(id - 1)).head.serial, s"pair $id serial")
+      assert(Ogg.audioPackets(byId(id)).get.map(_.toSeq) ==
+        Ogg.audioPackets(byId(id - 1)).get.map(_.toSeq), s"pair $id audio")
+    }
+    decoys.foreach { id =>
+      assert(Ogg.audioPackets(byId(id)).get.map(_.toSeq) !=
+        Ogg.audioPackets(byId(id - 4)).get.map(_.toSeq), s"decoy $id")
+    }
+    val survivors = Multimodal.audioDedupByFramePayloadHash(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "audio-packet hashing collapses exactly the re-muxed twins")
+    media.unpersist()
+  }
+
   test("HEVC SAO dedup (q168 corpus): filtered-recon PCM twins collapse; no-SAO twins survive") {
     import spark.implicits._
     val media = Multimodal.syntheticHevcSaoStreams(spark, 60).persist()

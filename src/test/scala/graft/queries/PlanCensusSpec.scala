@@ -287,6 +287,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape; decode
                                                    // fan-out runs the 8.7.2
                                                    // in-loop filter
+    "q169_ogg_opus_dedup"      -> (4, 1, 0, true), // r12 Ogg-Opus rung:
+                                                   // audio-packet hash
+                                                   // shape over page walks
     "q168_hevc_sao_dedup"      -> (4, 1, 0, true), // r12 SAO rung:
                                                    // exact-pixel shape;
                                                    // decode fan-out runs
