@@ -137,8 +137,10 @@ object G711Audio {
     val channels = be32(b, 20)
     if (dataOff < 24 || dataOff > b.length || rate <= 0 || rate > 1000000 ||
       channels <= 0 || channels > 16) return None
+    // any negative be32 size (not just 0xffffffff) = unknown → rest of file,
+    // else Array.tabulate(negative) downstream would throw instead of None
     val size = math.min(
-      if (rawSize == -1) b.length - dataOff else rawSize, b.length - dataOff)
+      if (rawSize < 0) b.length - dataOff else rawSize, b.length - dataOff)
     val (fmt, bytesPer) = enc match {
       case 1 => ("ulaw", 1)
       case 2 => ("pcm8", 1)
@@ -247,8 +249,10 @@ object G711Audio {
       }
       i += 8 + sz + (sz & 1) // chunks pad to even
     }
+    // ssndSize < 0 when the SSND alignment offset exceeds sz-8: malformed,
+    // survives as undecodable data rather than a NegativeArraySizeException
     if (fmt == null || channels <= 0 || channels > 16 || rate <= 0 ||
-      ssndOff < 0 || ssndOff + ssndSize > b.length) None
+      ssndOff < 0 || ssndSize < 0 || ssndOff + ssndSize > b.length) None
     else Some((AudioInfo(fmt, rate, channels, frames), ssndOff, ssndSize))
   }
 

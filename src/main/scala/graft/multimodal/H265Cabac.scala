@@ -66,7 +66,7 @@ private[multimodal] object H265Cabac {
     */
   val ctxInitI: Map[Int, (Int, Int)] = (Seq(
     CtxSaoMerge -> mn(153),
-    CtxSaoType -> mn(160),
+    CtxSaoType -> mn(200),
     CtxPartMode -> mn(184),
     CtxPrevIntraLuma -> mn(184),
     CtxChromaPredMode -> mn(63),

@@ -246,4 +246,30 @@ class G711AudioSpec extends AnyFunSuite {
       G711Audio.decodeAny(mut)
     }
   }
+
+  test("negative declared sizes survive as undecodable data, not exceptions") {
+    val rnd = new scala.util.Random(23)
+    val body = Array.fill(64)(rnd.nextInt(256).toByte)
+    // AU: any negative be32 data-size (not just 0xffffffff) = unknown →
+    // rest of file; 0x80000001 used to reach Array.tabulate(negative)
+    val au = G711Audio.writeAu("ulaw", 8000, 1, body)
+    val bb = java.nio.ByteBuffer.wrap(au)
+    bb.putInt(8, 0x80000001)
+    val dec = G711Audio.decodeAu(au)
+    assert(dec.isDefined && dec.get.samples.length == body.length)
+    // AIFF: SSND alignment offset exceeding sz-8 → negative ssndSize → None
+    val aiff = G711Audio.writeAiff("ulaw", 8000, 1, body.length, body)
+    val ssnd = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 8 <= aiff.length) {
+        if (new String(aiff, i, 4, "US-ASCII") == "SSND") at = i
+        else i += 8 + ((aiff(i + 4) & 0xff) << 24 | (aiff(i + 5) & 0xff) << 16 |
+          (aiff(i + 6) & 0xff) << 8 | (aiff(i + 7) & 0xff))
+      }
+      at
+    }
+    assert(ssnd > 0)
+    java.nio.ByteBuffer.wrap(aiff).putInt(ssnd + 8, body.length + 1000)
+    assert(G711Audio.decodeAiff(aiff).isEmpty) // None, no throw
+  }
 }
