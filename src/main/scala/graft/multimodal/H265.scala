@@ -32,6 +32,7 @@ object H265 {
   val NalPps = 34
   val NalIdrWRadl = 19
   val NalTrailR = 1
+  val NalTrailN = 0 // sub-layer non-reference trailing picture
 
   /** Scan an Annex-B HEVC stream (§B.2): same start codes as H.264,
     * 2-byte NAL headers. Leading garbage tolerated; Nil for none.
@@ -330,7 +331,8 @@ object H265 {
     */
   def writeSpsPixel2(width: Int, height: Int, ctbLog2: Int = 5,
       minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1,
-      sao: Boolean = false): Array[Byte] = {
+      sao: Boolean = false, decPicBuffering: Int = 1,
+      reorderPics: Int = 0): Array[Byte] = {
     val ctb = 1 << ctbLog2
     require(width > 0 && height > 0 && width % ctb == 0 && height % ctb == 0,
       s"tier-2 dims must be CTB-aligned, got ${width}x$height at CTB $ctb")
@@ -348,7 +350,9 @@ object H265 {
     w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
     w.ue(0)    // log2_max_pic_order_cnt_lsb_minus4
     w.flag(false) // sps_sub_layer_ordering_info_present (one set follows)
-    w.ue(1); w.ue(0); w.ue(0) // dec_pic_buffering, reorder, latency
+    // dec_pic_buffering_minus1 / num_reorder_pics / max_latency: B GOPs
+    // hold two references + the current picture and reorder by one
+    w.ue(decPicBuffering); w.ue(reorderPics); w.ue(0)
     w.ue(minCbLog2 - 3) // log2_min_luma_coding_block_size_minus3
     w.ue(ctbLog2 - minCbLog2) // log2_diff_max_min_luma_coding_block_size
     w.ue(0)    // log2_min_luma_transform_block_size_minus2 (4)
@@ -410,7 +414,10 @@ object H265 {
       supported: Boolean,
       betaOffsetDiv2: Int = 0, tcOffsetDiv2: Int = 0,
       loopFilterAcrossSlices: Boolean = true,
-      numRefL0Default: Int = 0)
+      numRefL0Default: Int = 0,
+      // r13 (B slices): L1 default active refs + whether slice headers
+      // may carry ref_pic_lists_modification
+      numRefL1Default: Int = 0, listsModification: Boolean = false)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
@@ -427,7 +434,7 @@ object H265 {
       if (r.u(3) != 0) ok = false // num_extra_slice_header_bits
       if (r.flag()) ok = false // sign_data_hiding
       if (r.flag()) ok = false // cabac_init_present
-      val numRefL0 = r.ue(); r.ue() // num_ref_idx_l0/l1 defaults
+      val numRefL0 = r.ue(); val numRefL1 = r.ue() // l0/l1 default actives
       val initQp = 26 + r.se()
       r.flag() // constrained_intra_pred (no inter in the tier: harmless)
       if (r.flag()) ok = false // transform_skip
@@ -447,8 +454,13 @@ object H265 {
         if (!deblockDisabled) { betaOff = r.se(); tcOff = r.se() }
       }
       if (r.flag()) ok = false // pps_scaling_list_data_present
+      val listsMod = r.flag() // lists_modification_present
+      // log2_parallel_merge_level_minus2 > 0 changes the merge
+      // candidate availability rules (§8.5.3.2.3's parallel merge
+      // estimation region) — out of the tier
+      if (r.ue() != 0) ok = false
       Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
-        betaOff, tcOff, lfAcross, numRefL0))
+        betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

@@ -52,6 +52,9 @@ private[multimodal] object H265Cabac {
   // r12 SAO (§7.3.8.3): one shared merge ctx, one type-idx ctx
   val CtxSaoMerge = 144
   val CtxSaoType = 145
+  // r13 (inter B): inter_pred_idc (§9.3.4.2.2 — bin 0 ctxInc = CtDepth
+  // 0..3, bin 1 ctxInc = 4)
+  val CtxInterPredIdc = 146 // +0..4
 
   @inline private def mn(initValue: Int): (Int, Int) =
     ((initValue >> 4) * 5 - 45, ((initValue & 15) << 3) - 16)
@@ -142,13 +145,82 @@ private[multimodal] object H265Cabac {
       107, 121, 167, 151, 183, 140, 151, 183, 140)) ++
     family(CtxG1, Array(154, 196, 196, 167, 154, 152, 167, 182, 182, 134,
       149, 136, 153, 121, 136, 137, 169, 194, 166, 167, 154, 167, 137, 182)) ++
-    family(CtxG2, Array(107, 167, 91, 122, 107, 167))).toMap
+    family(CtxG2, Array(107, 167, 91, 122, 107, 167)) ++
+    family(CtxInterPredIdc, Array(95, 79, 63, 31, 31))).toMap
+
+  /** B-slice (initType 2, cabac_init_flag absent/0 — §9.3.2.2) context
+    * map: the initType-2 rows of the same spec tables / public HM
+    * INIT_* tables. Families whose B row equals the P row (cu_skip,
+    * split_cu, part_mode, csbf, sao_merge, mvp, ref_idx, rqt_root_cbf,
+    * inter_pred_idc) still get their own entries here — one table per
+    * initType, no cross-referencing, so a transcription fix in one
+    * cannot silently shift another. Transcription caveat as ever.
+    */
+  val ctxInitB: Map[Int, (Int, Int)] = (Seq(
+    CtxSaoMerge -> mn(153),
+    CtxSaoType -> mn(160),
+    CtxPartMode -> mn(154),
+    CtxPrevIntraLuma -> mn(183),
+    CtxChromaPredMode -> mn(152),
+    (CtxCbfLuma + 0) -> mn(153),
+    (CtxCbfLuma + 1) -> mn(111),
+    (CtxCbfChroma + 0) -> mn(149),
+    (CtxCbfChroma + 1) -> mn(92),
+    (CtxCbfChroma + 2) -> mn(167),
+    (CtxCbfChroma + 3) -> mn(154),
+    (CtxCbfChroma + 4) -> mn(154),
+    (CtxSplitCu + 0) -> mn(107),
+    (CtxSplitCu + 1) -> mn(139),
+    (CtxSplitCu + 2) -> mn(126),
+    CtxPredMode -> mn(134),
+    CtxMergeFlag -> mn(154),
+    CtxMergeIdx -> mn(137),
+    CtxMvdGr0 -> mn(169),
+    CtxMvdGr1 -> mn(198),
+    CtxMvpFlag -> mn(168),
+    CtxRqtRootCbf -> mn(79),
+    (CtxRefIdx + 0) -> mn(153),
+    (CtxRefIdx + 1) -> mn(153)) ++
+    family(CtxCuSkip, Array(197, 185, 201)) ++
+    family(CtxInterPredIdc, Array(95, 79, 63, 31, 31)) ++
+    family(CtxTransSubdiv, Array(224, 167, 122)) ++
+    family(CtxLastX, Array(125, 110, 124, 110, 95, 94, 125, 111, 111,
+      79, 125, 126, 111, 111, 79, 108, 123, 93)) ++
+    family(CtxLastY, Array(125, 110, 124, 110, 95, 94, 125, 111, 111,
+      79, 125, 126, 111, 111, 79, 108, 123, 93)) ++
+    family(CtxCsbf, Array(121, 140, 61, 154)) ++
+    family(CtxSig, Array(170, 154, 139, 153, 139, 123, 123, 63, 124,
+      166, 183, 140, 136, 153, 154, 166, 183, 140, 136, 153, 154,
+      166, 183, 140, 136, 153, 154, 170, 153, 138, 138, 122, 121,
+      122, 121, 167, 151, 183, 140, 151, 183, 140)) ++
+    family(CtxG1, Array(154, 196, 167, 167, 154, 152, 167, 182, 182, 134,
+      149, 136, 153, 121, 136, 122, 169, 208, 166, 167, 154, 152, 167, 182)) ++
+    family(CtxG2, Array(107, 167, 91, 107, 107, 167))).toMap
 
   def contexts(sliceQp: Int): H264Cabac.Contexts =
     new H264Cabac.Contexts(sliceQp, ctxInitI)
 
   def contextsP(sliceQp: Int): H264Cabac.Contexts =
     new H264Cabac.Contexts(sliceQp, ctxInitP)
+
+  def contextsB(sliceQp: Int): H264Cabac.Contexts =
+    new H264Cabac.Contexts(sliceQp, ctxInitB)
+
+  /** inter_pred_idc for 2Nx2N PUs (nPbW + nPbH != 12, §9.3.3.7): bin 0
+    * at ctxInc = cqtDepth distinguishes PRED_BI (1); otherwise bin 1 at
+    * ctxInc 4 picks PRED_L0 (0) vs PRED_L1 (1). Returns 0 / 1 / 2 =
+    * PRED_L0 / PRED_L1 / PRED_BI.
+    */
+  def decodeInterPredIdc(d: H264Cabac.Decoder, cqtDepth: Int): Int =
+    if (d.decision(CtxInterPredIdc + cqtDepth) == 1) 2
+    else d.decision(CtxInterPredIdc + 4)
+
+  def encodeInterPredIdc(e: H264Cabac.Encoder, cqtDepth: Int,
+      idc: Int): Unit = {
+    require(idc >= 0 && idc <= 2, s"bad inter_pred_idc $idc")
+    e.decision(CtxInterPredIdc + cqtDepth, if (idc == 2) 1 else 0)
+    if (idc != 2) e.decision(CtxInterPredIdc + 4, idc)
+  }
 
   /** mpm_idx: TR(cMax 2), bypass bins — '0' → 0, '10' → 1, '11' → 2. */
   def decodeMpmIdx(d: H264Cabac.Decoder): Int =

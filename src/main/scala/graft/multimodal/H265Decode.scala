@@ -78,17 +78,24 @@ object H265Decode {
       * (pcm_loop_filter_disabled); they still feed neighbor decisions.
       */
     val noFilter4 = new Array[Boolean](w4 * h4)
-    /** Per-4x4 inter state (r12 tier 3): quarter-pel list-0 MVs of
-      * motion-compensated cells (the tier's single-reference P form,
-      * refIdx 0); `skip4` feeds the cu_skip_flag ctxInc (§9.3.4.2.2).
-      * Parse-time validity = done4 (recon order is z-scan, and inter
-      * CUs mark recon only after their residual completes).
+    /** Per-4x4 inter state (r12 tier 3, two-list since r13): `dir4` is
+      * the inter prediction direction bitmask (1 = list 0, 2 = list 1,
+      * 3 = bi; 0 = not inter), quarter-pel MVs per list at refIdx 0;
+      * `skip4` feeds the cu_skip_flag ctxInc (§9.3.4.2.2). Parse-time
+      * validity = done4 (recon order is z-scan, and inter CUs mark
+      * recon only after their residual completes).
       */
     val inter4 = new Array[Boolean](w4 * h4)
     val skip4 = new Array[Boolean](w4 * h4)
+    val dir4 = new Array[Byte](w4 * h4)
     val mvx4 = new Array[Short](w4 * h4)
     val mvy4 = new Array[Short](w4 * h4)
+    val mv1x4 = new Array[Short](w4 * h4)
+    val mv1y4 = new Array[Short](w4 * h4)
     def setMotion(x0: Int, y0: Int, n: Int, mvx: Int, mvy: Int,
+        skip: Boolean): Unit =
+      setMotion2(x0, y0, n, H265Inter.Mi(1, mvx, mvy, 0, 0), skip)
+    def setMotion2(x0: Int, y0: Int, n: Int, mi: H265Inter.Mi,
         skip: Boolean): Unit = {
       var y = y0 >> 2
       while (y < ((y0 + n) >> 2)) {
@@ -96,7 +103,9 @@ object H265Decode {
         while (x < ((x0 + n) >> 2)) {
           val i = y * w4 + x
           inter4(i) = true; skip4(i) = skip
-          mvx4(i) = mvx.toShort; mvy4(i) = mvy.toShort
+          dir4(i) = mi.dir.toByte
+          mvx4(i) = mi.mv0x.toShort; mvy4(i) = mi.mv0y.toShort
+          mv1x4(i) = mi.mv1x.toShort; mv1y4(i) = mi.mv1y.toShort
           x += 1
         }
         y += 1
@@ -108,6 +117,11 @@ object H265Decode {
     def mvAt(x: Int, y: Int): (Int, Int) = {
       val i = (y >> 2) * w4 + (x >> 2)
       (mvx4(i).toInt, mvy4(i).toInt)
+    }
+    def miAt(x: Int, y: Int): H265Inter.Mi = {
+      val i = (y >> 2) * w4 + (x >> 2)
+      H265Inter.Mi(dir4(i).toInt, mvx4(i).toInt, mvy4(i).toInt,
+        mv1x4(i).toInt, mv1y4(i).toInt)
     }
     def skipAt(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= width || y >= height) 0
@@ -387,17 +401,24 @@ object H265Decode {
     decodeAnnexBPictures(bytes, maxFrames, allowInter = false)
 
   /** Decode up to `maxFrames` pictures of an Annex-B HEVC stream,
-    * including tier-3 P pictures (single-reference GOPs: each non-IRAP
-    * picture references the previously decoded picture; decode order
-    * is display order — no B reordering in the tier). Undecodable
+    * including tier-3 P and tier-4 B pictures. The DPB holds the most
+    * recent reference pictures (IRAP + odd-numbered trailing NAL
+    * types; TRAIL_N B pictures are never referenced); RPS entries
+    * resolve into it by POC. Output is DISPLAY order — pictures sort
+    * by (IRAP period, POC), which reorders I-P-B decode order GOPs to
+    * I-B-P and leaves display-order streams untouched. Undecodable
     * content yields the pictures completed so far.
     */
   def decodeAnnexBPictures(bytes: Array[Byte], maxFrames: Int = 8,
       allowInter: Boolean = true): Seq[Frame] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Frame)]
     var sps: Option[H265.SpsInfo] = None
     var pps: Option[H265.PpsInfo] = None
-    var last: Option[(Pic, Int)] = None // DPB of one: (picture, POC)
+    val dpb = scala.collection.mutable.ArrayBuffer.empty[(Pic, Int)]
+    var prevPoc = 0 // POC of prevTid0Pic (previous reference picture)
+    var period = 0 // IRAP counter: POCs only order within a period
+    def display: Seq[Frame] =
+      out.sortBy(f => (f._1, f._2)).map(_._3).toSeq
     try {
       val nals = H265.nalUnitsAnnexB(bytes).iterator
       while (nals.hasNext && out.size < maxFrames) {
@@ -406,19 +427,28 @@ object H265Decode {
           case H265.NalSps => sps = H265.parseSps(nal.payload)
           case H265.NalPps => pps = H265.parsePps(nal.payload)
           case t if H265.isIrap(t) || t <= 9 =>
-            if (!H265.isIrap(t) && !allowInter) return out.toSeq
+            if (!H265.isIrap(t) && !allowInter) return display
             (sps, pps) match {
               case (Some(s), Some(p)) if p.supported && s.deep &&
                   s.chromaFormatIdc == 1 && s.bitDepthLuma == 8 &&
                   s.width > 0 && s.width <= 8192 && s.height <= 8192 =>
-                decodeSlice(s, p, nal.payload, nal.nalType,
-                    if (H265.isIrap(t)) None else last) match {
-                  case Some((frame, pic, poc)) =>
-                    out += frame
-                    last = Some((pic, poc))
-                  case None => return out.toSeq
+                if (H265.isIrap(t)) { // new IRAP period: DPB resets
+                  dpb.clear(); prevPoc = 0; period += 1
                 }
-              case _ => return out.toSeq
+                decodeSlice(s, p, nal.payload, nal.nalType,
+                    dpb.toSeq, prevPoc) match {
+                  case Some((frame, pic, poc)) =>
+                    out += ((period, poc, frame))
+                    // §7.4.2.2: trailing types 0..14 are references
+                    // iff odd (TRAIL_R 1 vs TRAIL_N 0, etc.)
+                    if (H265.isIrap(t) || (t & 1) == 1) {
+                      dpb += ((pic, poc))
+                      if (dpb.size > 8) dpb.remove(0)
+                      prevPoc = poc
+                    }
+                  case None => return display
+                }
+              case _ => return display
             }
           case _ => // VPS / SEI / AUD
         }
@@ -428,7 +458,7 @@ object H265Decode {
           _: java.util.NoSuchElementException) =>
         if (sys.env.contains("H265_DEBUG")) e.printStackTrace()
     }
-    out.toSeq
+    display
   }
 
   /** §7.4.9.11 transform-skip-less 4x4 sig_coeff_flag ctx map. */
@@ -574,7 +604,10 @@ object H265Decode {
     */
   private final class SliceCtx(val sps: H265.SpsInfo, val pps: H265.PpsInfo,
       val pic: Pic, val qpY: Int, val sliceType: Int = 2,
-      val ref: Pic = null, val maxMerge: Int = 5) {
+      val ref: Pic = null, val maxMerge: Int = 5,
+      val ref1: Pic = null, val currPoc: Int = 0,
+      val refPoc0: Int = 0, val refPoc1: Int = 0,
+      val mvdL1Zero: Boolean = false) {
     val qpCb: Int =
       H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
     val qpCr: Int =
@@ -703,10 +736,10 @@ object H265Decode {
     * the CU reconstructed as-is.
     */
   private def finishInterCu(s: SliceCtx, x0: Int, y0: Int, log2CbSize: Int,
-      mvx: Int, mvy: Int, skip: Boolean, rootCbf: Boolean): Unit = {
+      mi: H265Inter.Mi, skip: Boolean, rootCbf: Boolean): Unit = {
     val pic = s.pic
     val nCb = 1 << log2CbSize
-    pic.setMotion(x0, y0, nCb, mvx, mvy, skip)
+    pic.setMotion2(x0, y0, nCb, mi, skip)
     pic.setMode(x0, y0, nCb, 1) // inter counts as DC for intra MPMs (§8.4.2)
     if (rootCbf) {
       val cu = new CuCtx(x0, y0, log2CbSize, nxn = false, Array(-1),
@@ -732,15 +765,15 @@ object H265Decode {
     val nCb = 1 << log2CbSize
     pic.setDepth(x0, y0, nCb, cqtDepth)
     if (s.sliceType != 2) {
+      val bSlice = s.sliceType == 0
       // cu_skip_flag, ctxInc from decoded neighbor skips (§9.3.4.2.2)
       val ctxInc = pic.skipAt(x0 - 1, y0) + pic.skipAt(x0, y0 - 1)
       if (s.d.decision(CtxCuSkip + ctxInc) == 1) {
         val idx = decodeMergeIdx(s.d, s.maxMerge)
-        val cands = H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb,
-          s.maxMerge)
-        val (mvx, mvy) = cands(idx)
-        H265Inter.mcCu(s.ref, pic, x0, y0, nCb, mvx, mvy)
-        finishInterCu(s, x0, y0, log2CbSize, mvx, mvy, skip = true,
+        val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
+          s.maxMerge, bSlice, s.refPoc0, s.refPoc1)(idx)
+        H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+        finishInterCu(s, x0, y0, log2CbSize, mi, skip = true,
           rootCbf = false)
         return
       }
@@ -748,23 +781,44 @@ object H265Decode {
         // part_mode (always present for inter CUs): tier = 2Nx2N only
         require(s.d.decision(CtxPartMode) == 1,
           "non-2Nx2N inter partitions out of the tier")
-        // prediction_unit(x0, y0, nCb, nCb): single ref on list 0 —
-        // no inter_pred_idc (P), no ref_idx (one active reference)
+        // prediction_unit(x0, y0, nCb, nCb): one active reference per
+        // list (no ref_idx bins); B slices carry inter_pred_idc
         val merge = s.d.decision(CtxMergeFlag) == 1
-        val (mvx, mvy) =
+        val mi =
           if (merge) {
             val idx = decodeMergeIdx(s.d, s.maxMerge)
-            H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb, s.maxMerge)(idx)
+            H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb, s.maxMerge,
+              bSlice, s.refPoc0, s.refPoc1)(idx)
           } else {
-            val (mvdX, mvdY) = decodeMvd(s.d)
-            val mvpIdx = s.d.decision(CtxMvpFlag)
-            val mvp = H265Inter.amvpCandidates(pic, x0, y0, nCb, nCb)(mvpIdx)
-            (mvp._1 + mvdX, mvp._2 + mvdY)
+            val dir =
+              if (bSlice) decodeInterPredIdc(s.d, cqtDepth) match {
+                case 0 => 1; case 1 => 2; case _ => 3
+              }
+              else 1
+            var mv0 = (0, 0); var mv1 = (0, 0)
+            if ((dir & 1) != 0) {
+              val (mvdX, mvdY) = decodeMvd(s.d)
+              val mvpIdx = s.d.decision(CtxMvpFlag)
+              val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
+                listX = 0, s.currPoc, s.refPoc0, s.refPoc1)(mvpIdx)
+              mv0 = (mvp._1 + mvdX, mvp._2 + mvdY)
+            }
+            if ((dir & 2) != 0) {
+              // §7.3.8.6: MvdL1 = 0 when mvd_l1_zero_flag and bi-pred
+              // (mvd_coding absent; mvp_l1_flag still present)
+              val (mvdX, mvdY) =
+                if (s.mvdL1Zero && dir == 3) (0, 0) else decodeMvd(s.d)
+              val mvpIdx = s.d.decision(CtxMvpFlag)
+              val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
+                listX = 1, s.currPoc, s.refPoc0, s.refPoc1)(mvpIdx)
+              mv1 = (mvp._1 + mvdX, mvp._2 + mvdY)
+            }
+            H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2)
           }
-        H265Inter.mcCu(s.ref, pic, x0, y0, nCb, mvx, mvy)
+        H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
         // rqt_root_cbf: parsed unless merge-2Nx2N (then inferred 1)
         val rootCbf = merge || s.d.decision(CtxRqtRootCbf) == 1
-        finishInterCu(s, x0, y0, log2CbSize, mvx, mvy, skip = false,
+        finishInterCu(s, x0, y0, log2CbSize, mi, skip = false,
           rootCbf = rootCbf)
         return
       }
@@ -874,7 +928,7 @@ object H265Decode {
 
   private def decodeSlice(sps: H265.SpsInfo, pps: H265.PpsInfo,
       payload: Array[Byte], nalType: Int,
-      ref: Option[(Pic, Int)]): Option[(Frame, Pic, Int)] = {
+      dpb: Seq[(Pic, Int)], prevPoc: Int): Option[(Frame, Pic, Int)] = {
     val irap = H265.isIrap(nalType)
     val idr = nalType == 19 || nalType == 20 // IDR_W_RADL / IDR_N_LP
     // tier structural requirements — each a loud reject, not a wrong
@@ -898,16 +952,20 @@ object H265Decode {
     if (irap) r.flag() // no_output_of_prior_pics
     r.ue() // slice_pic_parameter_set_id
     val sliceType = r.ue()
-    require(sliceType == 1 || sliceType == 2,
-      s"slice type $sliceType out of the tier") // B out of scope
+    require(sliceType >= 0 && sliceType <= 2,
+      s"slice type $sliceType out of the tier")
     if (irap) require(sliceType == 2, "inter slice in an IRAP picture")
+    @inline def inDpb(p: Int): Pic =
+      dpb.collectFirst { case (pic, pc) if pc == p => pic }.getOrElse(
+        throw new IllegalArgumentException(s"RPS POC $p not in the DPB"))
     var poc = 0
+    var ref0: Pic = null; var ref1: Pic = null
+    var refPoc0 = 0; var refPoc1 = 0
     if (!idr) {
       // slice_pic_order_cnt_lsb + §8.3.1 POC derivation vs the
-      // previous decoded picture
+      // previous reference picture (prevTid0Pic)
       val lsb = r.u(sps.log2MaxPocLsb)
       val maxLsb = 1 << sps.log2MaxPocLsb
-      val prevPoc = ref.map(_._2).getOrElse(0)
       val prevLsb = prevPoc & (maxLsb - 1)
       val prevMsb = prevPoc - prevLsb
       poc =
@@ -926,15 +984,29 @@ object H265Decode {
       while (i < numNeg) {
         negDeltas(i) = r.ue() + 1; negUsed(i) = r.flag(); i += 1
       }
+      val posDeltas = new Array[Int](numPos)
+      val posUsed = new Array[Boolean](numPos)
       i = 0
-      while (i < numPos) { r.ue(); r.flag(); i += 1 }
+      while (i < numPos) {
+        posDeltas(i) = r.ue() + 1; posUsed(i) = r.flag(); i += 1
+      }
       if (sliceType == 1) {
         require(numNeg == 1 && numPos == 0 && negUsed(0),
           "tier-3 P pictures carry exactly one used negative reference")
-        val (_, refPoc) = ref.getOrElse(throw new IllegalArgumentException(
-          "P picture without a decoded reference"))
-        require(poc - negDeltas(0) == refPoc,
-          s"RPS reference POC ${poc - negDeltas(0)} != DPB POC $refPoc")
+        refPoc0 = poc - negDeltas(0)
+        ref0 = inDpb(refPoc0)
+        require(!sps.temporalMvp, "temporal MVP out of the tier")
+      }
+      if (sliceType == 0) {
+        // tier-4 B: one used past + one used future reference — L0 =
+        // [StCurrBefore], L1 = [StCurrAfter] (§8.3.4 with one active
+        // reference per list and no list modification)
+        require(numNeg == 1 && numPos == 1 && negUsed(0) && posUsed(0),
+          "tier-4 B pictures carry exactly one used reference per direction")
+        refPoc0 = poc - negDeltas(0)
+        refPoc1 = poc + posDeltas(0)
+        ref0 = inDpb(refPoc0)
+        ref1 = inDpb(refPoc1)
         require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       // long-term refs: SPS-disabled in all tier streams (flag absent)
@@ -946,13 +1018,25 @@ object H265Decode {
       saoChroma = r.flag() // slice_sao_chroma_flag
     }
     var maxMerge = 5
-    if (sliceType == 1) {
-      // SAO off → no slice SAO flags; one active list-0 reference
-      if (r.flag()) // num_ref_idx_active_override_flag
-        require(r.ue() == 0, "one active reference only")
-      else require(pps.numRefL0Default == 0,
+    var mvdL1Zero = false
+    if (sliceType != 2) {
+      // one active reference per list
+      if (r.flag()) { // num_ref_idx_active_override_flag
+        require(r.ue() == 0, "one active list-0 reference only")
+        if (sliceType == 0)
+          require(r.ue() == 0, "one active list-1 reference only")
+      } else require(pps.numRefL0Default == 0 &&
+        (sliceType == 1 || pps.numRefL1Default == 0),
         "PPS default active references beyond the tier")
-      // NumPicTotalCurr == 1 → no ref_pic_lists_modification;
+      // ref_pic_lists_modification: present when the PPS allows it and
+      // NumPicTotalCurr > 1 (P: 1 → absent; B: 2 → present). Accept
+      // only the identity permutation — list_entry 0 with one active
+      // reference reproduces the default initialization.
+      if (pps.listsModification && sliceType == 0) {
+        if (r.flag()) require(r.u(1) == 0, "modified ref list 0 out of the tier")
+        if (r.flag()) require(r.u(1) == 0, "modified ref list 1 out of the tier")
+      }
+      if (sliceType == 0) mvdL1Zero = r.flag() // mvd_l1_zero_flag
       // cabac_init / collocated / weighted-pred absent (PPS/SPS gates)
       maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
       require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
@@ -973,10 +1057,15 @@ object H265Decode {
 
     val pic = new Pic(sps.width, sps.height)
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
-      ref.map(_._1).orNull, maxMerge)
+      ref0, maxMerge, ref1, poc, refPoc0, refPoc1, mvdL1Zero)
     s.r = r
-    s.ctx =
-      if (sliceType == 1) H265Cabac.contextsP(qp) else H265Cabac.contexts(qp)
+    // §9.3.2.2 initType with cabac_init_flag absent/0: I → 0, P → 1,
+    // B → 2
+    s.ctx = sliceType match {
+      case 0 => H265Cabac.contextsB(qp)
+      case 1 => H265Cabac.contextsP(qp)
+      case _ => H265Cabac.contexts(qp)
+    }
     s.d = new H264Cabac.Decoder(r, s.ctx)
     val ctbW = sps.width >> sps.ctbLog2
     val ctbH = sps.height >> sps.ctbLog2

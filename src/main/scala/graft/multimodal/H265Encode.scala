@@ -132,6 +132,19 @@ object H265Encode {
   final case class InterLeaf(mvx: Int, mvy: Int,
       dropResidual: Boolean = false) extends CuTree
 
+  /** Inter leaf for B pictures (r13 tier 4): a 2Nx2N PU with full
+    * motion info — `dir` 1 (L0), 2 (L1) or 3 (bi) at quarter-pel MVs
+    * against the single reference of each list. Signalling is chosen
+    * like [[InterLeaf]]'s: cu_skip when the motion merges and the
+    * residual is zero/dropped, merge otherwise when it merges, AMVP
+    * (inter_pred_idc + per-list mvd/mvp) when it doesn't.
+    */
+  final case class BiLeaf(dir: Int, mv0x: Int, mv0y: Int,
+      mv1x: Int = 0, mv1y: Int = 0,
+      dropResidual: Boolean = false) extends CuTree {
+    require(dir >= 1 && dir <= 3, s"bad inter dir $dir")
+  }
+
   final case class Recon(luma: Array[Byte], cb: Array[Byte], cr: Array[Byte])
 
   /** Encode one IDR picture of `layout` quadtrees over the given
@@ -288,6 +301,118 @@ object H265Encode {
     (annexB(nals.toSeq), recons.toSeq)
   }
 
+  /** One non-IRAP picture of a [[encodeGopB]] structure, in DECODE
+    * order: `sliceType` 1 (P, references POC − `negDelta`) or 0 (B,
+    * references POC − `negDelta` and POC + `posDelta`); `isRef` picks
+    * TRAIL_R vs TRAIL_N (non-reference B pictures never enter the
+    * DPB). Referenced POCs must already be decoded.
+    */
+  final case class GopPic(poc: Int, sliceType: Int, layout: Seq[CuTree],
+      negDelta: Int = 1, posDelta: Int = 1, isRef: Boolean = true) {
+    require(sliceType == 0 || sliceType == 1, "P or B pictures only")
+    require(negDelta >= 1 && posDelta >= 1, "bad RPS deltas")
+  }
+
+  /** Encode a reordered GOP (r13 tier 4): one IDR at POC 0 carrying
+    * `iLayout`, then `pics` in DECODE order — e.g. the classic
+    * I0 P2 B1 structure, where B1's L0 = {I0} and L1 = {P2}. `frames`
+    * holds source planes per picture, in the SAME decode order
+    * (head = IDR). Slice headers carry the §7.4.8 short-term RPS of
+    * each picture (one used negative, plus one used positive for B),
+    * one active reference per list, MaxNumMergeCand 5, mvd_l1_zero 0,
+    * deblocking off. Returns the Annex-B stream and the decoder-twin
+    * recon of every picture in DISPLAY (POC) order — bit-exact what a
+    * conformant decoder must output.
+    */
+  def encodeGopB(frames: Seq[(Array[Byte], Array[Byte], Array[Byte])],
+      width: Int, height: Int, iLayout: Seq[CuTree],
+      pics: Seq[GopPic], qp: Int, ctbLog2: Int = 5,
+      minCbLog2: Int = 3, maxTbLog2: Int = 5,
+      depthIntra: Int = 1): (Array[Byte], Seq[Recon]) = {
+    require(frames.nonEmpty && frames.size == pics.size + 1,
+      "one source frame for the IDR plus one per GOP picture")
+    val ctbW = width >> ctbLog2
+    val (f0y, f0cb, f0cr) = frames.head
+    val (iStream, iRecon) = encodeIntraPicture2(f0y, f0cb, f0cr, width,
+      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra)
+    val idrSlice = H265.nalUnitsAnnexB(iStream)
+      .find(_.nalType == H265.NalIdrWRadl).get.payload
+    val recons = scala.collection.mutable.ArrayBuffer((0, iRecon))
+    val nals = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])](
+      (H265.NalVps, H265.writeVps()),
+      (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra, decPicBuffering = 3, reorderPics = 1)),
+      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalIdrWRadl, idrSlice))
+    // decoder-twin DPB of reference recons, keyed by POC
+    val dpb = scala.collection.mutable.LinkedHashMap.empty[Int, H265Decode.Pic]
+    val idrPic = new H265Decode.Pic(width, height)
+    System.arraycopy(iRecon.luma, 0, idrPic.luma, 0, iRecon.luma.length)
+    System.arraycopy(iRecon.cb, 0, idrPic.cb, 0, iRecon.cb.length)
+    System.arraycopy(iRecon.cr, 0, idrPic.cr, 0, iRecon.cr.length)
+    dpb(0) = idrPic
+    var i = 0
+    while (i < pics.size) {
+      val spec = pics(i)
+      val (sy, scb, scr) = frames(i + 1)
+      require(spec.layout.size == ctbW * (height >> ctbLog2),
+        "one tree per CTB")
+      val bSlice = spec.sliceType == 0
+      val refPoc0 = spec.poc - spec.negDelta
+      val refPoc1 = spec.poc + spec.posDelta
+      val ref0 = dpb.getOrElse(refPoc0,
+        throw new IllegalArgumentException(s"ref POC $refPoc0 not decoded"))
+      val ref1 = if (!bSlice) null
+        else dpb.getOrElse(refPoc1,
+          throw new IllegalArgumentException(s"ref POC $refPoc1 not decoded"))
+      val w = new H264.BitWriter
+      w.flag(true)  // first_slice_segment_in_pic_flag
+      w.ue(0)       // slice_pic_parameter_set_id
+      w.ue(spec.sliceType) // slice_type
+      w.u(spec.poc & 15, 4) // slice_pic_order_cnt_lsb (log2MaxPocLsb 4)
+      w.flag(false) // short_term_ref_pic_set_sps_flag
+      w.ue(1); w.ue(if (bSlice) 1 else 0) // st_ref_pic_set: neg / pos
+      w.ue(spec.negDelta - 1) // delta_poc_s0_minus1
+      w.flag(true)  // used_by_curr_pic_s0_flag
+      if (bSlice) {
+        w.ue(spec.posDelta - 1) // delta_poc_s1_minus1
+        w.flag(true) // used_by_curr_pic_s1_flag
+      }
+      w.flag(false) // num_ref_idx_active_override (PPS defaults: 1 each)
+      if (bSlice) w.flag(false) // mvd_l1_zero_flag
+      w.ue(0)       // five_minus_max_num_merge_cand → MaxNumMergeCand 5
+      w.se(qp - 26) // slice_qp_delta
+      // (deblocking disabled in the PPS → no cross-slice filter flag)
+      w.u(1, 1); w.alignZero() // byte_alignment
+      val ctx = if (bSlice) H265Cabac.contextsB(qp)
+        else H265Cabac.contextsP(qp)
+      val e = new H264Cabac.Encoder(w, ctx)
+      val pic = new H265Decode.Pic(width, height)
+      val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
+        maxTbLog2, depthIntra, sliceType = spec.sliceType, refPic = ref0,
+        refPic1 = ref1, currPoc = spec.poc,
+        refPoc0 = refPoc0, refPoc1 = if (bSlice) refPoc1 else 0)
+      var ctu = 0
+      val nCtu = spec.layout.size
+      while (ctu < nCtu) {
+        enc.quadtree((ctu % ctbW) << ctbLog2, (ctu / ctbW) << ctbLog2,
+          ctbLog2, 0, spec.layout(ctu))
+        ctu += 1
+        e.terminate(if (ctu == nCtu) 1 else 0)
+      }
+      nals += ((if (spec.isRef) H265.NalTrailR else H265.NalTrailN,
+        H264.ebsp(w.stop())))
+      recons += ((spec.poc,
+        Recon(pic.luma.clone(), pic.cb.clone(), pic.cr.clone())))
+      if (spec.isRef) {
+        dpb(spec.poc) = pic
+        if (dpb.size > 8) dpb.remove(dpb.head._1)
+      }
+      i += 1
+    }
+    (annexB(nals.toSeq), recons.sortBy(_._1).map(_._2).toSeq)
+  }
+
   /** Decoder-twin slice encoder shared by the tier-2 intra writer and
     * the tier-3 P-picture writer: one copy of the prediction /
     * quantization / transform-tree / CU emission logic over the SAME
@@ -298,7 +423,9 @@ object H265Encode {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       qp: Int, ctbLog2: Int, minCbLog2: Int, maxTbLog2: Int,
       depthIntra: Int, sliceType: Int,
-      refPic: H265Decode.Pic = null, maxMerge: Int = 5) {
+      refPic: H265Decode.Pic = null, maxMerge: Int = 5,
+      refPic1: H265Decode.Pic = null, currPoc: Int = 0,
+      refPoc0: Int = 0, refPoc1: Int = 0) {
     private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
     // ---- per-TB helpers against the decoder-twin recon state
@@ -522,16 +649,20 @@ object H265Encode {
       * → emit → dequant recon path.
       */
     def interCu(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
-        leaf: InterLeaf): Unit = {
-      require(refPic != null, "inter leaf outside a P slice")
+        mi: H265Inter.Mi, dropResidual: Boolean): Unit = {
+      val bSlice = sliceType == 0
+      require(refPic != null, "inter leaf outside an inter slice")
+      require(!mi.has(1) || refPic1 != null, "list-1 motion outside a B slice")
+      require(bSlice || mi.dir == 1, "L1/bi motion in a P slice")
       require(log2CbSize <= maxTbLog2,
         "fixture encoder: inter CU must fit one TU")
       val nCb = 1 << log2CbSize
       pic.setDepth(x0, y0, nCb, cqtDepth)
-      val cands = H265Inter.mergeCandidates(pic, x0, y0, nCb, nCb, maxMerge)
-      val mergeIdx = cands.indexOf((leaf.mvx, leaf.mvy))
+      val cands = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
+        maxMerge, bSlice, refPoc0, refPoc1)
+      val mergeIdx = cands.indexOf(mi)
       // prediction first (into the twin planes), then residual decisions
-      H265Inter.mcCu(refPic, pic, x0, y0, nCb, leaf.mvx, leaf.mvy)
+      H265Inter.mcCuMi(refPic, refPic1, pic, x0, y0, nCb, mi)
       def resid(plane: Array[Byte], src: Array[Byte], stride: Int,
           px: Int, py: Int, l2: Int, luma: Boolean): Array[Int] = {
         val n = 1 << l2
@@ -550,13 +681,13 @@ object H265Encode {
           H265Transform.forwardTransform(res, l2, dst = false), l2,
           if (luma) qp else qpCb)
       }
-      val lvY = if (leaf.dropResidual) null
+      val lvY = if (dropResidual) null
         else resid(pic.luma, srcY, pic.lumaStride, x0, y0, log2CbSize,
           luma = true)
-      val lvCb = if (leaf.dropResidual) null
+      val lvCb = if (dropResidual) null
         else resid(pic.cb, srcCb, pic.chromaStride, x0 >> 1, y0 >> 1,
           log2CbSize - 1, luma = false)
-      val lvCr = if (leaf.dropResidual) null
+      val lvCr = if (dropResidual) null
         else resid(pic.cr, srcCr, pic.chromaStride, x0 >> 1, y0 >> 1,
           log2CbSize - 1, luma = false)
       val cbfY = lvY != null && lvY.exists(_ != 0)
@@ -577,15 +708,26 @@ object H265Encode {
           H265Cabac.encodeMergeIdx(e, mergeIdx, maxMerge)
         } else {
           e.decision(H265Cabac.CtxMergeFlag, 0)
-          val mvps = H265Inter.amvpCandidates(pic, x0, y0, nCb, nCb)
-          val c0 = math.abs(leaf.mvx - mvps(0)._1) +
-            math.abs(leaf.mvy - mvps(0)._2)
-          val c1 = math.abs(leaf.mvx - mvps(1)._1) +
-            math.abs(leaf.mvy - mvps(1)._2)
-          val mvpIdx = if (c1 < c0) 1 else 0
-          H265Cabac.encodeMvd(e, leaf.mvx - mvps(mvpIdx)._1,
-            leaf.mvy - mvps(mvpIdx)._2)
-          e.decision(H265Cabac.CtxMvpFlag, mvpIdx)
+          if (bSlice)
+            H265Cabac.encodeInterPredIdc(e, cqtDepth,
+              mi.dir match { case 1 => 0; case 2 => 1; case _ => 2 })
+          var list = 0
+          while (list < 2) {
+            if (mi.has(list)) {
+              val (mvx, mvy) = mi.mv(list)
+              val mvps = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
+                list, currPoc, refPoc0, refPoc1)
+              val c0 = math.abs(mvx - mvps(0)._1) + math.abs(mvy - mvps(0)._2)
+              val c1 = math.abs(mvx - mvps(1)._1) + math.abs(mvy - mvps(1)._2)
+              val mvpIdx = if (c1 < c0) 1 else 0
+              // (mvd_l1_zero_flag is written 0 in the tier headers, so
+              // mvd_coding is always present for a used list)
+              H265Cabac.encodeMvd(e, mvx - mvps(mvpIdx)._1,
+                mvy - mvps(mvpIdx)._2)
+              e.decision(H265Cabac.CtxMvpFlag, mvpIdx)
+            }
+            list += 1
+          }
           e.decision(H265Cabac.CtxRqtRootCbf, if (anyCbf) 1 else 0)
         }
         if (anyCbf || mergeIdx >= 0) {
@@ -617,7 +759,7 @@ object H265Encode {
           H265Transform.ScanDiag)
       reconTb(pic.cr, pic.chromaStride, x0 >> 1, y0 >> 1, log2CbSize - 1,
         if (skip) null else lvCr, luma = false)
-      pic.setMotion(x0, y0, nCb, leaf.mvx, leaf.mvy, skip)
+      pic.setMotion2(x0, y0, nCb, mi, skip)
       pic.setMode(x0, y0, nCb, 1) // inter is DC for intra MPMs
     }
 
@@ -641,7 +783,11 @@ object H265Encode {
         }
         leaf match {
           case l: CuLeaf => codingUnit(x0, y0, log2CbSize, cqtDepth, l)
-          case l: InterLeaf => interCu(x0, y0, log2CbSize, cqtDepth, l)
+          case l: InterLeaf => interCu(x0, y0, log2CbSize, cqtDepth,
+            H265Inter.Mi(1, l.mvx, l.mvy, 0, 0), l.dropResidual)
+          case l: BiLeaf => interCu(x0, y0, log2CbSize, cqtDepth,
+            H265Inter.Mi(l.dir, l.mv0x, l.mv0y, l.mv1x, l.mv1y),
+            l.dropResidual)
           case _: CuSplit => throw new IllegalStateException("unreachable")
         }
     }

@@ -1,22 +1,38 @@
 package graft.multimodal
 
-/** HEVC inter-prediction machinery for the r12 tier 3 (P slices,
-  * single reference): the §8.5.4.2.2 fractional-sample interpolation
-  * (8-tap DCT-IF luma at quarter-pel, 4-tap chroma at eighth-pel,
-  * Tables 8-12/8-13), uni-directional motion compensation with edge
-  * clamping, and the §8.5.3.2 motion-vector derivations — spatial
-  * merge candidates (A1 B1 B0 A0 B2 with the normative pruning +
-  * zero-MV fill) and the 2-candidate AMVP list. One derivation shared
-  * by decoder and encoder-twin (the r10 lesson: availability/state
-  * rules derived once cannot drift).
+/** HEVC inter-prediction machinery for the r12 tier 3 (P slices) and
+  * the r13 tier 4 (B slices, two reference lists): the §8.5.4.2.2
+  * fractional-sample interpolation (8-tap DCT-IF luma at quarter-pel,
+  * 4-tap chroma at eighth-pel, Tables 8-12/8-13), uni- and
+  * bi-directional motion compensation (bi combines the two 14-bit
+  * intermediate predictions per §8.5.4.2.3's default weighted sample
+  * prediction — NOT an average of rounded 8-bit outputs), and the
+  * §8.5.3.2 motion-vector derivations — spatial merge candidates
+  * (A1 B1 B0 A0 B2 with the normative pruning), the §8.5.3.2.4
+  * combined bi-predictive candidates, zero fill, and the 2-candidate
+  * per-list AMVP with the §8.5.3.2.7 cross-list / scaled passes. One
+  * derivation shared by decoder and encoder-twin (the r10 lesson:
+  * availability/state rules derived once cannot drift).
   *
-  * Tier posture: list 0 only, refIdx 0 only (one active reference),
-  * no temporal MVP (SPS disables it), no weighted prediction, 2Nx2N
-  * PUs (part_mode reject elsewhere). Filters are spec transcriptions;
-  * H265InterSpec pins constant-plane invariance, the exact half-pel
-  * first moment, and per-tap impulse responses independently.
+  * Tier posture: refIdx 0 only (one active reference per list), no
+  * temporal MVP (SPS disables it), no weighted prediction, 2Nx2N PUs
+  * (part_mode reject elsewhere). Filters are spec transcriptions;
+  * H265InterSpec / H265BSliceSpec pin constant-plane invariance, the
+  * exact half-pel first moment, per-tap impulse responses, the bi
+  * rounding, and the candidate derivations independently.
   */
 private[multimodal] object H265Inter {
+
+  /** Motion information of a PU / 4x4 grid cell: `dir` is the inter
+    * prediction direction bitmask (1 = L0, 2 = L1, 3 = bi), MVs in
+    * quarter-pel at refIdx 0 per list (unused list's MV is (0, 0)).
+    */
+  final case class Mi(dir: Int, mv0x: Int, mv0y: Int,
+      mv1x: Int, mv1y: Int) {
+    def has(list: Int): Boolean = (dir & (1 << list)) != 0
+    def mv(list: Int): (Int, Int) =
+      if (list == 0) (mv0x, mv0y) else (mv1x, mv1y)
+  }
 
   /** Table 8-12: luma fractional-sample filters, taps at offsets
     * −3..+4 around the integer sample (row = xFrac/yFrac 0..3; the
@@ -149,6 +165,119 @@ private[multimodal] object H265Inter {
     }
   }
 
+  /** §8.5.4.2.2 at 14-bit intermediate precision: the nW×nH predicted
+    * block WITHOUT the final §8.5.4.2.3 rounding — full-pel samples
+    * left-shifted by shift3 = 6, single-pass filter sums kept raw
+    * (shift1 = 0 at 8-bit), two-pass vertical sums >> shift2 = 6.
+    * This is the form the bi-predictive combine must consume: HEVC
+    * averages the 14-bit intermediates ((a + b + 64) >> 7), which is
+    * NOT the average of the two rounded 8-bit uni predictions.
+    */
+  def mcPred(ref: Array[Byte], refW: Int, refH: Int,
+      xPb: Int, yPb: Int, nW: Int, nH: Int,
+      mvx: Int, mvy: Int, fracBits: Int): Array[Int] = {
+    val filters = if (fracBits == 2) lumaFilters else chromaFilters
+    val nTaps = filters(0).length
+    val center = nTaps / 2 - 1
+    val fracMask = (1 << fracBits) - 1
+    val xInt = xPb + (mvx >> fracBits)
+    val yInt = yPb + (mvy >> fracBits)
+    val xF = mvx & fracMask
+    val yF = mvy & fracMask
+    @inline def refAt(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= refW) refW - 1 else x
+      val cy = if (y < 0) 0 else if (y >= refH) refH - 1 else y
+      ref(cy * refW + cx) & 0xff
+    }
+    val out = new Array[Int](nW * nH)
+    if (xF == 0 && yF == 0) {
+      var y = 0
+      while (y < nH) {
+        var x = 0
+        while (x < nW) {
+          out(y * nW + x) = refAt(xInt + x, yInt + y) << 6; x += 1
+        }
+        y += 1
+      }
+    } else if (yF == 0) {
+      val f = filters(xF)
+      var y = 0
+      while (y < nH) {
+        var x = 0
+        while (x < nW) {
+          var s = 0; var i = 0
+          while (i < nTaps) {
+            s += f(i) * refAt(xInt + x + i - center, yInt + y); i += 1
+          }
+          out(y * nW + x) = s; x += 1
+        }
+        y += 1
+      }
+    } else if (xF == 0) {
+      val f = filters(yF)
+      var y = 0
+      while (y < nH) {
+        var x = 0
+        while (x < nW) {
+          var s = 0; var i = 0
+          while (i < nTaps) {
+            s += f(i) * refAt(xInt + x, yInt + y + i - center); i += 1
+          }
+          out(y * nW + x) = s; x += 1
+        }
+        y += 1
+      }
+    } else {
+      val fh = filters(xF)
+      val fv = filters(yF)
+      val tmpH = nH + nTaps - 1
+      val tmp = new Array[Int](nW * tmpH)
+      var ty = 0
+      while (ty < tmpH) {
+        var x = 0
+        while (x < nW) {
+          var s = 0; var i = 0
+          while (i < nTaps) {
+            s += fh(i) * refAt(xInt + x + i - center, yInt + ty - center)
+            i += 1
+          }
+          tmp(ty * nW + x) = s; x += 1
+        }
+        ty += 1
+      }
+      var y = 0
+      while (y < nH) {
+        var x = 0
+        while (x < nW) {
+          var s = 0; var i = 0
+          while (i < nTaps) { s += fv(i) * tmp((y + i) * nW + x); i += 1 }
+          out(y * nW + x) = s >> 6; x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** §8.5.4.2.3 bi-predictive combine of two 14-bit intermediate
+    * predictions: (a + b + offset2) >> shift2 with shift2 = 7,
+    * offset2 = 64 at 8-bit, clipped to [0, 255].
+    */
+  private def biCombine(p0: Array[Int], p1: Array[Int],
+      dst: Array[Byte], dstStride: Int, xPb: Int, yPb: Int,
+      nW: Int, nH: Int): Unit = {
+    var y = 0
+    while (y < nH) {
+      var x = 0
+      while (x < nW) {
+        dst((yPb + y) * dstStride + xPb + x) =
+          clip255((p0(y * nW + x) + p1(y * nW + x) + 64) >> 7).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   /** MC of a whole CU (luma + 4:2:0 chroma) from the reference
     * picture's planes into the current picture's, `mv` in quarter-pel
     * luma units (chroma reuses the same value at eighth-pel per
@@ -165,18 +294,49 @@ private[multimodal] object H265Inter {
       x0 >> 1, y0 >> 1, nCb >> 1, nCb >> 1, mvx, mvy, fracBits = 3)
   }
 
+  /** Motion compensation of a whole CU by full motion info: uni (L0 or
+    * L1) delegates to [[mcCu]]; bi runs both references through the
+    * 14-bit intermediate path and combines per §8.5.4.2.3.
+    */
+  def mcCuMi(ref0: H265Decode.Pic, ref1: H265Decode.Pic,
+      cur: H265Decode.Pic, x0: Int, y0: Int, nCb: Int, mi: Mi): Unit =
+    mi.dir match {
+      case 1 => mcCu(ref0, cur, x0, y0, nCb, mi.mv0x, mi.mv0y)
+      case 2 => mcCu(ref1, cur, x0, y0, nCb, mi.mv1x, mi.mv1y)
+      case 3 =>
+        val w = ref0.width; val h = ref0.height
+        biCombine(
+          mcPred(ref0.luma, w, h, x0, y0, nCb, nCb, mi.mv0x, mi.mv0y, 2),
+          mcPred(ref1.luma, w, h, x0, y0, nCb, nCb, mi.mv1x, mi.mv1y, 2),
+          cur.luma, cur.lumaStride, x0, y0, nCb, nCb)
+        val cw = w >> 1; val ch = h >> 1; val nC = nCb >> 1
+        biCombine(
+          mcPred(ref0.cb, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mi.mv0x, mi.mv0y, 3),
+          mcPred(ref1.cb, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mi.mv1x, mi.mv1y, 3),
+          cur.cb, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+        biCombine(
+          mcPred(ref0.cr, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mi.mv0x, mi.mv0y, 3),
+          mcPred(ref1.cr, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mi.mv1x, mi.mv1y, 3),
+          cur.cr, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+      case other =>
+        throw new IllegalArgumentException(s"bad inter dir $other")
+    }
+
   /** §8.5.3.2.3: the spatial merging candidates A1 B1 B0 A0 (B2 only
     * when fewer than 4 so far) with the normative pairwise pruning,
-    * zero-MV-filled to `maxCand` (single-ref P: no temporal — the SPS
-    * disables TMVP — and no combined bi-pred; every zero candidate is
-    * (0,0) at refIdx 0). Candidate availability = decoded-inter
-    * neighbor (z-scan availability via the Pic's recon grid).
+    * then — for B slices — the §8.5.3.2.4 combined bi-predictive
+    * candidates over the original-candidate pairs, then zero fill to
+    * `maxCand` (zero candidates are bi in a B slice, L0 in a P slice;
+    * refIdx is always 0 in the tier). No temporal candidate — the SPS
+    * disables TMVP. Candidate availability = decoded-inter neighbor
+    * (z-scan availability via the Pic's recon grid).
     */
-  def mergeCandidates(pic: H265Decode.Pic, xPb: Int, yPb: Int,
-      nPbW: Int, nPbH: Int, maxCand: Int): IndexedSeq[(Int, Int)] = {
-    @inline def m(x: Int, y: Int): Option[(Int, Int)] =
-      if (pic.interAt(x, y)) Some(pic.mvAt(x, y)) else None
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+  def mergeCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
+      nPbW: Int, nPbH: Int, maxCand: Int, bSlice: Boolean,
+      refPoc0: Int = 0, refPoc1: Int = 0): IndexedSeq[Mi] = {
+    @inline def m(x: Int, y: Int): Option[Mi] =
+      if (pic.interAt(x, y)) Some(pic.miAt(x, y)) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Mi]
     val a1 = m(xPb - 1, yPb + nPbH - 1)
     a1.foreach(out += _)
     val b1 = m(xPb + nPbW - 1, yPb - 1)
@@ -189,28 +349,118 @@ private[multimodal] object H265Inter {
       val b2 = m(xPb - 1, yPb - 1)
       b2.foreach { c => if (!a1.contains(c) && !b1.contains(c)) out += c }
     }
-    while (out.size < maxCand) out += ((0, 0))
+    if (bSlice && out.size > 1 && out.size < maxCand) {
+      // §8.5.3.2.4 combined bi-predictive candidates: L0 motion of
+      // combCandList0(k) + L1 motion of combCandList1(k), valid when
+      // both halves exist and the result is not a same-picture
+      // same-MV degenerate (refs at distinct POCs always pass)
+      val l0Idx = Array(0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+      val l1Idx = Array(1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2)
+      val nOrig = out.size
+      var k = 0
+      while (out.size < maxCand && k < nOrig * (nOrig - 1)) {
+        val c0 = out(l0Idx(k)); val c1 = out(l1Idx(k))
+        if (c0.has(0) && c1.has(1) &&
+            (refPoc0 != refPoc1 || c0.mv(0) != c1.mv(1)))
+          out += Mi(3, c0.mv0x, c0.mv0y, c1.mv1x, c1.mv1y)
+        k += 1
+      }
+    }
+    val zero = Mi(if (bSlice) 3 else 1, 0, 0, 0, 0)
+    while (out.size < maxCand) out += zero
     out.take(maxCand).toIndexedSeq
   }
 
-  /** §8.5.3.2.6: the 2-entry AMVP candidate list — first decoded-inter
-    * neighbor of {A0, A1}, first of {B0, B1, B2}, B dropped when equal
-    * to A, zero-MV filled. Single reference ⇒ the same-ref passes
-    * always hit and no scaling applies (identity POC distance).
+  /** P-slice convenience form of [[mergeCandidatesMi]] (list-0 MVs). */
+  def mergeCandidates(pic: H265Decode.Pic, xPb: Int, yPb: Int,
+      nPbW: Int, nPbH: Int, maxCand: Int): IndexedSeq[(Int, Int)] =
+    mergeCandidatesMi(pic, xPb, yPb, nPbW, nPbH, maxCand,
+      bSlice = false).map(mi => (mi.mv0x, mi.mv0y))
+
+  /** §8.5.3.1.8's POC-distance motion vector scaling: tb = POC(curr) −
+    * POC(target ref), td = POC(curr) − POC(neighbor's ref). Integer
+    * division truncates toward zero, as the spec's does.
     */
-  def amvpCandidates(pic: H265Decode.Pic, xPb: Int, yPb: Int,
-      nPbW: Int, nPbH: Int): IndexedSeq[(Int, Int)] = {
-    @inline def first(pos: Seq[(Int, Int)]): Option[(Int, Int)] =
-      pos.collectFirst {
-        case (x, y) if pic.interAt(x, y) => pic.mvAt(x, y)
+  def scaleMv(mvx: Int, mvy: Int, tb: Int, td: Int): (Int, Int) = {
+    // tb == td ⇔ the neighbor references the target picture — always
+    // caught by the same-POC passes in a real stream, so the scaled
+    // pass never sees it; the P convenience path (all POCs 0) does.
+    // Identity, bypassing the formula (whose truncations are only
+    // exercised for tb != td).
+    if (tb == td) return (mvx, mvy)
+    @inline def clip3(lo: Int, hi: Int, v: Int): Int =
+      if (v < lo) lo else if (v > hi) hi else v
+    val tdC = clip3(-128, 127, td)
+    val tbC = clip3(-128, 127, tb)
+    val tx = (16384 + (math.abs(tdC) >> 1)) / tdC
+    val dsf = clip3(-4096, 4095, (tbC * tx + 32) >> 6)
+    @inline def s(v: Int): Int = clip3(-32768, 32767,
+      Integer.signum(dsf * v) * ((math.abs(dsf * v) + 127) >> 8))
+    (s(mvx), s(mvy))
+  }
+
+  /** §8.5.3.2.6–8: the 2-entry AMVP candidate list for `listX` — the
+    * A candidate (A0 then A1: same-list pass, cross-list same-POC
+    * pass, then — only when neither A position is inter at all ⇒
+    * isScaledFlagLX = 0 stays moot here — nothing), the B candidate
+    * (B0 B1 B2: same two passes), the §8.5.3.2.7 fallback where an
+    * absent A steals B's value and B re-derives through the SCALED
+    * pass, B dropped when equal to A, zero-MV fill. `currPoc` /
+    * `refPoc0` / `refPoc1` drive the POC matches and the scaling
+    * distances; refIdx is always 0 in the tier, so the same-list pass
+    * hits whenever the neighbor predicts from `listX`.
+    */
+  def amvpCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
+      nPbW: Int, nPbH: Int, listX: Int, currPoc: Int,
+      refPoc0: Int, refPoc1: Int): IndexedSeq[(Int, Int)] = {
+    val listY = 1 - listX
+    val tPoc = if (listX == 0) refPoc0 else refPoc1
+    val yPoc = if (listY == 0) refPoc0 else refPoc1
+    @inline def mi(p: (Int, Int)): Option[Mi] =
+      if (pic.interAt(p._1, p._2)) Some(pic.miAt(p._1, p._2)) else None
+    // the two same-POC passes over a position set (§8.5.3.2.7 steps
+    // 6/7): same list first, then the other list when its reference is
+    // the same picture
+    def samePoc(pos: Seq[(Int, Int)]): Option[(Int, Int)] =
+      pos.iterator.flatMap(mi).collectFirst {
+        case n if n.has(listX) => n.mv(listX) // refIdx 0: POC matches
+        case n if n.has(listY) && yPoc == tPoc => n.mv(listY)
       }
-    val a = first(Seq((xPb - 1, yPb + nPbH), (xPb - 1, yPb + nPbH - 1)))
-    val b = first(Seq((xPb + nPbW, yPb - 1), (xPb + nPbW - 1, yPb - 1),
-      (xPb - 1, yPb - 1)))
+    // the scaled pass (step 8): first inter neighbor's same-list MV
+    // scaled by POC distance, else its other-list MV scaled
+    def scaled(pos: Seq[(Int, Int)]): Option[(Int, Int)] =
+      pos.iterator.flatMap(mi).collectFirst {
+        case n if n.has(listX) =>
+          val (mx, my) = n.mv(listX)
+          scaleMv(mx, my, currPoc - tPoc, currPoc - tPoc)
+        case n if n.has(listY) =>
+          val (mx, my) = n.mv(listY)
+          scaleMv(mx, my, currPoc - tPoc, currPoc - yPoc)
+      }
+    val aPos = Seq((xPb - 1, yPb + nPbH), (xPb - 1, yPb + nPbH - 1))
+    val bPos = Seq((xPb + nPbW, yPb - 1), (xPb + nPbW - 1, yPb - 1),
+      (xPb - 1, yPb - 1))
+    // isScaledFlagLX: any A position is a decoded inter neighbor. When
+    // set, the A candidate may come from A's scaled pass; when clear,
+    // A steals B's same-POC value and B re-derives scaled (§8.5.3.2.7).
+    val aInter = aPos.exists(p => pic.interAt(p._1, p._2))
+    var a = samePoc(aPos)
+    var b = samePoc(bPos)
+    if (aInter) { if (a.isEmpty) a = scaled(aPos) }
+    else { a = b; b = scaled(bPos) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     a.foreach(out += _)
     b.foreach { c => if (!a.contains(c)) out += c }
     while (out.size < 2) out += ((0, 0))
     out.take(2).toIndexedSeq
   }
+
+  /** P-slice convenience form of [[amvpCandidatesMi]]: list 0, where
+    * refIdx-0-only means the same-list pass always hits and no POC
+    * arithmetic can trigger (arguments 0).
+    */
+  def amvpCandidates(pic: H265Decode.Pic, xPb: Int, yPb: Int,
+      nPbW: Int, nPbH: Int): IndexedSeq[(Int, Int)] =
+    amvpCandidatesMi(pic, xPb, yPb, nPbW, nPbH, listX = 0,
+      currPoc = 0, refPoc0 = 0, refPoc1 = 0)
 }

@@ -1591,6 +1591,105 @@ object Multimodal {
     }
   }
 
+  /** Synthetic reordered HEVC GOPs for the r13 tier-4 (B slice) rung:
+    * each stream an IDR + reference P + non-reference B in I0-P2-B1
+    * DECODE order (display I-B-P) — content that exists only through
+    * TWO reference lists: inter_pred_idc signalling, per-list
+    * merge/AMVP (combined bi-predictive candidates included), the
+    * 14-bit-intermediate bi-prediction combine, and TRAIL_N handling
+    * (the B must never enter the DPB). Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an EXACT all-intra PCM twin of id−1's
+    *     DISPLAY-ORDER decoded pictures — pixels byte-identical,
+    *     stream bytes disjoint; collapse ⇔ the bi-pred sample
+    *     arithmetic AND the decode→display reordering are both exact;
+    *   - id % 10 == 5: id−4's content with the B picture's list-0 MVs
+    *     nudged one quarter-pel — a near-dup exact dedup must keep.
+    */
+  def syntheticHevcBidirStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 157 + 43)
+      val qp = 27
+      val dx = 1 + rnd.nextInt(3); val dy = rnd.nextInt(2)
+      val base = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (32 + ((x * 7 + y * 5) % 180) + rnd.nextInt(25)).toByte
+      }
+      def shifted(k: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+        val sy = Array.tabulate(w * h) { i =>
+          val x = (i % w - k * dx + 4 * w) % w
+          val y = (i / w - k * dy + 4 * h) % h
+          base(y * w + x)
+        }
+        val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+          (96 + ((i % (w / 2)) + k) / 2).toByte)
+        val scr = Array.tabulate((w / 2) * (h / 2))(i =>
+          (118 + (i / (w / 2) + k) % 9).toByte)
+        (sy, scb, scr)
+      }
+      // decode order I0, P2, B1 — source frames follow decode order
+      val frames = Seq(shifted(0), shifted(2), shifted(1))
+      import H265Encode.{BiLeaf, CuLeaf, CuSplit, CuTree, GopPic,
+        InterLeaf, Pcm, Ctu}
+      val iLayout: Seq[CuTree] = Seq.fill(4)(CuLeaf(Seq(rnd.nextInt(35))))
+      val bump = if (nudge) 1 else 0
+      // true motion: content shifts (dx, dy) per DISPLAY frame, so P2
+      // (2 frames from I0) carries 8dx and B1 ±4dx toward each list
+      val pLayout: Seq[CuTree] = Seq.fill(4) {
+        val mvx = 8 * dx; val mvy = 8 * dy
+        if (rnd.nextInt(3) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+        else InterLeaf(mvx, mvy)
+      }
+      val bLayout: Seq[CuTree] = {
+        val f0x = 4 * dx + bump; val f0y = 4 * dy
+        val f1x = -4 * dx; val f1y = -4 * dy
+        // CTU 0 is always a bi CU: the quarter-pel nudge rides list-0
+        // MVs, so at least one L0-carrying CU must exist for the
+        // planted near-dups to actually differ
+        (BiLeaf(3, f0x, f0y, f1x, f1y): CuTree) +: Seq.fill(3) {
+          rnd.nextInt(5) match {
+            case 0 => BiLeaf(3, f0x, f0y, f1x, f1y)
+            case 1 => BiLeaf(1, f0x, f0y)
+            case 2 => BiLeaf(2, 0, 0, f1x, f1y)
+            case 3 => CuSplit(BiLeaf(3, f0x, f0y, f1x, f1y),
+              CuLeaf(Seq(rnd.nextInt(35))),
+              BiLeaf(3, f0x, f0y, f1x, f1y,
+                dropResidual = rnd.nextInt(2) == 0),
+              BiLeaf(1, f0x, f0y))
+            case _ => BiLeaf(3, f0x, f0y, f1x, f1y)
+          }
+        }
+      }
+      val (stream, recons) = H265Encode.encodeGopB(frames, w, h, iLayout,
+        Seq(GopPic(2, 1, pLayout, negDelta = 2),
+          GopPic(1, 0, bLayout, isRef = false)), qp)
+      val content =
+        if (isDup) {
+          // all-intra PCM twin in DISPLAY order (recons are display
+          // order): one tier-1 IDR per decoded picture
+          recons.map { r =>
+            val ctus: Array[Array[Ctu]] = Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                r.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                r.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                r.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              Pcm(l, cbP, crP)
+            }
+            H265Encode.encodeIntraPicture(ctus, qp = 30)
+          }.reduce(_ ++ _)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(120L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams for the r12 MULTI-SLICE +
     * P_8x8 rung: each stream a GOP of one IDR and one P picture, BOTH
     * carved into two slices (the most common real-stream structure the

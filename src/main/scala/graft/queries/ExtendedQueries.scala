@@ -997,6 +997,32 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q170 — HEVC B-slice (bi-predictive) GOP dedup (the r13 tier-4
+    * rung — the codec ladder's last HEVC structural gap): reordered
+    * I0-P2-B1 GOPs (decode ≠ display order, the B a non-reference
+    * TRAIL_N) whose middle picture exists only through TWO reference
+    * lists — inter_pred_idc, per-list merge/AMVP with combined
+    * bi-predictive candidates, and the 14-bit-intermediate
+    * bi-prediction combine — deduped by SHA-256 over all three
+    * DISPLAY-ORDER decoded pictures. Each planted dup pair is a
+    * reordered B GOP vs an all-intra PCM twin of its display-order
+    * recon: byte-disjoint representations that collapse iff the
+    * bi-pred arithmetic AND the decode→display reordering are both
+    * exact. Planted one-quarter-pel list-0 MV nudges must survive
+    * ([[graft.multimodal.Multimodal.syntheticHevcBidirStreams]];
+    * H265BSliceSpec pins the contexts, candidate derivations, scaling
+    * and round-trips). Completes the bidirectional arc the H.264 side
+    * opened (q151/q153).
+    */
+  def q170HevcBidirDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcbi_200"))(
+      graft.multimodal.Multimodal.syntheticHevcBidirStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1319,6 +1345,7 @@ object ExtendedQueries {
     "q167_flac_tag_dedup" -> (q167FlacTagDedup _),
     "q168_hevc_sao_dedup" -> (q168HevcSaoDedup _),
     "q169_ogg_opus_dedup" -> (q169OggOpusDedup _),
+    "q170_hevc_bidir_dedup" -> (q170HevcBidirDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1612,6 +1639,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q169_ogg_opus_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q169_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q170_hevc_bidir_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q170_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

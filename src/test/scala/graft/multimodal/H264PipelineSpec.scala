@@ -498,6 +498,38 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC B-slice dedup (q170 corpus): display-order PCM twins collapse; MV nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcBidirStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // reordered B GOP vs display-order PCM twin
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H265Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"pair $id decode")
+      for (k <- 0 until 3) {
+        assert(java.util.Arrays.equals(a(k).luma, b(k).luma), s"pair $id luma $k")
+        assert(java.util.Arrays.equals(a(k).cb, b(k).cb), s"pair $id cb $k")
+        assert(java.util.Arrays.equals(a(k).cr, b(k).cr), s"pair $id cr $k")
+      }
+    }
+    decoys.foreach { id => // one-quarter-pel L0 nudge: near-dup
+      val t = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val o = H265Decode.decodeAnnexBPictures(byId(id - 4), 3)
+      assert(t.size == 3 && o.size == 3, s"decoy $id decode")
+      assert(!java.util.Arrays.equals(t(1).luma, o(1).luma),
+        s"decoy $id: the nudged B picture must move real samples")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "bi-pred decode collapses exactly the cross-representation dups")
+    media.unpersist()
+  }
+
   test("FLAC dedup (q167 corpus): retagged twins collapse; one-byte audio changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacs(spark, 60).persist()

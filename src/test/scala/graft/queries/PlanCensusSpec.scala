@@ -294,6 +294,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape;
                                                    // decode fan-out runs
                                                    // the 8.7.3 offsets
+    "q170_hevc_bidir_dedup"    -> (4, 1, 0, true), // r13 B-slice rung:
+                                                   // exact-pixel shape over
+                                                   // two-list MC + display
+                                                   // reorder
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
