@@ -1,0 +1,581 @@
+package graft.multimodal
+
+/** FLAC DECODE tier (r13, the audio ladder's second DECODE rung after
+  * G.711 — RFC 9639 / the xiph.org format the q167 probe walks):
+  * full subframe decode — CONSTANT / VERBATIM / FIXED (orders 0..4) /
+  * LPC (arbitrary order, quantized coefficients, 64-bit accumulator),
+  * Rice-coded residual partitions (both coding methods + the escape
+  * to raw), wasted bits, inter-channel decorrelation (left/side,
+  * right/side, mid/side), frame CRC-16 verification, and — uniquely
+  * on the codec ladder — the STREAMINFO MD5 check: FLAC files carry
+  * an MD5 of the SOURCE PCM, so every conformant stream embeds a
+  * decoder-independent oracle for the decoded samples. The encoder
+  * twin ([[FlacEncode]]) computes that MD5 from the raw input before
+  * encoding, so a decode bug cannot round-trip silently unless the
+  * predictor arithmetic is wrong in exactly inverse ways on both
+  * sides (the standing shared-table caveat, here narrowed to the
+  * predictor only — framing, Rice coding and decorrelation are all
+  * MD5-anchored).
+  *
+  * Unlike MP3/AAC, FLAC decode is fully algorithmic (Rice codes +
+  * polynomial predictors — no arbitrary Huffman code tables), which
+  * is why it is the honest in-container choice for the decoded-sample
+  * rung: the ISO Layer III Huffman tables cannot be faithfully
+  * sourced here (PERF.md r13 sweep).
+  */
+object FlacDecode {
+
+  /** Decoded stream: interleaved samples (channel-major per tick),
+    * plus the verification facts the dedup face keys on.
+    */
+  final case class DecodedFlac(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, samples: Array[Int], crcOk: Boolean,
+      md5Ok: Option[Boolean])
+
+  /** MSB-first bit reader over a byte range. */
+  private final class Bits(b: Array[Byte], startByte: Int) {
+    var pos: Int = startByte * 8 // absolute bit position
+    def bytePos: Int = pos >> 3
+    def aligned: Boolean = (pos & 7) == 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = n
+      while (k > 0) {
+        val byte = b(pos >> 3) & 0xff
+        val avail = 8 - (pos & 7)
+        val take = math.min(avail, k)
+        v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+        pos += take; k -= take
+      }
+      v
+    }
+    /** n-bit two's-complement signed read (n <= 32). */
+    def s(n: Int): Int =
+      if (n == 0) 0
+      else {
+        val v = u(n)
+        if ((v & (1 << (n - 1))) != 0) v - (1 << n) else v
+      }
+    /** Unary: count of 0 bits before the terminating 1. */
+    def unary(): Int = {
+      var q = 0
+      while (u(1) == 0) {
+        q += 1
+        require(q < (1 << 24), "runaway unary code")
+      }
+      q
+    }
+    def alignByte(): Unit = { pos = (pos + 7) & ~7 }
+    def exhausted(limit: Int): Boolean = bytePos > limit
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the frame footer checksum. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private val fixedCoefs: Array[Array[Int]] = Array(
+    Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+
+  /** One subframe: returns `blockSize` samples at `bps` effective
+    * bits (wasted bits restored).
+    */
+  private def subframe(r: Bits, blockSize: Int, bps: Int): Array[Int] = {
+    require(r.u(1) == 0, "subframe reserved bit")
+    val tpe = r.u(6)
+    var wasted = 0
+    if (r.u(1) == 1) wasted = r.unary() + 1
+    val eff = bps - wasted
+    require(eff >= 1, s"wasted bits $wasted exhaust bps $bps")
+    val out = new Array[Int](blockSize)
+    if (tpe == 0) { // CONSTANT
+      val v = r.s(eff)
+      java.util.Arrays.fill(out, v)
+    } else if (tpe == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { out(i) = r.s(eff); i += 1 }
+    } else if (tpe >= 8 && tpe <= 12) { // FIXED, order 0..4
+      val order = tpe - 8
+      require(order <= blockSize, "fixed order exceeds block")
+      var i = 0
+      while (i < order) { out(i) = r.s(eff); i += 1 }
+      residual(r, out, blockSize, order)
+      val c = fixedCoefs(order)
+      i = order
+      while (i < blockSize) {
+        var p = 0L
+        var j = 0
+        while (j < order) { p += c(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) += p.toInt
+        i += 1
+      }
+    } else if (tpe >= 32) { // LPC, order 1..32
+      val order = tpe - 31
+      require(order <= blockSize, "LPC order exceeds block")
+      var i = 0
+      while (i < order) { out(i) = r.s(eff); i += 1 }
+      val precision = r.u(4) + 1
+      require(precision <= 15, "forbidden coefficient precision 16")
+      val shift = r.s(5)
+      require(shift >= 0, "negative LPC shift") // RFC 9639 §9.2.6
+      val coefs = Array.fill(order)(r.s(precision))
+      residual(r, out, blockSize, order)
+      i = order
+      while (i < blockSize) {
+        var p = 0L
+        var j = 0
+        while (j < order) { p += coefs(j).toLong * out(i - 1 - j); j += 1 }
+        out(i) += (p >> shift).toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(s"reserved subframe type $tpe")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) <<= wasted; i += 1 }
+    }
+    out
+  }
+
+  /** Rice-partitioned residual (§9.2.7) into out(order until blockSize). */
+  private def residual(r: Bits, out: Array[Int], blockSize: Int,
+      order: Int): Unit = {
+    val method = r.u(2)
+    require(method <= 1, s"reserved residual coding method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val partOrder = r.u(4)
+    val nParts = 1 << partOrder
+    require(blockSize % nParts == 0, "partition order does not divide block")
+    val perPart = blockSize >> partOrder
+    // first partition may legally hold zero residuals (perPart == order)
+    require(perPart >= order || partOrder == 0, "order exceeds first partition")
+    var idx = order
+    var part = 0
+    while (part < nParts) {
+      val n = if (part == 0) perPart - order else perPart
+      val param = r.u(pBits)
+      if (param == escape) {
+        val raw = r.u(5)
+        var i = 0
+        while (i < n) { out(idx) = r.s(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = r.unary()
+          val v = (q << param) | r.u(param)
+          out(idx) = (v >>> 1) ^ -(v & 1) // zigzag fold to signed
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** Decode a whole FLAC file. None when the container/headers are
+    * malformed or out of tier (bps not 8/16/24, >2 channels); a frame
+    * whose payload fails mid-decode also yields None (undecodable
+    * audio survives as data at the dedup layer). `crcOk` is the AND
+    * over every frame's CRC-16; `md5Ok` is Some(match) when the
+    * STREAMINFO carries a nonzero MD5.
+    */
+  def decode(b: Array[Byte]): Option[DecodedFlac] =
+    try {
+      Flac.metadata(b).flatMap { case (si, audioStart, _) =>
+        if (si.channels > 2 || (si.bitsPerSample != 8 &&
+            si.bitsPerSample != 16 && si.bitsPerSample != 24)) None
+        else decodeFrames(b, si, audioStart)
+      }
+    } catch {
+      case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => None
+    }
+
+  private def decodeFrames(b: Array[Byte], si: Flac.StreamInfo,
+      audioStart: Int): Option[DecodedFlac] = {
+    val total = si.totalSamples
+    val samples = new java.io.ByteArrayOutputStream() // packed LE, MD5 layout
+    val perTick = si.channels
+    var decoded = 0L
+    var off = audioStart
+    var crcOk = true
+    val all = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (off + 2 <= b.length && (total == 0 || decoded < total)) {
+      val fh = Flac.parseFrameHeader(b, off, si) match {
+        case Some(h) => h
+        case None => return None
+      }
+      if (fh.sampleRate != si.sampleRate || fh.channels != si.channels)
+        return None
+      val r = new Bits(b, off + fh.headerLen)
+      val chans = new Array[Array[Int]](fh.channels)
+      var ch = 0
+      while (ch < fh.channels) {
+        // the side channel of L/S, R/S, M/S carries one extra bit
+        val extra = fh.channelAssignment match {
+          case 8 => if (ch == 1) 1 else 0 // left/side
+          case 9 => if (ch == 0) 1 else 0 // right/side
+          case 10 => if (ch == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        chans(ch) = subframe(r, fh.blockSize, fh.bitsPerSample + extra)
+        ch += 1
+      }
+      r.alignByte()
+      val crcPos = r.bytePos
+      if (crcPos + 2 > b.length) return None
+      val want = ((b(crcPos) & 0xff) << 8) | (b(crcPos + 1) & 0xff)
+      if (crc16(b, off, crcPos) != want) crcOk = false
+      // undo inter-channel decorrelation
+      fh.channelAssignment match {
+        case 8 => // left/side: right = left − side
+          var i = 0
+          while (i < fh.blockSize) {
+            chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+          }
+        case 9 => // right/side: left = right + side (side is ch0)
+          var i = 0
+          while (i < fh.blockSize) {
+            val right = chans(1)(i)
+            chans(0)(i) = right + chans(0)(i)
+            i += 1
+          }
+        case 10 => // mid/side
+          var i = 0
+          while (i < fh.blockSize) {
+            val side = chans(1)(i)
+            val t = (chans(0)(i) << 1) | (side & 1)
+            chans(0)(i) = (t + side) >> 1
+            chans(1)(i) = (t - side) >> 1
+            i += 1
+          }
+        case _ =>
+      }
+      // interleave into the MD5 layout: little-endian signed,
+      // bps/8 bytes per sample
+      val bytesPer = si.bitsPerSample / 8
+      var i = 0
+      while (i < fh.blockSize) {
+        var c = 0
+        while (c < perTick) {
+          val v = chans(c)(i)
+          var k = 0
+          while (k < bytesPer) { samples.write((v >> (8 * k)) & 0xff); k += 1 }
+          c += 1
+        }
+        i += 1
+      }
+      all += Array.tabulate(fh.blockSize * perTick)(j =>
+        chans(j % perTick)(j / perTick))
+      decoded += fh.blockSize
+      off = crcPos + 2
+    }
+    if (decoded == 0) return None
+    if (total != 0 && decoded != total) return None
+    // STREAMINFO MD5 (bytes 18..33 of the block at offset 8 in the
+    // file): all-zero = unknown
+    val md5Field = java.util.Arrays.copyOfRange(b, 8 + 18, 8 + 34)
+    val md5Ok =
+      if (md5Field.forall(_ == 0)) None
+      else Some(java.util.Arrays.equals(md5Field,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(samples.toByteArray)))
+    val flat = new Array[Int](all.map(_.length).sum)
+    var p = 0
+    all.foreach { a => System.arraycopy(a, 0, flat, p, a.length); p += a.length }
+    Some(DecodedFlac(si.sampleRate, si.channels, si.bitsPerSample, flat,
+      crcOk, md5Ok))
+  }
+}
+
+/** Encoder twin of [[FlacDecode]]: conformant FLAC files from 16-bit
+  * PCM with per-frame seeded subframe-type and stereo-mode choices
+  * (constant / verbatim / best-fixed / LPC, independent / L/S / R/S /
+  * M/S), Rice parameter selection per partition with occasional
+  * escape-to-raw, wasted-bits emission when the samples share
+  * trailing zero bits, and the STREAMINFO MD5 computed over the
+  * SOURCE samples before any encoding — the decode oracle.
+  */
+object FlacEncode {
+
+  private final class BitW {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    def s(v: Int, n: Int): Unit = u(v & ((1 << n) - 1), n)
+    def unary(q: Int): Unit = { var i = 0; while (i < q) { u(0, 1); i += 1 }; u(1, 1) }
+    def alignZero(): Unit = if (nBits != 0) u(0, 8 - nBits)
+    def bytes: Array[Byte] = { require(nBits == 0, "unaligned"); out.toByteArray }
+  }
+
+  private def zigzag(v: Int): Int = (v << 1) ^ (v >> 31)
+
+  /** Best Rice parameter for a residual slice by exact cost. */
+  private def bestRice(res: Array[Int], from: Int, until: Int,
+      maxParam: Int): (Int, Long) = {
+    var best = 0; var bestCost = Long.MaxValue
+    var p = 0
+    while (p <= maxParam) {
+      var cost = 0L
+      var i = from
+      while (i < until) { cost += (zigzag(res(i)) >>> p) + 1 + p; i += 1 }
+      if (cost < bestCost) { best = p; bestCost = cost }
+      p += 1
+    }
+    (best, bestCost)
+  }
+
+  private def writeResidual(w: BitW, res: Array[Int], order: Int,
+      blockSize: Int, partOrder: Int, escapeRaw: Int): Unit = {
+    w.u(0, 2) // coding method 0 (4-bit params)
+    w.u(partOrder, 4)
+    val nParts = 1 << partOrder
+    val perPart = blockSize >> partOrder
+    var part = 0
+    var idx = order
+    while (part < nParts) {
+      val n = if (part == 0) perPart - order else perPart
+      if (escapeRaw > 0 && part == nParts - 1) {
+        // exercise the escape: raw `escapeRaw`-bit residuals
+        w.u(15, 4); w.u(escapeRaw, 5)
+        var i = 0
+        while (i < n) { w.s(res(idx), escapeRaw); idx += 1; i += 1 }
+      } else {
+        val (p, _) = bestRice(res, idx, idx + n, 14)
+        w.u(p, 4)
+        var i = 0
+        while (i < n) {
+          val z = zigzag(res(idx))
+          w.unary(z >>> p)
+          w.u(z & ((1 << p) - 1), p)
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** Residual range check for the raw-escape path. */
+  private def fits(res: Array[Int], from: Int, n: Int, bits: Int): Boolean = {
+    val lo = -(1 << (bits - 1)); val hi = (1 << (bits - 1)) - 1
+    var i = from
+    while (i < from + n) {
+      if (res(i) < lo || res(i) > hi) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Encode one subframe of `x` at `bps` effective bits. `mode`:
+    * 0 auto (constant / best fixed), 1 verbatim, 2 LPC order 2,
+    * 3 best-fixed with a raw-escape final partition.
+    */
+  private def subframe(w: BitW, x: Array[Int], bps: Int, mode: Int): Unit = {
+    val n = x.length
+    // wasted bits: emit when every sample shares >= 1 trailing zero
+    // bits (and not all zero)
+    var wasted = 0
+    if (x.exists(_ != 0)) {
+      var orAll = 0
+      x.foreach(orAll |= _)
+      wasted = Integer.numberOfTrailingZeros(orAll)
+      if (wasted > bps - 1) wasted = bps - 1
+    }
+    val eff = bps - wasted
+    val y = if (wasted > 0) x.map(_ >> wasted) else x
+    if (mode != 1 && y.forall(_ == y(0))) { // CONSTANT
+      w.u(0, 1); w.u(0, 6)
+      if (wasted > 0) { w.u(1, 1); w.unary(wasted - 1) } else w.u(0, 1)
+      w.s(y(0), eff)
+      return
+    }
+    if (mode == 1) { // VERBATIM
+      w.u(0, 1); w.u(1, 6)
+      if (wasted > 0) { w.u(1, 1); w.unary(wasted - 1) } else w.u(0, 1)
+      y.foreach(v => w.s(v, eff))
+      return
+    }
+    if (mode == 2 && n > 2) { // LPC order 2: quantized (1.5, -0.5)-ish
+      val order = 2
+      val precision = 12
+      val shift = 10
+      val coefs = Array(1536, -512) // 1.5, −0.5 at shift 10
+      val res = new Array[Int](n)
+      var i = order
+      while (i < n) {
+        var p = 0L
+        var j = 0
+        while (j < order) { p += coefs(j).toLong * y(i - 1 - j); j += 1 }
+        res(i) = y(i) - (p >> shift).toInt
+        i += 1
+      }
+      w.u(0, 1); w.u(32 + order - 1, 6)
+      if (wasted > 0) { w.u(1, 1); w.unary(wasted - 1) } else w.u(0, 1)
+      (0 until order).foreach(i => w.s(y(i), eff))
+      w.u(precision - 1, 4)
+      w.s(shift, 5)
+      coefs.foreach(c => w.s(c, precision))
+      writeResidual(w, res, order, n, partOrder = 0, escapeRaw = 0)
+      return
+    }
+    // FIXED: best order 0..4 by absolute-residual sum
+    val fixedCoefs: Array[Array[Int]] = Array(
+      Array(), Array(1), Array(2, -1), Array(3, -3, 1), Array(4, -6, 4, -1))
+    var bestOrder = 0; var bestSum = Long.MaxValue
+    var bestRes: Array[Int] = null
+    var order = 0
+    while (order <= 4) {
+      if (order < n) {
+        val res = new Array[Int](n)
+        var sum = 0L
+        var i = order
+        while (i < n) {
+          var p = 0L
+          var j = 0
+          while (j < order) {
+            p += fixedCoefs(order)(j).toLong * y(i - 1 - j); j += 1
+          }
+          res(i) = y(i) - p.toInt
+          sum += math.abs(res(i).toLong)
+          i += 1
+        }
+        if (sum < bestSum) { bestSum = sum; bestOrder = order; bestRes = res }
+      }
+      order += 1
+    }
+    w.u(0, 1); w.u(8 + bestOrder, 6)
+    if (wasted > 0) { w.u(1, 1); w.unary(wasted - 1) } else w.u(0, 1)
+    (0 until bestOrder).foreach(i => w.s(y(i), eff))
+    // partition order 1 when divisible and big enough (exercises
+    // multi-partition decode); escape on the last partition in mode 3
+    val partOrder = if (n % 2 == 0 && n / 2 > bestOrder) 1 else 0
+    val esc =
+      if (mode == 3 && partOrder == 1 &&
+        fits(bestRes, bestOrder + (n >> 1) - bestOrder, n >> 1, 14)) 14
+      else 0
+    writeResidual(w, bestRes, bestOrder, n, partOrder, esc)
+  }
+
+  /** Encode 16-bit PCM (channel arrays of equal length) to a
+    * conformant FLAC file. `seed` drives per-frame subframe/stereo
+    * choices; `blockSize` must divide into frames of >= 8 samples.
+    */
+  def encode(channels: Array[Array[Int]], sampleRate: Int,
+      blockSize: Int = 256, seed: Long = 0): Array[Byte] = {
+    val nCh = channels.length
+    require(nCh >= 1 && nCh <= 2, "1 or 2 channels")
+    val total = channels(0).length.toLong
+    require(channels.forall(_.length == total), "equal channel lengths")
+    val bps = 16
+    val rnd = new scala.util.Random(seed)
+    // STREAMINFO MD5 over interleaved LE source samples — computed
+    // BEFORE encoding: the decoder's oracle
+    val md5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < total) {
+        var c = 0
+        while (c < nCh) {
+          val v = channels(c)(i.toInt)
+          d.update((v & 0xff).toByte); d.update(((v >> 8) & 0xff).toByte)
+          c += 1
+        }
+        i += 1
+      }
+      d.digest()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80) // STREAMINFO, last block
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = ((blockSize >> 8) & 0xff).toByte; si(1) = (blockSize & 0xff).toByte
+    si(2) = si(0); si(3) = si(1)
+    var v: Long = (sampleRate.toLong << 44) | ((nCh - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | (total & 0xfffffffffL)
+    var k = 0
+    while (k < 8) { si(10 + k) = ((v >>> (56 - 8 * k)) & 0xff).toByte; k += 1 }
+    System.arraycopy(md5, 0, si, 18, 16)
+    out.write(si, 0, 34)
+    var start = 0
+    var frameNo = 0
+    while (start < total) {
+      val n = math.min(blockSize, (total - start).toInt)
+      val frame = new java.io.ByteArrayOutputStream()
+      // header: sync + fixed blocking, blocksize code 7 (explicit
+      // 16-bit), rate code 0 (STREAMINFO), bps code 0 (STREAMINFO)
+      val slice = Array.tabulate(nCh)(c =>
+        java.util.Arrays.copyOfRange(channels(c), start, start + n))
+      val chMode =
+        if (nCh == 2) rnd.nextInt(4) match {
+          case 0 => 1 // independent stereo (chCode = 1)
+          case 1 => 8; case 2 => 9; case _ => 10
+        } else 0
+      frame.write(0xff); frame.write(0xf8)
+      frame.write(0x70 | 0x00) // bs code 7, rate code 0
+      frame.write((chMode << 4) | 0x00) // ss code 0, reserved 0
+      // UTF-8 frame number
+      if (frameNo < 0x80) frame.write(frameNo)
+      else {
+        require(frameNo < 0x800, "fixture encoder: frame number < 2048")
+        frame.write(0xc0 | (frameNo >> 6)); frame.write(0x80 | (frameNo & 0x3f))
+      }
+      frame.write(((n - 1) >> 8) & 0xff); frame.write((n - 1) & 0xff)
+      val hdr = frame.toByteArray
+      frame.reset()
+      frame.write(hdr, 0, hdr.length)
+      frame.write(Flac.crc8(hdr, 0, hdr.length))
+      // subframes
+      val w = new BitW
+      val (c0, c1bits, c0bits) = chMode match {
+        case 8 => // left/side
+          (Array(slice(0),
+            Array.tabulate(n)(i => slice(0)(i) - slice(1)(i))), 17, 16)
+        case 9 => // right/side (side first)
+          (Array(Array.tabulate(n)(i => slice(0)(i) - slice(1)(i)),
+            slice(1)), 16, 17)
+        case 10 => // mid/side
+          (Array(Array.tabulate(n)(i => (slice(0)(i) + slice(1)(i)) >> 1),
+            Array.tabulate(n)(i => slice(0)(i) - slice(1)(i))), 17, 16)
+        case _ => (slice, 16, 16)
+      }
+      var c = 0
+      while (c < nCh) {
+        val bits = if (c == 0) c0bits else c1bits
+        subframe(w, c0(c), bits, rnd.nextInt(4))
+        c += 1
+      }
+      w.alignZero()
+      val body = w.bytes
+      frame.write(body, 0, body.length)
+      val fb = frame.toByteArray
+      val crc = FlacDecode.crc16(fb, 0, fb.length)
+      frame.write((crc >> 8) & 0xff); frame.write(crc & 0xff)
+      val all = frame.toByteArray
+      out.write(all, 0, all.length)
+      start += n
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+}

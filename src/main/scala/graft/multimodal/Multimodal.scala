@@ -2161,14 +2161,31 @@ object Multimodal {
     import media.sparkSession.implicits._
     val sigs: Dataset[KeyframeSig] = media.mapPartitions { it =>
       it.flatMap { m =>
-        if (m.kind != "audio") None
-        else G711Audio.decodeAny(m.content).map { dec =>
+        // (rate, channels, interleaved 16-bit samples) — the format-
+        // independent identity. FLAC joins the G.711 containers in
+        // r13: a FLAC file and a WAV PCM16 of the same audio hash
+        // identically (lossless ⇒ decoded == source). FLAC rows only
+        // count when the frame CRC-16s pass and the STREAMINFO MD5
+        // (when present) matches — a corrupt stream survives as data.
+        val pcm: Option[(Int, Int, Array[Short])] =
+          if (m.kind != "audio") None
+          else if (m.content.length > 4 && m.content(0) == 'f' &&
+              m.content(1) == 'L' && m.content(2) == 'a' &&
+              m.content(3) == 'C')
+            FlacDecode.decode(m.content).collect {
+              case d if d.bitsPerSample == 16 && d.crcOk &&
+                  d.md5Ok != Some(false) =>
+                (d.sampleRate, d.channels, d.samples.map(_.toShort))
+            }
+          else G711Audio.decodeAny(m.content).map(dec =>
+            (dec.info.sampleRate, dec.info.channels, dec.samples))
+        pcm.map { case (rate, channels, samples) =>
           val digest = java.security.MessageDigest.getInstance("SHA-256")
           val head = java.nio.ByteBuffer.allocate(8)
-            .putInt(dec.info.sampleRate).putInt(dec.info.channels).array()
+            .putInt(rate).putInt(channels).array()
           digest.update(head)
-          val body = java.nio.ByteBuffer.allocate(2 * dec.samples.length)
-          dec.samples.foreach(body.putShort)
+          val body = java.nio.ByteBuffer.allocate(2 * samples.length)
+          samples.foreach(body.putShort)
           digest.update(body.array())
           KeyframeSig(m.media_id, digest.digest())
         }
@@ -2240,6 +2257,82 @@ object Multimodal {
           case 1 => (G711Audio.writeAiff(law, rate, 1, nSamp, companded), "aifc")
           case _ => (G711Audio.writeWav(law, rate, 1, companded), "wav")
         }
+      Media(id, "audio", content,
+        MediaMeta(fmt, None, None, Some(rate), Some(nSamp * 1000L / rate)))
+    }
+  }
+
+  /** Synthetic FLAC corpus for the r13 audio DECODE rung 2
+    * ([[FlacDecode]]): seeded mono/stereo 16-bit waveforms — tone
+    * mixes, constant runs (CONSTANT subframes), 4x-scaled spans
+    * (wasted bits), noise bursts (verbatim) — encoded to conformant
+    * FLAC with per-frame subframe-type and stereo-decorrelation
+    * choices and the STREAMINFO MD5 of the source PCM. Planted
+    * relations per decade:
+    *   - id % 10 == 0 (id > 0): a WAV PCM16 twin of id−1's SOURCE
+    *     samples — byte-disjoint container AND codec (Rice/LPC vs raw
+    *     LE) representations of identical audio; collapsing the pair
+    *     under decoded-sample dedup requires every subframe type,
+    *     Rice partition, and decorrelation mode to be sample-exact
+    *     (FLAC is lossless: decoded ≡ source);
+    *   - id % 10 == 5: id−4's waveform with ONE sample's LSB flipped —
+    *     a near-duplicate that must survive.
+    */
+  def syntheticFlacDecodedAudios(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val rnd = new scala.util.Random(seed * 181 + 53)
+      val rate = 16000
+      val stereo = seed % 2 == 1
+      val nSamp = 1200 + rnd.nextInt(1000)
+      def wave(phase: Double): Array[Int] = {
+        val f1 = 100.0 + rnd.nextInt(600)
+        val f2 = 900.0 + rnd.nextInt(2000)
+        Array.tabulate(nSamp) { i =>
+          val t = i.toDouble / rate
+          val seg = (i / 160) % 4
+          seg match {
+            case 0 => (8000 * math.sin(2 * math.Pi * f1 * t + phase) +
+              4000 * math.sin(2 * math.Pi * f2 * t)).toInt
+            case 1 => 777 // constant run → CONSTANT subframes
+            case 2 => ((3000 * math.sin(2 * math.Pi * f1 * t)).toInt / 4) * 4
+              // shared trailing zeros → wasted bits
+            case _ => rnd.nextInt(20000) - 10000 // noise → verbatim-ish
+          }
+        }
+      }
+      val channels =
+        if (stereo) Array(wave(0.0), wave(0.7)) else Array(wave(0.3))
+      if (nudge) { // one sample's LSB flipped: near-dup must survive
+        val ch = rnd.nextInt(channels.length)
+        val pos = rnd.nextInt(nSamp)
+        channels(ch)(pos) ^= 1
+      }
+      val (content, fmt) =
+        if (isDup) {
+          // WAV PCM16 twin of the SOURCE samples (lossless ⇒ equals
+          // the FLAC's decode), interleaved little-endian
+          val le = new Array[Byte](2 * nSamp * channels.length)
+          var i = 0
+          while (i < nSamp) {
+            var c = 0
+            while (c < channels.length) {
+              val v = channels(c)(i)
+              val o = 2 * (i * channels.length + c)
+              le(o) = (v & 0xff).toByte
+              le(o + 1) = ((v >> 8) & 0xff).toByte
+              c += 1
+            }
+            i += 1
+          }
+          (G711Audio.writeWav("pcm16", rate, channels.length, le), "wav")
+        } else
+          (FlacEncode.encode(channels, rate,
+            blockSize = 128 << rnd.nextInt(3), seed = rnd.nextLong()), "flac")
       Media(id, "audio", content,
         MediaMeta(fmt, None, None, Some(rate), Some(nSamp * 1000L / rate)))
     }

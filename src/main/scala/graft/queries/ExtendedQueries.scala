@@ -1023,6 +1023,32 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q171 — FLAC decoded-sample audio dedup (the r13 audio DECODE
+    * rung 2 — the transcode-invariant posture q164 opened, now for a
+    * COMPRESSED format): full subframe decode (CONSTANT / VERBATIM /
+    * FIXED / LPC, Rice partitions with escape, wasted bits, stereo
+    * decorrelation) with frame CRC-16s verified and the STREAMINFO
+    * MD5 — an oracle every conformant FLAC file embeds for its own
+    * decode — checked, deduped by SHA-256 over (rate, channels,
+    * decoded samples). Planted dup pairs carry the same audio as FLAC
+    * vs WAV PCM16 — byte-disjoint container AND codec that collapse
+    * iff every predictor/Rice/decorrelation path is sample-exact;
+    * planted single-LSB changes survive
+    * ([[graft.multimodal.Multimodal.syntheticFlacDecodedAudios]];
+    * FlacCodecSpec pins the CRC check value, predictor algebra,
+    * corruption detection and round-trips). FLAC decode is fully
+    * algorithmic — the honest in-container decode target where MP3's
+    * Huffman tables are unsourceable (PERF.md r13).
+    */
+  def q171FlacDecodedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("flacdec_200"))(
+      graft.multimodal.Multimodal.syntheticFlacDecodedAudios(spark, 200))
+    graft.multimodal.Multimodal.audioDedupByDecodedPcm(media)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1346,6 +1372,7 @@ object ExtendedQueries {
     "q168_hevc_sao_dedup" -> (q168HevcSaoDedup _),
     "q169_ogg_opus_dedup" -> (q169OggOpusDedup _),
     "q170_hevc_bidir_dedup" -> (q170HevcBidirDedup _),
+    "q171_flac_decoded_dedup" -> (q171FlacDecodedDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1642,6 +1669,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q170_hevc_bidir_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q170_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q171_flac_decoded_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q171_audio_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -530,6 +530,38 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("FLAC decoded dedup (q171 corpus): WAV PCM twins collapse; LSB nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticFlacDecodedAudios(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id => // FLAC vs WAV PCM16 twin: bytes disjoint,
+      // decoded samples identical (lossless codec)
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val flac = FlacDecode.decode(byId(id - 1)).get
+      assert(flac.crcOk && flac.md5Ok == Some(true), s"pair $id flac checks")
+      val wav = G711Audio.decodeAny(byId(id)).get
+      assert(flac.samples.map(_.toShort).toSeq == wav.samples.toSeq,
+        s"pair $id samples")
+      assert(flac.sampleRate == wav.info.sampleRate &&
+        flac.channels == wav.info.channels, s"pair $id params")
+    }
+    decoys.foreach { id => // one LSB flipped: near-dup
+      val t = FlacDecode.decode(byId(id)).get
+      val o = FlacDecode.decode(byId(id - 4)).get
+      assert(t.md5Ok == Some(true) && o.md5Ok == Some(true))
+      assert(t.samples.toSeq != o.samples.toSeq,
+        s"decoy $id: the LSB flip must survive encode")
+    }
+    val survivors = Multimodal.audioDedupByDecodedPcm(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "FLAC decode collapses exactly the cross-codec dups")
+    media.unpersist()
+  }
+
   test("FLAC dedup (q167 corpus): retagged twins collapse; one-byte audio changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacs(spark, 60).persist()

@@ -298,6 +298,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // exact-pixel shape over
                                                    // two-list MC + display
                                                    // reorder
+    "q171_flac_decoded_dedup"  -> (4, 1, 0, true), // r13 FLAC decode rung:
+                                                   // decoded-sample hash
+                                                   // shape, MD5-anchored
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
