@@ -35,7 +35,18 @@ object H264 {
   final case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
       width: Int, height: Int, frameMbsOnly: Boolean, chromaFormatIdc: Int,
       log2MaxFrameNum: Int = 4, pocType: Int = 0, log2MaxPocLsb: Int = 4,
-      maxNumRefFrames: Int = 1)
+      maxNumRefFrames: Int = 1, mbAdaptiveFrameField: Boolean = false) {
+    /** Sequence coding structure (§7.4.2.1.1): `progressive` when
+      * frame_mbs_only, else `mbaff` (frame/field decided per MB pair)
+      * or `paff` (per picture — field pictures may occur). The r13
+      * probe-level classification: PAFF/MBAFF DECODE stays a loud
+      * reject, but corpus stats must count field-coded streams.
+      */
+    def codingStructure: String =
+      if (frameMbsOnly) "progressive"
+      else if (mbAdaptiveFrameField) "mbaff"
+      else "paff"
+  }
 
   // ------------------------------------------------------------ framing
 
@@ -193,7 +204,7 @@ object H264 {
       val widthMbs = r.ue() + 1
       val heightMapUnits = r.ue() + 1
       val frameMbsOnly = r.flag()
-      if (!frameMbsOnly) r.flag() // mb_adaptive_frame_field_flag
+      val mbAff = !frameMbsOnly && r.flag() // mb_adaptive_frame_field_flag
       r.flag() // direct_8x8_inference_flag
       var width = widthMbs * 16
       var height = heightMapUnits * 16 * (if (frameMbsOnly) 1 else 2)
@@ -212,7 +223,7 @@ object H264 {
       }
       Some(SpsInfo(profileIdc, levelIdc, spsId, width, height,
         frameMbsOnly, chromaFormatIdc, log2MaxFrameNum, pocType,
-        log2MaxPocLsb, maxNumRefFrames))
+        log2MaxPocLsb, maxNumRefFrames, mbAff))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -334,13 +345,16 @@ object H264 {
     * [[parseSps]] by construction (pinned in MultimodalSpec).
     */
   def writeSps(width: Int, height: Int, levelIdc: Int = 31,
-      numRefFrames: Int = 1): Array[Byte] = {
+      numRefFrames: Int = 1, frameMbsOnly: Boolean = true,
+      mbAff: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
       s"4:2:0 dims must be positive and even, got ${width}x$height")
     require(numRefFrames >= 1 && numRefFrames <= 16,
       s"max_num_ref_frames $numRefFrames out of range")
+    require(frameMbsOnly || height % 32 == 0,
+      "field-coded SPS needs map-unit (32-line) aligned height")
     val mbsW = (width + 15) / 16
-    val mapH = (height + 15) / 16
+    val mapH = (height + 15) / 16 / (if (frameMbsOnly) 1 else 2)
     val w = new BitWriter
     w.u(66, 8) // profile_idc: baseline — no chroma/scaling branch
     w.u(0, 8)  // constraint flags + reserved
@@ -353,10 +367,11 @@ object H264 {
     w.flag(false) // gaps_in_frame_num_value_allowed
     w.ue(mbsW - 1)
     w.ue(mapH - 1)
-    w.flag(true)  // frame_mbs_only
+    w.flag(frameMbsOnly)
+    if (!frameMbsOnly) w.flag(mbAff) // mb_adaptive_frame_field_flag
     w.flag(true)  // direct_8x8_inference
     val cropR = (mbsW * 16 - width) / 2  // CropUnitX = 2 at 4:2:0
-    val cropB = (mapH * 16 - height) / 2 // CropUnitY = 2 (frame_mbs_only)
+    val cropB = (mapH * 16 * (if (frameMbsOnly) 1 else 2) - height) / 2
     if (cropR > 0 || cropB > 0) {
       w.flag(true)
       w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)

@@ -2371,6 +2371,68 @@ object Multimodal {
   case class VideoMeta(media_id: Long, container: String, codec: String,
       width: Int, height: Int, duration_ms: Long, n_frames: Int)
 
+  case class AvcCodingFacts(media_id: Long, coding: String, width: Int,
+      height: Int, profile_idc: Int, decodable_tier: Boolean)
+
+  /** H.264 coding-structure census (r13): per-stream classification of
+    * the SPS's frame/field structure — `progressive`
+    * (frame_mbs_only), `paff` (field pictures may occur), `mbaff`
+    * (per-MB-pair adaptive) — from Annex-B or mp4 `avcC` parameter
+    * sets, no slice decode. PAFF/MBAFF DECODE remains a loud reject
+    * (`decodable_tier` = false rows); this face exists so corpus
+    * stats COUNT field-coded material instead of silently dropping
+    * it. Streams without a parseable SPS are dropped (undecodable
+    * blobs are data elsewhere; a census reports what it can see).
+    */
+  def avcCodingCensus(media: Dataset[Media]): Dataset[AvcCodingFacts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "video").flatMap { m =>
+        val sps: Option[H264.SpsInfo] =
+          H264.probeAnnexB(m.content).orElse {
+            for {
+              avcc <- VideoContainers.mp4AvcC(m.content)
+              (_, spss, _) <- H264.parseAvcC(avcc)
+              s <- spss.iterator.flatMap(H264.parseSps(_)).nextOption()
+            } yield s
+          }
+        sps.map(s => AvcCodingFacts(m.media_id, s.codingStructure,
+          s.width, s.height, s.profileIdc,
+          s.frameMbsOnly && s.chromaFormatIdc == 1))
+      }
+    }
+  }
+
+  /** Synthetic corpus for the r13 coding-structure census: one third
+    * each REAL progressive IDR streams (decodable through the CAVLC
+    * baseline), PAFF-capable field-coded streams, and MBAFF streams —
+    * the latter two carrying conformant SPS/PPS parameter sets ahead
+    * of opaque slice payloads (their slice decode is out of every
+    * tier; the probe must still classify and count them).
+    */
+  def syntheticAvcFieldMixStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val rnd = new scala.util.Random(id * 193 + 71)
+      val content = (id % 3) match {
+        case 0 => // real decodable progressive IDR
+          val means = Array.tabulate(2, 2)((y, x) =>
+            40 + 20 * x + 30 * y + rnd.nextInt(17))
+          H264Encode.encodeI16x16Dc(means, qp = 26)._1
+        case k => // field-coded: PAFF (k = 1) or MBAFF (k = 2) SPS +
+          // PPS + an opaque non-IDR slice payload
+          val sps = H264.writeSps(64, 64, frameMbsOnly = false,
+            mbAff = k == 2)
+          val body = Array.fill(48 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+          H264Encode.annexB(Seq((7, 3, sps), (8, 3, H264.writePps()),
+            (1, 2, body)))
+      }
+      Media(id, "video", content,
+        MediaMeta("h264", Some(64), Some(64), None, Some(40L)))
+    }
+  }
+
   /** Container-level video metadata probe — codec fourcc, dimensions,
     * duration, frame count straight from the mp4 moov / avi hdrl headers,
     * NO frame decode (so it runs on any codec, including H.264 payloads

@@ -1049,6 +1049,27 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q172 — H.264 coding-structure census (the r13 PAFF/interlace
+    * probe classification, verdict item 7): per-stream frame/field
+    * classification — progressive / paff / mbaff — straight from the
+    * SPS (Annex-B or mp4 avcC), no slice decode. Field-coded decode
+    * stays a LOUD reject in every pixel tier; this face makes corpus
+    * stats COUNT such material (`decodable_tier` marks what the
+    * CAVLC/CABAC baseline tiers can actually decode)
+    * ([[graft.multimodal.Multimodal.avcCodingCensus]];
+    * MultimodalSpec pins the classification and the decode reject).
+    */
+  def q172AvcCodingCensus(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("avcfield_120"))(
+      graft.multimodal.Multimodal.syntheticAvcFieldMixStreams(spark, 120))
+    graft.multimodal.Multimodal.avcCodingCensus(media)
+      .toDF()
+      .select(col("media_id"), col("coding"), col("width"), col("height"),
+        col("profile_idc"), col("decodable_tier"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1373,6 +1394,7 @@ object ExtendedQueries {
     "q169_ogg_opus_dedup" -> (q169OggOpusDedup _),
     "q170_hevc_bidir_dedup" -> (q170HevcBidirDedup _),
     "q171_flac_decoded_dedup" -> (q171FlacDecodedDedup _),
+    "q172_avc_coding_census" -> (q172AvcCodingCensus _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1672,6 +1694,10 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q171_flac_decoded_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q171_audio_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q172_avc_coding_census" ->
+      """SELECT media_id, coding, width, height, profile_idc, decodable_tier
+         FROM read_parquet('/root/repo/fixtures/q172_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -50,6 +50,7 @@ object GenMediaFixtures {
     "hevcsao_200" -> Multimodal.syntheticHevcSaoStreams(spark, 200),
     "hevcbi_200" -> Multimodal.syntheticHevcBidirStreams(spark, 200),
     "flacdec_200" -> Multimodal.syntheticFlacDecodedAudios(spark, 200),
+    "avcfield_120" -> Multimodal.syntheticAvcFieldMixStreams(spark, 120),
     "opus_200" -> Multimodal.syntheticOggOpus(spark, 200),
     "mp3_200" -> Multimodal.syntheticMp3s(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),

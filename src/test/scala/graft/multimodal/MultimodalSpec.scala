@@ -387,4 +387,33 @@ class MultimodalSpec extends SparkSpec {
       .map(_.media_id).collect().toSet
     assert(survivors2.contains(999L))
   }
+
+  test("AVC coding-structure census: progressive/paff/mbaff classified; field decode rejects") {
+    // SPS writer ↔ parser round-trip of the frame/field structure
+    for ((fmo, aff, want) <- Seq((true, false, "progressive"),
+        (false, false, "paff"), (false, true, "mbaff"))) {
+      val sps = H264.parseSps(
+        H264.writeSps(64, 64, frameMbsOnly = fmo, mbAff = aff)).get
+      assert(sps.codingStructure == want, want)
+      assert(sps.width == 64 && sps.height == 64, s"$want dims")
+    }
+    // the census counts all three; decodable_tier only for progressive
+    val media = Multimodal.syntheticAvcFieldMixStreams(spark, 30)
+    val facts = Multimodal.avcCodingCensus(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(facts.size == 30)
+    for (id <- 0L until 30L) {
+      val want = (id % 3) match {
+        case 0 => "progressive"; case 1 => "paff"; case _ => "mbaff"
+      }
+      assert(facts(id).coding == want, s"id $id")
+      assert(facts(id).decodable_tier == (id % 3 == 0), s"id $id tier")
+    }
+    // field-coded slice data stays a LOUD reject in the pixel tier:
+    // no frames, never a wrong decode
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    assert(H264Decode.decodeAnnexBPictures(byId(1), 4).isEmpty)
+    assert(H264Decode.decodeAnnexBPictures(byId(2), 4).isEmpty)
+    assert(H264Decode.decodeAnnexBPictures(byId(0), 4).nonEmpty)
+  }
 }

@@ -301,6 +301,10 @@ class PlanCensusSpec extends SparkSpec {
     "q171_flac_decoded_dedup"  -> (4, 1, 0, true), // r13 FLAC decode rung:
                                                    // decoded-sample hash
                                                    // shape, MD5-anchored
+    "q172_avc_coding_census"   -> (2, 0, 0, true), // r13 PAFF census:
+                                                   // probe map + global
+                                                   // order (range part.
+                                                   // + sort exchange)
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
