@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** Exact COUNT(DISTINCT <integer key>) as a MERGEABLE BITMAP aggregate
+  * (Roaring64, the compressed-bitmap library Spark itself ships):
+  * every partition folds its keys into one bitmap per group, partials
+  * combine map-side, and the exchange carries one serialized bitmap
+  * per (partition, group) instead of one row per distinct key.
+  *
+  * Why it exists (r13, the q11 100× floor): the generic exact paths
+  * both have a per-distinct-key cost at the exchange — the built-in
+  * COUNT(DISTINCT) expands every input row, and the two-phase
+  * pre-aggregate form shuffles one row per (group, key). With LOW
+  * group cardinality and an INTEGER key domain (the TPC-H q11 shape:
+  * 6 flag/status groups over suppkeys), the bitmap collapses the
+  * shuffle to |groups|·|partitions| buffers whose size depends on key
+  * CLUSTERING, not count — Roaring run-length containers make dense
+  * id ranges (the common surrogate-key layout) a few bytes per
+  * thousand keys. At 100 TB this is the difference between an
+  * 8 M-row exchange and a ~200-buffer exchange.
+  *
+  * Exactness: a bitmap holds key PRESENCE — cardinality is exact, and
+  * merge (OR) is associative/commutative/idempotent, so partial
+  * aggregation, AQE re-planning, and speculative re-execution cannot
+  * change the result (unlike sketches; this is not an approximation).
+  * NULL keys are skipped, matching COUNT(DISTINCT) semantics.
+  */
+case class BitmapDistinctCount(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64NavigableMap] {
+
+  override def createAggregationBuffer(): Roaring64NavigableMap =
+    new Roaring64NavigableMap()
+
+  override def update(buffer: Roaring64NavigableMap,
+      input: InternalRow): Roaring64NavigableMap = {
+    val v = child.eval(input)
+    if (v != null) buffer.addLong(v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"bitmap_distinct needs an integral key, got $other")
+    })
+    buffer
+  }
+
+  override def merge(buffer: Roaring64NavigableMap,
+      input: Roaring64NavigableMap): Roaring64NavigableMap = {
+    buffer.or(input)
+    buffer
+  }
+
+  override def eval(buffer: Roaring64NavigableMap): Any =
+    buffer.getLongCardinality
+
+  override def serialize(buffer: Roaring64NavigableMap): Array[Byte] = {
+    buffer.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    buffer.serialize(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val m = new Roaring64NavigableMap()
+    m.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    m
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  // integral key required (checked at analysis, not per row)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_distinct needs an integral key, got $other")
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): BitmapDistinctCount =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): BitmapDistinctCount =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "bitmap_distinct"
+}
+
+object BitmapDistinct {
+  /** `bitmap_distinct(key)` as an aggregate Column. */
+  def apply(key: Column): Column =
+    GraftPlanBridge.column(
+      BitmapDistinctCount(GraftPlanBridge.expression(key))
+        .toAggregateExpression())
+}

@@ -123,19 +123,42 @@ object InventoryQueries {
       .orderBy(col("s_suppkey"))
   }
 
-  /** Q-08 (B1) left outer join + count of the nullable side. */
-  def q08LeftJoin(spark: SparkSession, dir: String): DataFrame =
+  /** Q-08 (B1) left outer join + count of the nullable side, with the
+    * r13 AGGREGATION-PUSHDOWN-BELOW-JOIN rewrite: grouping on the
+    * join key of the unique side means the per-customer order count
+    * can be computed on orders ALONE before the join — the join then
+    * matches 1:≤1 rows instead of fanning out 1:N, so the exchange
+    * carries one row per customer, not one per order (100×: 1.5 M vs
+    * 15 M join-output rows; measured 9.4 s → 2.8 s,
+    * docs/bench_r13_100x.json). COUNT null-skip survives the rewrite:
+    * the pre-aggregate counts non-null o_orderkey, and a customer
+    * with no orders gets NULL from the outer join → coalesce 0 —
+    * pinned equal to the definitional fan-out form in PlanAuditSpec.
+    * The LEFT JOIN itself stays (this is the B1 outer-join face).
+    */
+  def q08LeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_orderkey")).as("_n"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"))
+      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("_n"), lit(0L)).as("n_orders"))
       .orderBy(col("c_custkey"))
+  }
 
-  /** Q-09 (B2) NOT EXISTS with inner predicate → left-anti join. */
+  /** Q-09 (B2) NOT EXISTS with inner predicate → left-anti join, with
+    * the r13 PRE-DISTINCT build side: anti-join semantics only need
+    * key PRESENCE, so the orders side reduces to its distinct custkeys
+    * before the join — map-side combine shrinks the exchanged build
+    * rows by the orders-per-customer factor (100×: 7.5 M filtered
+    * order rows → ≤1.5 M keys; measured 3.0 s → 1.9 s). Result
+    * pinned identical to the direct anti join in PlanAuditSpec.
+    */
   def q09AntiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .join(
-        t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")).distinct(),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))
@@ -169,17 +192,22 @@ object InventoryQueries {
     * (§5.4 rule 2: never hash a float SUM).
     */
   def q11AggSuite(spark: SparkSession, dir: String): DataFrame =
-    // Two-phase distinct (r12, the 100× relational rung): Spark's
-    // single-pass COUNT(DISTINCT) plans an Expand that doubles every
-    // input row through the shuffle (120 M rows at the 100× corpus —
-    // measured 2.5× slower than this form there). Pre-aggregating on
-    // (group keys, suppkey) computes every metric from partials —
-    // decimal partial sums add exactly, min/max/count compose — and
-    // the distinct count is the pre-aggregate's per-group row count
-    // (count over the non-null suppkey rows, matching COUNT(DISTINCT)
-    // null-skip semantics). One shuffle, map-side combine intact, no
-    // Expand. Semantics pinned equal to the definitional form in
-    // InventoryQueriesSpec; the oracle SQL is unchanged.
+    // Bitmap distinct (r13, closing the q11 100× floor): the exact
+    // COUNT(DISTINCT l_suppkey) rides a mergeable Roaring bitmap
+    // aggregate ([[graft.functions.BitmapDistinct]]) so the WHOLE
+    // query is one single-pass hash aggregate over the 6
+    // flag/status groups — map-side combine collapses each partition
+    // to 6 rows whose distinct state is a compressed bitmap, and the
+    // exchange carries ~6·|partitions| buffers instead of one row per
+    // (group, suppkey). History: the built-in COUNT(DISTINCT) plans
+    // an Expand that doubles every input row through the shuffle
+    // (2.5× slower at 100×); the r12 two-phase pre-aggregate fixed
+    // that but still paid an 8 M-entry hash table and a per-distinct-
+    // key exchange (2.88× DuckDB at 100×); the bitmap form measures
+    // 1.5× faster than two-phase at 10× and closes the 100× gap
+    // (docs/bench_r13_100x.json). Exact by construction — presence
+    // bits, idempotent merge — and pinned equal to the definitional
+    // COUNT(DISTINCT) form in InventoryQueriesSpec.
     // The exact sum rides LONG CENTS (§5.4's integer-units discipline):
     // l_quantity is decimal(18,2), so ·100 is an exact integer; a long
     // sum is vectorized where the decimal(28,2) sum buffer overflows
@@ -187,19 +215,13 @@ object InventoryQueries {
     // (measured ~2x on the 60M-row 100× corpus). sum/100.0 and
     // decimal-sum-cast-double are the same correctly-rounded double.
     t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_suppkey"))
-      .agg(
-        sum((col("l_quantity") * 100).cast(LongType)).as("_sqc"),
-        min(col("l_extendedprice")).as("_mn"),
-        max(col("l_extendedprice")).as("_mx"),
-        count(lit(1)).as("_n"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        (sum(col("_sqc")) / 100.0).as("sum_qty"),
-        min(col("_mn")).as("min_p"),
-        max(col("_mx")).as("max_p"),
-        sum(col("_n")).as("n"),
-        count(col("l_suppkey")).as("n_supp"))
+        (sum((col("l_quantity") * 100).cast(LongType)) / 100.0).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_p"),
+        max(col("l_extendedprice")).as("max_p"),
+        count(lit(1)).as("n"),
+        graft.functions.BitmapDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Q-12 (B6) ROLLUP + grouping() markers, explicit NULL ordering (§5.4 rule 3). */

@@ -65,13 +65,45 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q11: aggregation is partial+final (map-side combine)") {
     val p = plan("q11_agg_suite")
+    // r13 bitmap distinct: ObjectHashAggregate partial+final (the
+    // bitmap buffer is object-typed), still ONE exchange and still no
+    // Expand (the shape the built-in COUNT(DISTINCT) would plan)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-    // r12 two-phase distinct: the Expand the built-in COUNT(DISTINCT)
-    // plan doubles every shuffled row through must be gone
     assert(!p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // agg + output order
   }
 
-  test("q11 two-phase distinct ≡ the definitional COUNT(DISTINCT) form") {
+  test("q08 pushdown ≡ definitional fan-out left join; join kept in plan") {
+    import org.apache.spark.sql.functions._
+    val got = InventoryQueries.all("q08_left_join")(spark, dir)
+    val want = graft.core.Tables.load(spark, dir, "customer")
+      .join(graft.core.Tables.load(spark, dir, "orders"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq)
+    // the B1 face keeps its outer join; the aggregate sits BELOW it
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("q09 pre-distinct ≡ the direct anti join; anti join kept in plan") {
+    import org.apache.spark.sql.functions._
+    val got = InventoryQueries.all("q09_anti_join")(spark, dir)
+    val want = graft.core.Tables.load(spark, dir, "customer")
+      .join(graft.core.Tables.load(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq)
+    assert(got.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("q11 bitmap distinct ≡ the definitional COUNT(DISTINCT) form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
     val got = InventoryQueries.all("q11_agg_suite")(spark, dir).collect()
