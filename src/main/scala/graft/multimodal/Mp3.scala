@@ -130,6 +130,141 @@ object Mp3 {
       java.util.Arrays.copyOfRange(b, start, math.max(start, end))
     }
 
+  // ------------------------------------------- side info (r13 deep probe)
+
+  /** One granule-channel's side info (§2.4.1.7 / ISO 13818-3 §2.4.1.7
+    * for the LSF form). `tableSelect` has 3 entries (2 used when
+    * window switching); `regionCounts` is (region0, region1) for the
+    * long-block layout, (-1, -1) under window switching.
+    */
+  final case class GranuleInfo(part23Length: Int, bigValues: Int,
+      globalGain: Int, scalefacCompress: Int, windowSwitching: Boolean,
+      blockType: Int, mixedBlock: Boolean, tableSelect: Seq[Int],
+      subblockGain: Seq[Int], region0: Int, region1: Int,
+      preflag: Int, scalefacScale: Int, count1Table: Int) {
+    /** Table B.7 defines no Huffman tables 4 and 14; window switching
+      * with block_type 0 is forbidden (§2.4.1.7); big_values caps at
+      * 288. A conformant encoder can emit none of these.
+      */
+    def valid: Boolean =
+      bigValues <= 288 &&
+        tableSelect.forall(t => t != 4 && t != 14) &&
+        (!windowSwitching || blockType != 0)
+  }
+
+  /** Parsed side info of one frame: the reservoir back-pointer plus
+    * per-(granule, channel) coding facts. MPEG-1 carries two granules;
+    * MPEG-2/2.5 (LSF) one.
+    */
+  final case class SideInfo(mainDataBegin: Int, scfsi: Seq[Int],
+      granules: Seq[Seq[GranuleInfo]], sideBytes: Int) {
+    def valid: Boolean = granules.flatten.forall(_.valid)
+    def part23Total: Int = granules.flatten.map(_.part23Length).sum
+  }
+
+  /** Side-info byte length for a header (§2.4.1.7): MPEG-1 32/17
+    * (stereo/mono), LSF 17/9.
+    */
+  def sideInfoBytes(h: FrameHeader): Int =
+    if (h.version == 3) { if (h.channels == 2) 32 else 17 }
+    else { if (h.channels == 2) 17 else 9 }
+
+  /** Parse the side info of the frame at `off` (whose header is `h`).
+    * Pure bit-layout parse — no Huffman table needed, so this runs on
+    * ANY Layer III stream and validates the fields a conformant
+    * encoder is constrained on ([[GranuleInfo.valid]]).
+    */
+  def parseSideInfo(b: Array[Byte], off: Int,
+      h: FrameHeader): Option[SideInfo] = {
+    val start = off + 4 + (if (h.crc) 2 else 0)
+    val nBytes = sideInfoBytes(h)
+    if (start + nBytes > b.length) return None
+    var bitPos = start * 8
+    def u(n: Int): Int = {
+      var v = 0
+      var k = n
+      while (k > 0) {
+        val byte = b(bitPos >> 3) & 0xff
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, k)
+        v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+        bitPos += take; k -= take
+      }
+      v
+    }
+    val v1 = h.version == 3
+    val mainDataBegin = u(if (v1) 9 else 8)
+    u(if (v1) { if (h.channels == 2) 3 else 5 }
+      else { if (h.channels == 2) 2 else 1 }) // private_bits
+    val scfsi = if (v1) Seq.fill(h.channels)(u(4)) else Nil
+    val nGran = if (v1) 2 else 1
+    val granules = Seq.fill(nGran) {
+      Seq.fill(h.channels) {
+        val part23 = u(12)
+        val bigValues = u(9)
+        val gain = u(8)
+        val sfc = u(if (v1) 4 else 9)
+        val ws = u(1) == 1
+        var blockType = 0
+        var mixed = false
+        var tables: Seq[Int] = Nil
+        var sub: Seq[Int] = Nil
+        var r0 = -1; var r1 = -1
+        if (ws) {
+          blockType = u(2)
+          mixed = u(1) == 1
+          tables = Seq(u(5), u(5))
+          sub = Seq(u(3), u(3), u(3))
+        } else {
+          tables = Seq(u(5), u(5), u(5))
+          r0 = u(4); r1 = u(3)
+        }
+        val pre = if (v1) u(1) else 0 // LSF has no preflag bit
+        val sfs = u(1)
+        val c1t = u(1)
+        GranuleInfo(part23, bigValues, gain, sfc, ws, blockType, mixed,
+          tables, sub, r0, r1, pre, sfs, c1t)
+      }
+    }
+    Some(SideInfo(mainDataBegin, scfsi, granules, nBytes))
+  }
+
+  /** One frame's reservoir accounting from [[reservoirAudit]]. */
+  final case class ReservoirStep(offset: Int, mainDataBegin: Int,
+      mainDataBytes: Int, part23Bits: Int, feasible: Boolean,
+      sideValid: Boolean)
+
+  /** Walk the whole stream's BIT RESERVOIR (§2.4.2.1): each frame's
+    * main_data_begin points back into previous frames' main-data
+    * bytes, and its Σ part2_3_length bits must fit inside
+    * [start − main_data_begin, this frame's main-data end). The audit
+    * checks both per frame — every field it uses is side-info-level,
+    * so it validates real encoder output (the external conformance
+    * vector) without any Huffman decode. Returns one step per walked
+    * frame; `feasible` = the back-pointer resolves inside the
+    * accumulated reservoir AND the declared bits fit.
+    */
+  def reservoirAudit(b: Array[Byte]): Seq[ReservoirStep] = {
+    var reservoir = 0 // unconsumed main-data bytes before this frame
+    frames(b).flatMap { case (off, h) =>
+      parseSideInfo(b, off, h).map { si =>
+        val mdBytes = h.frameLen - 4 - (if (h.crc) 2 else 0) - si.sideBytes
+        val avail = (si.mainDataBegin + math.max(0, mdBytes)) * 8
+        val feasible = si.mainDataBegin <= reservoir &&
+          si.part23Total <= avail
+        // bytes left unconsumed after this frame (what later frames
+        // may back-reference), never negative, spec-capped at the
+        // 9-bit (MPEG-1) / 8-bit (LSF) pointer range
+        val cap = if (h.version == 3) 511 else 255
+        reservoir = math.min(cap, math.max(0,
+          si.mainDataBegin + math.max(0, mdBytes) -
+            (si.part23Total + 7) / 8))
+        ReservoirStep(off, si.mainDataBegin, mdBytes, si.part23Total,
+          feasible, si.valid)
+      }
+    }
+  }
+
   /** Build a conformant MPEG-1 Layer III frame sequence from payload
     * bytes (one frame per payload; each must exactly fill its frame at
     * the given bitrate/sample-rate), optionally wrapped in ID3v2/ID3v1

@@ -105,6 +105,103 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.framePayloads(b).forall(_.length == 204))
   }
 
+  test("EXTERNAL vector: side info + bit reservoir of all 45 frames audit clean") {
+    // r13 deep probe: the LSF side-info layout and the §2.4.2.1 bit
+    // reservoir are pure bit-layout facts — no Huffman table needed —
+    // so every frame of the external encoder's output validates them.
+    // Wrong field widths or a wrong reservoir model would desync
+    // main_data_begin/part2_3_length within a frame or two, not pass
+    // 45 in a row with every constrained field in range.
+    val path = java.nio.file.Paths.get(
+      "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(path), "external vector absent in this image")
+    val b = java.nio.file.Files.readAllBytes(path)
+    val steps = Mp3.reservoirAudit(b)
+    assert(steps.size == 45)
+    // every frame: back-pointer resolves, declared bits fit, and no
+    // forbidden values (Huffman tables 4/14, block_type 0 under window
+    // switching, big_values > 288) anywhere
+    steps.zipWithIndex.foreach { case (s, i) =>
+      assert(s.feasible, s"frame $i reservoir: $s")
+      assert(s.sideValid, s"frame $i side-info validity: $s")
+    }
+    // LSF mono at 64 kbps/22.05 kHz: 9 side-info bytes, 204-byte
+    // payloads → ~195 main-data bytes per frame (padding varies)
+    assert(steps.forall(s => s.mainDataBytes == 195 || s.mainDataBytes == 196))
+    // the file is a SILENT encode: part2_3_length = 0 on every frame,
+    // so the reservoir only ACCUMULATES — and the encoder's
+    // back-pointers trace that accumulation exactly: frame 0 begins
+    // at 0, frame 1's main_data_begin is precisely frame 0's 195
+    // main-data bytes, and from frame 2 on the pointer saturates at
+    // the LSF 8-bit cap (255). A mis-transcribed side-info layout
+    // (wrong field width, wrong offset) could not reproduce this
+    // exact externally-authored sequence.
+    assert(steps.forall(_.part23Bits == 0))
+    assert(steps(0).mainDataBegin == 0)
+    assert(steps(1).mainDataBegin == steps(0).mainDataBytes) // = 195
+    assert(steps.drop(2).forall(_.mainDataBegin == 255))
+    // constant global_gain 210, long-block mono throughout — the
+    // shape a real encoder gives digital silence
+    val gis = Mp3.frames(b).flatMap { case (off, h) =>
+      Mp3.parseSideInfo(b, off, h).get.granules.flatten
+    }
+    assert(gis.forall(g => g.globalGain == 210 && !g.windowSwitching))
+  }
+
+  test("side info: MPEG-1 stereo layout round-trips through the bit parse") {
+    // hand-assemble one MPEG-1 stereo side-info block (32 bytes) and
+    // check the parse recovers every field — layout pinned bit by bit
+    val w = new H264.BitWriter
+    w.u(257, 9) // main_data_begin
+    w.u(0, 3)   // private_bits
+    w.u(9, 4); w.u(6, 4) // scfsi
+    // gr0 ch0: long blocks, tables 7/13/24, regions 5/2
+    w.u(1234, 12); w.u(123, 9); w.u(200, 8); w.u(11, 4); w.u(0, 1)
+    w.u(7, 5); w.u(13, 5); w.u(24, 5); w.u(5, 4); w.u(2, 3)
+    w.u(1, 1); w.u(0, 1); w.u(1, 1)
+    // gr0 ch1: window switching, block_type 2, mixed, tables 1/2,
+    // subblock gains 3/0/7
+    w.u(777, 12); w.u(288, 9); w.u(150, 8); w.u(3, 4); w.u(1, 1)
+    w.u(2, 2); w.u(1, 1); w.u(1, 5); w.u(2, 5); w.u(3, 3); w.u(0, 3); w.u(7, 3)
+    w.u(0, 1); w.u(1, 1); w.u(0, 1)
+    // gr1 ch0 / ch1: minimal long-block entries
+    for (_ <- 0 until 2) {
+      w.u(0, 12); w.u(0, 9); w.u(0, 8); w.u(0, 4); w.u(0, 1)
+      w.u(0, 5); w.u(0, 5); w.u(0, 5); w.u(0, 4); w.u(0, 3)
+      w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    }
+    // stop() appends the RBSP stop bit past the 256 data bits — the
+    // side-info block is the first 32 bytes
+    val side = w.stop().take(32)
+    // wrap in a stereo MPEG-1 frame: header + side + zero main data
+    val frameLen = 144 * 128000 / 44100 // brIdx 9, srIdx 0 → 417
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xff.toByte; frame(1) = 0xfb.toByte
+    frame(2) = (9 << 4).toByte; frame(3) = 0x44.toByte
+    System.arraycopy(side, 0, frame, 4, 32)
+    val h = Mp3.parseFrameHeader(frame, 0).get
+    assert(h.channels == 2 && Mp3.sideInfoBytes(h) == 32)
+    val si = Mp3.parseSideInfo(frame, 0, h).get
+    assert(si.mainDataBegin == 257)
+    assert(si.scfsi == Seq(9, 6))
+    val g00 = si.granules(0)(0)
+    assert(g00.part23Length == 1234 && g00.bigValues == 123 &&
+      g00.globalGain == 200 && g00.scalefacCompress == 11 &&
+      !g00.windowSwitching && g00.tableSelect == Seq(7, 13, 24) &&
+      g00.region0 == 5 && g00.region1 == 2 && g00.preflag == 1 &&
+      g00.scalefacScale == 0 && g00.count1Table == 1 && g00.valid)
+    val g01 = si.granules(0)(1)
+    assert(g01.windowSwitching && g01.blockType == 2 && g01.mixedBlock &&
+      g01.tableSelect == Seq(1, 2) && g01.subblockGain == Seq(3, 0, 7) &&
+      g01.bigValues == 288 && g01.valid)
+    // validity rejections: table 4 / table 14 / block_type 0 under
+    // window switching / big_values overflow
+    assert(!g00.copy(tableSelect = Seq(7, 4, 24)).valid)
+    assert(!g01.copy(tableSelect = Seq(14, 2)).valid)
+    assert(!g01.copy(blockType = 0).valid)
+    assert(!g00.copy(bigValues = 289).valid)
+  }
+
   test("payload identity: sensitive to one byte, invariant to metadata") {
     val rnd = new scala.util.Random(9)
     val payloads = Seq.fill(8)(Array.fill(413)(rnd.nextInt(256).toByte))
