@@ -377,14 +377,15 @@ object H265 {
     * `false` (filter live, zero β/tC offsets) — HEVC deblocking is on
     * by default in every real encoder.
     */
-  def writePpsPixel(deblockDisabled: Boolean = true): Array[Byte] = {
+  def writePpsPixel(deblockDisabled: Boolean = true,
+      cabacInit: Boolean = false): Array[Byte] = {
     val w = new H264.BitWriter
     w.ue(0); w.ue(0) // pps id, sps id
     w.flag(false) // dependent_slice_segments_enabled
     w.flag(false) // output_flag_present
     w.u(0, 3) // num_extra_slice_header_bits
     w.flag(false) // sign_data_hiding_enabled
-    w.flag(false) // cabac_init_present
+    w.flag(cabacInit) // cabac_init_present
     w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
     w.se(0)   // init_qp_minus26
     w.flag(false) // constrained_intra_pred
@@ -417,7 +418,8 @@ object H265 {
       numRefL0Default: Int = 0,
       // r13 (B slices): L1 default active refs + whether slice headers
       // may carry ref_pic_lists_modification
-      numRefL1Default: Int = 0, listsModification: Boolean = false)
+      numRefL1Default: Int = 0, listsModification: Boolean = false,
+      cabacInitPresent: Boolean = false)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
@@ -433,7 +435,7 @@ object H265 {
       r.flag() // output_flag_present
       if (r.u(3) != 0) ok = false // num_extra_slice_header_bits
       if (r.flag()) ok = false // sign_data_hiding
-      if (r.flag()) ok = false // cabac_init_present
+      val cabacInit = r.flag() // cabac_init_present (r13: supported)
       val numRefL0 = r.ue(); val numRefL1 = r.ue() // l0/l1 default actives
       val initQp = 26 + r.se()
       r.flag() // constrained_intra_pred (no inter in the tier: harmless)
@@ -460,7 +462,7 @@ object H265 {
       // estimation region) — out of the tier
       if (r.ue() != 0) ok = false
       Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
-        betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod))
+        betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod, cabacInit))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

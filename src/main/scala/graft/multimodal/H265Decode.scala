@@ -1019,6 +1019,7 @@ object H265Decode {
     }
     var maxMerge = 5
     var mvdL1Zero = false
+    var cabacSwap = false
     if (sliceType != 2) {
       // one active reference per list
       if (r.flag()) { // num_ref_idx_active_override_flag
@@ -1037,7 +1038,10 @@ object H265Decode {
         if (r.flag()) require(r.u(1) == 0, "modified ref list 1 out of the tier")
       }
       if (sliceType == 0) mvdL1Zero = r.flag() // mvd_l1_zero_flag
-      // cabac_init / collocated / weighted-pred absent (PPS/SPS gates)
+      // cabac_init_flag (§9.3.2.2): swaps the P and B context init
+      // tables — initType becomes 2 for P, 1 for B
+      if (pps.cabacInitPresent) cabacSwap = r.flag()
+      // collocated / weighted-pred absent (SPS/PPS gates)
       maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
       require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
       require(pps.deblockingDisabled,
@@ -1059,11 +1063,13 @@ object H265Decode {
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
       ref0, maxMerge, ref1, poc, refPoc0, refPoc1, mvdL1Zero)
     s.r = r
-    // §9.3.2.2 initType with cabac_init_flag absent/0: I → 0, P → 1,
-    // B → 2
+    // §9.3.2.2 initType: I → 0; P → 1 (2 with cabac_init_flag);
+    // B → 2 (1 with cabac_init_flag)
     s.ctx = sliceType match {
-      case 0 => H265Cabac.contextsB(qp)
-      case 1 => H265Cabac.contextsP(qp)
+      case 0 => if (cabacSwap) H265Cabac.contextsP(qp)
+        else H265Cabac.contextsB(qp)
+      case 1 => if (cabacSwap) H265Cabac.contextsB(qp)
+        else H265Cabac.contextsP(qp)
       case _ => H265Cabac.contexts(qp)
     }
     s.d = new H264Cabac.Decoder(r, s.ctx)

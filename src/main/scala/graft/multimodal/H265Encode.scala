@@ -328,7 +328,8 @@ object H265Encode {
       width: Int, height: Int, iLayout: Seq[CuTree],
       pics: Seq[GopPic], qp: Int, ctbLog2: Int = 5,
       minCbLog2: Int = 3, maxTbLog2: Int = 5,
-      depthIntra: Int = 1): (Array[Byte], Seq[Recon]) = {
+      depthIntra: Int = 1,
+      cabacInit: Boolean = false): (Array[Byte], Seq[Recon]) = {
     require(frames.nonEmpty && frames.size == pics.size + 1,
       "one source frame for the IDR plus one per GOP picture")
     val ctbW = width >> ctbLog2
@@ -342,7 +343,7 @@ object H265Encode {
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, decPicBuffering = 3, reorderPics = 1)),
-      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit)),
       (H265.NalIdrWRadl, idrSlice))
     // decoder-twin DPB of reference recons, keyed by POC
     val dpb = scala.collection.mutable.LinkedHashMap.empty[Int, H265Decode.Pic]
@@ -380,11 +381,15 @@ object H265Encode {
       }
       w.flag(false) // num_ref_idx_active_override (PPS defaults: 1 each)
       if (bSlice) w.flag(false) // mvd_l1_zero_flag
+      // cabac_init_flag = 1 when the PPS enables it: swap the P/B
+      // context init tables (§9.3.2.2)
+      if (cabacInit) w.flag(true)
       w.ue(0)       // five_minus_max_num_merge_cand → MaxNumMergeCand 5
       w.se(qp - 26) // slice_qp_delta
       // (deblocking disabled in the PPS → no cross-slice filter flag)
       w.u(1, 1); w.alignZero() // byte_alignment
-      val ctx = if (bSlice) H265Cabac.contextsB(qp)
+      val swapped = if (cabacInit) !bSlice else bSlice
+      val ctx = if (swapped) H265Cabac.contextsB(qp)
         else H265Cabac.contextsP(qp)
       val e = new H264Cabac.Encoder(w, ctx)
       val pic = new H265Decode.Pic(width, height)

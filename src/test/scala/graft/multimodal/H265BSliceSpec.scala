@@ -349,6 +349,31 @@ class H265BSliceSpec extends AnyFunSuite {
     assert(err.sum.toDouble / err.length < 1.5, "mean abs luma error")
   }
 
+  test("cabac_init_flag swaps the P/B context tables and round-trips") {
+    val w = 32; val h = 32
+    val frames = Seq(planes(w, h, 50), planes(w, h, 51), planes(w, h, 52))
+    val pics = Seq(GopPic(2, 1, one(InterLeaf(3, -2)), negDelta = 2),
+      GopPic(1, 0, one(BiLeaf(3, 2, 1, -2, -1)), isRef = false))
+    // swapped-table GOP decodes bit-exact...
+    val (sw, reconsSw) = H265Encode.encodeGopB(frames, w, h,
+      one(CuLeaf(Seq(1))), pics, 24, cabacInit = true)
+    val decoded = H265Decode.decodeAnnexBPictures(sw, maxFrames = 8)
+    assert(decoded.size == 3)
+    decoded.zip(reconsSw).foreach { case (f, r) =>
+      assert(f.luma.toSeq == r.luma.toSeq)
+    }
+    // ...the recon matches the unswapped encode of the same GOP (the
+    // flag changes entropy coding only, never samples)...
+    val (unsw, reconsUn) = H265Encode.encodeGopB(frames, w, h,
+      one(CuLeaf(Seq(1))), pics, 24)
+    reconsSw.zip(reconsUn).foreach { case (a, b) =>
+      assert(a.luma.toSeq == b.luma.toSeq)
+    }
+    // ...and the streams genuinely differ (the flag is load-bearing:
+    // a decoder ignoring it would desync)
+    assert(sw.toSeq != unsw.toSeq)
+  }
+
   test("bit-flip fuzz over the B slice never hangs or escapes") {
     val w = 32; val h = 32
     val (stream, _) = H265Encode.encodeGopB(
