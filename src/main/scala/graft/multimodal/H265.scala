@@ -378,7 +378,8 @@ object H265 {
     * by default in every real encoder.
     */
   def writePpsPixel(deblockDisabled: Boolean = true,
-      cabacInit: Boolean = false): Array[Byte] = {
+      cabacInit: Boolean = false, weightedPred: Boolean = false,
+      weightedBipred: Boolean = false): Array[Byte] = {
     val w = new H264.BitWriter
     w.ue(0); w.ue(0) // pps id, sps id
     w.flag(false) // dependent_slice_segments_enabled
@@ -393,7 +394,7 @@ object H265 {
     w.flag(false) // cu_qp_delta_enabled
     w.se(0); w.se(0) // pps_cb/cr_qp_offset
     w.flag(false) // pps_slice_chroma_qp_offsets_present
-    w.flag(false); w.flag(false) // weighted_pred, weighted_bipred
+    w.flag(weightedPred); w.flag(weightedBipred)
     w.flag(false) // transquant_bypass_enabled
     w.flag(false); w.flag(false) // tiles_enabled, entropy_coding_sync
     w.flag(true)  // pps_loop_filter_across_slices_enabled
@@ -419,7 +420,8 @@ object H265 {
       // r13 (B slices): L1 default active refs + whether slice headers
       // may carry ref_pic_lists_modification
       numRefL1Default: Int = 0, listsModification: Boolean = false,
-      cabacInitPresent: Boolean = false)
+      cabacInitPresent: Boolean = false,
+      weightedPred: Boolean = false, weightedBipred: Boolean = false)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
@@ -443,7 +445,7 @@ object H265 {
       if (r.flag()) ok = false // cu_qp_delta
       val cbOff = r.se(); val crOff = r.se()
       r.flag() // slice chroma qp offsets present
-      if (r.flag() | r.flag()) ok = false // weighted pred/bipred
+      val wp = r.flag(); val wbp = r.flag() // weighted pred/bipred (r13)
       if (r.flag()) ok = false // transquant_bypass
       if (r.flag() | r.flag()) ok = false // tiles / entropy sync
       val lfAcross = r.flag() // loop_filter_across_slices
@@ -462,7 +464,8 @@ object H265 {
       // estimation region) — out of the tier
       if (r.ue() != 0) ok = false
       Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
-        betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod, cabacInit))
+        betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod, cabacInit,
+        wp, wbp))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

@@ -607,7 +607,8 @@ object H265Decode {
       val ref: Pic = null, val maxMerge: Int = 5,
       val ref1: Pic = null, val currPoc: Int = 0,
       val refPoc0: Int = 0, val refPoc1: Int = 0,
-      val mvdL1Zero: Boolean = false) {
+      val mvdL1Zero: Boolean = false,
+      val weights: Option[H265Inter.PredWeights] = None) {
     val qpCb: Int =
       H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
     val qpCr: Int =
@@ -772,7 +773,10 @@ object H265Decode {
         val idx = decodeMergeIdx(s.d, s.maxMerge)
         val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
           s.maxMerge, bSlice, s.refPoc0, s.refPoc1)(idx)
-        H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+        s.weights match {
+          case Some(pw) => H265Inter.mcCuWp(s.ref, s.ref1, pic, x0, y0, nCb, mi, pw)
+          case None => H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+        }
         finishInterCu(s, x0, y0, log2CbSize, mi, skip = true,
           rootCbf = false)
         return
@@ -815,7 +819,10 @@ object H265Decode {
             }
             H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2)
           }
-        H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+        s.weights match {
+          case Some(pw) => H265Inter.mcCuWp(s.ref, s.ref1, pic, x0, y0, nCb, mi, pw)
+          case None => H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+        }
         // rqt_root_cbf: parsed unless merge-2Nx2N (then inferred 1)
         val rootCbf = merge || s.d.decision(CtxRqtRootCbf) == 1
         finishInterCu(s, x0, y0, log2CbSize, mi, skip = false,
@@ -926,6 +933,53 @@ object H265Decode {
     } else codingUnit(s, x0, y0, log2CbSize, cqtDepth)
   }
 
+  /** pred_weight_table (§7.3.6.3) at one active reference per list,
+    * 4:2:0: shared luma/chroma log2 denominators, per-list flags and
+    * (delta weight, offset) pairs. Chroma offsets decode through the
+    * §7.4.7.3 prediction: ChromaOffset = Clip3(−128, 127,
+    * delta − (((128·w) >> denom) − 128)). Flag-absent entries take
+    * the defaults (w = 1 << denom, o = 0).
+    */
+  private def readPredWeightTable(r: H264.BitReader,
+      bSlice: Boolean): H265Inter.PredWeights = {
+    import H265Inter.Wp
+    val lumaDenom = r.ue()
+    require(lumaDenom <= 7, s"bad luma_log2_weight_denom $lumaDenom")
+    val chromaDenom = lumaDenom + r.se()
+    require(chromaDenom >= 0 && chromaDenom <= 7,
+      s"bad chroma log2 weight denom $chromaDenom")
+    def list(): (Wp, Wp, Wp) = {
+      val lumaFlag = r.flag()
+      val chromaFlag = r.flag()
+      val y = if (lumaFlag) {
+        val w = (1 << lumaDenom) + r.se()
+        val o = r.se()
+        require(w >= -128 && w <= 127 + (1 << lumaDenom) &&
+          o >= -128 && o <= 127, "luma weight/offset out of range")
+        Wp(w, o)
+      } else Wp(1 << lumaDenom, 0)
+      val (cbW, crW) =
+        if (chromaFlag) {
+          def one(): Wp = {
+            val w = (1 << chromaDenom) + r.se()
+            val dOff = r.se()
+            val o = math.max(-128, math.min(127,
+              dOff - (((128 * w) >> chromaDenom) - 128)))
+            Wp(w, o)
+          }
+          (one(), one())
+        } else (Wp(1 << chromaDenom, 0), Wp(1 << chromaDenom, 0))
+      (y, cbW, crW)
+    }
+    val (l0y, l0cb, l0cr) = list()
+    val (l1y, l1cb, l1cr) =
+      if (bSlice) list()
+      else (Wp(1 << lumaDenom, 0), Wp(1 << chromaDenom, 0),
+        Wp(1 << chromaDenom, 0))
+    H265Inter.PredWeights(lumaDenom, chromaDenom, l0y, l0cb, l0cr,
+      l1y, l1cb, l1cr)
+  }
+
   private def decodeSlice(sps: H265.SpsInfo, pps: H265.PpsInfo,
       payload: Array[Byte], nalType: Int,
       dpb: Seq[(Pic, Int)], prevPoc: Int): Option[(Frame, Pic, Int)] = {
@@ -1020,6 +1074,7 @@ object H265Decode {
     var maxMerge = 5
     var mvdL1Zero = false
     var cabacSwap = false
+    var weights: Option[H265Inter.PredWeights] = None
     if (sliceType != 2) {
       // one active reference per list
       if (r.flag()) { // num_ref_idx_active_override_flag
@@ -1041,7 +1096,11 @@ object H265Decode {
       // cabac_init_flag (§9.3.2.2): swaps the P and B context init
       // tables — initType becomes 2 for P, 1 for B
       if (pps.cabacInitPresent) cabacSwap = r.flag()
-      // collocated / weighted-pred absent (SPS/PPS gates)
+      // collocated absent (no TMVP); pred_weight_table (§7.3.6.3)
+      // when the PPS enables explicit weighting for this slice type
+      if ((sliceType == 1 && pps.weightedPred) ||
+          (sliceType == 0 && pps.weightedBipred))
+        weights = Some(readPredWeightTable(r, sliceType == 0))
       maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
       require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
       require(pps.deblockingDisabled,
@@ -1061,7 +1120,7 @@ object H265Decode {
 
     val pic = new Pic(sps.width, sps.height)
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
-      ref0, maxMerge, ref1, poc, refPoc0, refPoc1, mvdL1Zero)
+      ref0, maxMerge, ref1, poc, refPoc0, refPoc1, mvdL1Zero, weights)
     s.r = r
     // §9.3.2.2 initType: I → 0; P → 1 (2 with cabac_init_flag);
     // B → 2 (1 with cabac_init_flag)

@@ -308,7 +308,8 @@ object H265Encode {
     * DPB). Referenced POCs must already be decoded.
     */
   final case class GopPic(poc: Int, sliceType: Int, layout: Seq[CuTree],
-      negDelta: Int = 1, posDelta: Int = 1, isRef: Boolean = true) {
+      negDelta: Int = 1, posDelta: Int = 1, isRef: Boolean = true,
+      weights: Option[H265Inter.PredWeights] = None) {
     require(sliceType == 0 || sliceType == 1, "P or B pictures only")
     require(negDelta >= 1 && posDelta >= 1, "bad RPS deltas")
   }
@@ -343,8 +344,12 @@ object H265Encode {
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, decPicBuffering = 3, reorderPics = 1)),
-      (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit)),
+      (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit,
+        weightedPred = pics.exists(p => p.sliceType == 1 && p.weights.isDefined),
+        weightedBipred = pics.exists(p => p.sliceType == 0 && p.weights.isDefined))),
       (H265.NalIdrWRadl, idrSlice))
+    val anyWp = pics.exists(p => p.sliceType == 1 && p.weights.isDefined)
+    val anyWbp = pics.exists(p => p.sliceType == 0 && p.weights.isDefined)
     // decoder-twin DPB of reference recons, keyed by POC
     val dpb = scala.collection.mutable.LinkedHashMap.empty[Int, H265Decode.Pic]
     val idrPic = new H265Decode.Pic(width, height)
@@ -384,6 +389,30 @@ object H265Encode {
       // cabac_init_flag = 1 when the PPS enables it: swap the P/B
       // context init tables (§9.3.2.2)
       if (cabacInit) w.flag(true)
+      // pred_weight_table when this slice type is PPS-weighted (a
+      // weighted GOP must give EVERY such slice a table — the PPS
+      // flag makes it mandatory; GopPic.weights None = the defaults,
+      // written explicitly-absent via zero flags)
+      if ((bSlice && anyWbp) || (!bSlice && anyWp)) {
+        val pw = spec.weights.getOrElse(
+          H265Inter.PredWeights.default(0, 0))
+        w.ue(pw.lumaDenom)
+        w.se(pw.chromaDenom - pw.lumaDenom)
+        def one(y: H265Inter.Wp, cb: H265Inter.Wp,
+            cr: H265Inter.Wp): Unit = {
+          val defY = y == H265Inter.Wp(1 << pw.lumaDenom, 0)
+          val defC = cb == H265Inter.Wp(1 << pw.chromaDenom, 0) &&
+            cr == H265Inter.Wp(1 << pw.chromaDenom, 0)
+          w.flag(!defY); w.flag(!defC)
+          if (!defY) { w.se(y.w - (1 << pw.lumaDenom)); w.se(y.o) }
+          if (!defC) Seq(cb, cr).foreach { c =>
+            w.se(c.w - (1 << pw.chromaDenom))
+            w.se(c.o + (((128 * c.w) >> pw.chromaDenom) - 128))
+          }
+        }
+        one(pw.l0y, pw.l0cb, pw.l0cr)
+        if (bSlice) one(pw.l1y, pw.l1cb, pw.l1cr)
+      }
       w.ue(0)       // five_minus_max_num_merge_cand → MaxNumMergeCand 5
       w.se(qp - 26) // slice_qp_delta
       // (deblocking disabled in the PPS → no cross-slice filter flag)
@@ -393,10 +422,15 @@ object H265Encode {
         else H265Cabac.contextsP(qp)
       val e = new H264Cabac.Encoder(w, ctx)
       val pic = new H265Decode.Pic(width, height)
+      val effWeights =
+        if ((bSlice && anyWbp) || (!bSlice && anyWp))
+          Some(spec.weights.getOrElse(H265Inter.PredWeights.default(0, 0)))
+        else None
       val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, sliceType = spec.sliceType, refPic = ref0,
         refPic1 = ref1, currPoc = spec.poc,
-        refPoc0 = refPoc0, refPoc1 = if (bSlice) refPoc1 else 0)
+        refPoc0 = refPoc0, refPoc1 = if (bSlice) refPoc1 else 0,
+        weights = effWeights)
       var ctu = 0
       val nCtu = spec.layout.size
       while (ctu < nCtu) {
@@ -430,7 +464,8 @@ object H265Encode {
       depthIntra: Int, sliceType: Int,
       refPic: H265Decode.Pic = null, maxMerge: Int = 5,
       refPic1: H265Decode.Pic = null, currPoc: Int = 0,
-      refPoc0: Int = 0, refPoc1: Int = 0) {
+      refPoc0: Int = 0, refPoc1: Int = 0,
+      weights: Option[H265Inter.PredWeights] = None) {
     private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
     // ---- per-TB helpers against the decoder-twin recon state
@@ -667,7 +702,10 @@ object H265Encode {
         maxMerge, bSlice, refPoc0, refPoc1)
       val mergeIdx = cands.indexOf(mi)
       // prediction first (into the twin planes), then residual decisions
-      H265Inter.mcCuMi(refPic, refPic1, pic, x0, y0, nCb, mi)
+      weights match {
+        case Some(pw) => H265Inter.mcCuWp(refPic, refPic1, pic, x0, y0, nCb, mi, pw)
+        case None => H265Inter.mcCuMi(refPic, refPic1, pic, x0, y0, nCb, mi)
+      }
       def resid(plane: Array[Byte], src: Array[Byte], stride: Int,
           px: Int, py: Int, l2: Int, luma: Boolean): Array[Int] = {
         val n = 1 << l2

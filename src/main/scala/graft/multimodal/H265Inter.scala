@@ -294,6 +294,113 @@ private[multimodal] object H265Inter {
       x0 >> 1, y0 >> 1, nCb >> 1, nCb >> 1, mvx, mvy, fracBits = 3)
   }
 
+  /** Per-component explicit weight/offset (§7.4.7.3's derived
+    * LumaWeight/LumaOffset form — flag-absent entries carry the
+    * defaults w = 1 << denom, o = 0, under which the weighted
+    * formulas reproduce the default prediction exactly).
+    */
+  final case class Wp(w: Int, o: Int)
+
+  /** A slice's explicit weighted-prediction state (r13): shared luma /
+    * chroma log2 denominators plus per-list per-component (w, o) at
+    * refIdx 0.
+    */
+  final case class PredWeights(lumaDenom: Int, chromaDenom: Int,
+      l0y: Wp, l0cb: Wp, l0cr: Wp, l1y: Wp, l1cb: Wp, l1cr: Wp) {
+    def y(list: Int): Wp = if (list == 0) l0y else l1y
+    def cb(list: Int): Wp = if (list == 0) l0cb else l1cb
+    def cr(list: Int): Wp = if (list == 0) l0cr else l1cr
+  }
+
+  object PredWeights {
+    /** Flag-absent defaults for both lists at the given denominators. */
+    def default(lumaDenom: Int, chromaDenom: Int): PredWeights = {
+      val y = Wp(1 << lumaDenom, 0); val c = Wp(1 << chromaDenom, 0)
+      PredWeights(lumaDenom, chromaDenom, y, c, c, y, c, c)
+    }
+  }
+
+  /** §8.5.4.2.3 explicit weighted UNI prediction over a 14-bit
+    * intermediate block: Clip(((pred·w + 2^(log2WD−1)) >> log2WD) + o)
+    * with log2WD = denom + shift1 (= 6 at 8-bit, so log2WD ≥ 6 ≥ 1
+    * and the rounding term is always live).
+    */
+  private def wpUni(p: Array[Int], wp: Wp, denom: Int,
+      dst: Array[Byte], dstStride: Int, xPb: Int, yPb: Int,
+      nW: Int, nH: Int): Unit = {
+    val log2Wd = denom + 6
+    val rnd = 1 << (log2Wd - 1)
+    var y = 0
+    while (y < nH) {
+      var x = 0
+      while (x < nW) {
+        dst((yPb + y) * dstStride + xPb + x) = clip255(
+          ((p(y * nW + x) * wp.w + rnd) >> log2Wd) + wp.o).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** §8.5.4.2.3 explicit weighted BI prediction:
+    * Clip((p0·w0 + p1·w1 + (o0 + o1 + 1) << log2WD) >> (log2WD + 1)).
+    */
+  private def wpBi(p0: Array[Int], p1: Array[Int], wp0: Wp, wp1: Wp,
+      denom: Int, dst: Array[Byte], dstStride: Int, xPb: Int, yPb: Int,
+      nW: Int, nH: Int): Unit = {
+    val log2Wd = denom + 6
+    val rnd = (wp0.o + wp1.o + 1) << log2Wd
+    var y = 0
+    while (y < nH) {
+      var x = 0
+      while (x < nW) {
+        dst((yPb + y) * dstStride + xPb + x) = clip255(
+          (p0(y * nW + x) * wp0.w + p1(y * nW + x) * wp1.w + rnd) >>
+            (log2Wd + 1)).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Weighted-prediction MC of a whole CU: every prediction runs the
+    * 14-bit intermediate path, then the §8.5.4.2.3 explicit weighted
+    * uni/bi combine per component.
+    */
+  def mcCuWp(ref0: H265Decode.Pic, ref1: H265Decode.Pic,
+      cur: H265Decode.Pic, x0: Int, y0: Int, nCb: Int, mi: Mi,
+      pw: PredWeights): Unit = {
+    val w = (if (mi.has(0)) ref0 else ref1).width
+    val h = (if (mi.has(0)) ref0 else ref1).height
+    val cw = w >> 1; val ch = h >> 1; val nC = nCb >> 1
+    def pred(ref: H265Decode.Pic, list: Int): (Array[Int], Array[Int], Array[Int]) = {
+      val (mx, my) = mi.mv(list)
+      (mcPred(ref.luma, w, h, x0, y0, nCb, nCb, mx, my, 2),
+        mcPred(ref.cb, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mx, my, 3),
+        mcPred(ref.cr, cw, ch, x0 >> 1, y0 >> 1, nC, nC, mx, my, 3))
+    }
+    mi.dir match {
+      case 3 =>
+        val (y0p, cb0, cr0) = pred(ref0, 0)
+        val (y1p, cb1, cr1) = pred(ref1, 1)
+        wpBi(y0p, y1p, pw.y(0), pw.y(1), pw.lumaDenom,
+          cur.luma, cur.lumaStride, x0, y0, nCb, nCb)
+        wpBi(cb0, cb1, pw.cb(0), pw.cb(1), pw.chromaDenom,
+          cur.cb, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+        wpBi(cr0, cr1, pw.cr(0), pw.cr(1), pw.chromaDenom,
+          cur.cr, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+      case d =>
+        val list = if (d == 1) 0 else 1
+        val (yp, cbp, crp) = pred(if (d == 1) ref0 else ref1, list)
+        wpUni(yp, pw.y(list), pw.lumaDenom,
+          cur.luma, cur.lumaStride, x0, y0, nCb, nCb)
+        wpUni(cbp, pw.cb(list), pw.chromaDenom,
+          cur.cb, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+        wpUni(crp, pw.cr(list), pw.chromaDenom,
+          cur.cr, cur.chromaStride, x0 >> 1, y0 >> 1, nC, nC)
+    }
+  }
+
   /** Motion compensation of a whole CU by full motion info: uni (L0 or
     * L1) delegates to [[mcCu]]; bi runs both references through the
     * 14-bit intermediate path and combines per §8.5.4.2.3.

@@ -1690,6 +1690,90 @@ object Multimodal {
     }
   }
 
+  /** Synthetic weighted-prediction HEVC GOPs for the r13 fade rung
+    * (the q154 posture on the second codec family): reordered
+    * I0-P2-B1 GOPs over FADING content — the P picture predicts its
+    * fade through an explicit §8.5.4.2.3 luma weight/offset, the
+    * non-reference B through per-list weighted BI mixing — so the
+    * middle pictures exist only through the weighted sample
+    * arithmetic. Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an all-intra PCM twin of id−1's
+    *     DISPLAY-order recon — collapse ⇔ the weighted uni AND bi
+    *     formulas (rounding terms, offset scaling, chroma-offset
+    *     prediction) are sample-exact;
+    *   - id % 10 == 5: id−4 with the P slice's luma weight nudged by
+    *     one step — a near-dup exact dedup must keep.
+    */
+  def syntheticHevcWpStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 211 + 97)
+      val qp = 26
+      val base = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (48 + ((x * 7 + y * 5) % 170) + rnd.nextInt(21))
+      }
+      def faded(scaleQ6: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+        val sy = base.map(v => math.min(255, (v * scaleQ6) >> 6).toByte)
+        val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+          (96 + (i % (w / 2)) / 2).toByte)
+        val scr = Array.tabulate((w / 2) * (h / 2))(i =>
+          (118 + (i / (w / 2)) % 9).toByte)
+        (sy, scb, scr)
+      }
+      // fade factors in 1/64 units; the weights predict them exactly
+      val s1 = 44 + rnd.nextInt(12) // B1's fade
+      val s2 = 28 + rnd.nextInt(12) // P2's deeper fade
+      val bump = if (nudge) 1 else 0
+      import H265Encode.{BiLeaf, CuLeaf, CuTree, GopPic, InterLeaf}
+      import H265Inter.{PredWeights, Wp}
+      val defC = Wp(64, 0)
+      val pwP = PredWeights(6, 6, Wp(s2 + bump, rnd.nextInt(5) - 2),
+        defC, defC, Wp(64, 0), defC, defC)
+      // B mixes I0 (weight toward s1) and P2 (scaled back up): rough
+      // per-list weights, residual closes the gap
+      val pwB = PredWeights(6, 6, Wp(s1, 0), defC, defC,
+        Wp(math.min(127, s1 * 64 / math.max(1, s2)), 0), defC, defC)
+      val iLayout: Seq[CuTree] = Seq.fill(4)(CuLeaf(Seq(rnd.nextInt(35))))
+      def mix(f0x: Int): Seq[CuTree] = Seq.fill(4) {
+        rnd.nextInt(4) match {
+          case 0 => CuLeaf(Seq(rnd.nextInt(35)))
+          case 1 => BiLeaf(1, f0x, 0)
+          case 2 => BiLeaf(3, f0x, 0, 0, 0)
+          case _ => BiLeaf(2, 0, 0, 0, 0)
+        }
+      }
+      val pLayout: Seq[CuTree] = Seq.fill(4)(InterLeaf(0, 0): CuTree)
+      val (stream, recons) = H265Encode.encodeGopB(
+        Seq(faded(64), faded(s2), faded(s1)), w, h, iLayout,
+        Seq(GopPic(2, 1, pLayout, negDelta = 2, weights = Some(pwP)),
+          GopPic(1, 0, mix(0), isRef = false, weights = Some(pwB))), qp)
+      val content =
+        if (isDup) {
+          import H265Encode.{Ctu, Pcm}
+          recons.map { r =>
+            val ctus: Array[Array[Ctu]] = Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                r.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                r.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                r.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              Pcm(l, cbP, crP)
+            }
+            H265Encode.encodeIntraPicture(ctus, qp = 30)
+          }.reduce(_ ++ _)
+        } else stream
+      Media(id, "video", content,
+        MediaMeta("h265", Some(64), Some(64), None, Some(120L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams for the r12 MULTI-SLICE +
     * P_8x8 rung: each stream a GOP of one IDR and one P picture, BOTH
     * carved into two slices (the most common real-stream structure the

@@ -1070,6 +1070,29 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q173 — HEVC weighted-prediction fade dedup (the r13 §8.5.4.2.3
+    * explicit-weighting rung — q154's posture on the second codec
+    * family): reordered fade GOPs whose P picture predicts its fade
+    * through a luma weight/offset and whose non-reference B mixes the
+    * two references with per-list weights, deduped by SHA-256 over
+    * all three DISPLAY-order decoded pictures. Planted dup pairs are
+    * weighted GOPs vs all-intra PCM twins of the recon — collapse ⇔
+    * the weighted uni AND bi sample formulas (rounding terms, offset
+    * scaling, the §7.4.7.3 chroma-offset prediction) are exact.
+    * Planted one-step weight nudges must survive
+    * ([[graft.multimodal.Multimodal.syntheticHevcWpStreams]];
+    * H265WpSpec pins the arithmetic, defaults ≡ unweighted, and the
+    * syntax round-trip).
+    */
+  def q173HevcWpDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcwp_200"))(
+      graft.multimodal.Multimodal.syntheticHevcWpStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1395,6 +1418,7 @@ object ExtendedQueries {
     "q170_hevc_bidir_dedup" -> (q170HevcBidirDedup _),
     "q171_flac_decoded_dedup" -> (q171FlacDecodedDedup _),
     "q172_avc_coding_census" -> (q172AvcCodingCensus _),
+    "q173_hevc_wp_dedup" -> (q173HevcWpDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1698,6 +1722,9 @@ object ExtendedQueries {
     "q172_avc_coding_census" ->
       """SELECT media_id, coding, width, height, profile_idc, decodable_tier
          FROM read_parquet('/root/repo/fixtures/q172_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q173_hevc_wp_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q173_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

@@ -51,6 +51,7 @@ object GenMediaFixtures {
     "hevcbi_200" -> Multimodal.syntheticHevcBidirStreams(spark, 200),
     "flacdec_200" -> Multimodal.syntheticFlacDecodedAudios(spark, 200),
     "avcfield_120" -> Multimodal.syntheticAvcFieldMixStreams(spark, 120),
+    "hevcwp_200" -> Multimodal.syntheticHevcWpStreams(spark, 200),
     "opus_200" -> Multimodal.syntheticOggOpus(spark, 200),
     "mp3_200" -> Multimodal.syntheticMp3s(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),

@@ -305,6 +305,10 @@ class PlanCensusSpec extends SparkSpec {
                                                    // probe map + global
                                                    // order (range part.
                                                    // + sort exchange)
+    "q173_hevc_wp_dedup"       -> (4, 1, 0, true), // r13 weighted-pred
+                                                   // rung: exact-pixel
+                                                   // shape over weighted
+                                                   // uni/bi MC
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
