@@ -222,6 +222,38 @@ private[multimodal] object H265Cabac {
     if (idc != 2) e.decision(CtxInterPredIdc + 4, idc)
   }
 
+  /** ref_idx_l0/l1 (§9.3.3.2 TR at cMax = active − 1; Table 9-41:
+    * bins 0 and 1 context-coded at CtxRefIdx + binIdx, later bins
+    * bypass).
+    */
+  def decodeRefIdx(d: H264Cabac.Decoder, numActive: Int): Int = {
+    val cMax = numActive - 1
+    if (cMax == 0) return 0
+    var v = 0
+    var more = true
+    while (more && v < cMax) {
+      val bin =
+        if (v < 2) d.decision(CtxRefIdx + v)
+        else d.bypass()
+      if (bin == 1) v += 1 else more = false
+    }
+    v
+  }
+
+  def encodeRefIdx(e: H264Cabac.Encoder, idx: Int, numActive: Int): Unit = {
+    val cMax = numActive - 1
+    require(idx >= 0 && idx <= cMax, s"bad ref_idx $idx")
+    if (cMax == 0) return
+    var i = 0
+    while (i < idx) {
+      if (i < 2) e.decision(CtxRefIdx + i, 1) else e.bypass(1)
+      i += 1
+    }
+    if (idx < cMax) {
+      if (idx < 2) e.decision(CtxRefIdx + idx, 0) else e.bypass(0)
+    }
+  }
+
   /** mpm_idx: TR(cMax 2), bypass bins — '0' → 0, '10' → 1, '11' → 2. */
   def decodeMpmIdx(d: H264Cabac.Decoder): Int =
     if (d.bypass() == 0) 0 else 1 + d.bypass()

@@ -92,6 +92,8 @@ object H265Decode {
     val mvy4 = new Array[Short](w4 * h4)
     val mv1x4 = new Array[Short](w4 * h4)
     val mv1y4 = new Array[Short](w4 * h4)
+    val ref04 = new Array[Byte](w4 * h4)
+    val ref14 = new Array[Byte](w4 * h4)
     def setMotion(x0: Int, y0: Int, n: Int, mvx: Int, mvy: Int,
         skip: Boolean): Unit =
       setMotion2(x0, y0, n, H265Inter.Mi(1, mvx, mvy, 0, 0), skip)
@@ -106,6 +108,7 @@ object H265Decode {
           dir4(i) = mi.dir.toByte
           mvx4(i) = mi.mv0x.toShort; mvy4(i) = mi.mv0y.toShort
           mv1x4(i) = mi.mv1x.toShort; mv1y4(i) = mi.mv1y.toShort
+          ref04(i) = mi.ref0.toByte; ref14(i) = mi.ref1.toByte
           x += 1
         }
         y += 1
@@ -121,7 +124,7 @@ object H265Decode {
     def miAt(x: Int, y: Int): H265Inter.Mi = {
       val i = (y >> 2) * w4 + (x >> 2)
       H265Inter.Mi(dir4(i).toInt, mvx4(i).toInt, mvy4(i).toInt,
-        mv1x4(i).toInt, mv1y4(i).toInt)
+        mv1x4(i).toInt, mv1y4(i).toInt, ref04(i).toInt, ref14(i).toInt)
     }
     def skipAt(x: Int, y: Int): Int =
       if (x < 0 || y < 0 || x >= width || y >= height) 0
@@ -604,11 +607,13 @@ object H265Decode {
     */
   private final class SliceCtx(val sps: H265.SpsInfo, val pps: H265.PpsInfo,
       val pic: Pic, val qpY: Int, val sliceType: Int = 2,
-      val ref: Pic = null, val maxMerge: Int = 5,
+      val refs0: IndexedSeq[Pic] = IndexedSeq.empty, val maxMerge: Int = 5,
       val ref1: Pic = null, val currPoc: Int = 0,
-      val refPoc0: Int = 0, val refPoc1: Int = 0,
+      val refPocs0: IndexedSeq[Int] = IndexedSeq(0), val refPoc1: Int = 0,
       val mvdL1Zero: Boolean = false,
-      val weights: Option[H265Inter.PredWeights] = None) {
+      val weights: Option[H265Inter.PredWeights] = None,
+      val activeL0: Int = 1) {
+    def refPocs1: IndexedSeq[Int] = IndexedSeq(refPoc1)
     val qpCb: Int =
       H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
     val qpCr: Int =
@@ -772,10 +777,13 @@ object H265Decode {
       if (s.d.decision(CtxCuSkip + ctxInc) == 1) {
         val idx = decodeMergeIdx(s.d, s.maxMerge)
         val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
-          s.maxMerge, bSlice, s.refPoc0, s.refPoc1)(idx)
+          s.maxMerge, bSlice, s.refPocs0, s.refPocs1,
+          numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
         s.weights match {
-          case Some(pw) => H265Inter.mcCuWp(s.ref, s.ref1, pic, x0, y0, nCb, mi, pw)
-          case None => H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+          case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
+            pic, x0, y0, nCb, mi, pw)
+          case None => H265Inter.mcCuMi(s.refs0(mi.ref0), s.ref1,
+            pic, x0, y0, nCb, mi)
         }
         finishInterCu(s, x0, y0, log2CbSize, mi, skip = true,
           rootCbf = false)
@@ -792,7 +800,8 @@ object H265Decode {
           if (merge) {
             val idx = decodeMergeIdx(s.d, s.maxMerge)
             H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb, s.maxMerge,
-              bSlice, s.refPoc0, s.refPoc1)(idx)
+              bSlice, s.refPocs0, s.refPocs1,
+              numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
           } else {
             val dir =
               if (bSlice) decodeInterPredIdc(s.d, cqtDepth) match {
@@ -800,11 +809,16 @@ object H265Decode {
               }
               else 1
             var mv0 = (0, 0); var mv1 = (0, 0)
+            var r0 = 0
             if ((dir & 1) != 0) {
+              // ref_idx_l0 precedes mvd_coding (§7.3.8.6), present
+              // only when more than one reference is active
+              r0 = H265Cabac.decodeRefIdx(s.d, s.activeL0)
               val (mvdX, mvdY) = decodeMvd(s.d)
               val mvpIdx = s.d.decision(CtxMvpFlag)
               val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
-                listX = 0, s.currPoc, s.refPoc0, s.refPoc1)(mvpIdx)
+                listX = 0, s.currPoc, s.refPocs0, s.refPocs1,
+                refIdx = r0)(mvpIdx)
               mv0 = (mvp._1 + mvdX, mvp._2 + mvdY)
             }
             if ((dir & 2) != 0) {
@@ -814,14 +828,16 @@ object H265Decode {
                 if (s.mvdL1Zero && dir == 3) (0, 0) else decodeMvd(s.d)
               val mvpIdx = s.d.decision(CtxMvpFlag)
               val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
-                listX = 1, s.currPoc, s.refPoc0, s.refPoc1)(mvpIdx)
+                listX = 1, s.currPoc, s.refPocs0, s.refPocs1)(mvpIdx)
               mv1 = (mvp._1 + mvdX, mvp._2 + mvdY)
             }
-            H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2)
+            H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2, r0, 0)
           }
         s.weights match {
-          case Some(pw) => H265Inter.mcCuWp(s.ref, s.ref1, pic, x0, y0, nCb, mi, pw)
-          case None => H265Inter.mcCuMi(s.ref, s.ref1, pic, x0, y0, nCb, mi)
+          case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
+            pic, x0, y0, nCb, mi, pw)
+          case None => H265Inter.mcCuMi(s.refs0(mi.ref0), s.ref1,
+            pic, x0, y0, nCb, mi)
         }
         // rqt_root_cbf: parsed unless merge-2Nx2N (then inferred 1)
         val rootCbf = merge || s.d.decision(CtxRqtRootCbf) == 1
@@ -1013,8 +1029,8 @@ object H265Decode {
       dpb.collectFirst { case (pic, pc) if pc == p => pic }.getOrElse(
         throw new IllegalArgumentException(s"RPS POC $p not in the DPB"))
     var poc = 0
-    var ref0: Pic = null; var ref1: Pic = null
-    var refPoc0 = 0; var refPoc1 = 0
+    var refs0: IndexedSeq[Pic] = IndexedSeq.empty; var ref1: Pic = null
+    var refPocs0: IndexedSeq[Int] = IndexedSeq(0); var refPoc1 = 0
     if (!idr) {
       // slice_pic_order_cnt_lsb + §8.3.1 POC derivation vs the
       // previous reference picture (prevTid0Pic)
@@ -1032,23 +1048,31 @@ object H265Decode {
       // st_ref_pic_set(stRpsIdx = 0 = num_st_rps): no inter-RPS
       // prediction flag at index 0
       val numNeg = r.ue(); val numPos = r.ue()
+      // §7.4.8: delta_poc_s0_minus1[i] is the distance FROM THE
+      // PREVIOUS entry — deltas accumulate (closest reference first)
       val negDeltas = new Array[Int](numNeg)
       val negUsed = new Array[Boolean](numNeg)
+      var acc = 0
       var i = 0
       while (i < numNeg) {
-        negDeltas(i) = r.ue() + 1; negUsed(i) = r.flag(); i += 1
+        acc += r.ue() + 1
+        negDeltas(i) = acc; negUsed(i) = r.flag(); i += 1
       }
       val posDeltas = new Array[Int](numPos)
       val posUsed = new Array[Boolean](numPos)
+      acc = 0
       i = 0
       while (i < numPos) {
-        posDeltas(i) = r.ue() + 1; posUsed(i) = r.flag(); i += 1
+        acc += r.ue() + 1
+        posDeltas(i) = acc; posUsed(i) = r.flag(); i += 1
       }
       if (sliceType == 1) {
-        require(numNeg == 1 && numPos == 0 && negUsed(0),
-          "tier-3 P pictures carry exactly one used negative reference")
-        refPoc0 = poc - negDeltas(0)
-        ref0 = inDpb(refPoc0)
+        // r13 multiref: any number of used negative references — L0 =
+        // [StCurrBefore] in RPS order (closest first, §8.3.4)
+        require(numNeg >= 1 && numPos == 0 && negUsed.forall(identity),
+          "P pictures carry used negative references only in the tier")
+        refPocs0 = IndexedSeq.tabulate(numNeg)(k => poc - negDeltas(k))
+        refs0 = refPocs0.map(inDpb)
         require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       if (sliceType == 0) {
@@ -1057,9 +1081,9 @@ object H265Decode {
         // reference per list and no list modification)
         require(numNeg == 1 && numPos == 1 && negUsed(0) && posUsed(0),
           "tier-4 B pictures carry exactly one used reference per direction")
-        refPoc0 = poc - negDeltas(0)
+        refPocs0 = IndexedSeq(poc - negDeltas(0))
         refPoc1 = poc + posDeltas(0)
-        ref0 = inDpb(refPoc0)
+        refs0 = IndexedSeq(inDpb(refPocs0(0)))
         ref1 = inDpb(refPoc1)
         require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
@@ -1075,22 +1099,39 @@ object H265Decode {
     var mvdL1Zero = false
     var cabacSwap = false
     var weights: Option[H265Inter.PredWeights] = None
+    var activeL0 = 1
     if (sliceType != 2) {
-      // one active reference per list
+      // active reference counts: L0 may carry several (r13 multiref
+      // P); L1 stays single; cyclic list construction (active >
+      // available, §8.3.4's modulo wrap) stays out of the tier
       if (r.flag()) { // num_ref_idx_active_override_flag
-        require(r.ue() == 0, "one active list-0 reference only")
+        activeL0 = r.ue() + 1
         if (sliceType == 0)
           require(r.ue() == 0, "one active list-1 reference only")
-      } else require(pps.numRefL0Default == 0 &&
-        (sliceType == 1 || pps.numRefL1Default == 0),
-        "PPS default active references beyond the tier")
-      // ref_pic_lists_modification: present when the PPS allows it and
-      // NumPicTotalCurr > 1 (P: 1 → absent; B: 2 → present). Accept
-      // only the identity permutation — list_entry 0 with one active
-      // reference reproduces the default initialization.
-      if (pps.listsModification && sliceType == 0) {
-        if (r.flag()) require(r.u(1) == 0, "modified ref list 0 out of the tier")
-        if (r.flag()) require(r.u(1) == 0, "modified ref list 1 out of the tier")
+      } else {
+        activeL0 = pps.numRefL0Default + 1
+        require(sliceType == 1 || pps.numRefL1Default == 0,
+          "PPS default L1 active references beyond the tier")
+      }
+      require(activeL0 >= 1 && activeL0 <= refs0.size,
+        s"active L0 refs $activeL0 beyond the ${refs0.size} RPS entries")
+      if (sliceType == 0) require(activeL0 == 1,
+        "tier-4 B slices carry one active reference per list")
+      // ref_pic_lists_modification: present when the PPS allows it
+      // and NumPicTotalCurr > 1. Accept only the identity permutation
+      // (list_entry i == i reproduces the default initialization).
+      val numPicTotalCurr = if (sliceType == 0) 2 else refs0.size
+      if (pps.listsModification && numPicTotalCurr > 1) {
+        val entryBits = 32 - Integer.numberOfLeadingZeros(numPicTotalCurr - 1)
+        if (r.flag()) { // ref_pic_list_modification_flag_l0
+          var k = 0
+          while (k < activeL0) {
+            require(r.u(entryBits) == k, "modified ref list 0 out of the tier")
+            k += 1
+          }
+        }
+        if (sliceType == 0 && r.flag())
+          require(r.u(entryBits) == 0, "modified ref list 1 out of the tier")
       }
       if (sliceType == 0) mvdL1Zero = r.flag() // mvd_l1_zero_flag
       // cabac_init_flag (§9.3.2.2): swaps the P and B context init
@@ -1099,8 +1140,13 @@ object H265Decode {
       // collocated absent (no TMVP); pred_weight_table (§7.3.6.3)
       // when the PPS enables explicit weighting for this slice type
       if ((sliceType == 1 && pps.weightedPred) ||
-          (sliceType == 0 && pps.weightedBipred))
+          (sliceType == 0 && pps.weightedBipred)) {
+        // the tier's pred_weight_table carries ONE entry per list —
+        // per-reference weight sets stay out of scope
+        require(activeL0 == 1,
+          "weighted prediction with multiple references out of the tier")
         weights = Some(readPredWeightTable(r, sliceType == 0))
+      }
       maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
       require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
       require(pps.deblockingDisabled,
@@ -1120,7 +1166,8 @@ object H265Decode {
 
     val pic = new Pic(sps.width, sps.height)
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
-      ref0, maxMerge, ref1, poc, refPoc0, refPoc1, mvdL1Zero, weights)
+      refs0, maxMerge, ref1, poc, refPocs0, refPoc1, mvdL1Zero, weights,
+      activeL0)
     s.r = r
     // §9.3.2.2 initType: I → 0; P → 1 (2 with cabac_init_flag);
     // B → 2 (1 with cabac_init_flag)

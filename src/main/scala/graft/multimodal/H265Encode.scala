@@ -130,7 +130,9 @@ object H265Encode {
     * encodes prediction-only (skip / rqt_root_cbf 0).
     */
   final case class InterLeaf(mvx: Int, mvy: Int,
-      dropResidual: Boolean = false) extends CuTree
+      dropResidual: Boolean = false, refIdx: Int = 0) extends CuTree {
+    require(refIdx >= 0 && refIdx <= 14, s"bad ref idx $refIdx")
+  }
 
   /** Inter leaf for B pictures (r13 tier 4): a 2Nx2N PU with full
     * motion info — `dir` 1 (L0), 2 (L1) or 3 (bi) at quarter-pel MVs
@@ -284,7 +286,7 @@ object H265Encode {
       val e = new H264Cabac.Encoder(w, ctx)
       val pic = new H265Decode.Pic(width, height)
       val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra, sliceType = 1, refPic = prev)
+        maxTbLog2, depthIntra, sliceType = 1, refs0 = IndexedSeq(prev))
       var ctu = 0
       val nCtu = pLayouts(i).size
       while (ctu < nCtu) {
@@ -309,9 +311,18 @@ object H265Encode {
     */
   final case class GopPic(poc: Int, sliceType: Int, layout: Seq[CuTree],
       negDelta: Int = 1, posDelta: Int = 1, isRef: Boolean = true,
-      weights: Option[H265Inter.PredWeights] = None) {
+      weights: Option[H265Inter.PredWeights] = None,
+      moreNegDeltas: Seq[Int] = Nil) {
     require(sliceType == 0 || sliceType == 1, "P or B pictures only")
     require(negDelta >= 1 && posDelta >= 1, "bad RPS deltas")
+    // r13 multiref: additional PAST references beyond the first, as
+    // ABSOLUTE POC deltas in increasing order (P slices only; every
+    // listed reference becomes active on L0 in RPS order)
+    require(moreNegDeltas.isEmpty || sliceType == 1,
+      "multiref is a P-slice tier")
+    require((negDelta +: moreNegDeltas) == (negDelta +: moreNegDeltas).sorted &&
+      moreNegDeltas.forall(_ > negDelta), "deltas must increase")
+    def negDeltas: Seq[Int] = negDelta +: moreNegDeltas
   }
 
   /** Encode a reordered GOP (r13 tier 4): one IDR at POC 0 carrying
@@ -364,27 +375,38 @@ object H265Encode {
       require(spec.layout.size == ctbW * (height >> ctbLog2),
         "one tree per CTB")
       val bSlice = spec.sliceType == 0
-      val refPoc0 = spec.poc - spec.negDelta
+      val refPocs0 = spec.negDeltas.map(spec.poc - _).toIndexedSeq
       val refPoc1 = spec.poc + spec.posDelta
-      val ref0 = dpb.getOrElse(refPoc0,
-        throw new IllegalArgumentException(s"ref POC $refPoc0 not decoded"))
+      val refs0 = refPocs0.map(p => dpb.getOrElse(p,
+        throw new IllegalArgumentException(s"ref POC $p not decoded")))
       val ref1 = if (!bSlice) null
         else dpb.getOrElse(refPoc1,
           throw new IllegalArgumentException(s"ref POC $refPoc1 not decoded"))
+      require(spec.weights.isEmpty || refs0.size == 1,
+        "weighted prediction with multiple references out of the tier")
       val w = new H264.BitWriter
       w.flag(true)  // first_slice_segment_in_pic_flag
       w.ue(0)       // slice_pic_parameter_set_id
       w.ue(spec.sliceType) // slice_type
       w.u(spec.poc & 15, 4) // slice_pic_order_cnt_lsb (log2MaxPocLsb 4)
       w.flag(false) // short_term_ref_pic_set_sps_flag
-      w.ue(1); w.ue(if (bSlice) 1 else 0) // st_ref_pic_set: neg / pos
-      w.ue(spec.negDelta - 1) // delta_poc_s0_minus1
-      w.flag(true)  // used_by_curr_pic_s0_flag
+      // st_ref_pic_set: deltas emit DIFFERENTIALLY (§7.4.8)
+      w.ue(spec.negDeltas.size); w.ue(if (bSlice) 1 else 0)
+      var prevDelta = 0
+      spec.negDeltas.foreach { d =>
+        w.ue(d - prevDelta - 1) // delta_poc_s0_minus1
+        w.flag(true)            // used_by_curr_pic_s0_flag
+        prevDelta = d
+      }
       if (bSlice) {
         w.ue(spec.posDelta - 1) // delta_poc_s1_minus1
         w.flag(true) // used_by_curr_pic_s1_flag
       }
-      w.flag(false) // num_ref_idx_active_override (PPS defaults: 1 each)
+      if (refs0.size > 1) {
+        w.flag(true)              // num_ref_idx_active_override
+        w.ue(refs0.size - 1)      // num_ref_idx_l0_active_minus1
+        if (bSlice) w.ue(0)
+      } else w.flag(false)        // PPS defaults: 1 active each
       if (bSlice) w.flag(false) // mvd_l1_zero_flag
       // cabac_init_flag = 1 when the PPS enables it: swap the P/B
       // context init tables (§9.3.2.2)
@@ -427,10 +449,10 @@ object H265Encode {
           Some(spec.weights.getOrElse(H265Inter.PredWeights.default(0, 0)))
         else None
       val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra, sliceType = spec.sliceType, refPic = ref0,
+        maxTbLog2, depthIntra, sliceType = spec.sliceType, refs0 = refs0,
         refPic1 = ref1, currPoc = spec.poc,
-        refPoc0 = refPoc0, refPoc1 = if (bSlice) refPoc1 else 0,
-        weights = effWeights)
+        refPocs0 = refPocs0, refPoc1 = if (bSlice) refPoc1 else 0,
+        weights = effWeights, activeL0 = refs0.size)
       var ctu = 0
       val nCtu = spec.layout.size
       while (ctu < nCtu) {
@@ -462,10 +484,13 @@ object H265Encode {
       srcY: Array[Byte], srcCb: Array[Byte], srcCr: Array[Byte],
       qp: Int, ctbLog2: Int, minCbLog2: Int, maxTbLog2: Int,
       depthIntra: Int, sliceType: Int,
-      refPic: H265Decode.Pic = null, maxMerge: Int = 5,
+      refs0: IndexedSeq[H265Decode.Pic] = IndexedSeq.empty,
+      maxMerge: Int = 5,
       refPic1: H265Decode.Pic = null, currPoc: Int = 0,
-      refPoc0: Int = 0, refPoc1: Int = 0,
-      weights: Option[H265Inter.PredWeights] = None) {
+      refPocs0: IndexedSeq[Int] = IndexedSeq(0), refPoc1: Int = 0,
+      weights: Option[H265Inter.PredWeights] = None,
+      activeL0: Int = 1) {
+    private val refPocs1 = IndexedSeq(refPoc1)
     private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
     // ---- per-TB helpers against the decoder-twin recon state
@@ -691,20 +716,24 @@ object H265Encode {
     def interCu(x0: Int, y0: Int, log2CbSize: Int, cqtDepth: Int,
         mi: H265Inter.Mi, dropResidual: Boolean): Unit = {
       val bSlice = sliceType == 0
-      require(refPic != null, "inter leaf outside an inter slice")
+      require(refs0.nonEmpty, "inter leaf outside an inter slice")
       require(!mi.has(1) || refPic1 != null, "list-1 motion outside a B slice")
       require(bSlice || mi.dir == 1, "L1/bi motion in a P slice")
+      require(mi.ref0 < activeL0, "ref_idx beyond the active references")
       require(log2CbSize <= maxTbLog2,
         "fixture encoder: inter CU must fit one TU")
       val nCb = 1 << log2CbSize
       pic.setDepth(x0, y0, nCb, cqtDepth)
       val cands = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
-        maxMerge, bSlice, refPoc0, refPoc1)
+        maxMerge, bSlice, refPocs0, refPocs1,
+        numRefMerge = if (bSlice) 1 else activeL0)
       val mergeIdx = cands.indexOf(mi)
       // prediction first (into the twin planes), then residual decisions
       weights match {
-        case Some(pw) => H265Inter.mcCuWp(refPic, refPic1, pic, x0, y0, nCb, mi, pw)
-        case None => H265Inter.mcCuMi(refPic, refPic1, pic, x0, y0, nCb, mi)
+        case Some(pw) => H265Inter.mcCuWp(refs0(mi.ref0), refPic1,
+          pic, x0, y0, nCb, mi, pw)
+        case None => H265Inter.mcCuMi(refs0(mi.ref0), refPic1,
+          pic, x0, y0, nCb, mi)
       }
       def resid(plane: Array[Byte], src: Array[Byte], stride: Int,
           px: Int, py: Int, l2: Int, luma: Boolean): Array[Int] = {
@@ -758,8 +787,11 @@ object H265Encode {
           while (list < 2) {
             if (mi.has(list)) {
               val (mvx, mvy) = mi.mv(list)
+              if (list == 0)
+                H265Cabac.encodeRefIdx(e, mi.ref0, activeL0)
               val mvps = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
-                list, currPoc, refPoc0, refPoc1)
+                list, currPoc, refPocs0, refPocs1,
+                refIdx = mi.ref(list))
               val c0 = math.abs(mvx - mvps(0)._1) + math.abs(mvy - mvps(0)._2)
               val c1 = math.abs(mvx - mvps(1)._1) + math.abs(mvy - mvps(1)._2)
               val mvpIdx = if (c1 < c0) 1 else 0
@@ -827,7 +859,7 @@ object H265Encode {
         leaf match {
           case l: CuLeaf => codingUnit(x0, y0, log2CbSize, cqtDepth, l)
           case l: InterLeaf => interCu(x0, y0, log2CbSize, cqtDepth,
-            H265Inter.Mi(1, l.mvx, l.mvy, 0, 0), l.dropResidual)
+            H265Inter.Mi(1, l.mvx, l.mvy, 0, 0, l.refIdx), l.dropResidual)
           case l: BiLeaf => interCu(x0, y0, log2CbSize, cqtDepth,
             H265Inter.Mi(l.dir, l.mv0x, l.mv0y, l.mv1x, l.mv1y),
             l.dropResidual)

@@ -25,13 +25,16 @@ private[multimodal] object H265Inter {
 
   /** Motion information of a PU / 4x4 grid cell: `dir` is the inter
     * prediction direction bitmask (1 = L0, 2 = L1, 3 = bi), MVs in
-    * quarter-pel at refIdx 0 per list (unused list's MV is (0, 0)).
+    * quarter-pel per list (unused list's MV is (0, 0)), and — since
+    * the r13 multi-reference rung — the per-list reference indices
+    * (`ref1` stays 0 in the tier: L1 carries one active reference).
     */
   final case class Mi(dir: Int, mv0x: Int, mv0y: Int,
-      mv1x: Int, mv1y: Int) {
+      mv1x: Int, mv1y: Int, ref0: Int = 0, ref1: Int = 0) {
     def has(list: Int): Boolean = (dir & (1 << list)) != 0
     def mv(list: Int): (Int, Int) =
       if (list == 0) (mv0x, mv0y) else (mv1x, mv1y)
+    def ref(list: Int): Int = if (list == 0) ref0 else ref1
   }
 
   /** Table 8-12: luma fractional-sample filters, taps at offsets
@@ -440,7 +443,9 @@ private[multimodal] object H265Inter {
     */
   def mergeCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
       nPbW: Int, nPbH: Int, maxCand: Int, bSlice: Boolean,
-      refPoc0: Int = 0, refPoc1: Int = 0): IndexedSeq[Mi] = {
+      refPocs0: IndexedSeq[Int] = IndexedSeq(0),
+      refPocs1: IndexedSeq[Int] = IndexedSeq(0),
+      numRefMerge: Int = 1): IndexedSeq[Mi] = {
     @inline def m(x: Int, y: Int): Option[Mi] =
       if (pic.interAt(x, y)) Some(pic.miAt(x, y)) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Mi]
@@ -468,13 +473,21 @@ private[multimodal] object H265Inter {
       while (out.size < maxCand && k < nOrig * (nOrig - 1)) {
         val c0 = out(l0Idx(k)); val c1 = out(l1Idx(k))
         if (c0.has(0) && c1.has(1) &&
-            (refPoc0 != refPoc1 || c0.mv(0) != c1.mv(1)))
-          out += Mi(3, c0.mv0x, c0.mv0y, c1.mv1x, c1.mv1y)
+            (refPocs0(c0.ref0) != refPocs1(c1.ref1) || c0.mv(0) != c1.mv(1)))
+          out += Mi(3, c0.mv0x, c0.mv0y, c1.mv1x, c1.mv1y,
+            c0.ref0, c1.ref1)
         k += 1
       }
     }
-    val zero = Mi(if (bSlice) 3 else 1, 0, 0, 0, 0)
-    while (out.size < maxCand) out += zero
+    // §8.5.3.2.5 zero candidates: reference indices count up through
+    // the usable range (numRefMerge = active L0 refs for P, the
+    // smaller active count for B), then pin to 0
+    var zeroIdx = 0
+    while (out.size < maxCand) {
+      val zr = if (zeroIdx < numRefMerge) zeroIdx else 0
+      out += Mi(if (bSlice) 3 else 1, 0, 0, 0, 0, zr, if (bSlice) zr else 0)
+      zeroIdx += 1
+    }
     out.take(maxCand).toIndexedSeq
   }
 
@@ -519,19 +532,25 @@ private[multimodal] object H265Inter {
     */
   def amvpCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
       nPbW: Int, nPbH: Int, listX: Int, currPoc: Int,
-      refPoc0: Int, refPoc1: Int): IndexedSeq[(Int, Int)] = {
+      refPocs0: IndexedSeq[Int], refPocs1: IndexedSeq[Int],
+      refIdx: Int = 0): IndexedSeq[(Int, Int)] = {
     val listY = 1 - listX
-    val tPoc = if (listX == 0) refPoc0 else refPoc1
-    val yPoc = if (listY == 0) refPoc0 else refPoc1
+    @inline def pocOf(list: Int, r: Int): Int =
+      if (list == 0) refPocs0(r) else refPocs1(r)
+    val tPoc = pocOf(listX, refIdx)
     @inline def mi(p: (Int, Int)): Option[Mi] =
       if (pic.interAt(p._1, p._2)) Some(pic.miAt(p._1, p._2)) else None
     // the two same-POC passes over a position set (§8.5.3.2.7 steps
-    // 6/7): same list first, then the other list when its reference is
-    // the same picture
+    // 6/7): same list first, then the other list — either qualifies
+    // only when the neighbor's reference is the SAME PICTURE as the
+    // target (POC equality; with multiple refs the neighbor's refIdx
+    // may differ from the target's)
     def samePoc(pos: Seq[(Int, Int)]): Option[(Int, Int)] =
       pos.iterator.flatMap(mi).collectFirst {
-        case n if n.has(listX) => n.mv(listX) // refIdx 0: POC matches
-        case n if n.has(listY) && yPoc == tPoc => n.mv(listY)
+        case n if n.has(listX) && pocOf(listX, n.ref(listX)) == tPoc =>
+          n.mv(listX)
+        case n if n.has(listY) && pocOf(listY, n.ref(listY)) == tPoc =>
+          n.mv(listY)
       }
     // the scaled pass (step 8): first inter neighbor's same-list MV
     // scaled by POC distance, else its other-list MV scaled
@@ -539,10 +558,12 @@ private[multimodal] object H265Inter {
       pos.iterator.flatMap(mi).collectFirst {
         case n if n.has(listX) =>
           val (mx, my) = n.mv(listX)
-          scaleMv(mx, my, currPoc - tPoc, currPoc - tPoc)
+          scaleMv(mx, my, currPoc - tPoc,
+            currPoc - pocOf(listX, n.ref(listX)))
         case n if n.has(listY) =>
           val (mx, my) = n.mv(listY)
-          scaleMv(mx, my, currPoc - tPoc, currPoc - yPoc)
+          scaleMv(mx, my, currPoc - tPoc,
+            currPoc - pocOf(listY, n.ref(listY)))
       }
     val aPos = Seq((xPb - 1, yPb + nPbH), (xPb - 1, yPb + nPbH - 1))
     val bPos = Seq((xPb + nPbW, yPb - 1), (xPb + nPbW - 1, yPb - 1),
@@ -569,5 +590,5 @@ private[multimodal] object H265Inter {
   def amvpCandidates(pic: H265Decode.Pic, xPb: Int, yPb: Int,
       nPbW: Int, nPbH: Int): IndexedSeq[(Int, Int)] =
     amvpCandidatesMi(pic, xPb, yPb, nPbW, nPbH, listX = 0,
-      currPoc = 0, refPoc0 = 0, refPoc1 = 0)
+      currPoc = 0, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(0))
 }

@@ -1774,6 +1774,82 @@ object Multimodal {
     }
   }
 
+  /** Synthetic multi-reference HEVC GOPs for the r13 ref_idx rung
+    * (q156's posture on the second codec family): I0-P1-P2 chains
+    * over content that alternates A-B-A, so P2's CUs split between
+    * refIdx 0 (P1, content B) and refIdx 1 (the IDR, content A) —
+    * decode is wrong unless the multi-entry RPS resolves, L0 builds
+    * in RPS order, ref_idx parses, and per-refIdx AMVP scales.
+    * Planted relations per decade:
+    *   - id % 10 == 0 (id > 0): an all-intra PCM twin of id−1's
+    *     decoded pictures — collapse ⇔ the farther-reference
+    *     prediction is sample-exact;
+    *   - id % 10 == 5: id−4 with one refIdx-1 CU's MV nudged a
+    *     quarter-pel — a near-dup exact dedup must keep.
+    */
+  def syntheticHevcMultiRefStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { id =>
+      val isDup = id % 10 == 0 && id > 0
+      val nudge = id % 10 == 5 && id >= 5
+      val seed: Long = if (isDup) id - 1 else if (nudge) id - 4 else id
+      val w = 64; val h = 64
+      val rnd = new scala.util.Random(seed * 227 + 13)
+      val qp = 26
+      def content(k: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+        val r2 = new scala.util.Random(seed * 1000 + k)
+        (Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          (40 + ((x * (5 + k) + y * 3) % 160) + r2.nextInt(17)).toByte
+        },
+          Array.tabulate((w / 2) * (h / 2))(i =>
+            (90 + ((i % (w / 2)) + k)).toByte),
+          Array.tabulate((w / 2) * (h / 2))(_ => (120 + k * 7).toByte))
+      }
+      val fA = content(0); val fB = content(1)
+      import H265Encode.{CuLeaf, CuSplit, CuTree, GopPic, InterLeaf}
+      val iLayout: Seq[CuTree] = Seq.fill(4)(CuLeaf(Seq(rnd.nextInt(35))))
+      val bump = if (nudge) 1 else 0
+      val p1Layout: Seq[CuTree] =
+        Seq.fill(4)(InterLeaf(rnd.nextInt(9) - 4, rnd.nextInt(5) - 2): CuTree)
+      // P2 (content ≈ A again): refIdx 1 reaches the IDR
+      val p2Layout: Seq[CuTree] = Seq.fill(4) {
+        rnd.nextInt(4) match {
+          case 0 => InterLeaf(bump, 0, dropResidual = true, refIdx = 1)
+          case 1 => CuSplit(InterLeaf(bump, 0, refIdx = 1),
+            CuLeaf(Seq(rnd.nextInt(35))),
+            InterLeaf(rnd.nextInt(5) - 2, 0),
+            InterLeaf(bump, 0, refIdx = 1))
+          case 2 => InterLeaf(rnd.nextInt(5) - 2, rnd.nextInt(5) - 2)
+          case _ => InterLeaf(bump, 0, refIdx = 1)
+        }
+      }
+      val (stream, recons) = H265Encode.encodeGopB(
+        Seq(fA, fB, fA), w, h, iLayout,
+        Seq(GopPic(1, 1, p1Layout),
+          GopPic(2, 1, p2Layout, negDelta = 1, moreNegDeltas = Seq(2))), qp)
+      val out =
+        if (isDup) {
+          import H265Encode.{Ctu, Pcm}
+          recons.map { r =>
+            val ctus: Array[Array[Ctu]] = Array.tabulate(4, 4) { (cy, cx) =>
+              val l = Array.tabulate(256)(i =>
+                r.luma((cy * 16 + i / 16) * w + cx * 16 + i % 16))
+              val cbP = Array.tabulate(64)(i =>
+                r.cb((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              val crP = Array.tabulate(64)(i =>
+                r.cr((cy * 8 + i / 8) * (w / 2) + cx * 8 + i % 8))
+              Pcm(l, cbP, crP)
+            }
+            H265Encode.encodeIntraPicture(ctus, qp = 30)
+          }.reduce(_ ++ _)
+        } else stream
+      Media(id, "video", out,
+        MediaMeta("h265", Some(64), Some(64), None, Some(120L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams for the r12 MULTI-SLICE +
     * P_8x8 rung: each stream a GOP of one IDR and one P picture, BOTH
     * carved into two slices (the most common real-stream structure the

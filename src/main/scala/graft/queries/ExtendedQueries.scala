@@ -1093,6 +1093,27 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q174 — HEVC multi-reference dedup (the r13 ref_idx rung — q156's
+    * posture on the second codec family): I0-P1-P2 GOPs over A-B-A
+    * content whose P2 CUs split between refIdx 0 (P1) and refIdx 1
+    * (the IDR) — decode requires the multi-entry short-term RPS
+    * (differential deltas), L0 construction in RPS order, ref_idx_l0
+    * parsing, and per-refIdx AMVP with real same-list POC scaling.
+    * Deduped by SHA-256 over all three decoded pictures vs all-intra
+    * PCM twins; quarter-pel nudges of refIdx-1 CUs survive
+    * ([[graft.multimodal.Multimodal.syntheticHevcMultiRefStreams]];
+    * H265MultiRefSpec pins the syntax, scaling, zero-merge refIdx
+    * walk, and the farther-reference round-trip).
+    */
+  def q174HevcMultiRefDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcmr_200"))(
+      graft.multimodal.Multimodal.syntheticHevcMultiRefStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1419,6 +1440,7 @@ object ExtendedQueries {
     "q171_flac_decoded_dedup" -> (q171FlacDecodedDedup _),
     "q172_avc_coding_census" -> (q172AvcCodingCensus _),
     "q173_hevc_wp_dedup" -> (q173HevcWpDedup _),
+    "q174_hevc_multiref_dedup" -> (q174HevcMultiRefDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1725,6 +1747,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q173_hevc_wp_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q173_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q174_hevc_multiref_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q174_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

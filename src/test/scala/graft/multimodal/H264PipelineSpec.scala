@@ -559,6 +559,35 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC multiref dedup (q174 corpus): PCM twins collapse; refIdx-1 MV nudges survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcMultiRefStreams(spark, 60).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val dups = (0L until 60L).filter(id => id % 10 == 0 && id > 0)
+    val decoys = (0L until 60L).filter(id => id % 10 == 5 && id >= 5)
+    assert(dups.nonEmpty && decoys.nonEmpty)
+    dups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"pair $id bytes")
+      val a = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H265Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"pair $id decode")
+      for (k <- 0 until 3)
+        assert(java.util.Arrays.equals(a(k).luma, b(k).luma), s"pair $id luma $k")
+    }
+    decoys.foreach { id =>
+      val t = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val o = H265Decode.decodeAnnexBPictures(byId(id - 4), 3)
+      assert(t.size == 3 && o.size == 3, s"decoy $id decode")
+      assert(!java.util.Arrays.equals(t(2).luma, o(2).luma),
+        s"decoy $id: the refIdx-1 nudge must move real samples")
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == (0L until 60L).filterNot(id => id % 10 == 0 && id > 0),
+      "multiref decode collapses exactly the cross-representation dups")
+    media.unpersist()
+  }
+
   test("FLAC decoded dedup (q171 corpus): WAV PCM twins collapse; LSB nudges survive") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacDecodedAudios(spark, 60).persist()

@@ -101,7 +101,7 @@ class H265BSliceSpec extends AnyFunSuite {
     val pic = gridPic(Seq((0, 8, Mi(1, 4, 0, 0, 0)),
       (8, 0, Mi(2, 0, 0, 8, 4))))
     val cands = H265Inter.mergeCandidatesMi(pic, 8, 8, 8, 8, 5,
-      bSlice = true, refPoc0 = 0, refPoc1 = 2)
+      bSlice = true, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(2))
     assert(cands == IndexedSeq(Mi(1, 4, 0, 0, 0), Mi(2, 0, 0, 8, 4),
       Mi(3, 4, 0, 8, 4), Mi(3, 0, 0, 0, 0), Mi(3, 0, 0, 0, 0)))
 
@@ -109,7 +109,7 @@ class H265BSliceSpec extends AnyFunSuite {
     val pic2 = gridPic(Seq((0, 8, Mi(3, 4, 0, -4, 0)),
       (8, 0, Mi(3, 8, 4, -8, 4))))
     val cands2 = H265Inter.mergeCandidatesMi(pic2, 8, 8, 8, 8, 5,
-      bSlice = true, refPoc0 = 0, refPoc1 = 2)
+      bSlice = true, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(2))
     assert(cands2 == IndexedSeq(Mi(3, 4, 0, -4, 0), Mi(3, 8, 4, -8, 4),
       Mi(3, 4, 0, -8, 4), Mi(3, 8, 4, -4, 0), Mi(3, 0, 0, 0, 0)))
 
@@ -118,7 +118,7 @@ class H265BSliceSpec extends AnyFunSuite {
     val pic3 = gridPic(Seq((0, 8, Mi(1, 4, 0, 0, 0)),
       (8, 0, Mi(2, 0, 0, 4, 0))))
     val cands3 = H265Inter.mergeCandidatesMi(pic3, 8, 8, 8, 8, 5,
-      bSlice = true, refPoc0 = 2, refPoc1 = 2)
+      bSlice = true, refPocs0 = IndexedSeq(2), refPocs1 = IndexedSeq(2))
     assert(cands3(2) == Mi(3, 0, 0, 0, 0), "combined candidate rejected")
 
     // P slices never generate combined candidates and zero-fill uni
@@ -134,18 +134,18 @@ class H265BSliceSpec extends AnyFunSuite {
     // td = 1−2 = −1) → (−6, 10)
     val pic = gridPic(Seq((0, 16, Mi(2, 0, 0, 6, -10))))
     assert(H265Inter.amvpCandidatesMi(pic, 8, 8, 8, 8, listX = 0,
-      currPoc = 1, refPoc0 = 0, refPoc1 = 2) ==
+      currPoc = 1, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(2)) ==
       IndexedSeq((-6, 10), (0, 0)))
     // and for L1 the same-list pass takes it unscaled
     assert(H265Inter.amvpCandidatesMi(pic, 8, 8, 8, 8, listX = 1,
-      currPoc = 1, refPoc0 = 0, refPoc1 = 2) ==
+      currPoc = 1, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(2)) ==
       IndexedSeq((6, -10), (0, 0)))
     // asymmetric distances scale by the POC ratio: curr POC 2, L0 ref
     // POC 0, L1 ref 3; A0 L1-only mv (8, -16): tb = 2, td = −1 →
     // dsf = −512 → (−16, 32)
     val pic2 = gridPic(Seq((0, 16, Mi(2, 0, 0, 8, -16))))
     assert(H265Inter.amvpCandidatesMi(pic2, 8, 8, 8, 8, listX = 0,
-      currPoc = 2, refPoc0 = 0, refPoc1 = 3) ==
+      currPoc = 2, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(3)) ==
       IndexedSeq((-16, 32), (0, 0)))
     // when no A position is inter, A steals B's same-POC value and B
     // re-derives scaled: B1 bi (L0 (4,0), L1 (6,-2)) → A slot takes
@@ -153,7 +153,7 @@ class H265BSliceSpec extends AnyFunSuite {
     // identity-scaled — equal to A, so pruned to zero fill
     val pic3 = gridPic(Seq((8, 0, Mi(3, 4, 0, 6, -2))))
     assert(H265Inter.amvpCandidatesMi(pic3, 8, 8, 8, 8, listX = 0,
-      currPoc = 1, refPoc0 = 0, refPoc1 = 2) ==
+      currPoc = 1, refPocs0 = IndexedSeq(0), refPocs1 = IndexedSeq(2)) ==
       IndexedSeq((4, 0), (0, 0)))
   }
 

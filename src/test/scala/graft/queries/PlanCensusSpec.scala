@@ -309,6 +309,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // rung: exact-pixel
                                                    // shape over weighted
                                                    // uni/bi MC
+    "q174_hevc_multiref_dedup" -> (4, 1, 0, true), // r13 ref_idx rung:
+                                                   // exact-pixel shape over
+                                                   // multi-entry RPS/L0
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata
