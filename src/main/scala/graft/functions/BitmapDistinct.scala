@@ -116,4 +116,152 @@ object BitmapDistinct {
     GraftPlanBridge.column(
       BitmapDistinctCount(GraftPlanBridge.expression(key))
         .toAggregateExpression())
+
+  /** The serialized-bitmap twin: same buffer discipline as
+    * [[BitmapDistinctCount]], but eval returns the run-optimized bitmap
+    * BYTES instead of its cardinality — the build half of
+    * [[graft.operators.Relational.bitmapAntiJoin]]. One global-group
+    * aggregate over N partitions exchanges N bitmap buffers (hundreds
+    * of KB for millions of clustered surrogate keys) where an exact
+    * DISTINCT would exchange one row per key.
+    */
+  def build(key: Column): Column =
+    GraftPlanBridge.column(
+      BitmapBuild(GraftPlanBridge.expression(key)).toAggregateExpression())
+
+  /** `bitmap_contains(key, bitmapBytes)` as a Column predicate.
+    * NULL keys yield FALSE (not NULL): an equality semi/anti probe can
+    * never match on NULL, so `contains(null) = false` makes both
+    * `filter(contains)` (semi) and `filter(!contains)` (anti) agree
+    * with EXISTS / NOT EXISTS semantics without a separate null branch.
+    */
+  def contains(key: Column, bitmapBytes: Array[Byte]): Column =
+    GraftPlanBridge.column(
+      BitmapContains(GraftPlanBridge.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(bitmapBytes)))
+}
+
+/** See [[BitmapDistinct.build]]. */
+case class BitmapBuild(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64NavigableMap] {
+
+  override def createAggregationBuffer(): Roaring64NavigableMap =
+    new Roaring64NavigableMap()
+
+  override def update(buffer: Roaring64NavigableMap,
+      input: InternalRow): Roaring64NavigableMap = {
+    val v = child.eval(input)
+    if (v != null) buffer.addLong(v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"bitmap_build needs an integral key, got $other")
+    })
+    buffer
+  }
+
+  override def merge(buffer: Roaring64NavigableMap,
+      input: Roaring64NavigableMap): Roaring64NavigableMap = {
+    buffer.or(input)
+    buffer
+  }
+
+  override def eval(buffer: Roaring64NavigableMap): Any = serialize(buffer)
+
+  override def serialize(buffer: Roaring64NavigableMap): Array[Byte] = {
+    buffer.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    buffer.serialize(dos)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val m = new Roaring64NavigableMap()
+    m.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    m
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_build needs an integral key, got $other")
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBuild =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapBuild =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "bitmap_build"
+}
+
+/** See [[BitmapDistinct.contains]]. The bitmap rides the plan as a
+  * binary Literal (hundreds of KB — task-shipped once per stage, the
+  * same transport class as a broadcast variable at this size) and is
+  * deserialized once per task via the lazy val, not per row.
+  */
+case class BitmapContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val bitmap: Roaring64NavigableMap = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    val m = new Roaring64NavigableMap()
+    m.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    m
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) false
+    else bitmap.contains(v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalArgumentException(
+        s"bitmap_contains needs an integral key, got $other")
+    })
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitmap_contains needs (integral key, binary bitmap), got $other")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bitmap_contains"
 }

@@ -205,8 +205,17 @@ object FlacDecode {
   private def decodeFrames(b: Array[Byte], si: Flac.StreamInfo,
       audioStart: Int): Option[DecodedFlac] = {
     val total = si.totalSamples
-    val samples = new java.io.ByteArrayOutputStream() // packed LE, MD5 layout
     val perTick = si.channels
+    // STREAMINFO MD5 (bytes 18..33 of the block at offset 8 in the
+    // file): all-zero = unknown. The digest is STREAMED per frame over
+    // a reused scratch buffer (r14, advice item) — the old code kept
+    // the full packed LE byte stream alive alongside the Int samples,
+    // doubling peak memory for large files.
+    val md5Field = java.util.Arrays.copyOfRange(b, 8 + 18, 8 + 34)
+    val md5Wanted = !md5Field.forall(_ == 0)
+    val md5 =
+      if (md5Wanted) java.security.MessageDigest.getInstance("MD5") else null
+    var scratch = new Array[Byte](0)
     var decoded = 0L
     var off = audioStart
     var crcOk = true
@@ -262,19 +271,28 @@ object FlacDecode {
           }
         case _ =>
       }
-      // interleave into the MD5 layout: little-endian signed,
-      // bps/8 bytes per sample
-      val bytesPer = si.bitsPerSample / 8
-      var i = 0
-      while (i < fh.blockSize) {
-        var c = 0
-        while (c < perTick) {
-          val v = chans(c)(i)
-          var k = 0
-          while (k < bytesPer) { samples.write((v >> (8 * k)) & 0xff); k += 1 }
-          c += 1
+      // interleave this frame into the MD5 layout (little-endian
+      // signed, bps/8 bytes per sample) and fold it into the running
+      // digest — nothing beyond one frame's packed bytes is retained
+      if (md5Wanted) {
+        val bytesPer = si.bitsPerSample / 8
+        val need = fh.blockSize * perTick * bytesPer
+        if (scratch.length < need) scratch = new Array[Byte](need)
+        var p = 0
+        var i = 0
+        while (i < fh.blockSize) {
+          var c = 0
+          while (c < perTick) {
+            val v = chans(c)(i)
+            var k = 0
+            while (k < bytesPer) {
+              scratch(p) = ((v >> (8 * k)) & 0xff).toByte; p += 1; k += 1
+            }
+            c += 1
+          }
+          i += 1
         }
-        i += 1
+        md5.update(scratch, 0, need)
       }
       all += Array.tabulate(fh.blockSize * perTick)(j =>
         chans(j % perTick)(j / perTick))
@@ -283,14 +301,9 @@ object FlacDecode {
     }
     if (decoded == 0) return None
     if (total != 0 && decoded != total) return None
-    // STREAMINFO MD5 (bytes 18..33 of the block at offset 8 in the
-    // file): all-zero = unknown
-    val md5Field = java.util.Arrays.copyOfRange(b, 8 + 18, 8 + 34)
     val md5Ok =
-      if (md5Field.forall(_ == 0)) None
-      else Some(java.util.Arrays.equals(md5Field,
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(samples.toByteArray)))
+      if (!md5Wanted) None
+      else Some(java.util.Arrays.equals(md5Field, md5.digest()))
     val flat = new Array[Int](all.map(_.length).sum)
     var p = 0
     all.foreach { a => System.arraycopy(a, 0, flat, p, a.length); p += a.length }

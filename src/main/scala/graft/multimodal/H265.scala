@@ -106,7 +106,14 @@ object H265 {
       pcmLoopFilterDisabled: Boolean = false,
       strongIntraSmoothing: Boolean = false,
       // r12 tier-3 (inter) fields
-      maxTrafoDepthInter: Int = 0, temporalMvp: Boolean = false)
+      maxTrafoDepthInter: Int = 0, temporalMvp: Boolean = false,
+      // §7.4.3.2.1 sps_max_dec_pic_buffering_minus1 + 1 for the highest
+      // sub-layer, clamped to the level-limit ceiling of 16 (r14): the
+      // decode-order reference FIFO is sized from this, so a conformant
+      // stream whose RPS reaches deeper than the old fixed 8 decodes
+      // instead of truncating. Default 8 = the old cap, kept for probe-
+      // only (non-deep) parses.
+      maxDecPicBuffering: Int = 8)
 
   /** profile_tier_level (§7.3.3): fixed 96-bit general block + optional
     * per-sub-layer blocks. Returns (profileIdc, tier, levelIdc).
@@ -172,10 +179,16 @@ object H265 {
       // malformed tail keeps the probe-level info (deep = false) — the
       // pixel decoder requires deep = true.
       try {
+        // sps_max_dec_pic_buffering_minus1: when per-sub-layer values
+        // are present, the HIGHEST sub-layer's entry governs the whole
+        // sequence (§7.4.3.2.1) — that is the one the DPB is sized from
+        // (r14, advice item: a fixed 8-deep FIFO truncated conformant
+        // streams whose RPS reaches a 9th-back picture)
+        var decPicBufM1 = 0
         if (r.flag()) { // sps_sub_layer_ordering_info_present
           var i = 0
-          while (i <= maxSub) { r.ue(); r.ue(); r.ue(); i += 1 }
-        } else { r.ue(); r.ue(); r.ue() }
+          while (i <= maxSub) { decPicBufM1 = r.ue(); r.ue(); r.ue(); i += 1 }
+        } else { decPicBufM1 = r.ue(); r.ue(); r.ue() }
         val minCb = 3 + r.ue()
         val ctb = minCb + r.ue()
         val minTb = 2 + r.ue()
@@ -212,7 +225,8 @@ object H265 {
           pcmBitDepth = pcmBd, pcmMinLog2 = pcmMin, pcmMaxLog2 = pcmMax,
           pcmLoopFilterDisabled = pcmNoFilter,
           strongIntraSmoothing = strong,
-          maxTrafoDepthInter = depthInter, temporalMvp = tmvp))
+          maxTrafoDepthInter = depthInter, temporalMvp = tmvp,
+          maxDecPicBuffering = math.min(16, decPicBufM1 + 1)))
       } catch {
         case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
           Some(base)

@@ -446,7 +446,12 @@ object H265Decode {
                     // iff odd (TRAIL_R 1 vs TRAIL_N 0, etc.)
                     if (H265.isIrap(t) || (t & 1) == 1) {
                       dpb += ((pic, poc))
-                      if (dpb.size > 8) dpb.remove(0)
+                      // FIFO depth from the SPS (§7.4.3.2.1), not a
+                      // fixed 8 (r14): never below the old cap so
+                      // sub-8 declarations can't shrink behavior, and
+                      // capped at the level-limit 16 in parseSps
+                      if (dpb.size > math.max(8, s.maxDecPicBuffering))
+                        dpb.remove(0)
                       prevPoc = poc
                     }
                   case None => return display

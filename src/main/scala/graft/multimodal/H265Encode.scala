@@ -341,7 +341,8 @@ object H265Encode {
       pics: Seq[GopPic], qp: Int, ctbLog2: Int = 5,
       minCbLog2: Int = 3, maxTbLog2: Int = 5,
       depthIntra: Int = 1,
-      cabacInit: Boolean = false): (Array[Byte], Seq[Recon]) = {
+      cabacInit: Boolean = false,
+      decPicBuffering: Int = 3): (Array[Byte], Seq[Recon]) = {
     require(frames.nonEmpty && frames.size == pics.size + 1,
       "one source frame for the IDR plus one per GOP picture")
     val ctbW = width >> ctbLog2
@@ -354,7 +355,8 @@ object H265Encode {
     val nals = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])](
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra, decPicBuffering = 3, reorderPics = 1)),
+        maxTbLog2, depthIntra, decPicBuffering = decPicBuffering,
+        reorderPics = 1)),
       (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit,
         weightedPred = pics.exists(p => p.sliceType == 1 && p.weights.isDefined),
         weightedBipred = pics.exists(p => p.sliceType == 0 && p.weights.isDefined))),
@@ -467,7 +469,10 @@ object H265Encode {
         Recon(pic.luma.clone(), pic.cb.clone(), pic.cr.clone())))
       if (spec.isRef) {
         dpb(spec.poc) = pic
-        if (dpb.size > 8) dpb.remove(dpb.head._1)
+        // decoder-twin eviction mirrors H265Decode: FIFO depth from
+        // the declared SPS buffering, floored at the legacy 8 (r14)
+        if (dpb.size > math.max(8, decPicBuffering + 1))
+          dpb.remove(dpb.head._1)
       }
       i += 1
     }

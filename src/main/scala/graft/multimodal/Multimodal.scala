@@ -2327,12 +2327,21 @@ object Multimodal {
         // identically (lossless ⇒ decoded == source). FLAC rows only
         // count when the frame CRC-16s pass and the STREAMINFO MD5
         // (when present) matches — a corrupt stream survives as data.
+        // FLAC sniff AFTER skipping any leading ID3v2 tag (r14, advice
+        // item: ID3-prefixed FLAC is common in real corpora and would
+        // otherwise fall through to the G.711 parser and be silently
+        // dropped from the face). The tag is identity-irrelevant here
+        // by construction — the hash is over DECODED samples only, so
+        // tagged and untagged copies of the same audio still collapse.
+        val id3 = Mp3.id3v2Size(m.content)
+        val c = if (id3 > 0 && id3 < m.content.length)
+          java.util.Arrays.copyOfRange(m.content, id3, m.content.length)
+        else m.content
         val pcm: Option[(Int, Int, Array[Short])] =
           if (m.kind != "audio") None
-          else if (m.content.length > 4 && m.content(0) == 'f' &&
-              m.content(1) == 'L' && m.content(2) == 'a' &&
-              m.content(3) == 'C')
-            FlacDecode.decode(m.content).collect {
+          else if (c.length > 4 && c(0) == 'f' && c(1) == 'L' &&
+              c(2) == 'a' && c(3) == 'C')
+            FlacDecode.decode(c).collect {
               case d if d.bitsPerSample == 16 && d.crcOk &&
                   d.md5Ok != Some(false) =>
                 (d.sampleRate, d.channels, d.samples.map(_.toShort))

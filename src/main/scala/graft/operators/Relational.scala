@@ -123,6 +123,41 @@ object Relational {
       partial = Seq(count(lit(1)).as("_partial_n")),
       merge = Seq(sum(col("_partial_n")).as("n")))
 
+  /** EXACT skew-salted COUNT(DISTINCT value) per key (r14, the skew
+    * rung): the salt derives from the VALUE, so each distinct value
+    * lands in exactly one (key, salt) bucket — the per-bucket distinct
+    * counts partition the key's value set and their SUM is the exact
+    * distinct count. This is the aggregation where salting actually
+    * matters at scale: a plain additive aggregate (count/sum) is
+    * already skew-immune through map-side combine, but exact distinct
+    * must cluster (key, value) pairs, so a hot key's whole value set
+    * lands on ONE reducer — value-salting spreads it over
+    * `saltBuckets` reducers with zero approximation.
+    */
+  def saltedDistinctCount(df: DataFrame, keys: Seq[String],
+      valueCol: Column, saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    saltedAggregateBy(df, keys,
+      pmod(xxhash64(valueCol, lit(0x5eed)), lit(saltBuckets.toLong)),
+      partial = Seq(countDistinct(valueCol).as("_pd")),
+      merge = Seq(sum(col("_pd")).as("n_distinct")))
+  }
+
+  /** [[saltedAggregate]] with a CALLER-SUPPLIED salt expression — the
+    * generalization the value-derived distinct salt needs. The salt
+    * must be deterministic per row content (retry-stable), same as
+    * saltedAggregate's row-hash salt.
+    */
+  def saltedAggregateBy(df: DataFrame, keys: Seq[String], salt: Column,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt", salt)
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
   /** Top-k rows per group by a double score (largest first, ties by
     * smallest id) via the bounded-buffer aggregate
     * [[graft.functions.Aggregators.TopKPairs]]: partial aggregation ships
@@ -581,4 +616,54 @@ object Relational {
     val aggs = ps.map { case (name, p) => finalAgg(name, p, rn) }
     hits.groupBy(col(partKey)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact bitmap-pruned semi/anti join on an INTEGRAL key (r14, the
+    * q09 100× rung): the build side folds into one Roaring bitmap via
+    * [[graft.functions.BitmapDistinct.build]] — each partition dedups
+    * locally, the exchange carries one serialized bitmap per partition
+    * (hundreds of KB for millions of clustered surrogate keys) — and
+    * the probe side filters MAP-SIDE on `bitmap_contains`. Versus the
+    * shuffle anti join this removes BOTH heavy exchanges: the build's
+    * per-key distinct shuffle (partial distinct is useless when keys
+    * barely repeat within a partition — the exact regime where the
+    * bitmap's local dedup wins) and the probe's clustering shuffle
+    * (the probe never moves at all).
+    *
+    * Exactness: bitmap membership is exact presence (not a Bloom
+    * sketch — no false positives), so results are identical to
+    * LEFT SEMI / LEFT ANTI on key equality; NULL build keys are
+    * skipped and NULL probe keys test FALSE, matching EXISTS /
+    * NOT EXISTS equality semantics on both sides.
+    *
+    * Scale gate: the merged bitmap lands on the driver (the one
+    * bounded collect, same class as an ANN codebook) and ships to
+    * probe tasks, so it must fit broadcast budgets — Roaring run
+    * containers make dense surrogate-key domains ~2 bits/key, but a
+    * pathological sparse 64-bit domain degrades toward 8 B/key. Gate
+    * with `maxBytes` (default 64 MB, the conventional broadcast
+    * ceiling): past it this falls back to the plain shuffle semi/anti
+    * join, the exact same results at shuffle cost.
+    */
+  def bitmapSteeredJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column, anti: Boolean,
+      maxBytes: Long = 64L << 20): DataFrame = {
+    import graft.functions.BitmapDistinct
+    val bytes = build.agg(BitmapDistinct.build(buildKey).as("_bm"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes.length <= maxBytes) {
+      val c = BitmapDistinct.contains(probeKey, bytes)
+      probe.filter(if (anti) !c else c)
+    } else {
+      probe.join(build.select(buildKey.as("_bk")).distinct(),
+        probeKey === col("_bk"), if (anti) "left_anti" else "left_semi")
+    }
+  }
+
+  def bitmapAntiJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column): DataFrame =
+    bitmapSteeredJoin(probe, probeKey, build, buildKey, anti = true)
+
+  def bitmapSemiJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column): DataFrame =
+    bitmapSteeredJoin(probe, probeKey, build, buildKey, anti = false)
 }

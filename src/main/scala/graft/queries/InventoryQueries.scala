@@ -140,8 +140,21 @@ object InventoryQueries {
     val perCust = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(col("o_orderkey")).as("_n"))
+    // r14: the aggregated side is customer-cardinality (one row per
+    // custkey that has orders), i.e. DIMENSION-sized relative to the
+    // fact it summarizes — broadcast it, and stream customer already
+    // RANGE-partitioned on the output key so the trailing ORDER BY is
+    // satisfied by the join's streamed-side partitioning (local sort
+    // only, no post-join range exchange + sampling pass). Exchanges:
+    // the orders aggregation (inherent to exact per-key counts) and
+    // customer's range partition — down from four (agg, both join
+    // sides, sort). Gate: broadcast is right while the aggregated key
+    // space fits executor budgets (24 MB at the 100× rung); past that
+    // the definitional shuffle form (PlanAuditSpec's twin) is the
+    // fallback shape.
     t(spark, dir, "customer")
-      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+      .repartitionByRange(col("c_custkey"))
+      .join(broadcast(perCust), col("o_custkey") === col("c_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("_n"), lit(0L)).as("n_orders"))
       .orderBy(col("c_custkey"))
   }
@@ -155,11 +168,38 @@ object InventoryQueries {
     * pinned identical to the direct anti join in PlanAuditSpec.
     */
   def q09AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    // r14: the distinct build (≤1 row per custkey — dimension-sized)
+    // broadcasts, so the anti probe is MAP-SIDE over the customer scan
+    // and the trailing ORDER BY exchanges only the anti join's small
+    // remainder. Exchanges: the build's distinct + the survivors'
+    // range partition — customer itself never re-clusters. Gate: the
+    // broadcast is right while the distinct key set fits executor
+    // budgets (12 MB at the 100× rung); q09b is the bitmap form that
+    // shrinks the BUILD exchange too.
     t(spark, dir, "customer")
       .join(
-        t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey")).distinct(),
+        broadcast(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")).distinct()),
         col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** Q-09b (B2 scale path, same oracle as Q-09): the anti join through
+    * [[graft.operators.Relational.bitmapAntiJoin]] — the build side
+    * collapses to one Roaring bitmap (per-partition local dedup, an
+    * N-buffer exchange instead of the distinct's per-key shuffle) and
+    * the probe filters map-side on exact bitmap membership. The shape
+    * that survives when the build's distinct-key shuffle is the
+    * bottleneck; results pinned identical to the LEFT ANTI form.
+    * The probe is filtered IN PLACE (no pre-clustering): the survivors
+    * are the anti-join's small remainder, so the trailing ORDER BY
+    * exchanges only them.
+    */
+  def q09bAntiBitmap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.bitmapAntiJoin(
+      t(spark, dir, "customer"), col("c_custkey"),
+      t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+      col("o_custkey"))
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))
 
@@ -465,6 +505,7 @@ object InventoryQueries {
     "q07_semijoin"       -> (q07SemiJoin _),
     "q08_left_join"      -> (q08LeftJoin _),
     "q09_anti_join"      -> (q09AntiJoin _),
+    "q09b_anti_bitmap"   -> (q09bAntiBitmap _),
     "q10_range_join"     -> (q10RangeJoin _),
     "q10b_band_bucketed" -> (q10bBandBucketed _),
     "q11_agg_suite"      -> (q11AggSuite _),
@@ -527,6 +568,11 @@ object InventoryQueries {
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q09_anti_join" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q09b_anti_bitmap" ->
       """SELECT c_custkey FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')

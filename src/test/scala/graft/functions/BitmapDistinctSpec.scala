@@ -56,4 +56,55 @@ class BitmapDistinctSpec extends SparkSpec {
       df.agg(BitmapDistinct($"k")).collect()
     }
   }
+
+  test("build/contains round-trip: exact membership, null probe is FALSE") {
+    import spark.implicits._
+    val build = Seq(1L, 5L, 5L, 1000000L).toDF("k").repartition(4)
+    val bytes = build.agg(BitmapDistinct.build($"k")).head().getAs[Array[Byte]](0)
+    val probe = Seq(Some(1L), Some(2L), Some(5L), Some(1000000L), None)
+      .toDF("k")
+    val got = probe.filter(BitmapDistinct.contains($"k", bytes))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 5L, 1000000L))
+    // anti form: NULL probe key is KEPT (NOT EXISTS semantics — a null
+    // can never equal a build key), non-members kept, members dropped
+    val anti = probe.filter(!BitmapDistinct.contains($"k", bytes))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(anti == Set(Some(2L), None))
+  }
+
+  test("bitmapAntiJoin ≡ left_anti join; empty build keeps everything") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val probe = (1L to 500L).toDF("pk").repartition(6)
+    val build = (1L to 1000L).filter(_ % 3 == 0).toDF("bk").repartition(4)
+    val got = Relational.bitmapAntiJoin(probe, $"pk", build, $"bk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = probe.join(build, $"pk" === $"bk", "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // semi twin
+    val semi = Relational.bitmapSemiJoin(probe, $"pk", build, $"bk")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val semiWant = probe.join(build, $"pk" === $"bk", "left_semi")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(semi == semiWant && semi.nonEmpty)
+    // empty build: anti keeps all 500, semi keeps none
+    val none = build.filter($"bk" < 0)
+    assert(Relational.bitmapAntiJoin(probe, $"pk", none, $"bk").count() == 500)
+    assert(Relational.bitmapSemiJoin(probe, $"pk", none, $"bk").count() == 0)
+  }
+
+  test("bitmapAntiJoin size gate falls back to the shuffle anti join") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val probe = (1L to 100L).toDF("pk")
+    val build = (1L to 100L).filter(_ % 2 == 0).toDF("bk")
+    val got = Relational.bitmapSteeredJoin(probe, $"pk", build, $"bk",
+      anti = true, maxBytes = 1L) // force the fallback
+    // fallback is a real join (plan has LeftAnti), same exact result
+    assert(got.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 100L).filter(_ % 2 == 1).toSeq)
+  }
 }

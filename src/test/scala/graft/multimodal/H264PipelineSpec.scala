@@ -620,6 +620,47 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("ID3v2-prefixed FLAC joins the decoded-PCM dedup (r14 advice fix)") {
+    import spark.implicits._
+    // same audio three ways: bare FLAC, the SAME FLAC behind an ID3v2
+    // tag (common in real corpora), and a WAV PCM16 twin — all three
+    // must hash to one decoded identity; a different-audio ID3 FLAC
+    // must survive
+    val sr = 8000
+    val chans = Array(Array.tabulate(512)(i =>
+      (1200 * math.sin(i * 0.11)).toInt))
+    val flac = FlacEncode.encode(chans, sr)
+    def id3(tag: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((tag.length >> 21) & 0x7f); out.write((tag.length >> 14) & 0x7f)
+      out.write((tag.length >> 7) & 0x7f); out.write(tag.length & 0x7f)
+      out.write(tag, 0, tag.length)
+      out.toByteArray
+    }
+    val tagged = id3(Array.fill(123)(7.toByte)) ++ flac
+    val wavBody = {
+      val bb = java.nio.ByteBuffer.allocate(2 * chans(0).length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      chans(0).foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    val wav = G711Audio.writeWav("pcm16", sr, 1, wavBody)
+    val other = id3(Array.fill(64)(9.toByte)) ++
+      FlacEncode.encode(Array(chans(0).map(v => -v)), sr)
+    val meta = Multimodal.MediaMeta("flac", None, None, None, None)
+    val media = Seq(
+      Multimodal.Media(0L, "audio", flac, meta),
+      Multimodal.Media(1L, "audio", tagged, meta),
+      Multimodal.Media(2L, "audio", wav, Multimodal.MediaMeta("wav", None, None, None, None)),
+      Multimodal.Media(3L, "audio", other, meta)).toDS()
+    val survivors = Multimodal.audioDedupByDecodedPcm(media)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(0L, 3L),
+      s"tagged FLAC and WAV twin must collapse into id 0; got $survivors")
+  }
+
   test("FLAC dedup (q167 corpus): retagged twins collapse; one-byte audio changes survive") {
     import spark.implicits._
     val media = Multimodal.syntheticFlacs(spark, 60).persist()

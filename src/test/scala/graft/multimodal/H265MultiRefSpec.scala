@@ -152,6 +152,56 @@ class H265MultiRefSpec extends AnyFunSuite {
     }
   }
 
+  test("DPB sizes from sps_max_dec_pic_buffering, not a fixed 8 (r14)") {
+    // parseSps pins the new field (writer emits the MINUS1 value)
+    val sps11 = H265.parseSps(H265.writeSpsPixel2(32, 32,
+      decPicBuffering = 11)).get
+    assert(sps11.deep && sps11.maxDecPicBuffering == 12)
+    // level-limit clamp
+    assert(H265.parseSps(H265.writeSpsPixel2(32, 32,
+      decPicBuffering = 40)).get.maxDecPicBuffering == 16)
+
+    // a conformant stream whose LAST P reaches 10 pictures back: IDR +
+    // nine reference Ps (each a perfect skip of its predecessor), then
+    // POC 10 whose ONLY RPS entry is the IDR. At decode time the DPB
+    // holds 10 reference pictures — over the old fixed-8 FIFO, which
+    // evicted the IDR and truncated the output.
+    val w = 32; val h = 32
+    val fA = planes(w, h, 7)
+    val pics = (1 to 9).map(p => GopPic(p, 1, one(InterLeaf(0, 0)))) :+
+      GopPic(10, 1, one(InterLeaf(0, 0)), negDelta = 10)
+    val frames = Seq.fill(11)(fA)
+    val (deepStream, recons) = H265Encode.encodeGopB(frames, w, h,
+      one(CuLeaf(Seq(1))), pics, 24, decPicBuffering = 11)
+    val decoded = H265Decode.decodeAnnexBPictures(deepStream, maxFrames = 16)
+    assert(decoded.size == 11, "SPS-sized DPB must retain the IDR")
+    // bit-exact against the encoder's decoder-twin recon — POC 10's
+    // prediction resolves through the 10-back RPS entry, which only
+    // exists if the IDR is still resident
+    assert(decoded.last.luma.toSeq == recons.last.luma.toSeq)
+
+    // the SAME coded pictures behind an SPS declaring only shallow
+    // buffering (spliced in — the honest encoder now refuses to build
+    // this GOP shallow, which is itself the fix working on the encode
+    // side): the FIFO (max(8, sps)) drops the IDR before POC 10 needs
+    // it, and decode truncates to the pictures-so-far — the documented
+    // loud-reject posture, now SPS-governed
+    intercept[IllegalArgumentException] {
+      H265Encode.encodeGopB(frames, w, h, one(CuLeaf(Seq(1))), pics, 24)
+    }
+    val shallowStream = H265Encode.annexB(
+      H265.nalUnitsAnnexB(deepStream).map { n =>
+        val payload =
+          if (n.nalType == H265.NalSps)
+            H265.writeSpsPixel2(w, h, decPicBuffering = 3, reorderPics = 1)
+          else n.payload
+        (n.nalType, payload)
+      })
+    val truncated = H265Decode.decodeAnnexBPictures(shallowStream,
+      maxFrames = 16)
+    assert(truncated.size == 10, "shallow DPB truncates at the deep RPS")
+  }
+
   test("bit-flip fuzz over a multiref P slice never hangs or escapes") {
     val w = 32; val h = 32
     val fs = (0 to 2).map(i => planes(w, h, 40 + i))

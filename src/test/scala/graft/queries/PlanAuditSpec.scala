@@ -103,6 +103,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(got.queryExecution.executedPlan.toString.contains("LeftAnti"))
   }
 
+  test("q09b bitmap anti ≡ the direct anti join; probe filters map-side, no join") {
+    import org.apache.spark.sql.functions._
+    val got = InventoryQueries.all("q09b_anti_bitmap")(spark, dir)
+    val want = graft.core.Tables.load(spark, dir, "customer")
+      .join(graft.core.Tables.load(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+    assert(got.collect().map(_.toSeq).toSeq ==
+      want.collect().map(_.toSeq).toSeq)
+    // the whole point: the probe plan carries a bitmap_contains FILTER
+    // and no join at all — the build side ran as a bounded plan-build job
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("bitmap_contains"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q11 bitmap distinct ≡ the definitional COUNT(DISTINCT) form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType

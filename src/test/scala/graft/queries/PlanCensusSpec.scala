@@ -96,6 +96,21 @@ class PlanCensusSpec extends SparkSpec {
   // Tuples are (shuffles, broadcasts, loops, pushdown) of the initial
   // pre-AQE physical plan at sf0.001, matching docs/plan_report.md.
   private val pinned: Map[String, (Int, Int, Int, Boolean)] = Map(
+    "q08_left_join"            -> (2, 1, 0, true), // r14: orders agg +
+                                                   // customer RANGE part.;
+                                                   // broadcast perCust; the
+                                                   // ORDER BY rides the range
+                                                   // partitioning (no post-
+                                                   // join sort exchange)
+    "q09_anti_join"            -> (2, 1, 0, true), // r14: distinct build
+                                                   // broadcast (map-side anti
+                                                   // probe) + survivors-only
+                                                   // range exchange
+    "q09b_anti_bitmap"         -> (1, 0, 0, true), // r14 scale path: bitmap
+                                                   // build is a bounded plan-
+                                                   // build job; probe filters
+                                                   // map-side; only the tiny
+                                                   // survivor sort exchanges
     "q63_snapshot_latest"      -> (2, 0, 0, true),
     "q64_upsert_merge"         -> (2, 0, 0, true),
     "q65_repetition"           -> (2, 0, 0, true),
