@@ -128,26 +128,84 @@ private[multimodal] object H265Deblock {
     }
   }
 
-  /** Filter a decoded I-picture IN PLACE (the in-loop property: callers
+  /** §8.7.2.4 boundary strength for one 4-sample segment whose p0 is
+    * at (px, py) and q0 at (qx, qy), both sides inter and cbf-clean
+    * (the intra → 2 and nonzero-TB → 1 rules are applied by the
+    * caller): 1 on reference-picture or MV-count mismatch or a ≥4
+    * quarter-pel component difference under the normative matching
+    * (same-picture-twice blocks accept EITHER assignment), else 0.
+    * References compare by PICTURE (POC via the slice's lists), not
+    * by list index.
+    */
+  private def motionBs(a: H265Inter.Mi, b: H265Inter.Mi,
+      refPocs0: IndexedSeq[Int], refPocs1: IndexedSeq[Int]): Int = {
+    def refs(m: H265Inter.Mi): List[Int] = m.dir match {
+      case 1 => List(refPocs0(m.ref0))
+      case 2 => List(refPocs1(m.ref1))
+      case _ => List(refPocs0(m.ref0), refPocs1(m.ref1))
+    }
+    def mvs(m: H265Inter.Mi): List[(Int, Int)] = m.dir match {
+      case 1 => List((m.mv0x, m.mv0y))
+      case 2 => List((m.mv1x, m.mv1y))
+      case _ => List((m.mv0x, m.mv0y), (m.mv1x, m.mv1y))
+    }
+    @inline def far(p: (Int, Int), q: (Int, Int)): Boolean =
+      math.abs(p._1 - q._1) >= 4 || math.abs(p._2 - q._2) >= 4
+    val ra = refs(a); val rb = refs(b)
+    val ma = mvs(a); val mb = mvs(b)
+    if (ra.size != rb.size) 1
+    else if (ra.size == 1) {
+      if (ra.head != rb.head || far(ma.head, mb.head)) 1 else 0
+    } else if (ra.sorted != rb.sorted) 1
+    else if (ra.head != ra(1)) {
+      // two DISTINCT pictures: match B's MVs to A's reference order
+      val (mb0, mb1) =
+        if (rb.head == ra.head) (mb.head, mb(1)) else (mb(1), mb.head)
+      if (far(ma.head, mb0) || far(ma(1), mb1)) 1 else 0
+    } else {
+      // the same picture on both lists: bS 0 if EITHER assignment is
+      // close (§8.7.2.4's "for at least one of the two possible
+      // correspondences")
+      val straight = !far(ma.head, mb.head) && !far(ma(1), mb(1))
+      val crossed = !far(ma.head, mb(1)) && !far(ma(1), mb.head)
+      if (straight || crossed) 0 else 1
+    }
+  }
+
+  /** Filter a decoded picture IN PLACE (the in-loop property: callers
     * run this before the picture becomes a reference / output). Edge
     * existence comes from the Pic's TU-edge grids (collected at recon
-    * time); every edge is bS 2 (intra). `qp` is the slice luma QP
-    * (no cu_qp_delta in the tier); β/tC offsets are the PPS's
-    * (tier writers emit 0).
+    * time; 2Nx2N tier ⇒ every PU edge is also a TU edge). bS per
+    * 4-sample segment (§8.7.2.4): 2 when either side is intra — the
+    * only case in I pictures, and the only case chroma filters — 1 on
+    * a nonzero-level luma TB or a motion mismatch ([[motionBs]]; r14,
+    * unlocked by the libx265 external vectors), else 0 (unfiltered).
+    * `qp` is the slice luma QP (no cu_qp_delta in the tier); β/tC
+    * offsets are the PPS's.
     */
   def filterPicture(pic: H265Decode.Pic, qp: Int, cbQpOffset: Int,
-      crQpOffset: Int, betaOff: Int, tcOff: Int): Unit = {
+      crQpOffset: Int, betaOff: Int, tcOff: Int,
+      interPic: Boolean = false,
+      refPocs0: IndexedSeq[Int] = IndexedSeq(0),
+      refPocs1: IndexedSeq[Int] = IndexedSeq(0)): Unit = {
     val w = pic.width; val h = pic.height
-    val betaIdx = clip3(0, 51, qp + (betaOff << 1))
-    val tcIdx = clip3(0, 53, qp + 2 + (tcOff << 1)) // bS 2 → +2·(bS−1)
-    val beta = betaTable(betaIdx)
-    val tc = tcTable(tcIdx)
+    val beta = betaTable(clip3(0, 51, qp + (betaOff << 1)))
+    def tcFor(bs: Int): Int =
+      tcTable(clip3(0, 53, qp + 2 * (bs - 1) + (tcOff << 1)))
     def qpC(off: Int): Int =
       H265Transform.chromaQp(clip3(0, 57, qp + off))
     val tcCb = tcTable(clip3(0, 53, qpC(cbQpOffset) + 2 + (tcOff << 1)))
     val tcCr = tcTable(clip3(0, 53, qpC(crQpOffset) + 2 + (tcOff << 1)))
 
     @inline def noFilt(x: Int, y: Int): Boolean = pic.noFilter(x, y)
+    /** bS of the segment whose adjacent samples are p0=(px,py),
+      * q0=(qx,qy). */
+    def bsAt(px: Int, py: Int, qx: Int, qy: Int): Int =
+      if (!interPic) 2
+      else if (!pic.interAt(px, py) || !pic.interAt(qx, qy)) 2
+      else if (pic.cbfAt(px, py) || pic.cbfAt(qx, qy)) 1
+      else motionBs(pic.miAt(px, py), pic.miAt(qx, qy),
+        refPocs0, refPocs1)
 
     // ---- pass 1: ALL vertical edges (x on the 8-grid, x > 0)
     var x = 8
@@ -156,23 +214,25 @@ private[multimodal] object H265Deblock {
       while (y < h) {
         if (pic.tuEdgeV(x, y)) {
           val yy = y
-          if (beta > 0) filterLumaSegment(
+          val bs = bsAt(x - 1, yy, x, yy)
+          if (beta > 0 && bs > 0) filterLumaSegment(
             (line, off) => pic.luma((yy + line) * w + x + off) & 0xff,
             (line, off, v) => pic.luma((yy + line) * w + x + off) = v.toByte,
-            beta, tc,
+            beta, tcFor(bs),
             writeP = !noFilt(x - 1, yy), writeQ = !noFilt(x, yy))
         }
         y += 4
       }
       x += 8
     }
-    // chroma vertical edges: luma-16 grid
+    // chroma vertical edges: luma-16 grid, bS 2 segments only
     val cw = w >> 1; val ch = h >> 1
     x = 16
     while (x < w) {
       var y = 0
       while (y < h) {
-        if (pic.tuEdgeV(x, y) && tcCb + tcCr > 0) {
+        if (pic.tuEdgeV(x, y) && tcCb + tcCr > 0 &&
+            bsAt(x - 1, y, x, y) == 2) {
           val cx = x >> 1; val cy = y >> 1
           def run(plane: Array[Byte], t: Int): Unit =
             if (t > 0) filterChromaSegment(
@@ -192,10 +252,11 @@ private[multimodal] object H265Deblock {
       while (x2 < w) {
         if (pic.tuEdgeH(x2, y)) {
           val xx = x2
-          if (beta > 0) filterLumaSegment(
+          val bs = bsAt(xx, y - 1, xx, y)
+          if (beta > 0 && bs > 0) filterLumaSegment(
             (line, off) => pic.luma((y + off) * w + xx + line) & 0xff,
             (line, off, v) => pic.luma((y + off) * w + xx + line) = v.toByte,
-            beta, tc,
+            beta, tcFor(bs),
             writeP = !noFilt(xx, y - 1), writeQ = !noFilt(xx, y))
         }
         x2 += 4
@@ -206,7 +267,8 @@ private[multimodal] object H265Deblock {
     while (y < h) {
       var x2 = 0
       while (x2 < w) {
-        if (pic.tuEdgeH(x2, y) && tcCb + tcCr > 0) {
+        if (pic.tuEdgeH(x2, y) && tcCb + tcCr > 0 &&
+            bsAt(x2, y - 1, x2, y) == 2) {
           val cx = x2 >> 1; val cy = y >> 1
           def run(plane: Array[Byte], t: Int): Unit =
             if (t > 0) filterChromaSegment(

@@ -131,6 +131,20 @@ object H265Decode {
       else if (skip4((y >> 2) * w4 + (x >> 2))) 1 else 0
     def tuEdgeV(x: Int, y: Int): Boolean = tuEdgeV4((y >> 2) * w4 + (x >> 2))
     def tuEdgeH(x: Int, y: Int): Boolean = tuEdgeH4((y >> 2) * w4 + (x >> 2))
+    /** Luma-TB-has-nonzero-levels grid (r14, inter deblocking): the
+      * §8.7.2.4 bS=1 rule needs "p0/q0 in a luma TB with one or more
+      * nonzero coefficient levels"; painted per TB at recon time.
+      */
+    val cbf4 = new Array[Boolean](w4 * h4)
+    def markCbf(x0: Int, y0: Int, n: Int): Unit = {
+      var y = y0 >> 2
+      while (y < ((y0 + n) >> 2)) {
+        var x = x0 >> 2
+        while (x < ((x0 + n) >> 2)) { cbf4(y * w4 + x) = true; x += 1 }
+        y += 1
+      }
+    }
+    def cbfAt(x: Int, y: Int): Boolean = cbf4((y >> 2) * w4 + (x >> 2))
     def noFilter(x: Int, y: Int): Boolean = noFilter4((y >> 2) * w4 + (x >> 2))
     def markNoFilter(x0: Int, y0: Int, n: Int): Unit = {
       var y = y0 >> 2
@@ -413,7 +427,8 @@ object H265Decode {
     * content yields the pictures completed so far.
     */
   def decodeAnnexBPictures(bytes: Array[Byte], maxFrames: Int = 8,
-      allowInter: Boolean = true): Seq[Frame] = {
+      allowInter: Boolean = true,
+      displayOrder: Boolean = true): Seq[Frame] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Frame)]
     var sps: Option[H265.SpsInfo] = None
     var pps: Option[H265.PpsInfo] = None
@@ -421,7 +436,8 @@ object H265Decode {
     var prevPoc = 0 // POC of prevTid0Pic (previous reference picture)
     var period = 0 // IRAP counter: POCs only order within a period
     def display: Seq[Frame] =
-      out.sortBy(f => (f._1, f._2)).map(_._3).toSeq
+      if (displayOrder) out.sortBy(f => (f._1, f._2)).map(_._3).toSeq
+      else out.map(_._3).toSeq // decode order (x265 recon-file order)
     try {
       val nals = H265.nalUnitsAnnexB(bytes).iterator
       while (nals.hasNext && out.size < maxFrames) {
@@ -652,6 +668,10 @@ object H265Decode {
       val deq = H265Transform.dequant(levels, log2Size, qp)
       val res = H265Transform.inverseTransform(deq, log2Size,
         dst = luma && n == 4)
+      if (sys.env.contains("H265_DEBUG_TB") && !luma)
+        println(s"TB ($px,$py)x$n qp=$qp lv=" +
+          levels.zipWithIndex.filter(_._1 != 0).map(z => s"${z._2}:${z._1}").mkString(",") +
+          " res00=" + res(0) + " resTR=" + res(n - 1))
       var y = 0
       while (y < n) {
         var x = 0
@@ -663,7 +683,10 @@ object H265Decode {
         y += 1
       }
     }
-    if (luma) pic.markLuma(px, py, n) else pic.markChroma(px, py, n)
+    if (luma) {
+      pic.markLuma(px, py, n)
+      if (cbf) pic.markCbf(px, py, n)
+    } else pic.markChroma(px, py, n)
   }
 
   /** Per-CU context threaded through the transform tree. `inter` CUs
@@ -671,7 +694,7 @@ object H265Decode {
     */
   private final class CuCtx(val cuX: Int, val cuY: Int, val log2CbSize: Int,
       val nxn: Boolean, val modes: Array[Int],
-      val inter: Boolean = false) {
+      val inter: Boolean = false, val chromaIdx: Int = 4) {
     def lumaMode(x0: Int, y0: Int): Int =
       if (inter) -1
       else if (!nxn) modes(0)
@@ -679,8 +702,26 @@ object H265Decode {
         val half = 1 << (log2CbSize - 1)
         modes((if (y0 - cuY >= half) 2 else 0) + (if (x0 - cuX >= half) 1 else 0))
       }
-    /** 4:2:0 DM chroma: derived from the TOP-LEFT PU (§8.4.3). */
-    def chromaMode: Int = if (inter) -1 else modes(0)
+    /** 4:2:0 chroma mode per Table 8-3 (§8.4.3): DM derives from the
+      * TOP-LEFT PU; the four EXPLICIT modes (planar/vertical/
+      * horizontal/DC — r14, unlocked by the libx265 external vector)
+      * substitute angular-34 when they would collide with the luma
+      * mode.
+      */
+    def chromaMode: Int =
+      if (inter) -1
+      else {
+        val l = modes(0)
+        chromaIdx match {
+          case 4 => l
+          case 0 => if (l == 0) 34 else 0
+          case 1 => if (l == 26) 34 else 26
+          case 2 => if (l == 10) 34 else 10
+          case 3 => if (l == 1) 34 else 1
+          case other => throw new IllegalArgumentException(
+            s"bad chroma mode idx $other")
+        }
+      }
   }
 
   /** transform_tree (§7.3.8.8) + transform_unit (§7.3.8.10) + recon. */
@@ -784,6 +825,8 @@ object H265Decode {
         val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
           s.maxMerge, bSlice, s.refPocs0, s.refPocs1,
           numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
+        if (sys.env.contains("H265_DEBUG_PU"))
+          println(s"PU ($x0,$y0)x$nCb skip idx=$idx mi=$mi")
         s.weights match {
           case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
             pic, x0, y0, nCb, mi, pw)
@@ -838,6 +881,8 @@ object H265Decode {
             }
             H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2, r0, 0)
           }
+        if (sys.env.contains("H265_DEBUG_PU"))
+          println(s"PU ($x0,$y0)x$nCb merge=$merge mi=$mi")
         s.weights match {
           case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
             pic, x0, y0, nCb, mi, pw)
@@ -928,8 +973,10 @@ object H265Decode {
       p += 1
     }
     val chromaMode = decodeChromaMode(s.d)
-    require(chromaMode == 4, "explicit chroma modes out of the tier")
-    val cu = new CuCtx(x0, y0, log2CbSize, nxn, modes)
+    if (sys.env.contains("H265_DEBUG_PU"))
+      println(s"IN ($x0,$y0)x$nCb nxn=$nxn modes=${modes.toList} chromaIdx=$chromaMode")
+    val cu = new CuCtx(x0, y0, log2CbSize, nxn, modes,
+      chromaIdx = chromaMode)
     transformTree(s, cu, x0, y0, x0, y0, log2CbSize, 0, 0,
       parentCbfCb = false, parentCbfCr = false)
   }
@@ -1071,25 +1118,30 @@ object H265Decode {
         acc += r.ue() + 1
         posDeltas(i) = acc; posUsed(i) = r.flag(); i += 1
       }
+      // r14 (x265 external vectors): RPS entries may be KEPT for
+      // future pictures without being used by this one — only the
+      // used_by_curr_pic entries build the reference lists (§8.3.4's
+      // StCurrBefore/StCurrAfter), in RPS order (closest first)
+      val usedNeg = (0 until numNeg).filter(negUsed)
+      val usedPos = (0 until numPos).filter(posUsed)
       if (sliceType == 1) {
-        // r13 multiref: any number of used negative references — L0 =
-        // [StCurrBefore] in RPS order (closest first, §8.3.4)
-        require(numNeg >= 1 && numPos == 0 && negUsed.forall(identity),
-          "P pictures carry used negative references only in the tier")
-        refPocs0 = IndexedSeq.tabulate(numNeg)(k => poc - negDeltas(k))
+        require(usedNeg.nonEmpty && usedPos.isEmpty,
+          "P pictures use negative references only in the tier")
+        refPocs0 = usedNeg.map(k => poc - negDeltas(k)).toIndexedSeq
         refs0 = refPocs0.map(inDpb)
         require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       if (sliceType == 0) {
-        // tier-4 B: one used past + one used future reference — L0 =
-        // [StCurrBefore], L1 = [StCurrAfter] (§8.3.4 with one active
-        // reference per list and no list modification)
-        require(numNeg == 1 && numPos == 1 && negUsed(0) && posUsed(0),
-          "tier-4 B pictures carry exactly one used reference per direction")
-        refPocs0 = IndexedSeq(poc - negDeltas(0))
-        refPoc1 = poc + posDeltas(0)
-        refs0 = IndexedSeq(inDpb(refPocs0(0)))
+        // tier-4 B: one used past + one used future reference active —
+        // L0 = [StCurrBefore], L1 = [StCurrAfter]
+        require(usedNeg.nonEmpty && usedPos.nonEmpty,
+          "B pictures need a used reference in each direction")
+        refPocs0 = usedNeg.map(k => poc - negDeltas(k)).toIndexedSeq
+        refPoc1 = poc + posDeltas(usedPos.head)
+        refs0 = refPocs0.map(inDpb)
         ref1 = inDpb(refPoc1)
+        require(usedPos.size == 1,
+          "tier-4 B slices carry one used future reference")
         require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       // long-term refs: SPS-disabled in all tier streams (flag absent)
@@ -1125,7 +1177,8 @@ object H265Decode {
       // ref_pic_lists_modification: present when the PPS allows it
       // and NumPicTotalCurr > 1. Accept only the identity permutation
       // (list_entry i == i reproduces the default initialization).
-      val numPicTotalCurr = if (sliceType == 0) 2 else refs0.size
+      // NumPicTotalCurr (§7.4.7.2): all used entries, both directions
+      val numPicTotalCurr = if (sliceType == 0) refs0.size + 1 else refs0.size
       if (pps.listsModification && numPicTotalCurr > 1) {
         val entryBits = 32 - Integer.numberOfLeadingZeros(numPicTotalCurr - 1)
         if (r.flag()) { // ref_pic_list_modification_flag_l0
@@ -1154,8 +1207,8 @@ object H265Decode {
       }
       maxMerge = 5 - r.ue() // five_minus_max_num_merge_cand
       require(maxMerge >= 1 && maxMerge <= 5, s"bad MaxNumMergeCand $maxMerge")
-      require(pps.deblockingDisabled,
-        "deblocking with inter pictures out of the tier (bS derivation)")
+      // deblocking with inter pictures: live since r14 (full §8.7.2.4
+      // bS derivation, validated bit-exact against libx265 vectors)
     }
     val qp = pps.initQp + r.se()
     require(qp >= 0 && qp <= 51, s"bad slice qp $qp")
@@ -1169,6 +1222,8 @@ object H265Decode {
     require(r.u(1) == 1, "alignment_bit_equal_to_one")
     while (r.remaining % 8 != 0) require(r.u(1) == 0, "alignment zero bit")
 
+    if (sys.env.contains("H265_DEBUG_PU"))
+      println(s"SLICE poc=$poc type=$sliceType qp=$qp")
     val pic = new Pic(sps.width, sps.height)
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
       refs0, maxMerge, ref1, poc, refPocs0, refPoc1, mvdL1Zero, weights,
@@ -1203,13 +1258,14 @@ object H265Decode {
       require(!s.d.exhausted, "HEVC CABAC bitstream exhausted mid-slice")
     }
     require(ctu == nCtu, "slice ended before the picture completed")
-    // in-loop filters (r12): deblocking, then SAO over the deblocked
-    // picture — before output and before the picture serves as a
-    // reference (P pictures require deblocking off until the inter bS
-    // derivation lands; SAO is slice-flag gated and works either way)
+    // in-loop filters (r12; inter bS since r14): deblocking, then SAO
+    // over the deblocked picture — before output and before the
+    // picture serves as a reference
     if (!pps.deblockingDisabled)
       H265Deblock.filterPicture(pic, qp, pps.cbQpOffset, pps.crQpOffset,
-        pps.betaOffsetDiv2, pps.tcOffsetDiv2)
+        pps.betaOffsetDiv2, pps.tcOffsetDiv2,
+        interPic = sliceType != 2,
+        refPocs0 = refPocs0, refPocs1 = IndexedSeq(refPoc1))
     if (saoParams != null)
       H265Sao.applyPicture(pic, saoParams, ctbW, ctbH, sps.ctbLog2)
     Some((Frame(sps.width, sps.height, sps.width >> 4, sps.height >> 4,

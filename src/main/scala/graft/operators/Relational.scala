@@ -123,40 +123,17 @@ object Relational {
       partial = Seq(count(lit(1)).as("_partial_n")),
       merge = Seq(sum(col("_partial_n")).as("n")))
 
-  /** EXACT skew-salted COUNT(DISTINCT value) per key (r14, the skew
-    * rung): the salt derives from the VALUE, so each distinct value
-    * lands in exactly one (key, salt) bucket — the per-bucket distinct
-    * counts partition the key's value set and their SUM is the exact
-    * distinct count. This is the aggregation where salting actually
-    * matters at scale: a plain additive aggregate (count/sum) is
-    * already skew-immune through map-side combine, but exact distinct
-    * must cluster (key, value) pairs, so a hot key's whole value set
-    * lands on ONE reducer — value-salting spreads it over
-    * `saltBuckets` reducers with zero approximation.
-    */
-  def saltedDistinctCount(df: DataFrame, keys: Seq[String],
-      valueCol: Column, saltBuckets: Int = 16): DataFrame = {
-    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
-    saltedAggregateBy(df, keys,
-      pmod(xxhash64(valueCol, lit(0x5eed)), lit(saltBuckets.toLong)),
-      partial = Seq(countDistinct(valueCol).as("_pd")),
-      merge = Seq(sum(col("_pd")).as("n_distinct")))
-  }
-
-  /** [[saltedAggregate]] with a CALLER-SUPPLIED salt expression — the
-    * generalization the value-derived distinct salt needs. The salt
-    * must be deterministic per row content (retry-stable), same as
-    * saltedAggregate's row-hash salt.
-    */
-  def saltedAggregateBy(df: DataFrame, keys: Seq[String], salt: Column,
-      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("_salt", salt)
-    salted
-      .groupBy((keys.map(col) :+ col("_salt")): _*)
-      .agg(partial.head, partial.tail: _*)
-      .groupBy(keys.map(col): _*)
-      .agg(merge.head, merge.tail: _*)
-  }
+  // NOTE (r14 skew rung, negative finding worth keeping): exact
+  // COUNT(DISTINCT v) GROUP BY k needs NO salting — Spark's two-phase
+  // distinct plan already exchanges the dedup stage on (k, v)
+  // (verified: Exchange hashpartitioning(key, value) under the partial
+  // distinct), so a hot key's value set is natively spread across
+  // reducers and only (k, partial_count) rows ride the second, k-keyed
+  // exchange. The salting operators below exist for the shapes Spark
+  // does NOT spread: the shuffled equi-join's probe clustering
+  // ([[saltedJoin]]) and hot-key heavy-state aggregation, where the
+  // bucketed order-statistics path ([[percentileContExact]]) is the
+  // skew-robust form of a per-key sort window.
 
   /** Top-k rows per group by a double score (largest first, ties by
     * smallest id) via the bounded-buffer aggregate

@@ -1,40 +1,44 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-robustness rung (r14 verdict item 4): the 100× relational spine
   * is uniform TPC-H-shaped, but 100 TB reality is Zipfian — this tool
   * PLANTS the skew (one hot key carrying ~20% of rows, the remainder
-  * uniform over `nKeys`) and pairs the mitigation paths against their
-  * unmitigated forms on the same on-disk corpus:
+  * uniform over `nKeys`) and pairs each mitigation against its
+  * unmitigated form on the same on-disk corpus, wall-clock, warm
+  * best-of-reps, exactness-gated (full-row-hash equality) first.
   *
-  *  - join_unsalted_nomitig: shuffled hash/SMJ equi-join with AQE skew
-  *    handling OFF and broadcast OFF — the unbounded-straggler baseline
-  *    (hot key's 20% of probe rows land on one reducer of 32);
-  *  - join_unsalted_aqe: same plan, AQE skewJoin ON — Spark's built-in
-  *    runtime split;
-  *  - join_salted: [[graft.operators.Relational.saltedJoin]] — the
-  *    static (key, salt) spread, the shape that survives when the plan
-  *    can't re-shuffle at runtime (e.g. the join feeds a co-partitioned
-  *    consumer) or the build side is skew-replicated anyway;
-  *  - distinct_unsalted vs distinct_salted: exact COUNT(DISTINCT value)
-  *    per key — the aggregation where skew actually bites (the hot
-  *    key's whole value set clusters onto one reducer) vs
-  *    [[graft.operators.Relational.saltedDistinctCount]]'s value-salt
-  *    partition of the distinct sets;
-  *  - agg_unsalted vs agg_salted: plain count+sum per key — the HONESTY
-  *    row: additive aggregates are already skew-immune through
-  *    map-side combine, so salting is expected ~neutral here (q111's
-  *    oracle face proves invisibility, not speed).
+  * What Spark already handles (measured, the honesty rows):
+  *  - additive aggregates (count/sum by key): map-side combine crushes
+  *    the hot key before the exchange — salting expected ~neutral;
+  *  - exact COUNT(DISTINCT v) by k: the built-in two-phase plan
+  *    exchanges the dedup stage on (k, v), natively spreading the hot
+  *    key's value set (see the note in operators/Relational.scala).
+  *
+  * Where mitigation is load-bearing (the rung):
+  *  - join_unsalted_nomitig vs join_unsalted_aqe vs join_salted: a
+  *    shuffled equi-join clusters the probe on the key, so the hot
+  *    key's 20% of rows land on ONE reducer of 32. AQE's skewJoin is
+  *    the runtime split; [[graft.operators.Relational.saltedJoin]] is
+  *    the static (key, salt) spread that also survives plans AQE can't
+  *    re-split. Broadcast is disabled throughout — the scenario under
+  *    test is "dim not broadcastable", the only regime where any of
+  *    this matters;
+  *  - median_window vs median_bucketed: per-key EXACT median via a
+  *    sort window (Window.partitionBy(key) — the classic straggler,
+  *    no built-in mitigation exists) vs
+  *    [[graft.operators.Relational.percentileContExact]]'s bucketed
+  *    two-pass, whose frames are (key, bucket)-parallel.
   *
   * The corpus is DETERMINISTIC (seeded xxhash64 transforms of
-  * spark.range — no RNG), so every variant sees identical data and the
-  * tool cross-checks result equality (full-row hash) between each
-  * mitigation and its baseline before timing counts.
+  * spark.range — no RNG), so every variant sees identical data.
   *
   * Usage: runMain graft.tools.R14SkewBench [rows] [outDir] [reps]
-  * Prints one JSON line {"rows":N,"hot_frac":0.2,"queries":{...}}.
+  * Prints one JSON line {"rows":N,"hot_frac":0.2,"loadavg":…,
+  * "queries":{…}}.
   */
 object R14SkewBench {
   val NKeys = 1000
@@ -55,7 +59,6 @@ object R14SkewBench {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -68,9 +71,6 @@ object R14SkewBench {
       println(s"[skew] corpus written: $path")
     }
     def fact: DataFrame = spark.read.parquet(path)
-    // per-key stats dim — small, but the scenario under test is "dim
-    // NOT broadcastable" (at 100 TB the dim is dimension-shaped, not
-    // tiny), so broadcast is disabled for every join variant
     def dim: DataFrame = fact.groupBy(col("key"))
       .agg(count(lit(1)).as("key_n"), round(avg(col("amount")), 6).as("key_avg"))
 
@@ -80,10 +80,6 @@ object R14SkewBench {
       Relational.saltedJoin(
         fact, dim, "key", saltBuckets = 16, probeSaltCol = col("value"))
         .select(col("key"), col("value"), col("key_avg"))
-    def distinctPlain: DataFrame =
-      fact.groupBy(col("key")).agg(countDistinct(col("value")).as("n_distinct"))
-    def distinctSalted: DataFrame =
-      Relational.saltedDistinctCount(fact, Seq("key"), col("value"), 16)
     def aggPlain: DataFrame =
       fact.groupBy(col("key"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
@@ -91,21 +87,38 @@ object R14SkewBench {
       Relational.saltedAggregate(fact, Seq("key"), 16,
         partial = Seq(count(lit(1)).as("_pn"), sum(col("value")).as("_ps")),
         merge = Seq(sum(col("_pn")).as("n"), sum(col("_ps")).as("s")))
-
-    def hashOf(df: DataFrame): Long = {
-      val cols = df.columns.sorted.map(col)
-      df.select(xxhash64(struct(cols: _*)).as("_h"))
-        .agg(sum(col("_h"))).head().getLong(0)
+    def distinctPlain: DataFrame =
+      fact.groupBy(col("key")).agg(countDistinct(col("value")).as("n_distinct"))
+    def medianWindow: DataFrame = {
+      val w = Window.partitionBy(col("key")).orderBy(col("amount"))
+      val n = Window.partitionBy(col("key"))
+      fact.select(col("key"), col("amount"),
+          row_number().over(w).as("_rn"), count(lit(1)).over(n).as("_n"))
+        .filter(col("_rn") === floor((col("_n") + 1) / 2) ||
+          col("_rn") === floor(col("_n") / 2) + 1)
+        .groupBy(col("key"))
+        .agg(round(avg(col("amount")), 6).as("median"))
     }
-    // exactness gates BEFORE timing: mitigation ≡ baseline, full rows
+    def medianBucketed: DataFrame =
+      Relational.percentileContExact(fact, "key", "amount",
+        Seq(("median", 0.5)), buckets = 256)
+        .select(col("key"), round(col("median"), 6).as("median"))
+
+    def hashOf(df: DataFrame): java.math.BigDecimal = {
+      val cols = df.columns.sorted.map(col)
+      // order-independent multiset hash; DECIMAL(38,0) sum can't
+      // overflow (15e6 × 2^63 ≈ 1.4e26 ≪ 1e38) under ANSI mode
+      df.select(xxhash64(struct(cols: _*)).cast("decimal(38,0)").as("_h"))
+        .agg(sum(col("_h"))).head().getDecimal(0)
+    }
     require(hashOf(joinSalted) == hashOf(joinPlain), "salted join diverged")
-    require(hashOf(distinctSalted) == hashOf(distinctPlain),
-      "salted distinct diverged")
     require(hashOf(aggSalted) == hashOf(aggPlain), "salted agg diverged")
+    require(hashOf(medianBucketed) == hashOf(medianWindow),
+      "bucketed median diverged")
     println("[skew] exactness gates passed")
 
     def time(mk: () => DataFrame, conf: Map[String, String]): Double = {
-      val saved = conf.keys.map(k => k -> spark.conf.get(k)).toMap
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val ts = (0 to reps).map { _ =>
@@ -114,7 +127,10 @@ object R14SkewBench {
           (System.nanoTime() - t0) / 1e9
         }
         ts.tail.min
-      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
     val noBcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
@@ -124,10 +140,11 @@ object R14SkewBench {
     results("join_unsalted_nomitig") = time(() => joinPlain, noSkewOpt)
     results("join_unsalted_aqe") = time(() => joinPlain, noBcast)
     results("join_salted") = time(() => joinSalted, noBcast)
-    results("distinct_unsalted") = time(() => distinctPlain, Map.empty)
-    results("distinct_salted") = time(() => distinctSalted, Map.empty)
+    results("median_window") = time(() => medianWindow, Map.empty)
+    results("median_bucketed") = time(() => medianBucketed, Map.empty)
     results("agg_unsalted") = time(() => aggPlain, Map.empty)
     results("agg_salted") = time(() => aggSalted, Map.empty)
+    results("distinct_builtin") = time(() => distinctPlain, Map.empty)
 
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").head
