@@ -1850,6 +1850,114 @@ object Multimodal {
     }
   }
 
+  /** Decode-invariant Annex-B REMUX (r14 q175): the same coded HEVC
+    * video re-wrapped at the byte level — the transforms streaming
+    * remuxers apply without touching slice data. Flavor 0: 3-byte
+    * start codes (the first NAL keeps 4 — both forms are legal
+    * everywhere, mixed files exist in the wild); flavor 1: an
+    * access-unit delimiter before every VCL NAL; flavor 2: parameter
+    * sets repeated before every VCL NAL (the broadcast-robustness
+    * pattern). Decoded pixels are identical by construction; bytes
+    * are not — the exact phenomenon decoded-pixel dedup exists for.
+    */
+  def remuxHevcAnnexB(stream: Array[Byte], flavor: Int): Array[Byte] = {
+    val nals = H265.nalUnitsAnnexB(stream)
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(t: Int, payload: Array[Byte], short: Boolean): Unit = {
+      out.write(if (short) Array[Byte](0, 0, 1) else Array[Byte](0, 0, 0, 1))
+      out.write((t & 0x3f) << 1)
+      out.write(1)
+      out.write(payload, 0, payload.length)
+    }
+    val vcl = (t: Int) => t <= 31
+    math.floorMod(flavor, 3) match {
+      case 0 =>
+        nals.zipWithIndex.foreach { case (nal, i) =>
+          emit(nal.nalType, nal.payload, short = i > 0)
+        }
+      case 1 =>
+        // AUD_NUT (35): pic_type 'any' + rbsp stop bit = 0x50
+        nals.foreach { nal =>
+          if (vcl(nal.nalType)) emit(35, Array(0x50.toByte), short = false)
+          emit(nal.nalType, nal.payload, short = false)
+        }
+      case _ =>
+        val ps = nals.filter(n => n.nalType >= 32 && n.nalType <= 34)
+        nals.foreach { nal =>
+          if (vcl(nal.nalType))
+            ps.foreach(p => emit(p.nalType, p.payload, short = false))
+          emit(nal.nalType, nal.payload, short = false)
+        }
+    }
+    out.toByteArray
+  }
+
+  /** q175 corpus: mixed-PROVENANCE HEVC streams for the remux-dedup
+    * face. ids < n−10 are own-encoder P-GOP families: id%10==0 (id>0)
+    * plants a REMUXED copy of id−1 ([[remuxHevcAnnexB]], flavor
+    * rotating by family — byte-disjoint, decode-identical, must
+    * collapse); id%10==5 plants a one-QP re-encode of id−4's content
+    * (different reconstruction — a near-dup exact dedup must keep).
+    * The LAST 10 ids are the external block: the five committed
+    * libx265 vectors (fixtures/x265 — independently-authored encoder
+    * output) verbatim, then each one's remux twin, so the face's
+    * collapse semantics are exercised on streams this repo's encoder
+    * never touched.
+    */
+  def syntheticHevcRemuxStreams(spark: SparkSession, n: Int,
+      partitions: Int = 8): Dataset[Media] = {
+    import spark.implicits._
+    require(n >= 20, s"remux corpus needs >= 20 rows, got $n")
+    val xdir = java.nio.file.Paths.get("fixtures/x265")
+    val xvecs: Seq[Array[Byte]] = Seq("intra_64x64.265", "p_128x64.265",
+      "b_128x64.265", "wp_128x64.265", "mr_128x64.265")
+      .map(f => java.nio.file.Files.readAllBytes(xdir.resolve(f)))
+    val xBase = n - 10
+    spark.range(0, n, 1, partitions).map { id =>
+      val content: Array[Byte] =
+        if (id >= xBase + 5) // remux twin of the vector 5 back
+          remuxHevcAnnexB(xvecs((id - xBase - 5).toInt), (id % 3).toInt)
+        else if (id >= xBase) xvecs((id - xBase).toInt)
+        else {
+          val isDup = id % 10 == 0 && id > 0
+          val reenc = id % 10 == 5 && id >= 5
+          val seed: Long = if (isDup) id - 1 else if (reenc) id - 4 else id
+          val qp = if (reenc) 29 else 27
+          val w = 64; val h = 64
+          val rnd = new scala.util.Random(seed * 193 + 41)
+          val dx = 1 + rnd.nextInt(3)
+          val base = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            (28 + ((x * 7 + y * 3) % 190) + rnd.nextInt(21)).toByte
+          }
+          def shifted(k: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+            val sy = Array.tabulate(w * h) { i =>
+              val x = (i % w - k * dx + 4 * w) % w
+              base((i / w) * w + x)
+            }
+            val scb = Array.tabulate((w / 2) * (h / 2))(i =>
+              (100 + ((i % (w / 2)) + k) % 40).toByte)
+            val scr = Array.tabulate((w / 2) * (h / 2))(i =>
+              (120 + (i / (w / 2) + 2 * k) % 11).toByte)
+            (sy, scb, scr)
+          }
+          import H265Encode.{CuLeaf, CuTree, InterLeaf}
+          val iLayout: Seq[CuTree] = Seq.fill(4)(CuLeaf(Seq(rnd.nextInt(35))))
+          def pLayout(): Seq[CuTree] = Seq.fill(4) {
+            if (rnd.nextInt(4) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+            else InterLeaf(4 * dx, 0): CuTree
+          }
+          val (stream, _) = H265Encode.encodeGop(
+            (0 to 2).map(shifted), w, h, iLayout,
+            Seq(pLayout(), pLayout()), qp)
+          if (isDup) remuxHevcAnnexB(stream, (id / 10 % 3).toInt)
+          else stream
+        }
+      Media(id, "video", content,
+        MediaMeta("h265", None, None, None, Some(120L)))
+    }
+  }
+
   /** Synthetic raw Annex-B H.264 streams for the r12 MULTI-SLICE +
     * P_8x8 rung: each stream a GOP of one IDR and one P picture, BOTH
     * carved into two slices (the most common real-stream structure the

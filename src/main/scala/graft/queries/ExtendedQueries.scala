@@ -1114,6 +1114,26 @@ object ExtendedQueries {
       .orderBy(col("media_id"))
   }
 
+  /** q175 — REMUX dedup over mixed-provenance HEVC (r14): byte-level
+    * re-wraps of the same coded video — 3-byte start codes, AUD
+    * delimiters, repeated parameter sets
+    * ([[graft.multimodal.Multimodal.remuxHevcAnnexB]]) — collapse by
+    * decoded-pixel identity while one-QP re-encodes survive; the
+    * corpus's last block pairs the five committed libx265 EXTERNAL
+    * vectors (fixtures/x265) with their remux twins, so the face runs
+    * on streams authored by an independent encoder, not just our own.
+    * The everyday phenomenon this models: the same video remuxed by
+    * different packagers, where byte/hash dedup silently fails.
+    */
+  def q175HevcRemuxDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fromFixtureOr(
+      spark, graft.tools.GenMediaFixtures.path("hevcremux_200"))(
+      graft.multimodal.Multimodal.syntheticHevcRemuxStreams(spark, 200))
+    graft.multimodal.Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select(col("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** q145 — retrieval-quality evaluation ([[Similarity.retrievalMetrics]]):
     * recall@10 / MRR / nDCG@10 of the sign-bucket coarse retriever
     * against the exact cosine top-10 — the eval harness every
@@ -1441,6 +1461,7 @@ object ExtendedQueries {
     "q172_avc_coding_census" -> (q172AvcCodingCensus _),
     "q173_hevc_wp_dedup" -> (q173HevcWpDedup _),
     "q174_hevc_multiref_dedup" -> (q174HevcMultiRefDedup _),
+    "q175_hevc_remux_dedup" -> (q175HevcRemuxDedup _),
     "q148_bpe_corpus_cost" -> (q148BpeCorpusCost _),
   )
 
@@ -1750,6 +1771,9 @@ object ExtendedQueries {
          ORDER BY media_id""",
     "q174_hevc_multiref_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q174_video_sf001.parquet/*.parquet')
+         ORDER BY media_id""",
+    "q175_hevc_remux_dedup" ->
+      """SELECT media_id FROM read_parquet('/root/repo/fixtures/q175_video_sf001.parquet/*.parquet')
          ORDER BY media_id""",
     "q147_avc_entropy_dedup" ->
       """SELECT media_id FROM read_parquet('/root/repo/fixtures/q147_video_sf001.parquet/*.parquet')

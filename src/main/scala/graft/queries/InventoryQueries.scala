@@ -140,21 +140,15 @@ object InventoryQueries {
     val perCust = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(col("o_orderkey")).as("_n"))
-    // r14: the aggregated side is customer-cardinality (one row per
-    // custkey that has orders), i.e. DIMENSION-sized relative to the
-    // fact it summarizes — broadcast it, and stream customer already
-    // RANGE-partitioned on the output key so the trailing ORDER BY is
-    // satisfied by the join's streamed-side partitioning (local sort
-    // only, no post-join range exchange + sampling pass). Exchanges:
-    // the orders aggregation (inherent to exact per-key counts) and
-    // customer's range partition — down from four (agg, both join
-    // sides, sort). Gate: broadcast is right while the aggregated key
-    // space fits executor budgets (24 MB at the 100× rung); past that
-    // the definitional shuffle form (PlanAuditSpec's twin) is the
-    // fallback shape.
+    // r14 A/B, measured and REJECTED (Q0809Profile, 100×, same quiet
+    // session): broadcasting the per-custkey aggregate into a
+    // range-partitioned customer stream (kills the post-join sort
+    // exchange) costs MORE than it saves — the 1.5 M-row broadcast
+    // build + range sampling push 1.86 s → 2.40 s. The r13 shuffle
+    // form stays; the remaining gap to DuckDB is the exchange-
+    // materialization floor (PERF.md r14 q08 profile).
     t(spark, dir, "customer")
-      .repartitionByRange(col("c_custkey"))
-      .join(broadcast(perCust), col("o_custkey") === col("c_custkey"), "left")
+      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("_n"), lit(0L)).as("n_orders"))
       .orderBy(col("c_custkey"))
   }
@@ -168,18 +162,16 @@ object InventoryQueries {
     * pinned identical to the direct anti join in PlanAuditSpec.
     */
   def q09AntiJoin(spark: SparkSession, dir: String): DataFrame =
-    // r14: the distinct build (≤1 row per custkey — dimension-sized)
-    // broadcasts, so the anti probe is MAP-SIDE over the customer scan
-    // and the trailing ORDER BY exchanges only the anti join's small
-    // remainder. Exchanges: the build's distinct + the survivors'
-    // range partition — customer itself never re-clusters. Gate: the
-    // broadcast is right while the distinct key set fits executor
-    // budgets (12 MB at the 100× rung); q09b is the bitmap form that
-    // shrinks the BUILD exchange too.
+    // r14 A/B, measured and REJECTED (Q0809Profile, 100×): FORCING the
+    // 1.45 M-key distinct build into a broadcast costs more than the
+    // shuffle anti it replaces (1.08 s → 1.54 s — driver-side
+    // HashedRelation build dominates). The r13 pre-distinct shuffle
+    // form stays; [[q09bAntiBitmap]] is the form that actually beats
+    // it (0.89 s): partition-local bitmap dedup, no row broadcast.
     t(spark, dir, "customer")
       .join(
-        broadcast(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey")).distinct()),
+        t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")).distinct(),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))

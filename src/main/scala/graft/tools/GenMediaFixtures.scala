@@ -53,6 +53,7 @@ object GenMediaFixtures {
     "avcfield_120" -> Multimodal.syntheticAvcFieldMixStreams(spark, 120),
     "hevcwp_200" -> Multimodal.syntheticHevcWpStreams(spark, 200),
     "hevcmr_200" -> Multimodal.syntheticHevcMultiRefStreams(spark, 200),
+    "hevcremux_200" -> Multimodal.syntheticHevcRemuxStreams(spark, 200),
     "opus_200" -> Multimodal.syntheticOggOpus(spark, 200),
     "mp3_200" -> Multimodal.syntheticMp3s(spark, 200),
     "hevc_200" -> Multimodal.syntheticHevcMp4s(spark, 200),

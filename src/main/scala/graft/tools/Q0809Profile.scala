@@ -44,6 +44,16 @@ object Q0809Profile {
       }),
       "q08_as_shipped" -> (() =>
         graft.queries.InventoryQueries.q08LeftJoin(spark, sfDir)),
+      // the r13 form (shuffle join + post-join sort), for the A/B
+      // against the r14 broadcast + range-streamed rewrite
+      "q08_r13_form" -> (() => {
+        val perCust = t("orders").groupBy(col("o_custkey"))
+          .agg(count(col("o_orderkey")).as("_n"))
+        t("customer")
+          .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("_n"), lit(0L)).as("n_orders"))
+          .orderBy(col("c_custkey"))
+      }),
       "q08_sort_only" -> (() => t("customer")
         .select(col("c_custkey")).orderBy(col("c_custkey"))),
       // ---- q09 phases ----
@@ -59,7 +69,16 @@ object Q0809Profile {
           col("o_custkey") === col("c_custkey"), "left_anti")
         .select(col("c_custkey"))),
       "q09_as_shipped" -> (() =>
-        graft.queries.InventoryQueries.q09AntiJoin(spark, sfDir))
+        graft.queries.InventoryQueries.q09AntiJoin(spark, sfDir)),
+      "q09_r13_form" -> (() => t("customer")
+        .join(
+          t("orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")).distinct(),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))),
+      "q09b_bitmap" -> (() =>
+        graft.queries.InventoryQueries.q09bAntiBitmap(spark, sfDir))
     )
     variants.foreach { case (name, mk) =>
       val times = (0 to reps).map { _ =>

@@ -620,6 +620,52 @@ class H264PipelineSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("HEVC remux dedup (q175 corpus): re-wraps collapse incl. the x265 block; re-encodes survive") {
+    import spark.implicits._
+    val media = Multimodal.syntheticHevcRemuxStreams(spark, 200).persist()
+    val byId = media.collect().map(m => m.media_id -> m.content).toMap
+    val ownDups = (1L until 190L).filter(id => id % 10 == 0)
+    val reencs = (5L until 190L).filter(id => id % 10 == 5)
+    val xBase = 190L
+    // own-family remux twins: byte-disjoint, decode-identical
+    ownDups.foreach { id =>
+      assert(byId(id).toSeq != byId(id - 1).toSeq, s"dup $id bytes")
+      val a = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val b = H265Decode.decodeAnnexBPictures(byId(id - 1), 3)
+      assert(a.size == 3 && b.size == 3, s"dup $id decode")
+      a.zip(b).foreach { case (f, g) =>
+        assert(java.util.Arrays.equals(f.luma, g.luma), s"dup $id luma")
+      }
+    }
+    // re-encodes at the other QP reconstruct differently
+    reencs.foreach { id =>
+      val t = H265Decode.decodeAnnexBPictures(byId(id), 3)
+      val o = H265Decode.decodeAnnexBPictures(byId(id - 4), 3)
+      assert(t.size == 3 && o.size == 3)
+      assert(t.zip(o).exists { case (f, g) =>
+        !java.util.Arrays.equals(f.luma, g.luma) }, s"re-encode $id")
+    }
+    // the external block: each libx265 vector and its remux twin
+    (0L until 5L).foreach { k =>
+      val v = byId(xBase + k); val r = byId(xBase + 5 + k)
+      assert(v.toSeq != r.toSeq, s"x265 twin $k bytes")
+      val a = H265Decode.decodeAnnexBPictures(v, 3)
+      val b = H265Decode.decodeAnnexBPictures(r, 3)
+      assert(a.size == 3 && b.size == 3, s"x265 twin $k decode")
+      a.zip(b).foreach { case (f, g) =>
+        assert(java.util.Arrays.equals(f.luma, g.luma) &&
+          java.util.Arrays.equals(f.cb, g.cb), s"x265 twin $k pixels")
+      }
+    }
+    val survivors = Multimodal.videoDedupByExactPixels(media, frames = 3)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    val expected = (0L until 200L).filterNot(id =>
+      (id < 190 && id % 10 == 0 && id > 0) || id >= 195)
+    assert(survivors == expected,
+      "remux twins collapse (own + x265 blocks); re-encodes survive")
+    media.unpersist()
+  }
+
   test("ID3v2-prefixed FLAC joins the decoded-PCM dedup (r14 advice fix)") {
     import spark.implicits._
     // same audio three ways: bare FLAC, the SAME FLAC behind an ID3v2

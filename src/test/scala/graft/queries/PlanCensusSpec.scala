@@ -96,16 +96,15 @@ class PlanCensusSpec extends SparkSpec {
   // Tuples are (shuffles, broadcasts, loops, pushdown) of the initial
   // pre-AQE physical plan at sf0.001, matching docs/plan_report.md.
   private val pinned: Map[String, (Int, Int, Int, Boolean)] = Map(
-    "q08_left_join"            -> (2, 1, 0, true), // r14: orders agg +
-                                                   // customer RANGE part.;
-                                                   // broadcast perCust; the
-                                                   // ORDER BY rides the range
-                                                   // partitioning (no post-
-                                                   // join sort exchange)
-    "q09_anti_join"            -> (2, 1, 0, true), // r14: distinct build
-                                                   // broadcast (map-side anti
-                                                   // probe) + survivors-only
-                                                   // range exchange
+    "q08_left_join"            -> (2, 1, 0, true), // agg-below-join (r13):
+                                                   // orders agg + sort
+                                                   // exchanges; small side
+                                                   // auto-broadcasts at this
+                                                   // SF (forced broadcast
+                                                   // REJECTED by the r14 A/B)
+    "q09_anti_join"            -> (2, 1, 0, true), // pre-distinct build +
+                                                   // survivor sort; auto-
+                                                   // broadcast anti at this SF
     "q09b_anti_bitmap"         -> (1, 0, 0, true), // r14 scale path: bitmap
                                                    // build is a bounded plan-
                                                    // build job; probe filters
@@ -327,6 +326,10 @@ class PlanCensusSpec extends SparkSpec {
     "q174_hevc_multiref_dedup" -> (4, 1, 0, true), // r13 ref_idx rung:
                                                    // exact-pixel shape over
                                                    // multi-entry RPS/L0
+    "q175_hevc_remux_dedup"    -> (4, 1, 0, true), // r14 remux rung:
+                                                   // exact-pixel shape over
+                                                   // re-wrapped + x265
+                                                   // external streams
     "q167_flac_tag_dedup"      -> (4, 1, 0, true), // r12 FLAC probe rung:
                                                    // audio-section hash
                                                    // shape over metadata

@@ -45,7 +45,8 @@ if [ "$TAG" = "sf001" ]; then
       q171_audio:q171_flac_decoded_dedup \
       q172_video:q172_avc_coding_census \
       q173_video:q173_hevc_wp_dedup \
-      q174_video:q174_hevc_multiref_dedup"
+      q174_video:q174_hevc_multiref_dedup \
+      q175_video:q175_hevc_remux_dedup"
 else
   QS="q29_minhash:q29_minhash_dedup q30_simhash:q30_simhash_dedup \
       q31_lsh:q31_lsh_topk q32_annotate:q32_annotate"
