@@ -236,8 +236,16 @@ object Bench {
     // metric stays "total" (the original contract key); value = total
     // wall-clock of the declared set (concurrent execution). The
     // sequential sum is preserved under "sum_queries".
+    // r14 (verdict #5): record the box load in the artifact so
+    // round-over-round driver numbers are comparable without forensic
+    // reconstruction — the shared round-driver box inflates dirty
+    // windows 2-10x (PERF.md)
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Exception => "" }
     val json =
-      s"""{"metric":"total","value":${r4(wall)},"unit":"sec","queries":$qs,"sum_queries":${r4(seqSum)},"mode":"concurrent","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(wall)},"unit":"sec","loadavg":"$load","queries":$qs,"sum_queries":${r4(seqSum)},"mode":"concurrent","sf":"$sfDir"}"""
     // bare-file copy FIRST: the driver's stdout capture is tail-limited
     // and sbt wraps program output in its own log stream, so the file is
     // the one channel guaranteed to carry the full JSON
