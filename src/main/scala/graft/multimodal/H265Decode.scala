@@ -27,6 +27,13 @@ object H265Decode {
 
   import H264Decode.Frame
 
+  // Debug gates hoisted out of the per-TB/per-PU hot loops:
+  // scala.sys.env materializes a fresh Map of the whole environment
+  // per call, which would add allocation per transform block.
+  private val debugEnv = sys.env.contains("H265_DEBUG")
+  private val debugTb = sys.env.contains("H265_DEBUG_TB")
+  private val debugPu = sys.env.contains("H265_DEBUG_PU")
+
   // §8.4.4.2.6 Table 8-5: intraPredAngle for modes 2..34
   private[multimodal] val predAngle: Array[Int] = Array(
     32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21, -26, -32,
@@ -480,7 +487,7 @@ object H265Decode {
     } catch {
       case e @ (_: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
           _: java.util.NoSuchElementException) =>
-        if (sys.env.contains("H265_DEBUG")) e.printStackTrace()
+        if (debugEnv) e.printStackTrace()
     }
     display
   }
@@ -668,7 +675,7 @@ object H265Decode {
       val deq = H265Transform.dequant(levels, log2Size, qp)
       val res = H265Transform.inverseTransform(deq, log2Size,
         dst = luma && n == 4)
-      if (sys.env.contains("H265_DEBUG_TB") && !luma)
+      if (debugTb && !luma)
         println(s"TB ($px,$py)x$n qp=$qp lv=" +
           levels.zipWithIndex.filter(_._1 != 0).map(z => s"${z._2}:${z._1}").mkString(",") +
           " res00=" + res(0) + " resTR=" + res(n - 1))
@@ -825,7 +832,7 @@ object H265Decode {
         val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
           s.maxMerge, bSlice, s.refPocs0, s.refPocs1,
           numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
-        if (sys.env.contains("H265_DEBUG_PU"))
+        if (debugPu)
           println(s"PU ($x0,$y0)x$nCb skip idx=$idx mi=$mi")
         s.weights match {
           case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
@@ -881,7 +888,7 @@ object H265Decode {
             }
             H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2, r0, 0)
           }
-        if (sys.env.contains("H265_DEBUG_PU"))
+        if (debugPu)
           println(s"PU ($x0,$y0)x$nCb merge=$merge mi=$mi")
         s.weights match {
           case Some(pw) => H265Inter.mcCuWp(s.refs0(mi.ref0), s.ref1,
@@ -973,7 +980,7 @@ object H265Decode {
       p += 1
     }
     val chromaMode = decodeChromaMode(s.d)
-    if (sys.env.contains("H265_DEBUG_PU"))
+    if (debugPu)
       println(s"IN ($x0,$y0)x$nCb nxn=$nxn modes=${modes.toList} chromaIdx=$chromaMode")
     val cu = new CuCtx(x0, y0, log2CbSize, nxn, modes,
       chromaIdx = chromaMode)
@@ -1222,7 +1229,7 @@ object H265Decode {
     require(r.u(1) == 1, "alignment_bit_equal_to_one")
     while (r.remaining % 8 != 0) require(r.u(1) == 0, "alignment zero bit")
 
-    if (sys.env.contains("H265_DEBUG_PU"))
+    if (debugPu)
       println(s"SLICE poc=$poc type=$sliceType qp=$qp")
     val pic = new Pic(sps.width, sps.height)
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,

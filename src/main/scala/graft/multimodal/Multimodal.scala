@@ -1863,30 +1863,39 @@ object Multimodal {
   def remuxHevcAnnexB(stream: Array[Byte], flavor: Int): Array[Byte] = {
     val nals = H265.nalUnitsAnnexB(stream)
     val out = new java.io.ByteArrayOutputStream()
-    def emit(t: Int, payload: Array[Byte], short: Boolean): Unit = {
+    // Re-emit the ORIGINAL nuh_layer_id / nuh_temporal_id_plus1 —
+    // TemporalId drives prevTid0Pic POC derivation and sub-layer
+    // reference marking (§8.3.1 / §8.3.2), so rewriting them would
+    // break decode-invariance for temporal-sub-layer streams
+    // (TSA/STSA, b-pyramid).
+    def emit(t: Int, layerId: Int, tidPlus1: Int, payload: Array[Byte],
+        short: Boolean): Unit = {
       out.write(if (short) Array[Byte](0, 0, 1) else Array[Byte](0, 0, 0, 1))
-      out.write((t & 0x3f) << 1)
-      out.write(1)
+      out.write(((t & 0x3f) << 1) | ((layerId >> 5) & 1))
+      out.write(((layerId & 0x1f) << 3) | (tidPlus1 & 7))
       out.write(payload, 0, payload.length)
     }
+    def emitNal(nal: H265.Nal, short: Boolean): Unit =
+      emit(nal.nalType, nal.layerId, nal.tidPlus1, nal.payload, short)
     val vcl = (t: Int) => t <= 31
     math.floorMod(flavor, 3) match {
       case 0 =>
         nals.zipWithIndex.foreach { case (nal, i) =>
-          emit(nal.nalType, nal.payload, short = i > 0)
+          emitNal(nal, short = i > 0)
         }
       case 1 =>
-        // AUD_NUT (35): pic_type 'any' + rbsp stop bit = 0x50
+        // AUD_NUT (35): pic_type 'any' + rbsp stop bit = 0x50.
+        // A synthesized AUD sits in the base layer at TemporalId 0.
         nals.foreach { nal =>
-          if (vcl(nal.nalType)) emit(35, Array(0x50.toByte), short = false)
-          emit(nal.nalType, nal.payload, short = false)
+          if (vcl(nal.nalType))
+            emit(35, 0, 1, Array(0x50.toByte), short = false)
+          emitNal(nal, short = false)
         }
       case _ =>
         val ps = nals.filter(n => n.nalType >= 32 && n.nalType <= 34)
         nals.foreach { nal =>
-          if (vcl(nal.nalType))
-            ps.foreach(p => emit(p.nalType, p.payload, short = false))
-          emit(nal.nalType, nal.payload, short = false)
+          if (vcl(nal.nalType)) ps.foreach(p => emitNal(p, short = false))
+          emitNal(nal, short = false)
         }
     }
     out.toByteArray
@@ -1908,7 +1917,16 @@ object Multimodal {
       partitions: Int = 8): Dataset[Media] = {
     import spark.implicits._
     require(n >= 20, s"remux corpus needs >= 20 rows, got $n")
-    val xdir = java.nio.file.Paths.get("fixtures/x265")
+    // Resolve the committed x265 vectors from the repo root (the
+    // DuckDB oracle strings are absolute for the same reason) so the
+    // q175 fallback/regeneration path does not depend on the driver's
+    // cwd; GRAFT_REPO_ROOT overrides for non-standard checkouts.
+    val xdir = {
+      val rooted = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo"), "fixtures", "x265")
+      if (java.nio.file.Files.isDirectory(rooted)) rooted
+      else java.nio.file.Paths.get("fixtures/x265")
+    }
     val xvecs: Seq[Array[Byte]] = Seq("intra_64x64.265", "p_128x64.265",
       "b_128x64.265", "wp_128x64.265", "mr_128x64.265")
       .map(f => java.nio.file.Files.readAllBytes(xdir.resolve(f)))

@@ -612,23 +612,34 @@ object Relational {
     * skipped and NULL probe keys test FALSE, matching EXISTS /
     * NOT EXISTS equality semantics on both sides.
     *
-    * Scale gate: the merged bitmap lands on the driver (the one
-    * bounded collect, same class as an ANN codebook) and ships to
-    * probe tasks, so it must fit broadcast budgets — Roaring run
-    * containers make dense surrogate-key domains ~2 bits/key, but a
-    * pathological sparse 64-bit domain degrades toward 8 B/key. Gate
-    * with `maxBytes` (default 64 MB, the conventional broadcast
-    * ceiling): past it this falls back to the plain shuffle semi/anti
-    * join, the exact same results at shuffle cost.
+    * Scale gate (r15, pre-flight): `maxBytes` (default 64 MB, the
+    * conventional broadcast ceiling) is enforced INSIDE the build
+    * aggregate — [[graft.functions.BitmapBuild]] carries a sticky
+    * overflow flag, trips it on the executor the moment any partial
+    * or merge exceeds the cap (dropping that buffer's memory), and
+    * evaluates to NULL — so a pathological sparse 64-bit key domain
+    * (Roaring degrades toward 8 B/key there, vs ~2 bits/key on dense
+    * surrogate ranges) never materializes past the cap anywhere, the
+    * driver included. On the NULL signal this falls back to the plain
+    * shuffle semi/anti join: the exact same results at shuffle cost.
+    *
+    * NOTE this runs an EAGER Spark job at DataFrame-composition time
+    * (the build aggregate must finish before the probe plan exists —
+    * same class as an ANN codebook collect); compose it lazily only
+    * behind a def. The collected bytes re-ship to probe tasks as a
+    * BROADCAST variable, not a plan Literal, so each stage's task
+    * binary stays small and the deserialized bitmap is shared
+    * per-executor.
     */
   def bitmapSteeredJoin(probe: DataFrame, probeKey: Column,
       build: DataFrame, buildKey: Column, anti: Boolean,
       maxBytes: Long = 64L << 20): DataFrame = {
     import graft.functions.BitmapDistinct
-    val bytes = build.agg(BitmapDistinct.build(buildKey).as("_bm"))
+    val bytes = build.agg(BitmapDistinct.build(buildKey, maxBytes).as("_bm"))
       .head().getAs[Array[Byte]](0)
-    if (bytes.length <= maxBytes) {
-      val c = BitmapDistinct.contains(probeKey, bytes)
+    if (bytes != null) {
+      val bc = probe.sparkSession.sparkContext.broadcast(bytes)
+      val c = BitmapDistinct.containsBroadcast(probeKey, bc)
       probe.filter(if (anti) !c else c)
     } else {
       probe.join(build.select(buildKey.as("_bk")).distinct(),

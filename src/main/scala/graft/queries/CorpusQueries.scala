@@ -403,6 +403,56 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("bucket"))
   }
 
+  /** The planted-Zipf fact (r15, promoting the R14SkewBench rung to the
+    * declared surface): key 0 carries 20% of orders (o_orderkey%5==0 —
+    * the one hot key a shuffle clusters onto a single reducer), the
+    * rest spread uniformly over keys 1..1000. Planted with PURE INTEGER
+    * arithmetic so DuckDB replants the identical corpus from the same
+    * parquet — a real differential oracle at every scale, no fixture.
+    */
+  private def zipfFact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders").select(
+      when(col("o_orderkey") % 5 === 0, lit(0L))
+        .otherwise(pmod(col("o_orderkey"), lit(1000L)) + 1L).as("key"),
+      col("o_orderkey").as("okey"), col("o_totalprice"))
+
+  /** q176 — skew-salted equi-join ON THE PLANTED ZIPF CORPUS under the
+    * exact oracle ([[Relational.saltedJoin]]; q138 exercises the same
+    * operator on the 5-key priority domain — this face is the
+    * one-hot-key-plus-long-tail shape the R14SkewBench rung measured,
+    * where the unmitigated shuffle join puts 20% of probe rows on one
+    * reducer of 32 and salting spreads them over 16). The oracle is the
+    * PLAIN join — salting must be invisible in results. The straggler
+    * bound itself is pinned in SkewSpec (max per-(key,salt) group ≈
+    * hot/16), and the rung's wall-clock evidence is
+    * docs/bench_r14_skew.json.
+    */
+  def q176SkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = zipfFact(spark, dir)
+    val dim = fact.groupBy(col("key"))
+      .agg(count(lit(1)).as("key_n"),
+        round(avg(col("o_totalprice")), 6).as("key_avg"))
+    Relational.saltedJoin(
+        fact.filter(col("okey") % 37 === 0).select(col("key"), col("okey")),
+        dim, "key", saltBuckets = 16, probeSaltCol = col("okey"))
+      .select(col("okey"), col("key"), col("key_n"), col("key_avg"))
+      .orderBy(col("okey"))
+  }
+
+  /** q177 — bucketed exact per-key MEDIAN on the planted Zipf corpus
+    * ([[Relational.percentileContExact]], the R14SkewBench
+    * median_bucketed winner): the sort-window form buffers the hot
+    * key's 20% of rows in ONE window frame (the classic straggler, no
+    * built-in mitigation); the bucketed two-pass ranks (key, bucket)
+    * slices in parallel, so the hot key spreads over 256 bucket frames.
+    * Oracle: DuckDB percentile_cont(0.5), interpolation-identical.
+    */
+  def q177SkewBucketedMedian(spark: SparkSession, dir: String): DataFrame =
+    Relational.percentileContExact(zipfFact(spark, dir), "key",
+        "o_totalprice", Seq("median" -> 0.5))
+      .select(col("key"), round(col("median"), 6).as("median"))
+      .orderBy(col("key"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_segment_dedup" -> (q106SegmentDedup _),
     "q107_pagerank" -> (q107PageRank _),
@@ -421,9 +471,38 @@ object CorpusQueries {
     "q120_snapshot_diff" -> (q120SnapshotDiff _),
     "q121_feature_hash" -> (q121FeatureHash _),
     "q138_salted_join" -> (q138SaltedJoin _),
-    "q139_bucketed_join" -> (q139BucketedJoin _))
+    "q139_bucketed_join" -> (q139BucketedJoin _),
+    "q176_skew_salted_join" -> (q176SkewSaltedJoin _),
+    "q177_skew_bucketed_median" -> (q177SkewBucketedMedian _))
 
   val oracles: Map[String, String] = Map(
+    // q176/q177 — the planted-Zipf skew faces: DuckDB replants the
+    // identical corpus with the same integer arithmetic, then computes
+    // the PLAIN (unmitigated) form — salting and bucketed ranking must
+    // be invisible in results
+    "q176_skew_salted_join" ->
+      """WITH fact AS (
+           SELECT CASE WHEN o_orderkey % 5 = 0 THEN 0
+                       ELSE (o_orderkey % 1000) + 1 END AS key,
+                  o_orderkey AS okey, o_totalprice
+           FROM orders),
+         dim AS (
+           SELECT key, count(*) AS key_n,
+                  round(avg(o_totalprice), 6) AS key_avg
+           FROM fact GROUP BY key)
+         SELECT f.okey, f.key, d.key_n, d.key_avg
+         FROM fact f JOIN dim d USING (key)
+         WHERE f.okey % 37 = 0
+         ORDER BY f.okey""",
+    "q177_skew_bucketed_median" ->
+      """WITH fact AS (
+           SELECT CASE WHEN o_orderkey % 5 = 0 THEN 0
+                       ELSE (o_orderkey % 1000) + 1 END AS key,
+                  o_totalprice
+           FROM orders)
+         SELECT key,
+                round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median
+         FROM fact GROUP BY key ORDER BY key""",
     // q138/q139 — the layout-invisibility discipline: the oracle is the
     // PLAIN join; salting / on-disk bucketing must not change one row
     "q138_salted_join" ->

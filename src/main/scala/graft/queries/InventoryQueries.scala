@@ -123,6 +123,30 @@ object InventoryQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Q-07b (A18/B2 scale path, same oracle as Q-07): the IN-subquery
+    * conjunction through [[graft.operators.Relational.bitmapSemiJoin]]
+    * — each build side folds to one Roaring bitmap (partition-local
+    * dedup, an N-buffer exchange instead of the distinct's per-key
+    * shuffle) and the supplier probe filters MAP-SIDE on exact
+    * membership, never moving at all: zero probe-side exchanges where
+    * the left-semi form clusters-or-broadcasts per subquery. The shape
+    * that survives when the build's distinct-key domain is too large
+    * to broadcast as rows but dense enough to bitmap (the q09b
+    * discipline applied to the semi face).
+    */
+  def q07bSemiBitmap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val s1 = Relational.bitmapSemiJoin(
+      t(spark, dir, "supplier"), col("s_nationkey"),
+      t(spark, dir, "customer").filter(col("c_acctbal") > 5000),
+      col("c_nationkey"))
+    Relational.bitmapSemiJoin(s1, col("s_nationkey"),
+        t(spark, dir, "nation").filter(col("n_regionkey") <= 2),
+        col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Q-08 (B1) left outer join + count of the nullable side, with the
     * r13 AGGREGATION-PUSHDOWN-BELOW-JOIN rewrite: grouping on the
     * join key of the unique side means the per-customer order count
@@ -495,6 +519,7 @@ object InventoryQueries {
     "q05_threeway_join"  -> (q05ThreeWayJoin _),
     "q06_having"         -> (q06Having _),
     "q07_semijoin"       -> (q07SemiJoin _),
+    "q07b_semi_bitmap"   -> (q07bSemiBitmap _),
     "q08_left_join"      -> (q08LeftJoin _),
     "q09_anti_join"      -> (q09AntiJoin _),
     "q09b_anti_bitmap"   -> (q09bAntiBitmap _),
@@ -551,6 +576,11 @@ object InventoryQueries {
          GROUP BY o_custkey HAVING max(year(o_orderdate)) = 2000
          ORDER BY o_custkey""",
     "q07_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000)
+           AND s_nationkey IN (SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey <= 2)
+         ORDER BY s_suppkey""",
+    "q07b_semi_bitmap" ->
       """SELECT s_suppkey, s_name FROM supplier
          WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 5000)
            AND s_nationkey IN (SELECT DISTINCT n_nationkey FROM nation WHERE n_regionkey <= 2)

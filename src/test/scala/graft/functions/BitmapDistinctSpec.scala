@@ -107,4 +107,37 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 100L).filter(_ % 2 == 1).toSeq)
   }
+
+  test("capped build reports over-cap as NULL on the executor (r15 gate)") {
+    import spark.implicits._
+    // widely-spread keys (worst case for Roaring run containers) over
+    // many partitions: every partial AND the merge path must respect
+    // the sticky overflow flag — the driver sees one NULL, not bytes
+    val build = spark.range(0, 20000).select(
+      (col("id") * 2654435761L).as("k")).repartition(8)
+    val overCap = build.agg(BitmapDistinct.build($"k", maxBytes = 256L))
+      .head()
+    assert(overCap.isNullAt(0), "over-cap build must evaluate to NULL")
+    // same data under a roomy cap: bytes come back and membership is exact
+    val ok = build.agg(BitmapDistinct.build($"k", maxBytes = 64L << 20))
+      .head().getAs[Array[Byte]](0)
+    assert(ok != null && ok.length > 1)
+  }
+
+  test("containsBroadcast matches contains (broadcast-variable probe)") {
+    import spark.implicits._
+    val build = Seq(3L, 7L, 11L).toDF("k")
+    val bytes = build.agg(BitmapDistinct.build($"k"))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(bytes)
+    val probe = Seq(Some(3L), Some(4L), Some(11L), None).toDF("k")
+    val got = probe.filter(BitmapDistinct.containsBroadcast($"k", bc))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 11L))
+    // anti: null probe key KEPT (contains(null) = FALSE, not NULL)
+    val anti = probe.filter(!BitmapDistinct.containsBroadcast($"k", bc))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSet
+    assert(anti == Set(Some(4L), None))
+  }
 }

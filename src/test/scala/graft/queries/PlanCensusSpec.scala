@@ -373,6 +373,21 @@ class PlanCensusSpec extends SparkSpec {
     "q138_salted_join"         -> (2, 1, 0, true), // dim agg + (key,salt) join
                                                    // (dim broadcasts at this SF;
                                                    // exactness is the contract)
+    "q07b_semi_bitmap"         -> (1, 0, 0, true), // r15 semi twin of q09b:
+                                                   // both bitmap builds are
+                                                   // bounded plan-build jobs,
+                                                   // probe filters map-side;
+                                                   // only the survivor sort
+                                                   // exchanges
+    "q176_skew_salted_join"    -> (2, 1, 0, true), // planted-Zipf salted join
+                                                   // (q138's shape on the one-
+                                                   // hot-key corpus; straggler
+                                                   // bound pinned in SkewSpec)
+    "q177_skew_bucketed_median" -> (6, 2, 0, true), // bucketed two-pass exact
+                                                   // median (q92's shape): hot
+                                                   // key spreads over (key,
+                                                   // bucket) frames, no per-
+                                                   // group value buffering
     "q139_bucketed_join"       -> (1, 1, 0, true), // catalog-bucketed scans; the
                                                    // exchange-free SMJ pinned in
                                                    // ExportSpec
