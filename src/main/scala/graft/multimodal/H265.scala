@@ -237,7 +237,7 @@ object H265 {
     }
 
   /** Fixed 96-bit Main-profile general profile_tier_level block. */
-  private def writeProfileTierLevel(w: H264.BitWriter): Unit = {
+  private[multimodal] def writeProfileTierLevel(w: H264.BitWriter): Unit = {
     w.u(0, 2)       // general_profile_space
     w.flag(false)   // general_tier_flag: Main
     w.u(1, 5)       // general_profile_idc: Main
@@ -346,7 +346,8 @@ object H265 {
   def writeSpsPixel2(width: Int, height: Int, ctbLog2: Int = 5,
       minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1,
       sao: Boolean = false, decPicBuffering: Int = 1,
-      reorderPics: Int = 0): Array[Byte] = {
+      reorderPics: Int = 0, latencyPlus1: Int = 0,
+      log2PocLsb: Int = 4): Array[Byte] = {
     val ctb = 1 << ctbLog2
     require(width > 0 && height > 0 && width % ctb == 0 && height % ctb == 0,
       s"tier-2 dims must be CTB-aligned, got ${width}x$height at CTB $ctb")
@@ -362,11 +363,11 @@ object H265 {
     w.ue(width); w.ue(height)
     w.flag(false) // conformance_window_flag
     w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
-    w.ue(0)    // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(log2PocLsb - 4) // log2_max_pic_order_cnt_lsb_minus4
     w.flag(false) // sps_sub_layer_ordering_info_present (one set follows)
     // dec_pic_buffering_minus1 / num_reorder_pics / max_latency: B GOPs
     // hold two references + the current picture and reorder by one
-    w.ue(decPicBuffering); w.ue(reorderPics); w.ue(0)
+    w.ue(decPicBuffering); w.ue(reorderPics); w.ue(latencyPlus1)
     w.ue(minCbLog2 - 3) // log2_min_luma_coding_block_size_minus3
     w.ue(ctbLog2 - minCbLog2) // log2_diff_max_min_luma_coding_block_size
     w.ue(0)    // log2_min_luma_transform_block_size_minus2 (4)
@@ -485,8 +486,16 @@ object H265 {
         None
     }
 
-  /** Minimal valid VPS (EBSP, no NAL header). */
-  def writeVps(): Array[Byte] = {
+  /** Minimal valid VPS (EBSP, no NAL header). The ordering-info
+    * arguments MUST cover the paired SPS's values: §7.4.3.2.1 requires
+    * sps_max_dec_pic_buffering_minus1 / sps_max_num_reorder_pics ≤
+    * the VPS's — r15's libde265 external-decoder rung caught encodeGopB
+    * emitting SPS (3, 1) under a hardcoded VPS (1, 0), and libde265
+    * honors the VPS: reordered B GOPs came out in DECODE order. An
+    * inconsistent pair is a conformance violation a decoder may act on.
+    */
+  def writeVps(decPicBuffering: Int = 1, reorderPics: Int = 0,
+      latencyPlus1: Int = 0): Array[Byte] = {
     val w = new H264.BitWriter
     w.u(0, 4)  // vps_video_parameter_set_id
     w.flag(true); w.flag(true) // base_layer_internal / available
@@ -496,7 +505,7 @@ object H265 {
     w.u(0xffff, 16) // vps_reserved_0xffff_16bits
     writeProfileTierLevel(w)
     w.flag(false) // vps_sub_layer_ordering_info_present (one set)
-    w.ue(1); w.ue(0); w.ue(0)
+    w.ue(decPicBuffering); w.ue(reorderPics); w.ue(latencyPlus1)
     w.u(0, 6)  // vps_max_layer_id
     w.ue(0)    // vps_num_layer_sets_minus1
     w.flag(false) // vps_timing_info_present

@@ -353,7 +353,10 @@ object H265Encode {
       .find(_.nalType == H265.NalIdrWRadl).get.payload
     val recons = scala.collection.mutable.ArrayBuffer((0, iRecon))
     val nals = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])](
-      (H265.NalVps, H265.writeVps()),
+      // VPS ordering info must COVER the SPS's (§7.4.3.2.1) — the r15
+      // libde265 rung caught the hardcoded (1, 0) VPS under this
+      // (dpb, 1) SPS making external decoders output in decode order
+      (H265.NalVps, H265.writeVps(decPicBuffering, reorderPics = 1)),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, decPicBuffering = decPicBuffering,
         reorderPics = 1)),
