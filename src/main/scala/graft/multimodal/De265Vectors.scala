@@ -195,12 +195,32 @@ object De265Vectors {
     Vec("own_mr_128x64", w, h, stream, recons)
   }
 
+  /** r15 signhide: the P-GOP shape re-encoded with sign_data_hiding
+    * live — the encoder's §7.4.9.11 parity repair (and the hidden-sign
+    * bins it elides) must survive an independent decoder. Distinct
+    * seed/deltas from [[pGop]] so the two streams stay byte-disjoint.
+    */
+  private def shGop: Vec = {
+    val w = 128; val h = 64
+    val rnd = new scala.util.Random(4106)
+    val dx = 1
+    val iLayout: Seq[CuTree] = Seq.fill(8)(CuLeaf(Seq(rnd.nextInt(35))))
+    def pLayout(): Seq[CuTree] = Seq.fill(8) {
+      if (rnd.nextInt(3) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+      else InterLeaf(4 * dx, 0): CuTree
+    }
+    val frames = (0 to 2).map(k => planes(w, h, new scala.util.Random(81), k, dx))
+    val (stream, recons) = H265Encode.encodeGop(frames, w, h, iLayout,
+      Seq(pLayout(), pLayout()), qp = 27, signHide = true)
+    Vec("own_sh_128x64", w, h, stream, recons)
+  }
+
   /** All vectors, deterministic. encodeGopB recons come back in
     * DISPLAY order — the order libde265 emits pictures — and
     * encodeGop/intra decode order equals display order, so a straight
     * zip against the external YUV is valid everywhere.
     */
-  def vectors: Seq[Vec] = Seq(intraSao, pGop, bGop, wpGop, mrGop)
+  def vectors: Seq[Vec] = Seq(intraSao, pGop, bGop, wpGop, mrGop, shGop)
 
   /** Remux triple of the P vector (q175's three flavors): byte-level
     * re-wraps whose normative decode must be pixel-identical.

@@ -394,13 +394,14 @@ object H265 {
     */
   def writePpsPixel(deblockDisabled: Boolean = true,
       cabacInit: Boolean = false, weightedPred: Boolean = false,
-      weightedBipred: Boolean = false): Array[Byte] = {
+      weightedBipred: Boolean = false,
+      signHide: Boolean = false): Array[Byte] = {
     val w = new H264.BitWriter
     w.ue(0); w.ue(0) // pps id, sps id
     w.flag(false) // dependent_slice_segments_enabled
     w.flag(false) // output_flag_present
     w.u(0, 3) // num_extra_slice_header_bits
-    w.flag(false) // sign_data_hiding_enabled
+    w.flag(signHide) // sign_data_hiding_enabled (r15)
     w.flag(cabacInit) // cabac_init_present
     w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
     w.se(0)   // init_qp_minus26
@@ -436,12 +437,17 @@ object H265 {
       // may carry ref_pic_lists_modification
       numRefL1Default: Int = 0, listsModification: Boolean = false,
       cabacInitPresent: Boolean = false,
-      weightedPred: Boolean = false, weightedBipred: Boolean = false)
+      weightedPred: Boolean = false, weightedBipred: Boolean = false,
+      // r15: sign_data_hiding_enabled_flag (§7.4.3.3.1) — decoded, not
+      // rejected: residual_coding infers the first-in-scan sign from
+      // the coefficient-group level parity (§7.4.9.11)
+      signDataHiding: Boolean = false)
 
   /** Parse a PPS down to the pixel tier's needs; `supported` = false
     * when it enables machinery outside the tier (dependent slices,
-    * sign hiding, cabac init, transform skip, cu qp delta, weighted
-    * prediction, transquant bypass, tiles, wavefronts, scaling lists).
+    * transform skip, cu qp delta, transquant bypass, tiles,
+    * wavefronts, scaling lists). Sign hiding, cabac init and weighted
+    * prediction are decoded (r15/r13).
     */
   def parsePps(payload: Array[Byte]): Option[PpsInfo] =
     try {
@@ -451,7 +457,7 @@ object H265 {
       if (r.flag()) ok = false // dependent_slice_segments_enabled
       r.flag() // output_flag_present
       if (r.u(3) != 0) ok = false // num_extra_slice_header_bits
-      if (r.flag()) ok = false // sign_data_hiding
+      val signHide = r.flag() // sign_data_hiding (r15: decoded)
       val cabacInit = r.flag() // cabac_init_present (r13: supported)
       val numRefL0 = r.ue(); val numRefL1 = r.ue() // l0/l1 default actives
       val initQp = 26 + r.se()
@@ -480,7 +486,7 @@ object H265 {
       if (r.ue() != 0) ok = false
       Some(PpsInfo(ppsId, spsId, initQp, cbOff, crOff, deblockDisabled, ok,
         betaOff, tcOff, lfAcross, numRefL0, numRefL1, listsMod, cabacInit,
-        wp, wbp))
+        wp, wbp, signHide))
     } catch {
       case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
         None

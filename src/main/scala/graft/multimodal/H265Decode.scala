@@ -523,9 +523,15 @@ object H265Decode {
     * array (row-major, [yC][xC]). `c1` is the cross-CG greater1 state
     * (in/out via the returned value): ctxSet increments when the
     * previously processed CG of this TB ended with c1 == 0.
+    *
+    * `signHide` = PPS sign_data_hiding_enabled (r15): per CG, when the
+    * reverse-scan span between the last and first significant
+    * coefficients exceeds 3, the sign of the FIRST-in-scan coefficient
+    * is not coded — it is inferred negative iff the sum of absolute
+    * levels in the CG is odd (§7.4.9.11).
     */
   private[multimodal] def decodeResidual(d: H264Cabac.Decoder, log2Size: Int,
-      luma: Boolean, scanIdx: Int): Array[Int] = {
+      luma: Boolean, scanIdx: Int, signHide: Boolean = false): Array[Int] = {
     import H265Cabac._
     val n = 1 << log2Size
     val out = new Array[Int](n * n)
@@ -602,11 +608,20 @@ object H265Decode {
           var g2 = false
           if (firstG1 >= 0)
             g2 = d.decision(CtxG2 + (if (luma) 0 else 4) + ctxSet) == 1
+          // sigPos is in parse (reverse-scan) order: sigPos(0) is the
+          // LAST significant coefficient in scan order, sigPos(nSig-1)
+          // the FIRST — §7.4.9.11's span test and hidden position
+          val signHidden = signHide && sigPos(0) - sigPos(nSig - 1) > 3
           val neg = new Array[Boolean](nSig)
           k = 0
-          while (k < nSig) { neg(k) = d.bypass() == 1; k += 1 }
+          while (k < nSig) {
+            neg(k) = (!signHidden || k < nSig - 1) && d.bypass() == 1
+            k += 1
+          }
           var rice = 0
           var firstCoeff2 = 1
+          var sumAbs = 0
+          var hiddenIdx = -1
           k = 0
           while (k < nSig) {
             var abs = 1 + (if (k < 8 && g1(k)) 1 else 0) +
@@ -617,11 +632,16 @@ object H265Decode {
             }
             if (abs > (3 << rice) && rice < 4) rice += 1
             if (abs >= 2) firstCoeff2 = 0
+            sumAbs += abs
             val p = sub(sigPos(k))
             val xC = (xS << 2) + (p & 3); val yC = (yS << 2) + (p >> 2)
+            if (signHidden && k == nSig - 1) hiddenIdx = yC * n + xC
             out(yC * n + xC) = if (neg(k)) -abs else abs
             k += 1
           }
+          // hidden sign: negative iff the CG's absolute-level sum is odd
+          if (hiddenIdx >= 0 && (sumAbs & 1) == 1)
+            out(hiddenIdx) = -out(hiddenIdx)
         }
       }
       i -= 1
@@ -671,7 +691,8 @@ object H265Decode {
       val scanIdx =
         if (mode >= 0) H265Transform.scanIdxFor(log2Size, luma, mode)
         else H265Transform.ScanDiag
-      val levels = decodeResidual(s.d, log2Size, luma, scanIdx)
+      val levels = decodeResidual(s.d, log2Size, luma, scanIdx,
+        signHide = s.pps.signDataHiding)
       val deq = H265Transform.dequant(levels, log2Size, qp)
       val res = H265Transform.inverseTransform(deq, log2Size,
         dst = luma && n == 4)

@@ -166,7 +166,8 @@ object H265Encode {
       srcCr: Array[Byte], width: Int, height: Int, layout: Seq[CuTree],
       qp: Int, ctbLog2: Int = 5, minCbLog2: Int = 3, maxTbLog2: Int = 5,
       depthIntra: Int = 1, deblock: Boolean = false,
-      sao: Seq[H265Sao.Params] = Nil): (Array[Byte], Recon) = {
+      sao: Seq[H265Sao.Params] = Nil,
+      signHide: Boolean = false): (Array[Byte], Recon) = {
     val ctb = 1 << ctbLog2
     require(width % ctb == 0 && height % ctb == 0, "CTB-aligned dims only")
     require(srcY.length == width * height &&
@@ -193,7 +194,8 @@ object H265Encode {
     val e = new H264Cabac.Encoder(w, ctx)
     val pic = new H265Decode.Pic(width, height)
     val enc = new SliceEnc(e, pic, srcY, srcCb, srcCr, qp, ctbLog2,
-      minCbLog2, maxTbLog2, depthIntra, sliceType = 2)
+      minCbLog2, maxTbLog2, depthIntra, sliceType = 2,
+      signHide = signHide)
     val saoParams =
       if (useSao) new Array[H265Sao.Params](layout.size) else null
     var ctu = 0
@@ -217,7 +219,8 @@ object H265Encode {
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, sao = useSao)),
-      (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock)),
+      (H265.NalPps, H265.writePpsPixel(deblockDisabled = !deblock,
+        signHide = signHide)),
       (H265.NalIdrWRadl, slice)))
     // decoder-twin IN-LOOP filters: deblocking, then SAO over the
     // deblocked picture — the returned recon is what a conformant
@@ -242,13 +245,15 @@ object H265Encode {
       width: Int, height: Int, iLayout: Seq[CuTree],
       pLayouts: Seq[Seq[CuTree]], qp: Int, ctbLog2: Int = 5,
       minCbLog2: Int = 3, maxTbLog2: Int = 5,
-      depthIntra: Int = 1): (Array[Byte], Seq[Recon]) = {
+      depthIntra: Int = 1,
+      signHide: Boolean = false): (Array[Byte], Seq[Recon]) = {
     require(frames.nonEmpty && frames.size == pLayouts.size + 1,
       "one source frame for the IDR plus one per P layout")
     val ctbW = width >> ctbLog2
     val (f0y, f0cb, f0cr) = frames.head
     val (iStream, iRecon) = encodeIntraPicture2(f0y, f0cb, f0cr, width,
-      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra)
+      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra,
+      signHide = signHide)
     val idrSlice = H265.nalUnitsAnnexB(iStream)
       .find(_.nalType == H265.NalIdrWRadl).get.payload
     val recons = scala.collection.mutable.ArrayBuffer(iRecon)
@@ -256,7 +261,7 @@ object H265Encode {
       (H265.NalVps, H265.writeVps()),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra)),
-      (H265.NalPps, H265.writePpsPixel()),
+      (H265.NalPps, H265.writePpsPixel(signHide = signHide)),
       (H265.NalIdrWRadl, idrSlice))
     var prev = new H265Decode.Pic(width, height)
     System.arraycopy(iRecon.luma, 0, prev.luma, 0, iRecon.luma.length)
@@ -286,7 +291,8 @@ object H265Encode {
       val e = new H264Cabac.Encoder(w, ctx)
       val pic = new H265Decode.Pic(width, height)
       val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
-        maxTbLog2, depthIntra, sliceType = 1, refs0 = IndexedSeq(prev))
+        maxTbLog2, depthIntra, sliceType = 1, refs0 = IndexedSeq(prev),
+        signHide = signHide)
       var ctu = 0
       val nCtu = pLayouts(i).size
       while (ctu < nCtu) {
@@ -342,13 +348,15 @@ object H265Encode {
       minCbLog2: Int = 3, maxTbLog2: Int = 5,
       depthIntra: Int = 1,
       cabacInit: Boolean = false,
-      decPicBuffering: Int = 3): (Array[Byte], Seq[Recon]) = {
+      decPicBuffering: Int = 3,
+      signHide: Boolean = false): (Array[Byte], Seq[Recon]) = {
     require(frames.nonEmpty && frames.size == pics.size + 1,
       "one source frame for the IDR plus one per GOP picture")
     val ctbW = width >> ctbLog2
     val (f0y, f0cb, f0cr) = frames.head
     val (iStream, iRecon) = encodeIntraPicture2(f0y, f0cb, f0cr, width,
-      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra)
+      height, iLayout, qp, ctbLog2, minCbLog2, maxTbLog2, depthIntra,
+      signHide = signHide)
     val idrSlice = H265.nalUnitsAnnexB(iStream)
       .find(_.nalType == H265.NalIdrWRadl).get.payload
     val recons = scala.collection.mutable.ArrayBuffer((0, iRecon))
@@ -362,7 +370,8 @@ object H265Encode {
         reorderPics = 1)),
       (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit,
         weightedPred = pics.exists(p => p.sliceType == 1 && p.weights.isDefined),
-        weightedBipred = pics.exists(p => p.sliceType == 0 && p.weights.isDefined))),
+        weightedBipred = pics.exists(p => p.sliceType == 0 && p.weights.isDefined),
+        signHide = signHide)),
       (H265.NalIdrWRadl, idrSlice))
     val anyWp = pics.exists(p => p.sliceType == 1 && p.weights.isDefined)
     val anyWbp = pics.exists(p => p.sliceType == 0 && p.weights.isDefined)
@@ -457,7 +466,7 @@ object H265Encode {
         maxTbLog2, depthIntra, sliceType = spec.sliceType, refs0 = refs0,
         refPic1 = ref1, currPoc = spec.poc,
         refPocs0 = refPocs0, refPoc1 = if (bSlice) refPoc1 else 0,
-        weights = effWeights, activeL0 = refs0.size)
+        weights = effWeights, activeL0 = refs0.size, signHide = signHide)
       var ctu = 0
       val nCtu = spec.layout.size
       while (ctu < nCtu) {
@@ -497,7 +506,7 @@ object H265Encode {
       refPic1: H265Decode.Pic = null, currPoc: Int = 0,
       refPocs0: IndexedSeq[Int] = IndexedSeq(0), refPoc1: Int = 0,
       weights: Option[H265Inter.PredWeights] = None,
-      activeL0: Int = 1) {
+      activeL0: Int = 1, signHide: Boolean = false) {
     private val refPocs1 = IndexedSeq(refPoc1)
     private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
@@ -550,7 +559,7 @@ object H265Encode {
     def emitResidual(levels: Array[Int], log2Size: Int, luma: Boolean,
         mode: Int): Unit =
       encodeResidual(e, levels, log2Size, luma,
-        H265Transform.scanIdxFor(log2Size, luma, mode))
+        H265Transform.scanIdxFor(log2Size, luma, mode), signHide)
 
     // ---- transform tree encoder (mirrors H265Decode.transformTree)
     def transformTree(cuX: Int, cuY: Int, log2CbSize: Int, nxn: Boolean,
@@ -825,7 +834,7 @@ object H265Encode {
             "inter TU with inferred cbf_luma must carry luma residual")
           if (cbfY)
             encodeResidual(e, lvY, log2CbSize, luma = true,
-              H265Transform.ScanDiag)
+              H265Transform.ScanDiag, signHide)
         }
       }
       // recon + grids (reconTb adds the residual and marks progress;
@@ -834,12 +843,12 @@ object H265Encode {
         if (skip) null else lvY, luma = true)
       if (!skip && cbfCb)
         encodeResidual(e, lvCb, log2CbSize - 1, luma = false,
-          H265Transform.ScanDiag)
+          H265Transform.ScanDiag, signHide)
       reconTb(pic.cb, pic.chromaStride, x0 >> 1, y0 >> 1, log2CbSize - 1,
         if (skip) null else lvCb, luma = false)
       if (!skip && cbfCr)
         encodeResidual(e, lvCr, log2CbSize - 1, luma = false,
-          H265Transform.ScanDiag)
+          H265Transform.ScanDiag, signHide)
       reconTb(pic.cr, pic.chromaStride, x0 >> 1, y0 >> 1, log2CbSize - 1,
         if (skip) null else lvCr, luma = false)
       pic.setMotion2(x0, y0, nCb, mi, skip)
@@ -880,9 +889,21 @@ object H265Encode {
     * [[H265Decode]]'s decode flow (same context derivations in the
     * same order). `levels` must contain at least one nonzero.
     */
+  /** CABAC residual mirror of [[H265Decode.decodeResidual]].
+    *
+    * `signHide` (r15): when set and a CG's reverse-scan span exceeds 3,
+    * the first-in-scan sign is NOT written — the decoder infers it
+    * from the CG's absolute-level parity (§7.4.9.11). When the current
+    * parity would imply the wrong sign, the encoder repairs it by
+    * bumping |last-in-scan significant coefficient| by one IN PLACE
+    * (the standard encoder-side distortion trade); callers MUST
+    * reconstruct from the same `levels` array AFTER this call (every
+    * tier-2/3 path already emits before reconTb), which keeps the
+    * decoder twin and external decoders bit-identical.
+    */
   private[multimodal] def encodeResidual(e: H264Cabac.Encoder,
       levels: Array[Int], log2Size: Int, luma: Boolean,
-      scanIdx: Int): Unit = {
+      scanIdx: Int, signHide: Boolean = false): Unit = {
     import H265Cabac._
     val n = 1 << log2Size
     val sub = H265Transform.scan(4, scanIdx)
@@ -970,6 +991,25 @@ object H265Encode {
           n0 -= 1
         }
         if (nSig > 0) {
+          // §7.4.9.11 span test (sigPos is in reverse-scan order);
+          // parity repair must precede the g1/g2/remaining passes so
+          // they read the repaired magnitudes
+          val signHidden = signHide && sigPos(0) - sigPos(nSig - 1) > 3
+          if (signHidden) {
+            var sumAbs = 0
+            var m = 0
+            while (m < nSig) {
+              sumAbs += math.abs(level(cgPos, sigPos(m))); m += 1
+            }
+            val impliedNeg = (sumAbs & 1) == 1
+            if (impliedNeg != (level(cgPos, sigPos(nSig - 1)) < 0)) {
+              val p = sub(sigPos(0))
+              val xC = ((cgPos % cgSize) << 2) + (p & 3)
+              val yC = ((cgPos / cgSize) << 2) + (p >> 2)
+              val v = levels(yC * n + xC)
+              levels(yC * n + xC) = if (v < 0) v - 1 else v + 1
+            }
+          }
           var ctxSet = (if (i > 0 && luma) 2 else 0) + (if (c1 == 0) 1 else 0)
           c1 = 1
           val g1 = new Array[Boolean](nSig)
@@ -993,7 +1033,8 @@ object H265Encode {
           }
           k = 0
           while (k < nSig) {
-            e.bypass(if (level(cgPos, sigPos(k)) < 0) 1 else 0)
+            if (!signHidden || k < nSig - 1)
+              e.bypass(if (level(cgPos, sigPos(k)) < 0) 1 else 0)
             k += 1
           }
           var rice = 0

@@ -58,6 +58,13 @@ class De265VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("own_sh vector really exercises sign_data_hiding") {
+    val pps = H265.nalUnitsAnnexB(
+      Files.readAllBytes(Paths.get(dir, "own_sh_128x64.265")))
+      .find(_.nalType == H265.NalPps).get.payload
+    assert(H265.parsePps(pps).exists(_.signDataHiding))
+  }
+
   test("remux triple: committed bytes regenerate; all flavors byte-disjoint") {
     val base = Files.readAllBytes(Paths.get(dir, "own_p_128x64.265"))
     val streams = De265Vectors.remuxes.map { case (name, bytes) =>

@@ -66,4 +66,16 @@ class X265VectorSpec extends AnyFunSuite {
   test("x265 multi-reference vector (128x64, ref=3): bit-exact") {
     check("mr_128x64.265", "mr_128x64_recon.yuv", 128, 64, 6)
   }
+
+  test("x265 sign-data-hiding vector (128x64, signhide=1): bit-exact") {
+    // r15: the P config with sign_data_hiding LIVE — one of the two
+    // named gaps the r14 vectors disabled by param; §7.4.9.11 decode
+    // landed this round. The PPS must actually declare the flag.
+    val pps = H265.nalUnitsAnnexB(
+      Files.readAllBytes(Paths.get(dir, "sh_128x64.265")))
+      .find(_.nalType == H265.NalPps).get.payload
+    assert(H265.parsePps(pps).exists(_.signDataHiding),
+      "vector must exercise sign_data_hiding")
+    check("sh_128x64.265", "sh_128x64_recon.yuv", 128, 64, 6)
+  }
 }

@@ -52,4 +52,9 @@ V=fixtures/x265
   $V/wp_128x64_recon.yuv bframes=0 ref=1 weightp=1 $COMMON
 /tmp/x265vec 128 64 6 $V/in_128x64_6f.yuv $V/mr_128x64.265 \
   $V/mr_128x64_recon.yuv bframes=0 ref=3 weightp=0 $COMMON
+# r15: sign_data_hiding live (the P config with signhide=1 — one of the
+# two named gaps the original vectors disabled; decode landed r15)
+/tmp/x265vec 128 64 6 $V/in_128x64_6f.yuv $V/sh_128x64.265 \
+  $V/sh_128x64_recon.yuv bframes=0 ref=1 weightp=0 \
+  signhide=1 temporal-mvp=0 strong-intra-smoothing=0 subme=7
 echo "regenerated $(ls $V | wc -l) files in $V"
