@@ -229,10 +229,12 @@ object Analytics {
     val base = df.select(g, x.as("_mo_x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r8: fixed-width bounds (sketch-free pass 1a) at the 256-bucket
-    // default — more buckets shrink the kept-bucket sort slices and the
-    // boundary-count cost is one deeper binary-search step (measured
-    // q127 at 10×: 3.86 s sketch/64 → 1.9 s uniform/256)
-    val boundsX = Relational.uniformBounds(base, groupCol, "_mo_x")
+    // default — more buckets shrink the kept-bucket sort slices
+    // (measured q127 at 10×: 3.86 s sketch/64 → 1.9 s uniform/256);
+    // r15: the ARITHMETIC (lo, hi) range form — bucket indices compute
+    // inline, no per-row split-array search (q127 100×: 13.4 → see
+    // PERF.md r15 for the measured delta)
+    val boundsX = Relational.uniformRange(base, groupCol, "_mo_x")
     val med = Relational.percentileContExact(
       base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
     // the med-joined frame feeds the MAD percentile pass (2 reads) and
@@ -241,14 +243,15 @@ object Analytics {
     val withMed = base.join(broadcast(med), Seq(groupCol), "left")
       .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // r8 shared-bucketization lever: the MAD pass's boundaries are
-    // DERIVED from the x boundaries (sorted |b − med| is a valid split
-    // set for |x − med|; splits steer bucket balance, never exactness) —
-    // the second per-row percentile_approx sketch scan disappears, and
+    // r8 shared-bucketization lever, r15 arithmetic form: the MAD
+    // pass's RANGE derives from the x range (|x − med| spans
+    // [0, max(med − lo, hi − med)]; range placement steers bucket
+    // balance, never exactness) — no second per-row bounds scan, and
     // ReuseExchange serves boundsX's aggregate to both consumers.
     val boundsD = boundsX.join(med, Seq(groupCol))
-      .select(col(groupCol), sort_array(transform(col("_pc_bnds"),
-        b => abs(b - col("_mo_med")))).as("_pc_bnds"))
+      .select(col(groupCol), lit(0.0).as("_pc_lo"),
+        greatest(col("_mo_med") - col("_pc_lo"),
+          col("_pc_hi") - col("_mo_med")).as("_pc_hi"))
     val mad = Relational.percentileContExact(
       withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5),
       bounds = Some(boundsD))

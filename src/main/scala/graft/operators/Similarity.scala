@@ -37,7 +37,7 @@ object Similarity {
   }
 
   /** Fast cosine: native expression, registering it on first use. */
-  private def fastCosine(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def fastCosine(spark: org.apache.spark.sql.SparkSession,
       a: Column, b: Column): Column = {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.CosineSimilarity.cosineSim(a, b)
@@ -326,7 +326,7 @@ object Similarity {
     * Ties resolve to the larger cell id under array_max's struct order —
     * the same deterministic policy as [[cellScores]].
     */
-  private def trainedCellScores(vec: Column, centroids: Array[Array[Double]]): Column =
+  private[graft] def trainedCellScores(vec: Column, centroids: Array[Array[Double]]): Column =
     array(centroids.zipWithIndex.map { case (cv, i) =>
       struct(
         aggregate(
@@ -536,7 +536,7 @@ object Similarity {
     * ADC distance is exactly descending cosine — without this, L2 code
     * distances and cosine ranks disagree whenever norms vary.
     */
-  private[operators] def unitNorm(vec: Column): Column = {
+  private[graft] def unitNorm(vec: Column): Column = {
     val n = norm(vec)
     when(n > 0, transform(vec, x => x.cast("double") / n))
       .otherwise(transform(vec, x => x.cast("double")))
@@ -554,7 +554,7 @@ object Similarity {
     * CPU (measured on q100). `slice`+`zip_with`+`aggregate` against ONE
     * array literal keeps the same left-fold float order in ~15 nodes.
     */
-  private def subDist(sv: Column, offset: Int, centroid: Column, dsub: Int): Column =
+  private[graft] def subDist(sv: Column, offset: Int, centroid: Column, dsub: Int): Column =
     aggregate(
       zip_with(slice(sv, offset + 1, dsub), centroid, (a, c) => (a - c) * (a - c)),
       lit(0.0), (acc, x) => acc + x)
@@ -726,17 +726,38 @@ object Similarity {
 
     val full = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-    // the compressed index: id + coarse cell + m codes, no vectors
+    // the compressed index: id + coarse cell + m codes, no vectors.
+    // r15: PERSISTED — an index is materialized state. Without the
+    // barrier, column pruning defers `_codes` into the candidate join,
+    // where the per-row argmin-over-ksub-centroids encode lambda tree
+    // re-evaluates once per (query, corpus) CANDIDATE — measured
+    // ~17 s of the face's 18.9 s at 100× (1 M candidates ≈ 5× the
+    // corpus re-encoded, interpreted). Persisted, the encode runs once
+    // per corpus row and probes read stored bytes; the frame is
+    // (id, cell, m codes) ≈ tens of bytes per row — the ~30×
+    // compression that makes a PQ index RAM-resident is exactly why
+    // this persist is cheap at any scale.
     val compressed = pqEncode(
         ivfAssignTrained(corpus.filter(col(vecCol).isNotNull), vecCol, coarse),
         vecCol, codebooks, "_codes")
       .select(col(idCol).as("_cid"), col("ivf_cell").as("_cell"), col("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val lut = graft.operators.TextAnalysis.bindOnce(unitNorm(col(vecCol)), qn =>
       array((0 until m).map { j =>
         transform(typedlit(codebooks(j).map(_.toSeq).toSeq),
           c => subDist(qn, j * dsub, c, dsub))
       }: _*))
+    // r15: persist the (|queries| × nProbes)-row frame so `_lut`
+    // becomes STORED DATA at the join. Without the barrier,
+    // CollapseProject folds this projection into the candidate join and
+    // the ADC "table lookup" re-evaluates the full m×ksub subDist
+    // lambda tree (unitNorm included) PER CANDIDATE ROW — measured
+    // 11 µs/row ≈ 11 s over a 1 M-candidate probe at 100×, vs
+    // nanoseconds for element_at on materialized arrays. Memory is
+    // bounded by the query set (≈ m·ksub + dim doubles per row);
+    // MEMORY_AND_DISK + CacheManager plan-dedupe per the
+    // madOutlierStats persistence discipline.
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), lut.as("_lut"),
         trainedCellScores(col(vecCol), coarse).as("_scored"))
@@ -744,23 +765,36 @@ object Similarity {
         explode(transform(
           slice(reverse(array_sort(col("_scored"))), 1, nProbes),
           s => s.getField("cell"))).as("_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val adc = (0 until m).map(j =>
       element_at(element_at(col("_lut"), j + 1),
         element_at(col("_codes"), j + 1) + 1)).reduce(_ + _)
     val wAdc = Window.partitionBy(col("_qid"))
       .orderBy(col("_adc").asc, col("_cid").asc)
+    // r15: compute _adc in the join projection and SHED the wide
+    // per-query payload (_lut m×ksub doubles, _qv dim doubles) before
+    // the per-query ranking sort — carrying them put ~1.5 KB on every
+    // candidate row through the two windows (measured 17 s for a 1 M-
+    // candidate probe at 100×, vs 1.4 s brute); the narrow
+    // (_qid,_cid,_adc) rows sort at memory-bandwidth instead, and the
+    // query vector rejoins via a |queries|-row broadcast for the exact
+    // re-rank
     val candidates = q.join(compressed, Seq("_cell"))
       .filter(if (excludeSelf) col("_qid") =!= col("_cid") else lit(true))
-      .withColumn("_adc", adc)
+      .select(col("_qid"), col("_cid"), adc.as("_adc"))
       .withColumn("_ar", row_number().over(wAdc))
       .filter(col("_ar") <= rerank)
-      .select(col("_qid"), col("_qv"), col("_cid"))
+      .select(col("_qid"), col("_cid"))
 
+    val qv = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
     val wk = Window.partitionBy(col("_qid"))
       .orderBy(col("cosine").desc, col("_cid").asc)
     candidates.join(full, Seq("_cid"))
-      .withColumn("cosine", fastCosine(spark, col("_qv"), col("_cv")))
+      .join(broadcast(qv), Seq("_qid"))
+      .select(col("_qid"), col("_cid"),
+        fastCosine(spark, col("_qv"), col("_cv")).as("cosine"))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select(col("_qid").as("query_id"), col("_cid").as("neighbor_id"),

@@ -451,53 +451,73 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     // distinct grams per eval doc; docs with < n tokens contribute none
     // (shingles() emits a single short-text gram — excluded here, the
-    // audit contract is "windows of exactly n tokens")
-    // hash-pair identity (salt FIRST — see exactKeepMinId on why
-    // hash(salt, g) is an independent second hash and hash(g, salt) is not)
-    def h1(g: Column): Column = xxhash64(g)
-    def h2(g: Column): Column = xxhash64(lit(1), g)
+    // audit contract is "windows of exactly n tokens").
+    //
+    // Gram identity is the 128-bit hash pair of the PER-TOKEN-HASH
+    // window (salt FIRST on h2 — see exactKeepMinId on why
+    // hash(salt, w) is an independent second hash and hash(w, salt) is
+    // not). r15: the n-token gram STRING is never materialized — at
+    // 100× the concat_ws of ~25 M 13-grams (≈ 90 B of string each, both
+    // sides) dominated the face (23.9 s); hashing a slice of the
+    // precomputed token-hash array is fixed-width arithmetic (the full
+    // face measured 2.6× off, same results: matching was ALREADY by
+    // hash pair, only the hash input changed representation).
+    def h1(w: Column): Column = xxhash64(w)
+    def h2(w: Column): Column = xxhash64(lit(1), w)
+    def gramHashes(t: Column): Column =
+      bindOnce(transform(t, tok => xxhash64(tok)), th =>
+        transform(sequence(lit(0), size(t) - n), i =>
+          bindOnce(slice(th, i + 1, lit(n)),
+            w => struct(h1(w).as("_ct_h1"), h2(w).as("_ct_h2")))))
     val evalGrams = eval
       .select(col(idCol).as("_ct_id"), tokens(col(textCol)).as("_ct_t"))
       .filter(size(col("_ct_t")) >= n)
-      .select(col("_ct_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("_ct_t")) - n),
-          i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n)))))).as("_ct_g"))
+      .select(col("_ct_id"),
+        explode(array_distinct(gramHashes(col("_ct_t")))).as("_ct_hs"))
+      .select(col("_ct_id"), col("_ct_hs._ct_h1").as("_ct_h1"),
+        col("_ct_hs._ct_h2").as("_ct_h2"))
     val rawTrainGrams = train
       .select(tokens(col(textCol)).as("_ct_t"))
       .filter(size(col("_ct_t")) >= n)
-      .select(explode(
-        transform(sequence(lit(0), size(col("_ct_t")) - n),
-          i => concat_ws(" ", slice(col("_ct_t"), i + 1, lit(n))))).as("_ct_g"))
+      .select(explode(gramHashes(col("_ct_t"))).as("_ct_hs"))
+      .select(col("_ct_hs._ct_h1").as("_ct_h1"),
+        col("_ct_hs._ct_h2").as("_ct_h2"))
     // Small training corpora (optimizer estimate, no job — the Dedup
     // small/big seam) skip the Bloom prefilter: the sketch exists to
     // keep a 100 TB side's exploded grams out of the shuffle, and its
     // eagerly-collected build job costs more than it saves below the
     // threshold. Exactness unaffected — the semi-join is the same.
-    val trainGrams =
-      if (Dedup.isSmallInput(train)) rawTrainGrams
+    // r15: the gate compares the SCAN estimate against 1/16 of the
+    // barrier threshold, not the threshold itself — the quantity that
+    // hits the shuffle is the EXPLODED gram stream (≈ tokens × 16-byte
+    // hash pairs, an order of magnitude over the compressed scan
+    // bytes the optimizer sees; the 100× corpus scans at 69 MB
+    // "small" yet explodes to 25 M-gram / 400 MB exchanges, and the
+    // ungated face measured 24.7 s vs 13.4 s bloomed). Unit-scale
+    // corpora (KB–low-MB) still skip the eager sketch job.
+    val trainSmall = train.queryExecution.optimizedPlan.stats.sizeInBytes <
+      (Dedup.barrierThresholdBytes >> 4)
+    val trainHashes =
+      if (trainSmall) rawTrainGrams
       else {
         // empty eval gram set (all eval docs shorter than n): Spark's
         // bloomFilter agg yields a null sketch — every output row is zeros
         val bloom =
-          try evalGrams.stat.bloomFilter("_ct_g", expectedEvalGrams, 0.01)
+          try evalGrams.stat.bloomFilter("_ct_h1", expectedEvalGrams, 0.01)
           catch { case _: NullPointerException =>
             return eval.select(col(idCol), lit(0L).as("n_grams"),
               lit(0L).as("n_contaminated"), lit(0.0).as("frac")) }
+        // prefilter on h1 alone (a long — cheapest possible sketch);
+        // the exact match below is still the full (h1, h2) pair
         rawTrainGrams.filter(
-          graft.functions.BloomMightContain.mightContain(col("_ct_g"), bloom))
+          graft.functions.BloomMightContain.mightContain(col("_ct_h1"), bloom))
       }
-    // train side sheds the gram text BEFORE the exchange: only the
-    // 16-byte hash pair shuffles from the big side
-    val trainHashes = trainGrams.select(
-      h1(col("_ct_g")).as("_ct_h1"), h2(col("_ct_g")).as("_ct_h2"))
     // matched grams: ≤ |eval gram set| rows — broadcastable by construction
-    val matched = evalGrams.select(col("_ct_g")).distinct()
-      .withColumn("_ct_h1", h1(col("_ct_g")))
-      .withColumn("_ct_h2", h2(col("_ct_g")))
+    val matched = evalGrams.select(col("_ct_h1"), col("_ct_h2")).distinct()
       .join(trainHashes, Seq("_ct_h1", "_ct_h2"), "left_semi")
-      .select(col("_ct_g"))
     val perDoc = evalGrams
-      .join(broadcast(matched.withColumn("_ct_hit", lit(1))), Seq("_ct_g"), "left")
+      .join(broadcast(matched.withColumn("_ct_hit", lit(1))),
+        Seq("_ct_h1", "_ct_h2"), "left")
       .groupBy(col("_ct_id"))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("_ct_hit")), lit(0L)).as("n_contaminated"))

@@ -160,7 +160,12 @@ class PlanCensusSpec extends SparkSpec {
     "q97_jaro_winkler"         -> (1, 1, 1, true), // 25-row dim broadcast cross (declared)
     "q98_histogram"            -> (2, 0, 0, true), // per-row bucket expr + hash agg
     "q99_url_parse"            -> (1, 0, 0, true), // per-row parse, sort only
-    "q100_pq_topk"             -> (2, 2, 0, true), // cell equi-join + compressed
+    "q100_pq_topk"             -> (2, 3, 0, true), // r15: +1 broadcast — the
+                                                   // |queries|-row _qv rejoin of
+                                                   // the narrow-window rewrite
+                                                   // (18.9 → 1.75 s at 100× with
+                                                   // the persisted code index);
+                                                   // cell equi-join + compressed
                                                    // candidate cut + vector join-back
     "q101_seq_packing"         -> (5, 2, 2, true), // prefix scan: tiny offsets frame +
                                                    // per-bucket windows; 1-row bounds ×2
@@ -204,7 +209,11 @@ class PlanCensusSpec extends SparkSpec {
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
                                                    // the |groups|×50 frame + sort
-    "q127_mad_outliers"        -> (11, 5, 0, true), // r9: persisted 2-col
+    "q127_mad_outliers"        -> (11, 6, 0, true), // r15: +1 tiny broadcast —
+                                                   // the MAD range frame
+                                                   // (boundsX ⋈ med) of the
+                                                   // arithmetic-bucketize
+                                                   // rewrite; r9: persisted 2-col
                                                    // projection shared across the
                                                    // med/MAD/census passes (one
                                                    // source scan); r8: med + MAD
