@@ -215,12 +215,45 @@ object De265Vectors {
     Vec("own_sh_128x64", w, h, stream, recons)
   }
 
+  /** r15 temporal MVP: a reordered-B GOP with sps_temporal_mvp
+    * enabled — slice TMVP flags, collocated_* syntax, and §8.5.3.2.8/9
+    * temporal merge/AMVP candidates must all survive an independent
+    * decoder (libde265 derives the same candidate lists, or pixels
+    * diverge). Distinct seed from [[bGop]] keeps the streams disjoint.
+    */
+  private def tmvpGop: Vec = {
+    val w = 128; val h = 64
+    val rnd = new scala.util.Random(4107)
+    val dx = 1
+    val iLayout: Seq[CuTree] = Seq.fill(8)(CuLeaf(Seq(rnd.nextInt(35))))
+    val pLayout: Seq[CuTree] = Seq.fill(8) {
+      if (rnd.nextInt(3) == 0) CuLeaf(Seq(rnd.nextInt(35)))
+      else InterLeaf(8 * dx, 0)
+    }
+    val f0x = 4 * dx
+    val bLayout: Seq[CuTree] = Seq.fill(8) {
+      rnd.nextInt(4) match {
+        case 0 => BiLeaf(3, f0x, 0, -f0x, 0)
+        case 1 => BiLeaf(1, f0x, 0)
+        case 2 => CuLeaf(Seq(rnd.nextInt(35)))
+        case _ => BiLeaf(2, 0, 0, -f0x, 0)
+      }
+    }
+    val frames = Seq(0, 2, 1).map(k => planes(w, h, new scala.util.Random(82), k, dx))
+    val (stream, recons) = H265Encode.encodeGopB(frames, w, h, iLayout,
+      Seq(GopPic(2, 1, pLayout, negDelta = 2),
+        GopPic(1, 0, bLayout, isRef = false)), qp = 27,
+      temporalMvp = true)
+    Vec("own_tmvp_128x64", w, h, stream, recons)
+  }
+
   /** All vectors, deterministic. encodeGopB recons come back in
     * DISPLAY order — the order libde265 emits pictures — and
     * encodeGop/intra decode order equals display order, so a straight
     * zip against the external YUV is valid everywhere.
     */
-  def vectors: Seq[Vec] = Seq(intraSao, pGop, bGop, wpGop, mrGop, shGop)
+  def vectors: Seq[Vec] =
+    Seq(intraSao, pGop, bGop, wpGop, mrGop, shGop, tmvpGop)
 
   /** Remux triple of the P vector (q175's three flavors): byte-level
     * re-wraps whose normative decode must be pixel-identical.

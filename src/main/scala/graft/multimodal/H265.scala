@@ -347,7 +347,7 @@ object H265 {
       minCbLog2: Int = 3, maxTbLog2: Int = 5, depthIntra: Int = 1,
       sao: Boolean = false, decPicBuffering: Int = 1,
       reorderPics: Int = 0, latencyPlus1: Int = 0,
-      log2PocLsb: Int = 4): Array[Byte] = {
+      log2PocLsb: Int = 4, temporalMvp: Boolean = false): Array[Byte] = {
     val ctb = 1 << ctbLog2
     require(width > 0 && height > 0 && width % ctb == 0 && height % ctb == 0,
       s"tier-2 dims must be CTB-aligned, got ${width}x$height at CTB $ctb")
@@ -379,7 +379,7 @@ object H265 {
     w.flag(false) // pcm_enabled
     w.ue(0)    // num_short_term_ref_pic_sets
     w.flag(false) // long_term_ref_pics_present
-    w.flag(false) // sps_temporal_mvp_enabled
+    w.flag(temporalMvp) // sps_temporal_mvp_enabled (r15)
     w.flag(false) // strong_intra_smoothing_enabled
     w.flag(false) // vui_parameters_present
     w.flag(false) // sps_extension_present

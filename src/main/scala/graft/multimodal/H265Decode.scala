@@ -92,6 +92,14 @@ object H265Decode {
       * validity = done4 (recon order is z-scan, and inter CUs mark
       * recon only after their residual completes).
       */
+    /** Decode-time per-list reference POCs of THIS picture (r15,
+      * TMVP): §8.5.3.2.9 scales a collocated cell's MV by the POC
+      * distance to the cell's OWN reference, so the collocated
+      * picture must carry its lists past its decode. Empty for intra
+      * pictures (their cells are never inter, so never consulted).
+      */
+    var tmvpRefPocs0: IndexedSeq[Int] = IndexedSeq.empty
+    var tmvpRefPocs1: IndexedSeq[Int] = IndexedSeq.empty
     val inter4 = new Array[Boolean](w4 * h4)
     val skip4 = new Array[Boolean](w4 * h4)
     val dir4 = new Array[Byte](w4 * h4)
@@ -660,7 +668,8 @@ object H265Decode {
       val refPocs0: IndexedSeq[Int] = IndexedSeq(0), val refPoc1: Int = 0,
       val mvdL1Zero: Boolean = false,
       val weights: Option[H265Inter.PredWeights] = None,
-      val activeL0: Int = 1) {
+      val activeL0: Int = 1,
+      val col: Option[H265Inter.ColCtx] = None) {
     def refPocs1: IndexedSeq[Int] = IndexedSeq(refPoc1)
     val qpCb: Int =
       H265Transform.chromaQp(math.max(0, math.min(57, qpY + pps.cbQpOffset)))
@@ -852,7 +861,7 @@ object H265Decode {
         val idx = decodeMergeIdx(s.d, s.maxMerge)
         val mi = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
           s.maxMerge, bSlice, s.refPocs0, s.refPocs1,
-          numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
+          numRefMerge = if (bSlice) 1 else s.activeL0, col = s.col)(idx)
         if (debugPu)
           println(s"PU ($x0,$y0)x$nCb skip idx=$idx mi=$mi")
         s.weights match {
@@ -877,7 +886,7 @@ object H265Decode {
             val idx = decodeMergeIdx(s.d, s.maxMerge)
             H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb, s.maxMerge,
               bSlice, s.refPocs0, s.refPocs1,
-              numRefMerge = if (bSlice) 1 else s.activeL0)(idx)
+              numRefMerge = if (bSlice) 1 else s.activeL0, col = s.col)(idx)
           } else {
             val dir =
               if (bSlice) decodeInterPredIdc(s.d, cqtDepth) match {
@@ -894,7 +903,7 @@ object H265Decode {
               val mvpIdx = s.d.decision(CtxMvpFlag)
               val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
                 listX = 0, s.currPoc, s.refPocs0, s.refPocs1,
-                refIdx = r0)(mvpIdx)
+                refIdx = r0, col = s.col)(mvpIdx)
               mv0 = (mvp._1 + mvdX, mvp._2 + mvdY)
             }
             if ((dir & 2) != 0) {
@@ -904,7 +913,8 @@ object H265Decode {
                 if (s.mvdL1Zero && dir == 3) (0, 0) else decodeMvd(s.d)
               val mvpIdx = s.d.decision(CtxMvpFlag)
               val mvp = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
-                listX = 1, s.currPoc, s.refPocs0, s.refPocs1)(mvpIdx)
+                listX = 1, s.currPoc, s.refPocs0, s.refPocs1,
+                col = s.col)(mvpIdx)
               mv1 = (mvp._1 + mvdX, mvp._2 + mvdY)
             }
             H265Inter.Mi(dir, mv0._1, mv0._2, mv1._1, mv1._2, r0, 0)
@@ -1111,6 +1121,7 @@ object H265Decode {
     var poc = 0
     var refs0: IndexedSeq[Pic] = IndexedSeq.empty; var ref1: Pic = null
     var refPocs0: IndexedSeq[Int] = IndexedSeq(0); var refPoc1 = 0
+    var sliceTmvp = false
     if (!idr) {
       // slice_pic_order_cnt_lsb + §8.3.1 POC derivation vs the
       // previous reference picture (prevTid0Pic)
@@ -1157,7 +1168,6 @@ object H265Decode {
           "P pictures use negative references only in the tier")
         refPocs0 = usedNeg.map(k => poc - negDeltas(k)).toIndexedSeq
         refs0 = refPocs0.map(inDpb)
-        require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       if (sliceType == 0) {
         // tier-4 B: one used past + one used future reference active —
@@ -1170,9 +1180,11 @@ object H265Decode {
         ref1 = inDpb(refPoc1)
         require(usedPos.size == 1,
           "tier-4 B slices carry one used future reference")
-        require(!sps.temporalMvp, "temporal MVP out of the tier")
       }
       // long-term refs: SPS-disabled in all tier streams (flag absent)
+      // slice_temporal_mvp_enabled_flag (§7.3.6.1, r15: decoded —
+      // temporal MVP is in the tier)
+      if (sps.temporalMvp) sliceTmvp = r.flag()
     }
     var saoLuma = false
     var saoChroma = false
@@ -1185,6 +1197,8 @@ object H265Decode {
     var cabacSwap = false
     var weights: Option[H265Inter.PredWeights] = None
     var activeL0 = 1
+    var colFromL0 = true
+    var colRefIdx = 0
     if (sliceType != 2) {
       // active reference counts: L0 may carry several (r13 multiref
       // P); L1 stays single; cyclic list construction (active >
@@ -1223,7 +1237,18 @@ object H265Decode {
       // cabac_init_flag (§9.3.2.2): swaps the P and B context init
       // tables — initType becomes 2 for P, 1 for B
       if (pps.cabacInitPresent) cabacSwap = r.flag()
-      // collocated absent (no TMVP); pred_weight_table (§7.3.6.3)
+      // collocated_from_l0_flag / collocated_ref_idx (§7.3.6.1, r15):
+      // P slices infer from-L0 = 1; the ref_idx ue appears only when
+      // the pointed list has more than one active entry (L1 carries
+      // one in the tier, so only the L0 side can spell it out)
+      if (sliceTmvp) {
+        if (sliceType == 0) colFromL0 = r.flag()
+        if (colFromL0 && activeL0 > 1) {
+          colRefIdx = r.ue()
+          require(colRefIdx < activeL0, s"collocated_ref_idx $colRefIdx")
+        }
+      }
+      // pred_weight_table (§7.3.6.3)
       // when the PPS enables explicit weighting for this slice type
       if ((sliceType == 1 && pps.weightedPred) ||
           (sliceType == 0 && pps.weightedBipred)) {
@@ -1253,9 +1278,24 @@ object H265Decode {
     if (debugPu)
       println(s"SLICE poc=$poc type=$sliceType qp=$qp")
     val pic = new Pic(sps.width, sps.height)
+    // this picture's lists survive on the Pic for later TMVP against it
+    if (sliceType != 2) {
+      pic.tmvpRefPocs0 = refPocs0
+      if (sliceType == 0) pic.tmvpRefPocs1 = IndexedSeq(refPoc1)
+    }
+    // §8.5.3.2.8's collocated picture context for THIS slice
+    val col =
+      if (sliceTmvp && sliceType != 2) {
+        val allBefore = refPocs0.forall(_ <= poc) &&
+          (sliceType != 0 || refPoc1 <= poc)
+        Some(H265Inter.ColCtx(
+          if (colFromL0) refs0(colRefIdx) else ref1,
+          if (colFromL0) refPocs0(colRefIdx) else refPoc1,
+          poc, sps.ctbLog2, allBefore, colFromL0))
+      } else None
     val s = new SliceCtx(sps, pps, pic, qp, sliceType,
       refs0, maxMerge, ref1, poc, refPocs0, refPoc1, mvdL1Zero, weights,
-      activeL0)
+      activeL0, col)
     s.r = r
     // §9.3.2.2 initType: I → 0; P → 1 (2 with cabac_init_flag);
     // B → 2 (1 with cabac_init_flag)

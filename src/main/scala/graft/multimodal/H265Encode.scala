@@ -349,7 +349,8 @@ object H265Encode {
       depthIntra: Int = 1,
       cabacInit: Boolean = false,
       decPicBuffering: Int = 3,
-      signHide: Boolean = false): (Array[Byte], Seq[Recon]) = {
+      signHide: Boolean = false,
+      temporalMvp: Boolean = false): (Array[Byte], Seq[Recon]) = {
     require(frames.nonEmpty && frames.size == pics.size + 1,
       "one source frame for the IDR plus one per GOP picture")
     val ctbW = width >> ctbLog2
@@ -367,7 +368,7 @@ object H265Encode {
       (H265.NalVps, H265.writeVps(decPicBuffering, reorderPics = 1)),
       (H265.NalSps, H265.writeSpsPixel2(width, height, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, decPicBuffering = decPicBuffering,
-        reorderPics = 1)),
+        reorderPics = 1, temporalMvp = temporalMvp)),
       (H265.NalPps, H265.writePpsPixel(cabacInit = cabacInit,
         weightedPred = pics.exists(p => p.sliceType == 1 && p.weights.isDefined),
         weightedBipred = pics.exists(p => p.sliceType == 0 && p.weights.isDefined),
@@ -416,6 +417,8 @@ object H265Encode {
         w.ue(spec.posDelta - 1) // delta_poc_s1_minus1
         w.flag(true) // used_by_curr_pic_s1_flag
       }
+      // slice_temporal_mvp_enabled_flag (§7.3.6.1, r15)
+      if (temporalMvp) w.flag(true)
       if (refs0.size > 1) {
         w.flag(true)              // num_ref_idx_active_override
         w.ue(refs0.size - 1)      // num_ref_idx_l0_active_minus1
@@ -425,6 +428,13 @@ object H265Encode {
       // cabac_init_flag = 1 when the PPS enables it: swap the P/B
       // context init tables (§9.3.2.2)
       if (cabacInit) w.flag(true)
+      // collocated_from_l0 (B; the encoder always collocates on the
+      // closest L0 reference) + collocated_ref_idx when L0 has >1
+      // active entry (§7.3.6.1)
+      if (temporalMvp) {
+        if (bSlice) w.flag(true)
+        if (refs0.size > 1) w.ue(0)
+      }
       // pred_weight_table when this slice type is PPS-weighted (a
       // weighted GOP must give EVERY such slice a table — the PPS
       // flag makes it mandatory; GopPic.weights None = the defaults,
@@ -462,11 +472,21 @@ object H265Encode {
         if ((bSlice && anyWbp) || (!bSlice && anyWp))
           Some(spec.weights.getOrElse(H265Inter.PredWeights.default(0, 0)))
         else None
+      // decoder-twin ColCtx: collocate on L0 entry 0 (matches the
+      // header syntax above); the referenced Pic carries its own lists
+      val col =
+        if (temporalMvp) Some(H265Inter.ColCtx(refs0.head, refPocs0.head,
+          spec.poc, ctbLog2,
+          allRefsBefore = refPocs0.forall(_ <= spec.poc) &&
+            (!bSlice || refPoc1 <= spec.poc),
+          colFromL0 = true))
+        else None
       val enc = new SliceEnc(e, pic, sy, scb, scr, qp, ctbLog2, minCbLog2,
         maxTbLog2, depthIntra, sliceType = spec.sliceType, refs0 = refs0,
         refPic1 = ref1, currPoc = spec.poc,
         refPocs0 = refPocs0, refPoc1 = if (bSlice) refPoc1 else 0,
-        weights = effWeights, activeL0 = refs0.size, signHide = signHide)
+        weights = effWeights, activeL0 = refs0.size, signHide = signHide,
+        col = col)
       var ctu = 0
       val nCtu = spec.layout.size
       while (ctu < nCtu) {
@@ -480,6 +500,9 @@ object H265Encode {
       recons += ((spec.poc,
         Recon(pic.luma.clone(), pic.cb.clone(), pic.cr.clone())))
       if (spec.isRef) {
+        // TMVP metadata for later pictures collocating on this one
+        pic.tmvpRefPocs0 = refPocs0
+        if (bSlice) pic.tmvpRefPocs1 = IndexedSeq(refPoc1)
         dpb(spec.poc) = pic
         // decoder-twin eviction mirrors H265Decode: FIFO depth from
         // the declared SPS buffering, floored at the legacy 8 (r14)
@@ -506,7 +529,8 @@ object H265Encode {
       refPic1: H265Decode.Pic = null, currPoc: Int = 0,
       refPocs0: IndexedSeq[Int] = IndexedSeq(0), refPoc1: Int = 0,
       weights: Option[H265Inter.PredWeights] = None,
-      activeL0: Int = 1, signHide: Boolean = false) {
+      activeL0: Int = 1, signHide: Boolean = false,
+      col: Option[H265Inter.ColCtx] = None) {
     private val refPocs1 = IndexedSeq(refPoc1)
     private val qpCb = H265Transform.chromaQp(math.max(0, math.min(57, qp)))
 
@@ -743,7 +767,7 @@ object H265Encode {
       pic.setDepth(x0, y0, nCb, cqtDepth)
       val cands = H265Inter.mergeCandidatesMi(pic, x0, y0, nCb, nCb,
         maxMerge, bSlice, refPocs0, refPocs1,
-        numRefMerge = if (bSlice) 1 else activeL0)
+        numRefMerge = if (bSlice) 1 else activeL0, col = col)
       val mergeIdx = cands.indexOf(mi)
       // prediction first (into the twin planes), then residual decisions
       weights match {
@@ -808,7 +832,7 @@ object H265Encode {
                 H265Cabac.encodeRefIdx(e, mi.ref0, activeL0)
               val mvps = H265Inter.amvpCandidatesMi(pic, x0, y0, nCb, nCb,
                 list, currPoc, refPocs0, refPocs1,
-                refIdx = mi.ref(list))
+                refIdx = mi.ref(list), col = col)
               val c0 = math.abs(mvx - mvps(0)._1) + math.abs(mvy - mvps(0)._2)
               val c1 = math.abs(mvx - mvps(1)._1) + math.abs(mvy - mvps(1)._2)
               val mvpIdx = if (c1 < c0) 1 else 0

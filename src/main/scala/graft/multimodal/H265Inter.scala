@@ -432,20 +432,96 @@ private[multimodal] object H265Inter {
         throw new IllegalArgumentException(s"bad inter dir $other")
     }
 
+  /** Collocated-picture context for temporal MV prediction (r15,
+    * §8.5.3.2.8): the collocated reference picture (whose per-4x4
+    * motion grids survive decode — our uncompressed stand-in for the
+    * spec's 16x16-compressed MV storage; fetch addresses are masked to
+    * 16x16 corners, making the two representations agree), its POC and
+    * decode-time per-list reference POCs (carried on the Pic —
+    * [[H265Decode.Pic.tmvpRefPocs0]]), the current POC, the CTB size
+    * (C0's same-CTB-row rule), `allRefsBefore` = no reference of the
+    * CURRENT picture follows it in output order (§8.5.3.2.9's
+    * NoBackwardPredFlag, list selection), and collocated_from_l0.
+    */
+  final case class ColCtx(colPic: H265Decode.Pic, colPoc: Int,
+      currPoc: Int, ctbLog2: Int, allRefsBefore: Boolean,
+      colFromL0: Boolean)
+
+  /** §8.5.3.2.8/9 temporal luma MV candidate for `listX` targeting
+    * `targetRefPoc`: probe C0 (bottom-right, outside the PU, same CTB
+    * row, inside the picture) then C1 (center), both masked to the
+    * 16x16 MV-storage grid; pick the collocated cell's list per
+    * §8.5.3.2.9 (only-list → that list; both → requested list when
+    * NoBackwardPredFlag, else the list collocated_from_l0 points AWAY
+    * from), then POC-scale ([[scaleMv]]; identity when the distances
+    * match). No long-term handling — LT references are SPS-disabled in
+    * the tier.
+    */
+  def tmvpMv(col: ColCtx, xPb: Int, yPb: Int, nPbW: Int, nPbH: Int,
+      listX: Int, targetRefPoc: Int): Option[(Int, Int)] = {
+    val p = col.colPic
+    def fromCell(x: Int, y: Int): Option[(Int, Int)] = {
+      val xm = x & ~15; val ym = y & ~15
+      val i = (ym >> 2) * p.w4 + (xm >> 2)
+      if (!p.inter4(i)) return None
+      val dir = p.dir4(i)
+      val listCol =
+        if (dir == 1) 0
+        else if (dir == 2) 1
+        else if (col.allRefsBefore) listX
+        else if (col.colFromL0) 1 else 0
+      val (mvx, mvy) =
+        if (listCol == 0) (p.mvx4(i).toInt, p.mvy4(i).toInt)
+        else (p.mv1x4(i).toInt, p.mv1y4(i).toInt)
+      val colRefPocs =
+        if (listCol == 0) p.tmvpRefPocs0 else p.tmvpRefPocs1
+      val refIdxCol = (if (listCol == 0) p.ref04(i) else p.ref14(i)).toInt
+      if (refIdxCol >= colRefPocs.size) return None // I-pic grid noise guard
+      val td = col.colPoc - colRefPocs(refIdxCol)
+      val tb = col.currPoc - targetRefPoc
+      Some(if (td == tb) (mvx, mvy) else scaleMv(mvx, mvy, tb, td))
+    }
+    val xBr = xPb + nPbW; val yBr = yPb + nPbH
+    val c0 =
+      if (xBr < p.width && yBr < p.height &&
+          (yPb >> col.ctbLog2) == (yBr >> col.ctbLog2))
+        fromCell(xBr, yBr)
+      else None
+    c0.orElse(fromCell(xPb + nPbW / 2, yPb + nPbH / 2))
+  }
+
+  /** §8.5.3.2.1's temporal merge candidate: refIdx 0 per used list,
+    * available when either list's temporal MV derives. */
+  private def tmvpMergeMi(col: ColCtx, xPb: Int, yPb: Int,
+      nPbW: Int, nPbH: Int, bSlice: Boolean,
+      refPocs0: IndexedSeq[Int], refPocs1: IndexedSeq[Int]): Option[Mi] = {
+    val l0 = tmvpMv(col, xPb, yPb, nPbW, nPbH, 0, refPocs0.head)
+    val l1 = if (bSlice) tmvpMv(col, xPb, yPb, nPbW, nPbH, 1, refPocs1.head)
+      else None
+    (l0, l1) match {
+      case (Some((x0, y0)), Some((x1, y1))) => Some(Mi(3, x0, y0, x1, y1))
+      case (Some((x0, y0)), None) => Some(Mi(1, x0, y0, 0, 0))
+      case (None, Some((x1, y1))) => Some(Mi(2, 0, 0, x1, y1))
+      case _ => None
+    }
+  }
+
   /** §8.5.3.2.3: the spatial merging candidates A1 B1 B0 A0 (B2 only
     * when fewer than 4 so far) with the normative pairwise pruning,
-    * then — for B slices — the §8.5.3.2.4 combined bi-predictive
-    * candidates over the original-candidate pairs, then zero fill to
-    * `maxCand` (zero candidates are bi in a B slice, L0 in a P slice;
-    * refIdx is always 0 in the tier). No temporal candidate — the SPS
-    * disables TMVP. Candidate availability = decoded-inter neighbor
-    * (z-scan availability via the Pic's recon grid).
+    * then — when the slice enables TMVP (`col` present, r15) — the
+    * §8.5.3.2.1 temporal candidate (refIdx 0, NOT pruned against the
+    * spatial ones), then — for B slices — the §8.5.3.2.4 combined
+    * bi-predictive candidates over the original-candidate pairs, then
+    * zero fill to `maxCand` (zero candidates are bi in a B slice, L0
+    * in a P slice; refIdx is always 0 in the tier). Candidate
+    * availability = decoded-inter neighbor (z-scan availability via
+    * the Pic's recon grid).
     */
   def mergeCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
       nPbW: Int, nPbH: Int, maxCand: Int, bSlice: Boolean,
       refPocs0: IndexedSeq[Int] = IndexedSeq(0),
       refPocs1: IndexedSeq[Int] = IndexedSeq(0),
-      numRefMerge: Int = 1): IndexedSeq[Mi] = {
+      numRefMerge: Int = 1, col: Option[ColCtx] = None): IndexedSeq[Mi] = {
     @inline def m(x: Int, y: Int): Option[Mi] =
       if (pic.interAt(x, y)) Some(pic.miAt(x, y)) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Mi]
@@ -461,6 +537,9 @@ private[multimodal] object H265Inter {
       val b2 = m(xPb - 1, yPb - 1)
       b2.foreach { c => if (!a1.contains(c) && !b1.contains(c)) out += c }
     }
+    if (out.size < maxCand)
+      col.flatMap(cc => tmvpMergeMi(cc, xPb, yPb, nPbW, nPbH, bSlice,
+        refPocs0, refPocs1)).foreach(out += _)
     if (bSlice && out.size > 1 && out.size < maxCand) {
       // §8.5.3.2.4 combined bi-predictive candidates: L0 motion of
       // combCandList0(k) + L1 motion of combCandList1(k), valid when
@@ -533,7 +612,7 @@ private[multimodal] object H265Inter {
   def amvpCandidatesMi(pic: H265Decode.Pic, xPb: Int, yPb: Int,
       nPbW: Int, nPbH: Int, listX: Int, currPoc: Int,
       refPocs0: IndexedSeq[Int], refPocs1: IndexedSeq[Int],
-      refIdx: Int = 0): IndexedSeq[(Int, Int)] = {
+      refIdx: Int = 0, col: Option[ColCtx] = None): IndexedSeq[(Int, Int)] = {
     val listY = 1 - listX
     @inline def pocOf(list: Int, r: Int): Int =
       if (list == 0) refPocs0(r) else refPocs1(r)
@@ -579,6 +658,12 @@ private[multimodal] object H265Inter {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     a.foreach(out += _)
     b.foreach { c => if (!a.contains(c)) out += c }
+    // §8.5.3.2.6 step: the temporal predictor (r15) joins when fewer
+    // than two spatial candidates survived the dedup — appended
+    // unpruned, exactly like the merge list's temporal entry
+    if (out.size < 2)
+      col.flatMap(cc =>
+        tmvpMv(cc, xPb, yPb, nPbW, nPbH, listX, tPoc)).foreach(out += _)
     while (out.size < 2) out += ((0, 0))
     out.take(2).toIndexedSeq
   }

@@ -65,6 +65,13 @@ class De265VectorSpec extends AnyFunSuite {
     assert(H265.parsePps(pps).exists(_.signDataHiding))
   }
 
+  test("own_tmvp vector really exercises temporal MVP") {
+    val sps = H265.nalUnitsAnnexB(
+      Files.readAllBytes(Paths.get(dir, "own_tmvp_128x64.265")))
+      .find(_.nalType == H265.NalSps).get.payload
+    assert(H265.parseSps(sps).exists(_.temporalMvp))
+  }
+
   test("remux triple: committed bytes regenerate; all flavors byte-disjoint") {
     val base = Files.readAllBytes(Paths.get(dir, "own_p_128x64.265"))
     val streams = De265Vectors.remuxes.map { case (name, bytes) =>

@@ -78,4 +78,27 @@ class X265VectorSpec extends AnyFunSuite {
       "vector must exercise sign_data_hiding")
     check("sh_128x64.265", "sh_128x64_recon.yuv", 128, 64, 6)
   }
+
+  private def assertTmvp(stream: String): Unit = {
+    val sps = H265.nalUnitsAnnexB(
+      Files.readAllBytes(Paths.get(dir, stream)))
+      .find(_.nalType == H265.NalSps).get.payload
+    assert(H265.parseSps(sps).exists(_.temporalMvp),
+      "vector must exercise temporal MVP")
+  }
+
+  test("x265 temporal-MVP P vector (128x64, temporal-mvp=1): bit-exact") {
+    // r15: the OTHER named gap live — temporal merge/AMVP candidates
+    // (§8.5.3.2.8/9) from the collocated picture's stored MV field,
+    // POC-scaled; P slices infer collocated_from_l0
+    assertTmvp("tmvp_p_128x64.265")
+    check("tmvp_p_128x64.265", "tmvp_p_128x64_recon.yuv", 128, 64, 6)
+  }
+
+  test("x265 temporal-MVP B vector (128x64, B GOP): bit-exact") {
+    // B slices carry collocated_from_l0 and exercise the §8.5.3.2.9
+    // both-list selection (NoBackwardPredFlag) plus bi temporal merge
+    assertTmvp("tmvp_b_128x64.265")
+    check("tmvp_b_128x64.265", "tmvp_b_128x64_recon.yuv", 128, 64, 6)
+  }
 }

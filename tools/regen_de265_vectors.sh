@@ -21,7 +21,7 @@ gcc -O2 -o /tmp/de265vec tools/de265_vector.c -l:libde265.so.0
 sbt -batch "runMain graft.multimodal.De265Vectors fixtures/de265"
 
 for v in own_intra_sao_64x64 own_p_128x64 own_b_128x64 own_wp_128x64 \
-         own_mr_128x64 own_sh_128x64; do
+         own_mr_128x64 own_sh_128x64 own_tmvp_128x64; do
   /tmp/de265vec "fixtures/de265/$v.265" "fixtures/de265/${v}_de265.yuv" \
     2>/dev/null
   # recon (our encoder, display order) must equal the external decode;

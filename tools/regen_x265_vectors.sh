@@ -57,4 +57,14 @@ V=fixtures/x265
 /tmp/x265vec 128 64 6 $V/in_128x64_6f.yuv $V/sh_128x64.265 \
   $V/sh_128x64_recon.yuv bframes=0 ref=1 weightp=0 \
   signhide=1 temporal-mvp=0 strong-intra-smoothing=0 subme=7
+# r15: temporal MVP live (the OTHER named gap) — P and B configs with
+# temporal-mvp=1: slice_temporal_mvp flags, collocated_* syntax,
+# §8.5.3.2.8/9 temporal merge+AMVP candidates incl. POC scaling and
+# the B-slice collocated_from_l0 list selection
+/tmp/x265vec 128 64 6 $V/in_128x64_6f.yuv $V/tmvp_p_128x64.265 \
+  $V/tmvp_p_128x64_recon.yuv bframes=0 ref=1 weightp=0 \
+  signhide=0 temporal-mvp=1 strong-intra-smoothing=0 subme=7
+/tmp/x265vec 128 64 6 $V/in_128x64_6f.yuv $V/tmvp_b_128x64.265 \
+  $V/tmvp_b_128x64_recon.yuv bframes=2 b-pyramid=0 ref=1 weightp=0 \
+  weightb=0 signhide=0 temporal-mvp=1 strong-intra-smoothing=0 subme=7
 echo "regenerated $(ls $V | wc -l) files in $V"
