@@ -34,7 +34,16 @@ object Bench {
     // The stage floor here is driver scheduling, not data. On a real
     // cluster at real scale AQE should be ON — these are microbench
     // settings for the local[] harness, both env-overridable.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    //
+    // r16 (verdict #5/#2): shuffle partitions default to the CORE COUNT
+    // instead of a constant 8, so the driver's 8-vs-32-core scaling
+    // probe sees real reduce-side parallelism divergence on the
+    // shuffle-bearing queries (a pinned 8 gave both runs identical
+    // reduce parallelism and made per-query scaling illegible). The
+    // env override is kept for A/Bs; cpus and shuffle_partitions are
+    // recorded in the printed JSON so every artifact carries its own
+    // parallelism configuration.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -245,7 +254,7 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Exception => "" }
     val json =
-      s"""{"metric":"total","value":${r4(wall)},"unit":"sec","loadavg":"$load","queries":$qs,"sum_queries":${r4(seqSum)},"mode":"concurrent","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(wall)},"unit":"sec","loadavg":"$load","cpus":$cpus,"shuffle_partitions":$shuffleParts,"queries":$qs,"sum_queries":${r4(seqSum)},"mode":"concurrent","sf":"$sfDir"}"""
     // bare-file copy FIRST: the driver's stdout capture is tail-limited
     // and sbt wraps program output in its own log stream, so the file is
     // the one channel guaranteed to carry the full JSON
