@@ -214,19 +214,44 @@ object Analytics {
       df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double): DataFrame = {
     val g = col(groupCol); val x = col(valueCol).cast("double")
-    // r9 scan-sharing: the med -> MAD -> outlier chain re-reads the
-    // input five times (bounds, 2x percentile passes x2 scans, final
-    // census); persisting the 2-column projection pays one columnar
-    // scan + one in-memory materialization instead — the (key, double)
-    // frame is the smallest possible footprint, and at cluster scale
-    // this is the difference between five passes over a 100 TB table
-    // and one (the Dedup.scala persist-and-reuse discipline).
+    val raw = df.select(g, x.as("_mo_x"))
+    // r16 key-encoding (the rankTargetedSelect lesson, applied to the
+    // WHOLE chain): every med/MAD/census step re-probed a broadcast
+    // hash relation on the raw group key — a string-keyed probe
+    // measured ~14× slower than a long-keyed one (1.13 vs 0.17 s per
+    // 15M-row pass at the 100× rung). The per-key (lo, hi) frame —
+    // needed anyway as pass 1a — doubles as a dictionary: one
+    // row_number over the |keys|-row frame assigns a dense long id,
+    // ONE null-safe string probe attaches it, and the med attach, MAD
+    // bucketize and mad attach all probe LongHashedRelations. Both the
+    // dict and the (key, id, x) projection persist: the dict so the
+    // three broadcast subtrees that reference it read |keys| cached
+    // rows instead of re-running the n-row min/max aggregate, the base
+    // because the chain scans it five times (r9 scan-sharing — at
+    // cluster scale the difference between five passes over a 100 TB
+    // table and one).
     // Deliberately NOT unpersisted: the returned frame is lazy, so the
     // cache must survive until the CALLER's action; CacheManager dedupes
     // identical plans (repeat calls don't stack) and MEMORY_AND_DISK
     // evicts under pressure. A long-lived service should wrap this call
     // and unpersist both frames after its terminal action.
-    val base = df.select(g, x.as("_mo_x"))
+    val dict = raw.groupBy(g)
+      .agg(min(col("_mo_x")).as("_pc_lo"), max(col("_mo_x")).as("_pc_hi"))
+      .withColumn("_mo_k",
+        row_number().over(Window.orderBy(g)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe on xxhash64(key) — a single non-null LONG equi-key
+    // (LongHashedRelation); the null-safe key equality runs as a
+    // post-join filter so the probe never pays the composite
+    // (coalesce, isnull) generic-hash path (see rankTargetedSelect).
+    // dict covers every key of raw by construction (same frame), so the
+    // filter keeps exactly one row per input row.
+    val base = raw
+      .join(broadcast(dict.select(g.as("_mo_kk"), col("_mo_k"),
+          xxhash64(g).as("_mo_kh"))),
+        xxhash64(g) === col("_mo_kh"), "left")
+      .filter(col("_mo_kk").isNull || (g <=> col("_mo_kk")))
+      .select(g, col("_mo_k"), col("_mo_x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r8: fixed-width bounds (sketch-free pass 1a) at the 256-bucket
     // default — more buckets shrink the kept-bucket sort slices
@@ -234,28 +259,36 @@ object Analytics {
     // r15: the ARITHMETIC (lo, hi) range form — bucket indices compute
     // inline, no per-row split-array search (q127 100×: 13.4 → see
     // PERF.md r15 for the measured delta)
-    val boundsX = Relational.uniformRange(base, groupCol, "_mo_x")
+    val boundsX = dict.select(col("_mo_k"), col("_pc_lo"), col("_pc_hi"))
+    // med persists too (|keys| rows): its subtree — which embeds a full
+    // bucketize+count pass as the kept-bucket broadcast — is referenced
+    // by the MAD pass, its bounds AND the census; uncached, each
+    // reference that the planner cannot ReuseExchange re-runs that full
+    // pass (measured 2.5 s/reference at the 100× rung vs 0.2 s cached)
     val med = Relational.percentileContExact(
-      base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
-    // the med-joined frame feeds the MAD percentile pass (2 reads) and
-    // the final census — cache it too; its lineage already reads the
-    // cached `base`, so the add-on cost is the broadcast-join project
-    val withMed = base.join(broadcast(med), Seq(groupCol), "left")
-      .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+        base.select(col("_mo_k"), col("_mo_x")), "_mo_k", "_mo_x",
+        Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the med-joined frame feeds the MAD percentile pass (2 reads) and
+    // the final census. r16: NOT persisted — its recompute from the
+    // cached base is one long-keyed broadcast probe + an abs(), cheaper
+    // per consumer than materializing and re-scanning a second full
+    // copy of the data (measured at the 100× rung: dropping this
+    // persist was the single biggest q127 win of the round's A/B).
+    val withMed = base.join(broadcast(med), Seq("_mo_k"), "left")
+      .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
     // r8 shared-bucketization lever, r15 arithmetic form: the MAD
     // pass's RANGE derives from the x range (|x − med| spans
     // [0, max(med − lo, hi − med)]; range placement steers bucket
-    // balance, never exactness) — no second per-row bounds scan, and
-    // ReuseExchange serves boundsX's aggregate to both consumers.
-    val boundsD = boundsX.join(med, Seq(groupCol))
-      .select(col(groupCol), lit(0.0).as("_pc_lo"),
+    // balance, never exactness) — no second per-row bounds scan.
+    val boundsD = dict.join(med, Seq("_mo_k"))
+      .select(col("_mo_k"), lit(0.0).as("_pc_lo"),
         greatest(col("_mo_med") - col("_pc_lo"),
           col("_pc_hi") - col("_mo_med")).as("_pc_hi"))
     val mad = Relational.percentileContExact(
-      withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5),
-      bounds = Some(boundsD))
-    withMed.join(broadcast(mad), Seq(groupCol), "left")
+      withMed.select(col("_mo_k"), col("_mo_ad")), "_mo_k", "_mo_ad",
+      Seq("_mo_mad" -> 0.5), bounds = Some(boundsD))
+    withMed.join(broadcast(mad), Seq("_mo_k"), "left")
       .groupBy(g)
       .agg(count(lit(1)).as("n"),
         round(first(col("_mo_med")), 6).as("med"),

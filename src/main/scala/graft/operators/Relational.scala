@@ -546,8 +546,23 @@ object Relational {
     * bucketization ([[uniformRange]], the r15 default), or (`partKey`,
     * `_pc_bnds` array<double>) of SORTED split points (the
     * [[approxBounds]] heavy-tail path) — any splits work (skew costs
-    * only pass-2 sort size); keys absent from the frame fall into one
-    * bucket via the null guards.
+    * only pass-2 sort size). The frame MUST cover every key present in
+    * `df` (every construction in this repo derives it from `df` itself,
+    * so it does by construction); a missing key raises at execution
+    * instead of silently degrading.
+    *
+    * r16 key-encoding: the n-row passes probe broadcast hash relations
+    * twice per call (bounds attach, kept-bucket attach). A STRING-keyed
+    * HashedRelation probe measured ~14× slower than a long-keyed one
+    * (1.13 s vs 0.17 s per 15M-row pass at the 100× rung — generic
+    * UnsafeHashedRelation vs LongHashedRelation), so the bounds frame
+    * now carries a dense long id `_pc_k` (row_number over the |keys|-row
+    * frame — bounded by the very broadcast it rides), the bounds probe
+    * attaches it once, and every later keyed step — (key, bucket)
+    * counts, the kept-bucket probe (fused single long `_pc_k·B + b`),
+    * the rank window — runs on longs. The original key column rides
+    * only the pass-2 hits slice (kept rows), so the output shape is
+    * unchanged.
     */
   private def rankTargetedSelect(
       df: DataFrame, partKey: String, valueCol: String,
@@ -559,7 +574,8 @@ object Relational {
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       "fractions must be in [0, 1]")
     require(buckets >= 2, "buckets >= 2")
-    Seq("_pc_v", "_pc_b", "_pc_c", "_pc_off", "_pc_n", "_pc_rn", "_pc_bnds")
+    Seq("_pc_v", "_pc_b", "_pc_c", "_pc_off", "_pc_n", "_pc_rn", "_pc_bnds",
+        "_pc_k", "_pc_kk", "_pc_kh", "_pc_gb")
       .foreach(c => require(!df.columns.contains(c), s"input already has column $c"))
     val W = org.apache.spark.sql.expressions.Window
     val base = df
@@ -568,28 +584,48 @@ object Relational {
 
     // pass 1a: interior boundaries per key (any splits are fine — see
     // doc); arithmetic fixed-width from min/max by default (r15),
-    // caller-provided otherwise (shared ranges, heavy-tail approxBounds)
+    // caller-provided otherwise (shared ranges, heavy-tail approxBounds).
+    // The dense-id window is single-partition over the |keys|-row frame —
+    // the same O(|keys|) bound as the broadcast itself (census-pinned).
     val bnds = bounds.getOrElse(uniformRange(df, partKey, valueCol))
+    val dict = bnds
+      .withColumn("_pc_k", row_number().over(W.orderBy(col(partKey))).cast("long"))
+      .withColumnRenamed(partKey, "_pc_kk")
+    // a key the bounds frame does not cover would silently merge into the
+    // null id — fail loudly instead (the null KEY group keeps working: it
+    // has its own bounds row and its own id).
+    // The probe itself is on xxhash64(key) — a SINGLE NON-NULL LONG key
+    // (LongHashedRelation), because a null-safe string condition compiles
+    // to the composite (coalesce, isnull) key pair and a generic
+    // UnsafeHashedRelation probe, the exact slow path this encoding
+    // exists to remove. The null-safe key check runs as a post-join
+    // filter on the (rare) hash-equal rows, so a 64-bit collision between
+    // two distinct keys costs one dropped duplicate, never a wrong match.
+    val missing = raise_error(lit(
+      s"percentile bounds frame does not cover every $partKey")).cast("int")
+    val encoded = base
+      .join(broadcast(dict.withColumn("_pc_kh", xxhash64(col("_pc_kk")))),
+        xxhash64(col(partKey)) === col("_pc_kh"), "left")
+      .filter(col("_pc_kk").isNull || (col(partKey) <=> col("_pc_kk")))
     val withB =
       if (bnds.columns.contains("_pc_lo")) {
         // arithmetic path: bucket = clamp(floor((v − lo)·B/(hi − lo)))
         // — no per-row array search, and the broadcast carries two
         // doubles per key instead of a buckets-1 array
-        base.join(broadcast(bnds), Seq(partKey), "left")
-          .withColumn("_pc_b",
-            when(col("_pc_lo").isNull || !(col("_pc_hi") > col("_pc_lo")),
+        encoded.select(col(partKey), col("_pc_k"), col("_pc_v"),
+          when(col("_pc_k").isNull, missing)
+            .otherwise(when(col("_pc_lo").isNull || !(col("_pc_hi") > col("_pc_lo")),
               lit(0))
             .otherwise(least(greatest(
               floor((col("_pc_v") - col("_pc_lo")) * buckets /
                 (col("_pc_hi") - col("_pc_lo"))).cast("int"),
-              lit(0)), lit(buckets - 1))))
-          .drop("_pc_lo", "_pc_hi")
+              lit(0)), lit(buckets - 1)))).as("_pc_b"))
       } else {
-        base.join(broadcast(bnds), Seq(partKey), "left")
-          .withColumn("_pc_b", when(col("_pc_bnds").isNull, lit(0))
+        encoded.select(col(partKey), col("_pc_k"), col("_pc_v"),
+          when(col("_pc_k").isNull, missing)
+            .otherwise(when(col("_pc_bnds").isNull, lit(0))
             .otherwise(graft.functions.UpperBoundCount.upperBoundCount(
-              col("_pc_bnds"), col("_pc_v"))))
-          .drop("_pc_bnds")
+              col("_pc_bnds"), col("_pc_v")))).as("_pc_b"))
       }
 
     // pass 1b: exact (key, bucket) counts -> offsets + totals, then DROP
@@ -599,11 +635,11 @@ object Relational {
     // aggregate of `buckets` conditional sums was tried here and measured
     // SLOWER — 2.05 s vs 1.37 s on q127 — the 64-wide agg buffer costs
     // more per row than the tiny extra exchange saves in stages.)
-    val wOff = W.partitionBy(col(partKey)).orderBy(col("_pc_b"))
+    val wOff = W.partitionBy(col("_pc_k")).orderBy(col("_pc_b"))
     val off = col("_pc_off")
-    val cnts = withB.groupBy(col(partKey), col("_pc_b"))
+    val cnts = withB.groupBy(col("_pc_k"), col("_pc_b"))
       .agg(count(lit(1)).as("_pc_c"))
-      .select(col(partKey), col("_pc_b"), col("_pc_c"),
+      .select(col("_pc_k"), col("_pc_b"), col("_pc_c"),
         coalesce(sum(col("_pc_c")).over(
           wOff.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_pc_off"),
         sum(col("_pc_c")).over(
@@ -612,15 +648,21 @@ object Relational {
     val bucketNeeded = ps.flatMap { case (_, p) =>
       neededRanks(p).map(k => k > off && k <= off + col("_pc_c"))
     }.reduce(_ || _)
-    val kept = cnts.filter(bucketNeeded).drop("_pc_c")
+    val kept = cnts.filter(bucketNeeded)
+      .select((col("_pc_k") * buckets + col("_pc_b")).as("_pc_gb"),
+        col("_pc_off"), col("_pc_n"))
 
-    // pass 2: per-row sort over ONLY the kept (key, bucket) slices
-    val w = W.partitionBy(col(partKey), col("_pc_b")).orderBy(col("_pc_v"))
+    // pass 2: per-row sort over ONLY the kept (key, bucket) slices —
+    // probed by the fused long key (LongHashedRelation, see scaladoc)
+    val w = W.partitionBy(col("_pc_gb")).orderBy(col("_pc_v"))
     val rn = col("_pc_rn")
     val rankNeeded = ps.flatMap { case (_, p) =>
       neededRanks(p).map(k => rn === k)
     }.reduce(_ || _)
-    val hits = withB.join(broadcast(kept), Seq(partKey, "_pc_b"))
+    val hits = withB
+      .select(col(partKey), col("_pc_v"),
+        (col("_pc_k") * buckets + col("_pc_b")).as("_pc_gb"))
+      .join(broadcast(kept), Seq("_pc_gb"))
       .withColumn("_pc_rn", off + row_number().over(w))
       .filter(rankNeeded)
 

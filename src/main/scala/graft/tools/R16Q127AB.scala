@@ -1,0 +1,240 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** r16 q127 A/B harness: isolate the remaining cost of the
+  * med→MAD→census chain at the 100× rung and measure candidate
+  * rewrites side by side in one JVM (machine noise hits every arm).
+  *
+  * Variants (each = full q127 semantics, collect()ed):
+  *  - cur:        shipped madOutlierStats
+  *  - repart:     base repartitioned to session shuffle parallelism
+  *                by (key, value) hash before the persist
+  *  - nomedcache: withMed persist dropped (recompute from cached base)
+  *  - both:       repart + nomedcache
+  *
+  * Usage: runMain graft.tools.R16Q127AB <sfDir>
+  */
+object R16Q127AB {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "64"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "off") == "on")
+      .config("spark.sql.autoBroadcastJoinThreshold", (256 << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(label: String)(f: => Any): Unit = {
+      f
+      val times = (1 to 2).map { _ =>
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }
+      println(f"[q127ab] $label%-34s ${times.min}%.2f s (all ${times.map(x => f"$x%.2f").mkString(",")})")
+    }
+
+    val orders = graft.core.Tables.load(spark, dir, "orders")
+
+    // variant-parameterized madOutlierStats clone
+    def mad(df: DataFrame, groupCol: String, valueCol: String,
+        cutoff: Double, repart: Boolean, cacheMed: Boolean): DataFrame = {
+      val g = col(groupCol); val x = col(valueCol).cast("double")
+      val proj0 = df.select(g, x.as("_mo_x"))
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val proj = if (repart) proj0.repartition(parts, g, col("_mo_x")) else proj0
+      val base = proj.persist(StorageLevel.MEMORY_AND_DISK)
+      val boundsX = graft.operators.Relational.uniformRange(base, groupCol, "_mo_x")
+      val med = graft.operators.Relational.percentileContExact(
+        base, groupCol, "_mo_x", Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
+      val withMed0 = base.join(broadcast(med), Seq(groupCol), "left")
+        .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+      val withMed = if (cacheMed) withMed0.persist(StorageLevel.MEMORY_AND_DISK)
+        else withMed0
+      val boundsD = boundsX.join(med, Seq(groupCol))
+        .select(col(groupCol), lit(0.0).as("_pc_lo"),
+          greatest(col("_mo_med") - col("_pc_lo"),
+            col("_pc_hi") - col("_mo_med")).as("_pc_hi"))
+      val madDf = graft.operators.Relational.percentileContExact(
+        withMed, groupCol, "_mo_ad", Seq("_mo_mad" -> 0.5),
+        bounds = Some(boundsD))
+      val out = withMed.join(broadcast(madDf), Seq(groupCol), "left")
+        .groupBy(g)
+        .agg(count(lit(1)).as("n"),
+          round(first(col("_mo_med")), 6).as("med"),
+          round(first(col("_mo_mad")), 6).as("mad"),
+          coalesce(sum((col("_mo_ad") > lit(cutoff * 1.4826) * col("_mo_mad"))
+            .cast("long")), lit(0L)).as("n_outliers"))
+      out
+    }
+
+    // micro floors first
+    val base0 = orders.select(col("o_orderpriority"),
+      col("o_totalprice").cast("double").as("_mo_x"))
+    println(s"[q127ab] scan partitions = ${base0.rdd.getNumPartitions}, " +
+      s"shuffle parts = ${spark.sessionState.conf.numShufflePartitions}")
+    val cached = base0.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    t("floor: cached agg(sum x)")(cached.agg(sum(col("_mo_x"))).collect())
+    t("floor: cached groupBy(key) count")(
+      cached.groupBy(col("o_orderpriority")).count().collect())
+    val bnds = graft.operators.Relational.uniformRange(cached, "o_orderpriority", "_mo_x")
+    // pre-materialize the bounds as a tiny cached frame so the floors
+    // below separate "probe-side scan cost" from "build the broadcast"
+    val bndsC = bnds.persist(StorageLevel.MEMORY_AND_DISK)
+    bndsC.count()
+    t("floor: join only agg(sum x)")(
+      cached.join(broadcast(bndsC), Seq("o_orderpriority"), "left")
+        .agg(sum(col("_mo_x"))).collect())
+    t("floor: join + raw arith (no when)")(
+      cached.join(broadcast(bndsC), Seq("o_orderpriority"), "left")
+        .select(floor((col("_mo_x") - col("_pc_lo")) * 256 /
+          (col("_pc_hi") - col("_pc_lo"))).cast("int").as("_pc_b"))
+        .agg(sum(col("_pc_b"))).collect())
+    def bucketized(src: DataFrame) = src
+      .join(broadcast(bndsC), Seq("o_orderpriority"), "left")
+      .withColumn("_pc_b",
+        when(col("_pc_lo").isNull || !(col("_pc_hi") > col("_pc_lo")), lit(0))
+          .otherwise(least(greatest(
+            floor((col("_mo_x") - col("_pc_lo")) * 256 /
+              (col("_pc_hi") - col("_pc_lo"))).cast("int"), lit(0)), lit(255))))
+      .drop("_pc_lo", "_pc_hi")
+    t("floor: arith bucketize agg(sum b)")(
+      bucketized(cached).agg(sum(col("_pc_b"))).collect())
+    t("floor: bucketize uncached src")(
+      bucketized(base0).agg(sum(col("_pc_b"))).collect())
+    t("floor: cnts groupBy(key,b)")(
+      bucketized(cached).groupBy(col("o_orderpriority"), col("_pc_b"))
+        .agg(count(lit(1))).collect())
+    // discriminate: plan shape, string-vs-int key, inner-vs-left
+    println(cached.join(broadcast(bndsC), Seq("o_orderpriority"), "left")
+      .agg(sum(col("_mo_x"))).queryExecution.executedPlan.toString.take(1500))
+    t("floor: join INNER agg(sum x)")(
+      cached.join(broadcast(bndsC), Seq("o_orderpriority"))
+        .agg(sum(col("_mo_x"))).collect())
+    val baseI = orders.select(
+      xxhash64(col("o_orderpriority")).as("_k"),
+      col("o_totalprice").cast("double").as("_mo_x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    baseI.count()
+    val bndsI = baseI.groupBy(col("_k"))
+      .agg(min(col("_mo_x")).as("_pc_lo"), max(col("_mo_x")).as("_pc_hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bndsI.count()
+    t("floor: INT-key join agg(sum x)")(
+      baseI.join(broadcast(bndsI), Seq("_k"), "left")
+        .agg(sum(col("_mo_x"))).collect())
+    t("floor: INT-key bare agg(sum x)")(
+      baseI.agg(sum(col("_mo_x"))).collect())
+    baseI.unpersist(blocking = true); bndsI.unpersist(blocking = true)
+    bndsC.unpersist(blocking = true)
+    cached.unpersist(blocking = true)
+
+    def fresh(repart: Boolean, cacheMed: Boolean): Unit = {
+      // clear all cached data between arms so each pays its own persists
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def arm(label: String, repart: Boolean, cacheMed: Boolean): Unit = {
+      // warm once then best-of-2, clearing caches before each run so the
+      // timed region includes the materializations exactly like a bench run
+      (0 to 2).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
+        val s = System.nanoTime()
+        val rows = mad(orders, "o_orderpriority", "o_totalprice", 3.0,
+          repart, cacheMed).orderBy(col("o_orderpriority")).collect()
+        val dt = (System.nanoTime() - s) / 1e9
+        println(f"[q127ab] $label%-34s run$i $dt%.2f s (${rows.length} rows, " +
+          s"hash=${rows.map(_.toString).mkString("|").hashCode})")
+      }
+    }
+    if (args.lift(1).contains("newstages")) {
+      // decompose the SHIPPED (r16 dict-encoded) madOutlierStats chain,
+      // warm, caches shared across reps (the bench regime)
+      import org.apache.spark.sql.expressions.Window
+      val g = col("o_orderpriority")
+      val x = col("o_totalprice").cast("double")
+      val raw = orders.select(g, x.as("_mo_x"))
+      val dict = raw.groupBy(g)
+        .agg(min(col("_mo_x")).as("_pc_lo"), max(col("_mo_x")).as("_pc_hi"))
+        .withColumn("_mo_k", row_number().over(Window.orderBy(g)).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t("n1: dict agg+window")(dict.collect())
+      val base = raw
+        .join(broadcast(dict.select(g.as("_mo_kk"), col("_mo_k"))),
+          g <=> col("_mo_kk"), "left")
+        .select(g, col("_mo_k"), col("_mo_x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t("n2: base encode+materialize")(base.count())
+      t("n2b: base scan agg(sum)")(base.agg(sum(col("_mo_x"))).collect())
+      val boundsX = dict.select(col("_mo_k"), col("_pc_lo"), col("_pc_hi"))
+      val med = graft.operators.Relational.percentileContExact(
+        base.select(col("_mo_k"), col("_mo_x")), "_mo_k", "_mo_x",
+        Seq("_mo_med" -> 0.5), bounds = Some(boundsX))
+      t("n3: med pass")(med.collect())
+      val withMed = base.join(broadcast(med), Seq("_mo_k"), "left")
+        .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+      t("n4: withMed scan (sum ad)")(
+        withMed.agg(sum(col("_mo_ad"))).collect())
+      println(withMed.agg(sum(col("_mo_ad")))
+        .queryExecution.executedPlan.toString.take(3000))
+      t("n4a: join only count")(withMed.count())
+      val medLit = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (1L to 5L).map(i => org.apache.spark.sql.Row(i, 150000.0 + i))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_mo_k",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_mo_med",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      t("n4b: join LITERAL med (sum ad)")(
+        base.join(broadcast(medLit), Seq("_mo_k"), "left")
+          .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+          .agg(sum(col("_mo_ad"))).collect())
+      t("n4f: real med, sum(_mo_med) only")(
+        base.join(broadcast(med), Seq("_mo_k"), "left")
+          .agg(sum(col("_mo_med"))).collect())
+      t("n4g: real med, sum(_mo_x) only")(
+        base.join(broadcast(med), Seq("_mo_k"), "left")
+          .agg(sum(col("_mo_x"))).collect())
+      t("n4h: real med INNER, sum ad")(
+        base.join(broadcast(med), Seq("_mo_k"))
+          .agg(sum(abs(col("_mo_x") - col("_mo_med")))).collect())
+      val medC = med.persist(StorageLevel.MEMORY_AND_DISK)
+      medC.count()
+      t("n4i: CACHED med, sum ad")(
+        base.join(broadcast(medC), Seq("_mo_k"), "left")
+          .withColumn("_mo_ad", abs(col("_mo_x") - col("_mo_med")))
+          .agg(sum(col("_mo_ad"))).collect())
+      val boundsD = dict.join(med, Seq("_mo_k"))
+        .select(col("_mo_k"), lit(0.0).as("_pc_lo"),
+          greatest(col("_mo_med") - col("_pc_lo"),
+            col("_pc_hi") - col("_mo_med")).as("_pc_hi"))
+      val madDf = graft.operators.Relational.percentileContExact(
+        withMed.select(col("_mo_k"), col("_mo_ad")), "_mo_k", "_mo_ad",
+        Seq("_mo_mad" -> 0.5), bounds = Some(boundsD))
+      t("n5: mad pass")(madDf.collect())
+      t("n6: census")(withMed.join(broadcast(madDf), Seq("_mo_k"), "left")
+        .groupBy(g)
+        .agg(count(lit(1)).as("n"),
+          round(first(col("_mo_med")), 6).as("med"),
+          round(first(col("_mo_mad")), 6).as("mad"),
+          coalesce(sum((col("_mo_ad") > lit(3.0 * 1.4826) * col("_mo_mad"))
+            .cast("long")), lit(0L)).as("n_outliers")).collect())
+      t("n7: FULL shipped face")(graft.queries.AnalyticsQueries
+        .q127MadOutliers(spark, dir).collect())
+      spark.stop(); return
+    }
+    if (!args.lift(1).contains("floorsonly")) {
+      arm("cur (persist both)", repart = false, cacheMed = true)
+      arm("repart", repart = true, cacheMed = true)
+      arm("nomedcache", repart = false, cacheMed = false)
+      arm("both", repart = true, cacheMed = false)
+    }
+    spark.stop()
+  }
+}

@@ -149,10 +149,15 @@ class PlanCensusSpec extends SparkSpec {
     "q89_regexp_all"           -> (1, 0, 0, true), // per-row regex, sort only
     "q90_array_setops"         -> (1, 0, 0, true), // per-row array ops, sort only
     "q91_bool_aggs"            -> (2, 0, 0, true), // partial+final agg, tiny sort
-    "q92_percentile_cont"      -> (6, 2, 0, true), // bucketed two-pass exact
+    "q92_percentile_cont"      -> (7, 2, 0, true), // bucketed two-pass exact
                                                    // percentiles (r7): bounds agg +
                                                    // tiny (key,bucket) frames; no
-                                                   // per-group value buffering
+                                                   // per-group value buffering.
+                                                   // r16: +1 single-partition
+                                                   // exchange — the |keys|-row
+                                                   // dense-id window that swaps
+                                                   // every n-row string probe
+                                                   // for a LongHashedRelation
     "q93_mode"                 -> (3, 0, 0, true), // count agg + tiny ranking window
     "q94_date_arith"           -> (1, 0, 0, true), // per-row date math, key-pruned scan
     "q95_regr_stats"           -> (2, 0, 0, true), // one-pass partial+final stat agg
@@ -188,9 +193,11 @@ class PlanCensusSpec extends SparkSpec {
     "q112_collation"           -> (3, 0, 0, true), // collated distinct: expand + 2-phase agg
     "q113_editdist_join"       -> (2, 1, 0, true), // PassJoin segment/substring equi-join
                                                    // (probe side broadcast at this SF) + distinct
-    "q114_winsorize"           -> (7, 3, 0, true), // r7: bucketed percentileContExact
+    "q114_winsorize"           -> (8, 3, 0, true), // r7: bucketed percentileContExact
                                                    // bounds (tiny-frame exchanges) +
-                                                   // broadcast bounds + clip agg
+                                                   // broadcast bounds + clip agg.
+                                                   // r16: +1 |keys|-row dense-id
+                                                   // window (see q92)
     "q115_token_entropy"       -> (3, 0, 0, true), // token agg + source window + final agg
     "q116_containment"         -> (3, 2, 0, true), // inverted-index gram join + overlap agg
                                                    // + small size-frame broadcasts
@@ -209,12 +216,16 @@ class PlanCensusSpec extends SparkSpec {
     "q125_k_anonymity"         -> (2, 0, 0, true), // QID hash agg + sort
     "q126_weighted_median"     -> (3, 0, 0, true), // histogram agg FIRST, windows on
                                                    // the |groups|×50 frame + sort
-    "q127_mad_outliers"        -> (11, 6, 0, true), // r15: +1 tiny broadcast —
-                                                   // the MAD range frame
-                                                   // (boundsX ⋈ med) of the
-                                                   // arithmetic-bucketize
-                                                   // rewrite; r9: persisted 2-col
-                                                   // projection shared across the
+    "q127_mad_outliers"        -> (7, 7, 0, true), // r16: 11 → 7 exchanges —
+                                                   // the persisted |keys|-row med
+                                                   // frame truncates the med
+                                                   // subtree that the MAD pass,
+                                                   // its bounds and the census
+                                                   // each re-embedded; +1 tiny
+                                                   // broadcast from the dense-id
+                                                   // dict probe (see q92); r9:
+                                                   // persisted 2-col projection
+                                                   // shared across the
                                                    // med/MAD/census passes (one
                                                    // source scan); r8: med + MAD
                                                    // bucketed exact
@@ -392,7 +403,9 @@ class PlanCensusSpec extends SparkSpec {
                                                    // (q138's shape on the one-
                                                    // hot-key corpus; straggler
                                                    // bound pinned in SkewSpec)
-    "q177_skew_bucketed_median" -> (6, 2, 0, true), // bucketed two-pass exact
+    "q177_skew_bucketed_median" -> (7, 2, 0, true), // bucketed two-pass exact
+                                                   // (r16: +1 dense-id window,
+                                                   // see q92)
                                                    // median (q92's shape): hot
                                                    // key spreads over (key,
                                                    // bucket) frames, no per-
