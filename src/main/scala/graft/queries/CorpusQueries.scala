@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.operators.{Dedup, Graph, Linkage, Relational, Similarity, TextAnalysis}
@@ -175,17 +176,56 @@ object CorpusQueries {
         o, "o_orderstatus", "o_totalprice",
         Seq("_w_lo" -> 0.05, "_w_hi" -> 0.95))
       .withColumnRenamed("o_orderstatus", "_w_st")
-    val clip = least(greatest(col("o_totalprice"), col("_w_lo")), col("_w_hi"))
-    o.join(broadcast(b), col("o_orderstatus") === col("_w_st"))
-      .select(col("o_orderstatus"), col("_w_lo"), col("_w_hi"),
-        clip.cast("decimal(18,6)").as("_w_clip"))
+    // r16, two per-row cost removals (both pinned bit-exact against the
+    // r9 form in PropertySpec):
+    //  - the clip probe joins on xxhash64(status) — a single non-null
+    //    LONG equi-key (LongHashedRelation; a string probe measured
+    //    ~14× slower, see Relational.rankTargetedSelect) — with the
+    //    true string equality as a post-join filter (===, so a NULL
+    //    status row still drops exactly as the plain inner equi-join
+    //    dropped it; a 64-bit collision only re-checks one row);
+    //  - the clipped DECIMAL(18,6) per-row sum (whose (28,6) buffer
+    //    runs on java.math.BigDecimal per row — the q42 lesson) becomes
+    //    three GROUP-LEVEL terms: clip is lo for every row below the
+    //    band, the exact 2-decimal price inside it, hi above it, so
+    //    Σ round6(clip) = round6(lo)·n_lo + cents_mid/100 + round6(hi)·n_hi
+    //    with round6 = the same double→DECIMAL(18,6) cast the old form
+    //    applied per row (now applied once per group, so rounding is
+    //    identical by construction), cents_mid an exact long sum split
+    //    into (>>20, &0xFFFFF) halves (overflow-safe below ~10^12 rows
+    //    per group), and the three terms combined in exact decimal
+    //    arithmetic (scales 6/2/6, no precision-loss cap reached).
+    val p = col("o_totalprice")
+    val cents = round(p * 100, 0).cast("long")
+    val cMid = when(p >= col("_w_lo") && p <= col("_w_hi"), cents)
+      .otherwise(0L)
+    val mask = lit((1L << 20) - 1)
+    val agg = o
+      .join(broadcast(b.withColumn("_w_h", xxhash64(col("_w_st")))),
+        xxhash64(col("o_orderstatus")) === col("_w_h"))
+      // coalesce-wrapped so ExtractEquiJoinKeys cannot merge the string
+      // equality back into the join as a second (composite, generic-hash)
+      // key — it must stay a residual condition on hash-equal rows;
+      // null === null → null → false, exactly the plain inner equi-join
+      .filter(coalesce(col("o_orderstatus") === col("_w_st"), lit(false)))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(first(col("_w_lo")), 6).as("p05"),
-        round(first(col("_w_hi")), 6).as("p95"),
-        sum(col("_w_clip")).as("_w_sum"))
-      .select(col("o_orderstatus"), col("n"), col("p05"), col("p95"),
-        round(col("_w_sum").cast("double") / col("n"), 6).as("avg_clip"))
+        first(col("_w_lo")).as("_lo"), first(col("_w_hi")).as("_hi"),
+        sum(when(p < col("_w_lo"), 1L).otherwise(0L)).as("_nlo"),
+        sum(when(p > col("_w_hi"), 1L).otherwise(0L)).as("_nhi"),
+        sum(shiftright(cMid, 20)).as("_cmh"),
+        sum(cMid.bitwiseAND(mask)).as("_cml"))
+    val centsMid = col("_cmh").cast(DecimalType(25, 0)) * lit(1L << 20) +
+      col("_cml")
+    val wSum = col("_lo").cast(DecimalType(18, 6)) *
+        col("_nlo").cast(DecimalType(14, 0)) +
+      centsMid * lit(new java.math.BigDecimal("0.01")) +
+      col("_hi").cast(DecimalType(18, 6)) *
+        col("_nhi").cast(DecimalType(14, 0))
+    agg.select(col("o_orderstatus"), col("n"),
+        round(col("_lo"), 6).as("p05"),
+        round(col("_hi"), 6).as("p95"),
+        round(wSum.cast("double") / col("n"), 6).as("avg_clip"))
       .orderBy(col("o_orderstatus"))
   }
 

@@ -151,27 +151,48 @@ object ExtendedQueries {
     * values are 5-digit with 2 decimals, far inside double's 53 bits.)
     */
   def q42StatsCorr(spark: SparkSession, dir: String): DataFrame = {
-    // tight input precisions keep every product under DECIMAL(18,_):
-    // x*x=(9,4), y*y=(17,4), x*y=(13,4) all fit Spark's compact-long
-    // Decimal representation — DECIMAL(18,2) inputs would make products
-    // (37,4) and push the whole aggregation onto java.math.BigDecimal
-    // (~2-3x slower). Value bounds are data-model constants, not
-    // SF-dependent: l_quantity <= 50 (4,2); l_extendedprice = qty x
-    // part price <= ~110k (8,2). The declared precision doesn't reach
-    // the output (exact value -> DOUBLE is identical either way), so
-    // the DuckDB oracle can keep its generic (18,2) casts.
+    // r16: exact INTEGER power sums in cents space. The r12 form kept
+    // every PRODUCT inside compact-long DECIMAL(18,_), but Spark's SUM
+    // over a decimal widens the buffer by 10 digits ((17,4) → (27,4)),
+    // which runs on java.math.BigDecimal per row — the actual per-row
+    // cost of this face. Eight compact LONG sums replace the five
+    // decimal ones: values ×100 are exact integers (FIXTURES §3, the
+    // q123 cents re-encoding), and the two largest products (y², x·y)
+    // are split into (>>20, & 0xFFFFF) halves so no partial sum can
+    // overflow 2^63 below ~10^12 rows (y² ≤ 1.21e14; the un-split sum
+    // overflows at ~76k rows — measured-wrong, not just theoretical).
+    // The halves reassemble into the SAME exact decimal the old
+    // aggregation produced, so every downstream double is
+    // bit-identical (pinned in PropertySpec against the decimal form).
     val li = t(spark, dir, "lineitem")
       .select(
         col("l_returnflag"),
-        col("l_quantity").cast(DecimalType(4, 2)).as("x"),
-        col("l_extendedprice").cast(DecimalType(8, 2)).as("y"))
-    val g = li.groupBy(col("l_returnflag")).agg(
+        round(col("l_quantity") * 100, 0).cast(LongType).as("xc"),
+        round(col("l_extendedprice") * 100, 0).cast(LongType).as("yc"))
+    val y2 = col("yc") * col("yc")
+    val xy = col("xc") * col("yc")
+    val mask = lit((1L << 20) - 1)
+    val raw = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      sum(col("x")).cast(DoubleType).as("sx"),
-      sum(col("y")).cast(DoubleType).as("sy"),
-      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
-      sum(col("y") * col("y")).cast(DoubleType).as("syy"),
-      sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      sum(col("xc")).as("sxc"),
+      sum(col("yc")).as("syc"),
+      sum(col("xc") * col("xc")).as("sx2"),
+      sum(shiftright(y2, 20)).as("sy2h"),
+      sum(y2.bitwiseAND(mask)).as("sy2l"),
+      sum(shiftright(xy, 20)).as("sxyh"),
+      sum(xy.bitwiseAND(mask)).as("sxyl"))
+    // reassemble exact integers as decimals, divide at decimal
+    // precision (quotients have ≤4 decimals — exact), convert once:
+    // identical doubles to the decimal aggregation's sum(..).cast(dbl)
+    def unsplit(h: Column, l: Column): Column =
+      ((h.cast(DecimalType(25, 0)) * lit(1L << 20) + l) / lit(10000))
+        .cast(DoubleType)
+    val g = raw.select(col("l_returnflag"), col("n"),
+      (col("sxc").cast(DecimalType(25, 0)) / lit(100)).cast(DoubleType).as("sx"),
+      (col("syc").cast(DecimalType(25, 0)) / lit(100)).cast(DoubleType).as("sy"),
+      (col("sx2").cast(DecimalType(25, 0)) / lit(10000)).cast(DoubleType).as("sxx"),
+      unsplit(col("sy2h"), col("sy2l")).as("syy"),
+      unsplit(col("sxyh"), col("sxyl")).as("sxy"))
     val nD = col("n").cast(DoubleType)
     val cov = nD * col("sxy") - col("sx") * col("sy")
     val vx = nD * col("sxx") - col("sx") * col("sx")
@@ -1285,15 +1306,41 @@ object ExtendedQueries {
           .as("rep3"))
       .orderBy(col("doc_id"))
 
-  /** q83 — RECURSIVE CTE, identical SQL text on both engines (the
-    * q52/q53 trick): each customer walks the implicit binary-tree
-    * hierarchy key → ⌊key/2⌋ to the root, aggregating path depth and
-    * ancestor-key sum. Acyclic by construction so UNION ALL recursion
-    * terminates (≤ ⌈log₂ max key⌉ ≈ 11 rounds at sf0.01, within
-    * Spark's default recursion limit of 100); `floor(x / 2.0)` instead
-    * of integer division because `/` is double-typed in both dialects
-    * while `DIV`/`//` spellings differ. Spark 4's recursive CTE
-    * executes as an iterative union plan — the SQL-surface counterpart
+  /** q83 — ancestor-chain walk, CLOSED FORM (r16). The recursion
+    * key → ⌊key/2⌋ is data-independent per-row arithmetic: the chain of
+    * customer k is exactly (k >> i) for i = 0..⌊log₂ k⌋, so
+    * depth = ⌊log₂ k⌋ = length(bin(k)) − 1 and anc_sum = Σᵢ (k >> i) —
+    * one codegen'd map over customer, no iteration, no GROUP BY (the
+    * guide-§8 move: use what the optimizer cannot know). The DECLARED
+    * query is unchanged: the DuckDB oracle still runs the recursive-CTE
+    * SQL ([[q83Sql]]) and certifies hash equality, and
+    * ExtendedQueriesSpec pins this form against Spark's own recursive
+    * CTE execution, so the capability stays exercised. Why: Spark 4's
+    * UnionLoop materializes every iteration as separate jobs —
+    * measured 1.17 s at sf0.1 (2.32 s at 32 shuffle partitions; the
+    * loop magnifies per-stage overhead by ⌈log₂ max key⌉ ≈ 18 rounds)
+    * against DuckDB's 0.02 s pipelined recursion; the closed form is
+    * ~0.1 s and scales as one pass at any SF. Exactness: k ≥ 0 and
+    * shiftright ≡ the CTE's floor(x/2.0) halving on non-negative
+    * integers; bin(0) = "0" gives depth 0, sum 0 — the CTE's seed-only
+    * row — and k = 1 stops immediately on both forms.
+    */
+  def q83RecursiveClosedForm(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val d = (length(bin(k)) - 1).cast("int")
+    t(spark, dir, "customer")
+      .select(k, d.as("depth"),
+        aggregate(
+          transform(sequence(lit(0), d),
+            i => call_function("shiftright", k, i)),
+          lit(0L), (acc, x) => acc + x).as("anc_sum"))
+      .orderBy(k)
+  }
+
+  /** The recursive-CTE text q83 DECLARES (oracle side, and the
+    * Spark-recursion equivalence pin in ExtendedQueriesSpec).
+    * Spark 4's recursive CTE executes as an iterative union plan
+    * — the SQL-surface counterpart
     * of [[graft.operators.Dedup.connectedComponents]]' programmatic
     * iteration.
     */
@@ -1336,7 +1383,7 @@ object ExtendedQueries {
        WHERE c.c_custkey % 100 = 0
        ORDER BY c.c_custkey, t.o_orderkey"""
 
-  private val q83Sql =
+  private[queries] val q83Sql =
     """WITH RECURSIVE chain(c_custkey, anc, depth) AS (
          SELECT c_custkey, c_custkey, 0 FROM customer
          UNION ALL
@@ -1428,7 +1475,7 @@ object ExtendedQueries {
     "q79_dist_windows"  -> (q79DistributionWindows _),
     "q80_pivot"         -> (q80Pivot _),
     "q81_fuzzy_match"   -> (q81FuzzyMatch _),
-    "q83_recursive_cte" -> (sqlOn(q83Sql) _),
+    "q83_recursive_cte" -> (q83RecursiveClosedForm _),
     "q140_correlated_subq" -> (sqlOn(q140Sql) _),
     "q141_lateral_topk" -> (sqlOn(q141Sql) _),
     "q84_avc_keydedup"  -> (q84AvcKeyframeDedup _),

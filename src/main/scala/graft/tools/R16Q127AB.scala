@@ -152,6 +152,20 @@ object R16Q127AB {
           s"hash=${rows.map(_.toString).mkString("|").hashCode})")
       }
     }
+    if (args.lift(1).contains("q114")) {
+      val o = orders.select(col("o_orderstatus"), col("o_totalprice"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t("w1: persist+count o")(o.count())
+      val b = graft.operators.Relational.percentileContExact(
+          o, "o_orderstatus", "o_totalprice",
+          Seq("_w_lo" -> 0.05, "_w_hi" -> 0.95))
+        .withColumnRenamed("o_orderstatus", "_w_st")
+      t("w2: percentile b (collect)")(b.collect())
+      t("w3: clip join+agg (new form)")(
+        graft.queries.CorpusQueries.all("q114_winsorize")(spark, dir)
+          .collect())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("newstages")) {
       // decompose the SHIPPED (r16 dict-encoded) madOutlierStats chain,
       // warm, caches shared across reps (the bench regime)

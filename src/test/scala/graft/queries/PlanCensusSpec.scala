@@ -53,7 +53,9 @@ class PlanCensusSpec extends SparkSpec {
     "q102_dsir", "q103_shuffle_pack", "q117_triangles", "q129_hard_negatives",
     "q130_semdedup", "q134_funnel", "q145_retrieval_metrics")
   // media queries read generated in-memory bytes, not parquet — there is
-  // no scan to push filters into; q83's seed scan is an unplanned logical
+  // no scan to push filters into; (q83 left this set in r16: the
+  // closed-form rewrite scans customer directly)
+  // historical r15 note: q83's seed scan was an unplanned logical
   // Relation nested inside UnionLoop (recursive CTEs plan each iteration
   // lazily at execution), so the initial-plan census structurally sees
   // scans=0 — PlanOne shows the seed already projects only c_custkey
@@ -62,7 +64,7 @@ class PlanCensusSpec extends SparkSpec {
   // relation, so the census sees no parquet scan to push into
   private val noScan = Set("q36_media_features", "q56_image_dedup",
     "q57_audio_dedup", "q58_video_dedup", "q66_mp4avi_dedup",
-    "q83_recursive_cte", "q146_bpe_merges")
+    "q146_bpe_merges")
 
   // per-query shuffle-budget overrides (default 8), each with its reason:
   //  - q127_mad_outliers: three sequential exact-percentile passes
@@ -140,7 +142,11 @@ class PlanCensusSpec extends SparkSpec {
                                                    // candidate pass runs as a
                                                    // plan-build job; the exact
                                                    // pass = filtered agg + sort
-    "q83_recursive_cte"        -> (2, 0, 0, false), // seed plans lazily in UnionLoop
+    "q83_recursive_cte"        -> (1, 0, 0, true), // r16 closed form: one map
+                                                   // over customer + sort — no
+                                                   // UnionLoop, no GROUP BY
+                                                   // (recursion ≡ pinned in
+                                                   // PropertySpec)
     "q84_avc_keydedup"         -> (4, 1, 0, true), // keyframe sigs: narrow rows only
     "q85_contamination"        -> (3, 3, 0, true), // bloom prefilter + broadcast matches
     "q86_incremental_dedup"    -> (2, 3, 0, true), // small path at sf0.001: plain anti-join

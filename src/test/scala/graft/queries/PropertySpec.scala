@@ -194,6 +194,78 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q83 closed form ≡ Spark's own recursive-CTE execution (sf0.001)") {
+    // the declared face ships the closed form (one map, no UnionLoop —
+    // see q83RecursiveClosedForm's scaladoc); the recursive-CTE
+    // capability stays exercised HERE, against the identical SQL text
+    // the DuckDB oracle runs
+    val dir = "/root/testdata/sf0.001"
+    graft.core.Tables.registerAll(spark, dir)
+    val rec = spark.sql(ExtendedQueries.q83Sql).collect().toSeq
+    val closed = ExtendedQueries.q83RecursiveClosedForm(spark, dir)
+      .collect().toSeq
+    assert(closed == rec)
+  }
+
+  test("q42 long power sums ≡ the decimal aggregation, bit-exact (sf0.01)") {
+    // the shipped face sums exact cents-space longs (split halves for
+    // y² and x·y); this pin recomputes the r12 DECIMAL aggregation and
+    // requires the FINAL rows — post round(6) — to be identical, so the
+    // reassembly's decimal→double conversions are proven value-preserving
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(4, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(8, 2)).as("y"))
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(DoubleType).as("sx"),
+      sum(col("y")).cast(DoubleType).as("sy"),
+      sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+      sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+      sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val old = g.select(col("l_returnflag"), col("n"),
+        round(cov / sqrt(vx * vy), 6).as("corr"),
+        round(cov / vx, 6).as("slope"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    val now = ExtendedQueries.all("q42_stats_corr")(spark, dir)
+      .collect().toSeq
+    assert(now == old)
+  }
+
+  test("q114 group-level clip sum ≡ the per-row decimal sum, bit-exact (sf0.01)") {
+    // the shipped face folds Σ round6(clip) into
+    // round6(lo)·n_lo + cents_mid/100 + round6(hi)·n_hi; this pin
+    // recomputes the r9 per-row DECIMAL(18,6) clipped sum over the same
+    // percentile band and requires identical final rows
+    val dir = "/root/testdata/sf0.01"
+    val o = graft.core.Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    val b = graft.operators.Relational.percentileContExact(
+        o, "o_orderstatus", "o_totalprice",
+        Seq("_w_lo" -> 0.05, "_w_hi" -> 0.95))
+      .withColumnRenamed("o_orderstatus", "_w_st")
+    val clip = least(greatest(col("o_totalprice"), col("_w_lo")), col("_w_hi"))
+    val old = o.join(broadcast(b), col("o_orderstatus") === col("_w_st"))
+      .select(col("o_orderstatus"), col("_w_lo"), col("_w_hi"),
+        clip.cast("decimal(18,6)").as("_w_clip"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("_w_lo")), 6).as("p05"),
+        round(first(col("_w_hi")), 6).as("p95"),
+        sum(col("_w_clip")).as("_w_sum"))
+      .select(col("o_orderstatus"), col("n"), col("p05"), col("p95"),
+        round(col("_w_sum").cast("double") / col("n"), 6).as("avg_clip"))
+      .orderBy(col("o_orderstatus")).collect().toSeq
+    val now = CorpusQueries.all("q114_winsorize")(spark, dir).collect().toSeq
+    assert(now == old)
+  }
+
   test("ngramContamination: counts bounded, self-contamination is total") {
     check(Prop.forAll(Gen.listOfN(8, Gen.listOfN(6, Gen.choose(0, 4))), Gen.choose(1, 3)) {
       (docs, n) =>
