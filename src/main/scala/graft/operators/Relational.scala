@@ -342,21 +342,41 @@ object Relational {
       df: DataFrame, partKey: String, orderCols: Seq[String],
       numTiles: Int = 4, buckets: Int = 64): DataFrame = {
     require(numTiles >= 1 && buckets >= 2, "numTiles >= 1, buckets >= 2")
-    Seq("_dr_bnds", "_dr_b", "_dr_off", "_dr_n", "_dr_rn", "tile", "pr", "cd")
+    Seq("_dr_bnds", "_dr_b", "_dr_off", "_dr_n", "_dr_rn", "_dr_k", "_dr_kk",
+        "_dr_kh", "_dr_gb", "tile", "pr", "cd")
       .foreach(c => require(!df.columns.contains(c), s"input already has column $c"))
     val v = col(orderCols.head)
 
-    // pass 1a: interior boundaries per key (approximate is fine — see doc)
+    // pass 1a: interior boundaries per key (approximate is fine — see
+    // doc; deliberately NOT the percentile family's fixed-width
+    // min/max form: here EVERY bucket's rows get window-sorted in
+    // pass 2, so sketch-balanced buckets are the straggler bound for
+    // heavy-tailed keys, not just a pruning nicety). The frame doubles
+    // as a dense-id dictionary so the two n-row probes below run on
+    // LONG keys — the rankTargetedSelect r16 lesson: a string-keyed
+    // HashedRelation probe measured ~14× a long-keyed one.
     val qs = (1 until buckets).map(_.toDouble / buckets)
+    val W = org.apache.spark.sql.expressions.Window
     val bounds = df.groupBy(col(partKey)).agg(
-      percentile_approx(v.cast("double"), lit(qs.toArray), lit(2500)).as("_dr_bnds"))
+        percentile_approx(v.cast("double"), lit(qs.toArray), lit(2500)).as("_dr_bnds"))
+      .withColumn("_dr_k", row_number().over(W.orderBy(col(partKey))).cast("long"))
+    val dict = bounds
+      .select(col(partKey).as("_dr_kk"), xxhash64(col(partKey)).as("_dr_kh"),
+        col("_dr_k"), col("_dr_bnds"))
     // bucket = count of boundaries <= value, via the native binary-search
     // expression (an `aggregate` fold emits one `when` branch per boundary
-    // — measured ~0.7 s/pass at 150k rows × 63 boundaries, Q79Profile)
-    val withB = df.join(broadcast(bounds), Seq(partKey))
+    // — measured ~0.7 s/pass at 150k rows × 63 boundaries, Q79Profile).
+    // The probe's equi-key is xxhash64(key) — single non-null long —
+    // with the true key equality coalesce-wrapped as a residual filter
+    // (kept OUT of the equi-keys, see q114) so the inner-join-on-key
+    // semantics are exact: null keys drop, collisions only re-check.
+    val withB = df
+      .join(broadcast(dict), xxhash64(col(partKey)) === col("_dr_kh"))
+      .filter(coalesce(col(partKey) <=> col("_dr_kk"), lit(false)))
       .withColumn("_dr_b", graft.functions.UpperBoundCount.upperBoundCount(
         col("_dr_bnds"), v.cast("double")))
-      .drop("_dr_bnds")
+      .withColumn("_dr_gb", col("_dr_k") * buckets + col("_dr_b"))
+      .drop("_dr_bnds", "_dr_kk", "_dr_kh", "_dr_k")
 
     // pass 1b: exact (key, bucket) counts -> per-bucket global offsets
     // (prefix sum) and per-key totals. |keys|·buckets rows, so the
@@ -364,25 +384,23 @@ object Relational {
     // the whole operator one plan: no driver collect, no eager jobs at
     // construction time (the first cut collected counts to the driver
     // and re-paid two build jobs on every re-execution).
-    val W = org.apache.spark.sql.expressions.Window
-    val wOff = W.partitionBy(col(partKey)).orderBy(col("_dr_b"))
-    val offDf = withB.groupBy(col(partKey), col("_dr_b")).count()
-      .select(col(partKey), col("_dr_b"),
+    val wOff = W.partitionBy(col("_dr_gb") - col("_dr_b")).orderBy(col("_dr_b"))
+    val offDf = withB.groupBy(col("_dr_gb"), col("_dr_b")).count()
+      .select(col("_dr_gb"),
         coalesce(sum(col("count")).over(
           wOff.rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("_dr_off"),
         sum(col("count")).over(
           wOff.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
           .as("_dr_n"))
 
-    // pass 2: the only per-row sort — window over (key, bucket)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(partKey), col("_dr_b"))
-      .orderBy(orderCols.map(col): _*)
+    // pass 2: the only per-row sort — window over the fused (key, bucket)
+    // long (bijective with the old (key, bucket) pair)
+    val w = W.partitionBy(col("_dr_gb")).orderBy(orderCols.map(col): _*)
     val rn = col("_dr_rn"); val n = col("_dr_n")
     // NTILE from (rn, n): first n%k tiles get floor(n/k)+1 rows. Integral
     // DIV keeps exactness for n beyond double's 2^53 mantissa.
     val q = expr(s"_dr_n DIV $numTiles"); val r = expr(s"_dr_n % $numTiles")
-    withB.join(broadcast(offDf), Seq(partKey, "_dr_b"))
+    withB.join(broadcast(offDf), Seq("_dr_gb"))
       .withColumn("_dr_rn", col("_dr_off") + row_number().over(w))
       .withColumn("tile",
         when(rn <= r * (q + 1), expr(s"(_dr_rn + (_dr_n DIV $numTiles)) DIV ((_dr_n DIV $numTiles) + 1)"))
@@ -392,7 +410,7 @@ object Relational {
       .withColumn("pr",
         when(n === 1, lit(0.0)).otherwise((rn - 1).cast("double") / (n - 1)))
       .withColumn("cd", rn.cast("double") / n)
-      .drop("_dr_b", "_dr_off", "_dr_n", "_dr_rn")
+      .drop("_dr_b", "_dr_gb", "_dr_off", "_dr_n", "_dr_rn")
   }
 
   /** Exact interpolated percentiles (percentile_cont semantics) for
